@@ -1,0 +1,79 @@
+"""Batch sinks with row-count accounting (ops S4/S5 + X4 metrics).
+
+The reference renders every cell back to SQL/TSV text
+(mysql/writer/main.go:98-132, clickhouse/writer/main.go:95-120) and
+streams per-batch ``Status{success,count}`` acks (contract.proto:45-54).
+Typed Spark writers make the text rendering (op T3) moot; the ack/row
+count becomes ``df.observe`` metrics collected by a listener-free
+``Observation`` — no second ``count()`` job over the data.
+
+Parquet is the in-repo sink; the JDBC writer is the live-database path
+(same plan, different format). At scale, prefer partitioned parquet
+(`partitionBy` on the cursor column) so the *next* incremental run's
+snapshot read (H2) prunes to the current window instead of scanning
+the whole target — that turns H2 from O(target) to O(window).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame, Observation
+from pyspark.sql import functions as F
+
+
+@dataclass
+class WriteResult:
+    """The Status ack of contract.proto:45-54, engine-side."""
+
+    rows: int
+    target: str
+
+
+def append_table(
+    df: DataFrame,
+    path: str,
+    partition_by: list[str] | None = None,
+    mode: str = "append",
+) -> WriteResult:
+    """S4/S5: append a batch to the target with row accounting (X4's
+    total-rows log, provider.go:238) via Observation — the count rides
+    the write job itself."""
+    obs = Observation("sink")
+    observed = df.observe(obs, F.count(F.lit(1)).alias("rows"))
+    writer = observed.write.mode(mode)
+    if partition_by:
+        writer = writer.partitionBy(*partition_by)
+    writer.parquet(path)
+    return WriteResult(rows=int(obs.get["rows"]), target=path)
+
+
+def jdbc_writer(
+    df: DataFrame,
+    url: str,
+    table: str,
+    user: str | None = None,
+    password: str | None = None,
+    batch_size: int = 10_000,
+    mode: str = "append",
+):
+    """Live-database sink: typed batched INSERTs via JDBC.
+
+    ``batchsize`` is the engine-side replacement for the reference's
+    1,000-row multi-VALUES statement (mysql/writer/main.go:98-123);
+    the JDBC writer binds typed parameters, so no literal quoting /
+    escaping code exists to get wrong (cf. mysql/types/types.go:53).
+    Returns the configured writer; call ``.save()`` in live envs.
+    """
+    writer = (
+        df.write.format("jdbc")
+        .option("url", url)
+        .option("dbtable", table)
+        .option("batchsize", str(batch_size))
+        .mode(mode)
+    )
+    if user is not None:
+        writer = writer.option("user", user)
+    if password is not None:
+        writer = writer.option("password", password)
+    return writer

@@ -1,0 +1,55 @@
+"""X1-X4: the flagship incremental transfer pipeline end-to-end."""
+
+from __future__ import annotations
+
+import datetime
+
+from pyspark.sql import functions as F
+
+from etl_pack_spark.plans.transfer import TransferConfig, run_transfer
+from etl_pack_spark.sinks.writers import append_table
+
+WIN = ("l_shipdate", datetime.datetime(1996, 1, 1), datetime.datetime(1996, 12, 31))
+
+
+def test_append_table_counts(spark, sf_dir, tmp_path):
+    df = spark.read.parquet(f"{sf_dir}/region.parquet")
+    res = append_table(df, str(tmp_path / "region_out"))
+    assert res.rows == df.count()
+
+
+def test_transfer_is_idempotent(spark, sf_dir, tmp_path):
+    """Run the same windowed incremental load twice: the second firing
+    must append nothing (H3 idempotence — the property the whole
+    reference design exists to provide)."""
+    target = str(tmp_path / "lineitem_tgt")
+    cfg = TransferConfig(source_dir=sf_dir, table="lineitem", target_path=target, window=WIN)
+
+    first = run_transfer(spark, cfg)
+    assert first.rows > 0
+    second = run_transfer(spark, cfg)
+    assert second.rows == 0
+
+    src_cnt = (
+        spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+        .where(F.col(WIN[0]).between(WIN[1], WIN[2]))
+        .count()
+    )
+    assert spark.read.parquet(target).count() == src_cnt
+
+
+def test_transfer_picks_up_new_window(spark, sf_dir, tmp_path):
+    """Advance the cursor window (the cron-firing-over-time pattern,
+    provider.go:69-87): only genuinely new rows land."""
+    target = str(tmp_path / "lineitem_tgt2")
+    w1 = ("l_shipdate", datetime.datetime(1996, 1, 1), datetime.datetime(1996, 6, 30))
+    w2 = ("l_shipdate", datetime.datetime(1996, 1, 1), datetime.datetime(1996, 12, 31))
+    r1 = run_transfer(spark, TransferConfig(sf_dir, "lineitem", target, window=w1))
+    r2 = run_transfer(spark, TransferConfig(sf_dir, "lineitem", target, window=w2))
+    total = (
+        spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+        .where(F.col("l_shipdate").between(w2[1], w2[2]))
+        .count()
+    )
+    assert r1.rows + r2.rows == total
+    assert spark.read.parquet(target).count() == total
