@@ -55,11 +55,23 @@ def _order_cols(order: list[str]) -> list:
     return cols
 
 
+# Tables whose parquet files carry TIMESTAMP(NANOS) columns. Spark has
+# no nanosecond timestamp type; with spark.sql.legacy.parquet.nanosAsLong
+# they arrive as long nanos and are rebuilt here at microsecond
+# precision (integer div — no double round-trip, no precision loss).
+NANOS_TS_TABLES: dict[str, list[str]] = {"events": ["ts"]}
+
+
 def read_table(spark: SparkSession, sf_dir: str, table: str) -> DataFrame:
     """S1/S2 equivalent over the repo's parquet fixtures. A JDBC source
     plugs in via :func:`etl_pack_spark.sources.jdbc.jdbc_read` with the
     same downstream plan."""
-    return spark.read.parquet(f"{sf_dir}/{table}.parquet")
+    df = spark.read.parquet(f"{sf_dir}/{table}.parquet")
+    for c in NANOS_TS_TABLES.get(table, []):
+        field = dict((f.name, f.dataType) for f in df.schema.fields).get(c)
+        if field is not None and field.simpleString() == "bigint":
+            df = df.withColumn(c, F.timestamp_micros(F.expr(f"{c} div 1000")))
+    return df
 
 
 def windowed_read(

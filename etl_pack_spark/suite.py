@@ -1,0 +1,366 @@
+"""The engine's query suite: every SURVEY §2 operator as a named
+(spark_query, oracle_sql) pair for the driver's correctness gate.
+
+Conventions that make the DuckDB hash-comparison deterministic:
+  * every computed column is aliased identically on both sides;
+  * money aggregates go through DECIMAL(18,2) (exact, order-independent)
+    and only the final value is cast back to DOUBLE — double summation
+    order differs between engines, decimal summation cannot;
+  * rankings always carry a unique tie-break column;
+  * timestamps rendered to strings use one pinned format on both sides.
+
+Spark side uses the DataFrame API (the operator library under
+``etl_pack_spark``); oracle side is ANSI-ish DuckDB SQL over the same
+parquet views.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from etl_pack_spark.operators.dedup import incremental_filter, snapshot_hashes
+from etl_pack_spark.operators.hashing import row_hash, row_hash_sql, with_row_hash
+from etl_pack_spark.sinks.writers import append_table
+from etl_pack_spark.sources.reader import ReadSpec, read_table, windowed_read
+
+QueryFn = Callable[[SparkSession, str], DataFrame]
+
+WIN_LO, WIN_HI = "1996-01-01 00:00:00", "1996-12-31 23:59:59"
+
+CUSTOMER_COLS = ["c_custkey", "c_name", "c_nationkey", "c_acctbal", "c_mktsegment"]
+
+# money → exact decimal on both engines (order-independent sums)
+_DEC = "decimal(18,2)"
+
+
+def _dec(c: str):
+    return F.col(c).cast(_DEC)
+
+
+# ---------------------------------------------------------------------------
+# P: projection / window / order / limit (reference read-path semantics)
+# ---------------------------------------------------------------------------
+
+def q_p1_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P1 — column projection (mysql/reader/main.go:29,167)."""
+    spec = ReadSpec(table="lineitem", fields=["l_orderkey", "l_linenumber", "l_extendedprice"])
+    return windowed_read(spark, sf_dir, spec)
+
+
+def q_p2_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P2 — inclusive BETWEEN range window on the cursor column
+    (mysql/reader/main.go:146-148)."""
+    spec = ReadSpec(
+        table="lineitem",
+        fields=["l_orderkey", "l_linenumber", "l_quantity", "l_shipdate"],
+        window=("l_shipdate", WIN_LO, WIN_HI),
+    )
+    return windowed_read(spark, sf_dir, spec)
+
+
+def q_p3_order_limit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P3+P4 — ORDER BY … DESC with LIMIT (mysql/reader/main_test.go:52-61);
+    unique tie-break keeps the result set deterministic."""
+    spec = ReadSpec(
+        table="orders",
+        fields=["o_orderkey", "o_totalprice"],
+        order=["o_totalprice DESC", "o_orderkey"],
+        limit=100,
+    )
+    return windowed_read(spark, sf_dir, spec)
+
+
+def q_p4_page(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P4 — one page of the reference's ordered pagination
+    (LIMIT 0,50 over a total order, mysql/reader/main.go:167)."""
+    spec = ReadSpec(
+        table="lineitem",
+        fields=["l_orderkey", "l_linenumber"],
+        order=["l_orderkey", "l_linenumber"],
+        limit=50,
+    )
+    return windowed_read(spark, sf_dir, spec)
+
+
+# ---------------------------------------------------------------------------
+# H: canonical hash / snapshot / incremental anti-join
+# ---------------------------------------------------------------------------
+
+def q_h1_row_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """H1 — canonical row hash (etl.go:59-68) over customer."""
+    df = read_table(spark, sf_dir, "customer")
+    return with_row_hash(df, CUSTOMER_COLS, out="row_h").select("c_custkey", "row_h")
+
+
+def q_h2_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """H2 — distinct hash set of the target window (consumer.go:88-95);
+    target simulated as the even-custkey half."""
+    df = read_table(spark, sf_dir, "customer").where(F.col("c_custkey") % 2 == 0)
+    return snapshot_hashes(df, CUSTOMER_COLS)
+
+
+def q_h3_anti_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """H3 — incremental anti-join (etl.go:23-48): src minus target-by-hash;
+    expected result = the odd-custkey complement."""
+    src = read_table(spark, sf_dir, "customer")
+    tgt = src.where(F.col("c_custkey") % 2 == 0)
+    return incremental_filter(src, snapshot_hashes(tgt, CUSTOMER_COLS), CUSTOMER_COLS)
+
+
+# ---------------------------------------------------------------------------
+# T: type normalization
+# ---------------------------------------------------------------------------
+
+def q_t1_datetime_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T1 — the universal datetime rewrite (mysql/types/types.go:17-28):
+    render to the source wire format, parse back (sub-second truncated,
+    as the reference's format implies)."""
+    df = read_table(spark, sf_dir, "events")
+    wire = F.date_format(F.col("ts"), "yyyy-MM-dd HH:mm:ss")
+    return df.select(
+        F.col("event_id"),
+        wire.alias("ts_wire"),
+        F.try_to_timestamp(wire, F.lit("yyyy-MM-dd HH:mm:ss")).alias("ts_norm"),
+    )
+
+
+def q_t2_widen(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T2 — schema normalization incl. unsigned widening: treat
+    l_orderkey as uint64 → DECIMAL(20,0), l_linenumber as uint16 → INT
+    (SURVEY §7.4)."""
+    df = read_table(spark, sf_dir, "lineitem")
+    # decimal output rendered as string: pandas-side decimal handling
+    # differs between engines, the digits do not
+    return df.select(
+        F.col("l_orderkey").cast("decimal(20,0)").cast("string").alias("k_u64"),
+        F.col("l_linenumber").cast("int").alias("n_u16"),
+        F.col("l_quantity").cast("double").alias("qty_f64"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# S: scans & sinks
+# ---------------------------------------------------------------------------
+
+def q_s1_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S1/S2 — full table scan → typed rows (mysql/mysql.go:36-70)."""
+    return read_table(spark, sf_dir, "nation")
+
+
+def q_s4_sink_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S4/S5+X4 — append-write a windowed batch, then read the target
+    back (typed writer replaces the reference's literal rendering,
+    mysql/writer/main.go:98-132). Overwrite mode keeps the query
+    idempotent for repeated driver runs."""
+    import tempfile
+
+    spec = ReadSpec(
+        table="orders",
+        fields=["o_orderkey", "o_totalprice", "o_orderdate"],
+        window=("o_orderdate", WIN_LO, WIN_HI),
+    )
+    df = windowed_read(spark, sf_dir, spec)
+    path = f"{tempfile.gettempdir()}/etl_pack_spark_sink_roundtrip"
+    append_table(df, path, mode="overwrite")
+    return spark.read.parquet(path)
+
+
+# ---------------------------------------------------------------------------
+# X: the flagship pipeline
+# ---------------------------------------------------------------------------
+
+def q_x4_incremental_load(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X4 — the reference's raison d'être as one plan (SURVEY §3.4):
+    windowed source minus already-loaded rows. Target simulated as the
+    first half of the window (l_orderkey below the median)."""
+    spec = ReadSpec(table="lineitem", window=("l_shipdate", WIN_LO, WIN_HI))
+    src = windowed_read(spark, sf_dir, spec)
+    tgt = src.where(F.col("l_orderkey") % 4 != 3)
+    return incremental_filter(src, snapshot_hashes(tgt), src.columns)
+
+
+# ---------------------------------------------------------------------------
+# Catalyst-native analytics the reference's users get for free on Spark
+# (aggregation / join / window / set ops — SURVEY §2 "absent" list,
+# provided as engine capabilities, not reference parity claims)
+# ---------------------------------------------------------------------------
+
+def q_agg_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q1-shaped pricing summary; decimal-exact sums."""
+    df = read_table(spark, sf_dir, "lineitem")
+    one = F.lit(1).cast(_DEC)
+    return (
+        df.where(F.col("l_shipdate") <= "1997-09-02 00:00:00")
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.sum(_dec("l_quantity")).cast("double").alias("sum_qty"),
+            F.sum(_dec("l_extendedprice")).cast("double").alias("sum_base_price"),
+            F.sum(_dec("l_extendedprice") * (one - _dec("l_discount")))
+            .cast("double")
+            .alias("sum_disc_price"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+    )
+
+
+def q_join_revenue_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Star join with broadcast dims: revenue per nation."""
+    customer = read_table(spark, sf_dir, "customer")
+    orders = read_table(spark, sf_dir, "orders")
+    nation = read_table(spark, sf_dir, "nation")
+    return (
+        orders.join(customer, orders.o_custkey == customer.c_custkey)
+        .join(F.broadcast(nation), customer.c_nationkey == nation.n_nationkey)
+        .groupBy("n_name")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.sum(_dec("o_totalprice")).cast("double").alias("total_price"),
+        )
+    )
+
+
+def q_window_topk_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 orders per customer (window function with unique tie-break)."""
+    orders = read_table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey"))
+    return (
+        orders.withColumn("rk", F.row_number().over(w))
+        .where(F.col("rk") <= 3)
+        .select("o_custkey", "o_orderkey", "o_totalprice", "rk")
+    )
+
+
+def q_set_except(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Set op: customers in BUILDING segment with no order above 200k."""
+    customer = read_table(spark, sf_dir, "customer")
+    orders = read_table(spark, sf_dir, "orders")
+    seg = customer.where(F.col("c_mktsegment") == "BUILDING").select("c_custkey")
+    big = (
+        orders.where(F.col("o_totalprice") > 300_000)
+        .select(F.col("o_custkey").alias("c_custkey"))
+    )
+    return seg.exceptAll(big.distinct()).distinct()
+
+
+# ---------------------------------------------------------------------------
+# Registry + oracles
+# ---------------------------------------------------------------------------
+
+QUERIES: dict[str, QueryFn] = {
+    "p1_projection": q_p1_projection,
+    "p2_window": q_p2_window,
+    "p3_order_limit": q_p3_order_limit,
+    "p4_page": q_p4_page,
+    "h1_row_hash": q_h1_row_hash,
+    "h2_snapshot": q_h2_snapshot,
+    "h3_anti_join": q_h3_anti_join,
+    "t1_datetime_roundtrip": q_t1_datetime_roundtrip,
+    "t2_widen": q_t2_widen,
+    "s1_scan": q_s1_scan,
+    "s4_sink_roundtrip": q_s4_sink_roundtrip,
+    "x4_incremental_load": q_x4_incremental_load,
+    "agg_pricing_summary": q_agg_pricing_summary,
+    "join_revenue_by_nation": q_join_revenue_by_nation,
+    "window_topk_orders": q_window_topk_orders,
+    "set_except": q_set_except,
+}
+
+_CUSTOMER_HASH = row_hash_sql(CUSTOMER_COLS)
+_LINEITEM_TS = {"l_shipdate"}
+_LINEITEM_COLS = [
+    "l_orderkey", "l_partkey", "l_suppkey", "l_linenumber", "l_quantity",
+    "l_extendedprice", "l_discount", "l_tax", "l_returnflag", "l_linestatus",
+    "l_shipdate",
+]
+_LINEITEM_HASH = row_hash_sql(_LINEITEM_COLS, ts_cols=_LINEITEM_TS)
+
+ORACLES: dict[str, str] = {
+    "p1_projection": "SELECT l_orderkey, l_linenumber, l_extendedprice FROM lineitem",
+    "p2_window": f"""
+        SELECT l_orderkey, l_linenumber, l_quantity, l_shipdate
+        FROM lineitem
+        WHERE l_shipdate BETWEEN TIMESTAMP '{WIN_LO}' AND TIMESTAMP '{WIN_HI}'
+    """,
+    "p3_order_limit": """
+        SELECT o_orderkey, o_totalprice FROM orders
+        ORDER BY o_totalprice DESC, o_orderkey LIMIT 100
+    """,
+    "p4_page": """
+        SELECT l_orderkey, l_linenumber FROM lineitem
+        ORDER BY l_orderkey, l_linenumber LIMIT 50
+    """,
+    "h1_row_hash": f"SELECT c_custkey, {_CUSTOMER_HASH} AS row_h FROM customer",
+    "h2_snapshot": f"""
+        SELECT DISTINCT {_CUSTOMER_HASH} AS h FROM customer WHERE c_custkey % 2 = 0
+    """,
+    "h3_anti_join": f"""
+        SELECT * FROM customer
+        WHERE {_CUSTOMER_HASH} NOT IN (
+            SELECT {_CUSTOMER_HASH} FROM customer WHERE c_custkey % 2 = 0
+        )
+    """,
+    "t1_datetime_roundtrip": """
+        SELECT event_id,
+               strftime(ts, '%Y-%m-%d %H:%M:%S') AS ts_wire,
+               strptime(strftime(ts, '%Y-%m-%d %H:%M:%S'), '%Y-%m-%d %H:%M:%S') AS ts_norm
+        FROM events
+    """,
+    "t2_widen": """
+        SELECT CAST(CAST(l_orderkey AS DECIMAL(20,0)) AS VARCHAR) AS k_u64,
+               CAST(l_linenumber AS INTEGER) AS n_u16,
+               CAST(l_quantity AS DOUBLE) AS qty_f64
+        FROM lineitem
+    """,
+    "s1_scan": "SELECT * FROM nation",
+    "s4_sink_roundtrip": f"""
+        SELECT o_orderkey, o_totalprice, o_orderdate FROM orders
+        WHERE o_orderdate BETWEEN TIMESTAMP '{WIN_LO}' AND TIMESTAMP '{WIN_HI}'
+    """,
+    "x4_incremental_load": f"""
+        WITH src AS (
+            SELECT * FROM lineitem
+            WHERE l_shipdate BETWEEN TIMESTAMP '{WIN_LO}' AND TIMESTAMP '{WIN_HI}'
+        )
+        SELECT * FROM src
+        WHERE {_LINEITEM_HASH} NOT IN (
+            SELECT {_LINEITEM_HASH} FROM src WHERE l_orderkey % 4 != 3
+        )
+    """,
+    "agg_pricing_summary": """
+        SELECT l_returnflag, l_linestatus,
+               CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+               CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price,
+               CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+                        * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2))))
+                    AS DOUBLE) AS sum_disc_price,
+               COUNT(*) AS count_order
+        FROM lineitem
+        WHERE l_shipdate <= TIMESTAMP '1997-09-02 00:00:00'
+        GROUP BY l_returnflag, l_linestatus
+    """,
+    "join_revenue_by_nation": """
+        SELECT n_name,
+               COUNT(*) AS n_orders,
+               CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total_price
+        FROM orders
+        JOIN customer ON o_custkey = c_custkey
+        JOIN nation ON c_nationkey = n_nationkey
+        GROUP BY n_name
+    """,
+    "window_topk_orders": """
+        SELECT o_custkey, o_orderkey, o_totalprice, rk FROM (
+            SELECT o_custkey, o_orderkey, o_totalprice,
+                   ROW_NUMBER() OVER (PARTITION BY o_custkey
+                                      ORDER BY o_totalprice DESC, o_orderkey) AS rk
+            FROM orders
+        ) WHERE rk <= 3
+    """,
+    "set_except": """
+        SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING'
+        EXCEPT
+        SELECT DISTINCT o_custkey AS c_custkey FROM orders WHERE o_totalprice > 300000
+    """,
+}
