@@ -1,0 +1,289 @@
+"""Near-duplicate detection for training-data pipelines: MinHash+LSH,
+SimHash, and exact n-gram Jaccard.
+
+Design for 100 TB:
+  * MinHash signatures are computed in ONE projection (no explode —
+    ``array_min`` over per-shingle md5s per hash function), so the scan
+    stays a single codegen stage; the only shuffle is the band-bucket
+    self-join, whose fan-in LSH bounds by construction.
+  * Candidate verification (exact Jaccard) happens only on LSH
+    candidates — the quadratic step never touches the full corpus.
+  * SimHash is one explode + one aggregation (64 integer sums per doc,
+    map-side combined).
+
+Cross-engine determinism: hash functions are md5-derived
+(``min(md5("i:" || shingle))`` — the lexicographic min of md5 hexes is
+a valid minhash permutation), so the *same* pipeline is expressible in
+DuckDB SQL and the oracle matches by construction, including LSH's
+recall misses. No RNG, no seed, no engine-specific hash.
+
+(The reference's only dedup is whole-row exact hashing, etl.go:59-68;
+this module is the SURVEY §7.3 extension family built on the same
+canonicalize-then-hash idea.)
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from etl_pack_spark.operators.tokenize import (
+    shingles_expr,
+    shingles_sql,
+    tokens,
+    tokens_sql,
+)
+
+HEX = "0123456789abcdef"
+
+
+# ---------------------------------------------------------------------------
+# MinHash + LSH
+# ---------------------------------------------------------------------------
+
+def shingled(df: DataFrame, id_col: str, text_col: str, k: int = 3) -> DataFrame:
+    """id + distinct k-shingle set; zero-shingle docs dropped (their
+    band keys would collide engine-specifically on empty input)."""
+    out = (
+        df.select(id_col, tokens(text_col).alias("__toks"))
+        .select(id_col, F.array_distinct(shingles_expr("__toks", k)).alias("shingles"))
+        .where(F.size("shingles") >= 1)
+    )
+    return out
+
+
+def minhash_signature(sh: DataFrame, id_col: str, num_hashes: int = 16) -> DataFrame:
+    """One minhash column per hash function, all in a single projection."""
+    mh = [
+        F.array_min(
+            F.transform("shingles", lambda s, i=i: F.md5(F.concat(F.lit(f"{i}:"), s)))
+        ).alias(f"mh_{i}")
+        for i in range(num_hashes)
+    ]
+    return sh.select(id_col, "shingles", *mh)
+
+
+def lsh_candidate_pairs(
+    sig: DataFrame, id_col: str, num_hashes: int = 16, bands: int = 8
+) -> DataFrame:
+    """Band the signature, bucket-join on (band, key), emit id pairs
+    (a < b). The self-join is the one shuffle; bucket sizes are bounded
+    by LSH, so no quadratic blowup at scale."""
+    rows_per_band = num_hashes // bands
+    band_keys = [
+        F.md5(
+            F.concat_ws(",", *[F.col(f"mh_{b * rows_per_band + r}") for r in range(rows_per_band)])
+        )
+        for b in range(bands)
+    ]
+    banded = sig.select(
+        F.col(id_col), F.posexplode(F.array(*band_keys)).alias("band", "bk")
+    )
+    a, b = banded.alias("a"), banded.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bk") == F.col("b.bk"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .select(F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b"))
+        .distinct()
+    )
+
+
+def jaccard_verified_pairs(
+    cand: DataFrame, sh: DataFrame, id_col: str, threshold: float
+) -> DataFrame:
+    """Exact Jaccard on candidate pairs only. intersection/union sizes
+    are ints; the division is the same double on every engine."""
+    sa = sh.select(F.col(id_col).alias("id_a"), F.col("shingles").alias("sh_a"))
+    sb = sh.select(F.col(id_col).alias("id_b"), F.col("shingles").alias("sh_b"))
+    inter = F.size(F.array_intersect("sh_a", "sh_b"))
+    union = F.size("sh_a") + F.size("sh_b") - inter
+    jac = inter.cast("double") / union.cast("double")
+    return (
+        cand.join(sa, "id_a").join(sb, "id_b")
+        .select("id_a", "id_b", jac.alias("jaccard"))
+        .where(F.col("jaccard") >= threshold)
+    )
+
+
+def minhash_lsh_dedup_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    k: int = 3,
+    num_hashes: int = 16,
+    bands: int = 8,
+    threshold: float = 0.8,
+) -> DataFrame:
+    """The full near-dup pipeline: shingle → minhash → LSH buckets →
+    exact-Jaccard verify."""
+    sh = shingled(df, id_col, text_col, k)
+    sig = minhash_signature(sh, id_col, num_hashes)
+    cand = lsh_candidate_pairs(sig, id_col, num_hashes, bands)
+    return jaccard_verified_pairs(cand, sh, id_col, threshold)
+
+
+def minhash_lsh_dedup_pairs_sql(
+    table: str,
+    id_col: str,
+    text_col: str,
+    k: int = 3,
+    num_hashes: int = 16,
+    bands: int = 8,
+    threshold: float = 0.8,
+) -> str:
+    """The identical pipeline as DuckDB SQL (oracle)."""
+    rows_per_band = num_hashes // bands
+    mh_cols = ",\n               ".join(
+        f"list_aggregate(list_transform(shingles, s -> md5('{i}:' || s)), 'min') AS mh_{i}"
+        for i in range(num_hashes)
+    )
+    band_rows = "\n        UNION ALL\n".join(
+        f"        SELECT {id_col}, {b} AS band, "
+        f"md5(concat_ws(',', {', '.join(f'mh_{b * rows_per_band + r}' for r in range(rows_per_band))})) AS bk "
+        f"FROM sig"
+        for b in range(bands)
+    )
+    return f"""
+    WITH sh AS (
+        SELECT {id_col},
+               list_distinct({shingles_sql('toks', k)}) AS shingles
+        FROM (SELECT {id_col}, {tokens_sql(text_col)} AS toks FROM {table})
+        WHERE len({shingles_sql('toks', k)}) >= 1
+    ),
+    sh2 AS (SELECT * FROM sh WHERE len(shingles) >= 1),
+    sig AS (
+        SELECT {id_col}, {mh_cols}
+        FROM sh2
+    ),
+    banded AS (
+{band_rows}
+    ),
+    cand AS (
+        SELECT DISTINCT a.{id_col} AS id_a, b.{id_col} AS id_b
+        FROM banded a JOIN banded b
+          ON a.band = b.band AND a.bk = b.bk AND a.{id_col} < b.{id_col}
+    )
+    SELECT id_a, id_b,
+           CAST(len(list_intersect(sa.shingles, sb.shingles)) AS DOUBLE)
+           / CAST(len(sa.shingles) + len(sb.shingles)
+                  - len(list_intersect(sa.shingles, sb.shingles)) AS DOUBLE) AS jaccard
+    FROM cand
+    JOIN sh2 sa ON sa.{id_col} = cand.id_a
+    JOIN sh2 sb ON sb.{id_col} = cand.id_b
+    WHERE CAST(len(list_intersect(sa.shingles, sb.shingles)) AS DOUBLE)
+          / CAST(len(sa.shingles) + len(sb.shingles)
+                 - len(list_intersect(sa.shingles, sb.shingles)) AS DOUBLE) >= {threshold}
+    """
+
+
+# ---------------------------------------------------------------------------
+# Exact n-gram Jaccard (the brute-force baseline LSH approximates)
+# ---------------------------------------------------------------------------
+
+def ngram_jaccard_pairs(
+    df: DataFrame, id_col: str, text_col: str, k: int = 3, threshold: float = 0.8
+) -> DataFrame:
+    """All-pairs exact Jaccard — O(n^2), the correctness baseline for
+    LSH. At scale you never run this on a full corpus; in the suite it
+    runs on a sample."""
+    sh = shingled(df, id_col, text_col, k)
+    a = sh.select(F.col(id_col).alias("id_a"), F.col("shingles").alias("sh_a"))
+    b = sh.select(F.col(id_col).alias("id_b"), F.col("shingles").alias("sh_b"))
+    cand = a.join(b, F.col("id_a") < F.col("id_b"))
+    inter = F.size(F.array_intersect("sh_a", "sh_b"))
+    union = F.size("sh_a") + F.size("sh_b") - inter
+    jac = inter.cast("double") / union.cast("double")
+    return cand.select("id_a", "id_b", jac.alias("jaccard")).where(F.col("jaccard") >= threshold)
+
+
+def ngram_jaccard_pairs_sql(
+    table: str, id_col: str, text_col: str, k: int = 3, threshold: float = 0.8
+) -> str:
+    return f"""
+    WITH sh AS (
+        SELECT {id_col},
+               list_distinct({shingles_sql('toks', k)}) AS shingles
+        FROM (SELECT {id_col}, {tokens_sql(text_col)} AS toks FROM {table})
+    ),
+    sh2 AS (SELECT * FROM sh WHERE len(shingles) >= 1)
+    SELECT a.{id_col} AS id_a, b.{id_col} AS id_b,
+           CAST(len(list_intersect(a.shingles, b.shingles)) AS DOUBLE)
+           / CAST(len(a.shingles) + len(b.shingles)
+                  - len(list_intersect(a.shingles, b.shingles)) AS DOUBLE) AS jaccard
+    FROM sh2 a JOIN sh2 b ON a.{id_col} < b.{id_col}
+    WHERE CAST(len(list_intersect(a.shingles, b.shingles)) AS DOUBLE)
+          / CAST(len(a.shingles) + len(b.shingles)
+                 - len(list_intersect(a.shingles, b.shingles)) AS DOUBLE) >= {threshold}
+    """
+
+
+# ---------------------------------------------------------------------------
+# SimHash (64-bit, md5-derived token bits, term-frequency weighted)
+# ---------------------------------------------------------------------------
+
+def _bit_sql(pos: int, bit: int, dialect: str) -> str:
+    """Bit (pos, bit) of a token's md5 hex ``h``: nibble value of hex
+    char ``pos`` (1-based), tested at ``bit``. Same arithmetic, two
+    dialects."""
+    if dialect == "spark":
+        return f"(shiftright(instr('{HEX}', substr(h, {pos}, 1)) - 1, {bit}) & 1)"
+    return f"(((strpos('{HEX}', substr(h, {pos}, 1)) - 1) >> {bit}) & 1)"
+
+
+def simhash_signature(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """64-bit SimHash per document as a 16-hex-char string.
+
+    explode(tokens) → per-token md5 → 64 weighted bit sums (integer,
+    order-independent, map-side combinable) → sign → hex render.
+    """
+    tok = df.select(F.col(id_col), F.explode(tokens(text_col)).alias("tok")).withColumn(
+        "h", F.md5("tok")
+    )
+    sums = [
+        F.sum(F.expr(f"CASE WHEN {_bit_sql(1 + j // 4, 3 - j % 4, 'spark')} = 1 "
+                     f"THEN 1 ELSE -1 END")).alias(f"s{j}")
+        for j in range(64)
+    ]
+    agg = tok.groupBy(id_col).agg(*sums)
+    nibbles = [
+        (
+            F.when(F.col(f"s{4 * p}") > 0, 8).otherwise(0)
+            + F.when(F.col(f"s{4 * p + 1}") > 0, 4).otherwise(0)
+            + F.when(F.col(f"s{4 * p + 2}") > 0, 2).otherwise(0)
+            + F.when(F.col(f"s{4 * p + 3}") > 0, 1).otherwise(0)
+        )
+        for p in range(16)
+    ]
+    hex_chars = [F.substring(F.lit(HEX), 1, 16).substr(n + 1, F.lit(1)) for n in nibbles]
+    return agg.select(F.col(id_col), F.concat(*hex_chars).alias("simhash"))
+
+
+def simhash_signature_sql(table: str, id_col: str, text_col: str) -> str:
+    sums = ",\n               ".join(
+        f"SUM(CASE WHEN {_bit_sql(1 + j // 4, 3 - j % 4, 'duckdb')} = 1 "
+        f"THEN 1 ELSE -1 END) AS s{j}"
+        for j in range(64)
+    )
+    nibbles = " || ".join(
+        f"substr('{HEX}', 1 + (CASE WHEN s{4 * p} > 0 THEN 8 ELSE 0 END "
+        f"+ CASE WHEN s{4 * p + 1} > 0 THEN 4 ELSE 0 END "
+        f"+ CASE WHEN s{4 * p + 2} > 0 THEN 2 ELSE 0 END "
+        f"+ CASE WHEN s{4 * p + 3} > 0 THEN 1 ELSE 0 END), 1)"
+        for p in range(16)
+    )
+    return f"""
+    WITH tok AS (
+        SELECT {id_col}, md5(unnest(toks)) AS h
+        FROM (SELECT {id_col}, {tokens_sql(text_col)} AS toks FROM {table})
+    ),
+    agg AS (
+        SELECT {id_col},
+               {sums}
+        FROM tok GROUP BY {id_col}
+    )
+    SELECT {id_col}, {nibbles} AS simhash FROM agg
+    """

@@ -21,7 +21,12 @@ from collections.abc import Callable
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from etl_pack_spark.operators.dedup import incremental_filter, snapshot_hashes
+from etl_pack_spark.operators import neardup, similarity
+from etl_pack_spark.operators.dedup import (
+    exact_dedup,
+    incremental_filter,
+    snapshot_hashes,
+)
 from etl_pack_spark.operators.hashing import row_hash, row_hash_sql, with_row_hash
 from etl_pack_spark.sinks.writers import append_table
 from etl_pack_spark.sources.reader import ReadSpec, read_table, windowed_read
@@ -246,6 +251,62 @@ def q_set_except(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Training-data pipeline extensions: dedup family over `documents`,
+# similarity search over `embeddings` (SURVEY §7.3)
+# ---------------------------------------------------------------------------
+
+def q_dedup_exact_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact content dedup: one surviving doc_id per canonicalized text
+    (lowercase-fold md5, min-id survivor)."""
+    docs = read_table(spark, sf_dir, "documents")
+    return exact_dedup(docs, cols=["text"], keep_order_col="doc_id").select("doc_id")
+
+
+def q_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash+LSH near-dup pairs over documents.text, exact-Jaccard
+    verified at ≥0.8 (md5-derived hashes → oracle matches by
+    construction)."""
+    docs = read_table(spark, sf_dir, "documents")
+    return neardup.minhash_lsh_dedup_pairs(docs, "doc_id", "text")
+
+
+def q_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact 3-gram Jaccard pairs (≥0.8) — the brute-force O(n²)
+    baseline that LSH approximates; only ever run on corpora this
+    small (the fixture is 500 docs at every sf)."""
+    docs = read_table(spark, sf_dir, "documents")
+    return neardup.ngram_jaccard_pairs(docs, "doc_id", "text")
+
+
+def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """64-bit SimHash signature per document (hex string)."""
+    docs = read_table(spark, sf_dir, "documents")
+    return neardup.simhash_signature(docs, "doc_id", "text")
+
+
+def q_neardup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding cosine near-duplicates (all pairs ≥0.95) — strict
+    left-fold dot products keep values bit-identical to the oracle."""
+    emb = read_table(spark, sf_dir, "embeddings")
+    # fixture embeddings are synthetic clusters with max pair-cos ≈0.51;
+    # 0.4 exercises the operator with a non-degenerate result set
+    return similarity.cosine_neardup_pairs(emb, threshold=0.4)
+
+
+def q_ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brute-force cosine top-5 for query vectors (vec_id < 50)."""
+    emb = read_table(spark, sf_dir, "embeddings")
+    return similarity.cosine_topk(emb, emb.where(F.col("vec_id") < 50))
+
+
+def q_ann_lsh_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scale-path ANN: hyperplane-LSH buckets + exact re-rank inside.
+    Approximate by design → rows-only check (no oracle)."""
+    emb = read_table(spark, sf_dir, "embeddings")
+    return similarity.lsh_neardup_pairs(emb, dims=64, planes=4, tables=6, threshold=0.4)
+
+
+# ---------------------------------------------------------------------------
 # Registry + oracles
 # ---------------------------------------------------------------------------
 
@@ -266,6 +327,13 @@ QUERIES: dict[str, QueryFn] = {
     "join_revenue_by_nation": q_join_revenue_by_nation,
     "window_topk_orders": q_window_topk_orders,
     "set_except": q_set_except,
+    "dedup_exact_docs": q_dedup_exact_docs,
+    "dedup_minhash_lsh": q_dedup_minhash_lsh,
+    "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
+    "dedup_simhash": q_dedup_simhash,
+    "neardup_embedding": q_neardup_embedding,
+    "ann_cosine_topk": q_ann_cosine_topk,
+    "ann_lsh_neardup": q_ann_lsh_neardup,
 }
 
 _CUSTOMER_HASH = row_hash_sql(CUSTOMER_COLS)
@@ -363,4 +431,14 @@ ORACLES: dict[str, str] = {
         EXCEPT
         SELECT DISTINCT o_custkey AS c_custkey FROM orders WHERE o_totalprice > 300000
     """,
+    "dedup_exact_docs": """
+        SELECT min(doc_id) AS doc_id FROM documents
+        GROUP BY md5(lower(coalesce(text, '')))
+    """,
+    "dedup_minhash_lsh": neardup.minhash_lsh_dedup_pairs_sql("documents", "doc_id", "text"),
+    "dedup_ngram_jaccard": neardup.ngram_jaccard_pairs_sql("documents", "doc_id", "text"),
+    "dedup_simhash": neardup.simhash_signature_sql("documents", "doc_id", "text"),
+    "neardup_embedding": similarity.cosine_neardup_pairs_sql("embeddings", threshold=0.4),
+    "ann_cosine_topk": similarity.cosine_topk_sql("embeddings", "vec_id < 50"),
+    # ann_lsh_neardup: approximate by design → rows-only check
 }

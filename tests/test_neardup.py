@@ -1,0 +1,61 @@
+"""Near-dup family: minhash-LSH, exact jaccard, simhash."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from etl_pack_spark.operators import neardup
+from etl_pack_spark.sources.reader import read_table
+
+
+def _docs(spark):
+    rows = [
+        (1, "the quick brown fox jumps over the lazy dog near the river bank"),
+        (2, "the quick brown fox jumps over the lazy dog near the river bend"),  # near-dup of 1
+        (3, "completely different content about spark catalyst optimizer plans"),
+        (4, "short"),  # below shingle size → dropped
+        (5, "The Quick Brown Fox Jumps Over The Lazy Dog Near The River Bank"),  # case-dup of 1
+    ]
+    return spark.createDataFrame(rows, "doc_id int, text string")
+
+
+def test_lsh_finds_planted_neardups(spark):
+    pairs = neardup.minhash_lsh_dedup_pairs(_docs(spark), "doc_id", "text", threshold=0.8)
+    got = {(r["id_a"], r["id_b"]) for r in pairs.collect()}
+    assert (1, 2) in got          # one-token difference, jaccard 10/12
+    assert (1, 5) in got          # tokenization lowercases → identical
+    assert not any(3 in p or 4 in p for p in got)
+
+
+def test_lsh_candidates_subset_of_exact(spark, sf_dir):
+    """LSH output must be a subset of the exact-jaccard pairs (it can
+    miss, never invent)."""
+    docs = read_table(spark, sf_dir, "documents")
+    lsh = {(r["id_a"], r["id_b"])
+           for r in neardup.minhash_lsh_dedup_pairs(docs, "doc_id", "text").collect()}
+    exact = {(r["id_a"], r["id_b"])
+             for r in neardup.ngram_jaccard_pairs(docs, "doc_id", "text").collect()}
+    assert lsh <= exact
+    assert len(exact) > 0  # fixture has planted dup pairs
+
+
+def test_exact_jaccard_values(spark):
+    pairs = neardup.ngram_jaccard_pairs(_docs(spark), "doc_id", "text", threshold=0.5)
+    vals = {(r["id_a"], r["id_b"]): r["jaccard"] for r in pairs.collect()}
+    assert vals[(1, 5)] == 1.0
+    # doc1/doc2: 13 tokens → 11 shingles each, 10 shared → 10/12
+    assert abs(vals[(1, 2)] - 10 / 12) < 1e-12
+
+
+def test_simhash_similar_docs_close(spark):
+    sig = neardup.simhash_signature(_docs(spark), "doc_id", "text")
+    by_id = {r["doc_id"]: r["simhash"] for r in sig.collect()}
+    assert by_id[1] == by_id[5]  # same tokens → identical simhash
+    assert len(by_id[1]) == 16
+
+    def hamming(a, b):
+        return sum(
+            bin(int(x, 16) ^ int(y, 16)).count("1") for x, y in zip(a, b)
+        )
+
+    assert hamming(by_id[1], by_id[2]) < hamming(by_id[1], by_id[3])

@@ -1,0 +1,42 @@
+"""Similarity search: brute-force cosine vs numpy ground truth; LSH
+candidates ⊆ exact."""
+
+from __future__ import annotations
+
+import numpy as np
+from pyspark.sql import functions as F
+
+from etl_pack_spark.operators import similarity
+from etl_pack_spark.sources.reader import read_table
+
+
+def test_topk_matches_numpy(spark, sf_dir):
+    emb = read_table(spark, sf_dir, "embeddings")
+    got = similarity.cosine_topk(emb, emb.where(F.col("vec_id") < 10), k=3)
+    rows = {(r["q_id"], r["rk"]): r["n_id"] for r in got.collect()}
+
+    pdf = emb.toPandas().sort_values("vec_id")
+    mat = np.array(pdf["embedding"].tolist(), dtype=np.float64)
+    ids = pdf["vec_id"].to_numpy()
+    norms = np.linalg.norm(mat, axis=1)
+    sims = (mat @ mat.T) / np.outer(norms, norms)
+    for qi in range(10):
+        order = sorted(
+            (i for i in range(len(ids)) if ids[i] != ids[qi]),
+            key=lambda i: (-sims[qi, i], ids[i]),
+        )
+        for rk in range(1, 4):
+            assert rows[(ids[qi], rk)] == ids[order[rk - 1]], (qi, rk)
+
+
+def test_lsh_pairs_subset_of_exact(spark, sf_dir):
+    emb = read_table(spark, sf_dir, "embeddings")
+    exact = {(r["id_a"], r["id_b"])
+             for r in similarity.cosine_neardup_pairs(emb, threshold=0.4).collect()}
+    approx = {(r["id_a"], r["id_b"])
+              for r in similarity.lsh_neardup_pairs(
+                  emb, dims=64, planes=4, tables=6, threshold=0.4).collect()}
+    assert approx <= exact
+    assert len(exact) > 0
+    # OR-amplified recall should be non-trivial on the fixture
+    assert len(approx) >= len(exact) // 3
