@@ -1,0 +1,175 @@
+"""Text analysis for training-data pipelines: language ID, quality
+scoring, token counting, document fingerprinting.
+
+All pure Catalyst expressions (no Python in the hot path), each with a
+DuckDB SQL mirror for the correctness oracle. Ratios are int/int
+divisions and therefore bit-identical cross-engine.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from etl_pack_spark.operators.tokenize import (
+    shingles_expr,
+    shingles_sql,
+    tokens,
+    tokens_sql,
+)
+
+# Tiny high-frequency marker lexicons (public-knowledge stopwords).
+MARKERS: dict[str, list[str]] = {
+    "de": ["der", "die", "das", "und", "ist", "nicht", "ein", "mit", "von", "zu"],
+    "en": ["the", "and", "is", "of", "to", "in", "that", "it", "for", "was"],
+    "es": ["el", "la", "los", "las", "de", "que", "y", "en", "un", "es"],
+    "fr": ["le", "la", "les", "de", "et", "un", "une", "est", "que", "dans"],
+}
+
+PUNCT_RE = "[^a-zA-Z0-9 ]"
+# BPE-ish piece segmentation: letter runs, digit runs, single symbols
+PIECE_RE = "[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\\s]"
+
+
+def _marker_count(toks_col: str, lang: str) -> Column:
+    arr = ", ".join(f"'{w}'" for w in MARKERS[lang])
+    return F.expr(f"size(filter({toks_col}, t -> array_contains(array({arr}), t)))")
+
+
+def _marker_count_sql(toks_col: str, lang: str) -> str:
+    arr = ", ".join(f"'{w}'" for w in MARKERS[lang])
+    return f"len(list_filter({toks_col}, t -> list_contains([{arr}], t)))"
+
+
+def language_id(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """n-gram/stopword-heuristic language ID: marker-token hit counts
+    per language, winner = highest count with alphabetical tie-break
+    (deterministic CASE cascade — same logic in the oracle)."""
+    out = df.select(F.col(id_col), tokens(text_col).alias("__toks"))
+    scores = {lang: _marker_count("__toks", lang) for lang in MARKERS}
+    out = out.select(
+        F.col(id_col), *[c.alias(f"score_{lang}") for lang, c in scores.items()]
+    )
+    s = {lang: F.col(f"score_{lang}") for lang in MARKERS}
+    lang_pred = (
+        F.when(s["de"].isNull(), None)  # NULL text → NULL prediction
+        .when((s["de"] >= s["en"]) & (s["de"] >= s["es"]) & (s["de"] >= s["fr"]), "de")
+        .when((s["en"] >= s["es"]) & (s["en"] >= s["fr"]), "en")
+        .when(s["es"] >= s["fr"], "es")
+        .otherwise("fr")
+    )
+    return out.select(id_col, "score_de", "score_en", "score_es", "score_fr",
+                      lang_pred.alias("lang_pred"))
+
+
+def language_id_sql(table: str, id_col: str, text_col: str) -> str:
+    scores = ",\n               ".join(
+        f"{_marker_count_sql('toks', lang)} AS score_{lang}" for lang in MARKERS
+    )
+    return f"""
+    WITH t AS (SELECT {id_col}, {tokens_sql(text_col)} AS toks FROM {table}),
+    s AS (SELECT {id_col}, {scores} FROM t)
+    SELECT {id_col}, score_de, score_en, score_es, score_fr,
+           CASE WHEN score_de IS NULL THEN NULL
+                WHEN score_de >= score_en AND score_de >= score_es AND score_de >= score_fr THEN 'de'
+                WHEN score_en >= score_es AND score_en >= score_fr THEN 'en'
+                WHEN score_es >= score_fr THEN 'es'
+                ELSE 'fr' END AS lang_pred
+    FROM s
+    """
+
+
+def quality_metrics(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Length / punctuation / stopword-ratio quality signals. All
+    ratios are int/int → exact doubles."""
+    stop_hits = _marker_count("__toks", "en")
+    n_toks = F.size("__toks")
+    # guard: zero-token docs yield NULL ratios identically on both engines
+    safe = lambda num: F.when(n_toks > 0, num.cast("double") / n_toks.cast("double"))  # noqa: E731
+    return (
+        df.select(F.col(id_col), F.col(text_col).alias("__t"), tokens(text_col).alias("__toks"))
+        .select(
+            F.col(id_col),
+            F.length("__t").alias("n_chars"),
+            n_toks.alias("n_tokens"),
+            (F.length("__t") - F.length(F.regexp_replace(F.col("__t"), PUNCT_RE, "")))
+            .alias("n_punct"),
+            stop_hits.alias("n_stopwords"),
+            safe(F.expr("aggregate(transform(__toks, x -> length(x)), 0, (a, v) -> a + v)"))
+            .alias("avg_token_len"),
+            safe(stop_hits).alias("stopword_ratio"),
+        )
+    )
+
+
+def quality_metrics_sql(table: str, id_col: str, text_col: str) -> str:
+    stop = _marker_count_sql("toks", "en")
+    return f"""
+    WITH t AS (SELECT {id_col}, {text_col} AS txt, {tokens_sql(text_col)} AS toks FROM {table})
+    SELECT {id_col},
+           length(txt) AS n_chars,
+           len(toks) AS n_tokens,
+           length(txt) - length(regexp_replace(txt, '{PUNCT_RE}', '', 'g')) AS n_punct,
+           {stop} AS n_stopwords,
+           CASE WHEN len(toks) > 0 THEN
+               CAST(list_reduce(list_prepend(0, list_transform(toks, x -> length(x))),
+                                (a, v) -> a + v) AS DOUBLE)
+                   / CAST(len(toks) AS DOUBLE) END AS avg_token_len,
+           CASE WHEN len(toks) > 0 THEN
+               CAST({stop} AS DOUBLE) / CAST(len(toks) AS DOUBLE) END AS stopword_ratio
+    FROM t
+    """
+
+
+def token_counts(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Whitespace token count + BPE-ish piece count (regex segmentation)."""
+    return df.select(
+        F.col(id_col),
+        F.size(tokens(text_col)).alias("n_words"),
+        F.size(F.regexp_extract_all(F.col(text_col), F.lit(PIECE_RE), 0)).alias("n_pieces"),
+    )
+
+
+def token_counts_sql(table: str, id_col: str, text_col: str) -> str:
+    return f"""
+    SELECT {id_col},
+           len({tokens_sql(text_col)}) AS n_words,
+           len(regexp_extract_all({text_col}, '{PIECE_RE}')) AS n_pieces
+    FROM {table}
+    """
+
+
+def fingerprint(df: DataFrame, id_col: str, text_col: str, k: int = 3) -> DataFrame:
+    """Document fingerprint (winnowing-style hash selection): md5 each
+    k-shingle, keep hashes whose first hex char is '0' (1/16 mod-class
+    selection — engine-portable, no modulus on parsed ints), sorted and
+    comma-joined. Robust to small edits, fixed-size-ish per doc."""
+    sh = df.select(F.col(id_col), tokens(text_col).alias("__toks")).select(
+        F.col(id_col), F.array_distinct(shingles_expr("__toks", k)).alias("__sh")
+    )
+    selected = F.expr(
+        "array_sort(filter(transform(__sh, s -> md5(s)), h -> substring(h, 1, 1) = '0'))"
+    )
+    return sh.select(
+        F.col(id_col),
+        F.size(selected).alias("n_grams"),
+        F.concat_ws(",", selected).alias("fingerprint"),
+    )
+
+
+def fingerprint_sql(table: str, id_col: str, text_col: str, k: int = 3) -> str:
+    return f"""
+    WITH sh AS (
+        SELECT {id_col}, list_distinct({shingles_sql('toks', k)}) AS s
+        FROM (SELECT {id_col}, {tokens_sql(text_col)} AS toks FROM {table})
+    ),
+    sel AS (
+        SELECT {id_col},
+               list_sort(list_filter(list_transform(s, x -> md5(x)),
+                                     h -> substr(h, 1, 1) = '0')) AS hashes
+        FROM sh
+    )
+    SELECT {id_col}, len(hashes) AS n_grams,
+           coalesce(array_to_string(hashes, ','), '') AS fingerprint
+    FROM sel
+    """

@@ -21,7 +21,7 @@ from collections.abc import Callable
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from etl_pack_spark.operators import neardup, similarity
+from etl_pack_spark.operators import multimodal, neardup, similarity, textops
 from etl_pack_spark.operators.dedup import (
     exact_dedup,
     incremental_filter,
@@ -307,6 +307,52 @@ def q_ann_lsh_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Text analysis + multimodal plumbing (SURVEY §7.3 / north-star extensions)
+# ---------------------------------------------------------------------------
+
+def q_text_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = read_table(spark, sf_dir, "documents")
+    return textops.language_id(docs, "doc_id", "text")
+
+
+def q_text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = read_table(spark, sf_dir, "documents")
+    return textops.quality_metrics(docs, "doc_id", "text")
+
+
+def q_text_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = read_table(spark, sf_dir, "documents")
+    return textops.token_counts(docs, "doc_id", "text")
+
+
+def q_text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = read_table(spark, sf_dir, "documents")
+    return textops.fingerprint(docs, "doc_id", "text")
+
+
+def q_mm_binary_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal metadata scan: binary payload column + typed metadata,
+    magic-prefix sniffing without decode."""
+    docs = read_table(spark, sf_dir, "documents")
+    return multimodal.media_metadata(multimodal.binarize_documents(docs))
+
+
+def q_mm_byte_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Arrow-batched feature extraction over binary payloads
+    (mapInPandas) — rows-only check (Python stage, no SQL oracle)."""
+    docs = read_table(spark, sf_dir, "documents")
+    return multimodal.byte_histogram(multimodal.binarize_documents(docs))
+
+
+def q_mm_decode_fake(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Decode-stub pipeline with the deterministic stand-in — the
+    pseudo-dimensions are pure functions of payload size, so even the
+    stub is oracle-checkable."""
+    docs = read_table(spark, sf_dir, "documents")
+    return multimodal.decode_image(multimodal.binarize_documents(docs), fake=True)
+
+
+# ---------------------------------------------------------------------------
 # Registry + oracles
 # ---------------------------------------------------------------------------
 
@@ -334,6 +380,13 @@ QUERIES: dict[str, QueryFn] = {
     "neardup_embedding": q_neardup_embedding,
     "ann_cosine_topk": q_ann_cosine_topk,
     "ann_lsh_neardup": q_ann_lsh_neardup,
+    "text_langid": q_text_langid,
+    "text_quality": q_text_quality,
+    "text_tokens": q_text_tokens,
+    "text_fingerprint": q_text_fingerprint,
+    "mm_binary_meta": q_mm_binary_meta,
+    "mm_byte_histogram": q_mm_byte_histogram,
+    "mm_decode_fake": q_mm_decode_fake,
 }
 
 _CUSTOMER_HASH = row_hash_sql(CUSTOMER_COLS)
@@ -441,4 +494,22 @@ ORACLES: dict[str, str] = {
     "neardup_embedding": similarity.cosine_neardup_pairs_sql("embeddings", threshold=0.4),
     "ann_cosine_topk": similarity.cosine_topk_sql("embeddings", "vec_id < 50"),
     # ann_lsh_neardup: approximate by design → rows-only check
+    "text_langid": textops.language_id_sql("documents", "doc_id", "text"),
+    "text_quality": textops.quality_metrics_sql("documents", "doc_id", "text"),
+    "text_tokens": textops.token_counts_sql("documents", "doc_id", "text"),
+    "text_fingerprint": textops.fingerprint_sql("documents", "doc_id", "text"),
+    "mm_binary_meta": """
+        SELECT doc_id AS media_id, 'text/plain' AS mime,
+               CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+               lower(substr(hex(encode(text)), 1, 16)) AS magic_hex
+        FROM documents
+    """,
+    # mm_byte_histogram: Python (Arrow) stage → rows-only check
+    "mm_decode_fake": """
+        SELECT doc_id AS media_id,
+               CAST(16 + octet_length(encode(text)) % 64 AS INTEGER) AS width,
+               CAST(16 + (octet_length(encode(text)) // 64) % 64 AS INTEGER) AS height,
+               3 AS channels
+        FROM documents
+    """,
 }

@@ -1,0 +1,61 @@
+"""Multimodal plumbing: binary schema, Arrow-batched features, stubs."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+from pyspark.sql.utils import PythonException
+
+from etl_pack_spark.operators import multimodal
+from etl_pack_spark.sources.reader import read_table
+
+
+def _media(spark, sf_dir):
+    return multimodal.binarize_documents(read_table(spark, sf_dir, "documents"))
+
+
+def test_binarize_schema(spark, sf_dir):
+    media = _media(spark, sf_dir)
+    assert [f.name for f in media.schema.fields] == ["media_id", "content", "mime", "n_bytes"]
+    assert media.schema["content"].dataType.simpleString() == "binary"
+    row = media.orderBy("media_id").first()
+    assert row["n_bytes"] == len(row["content"])
+
+
+def test_metadata_without_decode(spark, sf_dir):
+    meta = multimodal.media_metadata(_media(spark, sf_dir))
+    row = meta.orderBy("media_id").first()
+    assert len(row["magic_hex"]) == 16
+    assert row["mime"] == "text/plain"
+
+
+def test_byte_histogram_sums_to_length(spark, sf_dir):
+    hist = multimodal.byte_histogram(_media(spark, sf_dir).limit(50))
+    for r in hist.collect():
+        assert sum(r["hist"]) == r["n_bytes"]
+        assert len(r["hist"]) == 16
+
+
+def test_decode_stub_raises_without_fake(spark, sf_dir):
+    with pytest.raises(PythonException, match="NotImplementedError"):
+        multimodal.decode_image(_media(spark, sf_dir).limit(1)).collect()
+
+
+def test_decode_fake_deterministic(spark, sf_dir):
+    out = multimodal.decode_image(_media(spark, sf_dir).limit(20), fake=True)
+    rows = {r["media_id"]: (r["width"], r["height"], r["channels"]) for r in out.collect()}
+    again = {r["media_id"]: (r["width"], r["height"], r["channels"])
+             for r in multimodal.decode_image(_media(spark, sf_dir).limit(20), fake=True).collect()}
+    assert rows == again
+    assert all(c == 3 for _, _, c in rows.values())
+
+
+def test_frame_sampling_offsets(spark, sf_dir):
+    frames = multimodal.sample_frames(_media(spark, sf_dir).limit(5), every_n_bytes=32, fake=True)
+    per_doc = frames.groupBy("media_id").agg(
+        F.count(F.lit(1)).alias("n"), F.max("offset").alias("mx")
+    ).collect()
+    media_len = {r["media_id"]: r["n_bytes"] for r in _media(spark, sf_dir).limit(5).collect()}
+    for r in per_doc:
+        expect = (media_len[r["media_id"]] + 31) // 32
+        assert r["n"] == expect

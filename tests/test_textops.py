@@ -1,0 +1,55 @@
+"""Text analysis: langid, quality, token counts, fingerprint."""
+
+from __future__ import annotations
+
+from etl_pack_spark.operators import textops
+
+
+def _df(spark):
+    rows = [
+        (1, "the cat and the dog sat in the house for a while and it was good"),
+        (2, "der hund und die katze sind nicht in dem haus und das ist gut"),
+        (3, "el perro y el gato en la casa es un animal que es bueno"),
+        (4, "Hello, world!! How are you today?"),
+        (5, ""),
+    ]
+    return spark.createDataFrame(rows, "doc_id int, text string")
+
+
+def test_language_id(spark):
+    got = {r["doc_id"]: r["lang_pred"] for r in
+           textops.language_id(_df(spark), "doc_id", "text").collect()}
+    assert got[1] == "en"
+    assert got[2] == "de"
+    assert got[3] == "es"
+    assert got[5] == "de"  # zero scores everywhere → alphabetical tie-break
+
+
+def test_quality_metrics(spark):
+    rows = {r["doc_id"]: r for r in
+            textops.quality_metrics(_df(spark), "doc_id", "text").collect()}
+    r4 = rows[4]
+    assert r4["n_chars"] == len("Hello, world!! How are you today?")
+    assert r4["n_tokens"] == 6
+    assert r4["n_punct"] == 4  # , !! ?
+    r5 = rows[5]
+    assert r5["n_tokens"] == 0 and r5["avg_token_len"] is None
+
+
+def test_token_counts(spark):
+    rows = {r["doc_id"]: r for r in
+            textops.token_counts(_df(spark), "doc_id", "text").collect()}
+    assert rows[4]["n_words"] == 6
+    # pieces: Hello , world ! ! How are you today ?  → 10
+    assert rows[4]["n_pieces"] == 10
+    assert rows[5]["n_words"] == 0
+
+
+def test_fingerprint_stable_under_identity(spark):
+    df = _df(spark)
+    a = {r["doc_id"]: r["fingerprint"] for r in
+         textops.fingerprint(df, "doc_id", "text").collect()}
+    b = {r["doc_id"]: r["fingerprint"] for r in
+         textops.fingerprint(df, "doc_id", "text").collect()}
+    assert a == b
+    assert a[5] == ""  # empty doc → empty fingerprint, not null
