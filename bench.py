@@ -1,0 +1,74 @@
+"""Benchmark harness (driver contract): runs the headline queries at
+$SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1) on
+local[$SPARK_GRAFT_CPUS] and prints ONE JSON line.
+
+Each query executes fully through the noop sink (no collect cost, no
+column-pruning shortcut a count() would allow). First run of the first
+query includes JVM/codegen warmup, which mirrors how the driver sees a
+cold engine; a warmup toggle exists for local iteration.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import re
+import sys
+import time
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent))
+
+from etl_pack_spark.session import get_spark  # noqa: E402
+from etl_pack_spark import suite  # noqa: E402
+
+BENCH_QUERIES = [
+    "x4_incremental_load",     # flagship: hash + anti-join incremental load
+    "h1_row_hash",             # canonical-hash throughput
+    "p2_window",               # pushed-down range scan
+    "agg_pricing_summary",     # TPC-H Q1-shaped aggregation
+    "join_revenue_by_nation",  # star join + agg
+    "window_topk_orders",      # window function
+    "stream_window_counts",    # tumbling-window event agg (batch mode)
+    "dedup_minhash_lsh",       # minhash LSH near-dup end-to-end
+    "dedup_simhash",           # 64-bit simhash signatures
+    "neardup_embedding",       # all-pairs cosine near-dup
+    "ann_cosine_topk",         # brute-force cosine top-k
+    "text_quality",            # text quality metrics
+    "text_fingerprint",        # winnowing fingerprints
+]
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    m = re.search(r"sf([0-9.]+)", sf_dir)
+    sf = float(m.group(1)) if m else -1.0
+    warmup = os.environ.get("SPARK_GRAFT_BENCH_WARMUP", "1") == "1"
+
+    spark = get_spark("etl_pack_spark_bench")
+
+    def run(name: str) -> float:
+        t0 = time.perf_counter()
+        df = suite.QUERIES[name](spark, sf_dir)
+        df.write.format("noop").mode("overwrite").save()
+        return time.perf_counter() - t0
+
+    if warmup:
+        run("p2_window")
+
+    timings: dict[str, float] = {}
+    for name in BENCH_QUERIES:
+        timings[name] = round(run(name), 3)
+
+    total = round(sum(timings.values()), 3)
+    print(json.dumps({
+        "metric": "headline_suite_wall_sec",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": sf,
+    }))
+
+
+if __name__ == "__main__":
+    main()

@@ -28,6 +28,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from etl_pack_spark.operators.tokenize import (
+    shingle_rows,
     shingles_expr,
     shingles_sql,
     tokens,
@@ -42,25 +43,53 @@ HEX = "0123456789abcdef"
 # ---------------------------------------------------------------------------
 
 def shingled(df: DataFrame, id_col: str, text_col: str, k: int = 3) -> DataFrame:
-    """id + distinct k-shingle set; zero-shingle docs dropped (their
-    band keys would collide engine-specifically on empty input)."""
-    out = (
-        df.select(id_col, tokens(text_col).alias("__toks"))
+    """id + distinct k-shingle set. Zero-shingle docs keep an empty
+    array (no filter here: a size-guard WHERE would make Catalyst
+    inline the whole shingling expression into the predicate and
+    evaluate the interpreted HOF chain twice; explode-based consumers
+    drop empty docs for free)."""
+    # a small-file corpus scans as ONE task; shingling is CPU-bound, so
+    # spread rows across the cluster before the per-row work (at scale,
+    # many input splits make this a near-no-op shuffle of raw text)
+    return (
+        df.repartition(F.col(id_col))
+        .select(id_col, tokens(text_col).alias("__toks"))
         .select(id_col, F.array_distinct(shingles_expr("__toks", k)).alias("shingles"))
-        .where(F.size("shingles") >= 1)
     )
-    return out
 
 
-def minhash_signature(sh: DataFrame, id_col: str, num_hashes: int = 16) -> DataFrame:
-    """One minhash column per hash function, all in a single projection."""
-    mh = [
-        F.array_min(
-            F.transform("shingles", lambda s, i=i: F.md5(F.concat(F.lit(f"{i}:"), s)))
-        ).alias(f"mh_{i}")
+# Fixed permutation constants (seedless, embedded identically in the
+# oracle SQL): a_i odd multipliers, b_i offsets, all < 2^31 so
+# a*h7 + b stays well inside int64 (h7 < 2^28).
+MH_PRIME = 1_000_000_007
+MH_A = [((2 * i + 1) * 2_654_435_761) % 2_147_483_647 for i in range(64)]
+MH_B = [((i * 97 + 31) * 40_503) % 2_147_483_647 for i in range(64)]
+
+# 28-bit integer hash of a shingle: first 7 hex chars of its md5.
+_H7_SPARK = "CAST(conv(substr(md5(s), 1, 7), 16, 10) AS BIGINT)"
+
+
+def _h7_sql(s: str) -> str:
+    return f"CAST('0x' || substr(md5({s}), 1, 7) AS BIGINT)"
+
+
+def minhash_signature(sh_rows: DataFrame, id_col: str, num_hashes: int = 16) -> DataFrame:
+    """Minhash signature from shingle ROWS (see tokenize.shingle_rows)
+    via a codegen'd hash aggregate.
+
+    One md5 per shingle, then ``num_hashes`` integer permutations
+    ``(a_i*h + b_i) mod p`` — 16x fewer md5 evaluations than hashing
+    per function. The per-(doc,i) ``min`` is a map-side partial
+    aggregate, so the shuffle carries num_hashes longs per doc, not
+    shingle sets. Per-row array lambdas (``array_min(transform(...))``)
+    would be interpreted expression trees — fine at 500 docs, ruinous
+    at 10^9."""
+    hashed = sh_rows.withColumn("h7", F.expr(_H7_SPARK))
+    mins = [
+        F.min((F.lit(MH_A[i]) * F.col("h7") + F.lit(MH_B[i])) % MH_PRIME).alias(f"mh_{i}")
         for i in range(num_hashes)
     ]
-    return sh.select(id_col, "shingles", *mh)
+    return hashed.groupBy(id_col).agg(*mins)
 
 
 def lsh_candidate_pairs(
@@ -72,7 +101,11 @@ def lsh_candidate_pairs(
     rows_per_band = num_hashes // bands
     band_keys = [
         F.md5(
-            F.concat_ws(",", *[F.col(f"mh_{b * rows_per_band + r}") for r in range(rows_per_band)])
+            F.concat_ws(
+                ",",
+                *[F.col(f"mh_{b * rows_per_band + r}").cast("string")
+                  for r in range(rows_per_band)],
+            )
         )
         for b in range(bands)
     ]
@@ -101,7 +134,9 @@ def jaccard_verified_pairs(
     sb = sh.select(F.col(id_col).alias("id_b"), F.col("shingles").alias("sh_b"))
     inter = F.size(F.array_intersect("sh_a", "sh_b"))
     union = F.size("sh_a") + F.size("sh_b") - inter
-    jac = inter.cast("double") / union.cast("double")
+    # union=0 (two empty shingle sets) would be an ANSI 0/0 — such pairs
+    # are by definition not near-dups, drop them
+    jac = F.when(union > 0, inter.cast("double") / union.cast("double"))
     return (
         cand.join(sa, "id_a").join(sb, "id_b")
         .select("id_a", "id_b", jac.alias("jaccard"))
@@ -119,11 +154,33 @@ def minhash_lsh_dedup_pairs(
     threshold: float = 0.8,
 ) -> DataFrame:
     """The full near-dup pipeline: shingle → minhash → LSH buckets →
-    exact-Jaccard verify."""
-    sh = shingled(df, id_col, text_col, k)
-    sig = minhash_signature(sh, id_col, num_hashes)
-    cand = lsh_candidate_pairs(sig, id_col, num_hashes, bands)
-    return jaccard_verified_pairs(cand, sh, id_col, threshold)
+    exact-Jaccard verify.
+
+    Verification re-shingles ONLY candidate docs (semi-join on the
+    candidate id set, broadcast-able): at scale the candidate set is
+    orders of magnitude smaller than the corpus, so the expensive
+    shingle arrays are never materialized corpus-wide a second time."""
+    rows = shingle_rows(df, id_col, text_col, k)
+    # sig feeds BOTH sides of the bucket self-join and, transitively,
+    # the candidate-id union — without persist the whole shingle+minhash
+    # lineage re-executes once per reference (4-6x). The signature is
+    # tiny (num_hashes longs per doc), so caching it is correct at any
+    # corpus size; cand is smaller still.
+    sig = minhash_signature(rows, id_col, num_hashes).persist()
+    cand = lsh_candidate_pairs(sig, id_col, num_hashes, bands).persist()
+    cand_ids = (
+        cand.select(F.col("id_a").alias(id_col))
+        .union(cand.select(F.col("id_b").alias(id_col)))
+        .distinct()
+    )
+    # exact-Jaccard verification re-shingles ONLY candidate docs
+    cand_docs = df.join(F.broadcast(cand_ids), id_col, "left_semi")
+    sh_cand = (
+        shingle_rows(cand_docs, id_col, text_col, k)
+        .groupBy(id_col)
+        .agg(F.collect_list("s").alias("shingles"))
+    )
+    return jaccard_verified_pairs(cand, sh_cand, id_col, threshold)
 
 
 def minhash_lsh_dedup_pairs_sql(
@@ -138,13 +195,15 @@ def minhash_lsh_dedup_pairs_sql(
     """The identical pipeline as DuckDB SQL (oracle)."""
     rows_per_band = num_hashes // bands
     mh_cols = ",\n               ".join(
-        f"list_aggregate(list_transform(shingles, s -> md5('{i}:' || s)), 'min') AS mh_{i}"
+        f"list_aggregate(list_transform(shingles, s -> "
+        f"({MH_A[i]} * {_h7_sql('s')} + {MH_B[i]}) % {MH_PRIME}), 'min') AS mh_{i}"
         for i in range(num_hashes)
     )
     band_rows = "\n        UNION ALL\n".join(
         f"        SELECT {id_col}, {b} AS band, "
-        f"md5(concat_ws(',', {', '.join(f'mh_{b * rows_per_band + r}' for r in range(rows_per_band))})) AS bk "
-        f"FROM sig"
+        f"md5(concat_ws(',', "
+        f"{', '.join(f'CAST(mh_{b * rows_per_band + r} AS VARCHAR)' for r in range(rows_per_band))}"
+        f")) AS bk FROM sig"
         for b in range(bands)
     )
     return f"""
@@ -152,7 +211,6 @@ def minhash_lsh_dedup_pairs_sql(
         SELECT {id_col},
                list_distinct({shingles_sql('toks', k)}) AS shingles
         FROM (SELECT {id_col}, {tokens_sql(text_col)} AS toks FROM {table})
-        WHERE len({shingles_sql('toks', k)}) >= 1
     ),
     sh2 AS (SELECT * FROM sh WHERE len(shingles) >= 1),
     sig AS (
@@ -196,7 +254,7 @@ def ngram_jaccard_pairs(
     cand = a.join(b, F.col("id_a") < F.col("id_b"))
     inter = F.size(F.array_intersect("sh_a", "sh_b"))
     union = F.size("sh_a") + F.size("sh_b") - inter
-    jac = inter.cast("double") / union.cast("double")
+    jac = F.when(union > 0, inter.cast("double") / union.cast("double"))
     return cand.select("id_a", "id_b", jac.alias("jaccard")).where(F.col("jaccard") >= threshold)
 
 
@@ -240,8 +298,10 @@ def simhash_signature(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     explode(tokens) → per-token md5 → 64 weighted bit sums (integer,
     order-independent, map-side combinable) → sign → hex render.
     """
-    tok = df.select(F.col(id_col), F.explode(tokens(text_col)).alias("tok")).withColumn(
-        "h", F.md5("tok")
+    tok = (
+        df.repartition(F.col(id_col))  # parallelize the CPU-bound explode
+        .select(F.col(id_col), F.explode(tokens(text_col)).alias("tok"))
+        .withColumn("h", F.md5("tok"))
     )
     sums = [
         F.sum(F.expr(f"CASE WHEN {_bit_sql(1 + j // 4, 3 - j % 4, 'spark')} = 1 "

@@ -15,45 +15,127 @@ values and rankings agree exactly between engine and oracle. Hyperplane
 
 from __future__ import annotations
 
+import pandas as pd
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 HEX = "0123456789abcdef"
 
 
-def _dot_expr(a: str, b: str) -> str:
-    """Strict left-fold dot product (Spark SQL)."""
-    return (
-        f"aggregate(zip_with({a}, {b}, (x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)), "
-        f"CAST(0.0 AS DOUBLE), (acc, v) -> acc + v)"
-    )
+DIMS = 64  # fixture embedding dimensionality
 
 
-def _dot_sql(a: str, b: str) -> str:
-    """The same fold in DuckDB (list_reduce folds from the first
-    element; 0.0 + e1 == e1 exactly, so the sums are identical)."""
-    return (
-        f"list_reduce(list_transform(list_zip({a}, {b}), "
-        f"p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)), (acc, v) -> acc + v)"
+_DOT_UDF = None
+
+
+def _dot_udf(va, vb):
+    """Lazy wrapper: pandas_udf return-type parsing needs an active
+    SparkSession, so the UDF is built on first use, not at import."""
+    global _DOT_UDF
+    if _DOT_UDF is None:
+        _DOT_UDF = F.pandas_udf(_dot_impl, "double")
+    return _DOT_UDF(va, vb)
+
+
+def _dot_impl(va, vb):
+    """Arrow-vectorized dot product with STRICT LEFT-SUM semantics.
+
+    ``np.cumsum(axis=1)`` is sequential by definition, so taking its
+    last column equals the left-associative sum t1+t2+...+tn — the same
+    association the DuckDB oracle's expanded ``+`` chain uses, hence
+    bit-identical doubles. (np.dot/einsum use pairwise/SIMD summation
+    and would NOT match.) float32→float64 casts are exact; per-element
+    products are exact w.r.t. association.
+
+    Why a pandas UDF at all: per-pair JVM expression trees (higher-order
+    ``aggregate`` or an expanded 64-term sum) get pushed into the
+    non-equi join condition and re-evaluated per candidate row outside
+    codegen; Python-UDF predicates cannot be pushed into joins, so this
+    runs exactly once per pair, SIMD-vectorized over Arrow batches.
+    """
+    import numpy as np
+
+    if len(va) == 0:
+        return pd.Series([], dtype="float64")
+    a = np.stack(va.to_numpy()).astype(np.float64)
+    b = np.stack(vb.to_numpy()).astype(np.float64)
+    return pd.Series(np.cumsum(a * b, axis=1)[:, -1])
+
+
+def _dot_sql(a: str, b: str, dims: int = DIMS) -> str:
+    """Oracle-side dot product: expanded left-assoc ``+`` chain —
+    bit-identical to the cumsum left sum."""
+    terms = " + ".join(
+        f"(CAST({a}[{i}] AS DOUBLE) * CAST({b}[{i}] AS DOUBLE))" for i in range(1, dims + 1)
     )
+    return f"({terms})"
 
 
 def with_norm(df: DataFrame, vec: str = "embedding", out: str = "norm") -> DataFrame:
-    return df.withColumn(out, F.expr(f"sqrt({_dot_expr(vec, vec)})"))
+    return df.withColumn(out, F.sqrt(_dot_udf(F.col(vec), F.col(vec))))
+
+
+# Brute-force paths broadcast the whole vector set to every task; this
+# caps the corpus they accept (64-dim f64 at this cap ≈ 100 MB). Larger
+# corpora must use the LSH path.
+MAX_BROADCAST_VECTORS = 200_000
+
+
+def _collect_matrix(df: DataFrame, id_col: str, vec: str):
+    """Driver-side (id, matrix, norms) for broadcast-block brute force.
+    Norms use the same cumsum left-sum as everything else."""
+    import numpy as np
+
+    n = df.count()
+    if n > MAX_BROADCAST_VECTORS:
+        raise ValueError(
+            f"brute-force similarity is capped at {MAX_BROADCAST_VECTORS} vectors "
+            f"(got {n}); use lsh_neardup_pairs for corpora this size"
+        )
+    pdf = df.select(id_col, vec).toPandas()
+    ids = pdf[id_col].to_numpy()
+    mat = np.stack(pdf[vec].to_numpy()).astype(np.float64)
+    norms = np.sqrt(np.cumsum(mat * mat, axis=1)[:, -1])
+    return ids, mat, norms
 
 
 def cosine_neardup_pairs(
     df: DataFrame, id_col: str = "vec_id", vec: str = "embedding", threshold: float = 0.95
 ) -> DataFrame:
     """All-pairs cosine near-duplicates (id_a < id_b, cos ≥ threshold).
-    Quadratic baseline — at scale use :func:`lsh_neardup_pairs`."""
-    n = with_norm(df, vec)
-    a = n.select(F.col(id_col).alias("id_a"), F.col(vec).alias("va"), F.col("norm").alias("na"))
-    b = n.select(F.col(id_col).alias("id_b"), F.col(vec).alias("vb"), F.col("norm").alias("nb"))
-    pairs = a.join(b, F.col("id_a") < F.col("id_b"))
-    cos = F.expr(f"{_dot_expr('va', 'vb')} / (na * nb)")
-    return pairs.select("id_a", "id_b", cos.alias("cos_sim")).where(
-        F.col("cos_sim") >= threshold
+
+    Quadratic baseline, executed as broadcast-block matrix work: the
+    (bounded) vector set rides a broadcast variable, each task streams
+    its Arrow batch of rows against the in-memory matrix — O(n) data
+    movement instead of the O(n^2) pair materialization a self-join
+    would ship. Per-pair math is elementwise product + row-cumsum, so
+    values stay bit-identical to the oracle's left-assoc SQL sums.
+    At scale use :func:`lsh_neardup_pairs`.
+    """
+    import pandas as pd
+
+    spark = df.sparkSession
+    bc = spark.sparkContext.broadcast(_collect_matrix(df, id_col, vec))
+
+    def block(batches):
+        import numpy as np
+
+        ids, mat, norms = bc.value
+        for pdf in batches:
+            out_a, out_b, out_c = [], [], []
+            for rid, rvec in zip(pdf[id_col], pdf[vec]):
+                va = np.asarray(rvec, dtype=np.float64)
+                dots = np.cumsum(mat * va, axis=1)[:, -1]
+                na = np.sqrt(np.cumsum(va * va)[-1])
+                cos = dots / (na * norms)
+                mask = (ids > rid) & (cos >= threshold)
+                out_a.extend([rid] * int(mask.sum()))
+                out_b.extend(ids[mask].tolist())
+                out_c.extend(cos[mask].tolist())
+            yield pd.DataFrame({"id_a": out_a, "id_b": out_b, "cos_sim": out_c})
+
+    return df.select(id_col, vec).repartition(F.col(id_col)).mapInPandas(
+        block, schema="id_a long, id_b long, cos_sim double"
     )
 
 
@@ -78,20 +160,36 @@ def cosine_topk(
     id_col: str = "vec_id",
     vec: str = "embedding",
 ) -> DataFrame:
-    """Exact top-k neighbors for each query vector (brute force): one
-    broadcast-able join + window rank. Ties broken by neighbor id."""
-    base = with_norm(df, vec)
-    q = with_norm(queries, vec).select(
-        F.col(id_col).alias("q_id"), F.col(vec).alias("qv"), F.col("norm").alias("qn")
+    """Exact top-k neighbors per query vector (brute force, broadcast-
+    block like :func:`cosine_neardup_pairs`): queries stream through
+    tasks, the base matrix rides a broadcast, ranking is (cos DESC,
+    id ASC) — identical tie-break to the oracle's ROW_NUMBER."""
+    import pandas as pd
+
+    spark = df.sparkSession
+    bc = spark.sparkContext.broadcast(_collect_matrix(df, id_col, vec))
+
+    def block(batches):
+        import numpy as np
+
+        ids, mat, norms = bc.value
+        for pdf in batches:
+            rows = []
+            for qid, qvec in zip(pdf[id_col], pdf[vec]):
+                qv = np.asarray(qvec, dtype=np.float64)
+                dots = np.cumsum(mat * qv, axis=1)[:, -1]
+                qn = np.sqrt(np.cumsum(qv * qv)[-1])
+                cos = dots / (qn * norms)
+                mask = ids != qid
+                cids, ccos = ids[mask], cos[mask]
+                order = np.lexsort((cids, -ccos))[:k]
+                for rk, j in enumerate(order, start=1):
+                    rows.append((qid, int(cids[j]), float(ccos[j]), rk))
+            yield pd.DataFrame(rows, columns=["q_id", "n_id", "cos_sim", "rk"])
+
+    return queries.select(id_col, vec).repartition(F.col(id_col)).mapInPandas(
+        block, schema="q_id long, n_id long, cos_sim double, rk int"
     )
-    cand = q.join(
-        base.select(F.col(id_col).alias("n_id"), F.col(vec).alias("nv"), F.col("norm").alias("nn")),
-        F.col("q_id") != F.col("n_id"),
-    )
-    cos = F.expr(f"{_dot_expr('qv', 'nv')} / (qn * nn)")
-    scored = cand.select("q_id", "n_id", cos.alias("cos_sim"))
-    w = Window.partitionBy("q_id").orderBy(F.col("cos_sim").desc(), F.col("n_id"))
-    return scored.withColumn("rk", F.row_number().over(w)).where(F.col("rk") <= k)
 
 
 def cosine_topk_sql(
@@ -184,7 +282,7 @@ def lsh_neardup_pairs(
         F.col("norm").alias("nb"), "tbl", "bucket",
     )
     pairs = a.join(b, ["tbl", "bucket"]).where(F.col("id_a") < F.col("id_b"))
-    cos = F.expr(f"{_dot_expr('va', 'vb')} / (na * nb)")
+    cos = _dot_udf(F.col("va"), F.col("vb")) / (F.col("na") * F.col("nb"))
     return (
         pairs.select("id_a", "id_b", cos.alias("cos_sim"))
         .where(F.col("cos_sim") >= threshold)

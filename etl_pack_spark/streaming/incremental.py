@@ -1,0 +1,137 @@
+"""Structured Streaming replacement for the reference's cron loop (X1).
+
+The reference re-runs a full extract→dedup→load pipeline on a cron rule
+(provider.go:69-87) and tracks progress only via the cursor window plus
+hash dedup. The idiomatic Spark equivalent is a Structured Streaming
+job with the ``availableNow`` trigger: each invocation processes
+exactly the files that arrived since the last checkpoint, then exits —
+same operational shape as a cron firing, but progress tracking is the
+checkpoint (exact, file-level) instead of a cursor heuristic, and a
+resident deployment just switches the trigger to ``processingTime``.
+
+Transformations are plain DataFrame functions usable in BOTH batch and
+streaming (``windowed_event_counts`` runs under ``spark.sql`` in the
+correctness suite and under readStream here) — one definition, two
+execution modes, which is exactly the Catalyst promise.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from etl_pack_spark.operators.dedup import incremental_filter, snapshot_hashes
+
+
+def windowed_event_counts(
+    events: DataFrame,
+    window: str = "1 hour",
+    watermark: str | None = None,
+) -> DataFrame:
+    """Tumbling-window per-type event aggregation. With ``watermark``
+    (streaming) late data beyond the bound is dropped and state is
+    reclaimed — the late-data story the reference simply doesn't have.
+    Money sums go through exact decimals (suite convention)."""
+    if watermark is not None:
+        events = events.withWatermark("ts", watermark)
+    return (
+        events.groupBy(F.window("ts", window).alias("win"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.col("value").cast("decimal(18,2)")).cast("double").alias("sum_value"),
+        )
+        .select(
+            F.col("win.start").alias("win_start"),
+            "event_type",
+            "n_events",
+            "sum_value",
+        )
+    )
+
+
+def _events_stream(spark: SparkSession, source_dir: str) -> DataFrame:
+    """readStream over the events parquet directory, rebuilding the
+    nanosecond timestamp column (same normalization as the batch
+    reader)."""
+    import hashlib
+    import os
+    import tempfile
+
+    batch_schema = spark.read.parquet(source_dir).schema
+    if os.path.isfile(source_dir):
+        # The streaming file source requires a directory (its basePath is
+        # forced to the given path). Mirror a single-file fixture into a
+        # stable temp directory via symlink — zero-copy, read-only safe.
+        key = hashlib.md5(source_dir.encode()).hexdigest()[:12]
+        mirror = os.path.join(tempfile.gettempdir(), f"etl_pack_stream_{key}")
+        os.makedirs(mirror, exist_ok=True)
+        link = os.path.join(mirror, os.path.basename(source_dir))
+        if not os.path.exists(link):
+            os.symlink(source_dir, link)
+        source_dir = mirror
+    stream = spark.readStream.schema(batch_schema).parquet(source_dir)
+    if dict((f.name, f.dataType.simpleString()) for f in batch_schema.fields).get("ts") == "bigint":
+        stream = stream.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return stream
+
+
+def stream_transfer(
+    spark: SparkSession,
+    source_dir: str,
+    target_path: str,
+    checkpoint: str,
+    window: str = "1 hour",
+    watermark: str = "1 day",
+) -> int:
+    """One cron-firing-equivalent: process all files not yet seen by the
+    checkpoint through the windowed aggregation, append to the target,
+    exit. Returns the number of micro-batches processed."""
+    stream = _events_stream(spark, source_dir)
+    agg = windowed_event_counts(stream, window=window, watermark=watermark)
+    query = (
+        agg.writeStream.outputMode("append")
+        .trigger(availableNow=True)
+        .option("checkpointLocation", checkpoint)
+        .format("parquet")
+        .option("path", target_path)
+        .start()
+    )
+    query.awaitTermination()
+    n = len(query.recentProgress)
+    query.stop()
+    return n
+
+
+def stream_incremental_transfer(
+    spark: SparkSession,
+    source_dir: str,
+    target_path: str,
+    checkpoint: str,
+) -> int:
+    """The reference's incremental dedup load (H1-H3) under streaming:
+    each micro-batch is anti-joined against the CURRENT target hash
+    snapshot inside foreachBatch, then appended — checkpoint handles
+    at-least-once delivery, the hash anti-join makes it effectively
+    exactly-once on content (the same idempotence argument as the
+    reference's re-runs, provider.go:218)."""
+    import os
+
+    stream = _events_stream(spark, source_dir)
+
+    def upsert(batch_df: DataFrame, batch_id: int) -> None:
+        snap = None
+        if os.path.exists(target_path):
+            snap = snapshot_hashes(batch_df.sparkSession.read.parquet(target_path))
+        new_rows = incremental_filter(batch_df, snap)
+        new_rows.write.mode("append").parquet(target_path)
+
+    query = (
+        stream.writeStream.foreachBatch(upsert)
+        .trigger(availableNow=True)
+        .option("checkpointLocation", checkpoint)
+        .start()
+    )
+    query.awaitTermination()
+    n = len(query.recentProgress)
+    query.stop()
+    return n

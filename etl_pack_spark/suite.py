@@ -182,7 +182,10 @@ def q_x4_incremental_load(spark: SparkSession, sf_dir: str) -> DataFrame:
     windowed source minus already-loaded rows. Target simulated as the
     first half of the window (l_orderkey below the median)."""
     spec = ReadSpec(table="lineitem", window=("l_shipdate", WIN_LO, WIN_HI))
-    src = windowed_read(spark, sf_dir, spec)
+    # row hashing is CPU-bound; the fixture is a single small file (3
+    # splits), so spread rows before hashing — on real multi-split
+    # inputs the scan already provides the parallelism
+    src = windowed_read(spark, sf_dir, spec).repartition(F.col("l_orderkey"))
     tgt = src.where(F.col("l_orderkey") % 4 != 3)
     return incremental_filter(src, snapshot_hashes(tgt), src.columns)
 
@@ -306,6 +309,16 @@ def q_ann_lsh_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity.lsh_neardup_pairs(emb, dims=64, planes=4, tables=6, threshold=0.4)
 
 
+def q_stream_window_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X1 — the streaming transformation run in batch mode: tumbling
+    1-hour event windows. The exact same function executes under
+    readStream in etl_pack_spark.streaming (one definition, two
+    execution modes)."""
+    from etl_pack_spark.streaming.incremental import windowed_event_counts
+
+    return windowed_event_counts(read_table(spark, sf_dir, "events"))
+
+
 # ---------------------------------------------------------------------------
 # Text analysis + multimodal plumbing (SURVEY §7.3 / north-star extensions)
 # ---------------------------------------------------------------------------
@@ -369,6 +382,7 @@ QUERIES: dict[str, QueryFn] = {
     "s1_scan": q_s1_scan,
     "s4_sink_roundtrip": q_s4_sink_roundtrip,
     "x4_incremental_load": q_x4_incremental_load,
+    "stream_window_counts": q_stream_window_counts,
     "agg_pricing_summary": q_agg_pricing_summary,
     "join_revenue_by_nation": q_join_revenue_by_nation,
     "window_topk_orders": q_window_topk_orders,
@@ -449,6 +463,13 @@ ORACLES: dict[str, str] = {
         WHERE {_LINEITEM_HASH} NOT IN (
             SELECT {_LINEITEM_HASH} FROM src WHERE l_orderkey % 4 != 3
         )
+    """,
+    "stream_window_counts": """
+        SELECT date_trunc('hour', ts) AS win_start, event_type,
+               COUNT(*) AS n_events,
+               CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+        FROM events
+        GROUP BY 1, 2
     """,
     "agg_pricing_summary": """
         SELECT l_returnflag, l_linestatus,

@@ -1,0 +1,63 @@
+"""Structured Streaming: availableNow runs, checkpoint resume,
+streaming/batch transformation parity, foreachBatch incremental dedup."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from etl_pack_spark.sources.reader import read_table
+from etl_pack_spark.streaming.incremental import (
+    stream_incremental_transfer,
+    stream_transfer,
+    windowed_event_counts,
+)
+
+
+def test_stream_matches_batch_below_watermark(spark, sf_dir, tmp_path):
+    """Streamed windowed counts must equal the batch computation for
+    every window the watermark has closed."""
+    src = f"{sf_dir}/events.parquet"
+    n = stream_transfer(
+        spark, src, str(tmp_path / "out"), str(tmp_path / "ckpt"),
+        window="1 hour", watermark="1 hour",
+    )
+    assert n >= 1
+    streamed = spark.read.parquet(str(tmp_path / "out"))
+
+    events = read_table(spark, sf_dir, "events")
+    batch = windowed_event_counts(events)
+    max_ts = events.agg(F.max("ts")).first()[0]
+    closed = batch.where(
+        F.col("win_start") < (F.lit(max_ts) - F.expr("INTERVAL 2 HOURS"))
+    )
+    streamed_set = {tuple(r) for r in streamed.collect()}
+    closed_set = {tuple(r) for r in closed.collect()}
+    assert closed_set <= streamed_set
+    assert streamed_set <= {tuple(r) for r in batch.collect()}
+
+
+def test_availablenow_checkpoint_no_reprocess(spark, sf_dir, tmp_path):
+    """Second availableNow run over the same files: checkpoint says
+    nothing new → no new output rows (the cron-firing idempotence the
+    reference gets from hash dedup, via file tracking instead)."""
+    src = f"{sf_dir}/events.parquet"
+    out, ckpt = str(tmp_path / "out"), str(tmp_path / "ckpt")
+    stream_transfer(spark, src, out, ckpt)
+    n1 = spark.read.parquet(out).count()
+    stream_transfer(spark, src, out, ckpt)
+    n2 = spark.read.parquet(out).count()
+    assert n1 == n2
+
+
+def test_foreachbatch_incremental_dedup(spark, sf_dir, tmp_path):
+    """Streaming variant of the flagship pipeline: re-running against a
+    FRESH checkpoint (simulating redelivery of all files) must append
+    nothing thanks to the hash anti-join."""
+    src = f"{sf_dir}/events.parquet"
+    tgt = str(tmp_path / "tgt")
+    stream_incremental_transfer(spark, src, tgt, str(tmp_path / "c1"))
+    n1 = spark.read.parquet(tgt).count()
+    assert n1 > 0
+    # fresh checkpoint → all files redelivered → dedup must hold the line
+    stream_incremental_transfer(spark, src, tgt, str(tmp_path / "c2"))
+    assert spark.read.parquet(tgt).count() == n1
