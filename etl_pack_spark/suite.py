@@ -241,6 +241,65 @@ def q_window_topk_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_agg_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROLLUP over (priority, status): subtotals + grand total — the
+    grouping-sets family Catalyst provides natively."""
+    orders = read_table(spark, sf_dir, "orders")
+    return (
+        orders.rollup("o_orderpriority", "o_orderstatus")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.sum(_dec("o_totalprice")).cast("double").alias("total_price"),
+        )
+    )
+
+
+def q_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-structured extraction from events.props JSON text."""
+    events = read_table(spark, sf_dir, "events")
+    return events.select(
+        "event_id",
+        F.get_json_object("props", "$.k").cast("int").alias("k"),
+    )
+
+
+def q_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Session windows (30-min inactivity gap) per user via Spark's
+    native session_window — the stateful-stream primitive, here in
+    batch mode. Oracle reproduces it with gaps-and-islands SQL."""
+    events = read_table(spark, sf_dir, "events")
+    return (
+        events.groupBy(F.session_window("ts", "30 minutes").alias("w"), "user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.col("value").cast("decimal(18,2)")).cast("double").alias("sum_value"),
+        )
+        .select(
+            "user_id",
+            F.col("w.start").alias("sess_start"),
+            F.col("w.end").alias("sess_end"),
+            "n_events",
+            "sum_value",
+        )
+    )
+
+
+EVENT_TYPES = ["click", "error", "purchase", "signup", "view"]
+
+
+def q_pivot_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pivot: events per day × type (explicit value list → stable
+    column set)."""
+    events = read_table(spark, sf_dir, "events")
+    return (
+        events.withColumn("day", F.date_format("ts", "yyyy-MM-dd"))
+        .groupBy("day")
+        .pivot("event_type", EVENT_TYPES)
+        .agg(F.count(F.lit(1)))
+        .na.fill(0, EVENT_TYPES)
+    )
+
+
 def q_set_except(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Set op: customers in BUILDING segment with no order above 200k."""
     customer = read_table(spark, sf_dir, "customer")
@@ -386,6 +445,10 @@ QUERIES: dict[str, QueryFn] = {
     "agg_pricing_summary": q_agg_pricing_summary,
     "join_revenue_by_nation": q_join_revenue_by_nation,
     "window_topk_orders": q_window_topk_orders,
+    "agg_rollup": q_agg_rollup,
+    "json_extract": q_json_extract,
+    "sessionize": q_sessionize,
+    "pivot_events": q_pivot_events,
     "set_except": q_set_except,
     "dedup_exact_docs": q_dedup_exact_docs,
     "dedup_minhash_lsh": q_dedup_minhash_lsh,
@@ -499,6 +562,47 @@ ORACLES: dict[str, str] = {
                                       ORDER BY o_totalprice DESC, o_orderkey) AS rk
             FROM orders
         ) WHERE rk <= 3
+    """,
+    "agg_rollup": """
+        SELECT o_orderpriority, o_orderstatus,
+               COUNT(*) AS n_orders,
+               CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total_price
+        FROM orders
+        GROUP BY ROLLUP (o_orderpriority, o_orderstatus)
+    """,
+    "json_extract": """
+        SELECT event_id, CAST(json_extract_string(props, '$.k') AS INTEGER) AS k
+        FROM events
+    """,
+    "sessionize": """
+        WITH m AS (
+            SELECT user_id, ts, value,
+                   CASE WHEN lag(ts) OVER w IS NULL
+                             OR ts - lag(ts) OVER w >= INTERVAL 30 MINUTE
+                        THEN 1 ELSE 0 END AS brk
+            FROM events
+            WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+        ),
+        i AS (
+            SELECT *, SUM(brk) OVER (PARTITION BY user_id ORDER BY ts
+                                     ROWS UNBOUNDED PRECEDING) AS island
+            FROM m
+        )
+        SELECT user_id,
+               MIN(ts) AS sess_start,
+               MAX(ts) + INTERVAL 30 MINUTE AS sess_end,
+               COUNT(*) AS n_events,
+               CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+        FROM i GROUP BY user_id, island
+    """,
+    "pivot_events": """
+        SELECT strftime(ts, '%Y-%m-%d') AS day,
+               COUNT(CASE WHEN event_type = 'click' THEN 1 END) AS click,
+               COUNT(CASE WHEN event_type = 'error' THEN 1 END) AS error,
+               COUNT(CASE WHEN event_type = 'purchase' THEN 1 END) AS purchase,
+               COUNT(CASE WHEN event_type = 'signup' THEN 1 END) AS signup,
+               COUNT(CASE WHEN event_type = 'view' THEN 1 END) AS view
+        FROM events GROUP BY 1
     """,
     "set_except": """
         SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING'

@@ -1,0 +1,62 @@
+"""Plan-shape assertions: the physical plans we promise at scale.
+
+These lock in the properties that make the engine viable at 100 TB —
+filters reaching the parquet scan, small dims broadcasting, partial
+(map-side) aggregation, and no accidental cartesian products — so a
+refactor that silently regresses a plan fails CI, not a cluster run.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from etl_pack_spark import suite
+
+
+def plan_of(spark, sf_dir, name: str) -> str:
+    df = suite.QUERIES[name](spark, sf_dir)
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def test_window_scan_pushdown(spark, sf_dir):
+    plan = plan_of(spark, sf_dir, "p2_window")
+    assert "PushedFilters: [IsNotNull(l_shipdate), GreaterThanOrEqual(l_shipdate" in plan
+    # column pruning: untouched columns never reach the scan
+    assert "l_extendedprice" not in plan
+
+
+def test_star_join_broadcasts_dim(spark, sf_dir):
+    plan = plan_of(spark, sf_dir, "join_revenue_by_nation")
+    assert "BroadcastHashJoin" in plan
+
+
+def test_agg_is_partial(spark, sf_dir):
+    # two HashAggregate nodes = map-side partial + final (no raw-row shuffle)
+    plan = plan_of(spark, sf_dir, "agg_pricing_summary")
+    assert plan.count("HashAggregate") >= 2
+
+
+def test_anti_join_strategy(spark, sf_dir):
+    plan = plan_of(spark, sf_dir, "h3_anti_join")
+    assert "LeftAnti" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_no_cartesian_in_lsh_paths(spark, sf_dir):
+    for name in ("dedup_minhash_lsh", "ann_lsh_neardup"):
+        plan = plan_of(spark, sf_dir, name)
+        assert "CartesianProduct" not in plan, name
+
+
+def test_snapshot_distinct_is_aggregated(spark, sf_dir):
+    # H2 must dedup hashes via aggregate (partial-combinable), and the
+    # hash expression must be JVM-side (no Python eval in the plan)
+    plan = plan_of(spark, sf_dir, "h2_snapshot")
+    assert "HashAggregate" in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_hashing_stays_jvm_side(spark, sf_dir):
+    plan = plan_of(spark, sf_dir, "h1_row_hash")
+    assert "md5" in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
