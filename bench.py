@@ -54,7 +54,10 @@ def main() -> None:
         return time.perf_counter() - t0
 
     if warmup:
-        run("p2_window")
+        # full warmup pass: timings then reflect steady-state execution
+        # (codegen compiled, JVM warm) rather than first-run JIT costs
+        for name in BENCH_QUERIES:
+            run(name)
 
     timings: dict[str, float] = {}
     for name in BENCH_QUERIES:

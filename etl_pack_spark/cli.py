@@ -1,0 +1,91 @@
+"""Command-line transfer runner — operational parity with the
+reference's reader/writer binaries.
+
+The reference ships per-database binaries driven by flags
+(``mysql/reader/main.go:28-35``: ``-target -fields -window -order
+-increment -batch -workers -schedule``). Here one CLI drives the whole
+pipeline; Spark replaces workers/batch (task scheduling) and an
+external scheduler (cron/Airflow) replaces ``-schedule``, each firing
+being one invocation — or pass ``--streaming`` for the
+checkpoint-tracked availableNow variant.
+
+    python -m etl_pack_spark.cli \
+        --source-dir /root/testdata/sf0.001 --table lineitem \
+        --target /tmp/tgt --fields l_orderkey,l_shipdate \
+        --window l_shipdate:1996-01-01:1996-12-31 --increment
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+
+
+def parse_window(raw: str) -> tuple[str, str, str]:
+    """``column:from:to`` (reference flag format,
+    mysql/reader/main.go:32,47-50)."""
+    parts = raw.split(":", 2)
+    if len(parts) != 3 or not all(parts):
+        raise argparse.ArgumentTypeError(
+            f"--window must be column:from:to (got {raw!r})"
+        )
+    return (parts[0], parts[1], parts[2])
+
+
+def build_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(prog="etl_pack_spark", description=__doc__)
+    p.add_argument("--source-dir", required=True, help="directory of parquet tables")
+    p.add_argument("--table", required=True, help="source table name")
+    p.add_argument("--target", required=True, help="target parquet path")
+    p.add_argument("--fields", default="", help="comma-separated projection (default: all)")
+    p.add_argument("--window", type=parse_window, default=None,
+                   help="range predicate column:from:to (inclusive)")
+    p.add_argument("--order", default="", help="comma-separated sort spec (col [DESC])")
+    p.add_argument("--increment", action="store_true",
+                   help="dedup against target via canonical row hashes")
+    p.add_argument("--partition-by", default="", help="target partition columns")
+    p.add_argument("--streaming", action="store_true",
+                   help="availableNow streaming variant with checkpoint tracking")
+    p.add_argument("--checkpoint", default=None, help="checkpoint dir (streaming)")
+    return p
+
+
+def main(argv: list[str] | None = None) -> int:
+    args = build_parser().parse_args(argv)
+
+    from etl_pack_spark.session import get_spark
+
+    spark = get_spark("etl_pack_spark_cli")
+
+    if args.streaming:
+        if not args.checkpoint:
+            print("error: --streaming requires --checkpoint", file=sys.stderr)
+            return 2
+        from etl_pack_spark.streaming.incremental import stream_incremental_transfer
+
+        src = f"{args.source_dir}/{args.table}.parquet"
+        batches = stream_incremental_transfer(spark, src, args.target, args.checkpoint)
+        print(json.dumps({"mode": "streaming", "micro_batches": batches,
+                          "target": args.target}))
+        return 0
+
+    from etl_pack_spark.plans.transfer import TransferConfig, run_transfer
+
+    cfg = TransferConfig(
+        source_dir=args.source_dir,
+        table=args.table,
+        target_path=args.target,
+        fields=[f for f in args.fields.split(",") if f],
+        window=args.window,
+        order=[o for o in args.order.split(",") if o],
+        increment=args.increment,
+        partition_by=[c for c in args.partition_by.split(",") if c],
+    )
+    res = run_transfer(spark, cfg)
+    print(json.dumps({"mode": "batch", "rows": res.rows, "target": res.target}))
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

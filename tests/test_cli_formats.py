@@ -1,0 +1,93 @@
+"""CLI transfer runner, format-agnostic sources, stateful streaming."""
+
+from __future__ import annotations
+
+import json
+import subprocess
+import sys
+
+import pytest
+
+from etl_pack_spark.sources.formats import read_source
+
+
+def test_cli_batch_transfer(sf_dir, tmp_path):
+    """Drive the CLI as a user would: incremental windowed load, twice
+    — second run appends nothing."""
+    cmd = [
+        sys.executable, "-m", "etl_pack_spark.cli",
+        "--source-dir", sf_dir, "--table", "lineitem",
+        "--target", str(tmp_path / "tgt"),
+        "--window", "l_shipdate:1996-01-01:1996-12-31",
+        "--increment",
+    ]
+    out1 = json.loads(subprocess.run(cmd, capture_output=True, text=True,
+                                     cwd="/root/repo", check=True).stdout.strip().splitlines()[-1])
+    out2 = json.loads(subprocess.run(cmd, capture_output=True, text=True,
+                                     cwd="/root/repo", check=True).stdout.strip().splitlines()[-1])
+    assert out1["rows"] > 0
+    assert out2["rows"] == 0
+
+
+def test_cli_bad_window_flag():
+    res = subprocess.run(
+        [sys.executable, "-m", "etl_pack_spark.cli",
+         "--source-dir", "/x", "--table", "t", "--target", "/y",
+         "--window", "not-a-window"],
+        capture_output=True, text=True, cwd="/root/repo",
+    )
+    assert res.returncode == 2
+    assert "column:from:to" in res.stderr
+
+
+def test_read_source_csv_json_roundtrip(spark, sf_dir, tmp_path):
+    nation = spark.read.parquet(f"{sf_dir}/nation.parquet")
+    nation.write.option("header", "true").csv(str(tmp_path / "nation_csv"))
+    nation.write.json(str(tmp_path / "nation_json"))
+
+    csv_df = read_source(
+        spark, str(tmp_path / "nation_csv"), "csv",
+        schema_tags={"n_nationkey": "int32", "n_name": "string", "n_regionkey": "int32"},
+    )
+    json_df = read_source(spark, str(tmp_path / "nation_json"), "json")
+    assert csv_df.count() == nation.count()
+    assert {r["n_name"] for r in json_df.collect()} == {r["n_name"] for r in nation.collect()}
+    assert csv_df.schema["n_nationkey"].dataType.simpleString() == "int"
+
+
+def test_read_source_rejects_unknown_format(spark):
+    with pytest.raises(ValueError, match="unsupported format"):
+        read_source(spark, "/tmp/x", "avrox")
+
+
+def test_stateful_running_totals(spark, sf_dir, tmp_path):
+    """applyInPandasWithState over a real stream: totals accumulate
+    across micro-batches and equal the batch ground truth."""
+    from pyspark.sql import functions as F
+
+    from etl_pack_spark.streaming.incremental import _events_stream
+    from etl_pack_spark.streaming.stateful import running_user_totals
+
+    src = f"{sf_dir}/events.parquet"
+    stream = _events_stream(spark, src)
+    q = (
+        running_user_totals(stream)
+        .writeStream.outputMode("update")
+        .trigger(availableNow=True)
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .format("memory").queryName("totals")
+        .start()
+    )
+    q.awaitTermination()
+    got = {r["user_id"]: (r["n_events"], round(r["sum_value"], 2))
+           for r in spark.sql(
+               "SELECT user_id, n_events, sum_value FROM ("
+               "  SELECT *, ROW_NUMBER() OVER (PARTITION BY user_id "
+               "                               ORDER BY n_events DESC) AS rk FROM totals"
+               ") WHERE rk = 1"
+           ).collect()}
+    events = spark.read.parquet(src)
+    expect = {r["user_id"]: (r["n"], round(r["s"], 2))
+              for r in events.groupBy("user_id")
+              .agg(F.count(F.lit(1)).alias("n"), F.sum("value").alias("s")).collect()}
+    assert got == expect
