@@ -150,6 +150,24 @@ def q_t2_widen(spark: SparkSession, sf_dir: str) -> DataFrame:
 # S: scans & sinks
 # ---------------------------------------------------------------------------
 
+def q_t3_render(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T3 — universal→sink literal rendering (mysql/types/types.go:42-55):
+    datetime back-formatted to the wire format, strings single-quoted
+    with '' escaping. Spark's typed writers make this moot in practice
+    (SURVEY §2 T3); the query pins the semantics for text-protocol
+    sinks."""
+    events = read_table(spark, sf_dir, "events")
+    quoted = F.concat(F.lit("'"),
+                      F.regexp_replace(F.col("event_type"), "'", "''"),
+                      F.lit("'"))
+    return events.select(
+        "event_id",
+        F.date_format("ts", "yyyy-MM-dd HH:mm:ss").alias("dt_literal"),
+        quoted.alias("str_literal"),
+        F.col("value").cast("string").alias("num_literal"),
+    )
+
+
 def q_s1_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     """S1/S2 — full table scan → typed rows (mysql/mysql.go:36-70)."""
     return read_table(spark, sf_dir, "nation")
@@ -438,6 +456,7 @@ QUERIES: dict[str, QueryFn] = {
     "h3_anti_join": q_h3_anti_join,
     "t1_datetime_roundtrip": q_t1_datetime_roundtrip,
     "t2_widen": q_t2_widen,
+    "t3_render": q_t3_render,
     "s1_scan": q_s1_scan,
     "s4_sink_roundtrip": q_s4_sink_roundtrip,
     "x4_incremental_load": q_x4_incremental_load,
@@ -511,6 +530,13 @@ ORACLES: dict[str, str] = {
                CAST(l_linenumber AS INTEGER) AS n_u16,
                CAST(l_quantity AS DOUBLE) AS qty_f64
         FROM lineitem
+    """,
+    "t3_render": """
+        SELECT event_id,
+               strftime(ts, '%Y-%m-%d %H:%M:%S') AS dt_literal,
+               '''' || replace(event_type, '''', '''''') || '''' AS str_literal,
+               CAST(value AS VARCHAR) AS num_literal
+        FROM events
     """,
     "s1_scan": "SELECT * FROM nation",
     "s4_sink_roundtrip": f"""

@@ -1,0 +1,77 @@
+"""Property-based tests (hypothesis) for the canonical hash and the
+incremental filter — the invariants the reference's golden vectors
+sample, stated as laws over arbitrary data."""
+
+from __future__ import annotations
+
+import hashlib
+import random
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+from etl_pack_spark.operators.dedup import incremental_filter, snapshot_hashes
+from etl_pack_spark.operators.hashing import row_hash
+
+# Latin range incl. accents/quotes: exercises case folding and byte-order
+# sorting without straying into codepoints where JVM and CPython lowercase
+# tables disagree (the engine contract is JVM semantics).
+cell = st.text(
+    alphabet=st.characters(min_codepoint=0x20, max_codepoint=0x24F),
+    min_size=0, max_size=20,
+)
+rows3 = st.lists(st.tuples(cell, cell, cell), min_size=1, max_size=8)
+
+SETTINGS = dict(
+    max_examples=15,
+    deadline=None,
+    suppress_health_check=[HealthCheck.too_slow],
+)
+
+
+def _reference_hash(cells: list[str]) -> str:
+    """The reference algorithm (etl.go:59-68) in pure Python: the
+    independent model our Spark expression must equal."""
+    rendered = sorted(c.lower() for c in cells)
+    return hashlib.md5("".join(rendered).encode()).hexdigest()
+
+
+@given(rows=rows3)
+@settings(**SETTINGS)
+def test_row_hash_matches_reference_model(spark, rows):
+    df = spark.createDataFrame(rows, "a string, b string, c string")
+    got = [r["h"] for r in df.select(row_hash(["a", "b", "c"]).alias("h")).collect()]
+    expect = [_reference_hash(list(t)) for t in rows]
+    assert sorted(got) == sorted(expect)
+
+
+@given(rows=rows3, seed=st.integers(0, 2**16))
+@settings(**SETTINGS)
+def test_row_hash_column_order_invariant(spark, rows, seed):
+    df = spark.createDataFrame(rows, "a string, b string, c string")
+    cols = ["a", "b", "c"]
+    random.Random(seed).shuffle(cols)
+    h1 = sorted(r[0] for r in df.select(row_hash(["a", "b", "c"])).collect())
+    h2 = sorted(r[0] for r in df.select(row_hash(cols)).collect())
+    assert h1 == h2
+
+
+@given(rows=rows3, mask=st.lists(st.booleans(), min_size=8, max_size=8))
+@settings(**SETTINGS)
+def test_incremental_filter_partition_law(spark, rows, mask):
+    """filter(src, hashes(subset)) keeps exactly the rows whose hash is
+    NOT in the subset's hash set — i.e. output ∪ subset covers src by
+    hash, and output ∩ subset is empty by hash."""
+    df = spark.createDataFrame(rows, "a string, b string, c string")
+    keep = [row for row, m in zip(rows, mask) if m]
+    if keep:
+        tgt = spark.createDataFrame(keep, "a string, b string, c string")
+        snap = snapshot_hashes(tgt)
+    else:
+        snap = None
+    out = incremental_filter(df, snap)
+    out_h = {_reference_hash(list(r)) for r in
+             ((x["a"], x["b"], x["c"]) for x in out.collect())}
+    src_h = {_reference_hash(list(t)) for t in rows}
+    tgt_h = {_reference_hash(list(t)) for t in keep}
+    assert out_h == src_h - tgt_h
