@@ -61,11 +61,28 @@ def _order_cols(order: list[str]) -> list:
 # precision (integer div — no double round-trip, no precision loss).
 NANOS_TS_TABLES: dict[str, list[str]] = {"events": ["ts"]}
 
+# Runtime SQL confs the engine's semantics depend on. get_spark() sets
+# them at build time, but queries must also be correct on a session the
+# caller built (e.g. the driver's own) — these are all runtime-settable.
+_REQUIRED_CONFS = {
+    "spark.sql.session.timeZone": "UTC",
+    "spark.sql.legacy.parquet.nanosAsLong": "true",
+    "spark.sql.parquet.filterPushdown": "true",
+}
+
+
+def ensure_session_confs(spark: SparkSession) -> None:
+    """Idempotently pin the runtime confs correctness depends on."""
+    for k, v in _REQUIRED_CONFS.items():
+        if spark.conf.get(k, None) != v:
+            spark.conf.set(k, v)
+
 
 def read_table(spark: SparkSession, sf_dir: str, table: str) -> DataFrame:
     """S1/S2 equivalent over the repo's parquet fixtures. A JDBC source
     plugs in via :func:`etl_pack_spark.sources.jdbc.jdbc_read` with the
     same downstream plan."""
+    ensure_session_confs(spark)
     df = spark.read.parquet(f"{sf_dir}/{table}.parquet")
     for c in NANOS_TS_TABLES.get(table, []):
         field = dict((f.name, f.dataType) for f in df.schema.fields).get(c)

@@ -38,6 +38,30 @@ def test_transfer_is_idempotent(spark, sf_dir, tmp_path):
     assert spark.read.parquet(target).count() == src_cnt
 
 
+def test_partitioned_target_prunes_snapshot(spark, sf_dir, tmp_path):
+    """With a target partitioned by the cursor's month, the H2 snapshot
+    read must prune partitions via the window predicate — this is what
+    keeps incremental cost O(window) instead of O(target) at scale."""
+    target = str(tmp_path / "orders_part")
+    src = spark.read.parquet(f"{sf_dir}/orders.parquet").withColumn(
+        "o_month", F.date_format("o_orderdate", "yyyy-MM")
+    )
+    append_table(src, target, partition_by=["o_month"])
+
+    tgt = spark.read.parquet(target).where(F.col("o_month") == "1996-03")
+    plan = tgt._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters: [isnotnull(o_month" in plan  # pruned scan
+
+    # and the windowed incremental load over the partitioned target is
+    # idempotent exactly like the flat-target case
+    cfg = TransferConfig(
+        source_dir=sf_dir, table="orders", target_path=str(tmp_path / "o2"),
+        window=("o_orderdate", datetime.datetime(1996, 1, 1), datetime.datetime(1996, 6, 30)),
+    )
+    assert run_transfer(spark, cfg).rows > 0
+    assert run_transfer(spark, cfg).rows == 0
+
+
 def test_transfer_picks_up_new_window(spark, sf_dir, tmp_path):
     """Advance the cursor window (the cron-firing-over-time pattern,
     provider.go:69-87): only genuinely new rows land."""
