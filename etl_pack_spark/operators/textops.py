@@ -139,6 +139,77 @@ def token_counts_sql(table: str, id_col: str, text_col: str) -> str:
     """
 
 
+# PII patterns (training-data scrubbing): emails, international-ish
+# phone numbers, 16-digit card-like numbers. Same regexes both engines.
+# order matters: the broad phone pattern would swallow card numbers,
+# so cards are matched (and replaced) first
+PII_PATTERNS = [
+    ("email", "[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\\.[a-zA-Z]{2,}"),
+    ("card", "[0-9]{4}[- ]?[0-9]{4}[- ]?[0-9]{4}[- ]?[0-9]{4}"),
+    ("phone", "\\+?[0-9][0-9()\\- ]{7,}[0-9]"),
+]
+
+
+def redact_pii(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Replace PII spans with typed placeholders and count the hits —
+    the scrub-before-training pass. Pure regexp_replace chain, one scan.
+    """
+    out = F.col(text_col)
+    counts = []
+    for name, pat in PII_PATTERNS:
+        counts.append(F.size(F.regexp_extract_all(out, F.lit(pat), 0)).alias(f"n_{name}"))
+        out = F.regexp_replace(out, pat, f"<{name}>")
+    return df.select(F.col(id_col), *counts, out.alias("redacted"))
+
+
+def redact_pii_sql(table: str, id_col: str, text_col: str) -> str:
+    expr = text_col
+    counts = []
+    for name, pat in PII_PATTERNS:
+        counts.append(f"len(regexp_extract_all({expr}, '{pat}')) AS n_{name}")
+        expr = f"regexp_replace({expr}, '{pat}', '<{name}>', 'g')"
+    return f"""
+    SELECT {id_col}, {', '.join(counts)}, {expr} AS redacted FROM {table}
+    """
+
+
+def repetition_ratio(df: DataFrame, id_col: str, text_col: str, k: int = 3) -> DataFrame:
+    """Boilerplate/repetition signal: 1 - distinct_kgrams/total_kgrams
+    (0 = no repetition). High values flag template/spam text — a
+    standard corpus-quality gate."""
+    sh = shingles_expr("__toks", k)
+    total = F.size("__sh")
+    uniq = F.size(F.array_distinct("__sh"))
+    ratio = F.when(total > 0,
+                   F.lit(1.0) - uniq.cast("double") / total.cast("double"))
+    return (
+        df.select(F.col(id_col), tokens(text_col).alias("__toks"))
+        .select(F.col(id_col), sh.alias("__sh"))
+        .select(
+            F.col(id_col),
+            total.alias("n_grams"),
+            uniq.alias("n_distinct"),
+            ratio.alias("repetition"),
+        )
+    )
+
+
+def repetition_ratio_sql(table: str, id_col: str, text_col: str, k: int = 3) -> str:
+    return f"""
+    WITH sh AS (
+        SELECT {id_col}, {shingles_sql('toks', k)} AS s
+        FROM (SELECT {id_col}, {tokens_sql(text_col)} AS toks FROM {table})
+    )
+    SELECT {id_col},
+           len(s) AS n_grams,
+           len(list_distinct(s)) AS n_distinct,
+           CASE WHEN len(s) > 0 THEN
+               1.0 - CAST(len(list_distinct(s)) AS DOUBLE) / CAST(len(s) AS DOUBLE)
+           END AS repetition
+    FROM sh
+    """
+
+
 def fingerprint(df: DataFrame, id_col: str, text_col: str, k: int = 3) -> DataFrame:
     """Document fingerprint (winnowing-style hash selection): md5 each
     k-shingle, keep hashes whose first hex char is '0' (1/16 mod-class

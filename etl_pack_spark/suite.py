@@ -22,6 +22,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from etl_pack_spark.operators import multimodal, neardup, similarity, textops
+from etl_pack_spark.operators.quality import profile_sql
 from etl_pack_spark.operators.dedup import (
     exact_dedup,
     incremental_filter,
@@ -420,6 +421,29 @@ def q_text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     return textops.fingerprint(docs, "doc_id", "text")
 
 
+def q_text_redact_pii(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII scrubbing pass over documents (emails/phones/card-like)."""
+    docs = read_table(spark, sf_dir, "documents")
+    return textops.redact_pii(docs, "doc_id", "text")
+
+
+def q_text_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Repetition/boilerplate signal: 1 - distinct/total 3-grams."""
+    docs = read_table(spark, sf_dir, "documents")
+    return textops.repetition_ratio(docs, "doc_id", "text")
+
+
+DQ_COLS = ["o_custkey", "o_orderstatus", "o_orderpriority"]
+DQ_NUM = ["o_totalprice"]
+
+
+def q_dq_profile_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data-quality profile of orders in one aggregation pass."""
+    from etl_pack_spark.operators.quality import profile
+
+    return profile(read_table(spark, sf_dir, "orders"), DQ_COLS, DQ_NUM)
+
+
 def q_mm_binary_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multimodal metadata scan: binary payload column + typed metadata,
     magic-prefix sniffing without decode."""
@@ -480,6 +504,9 @@ QUERIES: dict[str, QueryFn] = {
     "text_quality": q_text_quality,
     "text_tokens": q_text_tokens,
     "text_fingerprint": q_text_fingerprint,
+    "text_redact_pii": q_text_redact_pii,
+    "text_repetition": q_text_repetition,
+    "dq_profile_orders": q_dq_profile_orders,
     "mm_binary_meta": q_mm_binary_meta,
     "mm_byte_histogram": q_mm_byte_histogram,
     "mm_decode_fake": q_mm_decode_fake,
@@ -649,6 +676,9 @@ ORACLES: dict[str, str] = {
     "text_quality": textops.quality_metrics_sql("documents", "doc_id", "text"),
     "text_tokens": textops.token_counts_sql("documents", "doc_id", "text"),
     "text_fingerprint": textops.fingerprint_sql("documents", "doc_id", "text"),
+    "text_redact_pii": textops.redact_pii_sql("documents", "doc_id", "text"),
+    "text_repetition": textops.repetition_ratio_sql("documents", "doc_id", "text"),
+    "dq_profile_orders": profile_sql("orders", DQ_COLS, DQ_NUM),
     "mm_binary_meta": """
         SELECT doc_id AS media_id, 'text/plain' AS mime,
                CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
