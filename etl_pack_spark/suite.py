@@ -23,6 +23,7 @@ from pyspark.sql import functions as F
 
 from etl_pack_spark.operators import multimodal, neardup, similarity, textops
 from etl_pack_spark.operators.quality import profile_sql
+from etl_pack_spark.operators.tokenize import tokens_sql
 from etl_pack_spark.operators.dedup import (
     exact_dedup,
     incremental_filter,
@@ -260,6 +261,95 @@ def q_window_topk_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_tpch_q3_like(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shipping-priority shape (TPC-H Q3): 3-way join, filtered both
+    sides, grouped revenue, top-10 by revenue."""
+    customer = read_table(spark, sf_dir, "customer")
+    orders = read_table(spark, sf_dir, "orders")
+    lineitem = read_table(spark, sf_dir, "lineitem")
+    one = F.lit(1).cast(_DEC)
+    cutoff = "1997-03-15 00:00:00"
+    return (
+        customer.where(F.col("c_mktsegment") == "BUILDING")
+        .join(orders, customer.c_custkey == orders.o_custkey)
+        .where(F.col("o_orderdate") < cutoff)
+        .join(lineitem, orders.o_orderkey == lineitem.l_orderkey)
+        .where(F.col("l_shipdate") > cutoff)
+        .groupBy("o_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(
+            F.sum(_dec("l_extendedprice") * (one - _dec("l_discount")))
+            .cast("double")
+            .alias("revenue"),
+        )
+        .orderBy(F.col("revenue").desc(), F.col("o_orderkey"))
+        .limit(10)
+    )
+
+
+def q_tpch_q5_like(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Local-supplier-volume shape (TPC-H Q5): 5-way star join with
+    the customer-and-supplier-same-nation constraint, revenue per
+    nation in a region+year window."""
+    customer = read_table(spark, sf_dir, "customer")
+    orders = read_table(spark, sf_dir, "orders")
+    lineitem = read_table(spark, sf_dir, "lineitem")
+    supplier = read_table(spark, sf_dir, "supplier")
+    nation = read_table(spark, sf_dir, "nation")
+    region = read_table(spark, sf_dir, "region")
+    one = F.lit(1).cast(_DEC)
+    return (
+        lineitem.join(orders, lineitem.l_orderkey == orders.o_orderkey)
+        .join(customer, orders.o_custkey == customer.c_custkey)
+        .join(supplier,
+              (lineitem.l_suppkey == supplier.s_suppkey)
+              & (customer.c_nationkey == supplier.s_nationkey))
+        .join(F.broadcast(nation), supplier.s_nationkey == nation.n_nationkey)
+        .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+        .where(F.col("o_orderdate").between("1996-01-01 00:00:00", "1996-12-31 23:59:59"))
+        .groupBy("r_name", "n_name")
+        .agg(
+            F.count(F.lit(1)).alias("n_items"),
+            F.sum(_dec("l_extendedprice") * (one - _dec("l_discount")))
+            .cast("double")
+            .alias("revenue"),
+        )
+    )
+
+
+def q_text_vocab_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-level vocabulary statistics: top-50 tokens by frequency
+    (tie-break alphabetical) with document frequency — the global
+    aggregation a tokenizer-training / zipf-analysis pass needs."""
+    from etl_pack_spark.operators.tokenize import tokens
+
+    docs = read_table(spark, sf_dir, "documents")
+    tok = docs.select(F.col("doc_id"), F.explode(tokens("text")).alias("tok"))
+    return (
+        tok.groupBy("tok")
+        .agg(
+            F.count(F.lit(1)).alias("tf"),
+            F.countDistinct("doc_id").alias("df"),
+        )
+        .orderBy(F.col("tf").desc(), F.col("tok"))
+        .limit(50)
+    )
+
+
+def q_cluster_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KMeans clustering over the embedding column (pyspark.ml, fixed
+    seed). Iterative algorithm → rows-only check; the test asserts
+    cluster count and determinism within a session."""
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector
+
+    emb = read_table(spark, sf_dir, "embeddings")
+    vecs = emb.select("vec_id", array_to_vector(F.col("embedding")).alias("features"))
+    model = KMeans(k=10, seed=42, maxIter=10).fit(vecs)
+    return model.transform(vecs).select(
+        "vec_id", F.col("prediction").alias("cluster")
+    )
+
+
 def q_agg_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ROLLUP over (priority, status): subtotals + grand total — the
     grouping-sets family Catalyst provides natively."""
@@ -488,6 +578,10 @@ QUERIES: dict[str, QueryFn] = {
     "agg_pricing_summary": q_agg_pricing_summary,
     "join_revenue_by_nation": q_join_revenue_by_nation,
     "window_topk_orders": q_window_topk_orders,
+    "tpch_q3_like": q_tpch_q3_like,
+    "tpch_q5_like": q_tpch_q5_like,
+    "text_vocab_topk": q_text_vocab_topk,
+    "cluster_embeddings": q_cluster_embeddings,
     "agg_rollup": q_agg_rollup,
     "json_extract": q_json_extract,
     "sessionize": q_sessionize,
@@ -616,6 +710,45 @@ ORACLES: dict[str, str] = {
             FROM orders
         ) WHERE rk <= 3
     """,
+    "tpch_q3_like": """
+        SELECT o_orderkey, o_orderdate, o_orderpriority,
+               CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+                        * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2))))
+                    AS DOUBLE) AS revenue
+        FROM customer
+        JOIN orders ON c_custkey = o_custkey
+        JOIN lineitem ON o_orderkey = l_orderkey
+        WHERE c_mktsegment = 'BUILDING'
+          AND o_orderdate < TIMESTAMP '1997-03-15 00:00:00'
+          AND l_shipdate > TIMESTAMP '1997-03-15 00:00:00'
+        GROUP BY o_orderkey, o_orderdate, o_orderpriority
+        ORDER BY revenue DESC, o_orderkey
+        LIMIT 10
+    """,
+    "tpch_q5_like": """
+        SELECT r_name, n_name,
+               COUNT(*) AS n_items,
+               CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+                        * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2))))
+                    AS DOUBLE) AS revenue
+        FROM lineitem
+        JOIN orders ON l_orderkey = o_orderkey
+        JOIN customer ON o_custkey = c_custkey
+        JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+        JOIN nation ON s_nationkey = n_nationkey
+        JOIN region ON n_regionkey = r_regionkey
+        WHERE o_orderdate BETWEEN TIMESTAMP '1996-01-01 00:00:00'
+                              AND TIMESTAMP '1996-12-31 23:59:59'
+        GROUP BY r_name, n_name
+    """,
+    "text_vocab_topk": f"""
+        SELECT tok, COUNT(*) AS tf, COUNT(DISTINCT doc_id) AS df
+        FROM (SELECT doc_id, unnest({tokens_sql('text')}) AS tok FROM documents)
+        GROUP BY tok
+        ORDER BY tf DESC, tok
+        LIMIT 50
+    """,
+    # cluster_embeddings: iterative ML → rows-only check
     "agg_rollup": """
         SELECT o_orderpriority, o_orderstatus,
                COUNT(*) AS n_orders,
