@@ -30,6 +30,9 @@ BENCH_QUERIES = [
     "join_revenue_by_nation",  # star join + agg
     "window_topk_orders",      # window function
     "stream_window_counts",    # tumbling-window event agg (batch mode)
+    "sessionize",              # session windows per user
+    "tpch_q5_like",            # 5-way star join
+    "text_redact_pii",         # regex scrub pass
     "dedup_minhash_lsh",       # minhash LSH near-dup end-to-end
     "dedup_simhash",           # 64-bit simhash signatures
     "neardup_embedding",       # all-pairs cosine near-dup

@@ -160,7 +160,8 @@ def minhash_lsh_dedup_pairs(
     candidate id set, broadcast-able): at scale the candidate set is
     orders of magnitude smaller than the corpus, so the expensive
     shingle arrays are never materialized corpus-wide a second time."""
-    rows = shingle_rows(df, id_col, text_col, k)
+    # minhash is multiset-invariant → skip the shingle-dedup shuffle
+    rows = shingle_rows(df, id_col, text_col, k, distinct=False)
     # sig feeds BOTH sides of the bucket self-join and, transitively,
     # the candidate-id union — without persist the whole shingle+minhash
     # lineage re-executes once per reference (4-6x). The signature is

@@ -40,8 +40,14 @@ def shingles_expr(toks_col: str, k: int) -> Column:
     )
 
 
-def shingle_rows(df: DataFrame, id_col: str, text_col: str, k: int = 3) -> DataFrame:
-    """Distinct k-shingles as ROWS (id, s) — the scale path.
+def shingle_rows(
+    df: DataFrame, id_col: str, text_col: str, k: int = 3, distinct: bool = True
+) -> DataFrame:
+    """k-shingles as ROWS (id, s) — the scale path.
+
+    ``distinct=False`` skips the dedup shuffle — correct for consumers
+    whose aggregate is multiset-invariant (minhash: min over duplicates
+    equals min over the set); Jaccard set arithmetic needs the default.
 
     posexplode + window ``lead`` keeps shingle construction inside
     whole-stage codegen (~10x faster than the interpreted
@@ -55,10 +61,11 @@ def shingle_rows(df: DataFrame, id_col: str, text_col: str, k: int = 3) -> DataF
         F.col(id_col), F.posexplode(tokens(text_col)).alias("pos", "tok")
     )
     if k == 1:
-        return toks.select(F.col(id_col), F.col("tok").alias("s")).dropDuplicates([id_col, "s"])
+        out = toks.select(F.col(id_col), F.col("tok").alias("s"))
+        return out.dropDuplicates([id_col, "s"]) if distinct else out
     w = Window.partitionBy(id_col).orderBy("pos")
     leads = [F.lead("tok", j).over(w) for j in range(1, k)]
-    return (
+    out = (
         toks.select(
             F.col(id_col),
             F.concat_ws(" ", F.col("tok"), *leads).alias("s"),
@@ -66,8 +73,8 @@ def shingle_rows(df: DataFrame, id_col: str, text_col: str, k: int = 3) -> DataF
         )
         .where(F.col("__last").isNotNull())
         .select(id_col, "s")
-        .dropDuplicates([id_col, "s"])
     )
+    return out.dropDuplicates([id_col, "s"]) if distinct else out
 
 
 # ---------------------------------------------------------------------------

@@ -91,6 +91,20 @@ def read_table(spark: SparkSession, sf_dir: str, table: str) -> DataFrame:
     return df
 
 
+TABLES = [
+    "region", "nation", "customer", "supplier", "part",
+    "orders", "lineitem", "events", "documents", "embeddings",
+]
+
+
+def register_tables(spark: SparkSession, sf_dir: str, tables: list[str] | None = None) -> None:
+    """Expose the fixture tables as temp views so the pure-SQL API
+    (``spark.sql``) works against the engine's sources — same Catalyst
+    plans as the DataFrame path."""
+    for t in tables or TABLES:
+        read_table(spark, sf_dir, t).createOrReplaceTempView(t)
+
+
 def windowed_read(
     spark: SparkSession,
     sf_dir: str,
