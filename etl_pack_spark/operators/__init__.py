@@ -1,6 +1,34 @@
-from etl_pack_spark.operators.hashing import row_hash  # noqa: F401
+from etl_pack_spark.operators.hashing import row_hash, with_row_hash  # noqa: F401
 from etl_pack_spark.operators.dedup import (  # noqa: F401
     exact_dedup,
     incremental_filter,
+    incremental_load,
     snapshot_hashes,
 )
+from etl_pack_spark.operators.neardup import (  # noqa: F401
+    minhash_lsh_dedup_pairs,
+    ngram_jaccard_pairs,
+    simhash_signature,
+)
+from etl_pack_spark.operators.similarity import (  # noqa: F401
+    cosine_neardup_pairs,
+    cosine_topk,
+    lsh_neardup_pairs,
+)
+from etl_pack_spark.operators.textops import (  # noqa: F401
+    fingerprint,
+    language_id,
+    quality_metrics,
+    redact_pii,
+    repetition_ratio,
+    token_counts,
+)
+from etl_pack_spark.operators.multimodal import (  # noqa: F401
+    binarize_documents,
+    byte_histogram,
+    decode_image,
+    media_metadata,
+    sample_frames,
+)
+from etl_pack_spark.operators.quality import expect, profile  # noqa: F401
+from etl_pack_spark.operators.skew import salted_join  # noqa: F401

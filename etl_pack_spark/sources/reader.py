@@ -19,6 +19,7 @@ partitions before any I/O happens.
 
 from __future__ import annotations
 
+import os
 from dataclasses import dataclass, field
 
 from pyspark.sql import DataFrame, SparkSession
@@ -72,10 +73,38 @@ _REQUIRED_CONFS = {
 
 
 def ensure_session_confs(spark: SparkSession) -> None:
-    """Idempotently pin the runtime confs correctness depends on."""
+    """Idempotently pin the runtime confs correctness depends on, and
+    ship the package to executors."""
     for k, v in _REQUIRED_CONFS.items():
         if spark.conf.get(k, None) != v:
             spark.conf.set(k, v)
+    _ship_package(spark)
+
+
+def _ship_package(spark: SparkSession) -> None:
+    """Make ``etl_pack_spark`` importable on executor Python workers.
+
+    Pandas UDFs and stateful functions are pickled by module reference;
+    a session whose workers start outside the repo (any caller-built
+    session with a different cwd — e.g. the correctness driver) cannot
+    import the package and every Python stage dies with
+    ModuleNotFoundError. Shipping a package zip via addPyFile fixes
+    that for local and cluster mode alike.
+    """
+    if spark.conf.get("spark.etl_pack_spark.shipped", "0") == "1":
+        return
+    import shutil
+    import tempfile
+
+    repo_root = os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+    archive = shutil.make_archive(
+        os.path.join(tempfile.gettempdir(), "etl_pack_spark_pkg"),
+        "zip",
+        root_dir=repo_root,
+        base_dir="etl_pack_spark",
+    )
+    spark.sparkContext.addPyFile(archive)
+    spark.conf.set("spark.etl_pack_spark.shipped", "1")
 
 
 def read_table(spark: SparkSession, sf_dir: str, table: str) -> DataFrame:

@@ -674,8 +674,11 @@ ORACLES: dict[str, str] = {
             SELECT {_LINEITEM_HASH} FROM src WHERE l_orderkey % 4 != 3
         )
     """,
+    # events.ts is TIMESTAMP_NS in DuckDB but microseconds in Spark —
+    # cast to plain TIMESTAMP (us, truncating like the Spark-side
+    # `ts div 1000` rebuild) so output timestamp types line up
     "stream_window_counts": """
-        SELECT date_trunc('hour', ts) AS win_start, event_type,
+        SELECT date_trunc('hour', CAST(ts AS TIMESTAMP)) AS win_start, event_type,
                COUNT(*) AS n_events,
                CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
         FROM events
@@ -761,12 +764,15 @@ ORACLES: dict[str, str] = {
         FROM events
     """,
     "sessionize": """
-        WITH m AS (
+        WITH e AS (
+            SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, value FROM events
+        ),
+        m AS (
             SELECT user_id, ts, value,
                    CASE WHEN lag(ts) OVER w IS NULL
                              OR ts - lag(ts) OVER w >= INTERVAL 30 MINUTE
                         THEN 1 ELSE 0 END AS brk
-            FROM events
+            FROM e
             WINDOW w AS (PARTITION BY user_id ORDER BY ts)
         ),
         i AS (
