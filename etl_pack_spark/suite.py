@@ -350,6 +350,48 @@ def q_cluster_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_asof_purchase_view(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join (custom operator — union+window, no join node): each
+    purchase event enriched with the user's latest prior-or-equal view
+    event. Oracle = DuckDB's native ASOF JOIN, an independent
+    implementation of the same semantics."""
+    from etl_pack_spark.operators.temporal import asof_join
+
+    events = read_table(spark, sf_dir, "events")
+    purchases = events.where(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts"
+    )
+    views = (
+        events.where(F.col("event_type") == "view")
+        .groupBy("user_id", "ts")
+        .agg(F.max("event_id").alias("view_id"))
+    )
+    out = asof_join(purchases, views, on="user_id", right_payload=["view_id"])
+    return out.select(
+        "event_id", "user_id", "ts",
+        F.col("ts_r").alias("view_ts"), F.col("view_id_r").alias("view_id"),
+    )
+
+
+def q_range_click_in_signup_hour(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Range join (custom operator — bucketized interval join): click
+    events inside the hour following any signup. Oracle = plain
+    BETWEEN join."""
+    from etl_pack_spark.operators.temporal import range_join
+
+    events = read_table(spark, sf_dir, "events")
+    clicks = events.where(F.col("event_type") == "click").select(
+        F.col("event_id").alias("click_id"), F.col("ts").alias("click_ts")
+    )
+    signups = events.where(F.col("event_type") == "signup").select(
+        F.col("event_id").alias("signup_id"),
+        F.col("ts").alias("start_ts"),
+        (F.col("ts") + F.expr("INTERVAL 1 HOUR")).alias("end_ts"),
+    )
+    out = range_join(clicks, signups, "click_ts", "start_ts", "end_ts", bucket_seconds=3600)
+    return out.select("click_id", "signup_id", "click_ts")
+
+
 def q_agg_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ROLLUP over (priority, status): subtotals + grand total — the
     grouping-sets family Catalyst provides natively."""
@@ -578,6 +620,8 @@ QUERIES: dict[str, QueryFn] = {
     "agg_pricing_summary": q_agg_pricing_summary,
     "join_revenue_by_nation": q_join_revenue_by_nation,
     "window_topk_orders": q_window_topk_orders,
+    "asof_purchase_view": q_asof_purchase_view,
+    "range_click_in_signup_hour": q_range_click_in_signup_hour,
     "tpch_q3_like": q_tpch_q3_like,
     "tpch_q5_like": q_tpch_q5_like,
     "text_vocab_topk": q_text_vocab_topk,
@@ -712,6 +756,33 @@ ORACLES: dict[str, str] = {
                                       ORDER BY o_totalprice DESC, o_orderkey) AS rk
             FROM orders
         ) WHERE rk <= 3
+    """,
+    "asof_purchase_view": """
+        WITH l AS (
+            SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts
+            FROM events WHERE event_type = 'purchase'
+        ),
+        r AS (
+            SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, MAX(event_id) AS view_id
+            FROM events WHERE event_type = 'view' GROUP BY 1, 2
+        )
+        SELECT l.event_id, l.user_id, l.ts, r.ts AS view_ts, r.view_id
+        FROM l ASOF LEFT JOIN r
+          ON l.user_id = r.user_id AND l.ts >= r.ts
+    """,
+    "range_click_in_signup_hour": """
+        WITH c AS (
+            SELECT event_id AS click_id, CAST(ts AS TIMESTAMP) AS click_ts
+            FROM events WHERE event_type = 'click'
+        ),
+        s AS (
+            SELECT event_id AS signup_id,
+                   CAST(ts AS TIMESTAMP) AS start_ts,
+                   CAST(ts AS TIMESTAMP) + INTERVAL 1 HOUR AS end_ts
+            FROM events WHERE event_type = 'signup'
+        )
+        SELECT click_id, signup_id, click_ts
+        FROM c JOIN s ON click_ts BETWEEN start_ts AND end_ts
     """,
     "tpch_q3_like": """
         SELECT o_orderkey, o_orderdate, o_orderpriority,

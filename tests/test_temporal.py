@@ -1,0 +1,84 @@
+"""As-of join and range join: brute-force equivalence + plan shape."""
+
+from __future__ import annotations
+
+import datetime
+
+from pyspark.sql import functions as F
+
+from etl_pack_spark.operators.temporal import asof_join, range_join
+
+T0 = datetime.datetime(2024, 1, 1)
+
+
+def _ts(minutes):
+    return T0 + datetime.timedelta(minutes=minutes)
+
+
+def test_asof_semantics_handcrafted(spark):
+    left = spark.createDataFrame(
+        [(1, 10, _ts(10)), (2, 10, _ts(5)), (3, 10, _ts(2)), (4, 20, _ts(10))],
+        "id int, k int, ts timestamp",
+    )
+    right = spark.createDataFrame(
+        [(10, _ts(5), "a"), (10, _ts(8), "b"), (30, _ts(1), "x")],
+        "k int, ts timestamp, v string",
+    )
+    out = {r["id"]: (r["v_r"], r["ts_r"]) for r in
+           asof_join(left, right, on="k").collect()}
+    assert out[1] == ("b", _ts(8))     # latest at-or-before 10
+    assert out[2] == ("a", _ts(5))     # equal ts matches (<=)
+    assert out[3] == (None, None)      # no predecessor
+    assert out[4] == (None, None)      # key never on right
+
+
+def test_asof_matches_bruteforce(spark, sf_dir):
+    from etl_pack_spark.sources.reader import read_table
+    events = read_table(spark, sf_dir, "events")
+    left = events.where(F.col("event_type") == "purchase").select("event_id", "user_id", "ts")
+    right = (events.where(F.col("event_type") == "view")
+             .groupBy("user_id", "ts").agg(F.max("event_id").alias("vid")))
+    got = {r["event_id"]: r["vid_r"] for r in
+           asof_join(left, right, on="user_id", right_payload=["vid"]).collect()}
+
+    # brute force: non-equi join + max-by on the latest matching ts
+    r2 = (right.withColumnRenamed("ts", "rts").withColumnRenamed("user_id", "r_uid"))
+    j = left.join(r2, (left.user_id == r2.r_uid) & (r2.rts <= left.ts), "left")
+    brute = {r["event_id"]: r["m"] for r in
+             j.groupBy("event_id").agg(F.max_by("vid", "rts").alias("m")).collect()}
+    assert got == brute
+
+
+def test_asof_plan_has_no_join(spark, sf_dir):
+    from etl_pack_spark.sources.reader import read_table
+    events = read_table(spark, sf_dir, "events")
+    left = events.where(F.col("event_type") == "purchase").select("event_id", "user_id", "ts")
+    right = events.where(F.col("event_type") == "view").select("user_id", "ts", "event_id")
+    plan = asof_join(left, right, on="user_id")._jdf.queryExecution().executedPlan().toString()
+    assert "Join" not in plan  # union+window: single shuffle, no join node
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoop" not in plan
+
+
+def test_range_join_matches_bruteforce(spark, sf_dir):
+    from etl_pack_spark.sources.reader import read_table
+    events = read_table(spark, sf_dir, "events")
+    clicks = events.where(F.col("event_type") == "click").select(
+        F.col("event_id").alias("cid"), F.col("ts").alias("cts"))
+    signups = events.where(F.col("event_type") == "signup").select(
+        F.col("event_id").alias("sid"), F.col("ts").alias("s0"),
+        (F.col("ts") + F.expr("INTERVAL 1 HOUR")).alias("s1"))
+    got = {(r["cid"], r["sid"]) for r in
+           range_join(clicks, signups, "cts", "s0", "s1", 3600).collect()}
+    brute = {(r["cid"], r["sid"]) for r in
+             clicks.crossJoin(signups).where(F.col("cts").between(F.col("s0"), F.col("s1"))).collect()}
+    assert got == brute and len(got) > 0
+
+
+def test_range_join_no_cartesian(spark, sf_dir):
+    from etl_pack_spark.sources.reader import read_table
+    events = read_table(spark, sf_dir, "events")
+    clicks = events.select(F.col("event_id").alias("cid"), F.col("ts").alias("cts"))
+    signups = events.select(F.col("event_id").alias("sid"), F.col("ts").alias("s0"),
+                            (F.col("ts") + F.expr("INTERVAL 1 HOUR")).alias("s1"))
+    plan = range_join(clicks, signups, "cts", "s0", "s1")._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoop" not in plan
