@@ -350,6 +350,64 @@ def q_cluster_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_multires_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hypertable-style continuous aggregate at two resolutions in one
+    pass: GROUPING SETS over (day, hour) and (day) buckets. The `res`
+    marker disambiguates the levels (timescale-style rollups, Catalyst-
+    native)."""
+    events = read_table(spark, sf_dir, "events")
+    bucketed = events.select(
+        F.date_format("ts", "yyyy-MM-dd").alias("day"),
+        F.date_format("ts", "yyyy-MM-dd HH:00:00").alias("hour"),
+        "value",
+    )
+    return (
+        bucketed.groupingSets(
+            [["day", "hour"], ["day"]],
+            "day", "hour",
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.col("value").cast("decimal(18,2)")).cast("double").alias("sum_value"),
+        )
+        .select(
+            "day",
+            "hour",
+            F.when(F.col("hour").isNull(), "day").otherwise("hour").alias("res"),
+            "n_events",
+            "sum_value",
+        )
+    )
+
+
+KMV_K = 64
+
+
+def q_kmv_distinct_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """K-minimum-values distinct-count sketch, md5-derived and therefore
+    bit-reproducible cross-engine (unlike HLL): per event_type keep the
+    64 smallest value hashes; estimate = (k-1) / kth-smallest-fraction.
+    Exact count alongside for error inspection. The production-scale
+    path is approx_count_distinct (HLL++, engine-specific, not oracle-
+    able); this query pins the sketch *machinery*."""
+    events = read_table(spark, sf_dir, "events")
+    hashed = events.select(
+        "event_type", F.md5(F.col("user_id").cast("string")).alias("h")
+    )
+    grouped = hashed.groupBy("event_type").agg(
+        F.slice(F.sort_array(F.collect_set("h")), 1, KMV_K).alias("mins"),
+        F.countDistinct("h").alias("exact_distinct"),
+    )
+    kth = F.element_at("mins", KMV_K)
+    frac = (
+        F.conv(F.substring(kth, 1, 8), 16, 10).cast("double") / F.lit(4294967296.0)
+    )
+    est = F.when(
+        F.size("mins") < KMV_K, F.col("exact_distinct").cast("double")
+    ).otherwise(F.lit(KMV_K - 1).cast("double") / frac)
+    return grouped.select("event_type", "exact_distinct", est.alias("kmv_estimate"))
+
+
 def q_asof_purchase_view(spark: SparkSession, sf_dir: str) -> DataFrame:
     """As-of join (custom operator — union+window, no join node): each
     purchase event enriched with the user's latest prior-or-equal view
@@ -620,6 +678,8 @@ QUERIES: dict[str, QueryFn] = {
     "agg_pricing_summary": q_agg_pricing_summary,
     "join_revenue_by_nation": q_join_revenue_by_nation,
     "window_topk_orders": q_window_topk_orders,
+    "multires_rollup": q_multires_rollup,
+    "kmv_distinct_sketch": q_kmv_distinct_sketch,
     "asof_purchase_view": q_asof_purchase_view,
     "range_click_in_signup_hour": q_range_click_in_signup_hour,
     "tpch_q3_like": q_tpch_q3_like,
@@ -756,6 +816,38 @@ ORACLES: dict[str, str] = {
                                       ORDER BY o_totalprice DESC, o_orderkey) AS rk
             FROM orders
         ) WHERE rk <= 3
+    """,
+    "multires_rollup": """
+        WITH b AS (
+            SELECT strftime(ts, '%Y-%m-%d') AS day,
+                   strftime(ts, '%Y-%m-%d %H:00:00') AS hour,
+                   value
+            FROM events
+        )
+        SELECT day, hour,
+               CASE WHEN hour IS NULL THEN 'day' ELSE 'hour' END AS res,
+               COUNT(*) AS n_events,
+               CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+        FROM b
+        GROUP BY GROUPING SETS ((day, hour), (day))
+    """,
+    "kmv_distinct_sketch": """
+        WITH h AS (
+            SELECT event_type, md5(CAST(user_id AS VARCHAR)) AS h FROM events
+        ),
+        g AS (
+            SELECT event_type,
+                   (list_sort(list_distinct(list(h))))[1:64] AS mins,
+                   COUNT(DISTINCT h) AS exact_distinct
+            FROM h GROUP BY event_type
+        )
+        SELECT event_type, exact_distinct,
+               CASE WHEN len(mins) < 64 THEN CAST(exact_distinct AS DOUBLE)
+                    ELSE CAST(63 AS DOUBLE)
+                         / (CAST(CAST('0x' || substr(mins[64], 1, 8) AS BIGINT) AS DOUBLE)
+                            / 4294967296.0)
+               END AS kmv_estimate
+        FROM g
     """,
     "asof_purchase_view": """
         WITH l AS (
