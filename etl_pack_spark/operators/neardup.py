@@ -323,6 +323,98 @@ def simhash_signature(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     return agg.select(F.col(id_col), F.concat(*hex_chars).alias("simhash"))
 
 
+# nibble popcount lookup: POP[v] = number of set bits in v (0..15)
+POP = "0112122312232334"
+
+
+def _hamming_exprs(ha: str, hb: str, dialect: str) -> str:
+    """Hamming distance between two 16-hex-char simhashes as a sum of
+    per-nibble XOR popcounts — identical arithmetic, two dialects."""
+    terms = []
+    for p in range(1, 17):
+        if dialect == "spark":
+            va = f"(instr('{HEX}', substr({ha}, {p}, 1)) - 1)"
+            vb = f"(instr('{HEX}', substr({hb}, {p}, 1)) - 1)"
+            x = f"({va} ^ {vb})"
+        else:
+            va = f"(strpos('{HEX}', substr({ha}, {p}, 1)) - 1)"
+            vb = f"(strpos('{HEX}', substr({hb}, {p}, 1)) - 1)"
+            x = f"xor({va}, {vb})"
+        terms.append(f"CAST(substr('{POP}', {x} + 1, 1) AS INT)")
+    return "(" + " + ".join(terms) + ")"
+
+
+def simhash_neardup_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    max_hamming: int = 10,
+    chunks: int = 4,
+) -> DataFrame:
+    """SimHash near-dup pairs: candidates share at least one exact
+    16/chunks-hex-char block (pigeonhole: any pair within
+    ``chunks-1`` differing blocks is found; bits are spread, so low-
+    hamming pairs almost surely share a block), then exact hamming
+    filters. Same shuffle shape as minhash LSH — block equi-join,
+    no all-pairs."""
+    width = 16 // chunks
+    sig = simhash_signature(df, id_col, text_col).persist()
+    blocks = sig.select(
+        F.col(id_col),
+        F.posexplode(
+            F.array(*[F.substring("simhash", 1 + c * width, width) for c in range(chunks)])
+        ).alias("blk_idx", "blk"),
+    )
+    a, b = blocks.alias("a"), blocks.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.blk_idx") == F.col("b.blk_idx"))
+            & (F.col("a.blk") == F.col("b.blk"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .select(F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b"))
+        .distinct()
+    )
+    sa = sig.select(F.col(id_col).alias("id_a"), F.col("simhash").alias("ha"))
+    sb = sig.select(F.col(id_col).alias("id_b"), F.col("simhash").alias("hb"))
+    ham = F.expr(_hamming_exprs("ha", "hb", "spark"))
+    return (
+        cand.join(sa, "id_a").join(sb, "id_b")
+        .select("id_a", "id_b", ham.alias("hamming"))
+        .where(F.col("hamming") <= max_hamming)
+    )
+
+
+def simhash_neardup_pairs_sql(
+    table: str, id_col: str, text_col: str, max_hamming: int = 10, chunks: int = 4
+) -> str:
+    width = 16 // chunks
+    sig_sql = simhash_signature_sql(table, id_col, text_col)
+    block_rows = "\n            UNION ALL\n".join(
+        f"            SELECT {id_col}, {c} AS blk_idx, "
+        f"substr(simhash, {1 + c * width}, {width}) AS blk FROM sig"
+        for c in range(chunks)
+    )
+    ham = _hamming_exprs("sa.simhash", "sb.simhash", "duckdb")
+    return f"""
+    WITH sig AS ({sig_sql}),
+    blocks AS (
+{block_rows}
+    ),
+    cand AS (
+        SELECT DISTINCT a.{id_col} AS id_a, b.{id_col} AS id_b
+        FROM blocks a JOIN blocks b
+          ON a.blk_idx = b.blk_idx AND a.blk = b.blk AND a.{id_col} < b.{id_col}
+    )
+    SELECT id_a, id_b, {ham} AS hamming
+    FROM cand
+    JOIN sig sa ON sa.{id_col} = cand.id_a
+    JOIN sig sb ON sb.{id_col} = cand.id_b
+    WHERE {ham} <= {max_hamming}
+    """
+
+
 def simhash_signature_sql(table: str, id_col: str, text_col: str) -> str:
     sums = ",\n               ".join(
         f"SUM(CASE WHEN {_bit_sql(1 + j // 4, 3 - j % 4, 'duckdb')} = 1 "

@@ -555,6 +555,13 @@ def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     return neardup.simhash_signature(docs, "doc_id", "text")
 
 
+def q_dedup_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-dup pairs (hamming ≤ 10 of 64 bits) via block-match
+    candidates + exact hamming verify."""
+    docs = read_table(spark, sf_dir, "documents")
+    return neardup.simhash_neardup_pairs(docs, "doc_id", "text")
+
+
 def q_neardup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding cosine near-duplicates (all pairs ≥0.95) — strict
     left-fold dot products keep values bit-identical to the oracle."""
@@ -695,6 +702,7 @@ QUERIES: dict[str, QueryFn] = {
     "dedup_minhash_lsh": q_dedup_minhash_lsh,
     "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
     "dedup_simhash": q_dedup_simhash,
+    "dedup_simhash_pairs": q_dedup_simhash_pairs,
     "neardup_embedding": q_neardup_embedding,
     "ann_cosine_topk": q_ann_cosine_topk,
     "ann_lsh_neardup": q_ann_lsh_neardup,
@@ -971,6 +979,7 @@ ORACLES: dict[str, str] = {
     "dedup_minhash_lsh": neardup.minhash_lsh_dedup_pairs_sql("documents", "doc_id", "text"),
     "dedup_ngram_jaccard": neardup.ngram_jaccard_pairs_sql("documents", "doc_id", "text"),
     "dedup_simhash": neardup.simhash_signature_sql("documents", "doc_id", "text"),
+    "dedup_simhash_pairs": neardup.simhash_neardup_pairs_sql("documents", "doc_id", "text"),
     "neardup_embedding": similarity.cosine_neardup_pairs_sql("embeddings", threshold=0.4),
     "ann_cosine_topk": similarity.cosine_topk_sql("embeddings", "vec_id < 50"),
     # ann_lsh_neardup: approximate by design → rows-only check

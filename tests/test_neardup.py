@@ -47,6 +47,14 @@ def test_exact_jaccard_values(spark):
     assert abs(vals[(1, 2)] - 10 / 12) < 1e-12
 
 
+def test_simhash_pairs_find_neardups(spark):
+    pairs = neardup.simhash_neardup_pairs(_docs(spark), "doc_id", "text", max_hamming=10)
+    got = {(r["id_a"], r["id_b"]): r["hamming"] for r in pairs.collect()}
+    assert got[(1, 5)] == 0          # identical token multisets
+    assert (1, 2) in got             # one-word difference
+    assert not any(3 in p for p in got)  # unrelated doc excluded
+
+
 def test_simhash_similar_docs_close(spark):
     sig = neardup.simhash_signature(_docs(spark), "doc_id", "text")
     by_id = {r["doc_id"]: r["simhash"] for r in sig.collect()}
