@@ -218,6 +218,130 @@ def cosine_topk_sql(
 
 
 # ---------------------------------------------------------------------------
+# IVF-flat ANN (the other scale path): coarse quantizer + nprobe search
+# ---------------------------------------------------------------------------
+
+def ivf_topk(
+    df: DataFrame,
+    k: int = 5,
+    nlist: int = 16,
+    nprobe: int = 4,
+    query_max_id: int = 50,
+    id_col: str = "vec_id",
+    vec: str = "embedding",
+) -> DataFrame:
+    """IVF-flat approximate top-k: a coarse quantizer partitions the
+    corpus into ``nlist`` inverted lists; each query exactly re-ranks
+    only the ``nprobe`` lists whose centroids are nearest. The coarse
+    centroids here are a deterministic sample (ids < ``nlist``) rather
+    than Lloyd-iterated means, which keeps the whole operator
+    expressible in plain SQL — so the oracle hash-checks it bit-exactly
+    (the KMeans-trained variant is ``cluster_embeddings``).
+
+    Scale shape: assignment is a broadcast of ``nlist`` centroids
+    against the corpus, reduced by a map-side-combinable struct-max
+    (one row per vector leaves each task — no window shuffle of the
+    16× crossed rows). Probing broadcasts the (tiny) query-probe list,
+    so candidate generation is a map-only join; only the final
+    per-query top-k windows over candidates. Probed fraction
+    ≈ nprobe/nlist of the corpus per query vs 100% for brute force.
+    """
+    base = with_norm(df, vec)
+    cent = base.where(F.col(id_col) < nlist).select(
+        F.col(id_col).alias("cid"), F.col(vec).alias("cv"), F.col("norm").alias("cn")
+    )
+    c_sim = _dot_udf(F.col(vec), F.col("cv")) / (F.col("norm") * F.col("cn"))
+    crossed = base.crossJoin(F.broadcast(cent)).select(
+        F.col(id_col), F.col(vec), F.col("norm"), F.col("cid"), c_sim.alias("c_sim")
+    )
+    # argmax centroid per vector, tie → lowest cid: lexicographic struct
+    # max on (c_sim, -cid) is unique, so the payload fields never compare
+    best = F.max(
+        F.struct(
+            F.col("c_sim"), (-F.col("cid")).alias("ncid"),
+            F.col(vec).alias("v"), F.col("norm").alias("nrm"),
+        )
+    ).alias("m")
+    assigned = crossed.groupBy(id_col).agg(best).select(
+        F.col(id_col).alias("n_id"), (-F.col("m.ncid")).alias("cid"),
+        F.col("m.v").alias("nv"), F.col("m.nrm").alias("nn"),
+    )
+    w_probe = Window.partitionBy("q_id").orderBy(F.desc("c_sim"), F.asc("cid"))
+    probes = (
+        crossed.where(F.col(id_col) < query_max_id)
+        .select(
+            F.col(id_col).alias("q_id"), F.col(vec).alias("qv"),
+            F.col("norm").alias("qn"), "cid", "c_sim",
+        )
+        .withColumn("rk", F.row_number().over(w_probe))
+        .where(F.col("rk") <= nprobe)
+        .drop("rk", "c_sim")
+    )
+    cos = _dot_udf(F.col("qv"), F.col("nv")) / (F.col("qn") * F.col("nn"))
+    scored = (
+        assigned.join(F.broadcast(probes), "cid")
+        .where(F.col("n_id") != F.col("q_id"))
+        .select("q_id", "n_id", cos.alias("cos_sim"))
+    )
+    w_k = Window.partitionBy("q_id").orderBy(F.desc("cos_sim"), F.asc("n_id"))
+    return (
+        scored.withColumn("rk", F.row_number().over(w_k))
+        .where(F.col("rk") <= k)
+    )
+
+
+def ivf_topk_sql(
+    table: str,
+    k: int = 5,
+    nlist: int = 16,
+    nprobe: int = 4,
+    query_max_id: int = 50,
+    id_col: str = "vec_id",
+    vec: str = "embedding",
+) -> str:
+    """Oracle twin of :func:`ivf_topk` — same sampled centroids, same
+    argmin assignment, same nprobe lists, left-fold dot products."""
+    return f"""
+    WITH n AS (
+        SELECT {id_col}, {vec} AS v, sqrt({_dot_sql(vec, vec)}) AS nrm FROM {table}
+    ),
+    cent AS (
+        SELECT {id_col} AS cid, v AS cv, nrm AS cn FROM n WHERE {id_col} < {nlist}
+    ),
+    crossed AS (
+        SELECT n.{id_col} AS vid, n.v, n.nrm, cent.cid,
+               {_dot_sql('n.v', 'cent.cv')} / (n.nrm * cent.cn) AS c_sim
+        FROM n CROSS JOIN cent
+    ),
+    assigned AS (
+        SELECT vid AS n_id, cid, v AS nv, nrm AS nn FROM (
+            SELECT vid, cid, v, nrm,
+                   ROW_NUMBER() OVER (PARTITION BY vid ORDER BY c_sim DESC, cid) AS rk
+            FROM crossed
+        ) WHERE rk = 1
+    ),
+    probes AS (
+        SELECT vid AS q_id, cid, v AS qv, nrm AS qn FROM (
+            SELECT vid, cid, v, nrm,
+                   ROW_NUMBER() OVER (PARTITION BY vid ORDER BY c_sim DESC, cid) AS rk
+            FROM crossed WHERE vid < {query_max_id}
+        ) WHERE rk <= {nprobe}
+    ),
+    scored AS (
+        SELECT p.q_id, a.n_id,
+               {_dot_sql('p.qv', 'a.nv')} / (p.qn * a.nn) AS cos_sim
+        FROM probes p JOIN assigned a USING (cid)
+        WHERE a.n_id != p.q_id
+    )
+    SELECT q_id, n_id, cos_sim, rk FROM (
+        SELECT q_id, n_id, cos_sim,
+               ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY cos_sim DESC, n_id) AS rk
+        FROM scored
+    ) WHERE rk <= {k}
+    """
+
+
+# ---------------------------------------------------------------------------
 # LSH-bucketed ANN (the scale path): md5-derived random hyperplanes
 # ---------------------------------------------------------------------------
 

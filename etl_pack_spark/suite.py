@@ -584,6 +584,13 @@ def q_ann_lsh_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity.lsh_neardup_pairs(emb, dims=64, planes=4, tables=6, threshold=0.4)
 
 
+def q_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-flat ANN top-5 (sampled coarse quantizer, nprobe=4 of 16
+    lists) — deterministic quantizer keeps it oracle-checkable."""
+    emb = read_table(spark, sf_dir, "embeddings")
+    return similarity.ivf_topk(emb)
+
+
 def q_stream_window_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """X1 — the streaming transformation run in batch mode: tumbling
     1-hour event windows. The exact same function executes under
@@ -706,6 +713,7 @@ QUERIES: dict[str, QueryFn] = {
     "neardup_embedding": q_neardup_embedding,
     "ann_cosine_topk": q_ann_cosine_topk,
     "ann_lsh_neardup": q_ann_lsh_neardup,
+    "ann_ivf_topk": q_ann_ivf_topk,
     "text_langid": q_text_langid,
     "text_quality": q_text_quality,
     "text_tokens": q_text_tokens,
@@ -983,6 +991,7 @@ ORACLES: dict[str, str] = {
     "neardup_embedding": similarity.cosine_neardup_pairs_sql("embeddings", threshold=0.4),
     "ann_cosine_topk": similarity.cosine_topk_sql("embeddings", "vec_id < 50"),
     # ann_lsh_neardup: approximate by design → rows-only check
+    "ann_ivf_topk": similarity.ivf_topk_sql("embeddings"),
     "text_langid": textops.language_id_sql("documents", "doc_id", "text"),
     "text_quality": textops.quality_metrics_sql("documents", "doc_id", "text"),
     "text_tokens": textops.token_counts_sql("documents", "doc_id", "text"),

@@ -40,3 +40,19 @@ def test_lsh_pairs_subset_of_exact(spark, sf_dir):
     assert len(exact) > 0
     # OR-amplified recall should be non-trivial on the fixture
     assert len(approx) >= len(exact) // 3
+
+
+def test_ivf_topk_recall_vs_exact(spark, sf_dir):
+    emb = read_table(spark, sf_dir, "embeddings")
+    exact = similarity.cosine_topk(emb, emb.where(F.col("vec_id") < 50), k=5)
+    ivf = similarity.ivf_topk(emb, k=5)
+    truth = {(r["q_id"], r["n_id"]) for r in exact.collect()}
+    got = {(r["q_id"], r["n_id"]) for r in ivf.collect()}
+    # probing 4/16 lists: partial recall by design, but well above chance
+    assert len(got & truth) / len(truth) >= 0.5
+    # every IVF hit is a real vector pairing with exact cosine: ranks
+    # within a query are consistent (1..n contiguous)
+    by_q = {}
+    for r in ivf.collect():
+        by_q.setdefault(r["q_id"], []).append(r["rk"])
+    assert all(sorted(v) == list(range(1, len(v) + 1)) for v in by_q.values())
