@@ -1,0 +1,113 @@
+"""Deterministic sampling & dataset splitting for training pipelines.
+
+Every decision derives from a 28-bit md5 key hash compared against
+integer thresholds — no RNG state, no ``rand()``. That makes sampling
+(a) reproducible run-to-run, (b) stable under repartitioning (the
+decision depends only on the row's key, never on task layout — Spark's
+``df.sample`` is per-partition-seeded and reshuffles change it), and
+(c) cross-engine checkable: the DuckDB oracle evaluates the identical
+arithmetic. At 100 TB this is a map-only filter/projection over the
+scan — no shuffle, no driver coordination; the same hash rule also
+means a document keeps its split assignment when the corpus is
+re-ingested or appended to.
+
+Reference parity note: the reference has no sampler (SURVEY §2 scope
+boundary) — this is a training-data extension (SURVEY §7.3).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+# 28-bit hash space: first 7 hex chars of md5. Integer thresholds in
+# this space make fraction comparisons exact (no float rounding drift).
+SPACE = 1 << 28
+
+
+def _h28_spark(key: str, seed: str) -> str:
+    return f"CAST(conv(substr(md5(concat('{seed}:', CAST({key} AS STRING))), 1, 7), 16, 10) AS BIGINT)"
+
+
+def _h28_sql(key: str, seed: str) -> str:
+    return f"CAST('0x' || substr(md5(concat('{seed}:', CAST({key} AS VARCHAR))), 1, 7) AS BIGINT)"
+
+
+def hash_unit(key_col: str, seed: str = "s0") -> Column:
+    """Uniform-ish [0,1) score from the key — for ad-hoc thresholding."""
+    return F.expr(_h28_spark(key_col, seed)) / F.lit(float(SPACE))
+
+
+def stratified_sample(
+    df: DataFrame,
+    key_col: str,
+    stratum_col: str,
+    fractions: dict[str, float],
+    seed: str = "s0",
+) -> DataFrame:
+    """Keep ~fraction[stratum] of each stratum's rows, chosen by key
+    hash. Strata not listed get fraction 0. Map-only: the predicate is
+    a codegen'd expression over the scan, so Catalyst can push it and
+    the sample never shuffles."""
+    h = F.expr(_h28_spark(key_col, seed))
+    thresh = F.lit(None).cast("bigint")
+    cond = None
+    for stratum, frac in sorted(fractions.items()):
+        t = int(frac * SPACE)
+        branch = (F.col(stratum_col) == stratum) & (h < F.lit(t))
+        cond = branch if cond is None else (cond | branch)
+    return df.where(cond if cond is not None else F.lit(False))
+
+
+def stratified_sample_sql(
+    table: str,
+    key_col: str,
+    stratum_col: str,
+    fractions: dict[str, float],
+    seed: str = "s0",
+    select: str = "*",
+) -> str:
+    h = _h28_sql(key_col, seed)
+    branches = " OR ".join(
+        f"({stratum_col} = '{s}' AND {h} < {int(f * SPACE)})"
+        for s, f in sorted(fractions.items())
+    )
+    return f"SELECT {select} FROM {table} WHERE {branches or 'FALSE'}"
+
+
+def split_assign(
+    df: DataFrame,
+    key_col: str,
+    splits: list[tuple[str, float]] = (("train", 0.90), ("val", 0.05), ("test", 0.05)),
+    seed: str = "split",
+) -> DataFrame:
+    """Assign each row to a named split by contiguous hash ranges
+    (cumulative integer thresholds). Appending new data never moves an
+    existing row's split; the last split absorbs the rounding tail."""
+    h = F.expr(_h28_spark(key_col, seed))
+    expr = F.lit(splits[-1][0])
+    cum = 0
+    cases = []
+    for name, frac in splits[:-1]:
+        cum += int(frac * SPACE)
+        cases.append((cum, name))
+    for cum_t, name in reversed(cases):
+        expr = F.when(h < F.lit(cum_t), F.lit(name)).otherwise(expr)
+    return df.withColumn("split", expr)
+
+
+def split_assign_sql(
+    table: str,
+    key_col: str,
+    splits: list[tuple[str, float]] = (("train", 0.90), ("val", 0.05), ("test", 0.05)),
+    seed: str = "split",
+    select: str = "*",
+) -> str:
+    h = _h28_sql(key_col, seed)
+    cum = 0
+    whens = []
+    for name, frac in splits[:-1]:
+        cum += int(frac * SPACE)
+        whens.append(f"WHEN {h} < {cum} THEN '{name}'")
+    case = "CASE " + " ".join(whens) + f" ELSE '{splits[-1][0]}' END"
+    return f"SELECT {select}, {case} AS split FROM {table}"

@@ -21,7 +21,7 @@ from collections.abc import Callable
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from etl_pack_spark.operators import multimodal, neardup, similarity, textops
+from etl_pack_spark.operators import multimodal, neardup, sampling, similarity, textops
 from etl_pack_spark.operators.quality import profile_sql
 from etl_pack_spark.operators.tokenize import tokens_sql
 from etl_pack_spark.operators.dedup import (
@@ -591,6 +591,27 @@ def q_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity.ivf_topk(emb)
 
 
+# Rebalancing fractions for the stratified corpus sample: downsample the
+# dominant language, keep the tail (a classic training-mix operation).
+SAMPLE_FRACTIONS = {"en": 0.25, "de": 1.0, "es": 1.0, "fr": 1.0, "zh": 0.5}
+
+
+def q_sample_stratified_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic hash-stratified sample of the corpus by language —
+    map-only predicate, stable under repartitioning and re-ingest."""
+    docs = read_table(spark, sf_dir, "documents")
+    return sampling.stratified_sample(
+        docs, "doc_id", "lang", SAMPLE_FRACTIONS
+    ).select("doc_id", "lang", "source", "n_chars")
+
+
+def q_split_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hash-range train/val/test assignment (90/5/5): appends never
+    move an existing doc's split."""
+    docs = read_table(spark, sf_dir, "documents")
+    return sampling.split_assign(docs, "doc_id").select("doc_id", "lang", "split")
+
+
 def q_stream_window_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """X1 — the streaming transformation run in batch mode: tumbling
     1-hour event windows. The exact same function executes under
@@ -714,6 +735,8 @@ QUERIES: dict[str, QueryFn] = {
     "ann_cosine_topk": q_ann_cosine_topk,
     "ann_lsh_neardup": q_ann_lsh_neardup,
     "ann_ivf_topk": q_ann_ivf_topk,
+    "sample_stratified_docs": q_sample_stratified_docs,
+    "split_documents": q_split_documents,
     "text_langid": q_text_langid,
     "text_quality": q_text_quality,
     "text_tokens": q_text_tokens,
@@ -992,6 +1015,13 @@ ORACLES: dict[str, str] = {
     "ann_cosine_topk": similarity.cosine_topk_sql("embeddings", "vec_id < 50"),
     # ann_lsh_neardup: approximate by design → rows-only check
     "ann_ivf_topk": similarity.ivf_topk_sql("embeddings"),
+    "sample_stratified_docs": sampling.stratified_sample_sql(
+        "documents", "doc_id", "lang", SAMPLE_FRACTIONS,
+        select="doc_id, lang, source, n_chars",
+    ),
+    "split_documents": sampling.split_assign_sql(
+        "documents", "doc_id", select="doc_id, lang"
+    ),
     "text_langid": textops.language_id_sql("documents", "doc_id", "text"),
     "text_quality": textops.quality_metrics_sql("documents", "doc_id", "text"),
     "text_tokens": textops.token_counts_sql("documents", "doc_id", "text"),
