@@ -132,6 +132,53 @@ def decode_image(media: DataFrame, fake: bool = False) -> DataFrame:
     return media.select("media_id", "content").mapInPandas(run, schema=schema)
 
 
+def resize_image(
+    media: DataFrame, out_w: int = 8, out_h: int = 8, fake: bool = False
+) -> DataFrame:
+    """Resize/thumbnail stub with the real Spark plumbing: per-row
+    binary in → fixed-size binary out over Arrow batches.
+
+    ``fake=True`` decodes the same pseudo-dimensions as
+    :func:`decode_image`, then nearest-neighbor samples payload bytes
+    into an ``out_w``×``out_h`` single-channel "thumbnail" — fully
+    deterministic, so tests pin exact output bytes. A real
+    implementation swaps only the body of the loop (PIL/cv2), not the
+    schema, batching, or partitioning.
+    """
+    schema = T.StructType(
+        [
+            T.StructField("media_id", T.LongType(), False),
+            T.StructField("src_w", T.IntegerType(), True),
+            T.StructField("src_h", T.IntegerType(), True),
+            T.StructField("thumb", T.BinaryType(), True),
+        ]
+    )
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if not fake:
+                raise NotImplementedError(
+                    "image resize requires an image library not present in this "
+                    "environment; pass fake=True for the deterministic stand-in"
+                )
+            rows = []
+            for mid, content in zip(pdf["media_id"], pdf["content"]):
+                if content is None or len(content) == 0:
+                    rows.append((mid, None, None, None))
+                    continue
+                n = len(content)
+                w, h = 16 + n % 64, 16 + (n // 64) % 64
+                px = bytes(
+                    content[((i * h // out_h) * w + (j * w // out_w)) % n]
+                    for i in range(out_h)
+                    for j in range(out_w)
+                )
+                rows.append((mid, w, h, px))
+            yield pd.DataFrame(rows, columns=["media_id", "src_w", "src_h", "thumb"])
+
+    return media.select("media_id", "content").mapInPandas(run, schema=schema)
+
+
 def sample_frames(media: DataFrame, every_n_bytes: int = 64, fake: bool = False) -> DataFrame:
     """Video frame sampling stub: emits one row per sampled "frame"
     (offset positions). Real frame extraction needs a video library;

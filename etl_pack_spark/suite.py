@@ -691,6 +691,22 @@ def q_mm_decode_fake(spark: SparkSession, sf_dir: str) -> DataFrame:
     return multimodal.decode_image(multimodal.binarize_documents(docs), fake=True)
 
 
+def q_mm_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frame-sampling stub over binarized payloads: one row per 64-byte
+    "frame" offset — deterministic, so oracle-checkable via
+    generate_series."""
+    docs = read_table(spark, sf_dir, "documents")
+    return multimodal.sample_frames(multimodal.binarize_documents(docs), fake=True)
+
+
+def q_mm_resize_fake(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Resize stub: 8×8 nearest-neighbor thumbnails from payload bytes.
+    Binary output column → rows-only check; exact bytes pinned by
+    tests/test_multimodal.py."""
+    docs = read_table(spark, sf_dir, "documents")
+    return multimodal.resize_image(multimodal.binarize_documents(docs), fake=True)
+
+
 # ---------------------------------------------------------------------------
 # Registry + oracles
 # ---------------------------------------------------------------------------
@@ -747,6 +763,8 @@ QUERIES: dict[str, QueryFn] = {
     "mm_binary_meta": q_mm_binary_meta,
     "mm_byte_histogram": q_mm_byte_histogram,
     "mm_decode_fake": q_mm_decode_fake,
+    "mm_frame_sample": q_mm_frame_sample,
+    "mm_resize_fake": q_mm_resize_fake,
 }
 
 _CUSTOMER_HASH = row_hash_sql(CUSTOMER_COLS)
@@ -1042,5 +1060,16 @@ ORACLES: dict[str, str] = {
                CAST(16 + (octet_length(encode(text)) // 64) % 64 AS INTEGER) AS height,
                3 AS channels
         FROM documents
+    """,
+    # mm_resize_fake: binary output column → rows-only check
+    "mm_frame_sample": """
+        SELECT media_id, CAST(u AS INTEGER) AS frame_idx,
+               CAST(u * 64 AS BIGINT) AS "offset"
+        FROM (
+            SELECT doc_id AS media_id,
+                   unnest(generate_series(0, (octet_length(encode(text)) - 1) // 64)) AS u
+            FROM documents
+            WHERE octet_length(encode(text)) > 0
+        )
     """,
 }

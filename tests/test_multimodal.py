@@ -59,3 +59,22 @@ def test_frame_sampling_offsets(spark, sf_dir):
     for r in per_doc:
         expect = (media_len[r["media_id"]] + 31) // 32
         assert r["n"] == expect
+
+
+def test_resize_stub_raises_without_fake(spark, sf_dir):
+    with pytest.raises(PythonException, match="NotImplementedError"):
+        multimodal.resize_image(_media(spark, sf_dir).limit(1)).collect()
+
+
+def test_resize_fake_exact_bytes(spark):
+    payload = bytes(range(200))
+    df = spark.createDataFrame([(1, payload)], "media_id long, content binary")
+    out = multimodal.resize_image(df, out_w=4, out_h=4, fake=True).collect()[0]
+    n = len(payload)
+    w, h = 16 + n % 64, 16 + (n // 64) % 64
+    assert (out["src_w"], out["src_h"]) == (w, h)
+    expect = bytes(
+        payload[((i * h // 4) * w + (j * w // 4)) % n] for i in range(4) for j in range(4)
+    )
+    assert bytes(out["thumb"]) == expect
+    assert len(out["thumb"]) == 16
