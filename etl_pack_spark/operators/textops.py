@@ -244,3 +244,78 @@ def fingerprint_sql(table: str, id_col: str, text_col: str, k: int = 3) -> str:
            coalesce(array_to_string(hashes, ','), '') AS fingerprint
     FROM sel
     """
+
+
+# Tiny polarity lexicon (public-knowledge sentiment words) — a stand-in
+# for a real dictionary; the operator shape (broadcast lexicon join)
+# is what matters at scale.
+SENTIMENT_LEXICON: dict[str, int] = {
+    **{w: 1 for w in [
+        "good", "great", "excellent", "happy", "love", "best", "wonderful",
+        "amazing", "positive", "success", "win", "fast", "clean", "clear",
+    ]},
+    **{w: -1 for w in [
+        "bad", "terrible", "awful", "sad", "hate", "worst", "horrible",
+        "negative", "failure", "lose", "slow", "dirty", "broken", "wrong",
+    ]},
+}
+
+
+def lexicon_sentiment(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Lexicon sentiment (SURVEY §7.3, EDBT'16 Spark pattern): polarity
+    = Σ weight(token), score = polarity / tokens.
+
+    Scale shape: tokens explode to rows, the (tiny) lexicon is a
+    broadcast dim — a map-side hash join, no shuffle for the lookup —
+    and the per-doc aggregate is map-side combinable. Zero-token docs
+    survive via explode_outer. Per-occurrence counting (a word twice
+    counts twice), unlike the distinct-set marker heuristics above.
+    """
+    spark = df.sparkSession
+    lex = spark.createDataFrame(
+        [(w, wt) for w, wt in sorted(SENTIMENT_LEXICON.items())], "tok string, wt int"
+    )
+    exploded = df.select(
+        F.col(id_col), F.explode_outer(tokens(text_col)).alias("tok")
+    )
+    return (
+        exploded.join(F.broadcast(lex), "tok", "left")
+        .groupBy(id_col)
+        .agg(
+            F.count("tok").alias("n_toks"),
+            F.coalesce(F.sum("wt"), F.lit(0)).cast("long").alias("polarity"),
+        )
+        .withColumn(
+            "sentiment",
+            F.when(
+                F.col("n_toks") > 0,
+                F.col("polarity").cast("double") / F.col("n_toks"),
+            ).otherwise(F.lit(0.0)),
+        )
+    )
+
+
+def lexicon_sentiment_sql(table: str, id_col: str, text_col: str) -> str:
+    lex_rows = ", ".join(
+        f"('{w}', {wt})" for w, wt in sorted(SENTIMENT_LEXICON.items())
+    )
+    return f"""
+    WITH lex(tok, wt) AS (VALUES {lex_rows}),
+    toks AS (
+        SELECT {id_col}, unnest({tokens_sql(text_col)}) AS tok FROM {table}
+    ),
+    agg AS (
+        SELECT t.{id_col},
+               COUNT(t.tok) AS n_toks,
+               CAST(COALESCE(SUM(l.wt), 0) AS BIGINT) AS polarity
+        FROM toks t LEFT JOIN lex l ON t.tok = l.tok
+        GROUP BY t.{id_col}
+    )
+    SELECT b.{id_col},
+           CAST(COALESCE(a.n_toks, 0) AS BIGINT) AS n_toks,
+           CAST(COALESCE(a.polarity, 0) AS BIGINT) AS polarity,
+           CASE WHEN COALESCE(a.n_toks, 0) > 0
+                THEN CAST(a.polarity AS DOUBLE) / a.n_toks ELSE 0.0 END AS sentiment
+    FROM (SELECT DISTINCT {id_col} FROM {table}) b
+    LEFT JOIN agg a ON a.{id_col} = b.{id_col}
+    """

@@ -691,6 +691,13 @@ def q_mm_decode_fake(spark: SparkSession, sf_dir: str) -> DataFrame:
     return multimodal.decode_image(multimodal.binarize_documents(docs), fake=True)
 
 
+def q_text_sentiment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lexicon sentiment per document (broadcast lexicon join +
+    map-side-combinable aggregate)."""
+    docs = read_table(spark, sf_dir, "documents")
+    return textops.lexicon_sentiment(docs, "doc_id", "text")
+
+
 def q_mm_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Frame-sampling stub over binarized payloads: one row per 64-byte
     "frame" offset — deterministic, so oracle-checkable via
@@ -763,6 +770,7 @@ QUERIES: dict[str, QueryFn] = {
     "mm_binary_meta": q_mm_binary_meta,
     "mm_byte_histogram": q_mm_byte_histogram,
     "mm_decode_fake": q_mm_decode_fake,
+    "text_sentiment": q_text_sentiment,
     "mm_frame_sample": q_mm_frame_sample,
     "mm_resize_fake": q_mm_resize_fake,
 }
@@ -1046,6 +1054,7 @@ ORACLES: dict[str, str] = {
     "text_fingerprint": textops.fingerprint_sql("documents", "doc_id", "text"),
     "text_redact_pii": textops.redact_pii_sql("documents", "doc_id", "text"),
     "text_repetition": textops.repetition_ratio_sql("documents", "doc_id", "text"),
+    "text_sentiment": textops.lexicon_sentiment_sql("documents", "doc_id", "text"),
     "dq_profile_orders": profile_sql("orders", DQ_COLS, DQ_NUM),
     "mm_binary_meta": """
         SELECT doc_id AS media_id, 'text/plain' AS mime,

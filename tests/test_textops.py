@@ -53,3 +53,21 @@ def test_fingerprint_stable_under_identity(spark):
          textops.fingerprint(df, "doc_id", "text").collect()}
     assert a == b
     assert a[5] == ""  # empty doc → empty fingerprint, not null
+
+
+def test_sentiment_polarity_signs(spark):
+    df = spark.createDataFrame(
+        [
+            (1, "this is a good great excellent day"),
+            (2, "a terrible awful bad broken mess"),
+            (3, "neutral words only here"),
+            (4, ""),
+        ],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r for r in textops.lexicon_sentiment(df, "doc_id", "text").collect()}
+    assert out[1]["polarity"] == 3 and out[1]["sentiment"] > 0
+    assert out[2]["polarity"] == -4 and out[2]["sentiment"] < 0
+    assert out[3]["polarity"] == 0 and out[3]["sentiment"] == 0.0
+    assert out[4]["n_toks"] == 0 and out[4]["sentiment"] == 0.0
+    assert len(out) == 4  # empty doc kept
