@@ -298,15 +298,26 @@ def simhash_signature(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
 
     explode(tokens) → per-token md5 → 64 weighted bit sums (integer,
     order-independent, map-side combinable) → sign → hex render.
+
+    The hex digest is parsed ONCE into four 16-bit ints per token;
+    each bit sum is then an integer shift/mask (4 string parses + 64
+    integer ops per token, vs 64 substr/instr string extractions —
+    ~2x on the signature stage).
     """
     tok = (
         df.repartition(F.col(id_col))  # parallelize the CPU-bound explode
         .select(F.col(id_col), F.explode(tokens(text_col)).alias("tok"))
         .withColumn("h", F.md5("tok"))
+        .select(
+            F.col(id_col),
+            *[
+                F.expr(f"CAST(conv(substr(h, {4 * w + 1}, 4), 16, 10) AS INT)").alias(f"w{w}")
+                for w in range(4)
+            ],
+        )
     )
     sums = [
-        F.sum(F.expr(f"CASE WHEN {_bit_sql(1 + j // 4, 3 - j % 4, 'spark')} = 1 "
-                     f"THEN 1 ELSE -1 END")).alias(f"s{j}")
+        F.sum(F.expr(f"((shiftright(w{j // 16}, {15 - j % 16}) & 1) * 2 - 1)")).alias(f"s{j}")
         for j in range(64)
     ]
     agg = tok.groupBy(id_col).agg(*sums)
@@ -417,9 +428,11 @@ def simhash_neardup_pairs_sql(
 
 def simhash_signature_sql(table: str, id_col: str, text_col: str) -> str:
     sums = ",\n               ".join(
-        f"SUM(CASE WHEN {_bit_sql(1 + j // 4, 3 - j % 4, 'duckdb')} = 1 "
-        f"THEN 1 ELSE -1 END) AS s{j}"
+        f"SUM((((w{j // 16} >> {15 - j % 16}) & 1) * 2 - 1)) AS s{j}"
         for j in range(64)
+    )
+    words = ", ".join(
+        f"CAST('0x' || substr(h, {4 * w + 1}, 4) AS INTEGER) AS w{w}" for w in range(4)
     )
     nibbles = " || ".join(
         f"substr('{HEX}', 1 + (CASE WHEN s{4 * p} > 0 THEN 8 ELSE 0 END "
@@ -433,10 +446,11 @@ def simhash_signature_sql(table: str, id_col: str, text_col: str) -> str:
         SELECT {id_col}, md5(unnest(toks)) AS h
         FROM (SELECT {id_col}, {tokens_sql(text_col)} AS toks FROM {table})
     ),
+    tw AS (SELECT {id_col}, {words} FROM tok),
     agg AS (
         SELECT {id_col},
                {sums}
-        FROM tok GROUP BY {id_col}
+        FROM tw GROUP BY {id_col}
     )
     SELECT {id_col}, {nibbles} AS simhash FROM agg
     """

@@ -86,13 +86,13 @@ def _collect_matrix(df: DataFrame, id_col: str, vec: str):
     Norms use the same cumsum left-sum as everything else."""
     import numpy as np
 
-    n = df.count()
-    if n > MAX_BROADCAST_VECTORS:
+    # limit(cap+1) bounds driver memory without a separate count() job
+    pdf = df.select(id_col, vec).limit(MAX_BROADCAST_VECTORS + 1).toPandas()
+    if len(pdf) > MAX_BROADCAST_VECTORS:
         raise ValueError(
-            f"brute-force similarity is capped at {MAX_BROADCAST_VECTORS} vectors "
-            f"(got {n}); use lsh_neardup_pairs for corpora this size"
+            f"brute-force similarity is capped at {MAX_BROADCAST_VECTORS} vectors; "
+            f"use lsh_neardup_pairs for corpora this size"
         )
-    pdf = df.select(id_col, vec).toPandas()
     ids = pdf[id_col].to_numpy()
     mat = np.stack(pdf[vec].to_numpy()).astype(np.float64)
     norms = np.sqrt(np.cumsum(mat * mat, axis=1)[:, -1])
@@ -122,16 +122,25 @@ def cosine_neardup_pairs(
 
         ids, mat, norms = bc.value
         for pdf in batches:
+            if len(pdf) == 0:
+                yield pd.DataFrame({"id_a": [], "id_b": [], "cos_sim": []})
+                continue
+            rids = pdf[id_col].to_numpy()
+            B = np.stack(pdf[vec].to_numpy()).astype(np.float64)
+            nb = np.sqrt(np.cumsum(B * B, axis=1)[:, -1])
             out_a, out_b, out_c = [], [], []
-            for rid, rvec in zip(pdf[id_col], pdf[vec]):
-                va = np.asarray(rvec, dtype=np.float64)
-                dots = np.cumsum(mat * va, axis=1)[:, -1]
-                na = np.sqrt(np.cumsum(va * va)[-1])
-                cos = dots / (na * norms)
-                mask = (ids > rid) & (cos >= threshold)
-                out_a.extend([rid] * int(mask.sum()))
-                out_b.extend(ids[mask].tolist())
-                out_c.extend(cos[mask].tolist())
+            # chunk the m×n×d product tensor to bound memory (~25 MB/chunk
+            # at n=2000, d=64); cumsum on the last axis preserves the
+            # strict left-fold per pair — still bit-identical to the oracle
+            step = max(1, (32 << 20) // max(1, mat.shape[0] * mat.shape[1] * 8))
+            for s in range(0, len(rids), step):
+                chunk = B[s : s + step]
+                dots = np.cumsum(chunk[:, None, :] * mat[None, :, :], axis=2)[:, :, -1]
+                cos = dots / (nb[s : s + step, None] * norms[None, :])
+                ia, ib = np.nonzero((ids[None, :] > rids[s : s + step, None]) & (cos >= threshold))
+                out_a.extend(rids[s + ia].tolist())
+                out_b.extend(ids[ib].tolist())
+                out_c.extend(cos[ia, ib].tolist())
             yield pd.DataFrame({"id_a": out_a, "id_b": out_b, "cos_sim": out_c})
 
     return df.select(id_col, vec).repartition(F.col(id_col)).mapInPandas(
@@ -175,16 +184,25 @@ def cosine_topk(
         ids, mat, norms = bc.value
         for pdf in batches:
             rows = []
-            for qid, qvec in zip(pdf[id_col], pdf[vec]):
-                qv = np.asarray(qvec, dtype=np.float64)
-                dots = np.cumsum(mat * qv, axis=1)[:, -1]
-                qn = np.sqrt(np.cumsum(qv * qv)[-1])
-                cos = dots / (qn * norms)
-                mask = ids != qid
-                cids, ccos = ids[mask], cos[mask]
-                order = np.lexsort((cids, -ccos))[:k]
-                for rk, j in enumerate(order, start=1):
-                    rows.append((qid, int(cids[j]), float(ccos[j]), rk))
+            if len(pdf) == 0:
+                yield pd.DataFrame(rows, columns=["q_id", "n_id", "cos_sim", "rk"])
+                continue
+            qids = pdf[id_col].to_numpy()
+            Q = np.stack(pdf[vec].to_numpy()).astype(np.float64)
+            qn = np.sqrt(np.cumsum(Q * Q, axis=1)[:, -1])
+            step = max(1, (32 << 20) // max(1, mat.shape[0] * mat.shape[1] * 8))
+            for s in range(0, len(qids), step):
+                # chunked m×n×d, left-fold cumsum on d (see neardup block)
+                chunk = Q[s : s + step]
+                dots = np.cumsum(chunk[:, None, :] * mat[None, :, :], axis=2)[:, :, -1]
+                cos = dots / (qn[s : s + step, None] * norms[None, :])
+                for qi in range(chunk.shape[0]):
+                    qid = qids[s + qi]
+                    mask = ids != qid
+                    cids, ccos = ids[mask], cos[qi][mask]
+                    order = np.lexsort((cids, -ccos))[:k]
+                    for rk, j in enumerate(order, start=1):
+                        rows.append((qid, int(cids[j]), float(ccos[j]), rk))
             yield pd.DataFrame(rows, columns=["q_id", "n_id", "cos_sim", "rk"])
 
     return queries.select(id_col, vec).repartition(F.col(id_col)).mapInPandas(
