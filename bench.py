@@ -37,6 +37,8 @@ BENCH_QUERIES = [
     "dedup_simhash",           # 64-bit simhash signatures
     "neardup_embedding",       # all-pairs cosine near-dup
     "ann_cosine_topk",         # brute-force cosine top-k
+    "ann_ivf_topk",            # IVF-flat ANN (nprobe scale path)
+    "text_sentiment",          # broadcast-lexicon sentiment join
     "text_quality",            # text quality metrics
     "text_fingerprint",        # winnowing fingerprints
 ]

@@ -1,0 +1,68 @@
+"""Parquet compaction & clustering — lake maintenance for the sink side.
+
+Incremental loads (plans/transfer.py) append small files every run; at
+100 TB that means millions of files and scan planning that drowns in
+footer reads. ``compact`` rewrites a table to ~``target_file_mb`` files
+and optionally RANGE-CLUSTERS rows by given columns so parquet
+row-group min/max statistics become selective: a filter on the cluster
+column then prunes whole files/row-groups at planning time (the same
+effect the reference's per-day tables give it, done Spark-native).
+
+``repartitionByRange`` gives globally disjoint per-file key ranges (one
+range-partition shuffle, sampled boundaries — AQE-friendly);
+``sortWithinPartitions`` orders rows inside each file so row-group
+stats are tight at any file size.
+"""
+
+from __future__ import annotations
+
+import math
+import os
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame, SparkSession
+
+
+@dataclass(frozen=True)
+class CompactionStats:
+    in_files: int
+    in_bytes: int
+    out_files: int
+    out_path: str
+
+
+def _dir_stats(path: str) -> tuple[int, int]:
+    files = [
+        os.path.join(r, f)
+        for r, _, fs in os.walk(path)
+        for f in fs
+        if f.endswith(".parquet")
+    ]
+    return len(files), sum(os.path.getsize(f) for f in files)
+
+
+def compact(
+    spark: SparkSession,
+    in_path: str,
+    out_path: str,
+    target_file_mb: float = 256,
+    cluster_by: list[str] | None = None,
+) -> CompactionStats:
+    """Rewrite ``in_path`` to ``out_path`` at ~target_file_mb per file,
+    range-clustered by ``cluster_by`` when given.
+
+    Runs as ONE Spark job: a scan, at most one range shuffle, a write.
+    File count derives from actual input bytes, so repeated compaction
+    is stable. Output is written to a separate path (atomic swap is the
+    caller's rename — object stores make in-place rewrites unsafe).
+    """
+    n_in, in_bytes = _dir_stats(in_path)
+    n_out = max(1, math.ceil(in_bytes / (target_file_mb * (1 << 20))))
+    df: DataFrame = spark.read.parquet(in_path)
+    if cluster_by:
+        df = df.repartitionByRange(n_out, *cluster_by).sortWithinPartitions(*cluster_by)
+    else:
+        df = df.coalesce(n_out)
+    df.write.mode("overwrite").parquet(out_path)
+    out_files, _ = _dir_stats(out_path)
+    return CompactionStats(n_in, in_bytes, out_files, out_path)

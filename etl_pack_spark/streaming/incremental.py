@@ -135,3 +135,18 @@ def stream_incremental_transfer(
     n = len(query.recentProgress)
     query.stop()
     return n
+
+
+def dedup_stream(events: DataFrame, key_cols: list[str], watermark: str = "2 hours") -> DataFrame:
+    """Streaming exact dedup — the streaming twin of the batch
+    anti-join flagship (H3). ``dropDuplicatesWithinWatermark`` keeps
+    per-key state only inside the watermark horizon, so state is
+    bounded by the late-data window, not by history: the batch
+    anti-join owns cross-run dedup (against the target snapshot), this
+    owns intra-stream duplicates (retries, at-least-once sources).
+    Works in batch mode too (falls back to plain dropDuplicates
+    semantics over the bounded input).
+    """
+    if events.isStreaming:
+        return events.withWatermark("ts", watermark).dropDuplicatesWithinWatermark(key_cols)
+    return events.dropDuplicates(key_cols)

@@ -61,3 +61,39 @@ def test_foreachbatch_incremental_dedup(spark, sf_dir, tmp_path):
     # fresh checkpoint → all files redelivered → dedup must hold the line
     stream_incremental_transfer(spark, src, tgt, str(tmp_path / "c2"))
     assert spark.read.parquet(tgt).count() == n1
+
+
+def test_dedup_stream_drops_replayed_rows(spark, sf_dir, tmp_path):
+    """An at-least-once source replays the same file: the watermarked
+    streaming dedup must emit each event once."""
+    from etl_pack_spark.streaming.incremental import dedup_stream
+
+    events = read_table(spark, sf_dir, "events").limit(200)
+    src = str(tmp_path / "src")
+    # two identical copies = a replayed delivery
+    events.write.mode("overwrite").parquet(src)
+    events.write.mode("append").parquet(src)
+
+    stream = spark.readStream.schema(
+        spark.read.parquet(src).schema
+    ).parquet(src)
+    out, ckpt = str(tmp_path / "out"), str(tmp_path / "ckpt")
+    q = (
+        dedup_stream(stream, ["event_id"]).writeStream.outputMode("append")
+        .trigger(availableNow=True)
+        .option("checkpointLocation", ckpt)
+        .format("parquet").option("path", out).start()
+    )
+    q.awaitTermination()
+    q.stop()
+    got = spark.read.parquet(out)
+    assert got.count() == events.count()
+    assert got.select("event_id").distinct().count() == events.count()
+
+
+def test_dedup_stream_batch_mode(spark, sf_dir):
+    from etl_pack_spark.streaming.incremental import dedup_stream
+
+    events = read_table(spark, sf_dir, "events").limit(100)
+    doubled = events.union(events)
+    assert dedup_stream(doubled, ["event_id"]).count() == events.count()
