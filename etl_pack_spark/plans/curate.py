@@ -1,0 +1,100 @@
+"""End-to-end corpus curation — the training-data pipeline composed:
+
+    quality gate → language verification → exact dedup → split assign
+
+One query, engine-shaped: all per-document signals (token stats,
+language scores) are computed in a SINGLE projection over one scan —
+not operator-joins, which would re-read the corpus once per signal.
+The only shuffle is the dedup hash group-by; the split is a map-side
+expression. At 100 TB: scan → map → one exchange → map.
+
+The whole pipeline is deterministic (marker lexicons, md5 canonical
+hash, hash-range splits), so the DuckDB oracle hash-checks the
+composition end-to-end, not just each stage.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from etl_pack_spark.operators.dedup import exact_dedup
+from etl_pack_spark.operators.sampling import SPACE, _h28_sql
+from etl_pack_spark.operators.sampling import split_assign
+from etl_pack_spark.operators.textops import MARKERS, _marker_count, _marker_count_sql
+from etl_pack_spark.operators.tokenize import tokens, tokens_sql
+
+MIN_TOKENS = 10
+MIN_AVG_LEN = 2.0
+MAX_AVG_LEN = 12.0
+
+
+def curate_corpus(docs: DataFrame) -> DataFrame:
+    """Filter to quality, language-verified, content-unique documents
+    and assign train/val/test splits. Returns (doc_id, lang, split)."""
+    t = docs.select("doc_id", "text", "lang", tokens("text").alias("__toks"))
+    n_toks = F.size("__toks")
+    avg_len = F.when(
+        n_toks > 0,
+        F.expr("aggregate(transform(__toks, x -> length(x)), 0, (a, v) -> a + v)")
+        .cast("double") / n_toks.cast("double"),
+    )
+    s = {lang: _marker_count("__toks", lang) for lang in MARKERS}
+    lang_pred = (
+        F.when(s["de"].isNull(), None)
+        .when((s["de"] >= s["en"]) & (s["de"] >= s["es"]) & (s["de"] >= s["fr"]), "de")
+        .when((s["en"] >= s["es"]) & (s["en"] >= s["fr"]), "en")
+        .when(s["es"] >= s["fr"], "es")
+        .otherwise("fr")
+    )
+    kept = t.where(
+        (n_toks >= MIN_TOKENS)
+        & avg_len.between(MIN_AVG_LEN, MAX_AVG_LEN)
+        & (lang_pred == F.col("lang"))
+    ).select("doc_id", "text", "lang")
+    deduped = exact_dedup(kept, cols=["text"], keep_order_col="doc_id")
+    return split_assign(deduped, "doc_id").select("doc_id", "lang", "split")
+
+
+def curate_corpus_sql(table: str) -> str:
+    scores = ",\n                   ".join(
+        f"{_marker_count_sql('toks', lang)} AS score_{lang}" for lang in MARKERS
+    )
+    cum_train = int(0.90 * SPACE)
+    cum_val = cum_train + int(0.05 * SPACE)
+    h = _h28_sql("doc_id", "split")
+    return f"""
+    WITH t AS (
+        SELECT doc_id, text, lang, {tokens_sql('text')} AS toks FROM {table}
+    ),
+    sig AS (
+        SELECT doc_id, text, lang,
+               len(toks) AS n_tokens,
+               CASE WHEN len(toks) > 0 THEN
+                   CAST(list_reduce(list_prepend(0, list_transform(toks, x -> length(x))),
+                                    (a, v) -> a + v) AS DOUBLE)
+                       / CAST(len(toks) AS DOUBLE) END AS avg_token_len,
+                   {scores}
+        FROM t
+    ),
+    kept AS (
+        SELECT doc_id, text, lang FROM sig
+        WHERE n_tokens >= {MIN_TOKENS}
+          AND avg_token_len BETWEEN {MIN_AVG_LEN} AND {MAX_AVG_LEN}
+          AND (CASE WHEN score_de IS NULL THEN NULL
+                    WHEN score_de >= score_en AND score_de >= score_es
+                         AND score_de >= score_fr THEN 'de'
+                    WHEN score_en >= score_es AND score_en >= score_fr THEN 'en'
+                    WHEN score_es >= score_fr THEN 'es'
+                    ELSE 'fr' END) = lang
+    ),
+    dd AS (
+        SELECT min(doc_id) AS doc_id FROM kept
+        GROUP BY md5(lower(coalesce(text, '')))
+    )
+    SELECT k.doc_id, k.lang,
+           CASE WHEN {h} < {cum_train} THEN 'train'
+                WHEN {h} < {cum_val} THEN 'val'
+                ELSE 'test' END AS split
+    FROM dd JOIN kept k USING (doc_id)
+    """

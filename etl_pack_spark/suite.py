@@ -30,6 +30,7 @@ from etl_pack_spark.operators.dedup import (
     snapshot_hashes,
 )
 from etl_pack_spark.operators.hashing import row_hash, row_hash_sql, with_row_hash
+from etl_pack_spark.plans.curate import curate_corpus_sql
 from etl_pack_spark.sinks.writers import append_table
 from etl_pack_spark.sources.reader import ReadSpec, read_table, windowed_read
 
@@ -691,6 +692,15 @@ def q_mm_decode_fake(spark: SparkSession, sf_dir: str) -> DataFrame:
     return multimodal.decode_image(multimodal.binarize_documents(docs), fake=True)
 
 
+def q_corpus_curate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The composed training-data pipeline: quality gate → language
+    verification → exact dedup → split assignment, as one plan (single
+    scan, one shuffle). See plans/curate.py."""
+    from etl_pack_spark.plans.curate import curate_corpus
+
+    return curate_corpus(read_table(spark, sf_dir, "documents"))
+
+
 def q_text_sentiment(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Lexicon sentiment per document (broadcast lexicon join +
     map-side-combinable aggregate)."""
@@ -771,6 +781,7 @@ QUERIES: dict[str, QueryFn] = {
     "mm_byte_histogram": q_mm_byte_histogram,
     "mm_decode_fake": q_mm_decode_fake,
     "text_sentiment": q_text_sentiment,
+    "corpus_curate": q_corpus_curate,
     "mm_frame_sample": q_mm_frame_sample,
     "mm_resize_fake": q_mm_resize_fake,
 }
@@ -1055,6 +1066,7 @@ ORACLES: dict[str, str] = {
     "text_redact_pii": textops.redact_pii_sql("documents", "doc_id", "text"),
     "text_repetition": textops.repetition_ratio_sql("documents", "doc_id", "text"),
     "text_sentiment": textops.lexicon_sentiment_sql("documents", "doc_id", "text"),
+    "corpus_curate": curate_corpus_sql("documents"),
     "dq_profile_orders": profile_sql("orders", DQ_COLS, DQ_NUM),
     "mm_binary_meta": """
         SELECT doc_id AS media_id, 'text/plain' AS mime,
