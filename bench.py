@@ -41,6 +41,7 @@ BENCH_QUERIES = [
     "text_sentiment",          # broadcast-lexicon sentiment join
     "text_quality",            # text quality metrics
     "text_fingerprint",        # winnowing fingerprints
+    "corpus_curate",           # composed curation pipeline (1 scan, 1 shuffle)
 ]
 
 

@@ -451,6 +451,27 @@ def q_range_click_in_signup_hour(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("click_id", "signup_id", "click_ts")
 
 
+def q_agg_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact interpolated quantiles per return flag. Spark `percentile`
+    and DuckDB `quantile_cont` share the linear-interpolation
+    definition, so doubles match bit-for-bit. (The sketch-based
+    scale path for quantiles is approx_percentile; this is the exact
+    baseline, a sort-based aggregate.)"""
+    li = read_table(spark, sf_dir, "lineitem")
+    q = F.expr("percentile(CAST(l_extendedprice AS DOUBLE), array(0.25, 0.5, 0.75, 0.99))")
+    return (
+        li.groupBy("l_returnflag")
+        .agg(q.alias("q"))
+        .select(
+            "l_returnflag",
+            F.element_at("q", 1).alias("q25"),
+            F.element_at("q", 2).alias("q50"),
+            F.element_at("q", 3).alias("q75"),
+            F.element_at("q", 4).alias("q99"),
+        )
+    )
+
+
 def q_agg_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ROLLUP over (priority, status): subtotals + grand total — the
     grouping-sets family Catalyst provides natively."""
@@ -755,6 +776,7 @@ QUERIES: dict[str, QueryFn] = {
     "text_vocab_topk": q_text_vocab_topk,
     "cluster_embeddings": q_cluster_embeddings,
     "agg_rollup": q_agg_rollup,
+    "agg_quantiles": q_agg_quantiles,
     "json_extract": q_json_extract,
     "sessionize": q_sessionize,
     "pivot_events": q_pivot_events,
@@ -997,6 +1019,14 @@ ORACLES: dict[str, str] = {
                CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total_price
         FROM orders
         GROUP BY ROLLUP (o_orderpriority, o_orderstatus)
+    """,
+    "agg_quantiles": """
+        SELECT l_returnflag,
+               quantile_cont(CAST(l_extendedprice AS DOUBLE), 0.25) AS q25,
+               quantile_cont(CAST(l_extendedprice AS DOUBLE), 0.5) AS q50,
+               quantile_cont(CAST(l_extendedprice AS DOUBLE), 0.75) AS q75,
+               quantile_cont(CAST(l_extendedprice AS DOUBLE), 0.99) AS q99
+        FROM lineitem GROUP BY l_returnflag
     """,
     "json_extract": """
         SELECT event_id, CAST(json_extract_string(props, '$.k') AS INTEGER) AS k
