@@ -19,7 +19,7 @@ from pyspark.sql import DataFrame, SparkSession
 
 from etl_pack_spark.schema import universal_struct
 
-FORMATS = {"parquet", "csv", "json", "jdbc"}
+FORMATS = {"parquet", "orc", "csv", "json", "jdbc"}
 
 
 def read_source(
@@ -53,4 +53,7 @@ def read_source(
         return reader.csv(path)
     if fmt == "json":
         return reader.json(path)
+    if fmt == "orc":
+        # columnar like parquet: same pushdown/pruning behavior
+        return reader.orc(path)
     return reader.parquet(path)

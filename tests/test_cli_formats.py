@@ -91,3 +91,16 @@ def test_stateful_running_totals(spark, sf_dir, tmp_path):
               for r in events.groupBy("user_id")
               .agg(F.count(F.lit(1)).alias("n"), F.sum("value").alias("s")).collect()}
     assert got == expect
+
+
+def test_read_source_orc_roundtrip_with_pushdown(spark, sf_dir, tmp_path):
+    nation = spark.read.parquet(f"{sf_dir}/nation.parquet")
+    nation.write.orc(str(tmp_path / "nation_orc"))
+    orc_df = read_source(spark, str(tmp_path / "nation_orc"), "orc")
+    assert sorted(tuple(r) for r in orc_df.collect()) == sorted(tuple(r) for r in nation.collect())
+    # columnar source: projection+filter reach the ORC scan like parquet
+    plan = (
+        orc_df.where("n_regionkey = 1").select("n_name")
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "PushedFilters: [" in plan and "n_regionkey" in plan.split("PushedFilters")[1][:80]
