@@ -48,6 +48,46 @@ def append_table(
     return WriteResult(rows=int(obs.get["rows"]), target=path)
 
 
+SINK_FORMATS = {"parquet", "orc", "csv", "tsv", "json"}
+
+
+def write_sink(
+    df: DataFrame,
+    path: str,
+    fmt: str = "parquet",
+    mode: str = "append",
+    partition_by: list[str] | None = None,
+    options: dict[str, str] | None = None,
+) -> WriteResult:
+    """Format-agnostic sink twin of ``sources.formats.read_source``.
+
+    ``tsv`` mirrors the reference's ClickHouse TSV wire sink
+    (clickhouse/writer/main.go:95-120) as a CSV writer with a tab
+    delimiter — the engine still writes typed values; only the file
+    encoding is text. Row accounting rides the write job (Observation),
+    same as :func:`append_table`.
+    """
+    if fmt not in SINK_FORMATS:
+        raise ValueError(f"unsupported sink format {fmt!r}; one of {sorted(SINK_FORMATS)}")
+    obs = Observation("sink")
+    writer = df.observe(obs, F.count(F.lit(1)).alias("rows")).write.mode(mode)
+    for k, v in (options or {}).items():
+        writer = writer.option(k, v)
+    if partition_by:
+        writer = writer.partitionBy(*partition_by)
+    if fmt == "csv":
+        writer.option("header", "true").csv(path)
+    elif fmt == "tsv":
+        writer.option("header", "true").option("sep", "\t").csv(path)
+    elif fmt == "json":
+        writer.json(path)
+    elif fmt == "orc":
+        writer.orc(path)
+    else:
+        writer.parquet(path)
+    return WriteResult(rows=int(obs.get["rows"]), target=path)
+
+
 def jdbc_writer(
     df: DataFrame,
     url: str,

@@ -77,3 +77,34 @@ def test_transfer_picks_up_new_window(spark, sf_dir, tmp_path):
     )
     assert r1.rows + r2.rows == total
     assert spark.read.parquet(target).count() == total
+
+
+def test_write_sink_formats_roundtrip(spark, sf_dir, tmp_path):
+    from etl_pack_spark.sinks.writers import write_sink
+    from etl_pack_spark.sources.formats import read_source
+
+    nation = spark.read.parquet(f"{sf_dir}/nation.parquet")
+    for fmt, read_fmt in [("parquet", "parquet"), ("orc", "orc"), ("csv", "csv"), ("json", "json")]:
+        out = str(tmp_path / fmt)
+        res = write_sink(nation, out, fmt=fmt, mode="overwrite")
+        assert res.rows == nation.count()
+        tags = (
+            {"n_nationkey": "int32", "n_name": "string", "n_regionkey": "int32", "n_comment": "string"}
+            if fmt == "csv" else None
+        )
+        back = read_source(spark, out, read_fmt, schema_tags=tags)
+        assert back.count() == nation.count()
+
+
+def test_write_sink_tsv_is_tab_separated(spark, sf_dir, tmp_path):
+    import glob
+
+    from etl_pack_spark.sinks.writers import write_sink
+
+    nation = spark.read.parquet(f"{sf_dir}/nation.parquet").limit(3)
+    out = str(tmp_path / "tsv")
+    write_sink(nation.select("n_nationkey", "n_name"), out, fmt="tsv", mode="overwrite")
+    part = glob.glob(f"{out}/part-*")[0]
+    lines = open(part).read().strip().splitlines()
+    assert lines[0] == "n_nationkey\tn_name"
+    assert all("\t" in l for l in lines[1:])
