@@ -8,16 +8,24 @@ from etl_pack_spark.operators.dedup import (  # noqa: F401
 from etl_pack_spark.operators.neardup import (  # noqa: F401
     minhash_lsh_dedup_pairs,
     ngram_jaccard_pairs,
+    simhash_neardup_pairs,
     simhash_signature,
 )
 from etl_pack_spark.operators.similarity import (  # noqa: F401
     cosine_neardup_pairs,
     cosine_topk,
+    ivf_topk,
     lsh_neardup_pairs,
+)
+from etl_pack_spark.operators.sampling import (  # noqa: F401
+    hash_unit,
+    split_assign,
+    stratified_sample,
 )
 from etl_pack_spark.operators.textops import (  # noqa: F401
     fingerprint,
     language_id,
+    lexicon_sentiment,
     quality_metrics,
     redact_pii,
     repetition_ratio,
@@ -28,6 +36,7 @@ from etl_pack_spark.operators.multimodal import (  # noqa: F401
     byte_histogram,
     decode_image,
     media_metadata,
+    resize_image,
     sample_frames,
 )
 from etl_pack_spark.operators.quality import expect, profile  # noqa: F401

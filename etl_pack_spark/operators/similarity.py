@@ -30,36 +30,38 @@ _DOT_UDF = None
 
 def _dot_udf(va, vb):
     """Lazy wrapper: pandas_udf return-type parsing needs an active
-    SparkSession, so the UDF is built on first use, not at import."""
+    SparkSession, so the UDF is built on first use, not at import.
+
+    The impl is a NESTED function on purpose: cloudpickle serializes
+    nested functions by value, so executors never need to import this
+    package — the operator works from any session, not just ones
+    created via ``get_spark`` (whose addPyFile ships the package).
+    """
     global _DOT_UDF
     if _DOT_UDF is None:
-        _DOT_UDF = F.pandas_udf(_dot_impl, "double")
+
+        def dot_impl(va, vb):
+            # STRICT LEFT-SUM semantics: np.cumsum(axis=1) is
+            # sequential by definition, so its last column equals the
+            # left-associative sum t1+t2+...+tn — the association the
+            # DuckDB oracle's expanded ``+`` chain uses, hence
+            # bit-identical doubles (np.dot/einsum use pairwise/SIMD
+            # summation and would NOT match). float32→float64 casts are
+            # exact. Why a pandas UDF at all: per-pair JVM expression
+            # trees get pushed into non-equi join conditions and
+            # re-evaluated per candidate row outside codegen;
+            # Python-UDF predicates cannot be pushed into joins, so
+            # this runs exactly once per pair, vectorized over Arrow.
+            import numpy as np
+
+            if len(va) == 0:
+                return pd.Series([], dtype="float64")
+            a = np.stack(va.to_numpy()).astype(np.float64)
+            b = np.stack(vb.to_numpy()).astype(np.float64)
+            return pd.Series(np.cumsum(a * b, axis=1)[:, -1])
+
+        _DOT_UDF = F.pandas_udf(dot_impl, "double")
     return _DOT_UDF(va, vb)
-
-
-def _dot_impl(va, vb):
-    """Arrow-vectorized dot product with STRICT LEFT-SUM semantics.
-
-    ``np.cumsum(axis=1)`` is sequential by definition, so taking its
-    last column equals the left-associative sum t1+t2+...+tn — the same
-    association the DuckDB oracle's expanded ``+`` chain uses, hence
-    bit-identical doubles. (np.dot/einsum use pairwise/SIMD summation
-    and would NOT match.) float32→float64 casts are exact; per-element
-    products are exact w.r.t. association.
-
-    Why a pandas UDF at all: per-pair JVM expression trees (higher-order
-    ``aggregate`` or an expanded 64-term sum) get pushed into the
-    non-equi join condition and re-evaluated per candidate row outside
-    codegen; Python-UDF predicates cannot be pushed into joins, so this
-    runs exactly once per pair, SIMD-vectorized over Arrow batches.
-    """
-    import numpy as np
-
-    if len(va) == 0:
-        return pd.Series([], dtype="float64")
-    a = np.stack(va.to_numpy()).astype(np.float64)
-    b = np.stack(vb.to_numpy()).astype(np.float64)
-    return pd.Series(np.cumsum(a * b, axis=1)[:, -1])
 
 
 def _dot_sql(a: str, b: str, dims: int = DIMS) -> str:

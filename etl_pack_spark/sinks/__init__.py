@@ -1,1 +1,7 @@
-from etl_pack_spark.sinks.writers import append_table, jdbc_writer, WriteResult  # noqa: F401
+from etl_pack_spark.sinks.writers import (  # noqa: F401
+    WriteResult,
+    append_table,
+    jdbc_writer,
+    write_sink,
+)
+from etl_pack_spark.sinks.compaction import CompactionStats, compact  # noqa: F401

@@ -45,32 +45,36 @@ STATE_SCHEMA = StructType(
 )
 
 
-def _update(
-    key: tuple[Any, ...],
-    pdfs: Iterable[pd.DataFrame],
-    state: GroupState,
-) -> Iterator[pd.DataFrame]:
-    """Evolve one user's running aggregate across a micro-batch."""
-    (user_id,) = key
-    n, total = state.get if state.exists else (0, 0.0)
-    last_ts = None
-    for pdf in pdfs:
-        n += len(pdf)
-        total += float(pdf["value"].sum())
-        mx = pdf["ts"].max()
-        last_ts = mx if last_ts is None else max(last_ts, mx)
-    state.update((n, total))
-    yield pd.DataFrame(
-        {"user_id": [user_id], "n_events": [n], "sum_value": [total], "last_ts": [last_ts]}
-    )
-
-
 def running_user_totals(events: DataFrame) -> DataFrame:
     """Per-user running totals as a stateful stream transform. Works on
     a streaming DataFrame (update output mode); each micro-batch emits
-    the refreshed totals for users seen in that batch."""
+    the refreshed totals for users seen in that batch.
+
+    The update fn is nested so cloudpickle ships it by value —
+    executors never need this package importable (works from any
+    session, not just ``get_spark``'s addPyFile-equipped ones)."""
+
+    def update(
+        key: tuple[Any, ...],
+        pdfs: Iterable[pd.DataFrame],
+        state: GroupState,
+    ) -> Iterator[pd.DataFrame]:
+        # evolve one user's running aggregate across a micro-batch
+        (user_id,) = key
+        n, total = state.get if state.exists else (0, 0.0)
+        last_ts = None
+        for pdf in pdfs:
+            n += len(pdf)
+            total += float(pdf["value"].sum())
+            mx = pdf["ts"].max()
+            last_ts = mx if last_ts is None else max(last_ts, mx)
+        state.update((n, total))
+        yield pd.DataFrame(
+            {"user_id": [user_id], "n_events": [n], "sum_value": [total], "last_ts": [last_ts]}
+        )
+
     return events.groupBy("user_id").applyInPandasWithState(
-        _update,
+        update,
         outputStructType=OUTPUT_SCHEMA,
         stateStructType=STATE_SCHEMA,
         outputMode="update",
