@@ -34,7 +34,7 @@ BENCH_QUERIES = [
     "tpch_q5_like",            # 5-way star join
     "text_redact_pii",         # regex scrub pass
     "dedup_minhash_lsh",       # minhash LSH near-dup end-to-end
-    "dedup_simhash",           # 64-bit simhash signatures
+    "dedup_simhash_pairs",     # simhash signatures + block-match pairs
     "neardup_embedding",       # all-pairs cosine near-dup
     "ann_cosine_topk",         # brute-force cosine top-k
     "ann_ivf_topk",            # IVF-flat ANN (nprobe scale path)

@@ -179,6 +179,97 @@ def resize_image(
     return media.select("media_id", "content").mapInPandas(run, schema=schema)
 
 
+def decode_frames(media: DataFrame, every_n_bytes: int = 64, fake: bool = False) -> DataFrame:
+    """Composed decode + frame-sample in ONE mapInPandas pass (single
+    scan): per sampled "frame" emit the decoded pseudo-dimensions and
+    the frame offset. At scale this is the video-ingest shape — decode
+    once per payload, fan out per frame, never rejoin."""
+    schema = T.StructType(
+        [
+            T.StructField("media_id", T.LongType(), False),
+            T.StructField("width", T.IntegerType(), True),
+            T.StructField("height", T.IntegerType(), True),
+            T.StructField("channels", T.IntegerType(), True),
+            T.StructField("frame_idx", T.IntegerType(), False),
+            T.StructField("offset", T.LongType(), False),
+        ]
+    )
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if not fake:
+                raise NotImplementedError(
+                    "media decode requires a media library not present in this "
+                    "environment; pass fake=True for the deterministic stand-in"
+                )
+            rows = []
+            for mid, content in zip(pdf["media_id"], pdf["content"]):
+                n = 0 if content is None else len(content)
+                w, h = 16 + n % 64, 16 + (n // 64) % 64
+                for i, off in enumerate(range(0, n, every_n_bytes)):
+                    rows.append((mid, w, h, 3, i, off))
+            yield pd.DataFrame(
+                rows, columns=["media_id", "width", "height", "channels", "frame_idx", "offset"]
+            )
+
+    return media.select("media_id", "content").mapInPandas(run, schema=schema)
+
+
+_FEATURES_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType(), False),
+        T.StructField("n_bytes", T.LongType(), True),
+        T.StructField("hist", T.ArrayType(T.LongType()), True),
+        T.StructField("src_w", T.IntegerType(), True),
+        T.StructField("src_h", T.IntegerType(), True),
+        T.StructField("thumb", T.BinaryType(), True),
+    ]
+)
+
+
+def media_features(
+    media: DataFrame,
+    buckets: int = 16,
+    out_w: int = 8,
+    out_h: int = 8,
+    fake: bool = False,
+) -> DataFrame:
+    """Composed featurizer: byte histogram + nearest-neighbor thumbnail
+    per payload in ONE Arrow-batched pass. Same deterministic math as
+    :func:`byte_histogram` / :func:`resize_image`; pinned by
+    tests/test_multimodal.py (binary output → rows-only driver check)."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        for pdf in batches:
+            rows = []
+            for mid, content in zip(pdf["media_id"], pdf["content"]):
+                if content is None or len(content) == 0:
+                    rows.append((mid, 0, None, None, None, None))
+                    continue
+                arr = np.frombuffer(content, dtype=np.uint8)
+                hist = np.bincount(arr >> (8 - buckets.bit_length() + 1), minlength=buckets)
+                if not fake:
+                    raise NotImplementedError(
+                        "image resize requires an image library not present in "
+                        "this environment; pass fake=True for the stand-in"
+                    )
+                n = len(content)
+                w, h = 16 + n % 64, 16 + (n // 64) % 64
+                px = bytes(
+                    content[((i * h // out_h) * w + (j * w // out_w)) % n]
+                    for i in range(out_h)
+                    for j in range(out_w)
+                )
+                rows.append((mid, n, hist[:buckets].tolist(), w, h, px))
+            yield pd.DataFrame(
+                rows, columns=["media_id", "n_bytes", "hist", "src_w", "src_h", "thumb"]
+            )
+
+    return media.select("media_id", "content").mapInPandas(run, schema=_FEATURES_SCHEMA)
+
+
 def sample_frames(media: DataFrame, every_n_bytes: int = 64, fake: bool = False) -> DataFrame:
     """Video frame sampling stub: emits one row per sampled "frame"
     (offset positions). Real frame extraction needs a video library;

@@ -1,10 +1,12 @@
 """Similarity search over embedding columns (array<float>).
 
-Brute-force cosine top-k is the exactness baseline; the LSH-bucketed
-variant is the scale path (candidates from sign-pattern buckets, exact
-re-rank inside). Everything is built from higher-order Catalyst
-functions (zip_with/aggregate) — JVM-side, codegen'd, no Python UDF in
-the hot path.
+Brute-force cosine (all-pairs / top-k) is the exactness baseline,
+executed as a DISTRIBUTED block matrix: vectors hash into fixed-size
+blocks, block pairs fan out via equi-joins on block ids, and cogrouped
+Arrow kernels score one block pair per task — no driver collect and no
+corpus broadcast at any size. The LSH-bucketed and IVF variants are the
+sub-quadratic scale paths (candidates from sign-pattern buckets /
+inverted lists, exact re-rank inside).
 
 Cross-engine determinism: dot products are strict LEFT FOLDS over the
 element pairs (Spark ``aggregate``; DuckDB ``list_reduce``). Same
@@ -77,28 +79,82 @@ def with_norm(df: DataFrame, vec: str = "embedding", out: str = "norm") -> DataF
     return df.withColumn(out, F.sqrt(_dot_udf(F.col(vec), F.col(vec))))
 
 
-# Brute-force paths broadcast the whole vector set to every task; this
-# caps the corpus they accept (64-dim f64 at this cap ≈ 100 MB). Larger
-# corpora must use the LSH path.
-MAX_BROADCAST_VECTORS = 200_000
+# Rows per block of the distributed block matrix. 4096 × 64 dims × f64
+# ≈ 2 MB per block matrix; a block-pair task computes a chunked
+# 4096×4096 score tile. Replication factor per side = n/BLOCK_ROWS
+# blocks, so shuffled volume is O(n²/BLOCK_ROWS) — the inherent
+# communication of exact all-pairs, with NO driver-side collect at any
+# corpus size (LSH/IVF remain the sub-quadratic scale paths).
+BLOCK_ROWS = 4096
 
 
-def _collect_matrix(df: DataFrame, id_col: str, vec: str):
-    """Driver-side (id, matrix, norms) for broadcast-block brute force.
-    Norms use the same cumsum left-sum as everything else."""
+def _block_count(df: DataFrame, id_col: str) -> int:
+    # one cheap distributed count over the pruned id column sizes the
+    # block grid; nothing about the result depends on the block layout
+    n = df.select(id_col).count()
+    return max(1, -(-n // BLOCK_ROWS))
+
+
+def _single_block(df: DataFrame, id_col: str, vec: str):
+    """Small-corpus fast path: the whole corpus is ONE block
+    (≤ BLOCK_ROWS rows ≈ 2 MB), so it may ride a broadcast variable and
+    skip the cogroup shuffle entirely. Bounded by construction — this is
+    never reached for corpora above BLOCK_ROWS."""
     import numpy as np
 
-    # limit(cap+1) bounds driver memory without a separate count() job
-    pdf = df.select(id_col, vec).limit(MAX_BROADCAST_VECTORS + 1).toPandas()
-    if len(pdf) > MAX_BROADCAST_VECTORS:
-        raise ValueError(
-            f"brute-force similarity is capped at {MAX_BROADCAST_VECTORS} vectors; "
-            f"use lsh_neardup_pairs for corpora this size"
-        )
+    pdf = df.select(id_col, vec).limit(BLOCK_ROWS + 1).toPandas()
+    assert len(pdf) <= BLOCK_ROWS, "single-block path called for multi-block corpus"
     ids = pdf[id_col].to_numpy()
     mat = np.stack(pdf[vec].to_numpy()).astype(np.float64)
     norms = np.sqrt(np.cumsum(mat * mat, axis=1)[:, -1])
     return ids, mat, norms
+
+
+def _pair_kernel(threshold: float | None):
+    """Block-pair scorer for cogrouped applyInPandas. NESTED impl so
+    cloudpickle ships it by value (executors need not import this
+    package). Per-pair dots are row-cumsum left folds — bit-identical
+    to the oracle's expanded ``+`` chains regardless of blocking."""
+
+    def kernel(left: pd.DataFrame, right: pd.DataFrame) -> pd.DataFrame:
+        import numpy as np
+
+        empty = pd.DataFrame({"id_a": pd.Series(dtype="int64"),
+                              "id_b": pd.Series(dtype="int64"),
+                              "cos_sim": pd.Series(dtype="float64")})
+        if len(left) == 0 or len(right) == 0:
+            return empty
+        same_block = left["bi"].iat[0] == left["bj"].iat[0]
+        ids_a = left["id"].to_numpy()
+        A = np.stack(left["v"].to_numpy()).astype(np.float64)
+        na = np.sqrt(np.cumsum(A * A, axis=1)[:, -1])
+        if same_block:
+            ids_b, B, nb = ids_a, A, na
+        else:
+            ids_b = right["id"].to_numpy()
+            B = np.stack(right["v"].to_numpy()).astype(np.float64)
+            nb = np.sqrt(np.cumsum(B * B, axis=1)[:, -1])
+        out_a, out_b, out_c = [], [], []
+        # chunk the m×n×d product tensor to bound task memory; cumsum on
+        # the last axis keeps the strict left-fold per pair
+        step = max(1, (32 << 20) // max(1, B.shape[0] * B.shape[1] * 8))
+        for s in range(0, len(ids_a), step):
+            chunk = A[s : s + step]
+            dots = np.cumsum(chunk[:, None, :] * B[None, :, :], axis=2)[:, :, -1]
+            cos = dots / (na[s : s + step, None] * nb[None, :])
+            keep = cos >= threshold
+            if same_block:
+                # identical row sets: emit each unordered pair once
+                keep &= ids_b[None, :] > ids_a[s : s + step, None]
+            ia, ib = np.nonzero(keep)
+            xa, xb = ids_a[s + ia], ids_b[ib]
+            lo, hi = np.minimum(xa, xb), np.maximum(xa, xb)
+            out_a.extend(lo.tolist())
+            out_b.extend(hi.tolist())
+            out_c.extend(cos[ia, ib].tolist())
+        return pd.DataFrame({"id_a": out_a, "id_b": out_b, "cos_sim": out_c})
+
+    return kernel
 
 
 def cosine_neardup_pairs(
@@ -106,47 +162,66 @@ def cosine_neardup_pairs(
 ) -> DataFrame:
     """All-pairs cosine near-duplicates (id_a < id_b, cos ≥ threshold).
 
-    Quadratic baseline, executed as broadcast-block matrix work: the
-    (bounded) vector set rides a broadcast variable, each task streams
-    its Arrow batch of rows against the in-memory matrix — O(n) data
-    movement instead of the O(n^2) pair materialization a self-join
-    would ship. Per-pair math is elementwise product + row-cumsum, so
-    values stay bit-identical to the oracle's left-assoc SQL sums.
-    At scale use :func:`lsh_neardup_pairs`.
+    Quadratic baseline, executed as a DISTRIBUTED block matrix: vectors
+    hash into n/BLOCK_ROWS blocks, the upper-triangular block-pair grid
+    fans out via an equi-join on block ids, and each cogroup task scores
+    one block pair with the chunked-cumsum kernel. No driver collect,
+    no broadcast of the corpus — memory per task is two blocks. Each
+    unordered pair lands in exactly one block-pair group, so no
+    distinct pass is needed. At scale use :func:`lsh_neardup_pairs`.
     """
-    import pandas as pd
-
     spark = df.sparkSession
-    bc = spark.sparkContext.broadcast(_collect_matrix(df, id_col, vec))
+    nblocks = _block_count(df, id_col)
+    if nblocks == 1:
+        bc = spark.sparkContext.broadcast(_single_block(df, id_col, vec))
 
-    def block(batches):
-        import numpy as np
+        def block(batches):
+            import numpy as np
 
-        ids, mat, norms = bc.value
-        for pdf in batches:
-            if len(pdf) == 0:
-                yield pd.DataFrame({"id_a": [], "id_b": [], "cos_sim": []})
-                continue
-            rids = pdf[id_col].to_numpy()
-            B = np.stack(pdf[vec].to_numpy()).astype(np.float64)
-            nb = np.sqrt(np.cumsum(B * B, axis=1)[:, -1])
-            out_a, out_b, out_c = [], [], []
-            # chunk the m×n×d product tensor to bound memory (~25 MB/chunk
-            # at n=2000, d=64); cumsum on the last axis preserves the
-            # strict left-fold per pair — still bit-identical to the oracle
-            step = max(1, (32 << 20) // max(1, mat.shape[0] * mat.shape[1] * 8))
-            for s in range(0, len(rids), step):
-                chunk = B[s : s + step]
-                dots = np.cumsum(chunk[:, None, :] * mat[None, :, :], axis=2)[:, :, -1]
-                cos = dots / (nb[s : s + step, None] * norms[None, :])
-                ia, ib = np.nonzero((ids[None, :] > rids[s : s + step, None]) & (cos >= threshold))
-                out_a.extend(rids[s + ia].tolist())
-                out_b.extend(ids[ib].tolist())
-                out_c.extend(cos[ia, ib].tolist())
-            yield pd.DataFrame({"id_a": out_a, "id_b": out_b, "cos_sim": out_c})
+            ids, mat, norms = bc.value
+            for pdf in batches:
+                if len(pdf) == 0:
+                    yield pd.DataFrame({"id_a": [], "id_b": [], "cos_sim": []})
+                    continue
+                rids = pdf[id_col].to_numpy()
+                B = np.stack(pdf[vec].to_numpy()).astype(np.float64)
+                nb = np.sqrt(np.cumsum(B * B, axis=1)[:, -1])
+                out_a, out_b, out_c = [], [], []
+                step = max(1, (32 << 20) // max(1, mat.shape[0] * mat.shape[1] * 8))
+                for s in range(0, len(rids), step):
+                    chunk = B[s : s + step]
+                    dots = np.cumsum(chunk[:, None, :] * mat[None, :, :], axis=2)[:, :, -1]
+                    cos = dots / (nb[s : s + step, None] * norms[None, :])
+                    ia, ib = np.nonzero(
+                        (ids[None, :] > rids[s : s + step, None]) & (cos >= threshold)
+                    )
+                    out_a.extend(rids[s + ia].tolist())
+                    out_b.extend(ids[ib].tolist())
+                    out_c.extend(cos[ia, ib].tolist())
+                yield pd.DataFrame({"id_a": out_a, "id_b": out_b, "cos_sim": out_c})
 
-    return df.select(id_col, vec).repartition(F.col(id_col)).mapInPandas(
-        block, schema="id_a long, id_b long, cos_sim double"
+        return df.select(id_col, vec).mapInPandas(
+            block, schema="id_a long, id_b long, cos_sim double"
+        )
+
+    grid_rows = [(i, j) for i in range(nblocks) for j in range(i, nblocks)]
+
+    def side(grid_col: str) -> DataFrame:
+        # built from scratch per side: fresh select/createDataFrame give
+        # fresh attribute ids, so the cogroup's two plans share nothing
+        # and the analyzer never sees an ambiguous self-join column
+        base = df.select(
+            F.col(id_col).alias("id"), F.col(vec).alias("v"),
+            F.pmod(F.xxhash64(F.col(id_col)), F.lit(nblocks)).cast("int").alias("b"),
+        )
+        grid = spark.createDataFrame(grid_rows, "bi int, bj int")
+        return base.join(F.broadcast(grid), base["b"] == grid[grid_col]).drop("b")
+
+    left, right = side("bi"), side("bj")
+    return (
+        left.groupby("bi", "bj")
+        .cogroup(right.groupby("bi", "bj"))
+        .applyInPandas(_pair_kernel(threshold), schema="id_a long, id_b long, cos_sim double")
     )
 
 
@@ -171,45 +246,93 @@ def cosine_topk(
     id_col: str = "vec_id",
     vec: str = "embedding",
 ) -> DataFrame:
-    """Exact top-k neighbors per query vector (brute force, broadcast-
-    block like :func:`cosine_neardup_pairs`): queries stream through
-    tasks, the base matrix rides a broadcast, ranking is (cos DESC,
-    id ASC) — identical tie-break to the oracle's ROW_NUMBER."""
-    import pandas as pd
-
+    """Exact top-k neighbors per query vector, as a distributed block
+    matrix: the corpus hashes into blocks, queries fan out to every
+    block (equi-join on block id), each cogroup task emits its block's
+    per-query top-k, and a final window merges the ≤ k·n_blocks partial
+    candidates per query. The global top-k is a subset of the per-block
+    top-ks, so the merge is exact; ranking is (cos DESC, id ASC) in
+    both stages — identical tie-break to the oracle's ROW_NUMBER. No
+    driver collect, no corpus broadcast, at any corpus size."""
     spark = df.sparkSession
-    bc = spark.sparkContext.broadcast(_collect_matrix(df, id_col, vec))
+    nblocks = _block_count(df, id_col)
+    if nblocks == 1:
+        bc = spark.sparkContext.broadcast(_single_block(df, id_col, vec))
 
-    def block(batches):
+        def block(batches):
+            import numpy as np
+
+            ids, mat, norms = bc.value
+            for pdf in batches:
+                rows = []
+                if len(pdf) == 0:
+                    yield pd.DataFrame(rows, columns=["q_id", "n_id", "cos_sim", "rk"])
+                    continue
+                qids = pdf[id_col].to_numpy()
+                Q = np.stack(pdf[vec].to_numpy()).astype(np.float64)
+                qn = np.sqrt(np.cumsum(Q * Q, axis=1)[:, -1])
+                step = max(1, (32 << 20) // max(1, mat.shape[0] * mat.shape[1] * 8))
+                for s in range(0, len(qids), step):
+                    chunk = Q[s : s + step]
+                    dots = np.cumsum(chunk[:, None, :] * mat[None, :, :], axis=2)[:, :, -1]
+                    cos = dots / (qn[s : s + step, None] * norms[None, :])
+                    for qi in range(chunk.shape[0]):
+                        qid = qids[s + qi]
+                        mask = ids != qid
+                        cids, ccos = ids[mask], cos[qi][mask]
+                        order = np.lexsort((cids, -ccos))[:k]
+                        for rk, j in enumerate(order, start=1):
+                            rows.append((qid, int(cids[j]), float(ccos[j]), rk))
+                yield pd.DataFrame(rows, columns=["q_id", "n_id", "cos_sim", "rk"])
+
+        return queries.select(id_col, vec).repartition(F.col(id_col)).mapInPandas(
+            block, schema="q_id long, n_id long, cos_sim double, rk int"
+        )
+
+    corpus = df.select(
+        F.col(id_col).alias("id"), F.col(vec).alias("v"),
+        F.pmod(F.xxhash64(F.col(id_col)), F.lit(nblocks)).cast("int").alias("b"),
+    )
+    blocks = spark.createDataFrame([(i,) for i in range(nblocks)], "b int")
+    qrep = queries.select(
+        F.col(id_col).alias("qid"), F.col(vec).alias("qv")
+    ).crossJoin(F.broadcast(blocks))
+
+    def kernel(qs: pd.DataFrame, cb: pd.DataFrame) -> pd.DataFrame:
+        # NESTED for by-value pickling; same chunked-cumsum left folds
         import numpy as np
 
-        ids, mat, norms = bc.value
-        for pdf in batches:
-            rows = []
-            if len(pdf) == 0:
-                yield pd.DataFrame(rows, columns=["q_id", "n_id", "cos_sim", "rk"])
-                continue
-            qids = pdf[id_col].to_numpy()
-            Q = np.stack(pdf[vec].to_numpy()).astype(np.float64)
-            qn = np.sqrt(np.cumsum(Q * Q, axis=1)[:, -1])
-            step = max(1, (32 << 20) // max(1, mat.shape[0] * mat.shape[1] * 8))
-            for s in range(0, len(qids), step):
-                # chunked m×n×d, left-fold cumsum on d (see neardup block)
-                chunk = Q[s : s + step]
-                dots = np.cumsum(chunk[:, None, :] * mat[None, :, :], axis=2)[:, :, -1]
-                cos = dots / (qn[s : s + step, None] * norms[None, :])
-                for qi in range(chunk.shape[0]):
-                    qid = qids[s + qi]
-                    mask = ids != qid
-                    cids, ccos = ids[mask], cos[qi][mask]
-                    order = np.lexsort((cids, -ccos))[:k]
-                    for rk, j in enumerate(order, start=1):
-                        rows.append((qid, int(cids[j]), float(ccos[j]), rk))
-            yield pd.DataFrame(rows, columns=["q_id", "n_id", "cos_sim", "rk"])
+        cols = ["q_id", "n_id", "cos_sim"]
+        if len(qs) == 0 or len(cb) == 0:
+            return pd.DataFrame({c: pd.Series(dtype=t) for c, t in
+                                 zip(cols, ["int64", "int64", "float64"])})
+        qids = qs["qid"].to_numpy()
+        Q = np.stack(qs["qv"].to_numpy()).astype(np.float64)
+        qn = np.sqrt(np.cumsum(Q * Q, axis=1)[:, -1])
+        ids = cb["id"].to_numpy()
+        mat = np.stack(cb["v"].to_numpy()).astype(np.float64)
+        norms = np.sqrt(np.cumsum(mat * mat, axis=1)[:, -1])
+        rows = []
+        step = max(1, (32 << 20) // max(1, mat.shape[0] * mat.shape[1] * 8))
+        for s in range(0, len(qids), step):
+            chunk = Q[s : s + step]
+            dots = np.cumsum(chunk[:, None, :] * mat[None, :, :], axis=2)[:, :, -1]
+            cos = dots / (qn[s : s + step, None] * norms[None, :])
+            for qi in range(chunk.shape[0]):
+                qid = qids[s + qi]
+                mask = ids != qid
+                cids, ccos = ids[mask], cos[qi][mask]
+                order = np.lexsort((cids, -ccos))[:k]
+                rows.extend((qid, int(cids[j]), float(ccos[j])) for j in order)
+        return pd.DataFrame(rows, columns=cols)
 
-    return queries.select(id_col, vec).repartition(F.col(id_col)).mapInPandas(
-        block, schema="q_id long, n_id long, cos_sim double, rk int"
+    partial = (
+        qrep.groupby("b")
+        .cogroup(corpus.groupby("b"))
+        .applyInPandas(kernel, schema="q_id long, n_id long, cos_sim double")
     )
+    w = Window.partitionBy("q_id").orderBy(F.desc("cos_sim"), F.asc("n_id"))
+    return partial.withColumn("rk", F.row_number().over(w)).where(F.col("rk") <= k)
 
 
 def cosine_topk_sql(

@@ -121,6 +121,65 @@ def quality_metrics_sql(table: str, id_col: str, text_col: str) -> str:
     """
 
 
+def quality_signals(df: DataFrame, id_col: str, text_col: str, k: int = 3) -> DataFrame:
+    """Combined per-doc quality gate: length/punct/stopword metrics plus
+    the k-gram repetition signal, in ONE projection pass (single scan,
+    no shuffle) — the shape a 100 TB curation filter wants."""
+    stop_hits = _marker_count("__toks", "en")
+    n_toks = F.size("__toks")
+    safe = lambda num: F.when(n_toks > 0, num.cast("double") / n_toks.cast("double"))  # noqa: E731
+    sh_total = F.size("__sh")
+    sh_uniq = F.size(F.array_distinct("__sh"))
+    repetition = F.when(
+        sh_total > 0, F.lit(1.0) - sh_uniq.cast("double") / sh_total.cast("double")
+    )
+    return (
+        df.select(F.col(id_col), F.col(text_col).alias("__t"), tokens(text_col).alias("__toks"))
+        .select(F.col(id_col), F.col("__t"), F.col("__toks"), shingles_expr("__toks", k).alias("__sh"))
+        .select(
+            F.col(id_col),
+            F.length("__t").alias("n_chars"),
+            n_toks.alias("n_tokens"),
+            (F.length("__t") - F.length(F.regexp_replace(F.col("__t"), PUNCT_RE, "")))
+            .alias("n_punct"),
+            stop_hits.alias("n_stopwords"),
+            safe(F.expr("aggregate(transform(__toks, x -> length(x)), 0, (a, v) -> a + v)"))
+            .alias("avg_token_len"),
+            safe(stop_hits).alias("stopword_ratio"),
+            sh_total.alias("n_grams"),
+            sh_uniq.alias("n_distinct"),
+            repetition.alias("repetition"),
+        )
+    )
+
+
+def quality_signals_sql(table: str, id_col: str, text_col: str, k: int = 3) -> str:
+    stop = _marker_count_sql("toks", "en")
+    return f"""
+    WITH t AS (
+        SELECT {id_col}, {text_col} AS txt, toks, {shingles_sql('toks', k)} AS s
+        FROM (SELECT {id_col}, {text_col}, {tokens_sql(text_col)} AS toks FROM {table})
+    )
+    SELECT {id_col},
+           length(txt) AS n_chars,
+           len(toks) AS n_tokens,
+           length(txt) - length(regexp_replace(txt, '{PUNCT_RE}', '', 'g')) AS n_punct,
+           {stop} AS n_stopwords,
+           CASE WHEN len(toks) > 0 THEN
+               CAST(list_reduce(list_prepend(0, list_transform(toks, x -> length(x))),
+                                (a, v) -> a + v) AS DOUBLE)
+                   / CAST(len(toks) AS DOUBLE) END AS avg_token_len,
+           CASE WHEN len(toks) > 0 THEN
+               CAST({stop} AS DOUBLE) / CAST(len(toks) AS DOUBLE) END AS stopword_ratio,
+           len(s) AS n_grams,
+           len(list_distinct(s)) AS n_distinct,
+           CASE WHEN len(s) > 0 THEN
+               1.0 - CAST(len(list_distinct(s)) AS DOUBLE) / CAST(len(s) AS DOUBLE)
+           END AS repetition
+    FROM t
+    """
+
+
 def token_counts(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     """Whitespace token count + BPE-ish piece count (regex segmentation)."""
     return df.select(

@@ -50,8 +50,11 @@ def test_no_cartesian_in_lsh_paths(spark, sf_dir):
 
 def test_snapshot_distinct_is_aggregated(spark, sf_dir):
     # H2 must dedup hashes via aggregate (partial-combinable), and the
-    # hash expression must be JVM-side (no Python eval in the plan)
-    plan = plan_of(spark, sf_dir, "h2_snapshot")
+    # hash expression must be JVM-side (no Python eval in the plan).
+    # H2 lives under h3_anti_join in the driver registry; the standalone
+    # query fn still pins its plan shape here.
+    df = suite.q_h2_snapshot(spark, sf_dir)
+    plan = df._jdf.queryExecution().executedPlan().toString()
     assert "HashAggregate" in plan
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
 

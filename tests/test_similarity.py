@@ -56,3 +56,21 @@ def test_ivf_topk_recall_vs_exact(spark, sf_dir):
     for r in ivf.collect():
         by_q.setdefault(r["q_id"], []).append(r["rk"])
     assert all(sorted(v) == list(range(1, len(v) + 1)) for v in by_q.values())
+
+
+def test_block_matrix_path_matches_fast_path(spark, sf_dir, monkeypatch):
+    """The distributed block-matrix path (corpus > BLOCK_ROWS) must be
+    bit-identical to the single-block broadcast fast path — same pairs,
+    same top-k, same doubles — since blocking must never change the
+    math (both use the same chunked-cumsum left-fold kernel)."""
+    emb = read_table(spark, sf_dir, "embeddings")
+    fast_pairs = sorted(map(tuple, similarity.cosine_neardup_pairs(emb, threshold=0.4).collect()))
+    fast_topk = sorted(map(tuple, similarity.cosine_topk(
+        emb, emb.where(F.col("vec_id") < 50)).collect()))
+    # force multi-block: 500 fixture vectors -> 4 blocks, 10 block pairs
+    monkeypatch.setattr(similarity, "BLOCK_ROWS", 128)
+    blk_pairs = sorted(map(tuple, similarity.cosine_neardup_pairs(emb, threshold=0.4).collect()))
+    blk_topk = sorted(map(tuple, similarity.cosine_topk(
+        emb, emb.where(F.col("vec_id") < 50)).collect()))
+    assert blk_pairs == fast_pairs and len(fast_pairs) > 0
+    assert blk_topk == fast_topk and len(fast_topk) > 0
