@@ -70,13 +70,30 @@ def main() -> None:
         timings[name] = round(run(name), 3)
 
     total = round(sum(timings.values()), 3)
-    print(json.dumps({
+    out = {
         "metric": "headline_suite_wall_sec",
         "value": total,
         "unit": "sec",
         "queries": timings,
         "sf": sf,
-    }))
+    }
+
+    # scaling curve: the same suite at a second (smaller) scale factor,
+    # so per-round records show how each query scales with data size
+    # rather than a single point. Disable with SPARK_GRAFT_BENCH_SF2=.
+    sf2_dir = os.environ.get("SPARK_GRAFT_BENCH_SF2", "/root/testdata/sf0.01")
+    if sf2_dir and Path(sf2_dir).is_dir() and sf2_dir != sf_dir:
+        m2 = re.search(r"sf([0-9.]+)", sf2_dir)
+        t2: dict[str, float] = {}
+        for name in BENCH_QUERIES:
+            t0 = time.perf_counter()
+            suite.QUERIES[name](spark, sf2_dir).write.format("noop").mode("overwrite").save()
+            t2[name] = round(time.perf_counter() - t0, 3)
+        out["sf_secondary"] = float(m2.group(1)) if m2 else -1.0
+        out["queries_secondary"] = t2
+        out["value_secondary"] = round(sum(t2.values()), 3)
+
+    print(json.dumps(out))
 
 
 if __name__ == "__main__":

@@ -37,6 +37,20 @@ from etl_pack_spark.operators.tokenize import (
 
 HEX = "0123456789abcdef"
 
+# Persisted intermediates (signatures/candidates) from the PREVIOUS
+# operator invocation, unpersisted at the start of the next one. The
+# returned DataFrames are lazy, so this call's caches must outlive the
+# call; rotation-at-next-entry is the narrowest lifecycle that stays
+# correct while keeping repeated invocations (bench loops, notebooks)
+# from accumulating cached RDDs for the whole session.
+_LIVE_CACHES: list[DataFrame] = []
+
+
+def _rotate_caches(*dfs: DataFrame) -> None:
+    while _LIVE_CACHES:
+        _LIVE_CACHES.pop().unpersist(False)
+    _LIVE_CACHES.extend(dfs)
+
 
 # ---------------------------------------------------------------------------
 # MinHash + LSH
@@ -169,6 +183,7 @@ def minhash_lsh_dedup_pairs(
     # corpus size; cand is smaller still.
     sig = minhash_signature(rows, id_col, num_hashes).persist()
     cand = lsh_candidate_pairs(sig, id_col, num_hashes, bands).persist()
+    _rotate_caches(sig, cand)
     cand_ids = (
         cand.select(F.col("id_a").alias(id_col))
         .union(cand.select(F.col("id_b").alias(id_col)))
@@ -243,12 +258,30 @@ def minhash_lsh_dedup_pairs_sql(
 # Exact n-gram Jaccard (the brute-force baseline LSH approximates)
 # ---------------------------------------------------------------------------
 
+# ngram_jaccard_pairs is the O(n²) exactness baseline; above this many
+# docs the self-join is a scale-killer and the guard forces callers to
+# the LSH path instead (mirrors the bounded-path gates elsewhere).
+MAX_BRUTE_FORCE_DOCS = 10_000
+
+
 def ngram_jaccard_pairs(
-    df: DataFrame, id_col: str, text_col: str, k: int = 3, threshold: float = 0.8
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    k: int = 3,
+    threshold: float = 0.8,
+    max_docs: int = MAX_BRUTE_FORCE_DOCS,
 ) -> DataFrame:
     """All-pairs exact Jaccard — O(n^2), the correctness baseline for
     LSH. At scale you never run this on a full corpus; in the suite it
-    runs on a sample."""
+    runs on a sample, and the ``max_docs`` guard refuses anything
+    larger (use :func:`minhash_lsh_dedup_pairs` there)."""
+    # limit(max+1) bounds the check to one cheap job, no full count
+    if len(df.select(id_col).limit(max_docs + 1).take(max_docs + 1)) > max_docs:
+        raise ValueError(
+            f"ngram_jaccard_pairs is an O(n^2) all-pairs baseline capped at "
+            f"{max_docs} docs; use minhash_lsh_dedup_pairs for corpora this size"
+        )
     sh = shingled(df, id_col, text_col, k)
     a = sh.select(F.col(id_col).alias("id_a"), F.col("shingles").alias("sh_a"))
     b = sh.select(F.col(id_col).alias("id_b"), F.col("shingles").alias("sh_b"))
@@ -370,6 +403,7 @@ def simhash_neardup_pairs(
     no all-pairs."""
     width = 16 // chunks
     sig = simhash_signature(df, id_col, text_col).persist()
+    _rotate_caches(sig)
     blocks = sig.select(
         F.col(id_col),
         F.posexplode(

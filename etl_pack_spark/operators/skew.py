@@ -49,7 +49,18 @@ def salted_join(
 ) -> DataFrame:
     """Join a skewed large side against a compact side with the salt
     trick: join keys become (key..., salt), spreading each hot key over
-    ``buckets`` shuffle partitions."""
+    ``buckets`` shuffle partitions.
+
+    Only inner/left/semi/anti semantics are valid: the compact side is
+    replicated ``buckets`` times, so any join that emits *unmatched
+    compact-side rows* (right/full outer) would emit them ``buckets``
+    times each."""
+    if how.replace("_outer", "") in {"right", "full", "fullouter", "outer"}:
+        raise ValueError(
+            f"salted_join does not support how={how!r}: the compact side is "
+            f"replicated per salt bucket, so unmatched compact rows would be "
+            f"duplicated {buckets}x; use inner/left (or AQE skew handling)"
+        )
     entropy = entropy_col or on[0]
     if entropy in on:
         # salting must NOT derive from the join key (every row of a hot

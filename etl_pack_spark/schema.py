@@ -106,9 +106,15 @@ def to_universal_datetime(col: Column, strict: bool = False) -> Column:
     Spark casts, which composes with :func:`quarantine_invalid`.
     """
     if strict:
-        # ANSI to_timestamp raises on unparseable input — exactly the
-        # reference's abort-the-batch behavior.
-        return F.to_timestamp(col, SOURCE_DATETIME_FMT)
+        # try_to_timestamp + explicit raise_error: aborts the batch on
+        # any unparseable non-null input REGARDLESS of the session's
+        # spark.sql.ansi.enabled (a bare ANSI to_timestamp silently
+        # yields NULLs on an ANSI-off caller session).
+        parsed = F.try_to_timestamp(col, F.lit(SOURCE_DATETIME_FMT))
+        return F.when(
+            col.isNotNull() & parsed.isNull(),
+            F.raise_error(F.concat(F.lit("invalid datetime for strict parse: "), col)),
+        ).otherwise(parsed)
     return F.try_to_timestamp(col, F.lit(SOURCE_DATETIME_FMT))
 
 

@@ -43,6 +43,16 @@ class ReadSpec:
     limit: int | None = None
 
 
+def sql_bound(expression: str) -> F.Column:
+    """Mark a window bound as a SQL *expression* rather than a literal —
+    the reference passes bound expressions like ``today()`` straight
+    into its generated SQL (clickhouse/reader/main_test.go:46-49).
+    Usage: ``ReadSpec(window=("d", sql_bound("current_date()"), ...))``.
+    Any ``pyspark.sql.Column`` works as a bound; this helper just makes
+    the raw-SQL form explicit."""
+    return F.expr(expression)
+
+
 def _order_cols(order: list[str]) -> list:
     cols = []
     for o in order:
@@ -97,8 +107,10 @@ def _ship_package(spark: SparkSession) -> None:
     import tempfile
 
     repo_root = os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+    # per-process unique dir: two drivers on one host must never race on
+    # a shared archive path (addPyFile of a half-rewritten zip)
     archive = shutil.make_archive(
-        os.path.join(tempfile.gettempdir(), "etl_pack_spark_pkg"),
+        os.path.join(tempfile.mkdtemp(prefix="etl_pack_spark_pkg_"), "etl_pack_spark_pkg"),
         "zip",
         root_dir=repo_root,
         base_dir="etl_pack_spark",
@@ -152,7 +164,12 @@ def windowed_read(
     out = df if df is not None else read_table(spark, sf_dir, spec.table)
     if spec.window is not None:
         c, lo, hi = spec.window
-        out = out.where(F.col(c).between(F.lit(lo), F.lit(hi)))
+        # Column bounds (see sql_bound) pass through as expressions;
+        # plain values stay literals. Literal bounds reach the scan as
+        # pushed filters; deterministic expressions constant-fold there.
+        lo_c = lo if isinstance(lo, F.Column) else F.lit(lo)
+        hi_c = hi if isinstance(hi, F.Column) else F.lit(hi)
+        out = out.where(F.col(c).between(lo_c, hi_c))
     if spec.fields:
         out = out.select(*spec.fields)
     if spec.order:

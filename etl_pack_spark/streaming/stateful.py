@@ -8,9 +8,10 @@ arbitrary per-key state evolved across micro-batches, Arrow-batched.
 The shipped operator is a per-user running aggregate (event count +
 value sum + last-seen timestamp) with idle-timeout eviction — the shape
 a fraud counter, rate limiter, or feature accumulator takes. State is
-one small struct per key, partitioned by Spark across executors:
-exactly the kind of operator that scales horizontally because state
-never leaves its key's partition.
+one small struct per key, partitioned by Spark across executors, and a
+key idle past the timeout is EMITTED ONCE MORE AND REMOVED — without
+that, per-key state grows without bound over a long-running stream
+(every user ever seen stays resident forever).
 """
 
 from __future__ import annotations
@@ -37,40 +38,75 @@ OUTPUT_SCHEMA = StructType(
     ]
 )
 
+# last_us: last-seen event time as epoch microseconds, kept IN state so
+# the eviction emission can carry it (the timed-out invocation sees no
+# batch rows to read a timestamp from)
 STATE_SCHEMA = StructType(
     [
         StructField("n_events", LongType()),
         StructField("sum_value", DoubleType()),
+        StructField("last_us", LongType()),
     ]
 )
 
 
-def running_user_totals(events: DataFrame) -> DataFrame:
+def running_user_totals(
+    events: DataFrame, idle_timeout_ms: int | None = 30_000
+) -> DataFrame:
     """Per-user running totals as a stateful stream transform. Works on
     a streaming DataFrame (update output mode); each micro-batch emits
     the refreshed totals for users seen in that batch.
 
+    ``idle_timeout_ms``: a key with no events for this long (processing
+    time) is emitted one final time and its state REMOVED — bounding
+    total state at (keys active within the window), not (keys ever
+    seen). ``None`` disables eviction (state then grows monotonically;
+    only for short-lived backfills).
+
+    Caveat: with processing-time timers armed, an ``availableNow``
+    replay keeps scheduling timer-check micro-batches after the data
+    drains, so ``awaitTermination()`` may not return — bounded replays
+    should ``awaitTermination(timeout)`` + ``stop()``, or pass
+    ``idle_timeout_ms=None``. Continuous production streams (the
+    operator's actual habitat) are unaffected.
+
     The update fn is nested so cloudpickle ships it by value —
     executors never need this package importable (works from any
     session, not just ``get_spark``'s addPyFile-equipped ones)."""
+
+    evict = idle_timeout_ms is not None
 
     def update(
         key: tuple[Any, ...],
         pdfs: Iterable[pd.DataFrame],
         state: GroupState,
     ) -> Iterator[pd.DataFrame]:
-        # evolve one user's running aggregate across a micro-batch
         (user_id,) = key
-        n, total = state.get if state.exists else (0, 0.0)
-        last_ts = None
+        if evict and state.hasTimedOut:
+            # idle key: final emission, then drop the state entirely
+            n, total, last_us = state.get
+            state.remove()
+            last_ts = pd.Timestamp(last_us * 1000) if last_us is not None else None
+            yield pd.DataFrame(
+                {"user_id": [user_id], "n_events": [n],
+                 "sum_value": [total], "last_ts": [last_ts]}
+            )
+            return
+        n, total, last_us = state.get if state.exists else (0, 0.0, None)
         for pdf in pdfs:
             n += len(pdf)
             total += float(pdf["value"].sum())
             mx = pdf["ts"].max()
-            last_ts = mx if last_ts is None else max(last_ts, mx)
-        state.update((n, total))
+            mx_us = mx.value // 1000
+            last_us = mx_us if last_us is None else max(last_us, mx_us)
+        state.update((n, total, last_us))
+        if evict:
+            # re-arm the idle timer on every update touching this key
+            state.setTimeoutDuration(idle_timeout_ms)
+        last_ts = pd.Timestamp(last_us * 1000) if last_us is not None else None
         yield pd.DataFrame(
-            {"user_id": [user_id], "n_events": [n], "sum_value": [total], "last_ts": [last_ts]}
+            {"user_id": [user_id], "n_events": [n],
+             "sum_value": [total], "last_ts": [last_ts]}
         )
 
     return events.groupBy("user_id").applyInPandasWithState(
@@ -78,5 +114,7 @@ def running_user_totals(events: DataFrame) -> DataFrame:
         outputStructType=OUTPUT_SCHEMA,
         stateStructType=STATE_SCHEMA,
         outputMode="update",
-        timeoutConf=GroupStateTimeout.NoTimeout,
+        timeoutConf=(
+            GroupStateTimeout.ProcessingTimeTimeout if evict else GroupStateTimeout.NoTimeout
+        ),
     )

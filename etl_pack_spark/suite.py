@@ -188,7 +188,10 @@ def q_s4_sink_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         window=("o_orderdate", WIN_LO, WIN_HI),
     )
     df = windowed_read(spark, sf_dir, spec)
-    path = f"{tempfile.gettempdir()}/etl_pack_spark_sink_roundtrip"
+    # run-unique path: concurrent drivers/CI jobs on one host must not
+    # clobber each other's overwrite-then-read roundtrip
+    app_id = spark.sparkContext.applicationId
+    path = f"{tempfile.gettempdir()}/etl_pack_spark_sink_roundtrip_{app_id}"
     append_table(df, path, mode="overwrite")
     return spark.read.parquet(path)
 

@@ -71,7 +71,9 @@ def test_stateful_running_totals(spark, sf_dir, tmp_path):
     src = f"{sf_dir}/events.parquet"
     stream = _events_stream(spark, src)
     q = (
-        running_user_totals(stream)
+        # no eviction: bounded replay should drain and terminate (the
+        # timer path is covered by test_stateful_idle_timeout_evicts_state)
+        running_user_totals(stream, idle_timeout_ms=None)
         .writeStream.outputMode("update")
         .trigger(availableNow=True)
         .option("checkpointLocation", str(tmp_path / "ckpt"))

@@ -67,3 +67,15 @@ def test_simhash_similar_docs_close(spark):
         )
 
     assert hamming(by_id[1], by_id[2]) < hamming(by_id[1], by_id[3])
+
+
+def test_ngram_jaccard_guard_fires(spark):
+    """The O(n²) baseline must refuse corpora above its cap and point
+    at the LSH path."""
+    import pytest
+
+    from etl_pack_spark.operators import neardup
+
+    docs = spark.range(50).selectExpr("id AS doc_id", "CAST(id AS STRING) AS text")
+    with pytest.raises(ValueError, match="minhash_lsh_dedup_pairs"):
+        neardup.ngram_jaccard_pairs(docs, "doc_id", "text", max_docs=10)

@@ -33,3 +33,13 @@ def test_salted_join_random_salt_path(spark, sf_dir):
     customer = read_table(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
     out = salted_join(orders, customer, on=["c_custkey"], buckets=4, entropy_col="c_custkey")
     assert out.count() == orders.join(customer, "c_custkey").count()
+
+
+def test_salted_join_rejects_outer_how():
+    import pytest
+
+    from etl_pack_spark.operators.skew import salted_join
+
+    for how in ("right", "full", "right_outer", "full_outer", "outer"):
+        with pytest.raises(ValueError, match="salted_join does not support"):
+            salted_join(None, None, on=["k"], how=how)

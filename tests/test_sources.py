@@ -114,3 +114,49 @@ def test_quarantine_invalid_datetime(spark):
     valid, quarantined = quarantine_invalid(df, "dt")
     assert [r["id"] for r in valid.collect()] == [1]
     assert [r["id"] for r in quarantined.collect()] == [2]
+
+
+def test_strict_datetime_aborts_regardless_of_ansi(spark):
+    """strict=True must abort on invalid input even on an ANSI-OFF
+    caller session (the reference's abort-the-batch semantics,
+    mysql/types/types.go:21-23) — the abort is an explicit raise_error,
+    not a reliance on spark.sql.ansi.enabled."""
+    from pyspark.errors.exceptions.captured import SparkRuntimeException
+
+    from etl_pack_spark.schema import to_universal_datetime
+
+    df = spark.createDataFrame([(1, "2022-06-19 19:54:01"), (2, "nope")], "id int, dt string")
+    prev = spark.conf.get("spark.sql.ansi.enabled")
+    spark.conf.set("spark.sql.ansi.enabled", "false")
+    try:
+        strict = df.select(to_universal_datetime(F.col("dt"), strict=True).alias("ts"))
+        with pytest.raises(Exception, match="invalid datetime"):
+            strict.collect()
+        # valid-only input still parses under strict
+        ok = df.where("id = 1").select(
+            to_universal_datetime(F.col("dt"), strict=True).alias("ts")
+        )
+        assert ok.first()["ts"] == datetime.datetime(2022, 6, 19, 19, 54, 1)
+    finally:
+        spark.conf.set("spark.sql.ansi.enabled", prev)
+
+
+def test_window_expression_bounds(spark, sf_dir):
+    """Bounds may be SQL expressions (reference passes today() raw into
+    generated SQL, clickhouse/reader/main_test.go:46-49)."""
+    from etl_pack_spark.sources.reader import sql_bound
+
+    spec = ReadSpec(
+        table="lineitem",
+        fields=["l_orderkey", "l_shipdate"],
+        window=("l_shipdate",
+                sql_bound("TIMESTAMP'1996-01-01' + INTERVAL 0 DAYS"),
+                sql_bound("TIMESTAMP'1996-01-01' + INTERVAL 365 DAYS")),
+    )
+    got = windowed_read(spark, sf_dir, spec)
+    want = windowed_read(spark, sf_dir, ReadSpec(
+        table="lineitem", fields=["l_orderkey", "l_shipdate"],
+        window=("l_shipdate", datetime.datetime(1996, 1, 1),
+                datetime.datetime(1996, 1, 1) + datetime.timedelta(days=365)),
+    ))
+    assert got.count() == want.count() > 0
