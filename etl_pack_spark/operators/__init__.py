@@ -41,3 +41,13 @@ from etl_pack_spark.operators.multimodal import (  # noqa: F401
 )
 from etl_pack_spark.operators.quality import expect, profile  # noqa: F401
 from etl_pack_spark.operators.skew import salted_join  # noqa: F401
+from etl_pack_spark.operators.components import (  # noqa: F401
+    cluster_dedup,
+    connected_components,
+    neardup_clusters,
+)
+from etl_pack_spark.operators.contamination import (  # noqa: F401
+    contamination_report,
+    decontaminate,
+)
+from etl_pack_spark.operators.packing import pack_sequences, pack_stats  # noqa: F401

@@ -1,0 +1,145 @@
+"""Connected components over near-duplicate pair graphs, and
+cluster-based dedup survivor selection.
+
+The near-dup operators (:mod:`etl_pack_spark.operators.neardup`,
+:mod:`~.similarity`) emit PAIRS (id_a, id_b). A curation pipeline needs
+CLUSTERS: duplicate groups under transitive closure (a~b, b~c ⇒
+{a,b,c}), one survivor kept per group. (The reference has no graph op
+at all — its only dedup is whole-row hashing, etl.go:59-68; this is
+part of the SURVEY §7.3 extension family.)
+
+Scale design — iterative min-label propagation ("hash-to-min"):
+  * State per iteration is one (node, label) row per node — never an
+    adjacency list or a per-component row set, so no aggregation buffer
+    scales with component size.
+  * Each iteration is ONE groupBy-min over the label frame joined
+    through the (static, persisted) bidirectional edge list: labels
+    flow along edges; a node keeps min(own, neighbors'). Converges in
+    O(graph diameter) iterations; near-dup graphs are dense clumps with
+    tiny diameters, so 3-5 iterations is typical regardless of corpus
+    size.
+  * Convergence is checked with a count of CHANGED labels per
+    iteration (a cheap aggregate over the already-shuffled frame), and
+    each iteration's result is persisted + localCheckpointed so the
+    lineage stays O(1) deep instead of O(iterations) — the classic
+    iterative-algorithm failure on Spark is an exponentially growing
+    plan, not the data.
+
+Determinism: labels are node ids and every step is a min — the final
+labeling is the min node id per component, independent of execution
+order, partitioning, and iteration count at convergence. The DuckDB
+oracle twin (``connected_components_sql``) computes the same min-id
+label by recursive reachability, so results hash-match cross-engine.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def connected_components(
+    edges: DataFrame,
+    src: str = "id_a",
+    dst: str = "id_b",
+    max_iter: int = 25,
+) -> DataFrame:
+    """Label every node reachable through ``edges`` with the MIN node id
+    of its component. Returns ``(id, cluster_id)`` — one row per
+    distinct node appearing in the edge list.
+
+    ``max_iter`` bounds the loop (diameter of the graph); hitting it
+    raises rather than silently returning a partial labeling.
+    """
+    # bidirectional edge list, persisted once — every iteration reuses it
+    fwd = edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
+    rev = edges.select(F.col(dst).alias("u"), F.col(src).alias("v"))
+    bi = fwd.union(rev).distinct().persist()
+    try:
+        labels = bi.select(F.col("u").alias("id")).distinct().select(
+            "id", F.col("id").alias("cluster_id")
+        )
+        labels = labels.persist()
+        labels.count()  # materialize before entering the loop
+        for _ in range(max_iter):
+            # neighbor labels flow one hop: node u sees label(v) for each
+            # edge (u,v); new label = min(own, incoming). Equi-join +
+            # groupBy-min — both map-side combinable, one shuffle each.
+            incoming = (
+                bi.join(labels.withColumnRenamed("id", "v"), "v")
+                .groupBy("u")
+                .agg(F.min("cluster_id").alias("nbr_min"))
+                .withColumnRenamed("u", "id")
+            )
+            updated = (
+                labels.join(incoming, "id", "left")
+                .select(
+                    "id",
+                    F.least(
+                        F.col("cluster_id"), F.coalesce("nbr_min", F.col("cluster_id"))
+                    ).alias("cluster_id"),
+                    (F.col("nbr_min") < F.col("cluster_id")).alias("__chg"),
+                )
+            )
+            # localCheckpoint truncates lineage so the plan stays O(1)
+            # deep across iterations (eager=False: materialized by the
+            # changed-count below, one pass)
+            updated = updated.localCheckpoint(eager=False).persist()
+            changed = updated.where(F.col("__chg")).count()
+            labels.unpersist(False)
+            labels = updated.drop("__chg")
+            if changed == 0:
+                return labels
+        raise RuntimeError(
+            f"connected_components did not converge in {max_iter} iterations "
+            f"(graph diameter exceeds max_iter; raise max_iter)"
+        )
+    finally:
+        bi.unpersist(False)
+
+
+def connected_components_sql(edges_sql: str, src: str = "id_a", dst: str = "id_b") -> str:
+    """DuckDB oracle twin: min reachable node id per node via a
+    recursive CTE (UNION dedups rows, so the recursion terminates on
+    cyclic graphs)."""
+    return f"""
+    WITH RECURSIVE bi AS (
+        SELECT {src} AS u, {dst} AS v FROM ({edges_sql})
+        UNION
+        SELECT {dst} AS u, {src} AS v FROM ({edges_sql})
+    ),
+    reach AS (
+        SELECT u AS id, u AS r FROM bi
+        UNION
+        SELECT bi.u AS id, reach.r
+        FROM bi JOIN reach ON bi.v = reach.id
+    )
+    SELECT id, min(r) AS cluster_id FROM reach GROUP BY id
+    """
+
+
+def neardup_clusters(
+    pairs: DataFrame, id_col: str = "doc_id"
+) -> DataFrame:
+    """Near-dup pairs → duplicate clusters: ``(id_col, cluster_id)``
+    for every doc appearing in at least one pair, cluster_id = min doc
+    id in the transitive-closure group."""
+    out = connected_components(pairs, "id_a", "id_b")
+    return out.select(F.col("id").alias(id_col), "cluster_id")
+
+
+def cluster_dedup(
+    df: DataFrame,
+    pairs: DataFrame,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Keep ONE survivor per near-dup cluster (the min-id doc), pass
+    through every doc not in any pair.
+
+    The clusters frame is tiny relative to the corpus (only docs that
+    near-dup something), so the anti-join's build side broadcasts; the
+    corpus itself is never shuffled.
+    """
+    clusters = neardup_clusters(pairs, id_col)
+    losers = clusters.where(F.col(id_col) != F.col("cluster_id")).select(id_col)
+    return df.join(F.broadcast(losers), id_col, "left_anti")

@@ -1,0 +1,84 @@
+"""Connected components + cluster dedup — including a DuckDB
+recursive-CTE oracle check over the real minhash pair output (the same
+rigor as the driver's gate, run in-process because the driver's query
+registry is capped)."""
+
+from __future__ import annotations
+
+import duckdb
+import pytest
+from pyspark.sql import functions as F
+
+from etl_pack_spark.operators.components import (
+    cluster_dedup,
+    connected_components,
+    connected_components_sql,
+    neardup_clusters,
+)
+from etl_pack_spark.operators.neardup import minhash_lsh_dedup_pairs
+from etl_pack_spark.sources.reader import read_table
+
+
+def _edges(spark, rows):
+    return spark.createDataFrame(rows, "id_a long, id_b long")
+
+
+def test_two_components(spark):
+    # {1,2,3} chained, {10,11}, and a cycle {20,21,22}
+    edges = _edges(spark, [(1, 2), (2, 3), (10, 11), (20, 21), (21, 22), (22, 20)])
+    got = {(r["id"], r["cluster_id"]) for r in connected_components(edges).collect()}
+    assert got == {
+        (1, 1), (2, 1), (3, 1),
+        (10, 10), (11, 10),
+        (20, 20), (21, 20), (22, 20),
+    }
+
+
+def test_long_chain_converges(spark):
+    # path graph 0-1-2-...-12: worst-case diameter for label propagation
+    edges = _edges(spark, [(i, i + 1) for i in range(12)])
+    out = connected_components(edges)
+    assert {r["cluster_id"] for r in out.collect()} == {0}
+    assert out.count() == 13
+
+
+def test_max_iter_raises(spark):
+    edges = _edges(spark, [(i, i + 1) for i in range(8)])
+    with pytest.raises(RuntimeError, match="did not converge"):
+        connected_components(edges, max_iter=1)
+
+
+def test_oracle_parity_on_real_pairs(spark, sf_dir):
+    """Spark labeling == DuckDB recursive-CTE labeling over the actual
+    minhash near-dup pairs of the documents fixture."""
+    docs = read_table(spark, sf_dir, "documents")
+    pairs = minhash_lsh_dedup_pairs(docs, "doc_id", "text")
+    got = sorted(
+        (r["doc_id"], r["cluster_id"])
+        for r in neardup_clusters(pairs, "doc_id").collect()
+    )
+
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * "
+        f"FROM read_parquet('{sf_dir}/documents.parquet')"
+    )
+    pairs_pdf = pairs.select("id_a", "id_b").toPandas()
+    con.register("pairs_tbl", pairs_pdf)
+    want = sorted(
+        map(tuple, con.execute(
+            connected_components_sql("SELECT id_a, id_b FROM pairs_tbl")
+        ).fetchall())
+    )
+    assert got == want
+    assert len(got) > 0
+
+
+def test_cluster_dedup_keeps_one_per_cluster(spark):
+    docs = spark.range(10).select(
+        F.col("id").alias("doc_id"), F.concat(F.lit("d"), F.col("id")).alias("text")
+    )
+    pairs = _edges(spark, [(1, 2), (2, 3), (7, 8)])
+    kept = sorted(r["doc_id"] for r in cluster_dedup(docs, pairs, "doc_id").collect())
+    # clusters {1,2,3}→1 and {7,8}→7 survive once; 0,4,5,6,9 untouched
+    assert kept == [0, 1, 4, 5, 6, 7, 9]

@@ -1,0 +1,77 @@
+"""Train/eval contamination detection — synthetic leaks plus a DuckDB
+oracle parity check on the documents fixture."""
+
+from __future__ import annotations
+
+import duckdb
+from pyspark.sql import functions as F
+
+from etl_pack_spark.operators.contamination import (
+    contamination_report,
+    contamination_report_sql,
+    decontaminate,
+)
+from etl_pack_spark.sources.reader import read_table
+
+
+def _df(spark, rows, schema="doc_id long, text string"):
+    return spark.createDataFrame(rows, schema)
+
+
+LEAK = "the quick brown fox jumps over the lazy dog today"
+
+
+def test_detects_planted_leak(spark):
+    train = _df(spark, [
+        (1, f"intro text {LEAK} and more filler words here"),
+        (2, "completely unrelated content about spark partitions and shuffles"),
+        (3, f"{LEAK} {LEAK}"),  # repeated leak still counts distinct grams
+    ])
+    evald = _df(spark, [(100, f"benchmark question: {LEAK}")])
+    rep = {r["doc_id"]: r["hits"] for r in
+           contamination_report(train, evald, n=8).collect()}
+    assert 1 in rep and 3 in rep and 2 not in rep
+    # doc 3 repeats the leak: distinct-gram hits, so <= doc 1's span count
+    assert rep[3] <= rep[1] + 3
+
+
+def test_decontaminate_drops_flagged(spark):
+    train = _df(spark, [
+        (1, f"padding {LEAK} padding"),
+        (2, "clean document with its own original phrasing throughout"),
+    ])
+    evald = _df(spark, [(100, LEAK)])
+    kept = [r["doc_id"] for r in decontaminate(train, evald, n=8).collect()]
+    assert kept == [2]
+
+
+def test_short_docs_no_grams(spark):
+    train = _df(spark, [(1, "too short"), (2, "")])
+    evald = _df(spark, [(100, "also short")])
+    assert contamination_report(train, evald, n=8).count() == 0
+
+
+def test_oracle_parity_on_fixture(spark, sf_dir):
+    """Self-contamination of the documents fixture against its own
+    first 20 docs — guaranteed hits (every doc overlaps itself), checked
+    row-for-row against the DuckDB twin."""
+    docs = read_table(spark, sf_dir, "documents")
+    evald = docs.where(F.col("doc_id") < 20).select("doc_id", "text")
+    got = sorted(
+        (r["doc_id"], r["hits"])
+        for r in contamination_report(docs, evald, n=8).collect()
+    )
+
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * "
+        f"FROM read_parquet('{sf_dir}/documents.parquet')"
+    )
+    con.execute(
+        "CREATE VIEW ev AS SELECT doc_id, text FROM documents WHERE doc_id < 20"
+    )
+    want = sorted(map(tuple, con.execute(
+        contamination_report_sql("documents", "ev", n=8)
+    ).fetchall()))
+    assert got == want
+    assert len(got) >= 20  # at minimum the eval docs themselves

@@ -1,0 +1,75 @@
+"""Sequence packing invariants: complete assignment, budget respected,
+oversize isolation, determinism under repartitioning, and useful fill."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from etl_pack_spark.operators.packing import pack_sequences, pack_stats
+from etl_pack_spark.operators.textops import token_counts
+from etl_pack_spark.sources.reader import read_table
+
+
+@pytest.fixture(scope="module")
+def counted(spark, sf_dir):
+    docs = read_table(spark, sf_dir, "documents")
+    return (
+        token_counts(docs, "doc_id", "text")
+        .select("doc_id", F.col("n_pieces").alias("n_tokens"))
+        .persist()
+    )
+
+
+def test_every_doc_packed_once(spark, counted):
+    packed = pack_sequences(counted, budget=512, shards=8)
+    assert packed.count() == counted.count()
+    assert packed.select("doc_id").distinct().count() == counted.count()
+
+
+def test_budget_respected(spark, counted):
+    packed = pack_sequences(counted, budget=512, shards=8)
+    over = (
+        packed.where(~F.col("oversize"))
+        .groupBy("pack_id").agg(F.sum("n_tokens").alias("fill"))
+        .where(F.col("fill") > 512)
+    )
+    assert over.count() == 0
+
+
+def test_oversize_isolated(spark):
+    rows = [(1, 10), (2, 5000), (3, 20), (4, 5000)]
+    df = spark.createDataFrame(rows, "doc_id long, n_tokens long")
+    packed = pack_sequences(df, budget=100, shards=2)
+    got = {r["doc_id"]: (r["pack_id"], r["oversize"]) for r in packed.collect()}
+    assert got[2][1] and got[4][1]
+    # oversize docs never share a pack with anything
+    from collections import Counter
+    pack_sizes = Counter(p for p, _ in got.values())
+    assert pack_sizes[got[2][0]] == 1 and pack_sizes[got[4][0]] == 1
+    assert not got[1][1] and not got[3][1]
+
+
+def test_deterministic_under_repartition(spark, counted):
+    a = pack_sequences(counted, budget=512, shards=8).orderBy("doc_id").collect()
+    b = pack_sequences(counted.repartition(13), budget=512, shards=8).orderBy("doc_id").collect()
+    assert a == b
+
+
+def test_fill_beats_one_doc_per_pack(spark, counted):
+    """Packing must actually pack: strictly fewer packs than docs, and
+    mean fill well above the unpacked baseline."""
+    budget = 512
+    packed = pack_sequences(counted, budget=budget, shards=8)
+    stats = pack_stats(packed, budget=budget).first()
+    assert stats["n_docs"] == counted.count()
+    assert stats["n_packs"] < stats["n_docs"]
+    baseline = counted.agg(
+        F.avg(F.least(F.col("n_tokens"), F.lit(budget)) / F.lit(float(budget)))
+    ).first()[0]
+    assert stats["mean_fill"] > baseline
+
+
+def test_bad_budget_raises(spark, counted):
+    with pytest.raises(ValueError, match="budget"):
+        pack_sequences(counted, budget=0)
