@@ -19,6 +19,7 @@ from etl_pack_spark.operators.similarity import (  # noqa: F401
 )
 from etl_pack_spark.operators.sampling import (  # noqa: F401
     hash_unit,
+    mixture_resample,
     split_assign,
     stratified_sample,
 )

@@ -111,3 +111,100 @@ def split_assign_sql(
         whens.append(f"WHEN {h} < {cum} THEN '{name}'")
     case = "CASE " + " ".join(whens) + f" ELSE '{splits[-1][0]}' END"
     return f"SELECT {select}, {case} AS split FROM {table}"
+
+
+def mixture_resample(
+    df: DataFrame,
+    key_col: str,
+    domain_col: str,
+    weights: dict[str, float],
+    target_total: int | None = None,
+    seed: str = "mix",
+) -> DataFrame:
+    """Resample to a target DOMAIN MIXTURE: each domain ``d`` ends up
+    with ~``weights[d] * target_total`` rows (default target_total =
+    current corpus size), repeating rows where a domain must be
+    upweighted ("epochs per domain") and hash-thinning where it must
+    shrink. Domains absent from ``weights`` are dropped.
+
+    Output = input columns + ``copy_n`` (1..k within a repeated row),
+    so downstream shuffles see distinct rows and the multiset is
+    well-defined.
+
+    Deterministic: the per-domain repeat rate is (weight * total /
+    domain_count); every row emits floor(rate) copies, plus one more
+    when its 28-bit key hash lands under the fractional remainder —
+    no RNG, stable under repartitioning and append (same rule as
+    :func:`stratified_sample`).
+
+    Scale shape: per-domain counts are a map-side-combinable aggregate
+    over a handful of groups, broadcast back (rows = #domains); the
+    resample itself is a map-only expression + explode. No corpus-wide
+    shuffle, no driver collect.
+    """
+    wmap = F.create_map(
+        *[x for d, w in sorted(weights.items()) for x in (F.lit(d), F.lit(float(w)))]
+    )
+    counts = df.groupBy(domain_col).agg(F.count("*").alias("__dn"))
+    if target_total is None:
+        total = counts.agg(F.sum("__dn").alias("__tot"))
+    else:
+        total = df.sparkSession.range(1).select(
+            F.lit(int(target_total)).cast("long").alias("__tot")
+        )
+    rate = (
+        F.element_at(wmap, F.col(domain_col)) * F.col("__tot").cast("double")
+        / F.col("__dn").cast("double")
+    )
+    h = F.expr(_h28_spark(key_col, seed))
+    copies = (
+        F.floor(rate)
+        + F.when(h.cast("double") < (rate - F.floor(rate)) * SPACE, 1).otherwise(0)
+    ).cast("int")
+    out_cols = df.columns
+    return (
+        df.join(F.broadcast(counts), domain_col)
+        .crossJoin(F.broadcast(total))
+        .withColumn("__copies", copies)
+        .where(F.col("__copies") >= 1)  # also drops unlisted domains (NULL rate)
+        .select(*out_cols, F.explode(F.sequence(F.lit(1), F.col("__copies"))).alias("copy_n"))
+    )
+
+
+def mixture_resample_sql(
+    table: str,
+    key_col: str,
+    domain_col: str,
+    weights: dict[str, float],
+    target_total: int | None = None,
+    seed: str = "mix",
+    select: str = "*",
+) -> str:
+    """DuckDB oracle twin of :func:`mixture_resample` — identical
+    double arithmetic (weight * total / count), identical hash rule."""
+    h = _h28_sql(key_col, seed)
+    wcase = " ".join(
+        f"WHEN '{d}' THEN CAST({float(w)!r} AS DOUBLE)" for d, w in sorted(weights.items())
+    )
+    tot = (
+        f"CAST({int(target_total)} AS DOUBLE)"
+        if target_total is not None
+        else f"CAST((SELECT count(*) FROM {table}) AS DOUBLE)"
+    )
+    return f"""
+    WITH __dn AS (
+        SELECT {domain_col} AS __d, count(*) AS __dn FROM {table} GROUP BY 1
+    ),
+    __rated AS (
+        SELECT t.*, (CASE t.{domain_col} {wcase} END) * {tot} / CAST(d.__dn AS DOUBLE) AS __rate
+        FROM {table} t JOIN __dn d ON t.{domain_col} = d.__d
+    ),
+    __copied AS (
+        SELECT *, CAST(floor(__rate) +
+               (CASE WHEN CAST({h} AS DOUBLE) < (__rate - floor(__rate)) * {SPACE}
+                     THEN 1 ELSE 0 END) AS INT) AS __copies
+        FROM __rated
+    )
+    SELECT {select}, unnest(generate_series(1, __copies)) AS copy_n
+    FROM __copied WHERE __copies >= 1
+    """

@@ -48,3 +48,69 @@ def test_split_assignment_is_append_stable(spark, sf_dir):
     }
     # a row's split depends only on its key: subsetting never moves it
     assert all(full[k] == v for k, v in half.items())
+
+
+class TestMixtureResample:
+    WEIGHTS = {"en": 0.5, "fr": 0.3, "de": 0.2}
+
+    def _docs(self, spark, sf_dir):
+        from etl_pack_spark.sources.reader import read_table
+
+        return read_table(spark, sf_dir, "documents").select("doc_id", "lang", "text")
+
+    def test_proportions_and_total(self, spark, sf_dir):
+        from etl_pack_spark.operators.sampling import mixture_resample
+
+        docs = self._docs(spark, sf_dir)
+        out = mixture_resample(docs, "doc_id", "lang", self.WEIGHTS)
+        n = docs.count()
+        got = {r["lang"]: r["cnt"] for r in
+               out.groupBy("lang").agg(F.count("*").alias("cnt")).collect()}
+        assert set(got) <= set(self.WEIGHTS)
+        total = sum(got.values())
+        assert abs(total - n) / n < 0.1
+        for d, w in self.WEIGHTS.items():
+            assert abs(got[d] / total - w) < 0.05, (d, got[d] / total, w)
+
+    def test_deterministic_under_repartition(self, spark, sf_dir):
+        from etl_pack_spark.operators.sampling import mixture_resample
+
+        docs = self._docs(spark, sf_dir)
+        a = sorted(map(tuple, mixture_resample(docs, "doc_id", "lang", self.WEIGHTS)
+                       .select("doc_id", "copy_n").collect()))
+        b = sorted(map(tuple, mixture_resample(docs.repartition(13), "doc_id", "lang",
+                                               self.WEIGHTS)
+                       .select("doc_id", "copy_n").collect()))
+        assert a == b
+
+    def test_oracle_parity(self, spark, sf_dir):
+        import duckdb
+
+        from etl_pack_spark.operators.sampling import (
+            mixture_resample,
+            mixture_resample_sql,
+        )
+
+        docs = self._docs(spark, sf_dir)
+        got = sorted(map(tuple, mixture_resample(docs, "doc_id", "lang", self.WEIGHTS,
+                                                 target_total=800)
+                         .select("doc_id", "copy_n").collect()))
+        con = duckdb.connect()
+        con.execute(
+            f"CREATE VIEW documents AS SELECT * "
+            f"FROM read_parquet('{sf_dir}/documents.parquet')"
+        )
+        want = sorted(map(tuple, con.execute(mixture_resample_sql(
+            "documents", "doc_id", "lang", self.WEIGHTS, target_total=800,
+            select="doc_id",
+        )).fetchall()))
+        assert got == want and len(got) > 0
+
+    def test_unlisted_domain_dropped(self, spark):
+        from etl_pack_spark.operators.sampling import mixture_resample
+
+        df = spark.createDataFrame(
+            [(1, "en"), (2, "xx"), (3, "en")], "doc_id long, lang string"
+        )
+        out = mixture_resample(df, "doc_id", "lang", {"en": 1.0})
+        assert {r["lang"] for r in out.collect()} == {"en"}
