@@ -1,11 +1,14 @@
 """Multimodal columns: image/audio/video as opaque binary + typed
 metadata, with Arrow-batched (mapInPandas) decode/feature plumbing.
 
-The decode step itself is STUBBED — the image/audio libraries are not
-in this container — behind ``NotImplementedError`` with a deterministic
-fake available for tests. Everything Spark-side is real and tested:
-schema, binary handling, partitioning, the mapInPandas batch contract,
-and a genuine Arrow-vectorized feature extractor (byte histograms).
+Image DIMENSION decode is REAL — PNG/JPEG/GIF/BMP/PPM headers are
+parsed from plain bytes (no codec library needed). Full PIXEL decode
+(and resize) is gated behind ``NotImplementedError`` — the codec
+libraries are not in this container — with a deterministic fake for
+exercising the pipeline shape. Everything Spark-side is real and
+tested: schema, binary handling, partitioning, the mapInPandas batch
+contract, and a genuine Arrow-vectorized feature extractor (byte
+histograms).
 
 Scale notes: binary payloads ride Parquet binary columns (no base64
 inflation); decode/feature stages are ``mapInPandas`` so each task
@@ -100,12 +103,16 @@ def byte_histogram(media: DataFrame, buckets: int = 16) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 def decode_image(media: DataFrame, fake: bool = False) -> DataFrame:
-    """Decode image payloads to (width, height, channels).
+    """Image payloads → (width, height, channels).
 
-    Real decoding requires an image library not present here —
-    ``fake=False`` raises; ``fake=True`` derives deterministic
-    pseudo-dimensions from the payload so the full pipeline (schema,
-    batching, downstream joins) is exercisable end-to-end.
+    ``fake=False`` parses REAL image headers — PNG (IHDR), JPEG (SOF
+    segment scan), GIF, BMP, and binary PPM/PGM are all
+    dimension-readable from plain bytes, no image library required.
+    Unrecognized payloads yield NULL dims (quarantine-friendly) rather
+    than killing the task. Full pixel decode (and hence resize) still
+    needs a codec library — see :func:`resize_image`'s gate.
+    ``fake=True`` keeps the deterministic pseudo-dims stand-in used by
+    the oracle-pinned suite queries (independent of real payloads).
     """
     schema = T.StructType(
         [
@@ -117,16 +124,70 @@ def decode_image(media: DataFrame, fake: bool = False) -> DataFrame:
     )
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        for pdf in batches:
-            if not fake:
-                raise NotImplementedError(
-                    "image decode requires an image library not present in this "
-                    "environment; pass fake=True for the deterministic stand-in"
+        # NESTED header parser so cloudpickle ships it by value
+        def dims(b):
+            if b is None or len(b) < 10:
+                return (None, None, None)
+            b = bytes(b)
+            if b[:8] == b"\x89PNG\r\n\x1a\n" and len(b) >= 26 and b[12:16] == b"IHDR":
+                w = int.from_bytes(b[16:20], "big")
+                h = int.from_bytes(b[20:24], "big")
+                ch = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}.get(b[25])
+                return (w, h, ch)
+            if b[:2] == b"BM" and len(b) >= 30:
+                w = int.from_bytes(b[18:22], "little", signed=True)
+                h = abs(int.from_bytes(b[22:26], "little", signed=True))
+                bits = int.from_bytes(b[28:30], "little")
+                return (w, h, max(1, bits // 8))
+            if b[:4] in (b"GIF8",) and len(b) >= 10:
+                return (
+                    int.from_bytes(b[6:8], "little"),
+                    int.from_bytes(b[8:10], "little"),
+                    3,
                 )
+            if b[:2] in (b"P6", b"P5"):
+                # ASCII header: magic, then width height maxval as
+                # whitespace-separated tokens, '#' comments allowed
+                toks, i, tok = [], 2, b""
+                while i < len(b) and len(toks) < 2:
+                    c = b[i : i + 1]
+                    if c == b"#":
+                        while i < len(b) and b[i : i + 1] != b"\n":
+                            i += 1
+                    elif c.isspace():
+                        if tok:
+                            toks.append(tok)
+                            tok = b""
+                    else:
+                        tok += c
+                    i += 1
+                if len(toks) == 2 and toks[0].isdigit() and toks[1].isdigit():
+                    return (int(toks[0]), int(toks[1]), 3 if b[:2] == b"P6" else 1)
+                return (None, None, None)
+            if b[:2] == b"\xff\xd8":  # JPEG: walk segments to a SOF marker
+                i = 2
+                while i + 9 < len(b) and b[i] == 0xFF:
+                    marker = b[i + 1]
+                    if marker in (0x01,) or 0xD0 <= marker <= 0xD9:
+                        i += 2
+                        continue
+                    seglen = int.from_bytes(b[i + 2 : i + 4], "big")
+                    if 0xC0 <= marker <= 0xCF and marker not in (0xC4, 0xC8, 0xCC):
+                        h = int.from_bytes(b[i + 5 : i + 7], "big")
+                        w = int.from_bytes(b[i + 7 : i + 9], "big")
+                        return (w, h, int(b[i + 9]))
+                    i += 2 + seglen
+                return (None, None, None)
+            return (None, None, None)
+
+        for pdf in batches:
             rows = []
             for mid, content in zip(pdf["media_id"], pdf["content"]):
-                n = 0 if content is None else len(content)
-                rows.append((mid, 16 + n % 64, 16 + (n // 64) % 64, 3))
+                if fake:
+                    n = 0 if content is None else len(content)
+                    rows.append((mid, 16 + n % 64, 16 + (n // 64) % 64, 3))
+                else:
+                    rows.append((mid, *dims(content)))
             yield pd.DataFrame(rows, columns=["media_id", "width", "height", "channels"])
 
     return media.select("media_id", "content").mapInPandas(run, schema=schema)

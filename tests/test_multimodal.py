@@ -36,9 +36,44 @@ def test_byte_histogram_sums_to_length(spark, sf_dir):
         assert len(r["hist"]) == 16
 
 
-def test_decode_stub_raises_without_fake(spark, sf_dir):
-    with pytest.raises(PythonException, match="NotImplementedError"):
-        multimodal.decode_image(_media(spark, sf_dir).limit(1)).collect()
+def test_decode_unrecognized_payload_null_dims(spark, sf_dir):
+    # text payloads are not images: real mode yields NULL dims, not a crash
+    out = multimodal.decode_image(_media(spark, sf_dir).limit(5)).collect()
+    assert len(out) == 5
+    assert all(r["width"] is None and r["height"] is None for r in out)
+
+
+def _img_df(spark, payloads):
+    rows = [(i, bytearray(p)) for i, p in enumerate(payloads)]
+    return spark.createDataFrame(rows, "media_id long, content binary")
+
+
+def test_decode_real_headers(spark):
+    """Real header parsing, no image library: PNG IHDR, JPEG SOF scan,
+    GIF, BMP, and binary PPM/PGM all carry dims in plain bytes."""
+    png = (b"\x89PNG\r\n\x1a\n" + (13).to_bytes(4, "big") + b"IHDR"
+           + (640).to_bytes(4, "big") + (480).to_bytes(4, "big")
+           + bytes([8, 2, 0, 0, 0]) + b"\x00" * 4)
+    jpeg = (b"\xff\xd8"
+            + b"\xff\xe0" + (16).to_bytes(2, "big") + b"JFIF\x00" + b"\x00" * 9
+            + b"\xff\xc0" + (17).to_bytes(2, "big") + b"\x08"
+            + (480).to_bytes(2, "big") + (640).to_bytes(2, "big") + b"\x03"
+            + b"\x00" * 9)
+    gif = b"GIF89a" + (320).to_bytes(2, "little") + (200).to_bytes(2, "little") + b"\x00" * 4
+    bmp = (b"BM" + b"\x00" * 16
+           + (800).to_bytes(4, "little") + (600).to_bytes(4, "little")
+           + b"\x01\x00" + (24).to_bytes(2, "little") + b"\x00" * 8)
+    ppm = b"P6\n# a comment\n32 16\n255\n" + b"\x00" * (32 * 16 * 3)
+    pgm = b"P5\n8 4\n255\n" + b"\x00" * 32
+
+    out = multimodal.decode_image(_img_df(spark, [png, jpeg, gif, bmp, ppm, pgm]))
+    got = {r["media_id"]: (r["width"], r["height"], r["channels"]) for r in out.collect()}
+    assert got[0] == (640, 480, 3)   # png
+    assert got[1] == (640, 480, 3)   # jpeg
+    assert got[2] == (320, 200, 3)   # gif
+    assert got[3] == (800, 600, 3)   # bmp
+    assert got[4] == (32, 16, 3)     # ppm
+    assert got[5] == (8, 4, 1)       # pgm
 
 
 def test_decode_fake_deterministic(spark, sf_dir):
