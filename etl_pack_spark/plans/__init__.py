@@ -1,1 +1,7 @@
+from etl_pack_spark.plans.merge import (  # noqa: F401
+    apply_cdc,
+    merge_upsert,
+    scd2_build,
+    scd2_merge,
+)
 from etl_pack_spark.plans.transfer import TransferConfig, run_transfer  # noqa: F401

@@ -1,0 +1,211 @@
+"""CDC merge plans: upsert / change-stream apply / SCD-2 history.
+
+DuckDB oracle twins run in-process over the events fixture (same rigor
+as the driver's gate; the 50-entry query registry is capped, so these
+check here). The load-mode semantics themselves are pinned on small
+synthetic frames where every expected row is written out by hand.
+"""
+
+from __future__ import annotations
+
+import datetime as dt
+
+import duckdb
+from pyspark.sql import functions as F
+
+from etl_pack_spark.plans.merge import (
+    apply_cdc,
+    merge_upsert,
+    merge_upsert_sql,
+    scd2_build,
+    scd2_build_sql,
+    scd2_merge,
+)
+from etl_pack_spark.sources.reader import read_table
+
+_SCHEMA = "k long, ts timestamp, val string"
+
+
+def _ts(day: int) -> dt.datetime:
+    return dt.datetime(2024, 1, day)
+
+
+def _df(spark, rows, schema=_SCHEMA):
+    return spark.createDataFrame(rows, schema)
+
+
+def test_merge_upsert_semantics(spark):
+    target = _df(spark, [(1, _ts(1), "a1"), (2, _ts(5), "b5"), (3, _ts(3), "c3")])
+    changes = _df(
+        spark,
+        [
+            (1, _ts(2), "a2"),   # newer → replaces
+            (2, _ts(4), "b4"),   # older → ignored
+            (3, _ts(3), "c3x"),  # tie → change wins
+            (4, _ts(9), "d9"),   # new key → inserted
+        ],
+    )
+    got = {(r["k"], r["val"]) for r in merge_upsert(target, changes, ["k"], "ts").collect()}
+    assert got == {(1, "a2"), (2, "b5"), (3, "c3x"), (4, "d9")}
+
+
+def test_merge_upsert_oracle_parity(spark, sf_dir):
+    """Latest event per (user, type): even event_ids as target, odd as
+    changes — Spark merge equals the DuckDB QUALIFY twin row-for-row."""
+    ev = read_table(spark, sf_dir, "events")
+    # pre-collapse each side to one row per key so the only ts ties the
+    # window sees are cross-side (resolved by source priority)
+    def latest(df):
+        return merge_upsert(
+            df.limit(0), df, ["user_id", "event_type"], "ts"
+        )
+
+    cols = ["user_id", "event_type", "ts", "value"]
+    target = latest(ev.where(F.col("event_id") % 2 == 0).select(*cols))
+    changes = latest(ev.where(F.col("event_id") % 2 == 1).select(*cols))
+    got = (
+        merge_upsert(target, changes, ["user_id", "event_type"], "ts")
+        .toPandas()
+        .sort_values(cols)
+        .reset_index(drop=True)
+    )
+
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW events AS SELECT * FROM read_parquet('{sf_dir}/events.parquet')"
+    )
+    base = "SELECT user_id, event_type, ts, value FROM events WHERE event_id % 2 = {par}"
+    side = (
+        "SELECT * FROM ({b}) QUALIFY row_number() OVER "
+        "(PARTITION BY user_id, event_type ORDER BY ts DESC) = 1"
+    )
+    want = (
+        con.execute(
+            merge_upsert_sql(
+                side.format(b=base.format(par=0)),
+                side.format(b=base.format(par=1)),
+                ["user_id", "event_type"],
+                "ts",
+            )
+        )
+        .df()
+        .sort_values(cols)
+        .reset_index(drop=True)
+    )
+    assert len(got) == len(want) > 0
+    assert (got["user_id"].values == want["user_id"].values).all()
+    assert (got["ts"].values == want["ts"].values).all()
+    assert (got["value"].values == want["value"].values).all()
+
+
+def test_apply_cdc_folds_inserts_updates_deletes(spark):
+    target = _df(spark, [(1, _ts(1), "a1"), (2, _ts(1), "b1"), (3, _ts(1), "c1")])
+    changes = spark.createDataFrame(
+        [
+            (1, _ts(2), "a2", "U"),   # update wins
+            (2, _ts(2), "b2", "d"),   # delete (case-insensitive) removes key
+            (3, dt.datetime(2023, 12, 31), "c0", "U"),  # older than stored → no-op
+            (4, _ts(2), "d2", "I"),   # insert new key
+            (5, _ts(2), "e2", "I"),   # insert then newer delete → absent
+            (5, _ts(3), None, "D"),
+        ],
+        "k long, ts timestamp, val string, op string",
+    )
+    got = {(r["k"], r["val"]) for r in apply_cdc(target, changes, ["k"], "ts").collect()}
+    assert got == {(1, "a2"), (3, "c1"), (4, "d2")}
+
+
+def test_apply_cdc_idempotent_under_replay(spark):
+    target = _df(spark, [(1, _ts(1), "a1"), (2, _ts(1), "b1")])
+    changes = spark.createDataFrame(
+        [(1, _ts(2), "a2", "U"), (2, _ts(2), None, "D"), (9, _ts(2), "i", "I")],
+        "k long, ts timestamp, val string, op string",
+    )
+    once = apply_cdc(target, changes, ["k"], "ts")
+    twice = apply_cdc(once, changes, ["k"], "ts")
+    assert sorted(map(tuple, once.collect())) == sorted(map(tuple, twice.collect()))
+
+
+def test_scd2_build_oracle_parity(spark, sf_dir):
+    ev = read_table(spark, sf_dir, "events").select(
+        "user_id", "event_type", "ts", "value"
+    )
+    hist = scd2_build(ev, ["user_id", "event_type"], "ts")
+    got = (
+        hist.toPandas()
+        .sort_values(["user_id", "event_type", "ts"])
+        .reset_index(drop=True)
+    )
+
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW events AS SELECT * FROM read_parquet('{sf_dir}/events.parquet')"
+    )
+    want = (
+        con.execute(
+            scd2_build_sql(
+                "SELECT user_id, event_type, ts, value FROM events",
+                ["user_id", "event_type"],
+                "ts",
+                rest_cols=["value"],
+            )
+        )
+        .df()
+        .sort_values(["user_id", "event_type", "ts"])
+        .reset_index(drop=True)
+    )
+    assert len(got) == len(want) > 0
+    for c in ["user_id", "event_type", "value", "is_current"]:
+        assert (got[c].values == want[c].values).all(), c
+    # effective_to is NULL exactly on current rows
+    assert got["effective_to"].isna().equals(got["is_current"].astype(bool))
+
+
+def test_scd2_one_current_row_per_key(spark, sf_dir):
+    ev = read_table(spark, sf_dir, "events").select("user_id", "ts", "value")
+    hist = scd2_build(ev, ["user_id"], "ts")
+    per_key = (
+        hist.groupBy("user_id")
+        .agg(F.sum(F.col("is_current").cast("int")).alias("n_current"))
+        .where(F.col("n_current") != 1)
+    )
+    assert per_key.count() == 0
+
+
+def test_scd2_merge_incremental_equals_full(spark, sf_dir):
+    """Split the change stream at the median ts: build history from the
+    first half, merge the second half — identical to one full build."""
+    ev = read_table(spark, sf_dir, "events").select(
+        "user_id", "event_type", "ts", "value"
+    )
+    cut = ev.selectExpr("percentile(cast(ts as double), 0.5) p").collect()[0]["p"]
+    first = ev.where(F.col("ts").cast("double") <= cut)
+    second = ev.where(F.col("ts").cast("double") > cut)
+
+    keys = ["user_id", "event_type"]
+    incremental = scd2_merge(scd2_build(first, keys, "ts"), second, keys, "ts")
+    full = scd2_build(ev, keys, "ts")
+
+    cols = keys + ["ts", "value", "effective_from", "effective_to", "is_current"]
+    a = sorted(map(tuple, incremental.select(*cols).collect()))
+    b = sorted(map(tuple, full.select(*cols).collect()))
+    assert len(a) == len(b) > 0
+    assert a == b
+
+
+def test_scd2_merge_drops_replayed_and_late_changes(spark):
+    dim = scd2_build(
+        _df(spark, [(1, _ts(1), "v1"), (1, _ts(5), "v5")]), ["k"], "ts"
+    )
+    replay = _df(
+        spark,
+        [
+            (1, _ts(5), "v5"),    # exact re-delivery of current
+            (1, _ts(3), "late"),  # late change already superseded
+        ],
+    )
+    merged = scd2_merge(dim, replay, ["k"], "ts")
+    got = sorted(
+        (r["k"], r["ts"], r["val"], r["is_current"]) for r in merged.collect()
+    )
+    assert got == [(1, _ts(1), "v1", False), (1, _ts(5), "v5", True)]
