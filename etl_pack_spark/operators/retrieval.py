@@ -1,0 +1,201 @@
+"""Keyword retrieval over the corpus: inverted-index postings, TF-IDF
+weights, and BM25 ranked search.
+
+The ANN family (`operators/similarity.py`) answers "what is *semantically*
+near this embedding"; this module answers the complementary retrieval
+question "which documents match these *terms*" — the other half of a
+training-data curation stack (targeted corpus probes, contamination
+spot-checks by keyword, boosted sampling of topical slices).
+
+Scale design — everything is explode + hash aggregation, the same shape
+Spark uses for word count at any scale:
+
+  * Postings build: one ``posexplode`` of the token array feeds
+    ``groupBy(term, id)`` — partial (map-side) aggregation combines
+    duplicate terms within a document before the single hash exchange
+    on ``(term, id)``. Document length comes from a map-only
+    ``size(tokens)`` projection, no extra shuffle.
+  * Term statistics (document frequency → idf) are a second bounded
+    aggregation whose output is VOCABULARY-sized, not corpus-sized.
+  * BM25 search: the query is tokenized driver-side (a query is a few
+    words — this is not a ``collect()`` of data), postings are filtered
+    to query terms *before* any join (at 100 TB with postings stored
+    term-bucketed, that filter is partition pruning), and the
+    term→idf map for ONLY the query terms rides a broadcast join.
+    Final ranking is one more map-side-combined sum per document.
+
+Cross-engine determinism: tf / df / dl are integers (hash-exact); idf
+and BM25 scores involve ``ln`` whose last-bit rounding may differ
+between the JVM and DuckDB's libm, so the in-test oracles compare
+scores with a 1e-9 relative tolerance and compare the *ranking* by
+(round(score, 6), id) total order, which both engines agree on.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from etl_pack_spark.operators.tokenize import tokens, tokens_sql
+
+# Lucene/BM25+ style idf: ln(1 + (N - df + 0.5) / (df + 0.5)) — always
+# positive, so high-df terms dampen rather than flip sign.
+_IDF_SQL = "ln(1.0 + ({n} - cast({df} AS DOUBLE) + 0.5) / (cast({df} AS DOUBLE) + 0.5))"
+
+
+def build_postings(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Inverted-index postings ``(term, id, tf, dl)``.
+
+    tf = occurrences of term in doc, dl = doc length in tokens. ``dl``
+    rides the exploded rows as a grouping column (it is functionally
+    dependent on ``id``), so the whole build is one explode + ONE
+    map-side-combined hash aggregation — no join, no second shuffle.
+    """
+    toks = df.select(F.col(id_col).alias("id"), tokens(text_col).alias("__toks"))
+    return (
+        toks.select("id", F.size("__toks").alias("dl"), F.explode("__toks").alias("term"))
+        .groupBy("term", "id", "dl")
+        .agg(F.count("*").cast("int").alias("tf"))
+        .select("term", "id", "tf", "dl")
+    )
+
+
+def build_postings_sql(table: str, id_col: str, text_col: str) -> str:
+    """DuckDB oracle twin of :func:`build_postings`."""
+    return f"""
+    WITH t AS (SELECT {id_col} AS id, {tokens_sql(text_col)} AS toks FROM {table}),
+    e AS (SELECT id, unnest(toks) AS term, len(toks) AS dl FROM t)
+    SELECT term, id, CAST(count(*) AS INT) AS tf, dl
+    FROM e GROUP BY term, id, dl
+    """
+
+
+def term_stats(postings: DataFrame, n_docs: int) -> DataFrame:
+    """Per-term document frequency and BM25 idf: ``(term, df, idf)``.
+
+    Output is vocabulary-sized; the aggregation is map-side combined.
+    """
+    return postings.groupBy("term").agg(
+        F.count("*").cast("int").alias("df")
+    ).select(
+        "term",
+        "df",
+        F.expr(_IDF_SQL.format(n=f"CAST({n_docs} AS DOUBLE)", df="df")).alias("idf"),
+    )
+
+
+def tfidf_weights(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Sparse TF-IDF document vectors as rows ``(id, term, weight)``
+    with ln-damped tf: ``(1 + ln(tf)) * idf``.
+
+    Row-sparse output composes with any downstream join/agg without a
+    dense vocabulary-width materialization (at 100 TB the vocabulary is
+    millions wide — dense vectors are not an option).
+    """
+    postings = build_postings(df, id_col, text_col)
+    n_docs = df.count()
+    stats = term_stats(postings, n_docs)
+    return (
+        postings.join(stats, "term")
+        .select(
+            "id",
+            "term",
+            ((1.0 + F.log("tf")) * F.col("idf")).alias("weight"),
+        )
+    )
+
+
+def bm25_topk(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    query: str,
+    k: int = 10,
+    k1: float = 1.2,
+    b: float = 0.75,
+) -> DataFrame:
+    """Top-k documents for ``query`` under BM25: ``(id, score)``.
+
+    The per-(term, doc) contribution is
+    ``idf * tf*(k1+1) / (tf + k1*(1 - b + b*dl/avgdl))`` summed over
+    query terms. Postings are filtered to the query's terms before the
+    idf join (broadcast — the filtered stats table has at most
+    len(query) rows), so the heavy side never carries non-query terms
+    through a shuffle.
+    """
+    q_terms = sorted({t for t in _tokenize_py(query) if t})
+    if not q_terms:
+        raise ValueError("query has no tokens")
+    postings = build_postings(df, id_col, text_col)
+    # One scalar action for both corpus stats. avgdl averages over ALL
+    # docs (zero-token docs included) to match the oracle exactly —
+    # postings alone would silently drop empty documents.
+    n_docs, avgdl = (
+        df.select(F.size(tokens(text_col)).alias("__dl"))
+        .agg(F.count("*"), F.avg("__dl"))
+        .first()
+    )
+    stats = term_stats(postings.where(F.col("term").isin(q_terms)), n_docs)
+    contrib = (
+        postings.where(F.col("term").isin(q_terms))
+        .join(F.broadcast(stats), "term")
+        .select(
+            "id",
+            (
+                F.col("idf")
+                * (F.col("tf") * (k1 + 1.0))
+                / (F.col("tf") + k1 * (1.0 - b + b * F.col("dl") / float(avgdl)))
+            ).alias("c"),
+        )
+    )
+    return (
+        contrib.groupBy("id")
+        .agg(F.sum("c").alias("score"))
+        .orderBy(F.round("score", 6).desc(), F.col("id"))
+        .limit(k)
+    )
+
+
+def bm25_topk_sql(
+    table: str,
+    id_col: str,
+    text_col: str,
+    query: str,
+    k: int = 10,
+    k1: float = 1.2,
+    b: float = 0.75,
+) -> str:
+    """DuckDB oracle twin of :func:`bm25_topk` (same idf, same damping,
+    same round-then-id tie-break)."""
+    q_terms = sorted({t for t in _tokenize_py(query) if t})
+    term_list = ", ".join(f"'{t}'" for t in q_terms)
+    idf = _IDF_SQL.format(n="(SELECT CAST(count(*) AS DOUBLE) FROM t)", df="df")
+    return f"""
+    WITH t AS (SELECT {id_col} AS id, {tokens_sql(text_col)} AS toks FROM {table}),
+    p AS (
+        SELECT id, term, CAST(count(*) AS INT) AS tf, any_value(dl) AS dl
+        FROM (SELECT id, unnest(toks) AS term, len(toks) AS dl FROM t)
+        WHERE term IN ({term_list})
+        GROUP BY id, term
+    ),
+    full_p AS (
+        SELECT id, term FROM (SELECT id, unnest(toks) AS term FROM t)
+        WHERE term IN ({term_list}) GROUP BY id, term
+    ),
+    s AS (SELECT term, CAST(count(*) AS INT) AS df, {idf} AS idf
+          FROM full_p GROUP BY term),
+    avg_l AS (SELECT avg(len(toks)) AS avgdl FROM t)
+    SELECT id, sum(idf * (tf * ({k1} + 1.0))
+                   / (tf + {k1} * (1.0 - {b} + {b} * dl / avgdl))) AS score
+    FROM p JOIN s USING (term), avg_l
+    GROUP BY id
+    ORDER BY round(score, 6) DESC, id
+    LIMIT {k}
+    """
+
+
+def _tokenize_py(text: str) -> list[str]:
+    """Driver-side twin of tokenize.tokens for query strings."""
+    import re
+
+    return [t for t in re.split("[^a-z0-9]+", text.lower()) if t]

@@ -1,0 +1,135 @@
+"""Inverted-index / TF-IDF / BM25 retrieval operators.
+
+Integer posting statistics (tf, df, dl) are hash-exact against the
+DuckDB twins; BM25 scores involve ``ln`` (libm last-bit differences),
+so score parity uses a 1e-9 relative tolerance and the ranking is
+compared under the shared (round(score, 6) DESC, id) total order.
+"""
+
+from __future__ import annotations
+
+import math
+
+import duckdb
+import pytest
+from pyspark.sql import functions as F
+
+from etl_pack_spark.operators.retrieval import (
+    bm25_topk,
+    bm25_topk_sql,
+    build_postings,
+    build_postings_sql,
+    term_stats,
+    tfidf_weights,
+)
+from etl_pack_spark.sources.reader import read_table
+
+_DOCS = [
+    (1, "the cat sat on the mat"),
+    (2, "the dog sat"),
+    (3, "cat cat cat"),
+    (4, ""),
+]
+
+
+@pytest.fixture(scope="module")
+def tiny(spark):
+    return spark.createDataFrame(_DOCS, "doc_id long, text string")
+
+
+def test_postings_semantics(tiny):
+    got = {
+        (r["term"], r["id"], r["tf"], r["dl"])
+        for r in build_postings(tiny, "doc_id", "text").collect()
+    }
+    assert got == {
+        ("the", 1, 2, 6), ("cat", 1, 1, 6), ("sat", 1, 1, 6),
+        ("on", 1, 1, 6), ("mat", 1, 1, 6),
+        ("the", 2, 1, 3), ("dog", 2, 1, 3), ("sat", 2, 1, 3),
+        ("cat", 3, 3, 3),
+    }
+
+
+def test_term_stats_idf(tiny):
+    stats = {
+        r["term"]: (r["df"], r["idf"])
+        for r in term_stats(build_postings(tiny, "doc_id", "text"), 4).collect()
+    }
+    assert stats["the"][0] == 2 and stats["cat"][0] == 2 and stats["dog"][0] == 1
+    # Lucene idf with N=4: df=1 → ln(1 + 3.5/1.5), df=2 → ln(1 + 2.5/2.5)
+    assert stats["dog"][1] == pytest.approx(math.log(1 + 3.5 / 1.5), rel=1e-12)
+    assert stats["the"][1] == pytest.approx(math.log(2.0), rel=1e-12)
+
+
+def test_postings_oracle_parity(spark, sf_dir):
+    docs = read_table(spark, sf_dir, "documents")
+    got = sorted(
+        map(tuple, build_postings(docs, "doc_id", "text").collect())
+    )
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM read_parquet('{sf_dir}/documents.parquet')"
+    )
+    want = sorted(
+        map(
+            tuple,
+            con.execute(build_postings_sql("documents", "doc_id", "text"))
+            .fetchall(),
+        )
+    )
+    assert len(got) == len(want) > 0
+    assert got == want
+
+
+def test_tfidf_weights_formula(tiny):
+    w = {
+        (r["id"], r["term"]): r["weight"]
+        for r in tfidf_weights(tiny, "doc_id", "text").collect()
+    }
+    idf_cat = math.log(1 + 2.5 / 2.5)
+    # doc 3 has tf=3 for cat → (1 + ln 3) * idf
+    assert w[(3, "cat")] == pytest.approx((1 + math.log(3)) * idf_cat, rel=1e-9)
+    assert w[(1, "cat")] == pytest.approx(idf_cat, rel=1e-9)
+
+
+def test_bm25_ranking_properties(tiny):
+    # query "cat": doc 3 (tf=3, short) must outrank doc 1 (tf=1, long)
+    top = bm25_topk(tiny, "doc_id", "text", "cat", k=10).collect()
+    ids = [r["id"] for r in top]
+    assert ids[0] == 3 and set(ids) == {1, 3}
+    # multi-term query reaches both matching docs; rare term dominates
+    top2 = bm25_topk(tiny, "doc_id", "text", "the dog", k=10).collect()
+    assert top2[0]["id"] == 2  # only doc with 'dog' (rarer than 'the')
+
+
+def test_bm25_oracle_parity(spark, sf_dir):
+    docs = read_table(spark, sf_dir, "documents")
+    query = "data model training"
+    got = bm25_topk(docs, "doc_id", "text", query, k=25).collect()
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM read_parquet('{sf_dir}/documents.parquet')"
+    )
+    want = con.execute(
+        bm25_topk_sql("documents", "doc_id", "text", query, k=25)
+    ).fetchall()
+    assert len(got) == len(want) > 0
+    assert [r["id"] for r in got] == [w[0] for w in want]
+    for g, w in zip(got, want):
+        assert g["score"] == pytest.approx(w[1], rel=1e-9)
+
+
+def test_bm25_plan_broadcasts_stats(tiny):
+    plan = (
+        bm25_topk(tiny, "doc_id", "text", "cat sat")
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_bm25_empty_query_raises(tiny):
+    with pytest.raises(ValueError):
+        bm25_topk(tiny, "doc_id", "text", "!!!")
