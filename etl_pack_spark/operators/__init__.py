@@ -53,6 +53,11 @@ from etl_pack_spark.operators.contamination import (  # noqa: F401
 )
 from etl_pack_spark.operators.packing import pack_sequences, pack_stats  # noqa: F401
 from etl_pack_spark.operators.cleaning import c4_clean  # noqa: F401
+from etl_pack_spark.operators.quantize import (  # noqa: F401
+    pq_encode,
+    pq_topk,
+    pq_train,
+)
 from etl_pack_spark.operators.retrieval import (  # noqa: F401
     bm25_topk,
     build_postings,

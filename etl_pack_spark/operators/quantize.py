@@ -1,0 +1,209 @@
+"""Product quantization (PQ) for embedding columns: train codebooks,
+encode vectors to m-byte codes, and ADC top-k search over the codes.
+
+This is the 100 TB story for the ANN family (`operators/similarity.py`):
+a 64-dim float32 embedding is 256 bytes; with m=8 sub-quantizers of 16
+centroids each it becomes 8 codes of 4 bits — a 32-64× compression that
+turns a corpus whose raw vectors need a cluster's worth of RAM into one
+whose codes fit in a fraction of it, while asymmetric-distance (ADC)
+search scans codes with a per-query lookup table and never touches the
+raw vectors. Composes with IVF (`ivf_topk`): IVF prunes WHICH vectors
+to score, PQ compresses HOW each one is scored.
+
+Scale shape:
+
+  * Training is on a BOUNDED deterministic sample (lowest
+    ``xxhash64(id)`` wins, ``sample_rows`` cap) — the same posture as
+    IVF's sampled coarse quantizer: codebooks are kilobytes derived
+    from a fixed-size sample, never a full-corpus collect.
+  * Encoding is map-only: codebooks ride a broadcast variable into a
+    ``mapInPandas`` kernel that argmins each subspace vectorized over
+    Arrow batches. No shuffle.
+  * ADC search broadcasts per-query distance TABLES (m × k doubles per
+    query — for 50 queries ≈ 50 KB), scans the encoded corpus map-side
+    emitting each partition's top-k, and merges the bounded partials
+    with one window. Shuffled volume is O(k · partitions · queries),
+    independent of corpus size.
+
+Determinism: kmeans init is the sample's first-k rows in hash order and
+Lloyd iterations are fixed-count with argmin ties resolved to the
+lowest centroid id (np.argmin semantics), so codebooks, codes, and ADC
+scores are reproducible run-to-run and invariant to partitioning. The
+invariant ADC == squared-L2 to the RECONSTRUCTED vector is pinned in
+tests against a driver-side numpy twin.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def pq_train(
+    df: DataFrame,
+    dims: int,
+    m: int = 8,
+    k: int = 16,
+    id_col: str = "vec_id",
+    vec: str = "embedding",
+    sample_rows: int = 4096,
+    iters: int = 5,
+) -> np.ndarray:
+    """Train PQ codebooks: ``(m, k, dims//m)`` float64 array.
+
+    The training sample is the ``sample_rows`` corpus vectors with the
+    lowest ``xxhash64(id)`` — deterministic, append-stable, and bounded
+    (this is a codebook fit on a fixed-size sample, not a data
+    collect). Lloyd's algorithm runs ``iters`` fixed iterations per
+    subspace; empty clusters keep their previous centroid.
+    """
+    if dims % m:
+        raise ValueError(f"dims={dims} not divisible by m={m}")
+    sample = (
+        df.select(F.col(id_col).alias("id"), F.col(vec).alias("v"))
+        .withColumn("__h", F.xxhash64(F.col("id")))
+        .orderBy("__h")
+        .limit(sample_rows)
+        .toPandas()
+    )
+    X = np.stack(sample["v"].to_numpy()).astype(np.float64)
+    if len(X) < k:
+        raise ValueError(f"sample of {len(X)} rows cannot seed k={k} centroids")
+    dsub = dims // m
+    books = np.empty((m, k, dsub))
+    for j in range(m):
+        sub = X[:, j * dsub : (j + 1) * dsub]
+        cent = sub[:k].copy()  # hash-order init
+        for _ in range(iters):
+            d2 = ((sub[:, None, :] - cent[None, :, :]) ** 2).sum(axis=2)
+            assign = d2.argmin(axis=1)
+            for c in range(k):
+                mask = assign == c
+                if mask.any():
+                    cent[c] = sub[mask].mean(axis=0)
+        books[j] = cent
+    return books
+
+
+def pq_encode(
+    df: DataFrame,
+    codebooks: np.ndarray,
+    id_col: str = "vec_id",
+    vec: str = "embedding",
+) -> DataFrame:
+    """Encode vectors to ``(id, codes array<smallint>)`` — map-only.
+
+    Each code j is the index of the nearest (squared-L2) centroid of
+    subspace j. m codes replace dims floats: 32-64× smaller.
+    """
+    m, k, dsub = codebooks.shape
+    spark = df.sparkSession
+    bc = spark.sparkContext.broadcast(codebooks)
+
+    def encode(batches):
+        # NESTED for by-value pickling (executors need not import us)
+        import numpy as np
+
+        books = bc.value
+        m, k, dsub = books.shape
+        for pdf in batches:
+            if len(pdf) == 0:
+                yield pd.DataFrame({"id": [], "codes": []})
+                continue
+            X = np.stack(pdf["v"].to_numpy()).astype(np.float64)
+            codes = np.empty((len(X), m), dtype=np.int16)
+            for j in range(m):
+                sub = X[:, j * dsub : (j + 1) * dsub]
+                # ||x-c||² = ||x||² - 2x·c + ||c||²; ||x||² constant per
+                # row, so argmin needs only the last two terms
+                d2 = -2.0 * (sub @ books[j].T) + (books[j] ** 2).sum(axis=1)[None, :]
+                codes[:, j] = d2.argmin(axis=1)
+            yield pd.DataFrame({"id": pdf["id"].to_numpy(), "codes": list(codes)})
+
+    return df.select(
+        F.col(id_col).alias("id"), F.col(vec).alias("v")
+    ).mapInPandas(encode, schema="id long, codes array<smallint>")
+
+
+def pq_topk(
+    encoded: DataFrame,
+    queries: DataFrame,
+    codebooks: np.ndarray,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec: str = "embedding",
+) -> DataFrame:
+    """ADC top-k: ``(q_id, n_id, adc_dist, rk)`` — nearest by
+    asymmetric distance (squared L2 from the query to each corpus
+    vector's RECONSTRUCTION), smallest first.
+
+    Per query, a distance table ``T[j][c] = ||q_j - books[j][c]||²`` is
+    precomputed once (m × k doubles) and broadcast; scanning a code is
+    then m table lookups + adds. Each partition emits its local top-k;
+    one window merges the bounded partials.
+    """
+    m, kcent, dsub = codebooks.shape
+    spark = encoded.sparkSession
+    qpdf = queries.select(F.col(id_col).alias("qid"), F.col(vec).alias("qv")).toPandas()
+    if len(qpdf) == 0:
+        raise ValueError("no query vectors")
+    Q = np.stack(qpdf["qv"].to_numpy()).astype(np.float64)
+    tables = np.empty((len(Q), m, kcent))
+    for j in range(m):
+        qs = Q[:, j * dsub : (j + 1) * dsub]
+        diff = qs[:, None, :] - codebooks[j][None, :, :]
+        tables[:, j, :] = (diff**2).sum(axis=2)
+    bc = spark.sparkContext.broadcast((qpdf["qid"].to_numpy(), tables))
+
+    def scan(batches):
+        # NESTED for by-value pickling
+        import numpy as np
+
+        qids, tabs = bc.value
+        nq, m, kcent = tabs.shape
+        for pdf in batches:
+            if len(pdf) == 0:
+                yield pd.DataFrame({"q_id": [], "n_id": [], "adc_dist": []})
+                continue
+            ids = pdf["id"].to_numpy()
+            codes = np.stack(pdf["codes"].to_numpy()).astype(np.int64)  # (n, m)
+            # gather: dist[q, i] = sum_j tabs[q, j, codes[i, j]]
+            n = len(ids)
+            dist = np.zeros((nq, n))
+            for j in range(m):
+                dist += tabs[:, j, codes[:, j]]
+            rows = {"q_id": [], "n_id": [], "adc_dist": []}
+            # k+1: the query's own vector may sit in this partition and
+            # is filtered AFTER the local top-k — one spare slot keeps
+            # the merge exact
+            kk = min(k + 1, n)
+            for qi in range(nq):
+                d = dist[qi]
+                # partition then exact (dist, id) order for determinism
+                cand = np.argpartition(d, kk - 1)[:kk] if kk < n else np.arange(n)
+                order = cand[np.lexsort((ids[cand], d[cand]))]
+                rows["q_id"].extend([qids[qi]] * len(order))
+                rows["n_id"].extend(ids[order].tolist())
+                rows["adc_dist"].extend(d[order].tolist())
+            yield pd.DataFrame(rows)
+
+    partial = encoded.mapInPandas(scan, schema="q_id long, n_id long, adc_dist double")
+    w = Window.partitionBy("q_id").orderBy(F.asc("adc_dist"), F.asc("n_id"))
+    return (
+        partial.where(F.col("n_id") != F.col("q_id"))
+        .withColumn("rk", F.row_number().over(w))
+        .where(F.col("rk") <= k)
+    )
+
+
+def pq_reconstruct(codebooks: np.ndarray, codes: np.ndarray) -> np.ndarray:
+    """Driver-side numpy twin: decode codes back to the quantized
+    vectors (test oracle for the ADC == L2²(q, reconstruction)
+    invariant)."""
+    m, kcent, dsub = codebooks.shape
+    out = np.empty((len(codes), m * dsub))
+    for j in range(m):
+        out[:, j * dsub : (j + 1) * dsub] = codebooks[j][codes[:, j]]
+    return out
