@@ -54,6 +54,13 @@ def main() -> None:
     spark = get_spark("etl_pack_spark_bench")
 
     def run(name: str) -> float:
+        # cold-cache per query: operators may persist() intermediates
+        # for intra-query lineage reuse, and leaving those resident
+        # distorts every LATER query (storage squeezes execution
+        # memory) while making repeats of the SAME query artificially
+        # warm. Clearing between runs makes each timing the honest
+        # standalone cost of that query.
+        spark.catalog.clearCache()
         t0 = time.perf_counter()
         df = suite.QUERIES[name](spark, sf_dir)
         df.write.format("noop").mode("overwrite").save()
@@ -89,6 +96,7 @@ def main() -> None:
     if sf2_dir and Path(sf2_dir).is_dir() and sf2_dir != sf_dir:
         m2 = re.search(r"sf([0-9.]+)", sf2_dir)
         def run2(name: str) -> float:
+            spark.catalog.clearCache()
             t0 = time.perf_counter()
             suite.QUERIES[name](spark, sf2_dir).write.format("noop").mode("overwrite").save()
             return time.perf_counter() - t0

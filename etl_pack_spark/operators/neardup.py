@@ -55,8 +55,14 @@ def _pooled_persist(df: DataFrame) -> DataFrame:
     key = df.semanticHash()
     cached = _CACHE_POOL.get(key)
     if cached is not None and cached.sameSemantics(df):
-        _CACHE_POOL.move_to_end(key)
-        return cached
+        # an external clearCache()/unpersist() leaves the pooled frame
+        # marked-but-not-cached: returning it then silently re-executes
+        # the full lineage once per downstream reference (the exact 4-6x
+        # blowup the persist exists to prevent) — re-persist instead
+        if cached.storageLevel.useMemory or cached.storageLevel.useDisk:
+            _CACHE_POOL.move_to_end(key)
+            return cached
+        _CACHE_POOL.pop(key, None)
     _CACHE_POOL[key] = df.persist()
     _CACHE_POOL.move_to_end(key)
     while len(_CACHE_POOL) > _CACHE_POOL_MAX:

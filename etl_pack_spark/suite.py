@@ -722,11 +722,24 @@ def q_mm_decode_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q_mm_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Arrow-batched featurizer over binary payloads: byte histogram +
-    8×8 nearest-neighbor thumbnail in one mapInPandas pass. Binary
-    output column → rows-only check; exact bytes pinned by
+    8×8 nearest-neighbor thumbnail in one mapInPandas pass. The array/
+    binary feature columns are rendered to canonical scalars (CSV of the
+    histogram, hex of the thumbnail) so the driver can hash-compare them
+    against the DuckDB twin; exact raw bytes are pinned by
     tests/test_multimodal.py."""
     docs = read_table(spark, sf_dir, "documents")
-    return multimodal.media_features(multimodal.binarize_documents(docs), fake=True)
+    feats = multimodal.media_features(multimodal.binarize_documents(docs), fake=True)
+    return feats.select(
+        "media_id",
+        "n_bytes",
+        "src_w",
+        "src_h",
+        F.when(
+            F.col("hist").isNotNull(),
+            F.concat_ws(",", F.col("hist").cast("array<string>")),
+        ).alias("hist_csv"),
+        F.lower(F.hex("thumb")).alias("thumb_hex"),
+    )
 
 
 def q_corpus_curate(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1099,7 +1112,60 @@ ORACLES: dict[str, str] = {
                lower(substr(hex(encode(text)), 1, 16)) AS magic_hex
         FROM documents
     """,
-    # mm_features: binary output column + Python (Arrow) stage → rows-only check
+    # mm_features: the Arrow featurizer's fake path is a deterministic
+    # function of the UTF-8 payload, so the DuckDB twin recomputes the
+    # 16-bucket histogram (high nibble of each byte = odd hex chars) and
+    # the 8x8 nearest-neighbor thumbnail (indexed hex pairs) from
+    # hex(encode(text)) and compares the same canonical renderings.
+    "mm_features": """
+        WITH nz AS (
+            SELECT doc_id AS media_id, hex(encode(text)) AS hx,
+                   octet_length(encode(text)) AS n
+            FROM documents
+            WHERE octet_length(encode(text)) > 0
+        ),
+        dims AS (
+            SELECT media_id, n,
+                   16 + n % 64 AS w, 16 + (n // 64) % 64 AS h
+            FROM nz
+        ),
+        nib AS (
+            SELECT media_id,
+                   strpos('0123456789ABCDEF', substr(hx, 2 * i + 1, 1)) - 1 AS bucket
+            FROM (SELECT media_id, hx, unnest(generate_series(0, n - 1)) AS i FROM nz)
+        ),
+        hist AS (
+            SELECT media_id, bucket, count(*) AS c FROM nib GROUP BY 1, 2
+        ),
+        hist_csv AS (
+            SELECT d.media_id,
+                   string_agg(CAST(coalesce(h.c, 0) AS VARCHAR), ',' ORDER BY g.b) AS hist_csv
+            FROM dims d
+            CROSS JOIN (SELECT unnest(generate_series(0, 15)) AS b) g
+            LEFT JOIN hist h ON h.media_id = d.media_id AND h.bucket = g.b
+            GROUP BY 1
+        ),
+        idx AS (
+            SELECT d.media_id, ij.k,
+                   (((ij.k // 8) * d.h // 8) * d.w + ((ij.k % 8) * d.w // 8)) % d.n AS pos
+            FROM dims d
+            CROSS JOIN (SELECT unnest(generate_series(0, 63)) AS k) ij
+        ),
+        thumb AS (
+            SELECT i.media_id,
+                   lower(string_agg(substr(nz.hx, 2 * i.pos + 1, 2), '' ORDER BY i.k)) AS thumb_hex
+            FROM idx i JOIN nz ON nz.media_id = i.media_id
+            GROUP BY 1
+        )
+        SELECT d.media_id,
+               CAST(d.n AS BIGINT) AS n_bytes,
+               CAST(d.w AS INTEGER) AS src_w,
+               CAST(d.h AS INTEGER) AS src_h,
+               hc.hist_csv, t.thumb_hex
+        FROM dims d
+        JOIN hist_csv hc ON hc.media_id = d.media_id
+        JOIN thumb t ON t.media_id = d.media_id
+    """,
     "mm_decode_frames": """
         SELECT media_id,
                CAST(16 + n % 64 AS INTEGER) AS width,
