@@ -66,10 +66,12 @@ def _order_cols(order: list[str]) -> list:
     return cols
 
 
-# Tables whose parquet files carry TIMESTAMP(NANOS) columns. Spark has
-# no nanosecond timestamp type; with spark.sql.legacy.parquet.nanosAsLong
-# they arrive as long nanos and are rebuilt here at microsecond
-# precision (integer div — no double round-trip, no precision loss).
+# Tables whose parquet event-time columns need normalizing to a proper
+# TIMESTAMP (LTZ, UTC session). Fixture generations have varied:
+# TIMESTAMP(NANOS) arrives as long nanos under nanosAsLong and is
+# rebuilt at microsecond precision (integer div — no double round-trip,
+# no precision loss); naive timestamp[us] arrives as TIMESTAMP_NTZ and
+# is cast (UTC session → same instant). Watermarks/windows require LTZ.
 NANOS_TS_TABLES: dict[str, list[str]] = {"events": ["ts"]}
 
 # Runtime SQL confs the engine's semantics depend on. get_spark() sets
@@ -127,8 +129,12 @@ def read_table(spark: SparkSession, sf_dir: str, table: str) -> DataFrame:
     df = spark.read.parquet(f"{sf_dir}/{table}.parquet")
     for c in NANOS_TS_TABLES.get(table, []):
         field = dict((f.name, f.dataType) for f in df.schema.fields).get(c)
-        if field is not None and field.simpleString() == "bigint":
+        if field is None:
+            continue
+        if field.simpleString() == "bigint":
             df = df.withColumn(c, F.timestamp_micros(F.expr(f"{c} div 1000")))
+        elif field.simpleString() == "timestamp_ntz":
+            df = df.withColumn(c, F.col(c).cast("timestamp"))
     return df
 
 

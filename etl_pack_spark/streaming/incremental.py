@@ -70,8 +70,13 @@ def _events_stream(spark: SparkSession, source_dir: str) -> DataFrame:
             os.symlink(source_dir, link)
         source_dir = mirror
     stream = spark.readStream.schema(batch_schema).parquet(source_dir)
-    if dict((f.name, f.dataType.simpleString()) for f in batch_schema.fields).get("ts") == "bigint":
+    ts_type = dict((f.name, f.dataType.simpleString()) for f in batch_schema.fields).get("ts")
+    if ts_type == "bigint":
         stream = stream.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    elif ts_type == "timestamp_ntz":
+        # watermarks/event-time windows require TIMESTAMP (LTZ); the UTC
+        # session makes the cast instant-preserving
+        stream = stream.withColumn("ts", F.col("ts").cast("timestamp"))
     return stream
 
 

@@ -178,9 +178,12 @@ def test_scd2_merge_incremental_equals_full(spark, sf_dir):
     ev = read_table(spark, sf_dir, "events").select(
         "user_id", "event_type", "ts", "value"
     )
-    cut = ev.selectExpr("percentile(cast(ts as double), 0.5) p").collect()[0]["p"]
-    first = ev.where(F.col("ts").cast("double") <= cut)
-    second = ev.where(F.col("ts").cast("double") > cut)
+    # events.ts is TIMESTAMP_NTZ (nanos parquet); NTZ has no numeric
+    # cast, so the median split goes through epoch micros (UTC session)
+    epoch = F.unix_micros(F.col("ts").cast("timestamp"))
+    cut = ev.select(F.percentile(epoch, F.lit(0.5)).alias("p")).collect()[0]["p"]
+    first = ev.where(epoch <= cut)
+    second = ev.where(epoch > cut)
 
     keys = ["user_id", "event_type"]
     incremental = scd2_merge(scd2_build(first, keys, "ts"), second, keys, "ts")
