@@ -39,9 +39,12 @@ BENCH_QUERIES = [
     "ann_cosine_topk",         # brute-force cosine top-k
     "ann_ivf_topk",            # IVF-flat ANN (nprobe scale path)
     "text_sentiment",          # broadcast-lexicon sentiment join
-    "text_quality",            # text quality metrics
-    "text_fingerprint",        # winnowing fingerprints
+    "text_signals",            # ALL per-doc text signals, one scan (was text_quality + text_fingerprint)
     "corpus_curate",           # composed curation pipeline (1 scan, 1 shuffle)
+    "bm25_search",             # inverted index + BM25 ranked top-k
+    "cdc_scd2",                # SCD-2 history build (window shuffle)
+    "c4_clean",                # C4-recipe cleaning, map-only
+    "neardup_components",      # simhash pairs -> transitive clusters (iterative)
 ]
 
 

@@ -38,25 +38,33 @@ DOC_BLOCKLIST = ["lorem ipsum", "{"]
 _WORDS = "size(filter(split(trim({l}), '\\\\s+'), w -> w != ''))"
 
 
-def _line_keep_pred(var: str, min_words: int) -> str:
-    """SQL predicate (Spark dialect) deciding whether line ``var`` survives."""
+def _line_keep_pred(var: str, min_words: int, require_terminal: bool = True) -> str:
+    """SQL predicate (Spark dialect) deciding whether line ``var`` survives.
+
+    ``require_terminal=False`` disables the sentence-ender rule — the
+    C4 paper's filter targets web prose; corpora of titles, code docs,
+    or keyword text would be emptied by it."""
     blocked = " OR ".join(
         f"contains(lower({var}), '{s}')" for s in LINE_BLOCKLIST
     )
+    terminal = f"AND trim({var}) rlike '{TERMINAL_RE}' " if require_terminal else ""
     return (
         f"{_WORDS.format(l=var)} >= {min_words} "
-        f"AND trim({var}) rlike '{TERMINAL_RE}' "
+        f"{terminal}"
         f"AND NOT ({blocked})"
     )
 
 
-def _line_keep_pred_duck(var: str, min_words: int) -> str:
+def _line_keep_pred_duck(var: str, min_words: int, require_terminal: bool = True) -> str:
     blocked = " OR ".join(
         f"contains(lower({var}), '{s}')" for s in LINE_BLOCKLIST
     )
+    terminal = (
+        f"AND regexp_matches(trim({var}), '{TERMINAL_RE}') " if require_terminal else ""
+    )
     return (
         f"len(list_filter(string_split_regex(trim({var}), '\\s+'), w -> w != '')) >= {min_words} "
-        f"AND regexp_matches(trim({var}), '{TERMINAL_RE}') "
+        f"{terminal}"
         f"AND NOT ({blocked})"
     )
 
@@ -68,6 +76,7 @@ def c4_clean(
     min_words: int = 5,
     min_lines: int = 3,
     badwords: list[str] | None = None,
+    require_terminal: bool = True,
 ) -> DataFrame:
     """Clean ``text_col`` with the C4 recipe.
 
@@ -77,7 +86,7 @@ def c4_clean(
     """
     badwords = badwords if badwords is not None else []
     lines = f"split({text_col}, '\\n')"
-    kept = f"filter({lines}, l -> {_line_keep_pred('l', min_words)})"
+    kept = f"filter({lines}, l -> {_line_keep_pred('l', min_words, require_terminal)})"
     doc_blocked = " OR ".join(
         f"contains(lower({text_col}), '{s}')" for s in DOC_BLOCKLIST
     )
@@ -111,11 +120,12 @@ def c4_clean_sql(
     min_words: int = 5,
     min_lines: int = 3,
     badwords: list[str] | None = None,
+    require_terminal: bool = True,
 ) -> str:
     """DuckDB oracle twin of :func:`c4_clean` (exact semantics)."""
     badwords = badwords if badwords is not None else []
     lines = f"string_split({text_col}, chr(10))"
-    kept = f"list_filter({lines}, l -> {_line_keep_pred_duck('l', min_words)})"
+    kept = f"list_filter({lines}, l -> {_line_keep_pred_duck('l', min_words, require_terminal)})"
     doc_blocked = " OR ".join(
         f"contains(lower({text_col}), '{s}')" for s in DOC_BLOCKLIST
     )
@@ -136,4 +146,125 @@ def c4_clean_sql(
     SELECT id, array_to_string(kept, chr(10)) AS text_clean,
            n_lines, len(kept) AS n_kept
     FROM c WHERE NOT blocked AND len(kept) >= {min_lines}
+    """
+
+
+# ---------------------------------------------------------------------------
+# Gopher-style document quality gates (Rae et al. 2021, "Scaling
+# Language Models: ... Gopher", Appendix A1.1 — public filtering rules)
+# ---------------------------------------------------------------------------
+
+# ≥ `gopher_min_stop_hits` distinct members must appear for a doc to
+# look like running English text (the paper uses a small stop list).
+GOPHER_STOPWORDS = ["the", "be", "to", "of", "and", "that", "have", "with"]
+
+
+def gopher_signals(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    min_words: int = 50,
+    max_words: int = 100_000,
+    min_mean_word_len: float = 3.0,
+    max_mean_word_len: float = 10.0,
+    max_symbol_ratio: float = 0.1,
+    min_alpha_word_ratio: float = 0.8,
+    min_stop_hits: int = 2,
+) -> DataFrame:
+    """Per-document Gopher quality metrics + the composed ``keep`` gate.
+
+    Map-only (one projection, no shuffle, no Python) like
+    :func:`c4_clean`; where C4 filters LINES, Gopher gates DOCUMENTS on
+    corpus statistics. Returns every doc with its metrics so callers can
+    re-threshold without re-scanning; ``keep`` applies the paper's
+    defaults.
+    """
+    words = f"filter(split(trim({text_col}), '\\\\s+'), w -> w != '')"
+    n_words = F.expr(f"size({words})")
+    mean_wl = F.when(
+        n_words > 0,
+        F.expr(f"aggregate(transform({words}, w -> length(w)), 0, (a, v) -> a + v)")
+        .cast("double") / n_words.cast("double"),
+    )
+    # '#' or '...' occurrences per word (Gopher's symbol-to-word ratio)
+    n_symbols = (
+        F.expr(f"size(split({text_col}, '#')) - 1")
+        + F.expr(f"size(split({text_col}, '\\\\.\\\\.\\\\.')) - 1")
+    )
+    symbol_ratio = F.when(n_words > 0, n_symbols.cast("double") / n_words.cast("double"))
+    alpha_ratio = F.when(
+        n_words > 0,
+        F.expr(f"size(filter({words}, w -> w rlike '[a-zA-Z]'))").cast("double")
+        / n_words.cast("double"),
+    )
+    stops = ", ".join(f"'{w}'" for w in GOPHER_STOPWORDS)
+    stop_hits = F.expr(
+        f"size(array_intersect(transform({words}, w -> lower(w)), array({stops})))"
+    )
+    out = df.select(
+        F.col(id_col),
+        n_words.alias("n_words"),
+        mean_wl.alias("mean_word_len"),
+        symbol_ratio.alias("symbol_ratio"),
+        alpha_ratio.alias("alpha_word_ratio"),
+        stop_hits.alias("stop_hits"),
+    )
+    keep = (
+        F.col("n_words").between(min_words, max_words)
+        & F.col("mean_word_len").between(min_mean_word_len, max_mean_word_len)
+        & (F.col("symbol_ratio") < max_symbol_ratio)
+        & (F.col("alpha_word_ratio") > min_alpha_word_ratio)
+        & (F.col("stop_hits") >= min_stop_hits)
+    )
+    return out.withColumn("keep", F.coalesce(keep, F.lit(False)))
+
+
+def gopher_signals_sql(
+    table: str,
+    id_col: str,
+    text_col: str,
+    min_words: int = 50,
+    max_words: int = 100_000,
+    min_mean_word_len: float = 3.0,
+    max_mean_word_len: float = 10.0,
+    max_symbol_ratio: float = 0.1,
+    min_alpha_word_ratio: float = 0.8,
+    min_stop_hits: int = 2,
+) -> str:
+    """DuckDB oracle twin of :func:`gopher_signals` (same int/int
+    double arithmetic → bit-identical ratios)."""
+    stops = ", ".join(f"'{w}'" for w in GOPHER_STOPWORDS)
+    return f"""
+    WITH w AS (
+        SELECT {id_col},
+               list_filter(string_split_regex(trim({text_col}), '\\s+'), x -> x != '') AS ws,
+               len(string_split({text_col}, '#')) - 1
+                 + len(string_split({text_col}, '...')) - 1 AS n_symbols
+        FROM {table}
+    ),
+    m AS (
+        SELECT {id_col},
+               len(ws) AS n_words,
+               CASE WHEN len(ws) > 0 THEN
+                   CAST(list_reduce(list_prepend(0, list_transform(ws, x -> length(x))),
+                                    (a, v) -> a + v) AS DOUBLE) / CAST(len(ws) AS DOUBLE)
+               END AS mean_word_len,
+               CASE WHEN len(ws) > 0 THEN
+                   CAST(n_symbols AS DOUBLE) / CAST(len(ws) AS DOUBLE)
+               END AS symbol_ratio,
+               CASE WHEN len(ws) > 0 THEN
+                   CAST(len(list_filter(ws, x -> regexp_matches(x, '[a-zA-Z]'))) AS DOUBLE)
+                       / CAST(len(ws) AS DOUBLE)
+               END AS alpha_word_ratio,
+               len(list_intersect(list_transform(ws, x -> lower(x)), [{stops}])) AS stop_hits
+        FROM w
+    )
+    SELECT *,
+           coalesce(
+               n_words BETWEEN {min_words} AND {max_words}
+               AND mean_word_len BETWEEN {min_mean_word_len} AND {max_mean_word_len}
+               AND symbol_ratio < {max_symbol_ratio}
+               AND alpha_word_ratio > {min_alpha_word_ratio}
+               AND stop_hits >= {min_stop_hits}, false) AS keep
+    FROM m
     """

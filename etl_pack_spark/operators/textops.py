@@ -305,6 +305,88 @@ def fingerprint_sql(table: str, id_col: str, text_col: str, k: int = 3) -> str:
     """
 
 
+def text_signals(df: DataFrame, id_col: str, text_col: str, k: int = 3) -> DataFrame:
+    """EVERY per-document text signal in ONE scan and one projection
+    chain — no joins, no shuffle: language-ID marker scores + argmax
+    prediction, length/punct/stopword quality metrics, k-gram
+    repetition, the BPE-ish piece count, and the winnowing fingerprint.
+
+    Same expressions as :func:`language_id` / :func:`quality_signals` /
+    :func:`token_counts` / :func:`fingerprint`, sharing a single
+    tokenization — at 100 TB this is the difference between one pass
+    over the corpus and four. (``n_words`` from token_counts is omitted:
+    it is definitionally ``n_tokens``. fingerprint's hash count is
+    renamed ``n_fp_hashes``; ``n_grams`` here keeps quality_signals'
+    meaning, total k-shingles.)
+    """
+    stop_hits = _marker_count("__toks", "en")
+    n_toks = F.size("__toks")
+    safe = lambda num: F.when(n_toks > 0, num.cast("double") / n_toks.cast("double"))  # noqa: E731
+    sh_total = F.size("__sh")
+    sh_uniq = F.size(F.array_distinct("__sh"))
+    repetition = F.when(
+        sh_total > 0, F.lit(1.0) - sh_uniq.cast("double") / sh_total.cast("double")
+    )
+    fp_sel = F.expr(
+        "array_sort(filter(transform(array_distinct(__sh), s -> md5(s)),"
+        " h -> substring(h, 1, 1) = '0'))"
+    )
+    scores = {lang: _marker_count("__toks", lang) for lang in MARKERS}
+    wide = (
+        df.select(F.col(id_col), F.col(text_col).alias("__t"), tokens(text_col).alias("__toks"))
+        .select(
+            F.col(id_col), F.col("__t"), F.col("__toks"),
+            shingles_expr("__toks", k).alias("__sh"),
+        )
+        .select(
+            F.col(id_col),
+            *[scores[lang].alias(f"score_{lang}") for lang in MARKERS],
+            F.length("__t").alias("n_chars"),
+            n_toks.alias("n_tokens"),
+            (F.length("__t") - F.length(F.regexp_replace(F.col("__t"), PUNCT_RE, "")))
+            .alias("n_punct"),
+            stop_hits.alias("n_stopwords"),
+            safe(F.expr("aggregate(transform(__toks, x -> length(x)), 0, (a, v) -> a + v)"))
+            .alias("avg_token_len"),
+            safe(stop_hits).alias("stopword_ratio"),
+            sh_total.alias("n_grams"),
+            sh_uniq.alias("n_distinct"),
+            repetition.alias("repetition"),
+            F.size(F.regexp_extract_all(F.col("__t"), F.lit(PIECE_RE), 0)).alias("n_pieces"),
+            F.size(fp_sel).alias("n_fp_hashes"),
+            F.concat_ws(",", fp_sel).alias("fingerprint"),
+        )
+    )
+    s = {lang: F.col(f"score_{lang}") for lang in MARKERS}
+    lang_pred = (
+        F.when(s["de"].isNull(), None)
+        .when((s["de"] >= s["en"]) & (s["de"] >= s["es"]) & (s["de"] >= s["fr"]), "de")
+        .when((s["en"] >= s["es"]) & (s["en"] >= s["fr"]), "en")
+        .when(s["es"] >= s["fr"], "es")
+        .otherwise("fr")
+    )
+    return wide.withColumn("lang_pred", lang_pred)
+
+
+def text_signals_sql(table: str, id_col: str, text_col: str, k: int = 3) -> str:
+    """DuckDB oracle twin of :func:`text_signals` — composed from the
+    per-family SQL twins by equi-join on the id (the oracle only needs
+    to be CORRECT; the one-pass shape is the Spark side's concern)."""
+    return f"""
+    SELECT L.{id_col},
+           L.score_de, L.score_en, L.score_es, L.score_fr, L.lang_pred,
+           Q.n_chars, Q.n_tokens, Q.n_punct, Q.n_stopwords,
+           Q.avg_token_len, Q.stopword_ratio,
+           Q.n_grams, Q.n_distinct, Q.repetition,
+           T.n_pieces,
+           Fp.n_grams AS n_fp_hashes, Fp.fingerprint
+    FROM ({language_id_sql(table, id_col, text_col)}) L
+    JOIN ({quality_signals_sql(table, id_col, text_col, k)}) Q USING ({id_col})
+    JOIN ({token_counts_sql(table, id_col, text_col)}) T USING ({id_col})
+    JOIN ({fingerprint_sql(table, id_col, text_col, k)}) Fp USING ({id_col})
+    """
+
+
 # Tiny polarity lexicon (public-knowledge sentiment words) — a stand-in
 # for a real dictionary; the operator shape (broadcast lexicon join)
 # is what matters at scale.

@@ -145,13 +145,20 @@ def scd2_build(
     pre-dedup on it instead).
     """
     rest = [c for c in changes.columns if c not in set(keys) | {ts_col}]
-    w_dedup = Window.partitionBy(*keys, ts_col).orderBy(
-        *[F.col(c).asc_nulls_first() for c in rest] or [F.lit(1)]
-    )
+    # ONE exchange for both windows: dedup-per-(key, ts) runs as a lag
+    # over the SAME key partitioning the lead() needs (first row of each
+    # equal-ts run under (ts, rest) order == the row_number()==1
+    # survivor of a (key, ts)-partitioned window, but that shape would
+    # hash-partition on (key, ts) and force a second shuffle for the
+    # history window). The (ts, rest) sort also satisfies the lead
+    # window's ts-prefix ordering, so no extra sort either.
+    order = [F.col(ts_col).asc()] + [F.col(c).asc_nulls_first() for c in rest]
+    w_order = Window.partitionBy(*keys).orderBy(*order)
     w_hist = Window.partitionBy(*keys).orderBy(F.col(ts_col).asc())
+    prev_ts = F.lag(ts_col).over(w_order)
     return (
-        changes.withColumn(_RN, F.row_number().over(w_dedup))
-        .where(F.col(_RN) == 1)
+        changes.withColumn(_RN, F.col(ts_col).eqNullSafe(prev_ts))
+        .where(~F.col(_RN))
         .drop(_RN)
         .withColumn(effective_from, F.col(ts_col))
         .withColumn(effective_to, F.lead(ts_col).over(w_hist))

@@ -90,3 +90,67 @@ def test_map_only_plan(spark, sf_dir):
         .toString()
     )
     assert "Exchange" not in plan  # cleaning must not shuffle
+
+
+# ---------------------------------------------------------------------------
+# Gopher quality gates
+# ---------------------------------------------------------------------------
+
+def test_gopher_gates_planted_docs(spark):
+    from etl_pack_spark.operators.cleaning import gopher_signals
+
+    prose = ("the cat and the dog have come to sit with us by the fire and "
+             "that is fine because we have time to spare today " * 3)
+    symbols = "# " * 60 + "the and of to be that have with more words here"
+    numbers = " ".join(str(i) for i in range(80))
+    short = "the end."
+    df = _df(spark, [(1, prose), (2, symbols), (3, numbers), (4, short), (5, None)])
+    out = {r["doc_id"]: r for r in
+           gopher_signals(df, "doc_id", "text").collect()}
+    assert out[1]["keep"] is True
+    assert out[2]["keep"] is False  # symbol ratio
+    assert out[3]["keep"] is False  # no alphabetic words / no stopwords
+    assert out[4]["keep"] is False  # too few words
+    assert out[5]["keep"] is False  # null text
+    assert out[1]["stop_hits"] >= 2 and out[1]["n_words"] >= 50
+
+
+def test_gopher_oracle_parity(spark, sf_dir):
+    from etl_pack_spark.operators.cleaning import gopher_signals, gopher_signals_sql
+
+    # paper defaults stay in the operator; the fixture is keyword text,
+    # so the framing lowers the stopword/word-count gates to values that
+    # split this corpus (parity must hold for ANY thresholds)
+    kw = dict(min_words=40, min_stop_hits=1)
+    docs = read_table(spark, sf_dir, "documents")
+    got = (
+        gopher_signals(docs, "doc_id", "text", **kw)
+        .toPandas().sort_values("doc_id").reset_index(drop=True)
+    )
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM read_parquet('{sf_dir}/documents.parquet')"
+    )
+    want = (
+        con.execute(gopher_signals_sql("documents", "doc_id", "text", **kw))
+        .fetchdf().sort_values("doc_id").reset_index(drop=True)
+    )
+    assert len(got) == len(want) > 0
+    for c in ["n_words", "stop_hits", "keep"]:
+        assert (got[c].values == want[c].values).all(), c
+    for c in ["mean_word_len", "symbol_ratio", "alpha_word_ratio"]:
+        a, b = got[c].astype(float), want[c].astype(float)
+        assert ((a == b) | (a.isna() & b.isna())).all(), c
+    # the gate must actually discriminate on this corpus
+    assert 0 < got["keep"].sum() < len(got)
+
+
+def test_gopher_map_only_plan(spark, sf_dir):
+    from etl_pack_spark.operators.cleaning import gopher_signals
+
+    docs = read_table(spark, sf_dir, "documents")
+    plan = (
+        gopher_signals(docs, "doc_id", "text")
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "Exchange" not in plan and "BatchEvalPython" not in plan

@@ -63,3 +63,36 @@ def test_hashing_stays_jvm_side(spark, sf_dir):
     plan = plan_of(spark, sf_dir, "h1_row_hash")
     assert "md5" in plan
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_bm25_broadcasts_stats_not_corpus(spark, sf_dir):
+    # the idf/stats side is at most |query terms| rows -> broadcast;
+    # the postings (corpus-sized) side must NOT be the broadcast side
+    plan = plan_of(spark, sf_dir, "bm25_search")
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_cdc_scd2_single_exchange(spark, sf_dir):
+    # dedup-then-lead over (key, ts): both windows share ONE hash
+    # exchange on the business key — no join, no second shuffle of the
+    # change stream (AQE may add a coalesce read, not a new exchange)
+    plan = plan_of(spark, sf_dir, "cdc_scd2")
+    assert plan.count("Exchange hashpartitioning") == 1
+    assert "Join" not in plan
+
+
+def test_contamination_broadcasts_eval_grams(spark, sf_dir):
+    # train corpus must never shuffle: eval gram set broadcasts into a
+    # left-semi join
+    plan = plan_of(spark, sf_dir, "contamination_eval")
+    assert "BroadcastHashJoin" in plan and "LeftSemi" in plan
+
+
+def test_mixture_resample_no_corpus_shuffle(spark, sf_dir):
+    # per-domain counts broadcast back; the corpus side is map-only
+    # (explode of sequence(1, copies)) — its only exchange is the
+    # domain-count aggregation over a handful of groups
+    plan = plan_of(spark, sf_dir, "mixture_resample")
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan

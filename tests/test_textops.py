@@ -71,3 +71,45 @@ def test_sentiment_polarity_signs(spark):
     assert out[3]["polarity"] == 0 and out[3]["sentiment"] == 0.0
     assert out[4]["n_toks"] == 0 and out[4]["sentiment"] == 0.0
     assert len(out) == 4  # empty doc kept
+
+
+def test_text_signals_matches_component_operators(spark, sf_dir):
+    """The one-scan composition must equal the four standalone
+    operators joined on doc_id, column for column."""
+    from etl_pack_spark.sources.reader import read_table
+
+    docs = read_table(spark, sf_dir, "documents").limit(50)
+    got = {r["doc_id"]: r.asDict() for r in
+           textops.text_signals(docs, "doc_id", "text").collect()}
+    lang = {r["doc_id"]: r.asDict() for r in
+            textops.language_id(docs, "doc_id", "text").collect()}
+    qual = {r["doc_id"]: r.asDict() for r in
+            textops.quality_signals(docs, "doc_id", "text").collect()}
+    toks = {r["doc_id"]: r.asDict() for r in
+            textops.token_counts(docs, "doc_id", "text").collect()}
+    fp = {r["doc_id"]: r.asDict() for r in
+          textops.fingerprint(docs, "doc_id", "text").collect()}
+    assert set(got) == set(lang) == set(qual) == set(toks) == set(fp)
+    for d, row in got.items():
+        for k, v in lang[d].items():
+            if k != "doc_id":
+                assert row[k] == v, (d, k)
+        for k, v in qual[d].items():
+            if k != "doc_id":
+                assert row[k] == v, (d, k)
+        assert row["n_pieces"] == toks[d]["n_pieces"]
+        assert row["n_fp_hashes"] == fp[d]["n_grams"]
+        assert row["fingerprint"] == fp[d]["fingerprint"]
+
+
+def test_text_signals_single_scan_no_shuffle(spark, sf_dir):
+    """Map-only plan: one FileScan, zero Exchange."""
+    from etl_pack_spark.sources.reader import read_table
+
+    docs = read_table(spark, sf_dir, "documents")
+    plan = (
+        textops.text_signals(docs, "doc_id", "text")
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "Exchange" not in plan
+    assert plan.count("Scan parquet") == 1
