@@ -30,7 +30,9 @@ from etl_pack_spark.operators.textops import (  # noqa: F401
     quality_metrics,
     redact_pii,
     repetition_ratio,
+    text_signals,
     token_counts,
+    unigram_logprob,
 )
 from etl_pack_spark.operators.multimodal import (  # noqa: F401
     binarize_documents,
@@ -52,7 +54,7 @@ from etl_pack_spark.operators.contamination import (  # noqa: F401
     decontaminate,
 )
 from etl_pack_spark.operators.packing import pack_sequences, pack_stats  # noqa: F401
-from etl_pack_spark.operators.cleaning import c4_clean  # noqa: F401
+from etl_pack_spark.operators.cleaning import c4_clean, gopher_signals  # noqa: F401
 from etl_pack_spark.operators.quantize import (  # noqa: F401
     pq_encode,
     pq_topk,

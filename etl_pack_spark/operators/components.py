@@ -30,6 +30,14 @@ labeling is the min node id per component, independent of execution
 order, partitioning, and iteration count at convergence. The DuckDB
 oracle twin (``connected_components_sql``) computes the same min-id
 label by recursive reachability, so results hash-match cross-engine.
+
+Hybrid execution: the pair graph is orders of magnitude smaller than
+the corpus that produced it (pairs exist only where near-dups do), so
+below ``MAX_DRIVER_PAIRS`` the component labeling runs as an exact
+union-find on the driver — O(E α(N)) in milliseconds, zero Spark jobs
+per iteration — and the distributed loop is reserved for genuinely
+large graphs. Same guarded-bounded-path pattern as the broadcast
+cosine kernel (similarity.MAX_BROADCAST_VECTORS).
 """
 
 from __future__ import annotations
@@ -37,20 +45,62 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+# Above this many edges the driver union-find gives way to the
+# distributed loop. 2M edges ≈ 32 MB of longs — trivially collectable;
+# graphs past that are real graph workloads, not near-dup clumps.
+MAX_DRIVER_PAIRS = 2_000_000
+
+
+def _driver_union_find(edges: DataFrame, src: str, dst: str) -> DataFrame:
+    """Exact union-find over a bounded edge list (roots = min id)."""
+    parent: dict[int, int] = {}
+
+    def find(x: int) -> int:
+        root = x
+        while parent.get(root, root) != root:
+            root = parent[root]
+        while parent.get(x, x) != x:  # path compression
+            parent[x], x = root, parent[x]
+        return root
+
+    rows = edges.select(src, dst).collect()
+    for r in rows:
+        a, b = find(r[0]), find(r[1])
+        if a != b:
+            # min id becomes the root → labels match the min-label loop
+            lo, hi = (a, b) if a < b else (b, a)
+            parent[hi] = lo
+    nodes = {x for r in rows for x in (r[0], r[1])}
+    out = [(n, find(n)) for n in sorted(nodes)]
+    return edges.sparkSession.createDataFrame(out, "id long, cluster_id long")
+
 
 def connected_components(
     edges: DataFrame,
     src: str = "id_a",
     dst: str = "id_b",
     max_iter: int = 25,
+    method: str = "auto",
 ) -> DataFrame:
     """Label every node reachable through ``edges`` with the MIN node id
     of its component. Returns ``(id, cluster_id)`` — one row per
     distinct node appearing in the edge list.
 
+    ``method``: ``auto`` (driver union-find when the edge list is under
+    ``MAX_DRIVER_PAIRS``, distributed loop otherwise), ``driver``, or
+    ``distributed``. Both paths produce the identical min-id labeling.
     ``max_iter`` bounds the loop (diameter of the graph); hitting it
     raises rather than silently returning a partial labeling.
     """
+    if method not in ("auto", "driver", "distributed"):
+        raise ValueError(f"unknown method {method!r}")
+    if method == "driver":
+        return _driver_union_find(edges, src, dst)
+    if method == "auto":
+        # bounded size probe: limit(n+1) is one cheap job, no full count
+        probe = edges.select(src).limit(MAX_DRIVER_PAIRS + 1).count()
+        if probe <= MAX_DRIVER_PAIRS:
+            return _driver_union_find(edges, src, dst)
     # bidirectional edge list, persisted once — every iteration reuses it
     fwd = edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
     rev = edges.select(F.col(dst).alias("u"), F.col(src).alias("v"))

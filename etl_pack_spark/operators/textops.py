@@ -460,3 +460,70 @@ def lexicon_sentiment_sql(table: str, id_col: str, text_col: str) -> str:
     FROM (SELECT DISTINCT {id_col} FROM {table}) b
     LEFT JOIN agg a ON a.{id_col} = b.{id_col}
     """
+
+
+# ---------------------------------------------------------------------------
+# Unigram log-probability scoring (CCNet-style LM quality proxy,
+# Wenzek et al. 2020 — there the LM is KenLM; the unigram variant is
+# the deterministic, engine-native shape of the same pipeline)
+# ---------------------------------------------------------------------------
+
+def unigram_logprob(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    alpha: float = 1.0,
+) -> DataFrame:
+    """Per-document mean unigram log-probability under the corpus's own
+    unigram distribution (add-``alpha`` smoothing; unseen mass via the
+    vocabulary+1 denominator). Low scores = rare-token documents —
+    the standard LM-quality proxy for corpus filtering.
+
+    Scale shape: the model IS a token-count aggregate (map-side
+    combinable, vocabulary-sized result — zipf makes that << corpus),
+    broadcast back onto the exploded tokens; the per-doc mean is a
+    second map-side-combinable aggregate. Two shuffles total, both of
+    vocabulary/doc cardinality, never raw-corpus-sized rows.
+    """
+    toks = df.select(F.col(id_col), F.explode(tokens(text_col)).alias("tok"))
+    counts = toks.groupBy("tok").agg(F.count("*").alias("cnt")).persist()
+    stats = counts.agg(
+        F.sum("cnt").alias("total"), F.count("*").alias("vocab")
+    )
+    model = counts.crossJoin(F.broadcast(stats)).select(
+        "tok",
+        F.log(
+            (F.col("cnt") + F.lit(alpha))
+            / (F.col("total") + F.lit(alpha) * (F.col("vocab") + 1))
+        ).alias("logp"),
+    )
+    return (
+        toks.join(F.broadcast(model), "tok")
+        .groupBy(id_col)
+        .agg(
+            F.count("*").alias("n_tokens"),
+            (F.sum("logp") / F.count("*")).alias("mean_logprob"),
+        )
+    )
+
+
+def unigram_logprob_sql(table: str, id_col: str, text_col: str, alpha: float = 1.0) -> str:
+    """DuckDB twin of :func:`unigram_logprob`. log() is libm-dependent
+    (±1 ulp vs the JVM), so tests compare at 1e-12 relative tolerance
+    rather than hash-exact."""
+    return f"""
+    WITH tk AS (
+        SELECT {id_col}, unnest(toks) AS tok
+        FROM (SELECT {id_col}, {tokens_sql(text_col)} AS toks FROM {table})
+    ),
+    counts AS (SELECT tok, count(*) AS cnt FROM tk GROUP BY tok),
+    stats AS (SELECT sum(cnt) AS total, count(*) AS vocab FROM counts),
+    model AS (
+        SELECT tok, ln((cnt + {alpha}) / (total + {alpha} * (vocab + 1))) AS logp
+        FROM counts, stats
+    )
+    SELECT {id_col}, count(*) AS n_tokens,
+           sum(logp) / count(*) AS mean_logprob
+    FROM tk JOIN model USING (tok)
+    GROUP BY {id_col}
+    """

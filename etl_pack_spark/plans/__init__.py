@@ -4,4 +4,5 @@ from etl_pack_spark.plans.merge import (  # noqa: F401
     scd2_build,
     scd2_merge,
 )
+from etl_pack_spark.plans.pretrain import prepare_pretraining_corpus  # noqa: F401
 from etl_pack_spark.plans.transfer import TransferConfig, run_transfer  # noqa: F401

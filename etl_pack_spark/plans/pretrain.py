@@ -1,0 +1,82 @@
+"""The end-to-end pretraining-corpus pipeline, composed from the
+operator library as ONE lazy plan per stage:
+
+    quality/lang gate + split assign   (plans/curate.py — 1 scan, 1 shuffle)
+    → near-dup CLUSTER dedup           (simhash pairs → components → 1 survivor)
+    → eval decontamination             (broadcast semi-join, corpus never shuffles)
+    → domain-mixture resample          (map-only + broadcast counts)
+    → sequence packing to token budget (shard-local greedy first-fit)
+
+This is the composition a training-data team actually runs over 100 TB;
+every stage is individually oracle-checked / pytest-pinned, and this
+module pins the CONTRACT between them (column handoffs, determinism,
+row-count monotonicity). Nothing here collects to the driver; the
+near-dup pair graph is the only iterative piece and its working set is
+pairs + labels, not the corpus.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from etl_pack_spark.operators import neardup
+from etl_pack_spark.operators.components import cluster_dedup
+from etl_pack_spark.operators.contamination import decontaminate
+from etl_pack_spark.operators.packing import pack_sequences
+from etl_pack_spark.operators.sampling import mixture_resample
+from etl_pack_spark.operators.tokenize import tokens
+from etl_pack_spark.plans.curate import curate_corpus
+
+
+def prepare_pretraining_corpus(
+    docs: DataFrame,
+    eval_df: DataFrame | None = None,
+    weights: dict[str, float] | None = None,
+    domain_col: str = "source",
+    budget: int = 2048,
+    max_hamming: int = 10,
+    ngram: int = 8,
+) -> DataFrame:
+    """Documents → packed training sequences.
+
+    Returns ``(doc_id, lang, split, source, copy_n, n_tokens, pack_id,
+    oversize)`` — one row per packed copy of every surviving train
+    document. ``eval_df`` (optional) drives decontamination;
+    ``weights`` (optional) reweights domains (absent = keep mixture).
+    Deterministic end-to-end: every stage is hash-based, no RNG.
+    """
+    curated = curate_corpus(docs)  # (doc_id, lang, split)
+    kept = docs.join(curated.select("doc_id", "split"), "doc_id").select(
+        "doc_id", "text", "lang", "split", F.col(domain_col)
+    )
+
+    # near-dup cluster dedup over the CURATED corpus: one survivor per
+    # transitive simhash cluster (pairs are pre-thresholded, so the
+    # component graph is tiny relative to the corpus)
+    pairs = neardup.simhash_neardup_pairs(
+        kept, "doc_id", "text", max_hamming=max_hamming
+    ).select("id_a", "id_b")
+    unique = cluster_dedup(kept, pairs, "doc_id")
+
+    train = unique.where(F.col("split") == "train")
+    if eval_df is not None:
+        train = decontaminate(train, eval_df, "doc_id", "text", n=ngram)
+
+    if weights is not None:
+        train = mixture_resample(train, "doc_id", domain_col, weights)
+    else:
+        train = train.withColumn("copy_n", F.lit(1))
+
+    sized = train.select(
+        "doc_id", "lang", "split", F.col(domain_col), "copy_n",
+        F.size(tokens("text")).alias("n_tokens"),
+        # packing key: distinct per (doc, copy) so upweighted copies
+        # pack independently instead of colliding on doc_id
+        (F.col("doc_id") * 1024 + F.col("copy_n")).alias("__pack_key"),
+    )
+    packed = pack_sequences(sized, "__pack_key", "n_tokens", budget=budget)
+    return (
+        sized.join(packed.select("__pack_key", "pack_id", "oversize"), "__pack_key")
+        .drop("__pack_key")
+    )

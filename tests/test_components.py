@@ -45,7 +45,7 @@ def test_long_chain_converges(spark):
 def test_max_iter_raises(spark):
     edges = _edges(spark, [(i, i + 1) for i in range(8)])
     with pytest.raises(RuntimeError, match="did not converge"):
-        connected_components(edges, max_iter=1)
+        connected_components(edges, max_iter=1, method="distributed")
 
 
 def test_oracle_parity_on_real_pairs(spark, sf_dir):
@@ -82,3 +82,17 @@ def test_cluster_dedup_keeps_one_per_cluster(spark):
     kept = sorted(r["doc_id"] for r in cluster_dedup(docs, pairs, "doc_id").collect())
     # clusters {1,2,3}→1 and {7,8}→7 survive once; 0,4,5,6,9 untouched
     assert kept == [0, 1, 4, 5, 6, 7, 9]
+
+
+def test_driver_and_distributed_paths_agree(spark, sf_dir):
+    from etl_pack_spark.operators import neardup
+    from etl_pack_spark.sources.reader import read_table
+
+    docs = read_table(spark, sf_dir, "documents")
+    pairs = neardup.simhash_neardup_pairs(docs, "doc_id", "text").select(
+        "id_a", "id_b"
+    ).persist()
+    a = sorted(map(tuple, connected_components(pairs, method="driver").collect()))
+    b = sorted(map(tuple, connected_components(pairs, method="distributed").collect()))
+    assert a == b and len(a) > 0
+    pairs.unpersist()

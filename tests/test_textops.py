@@ -113,3 +113,43 @@ def test_text_signals_single_scan_no_shuffle(spark, sf_dir):
     )
     assert "Exchange" not in plan
     assert plan.count("Scan parquet") == 1
+
+
+def test_unigram_logprob_ranks_common_above_rare(spark):
+    common = "the cat sat on the mat and the dog sat too"
+    rare = "zyzzyva qoph xylyl vexillology"
+    df = spark.createDataFrame(
+        [(1, common), (2, common), (3, common), (4, rare)],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r["mean_logprob"] for r in
+           textops.unigram_logprob(df, "doc_id", "text").collect()}
+    assert out[1] == out[2] == out[3] > out[4]
+
+
+def test_unigram_logprob_oracle_parity(spark, sf_dir):
+    import duckdb
+
+    from etl_pack_spark.sources.reader import read_table
+
+    docs = read_table(spark, sf_dir, "documents")
+    got = (
+        textops.unigram_logprob(docs, "doc_id", "text")
+        .toPandas().sort_values("doc_id").reset_index(drop=True)
+    )
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM read_parquet('{sf_dir}/documents.parquet')"
+    )
+    want = (
+        con.execute(textops.unigram_logprob_sql("documents", "doc_id", "text"))
+        .fetchdf().sort_values("doc_id").reset_index(drop=True)
+    )
+    assert len(got) == len(want) > 0
+    assert (got["n_tokens"].values == want["n_tokens"].values).all()
+    # ln() is libm-dependent: compare at tight relative tolerance
+    import numpy as np
+
+    a = got["mean_logprob"].to_numpy()
+    b = want["mean_logprob"].to_numpy()
+    assert np.allclose(a, b, rtol=1e-12, atol=0)
