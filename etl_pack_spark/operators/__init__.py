@@ -54,7 +54,11 @@ from etl_pack_spark.operators.contamination import (  # noqa: F401
     decontaminate,
 )
 from etl_pack_spark.operators.packing import pack_sequences, pack_stats  # noqa: F401
-from etl_pack_spark.operators.cleaning import c4_clean, gopher_signals  # noqa: F401
+from etl_pack_spark.operators.cleaning import (  # noqa: F401
+    c4_clean,
+    dedup_lines,
+    gopher_signals,
+)
 from etl_pack_spark.operators.quantize import (  # noqa: F401
     pq_encode,
     pq_topk,

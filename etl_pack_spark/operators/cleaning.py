@@ -268,3 +268,112 @@ def gopher_signals_sql(
                AND stop_hits >= {min_stop_hits}, false) AS keep
     FROM m
     """
+
+
+# ---------------------------------------------------------------------------
+# Corpus-wide duplicate-line removal (the C4 "three-sentence span" /
+# RefinedWeb line-dedup idea at line granularity): boilerplate lines
+# repeat across thousands of documents; remove repeats corpus-wide,
+# optionally keeping the first occurrence.
+# ---------------------------------------------------------------------------
+
+def dedup_lines(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    max_occurrences: int = 1,
+    keep_first: bool = True,
+) -> DataFrame:
+    """Remove lines that occur in the corpus more than
+    ``max_occurrences`` times; with ``keep_first`` the single earliest
+    occurrence (min ``(id, pos)``) survives. Returns
+    ``(id, text_clean, n_lines, n_kept)`` for EVERY input document
+    (fully-boilerplate docs come back with an empty ``text_clean``).
+
+    Scale shape: explode to (id, pos, line-hash) rows; per-line stats
+    are ONE map-side-combinable aggregate (count + min(struct(id,pos))
+    — constant state per distinct line); the keep-decision is an
+    equi-join on the line hash; reassembly is one groupBy(id). Line
+    TEXT never rides a shuffle twice — stats and join both carry the
+    md5 only. No driver-side state.
+    """
+    lines = df.select(
+        F.col(id_col).alias("id"),
+        F.posexplode(F.split(F.col(text_col), "\n")).alias("pos", "line"),
+    ).withColumn("lh", F.md5("line"))
+    stats = lines.groupBy("lh").agg(
+        F.count("*").alias("cnt"),
+        F.min(F.struct("id", "pos")).alias("first"),
+    )
+    kept = (
+        lines.join(stats, "lh")
+        .where(
+            (F.col("cnt") <= max_occurrences)
+            | (
+                F.lit(keep_first)
+                & (F.struct("id", "pos") == F.col("first"))
+            )
+        )
+        .select("id", "pos", "line")
+    )
+    rebuilt = kept.groupBy("id").agg(
+        F.array_join(
+            F.expr("transform(array_sort(collect_list(struct(pos, line))), x -> x.line)"),
+            "\n",
+        ).alias("text_clean"),
+        F.count("*").alias("n_kept"),
+    )
+    base = df.select(
+        F.col(id_col).alias("id"),
+        F.size(F.split(F.col(text_col), "\n")).alias("n_lines"),
+    )
+    return (
+        base.join(rebuilt, "id", "left")
+        .select(
+            "id",
+            F.coalesce("text_clean", F.lit("")).alias("text_clean"),
+            "n_lines",
+            F.coalesce("n_kept", F.lit(0)).cast("long").alias("n_kept"),
+        )
+    )
+
+
+def dedup_lines_sql(
+    table: str,
+    id_col: str,
+    text_col: str,
+    max_occurrences: int = 1,
+    keep_first: bool = True,
+) -> str:
+    """DuckDB oracle twin of :func:`dedup_lines` (window-function
+    formulation — same survivors)."""
+    keep = "TRUE" if keep_first else "FALSE"
+    return f"""
+    WITH lines AS (
+        SELECT {id_col} AS id, u.pos - 1 AS pos, u.line
+        FROM {table},
+             LATERAL (SELECT unnest(string_split({text_col}, chr(10))) AS line,
+                             generate_subscripts(string_split({text_col}, chr(10)), 1) AS pos) u
+    ),
+    flagged AS (
+        SELECT id, pos, line,
+               count(*) OVER (PARTITION BY line) AS cnt,
+               row_number() OVER (PARTITION BY line ORDER BY id, pos) AS rn
+        FROM lines
+    ),
+    kept AS (
+        SELECT id, pos, line FROM flagged
+        WHERE cnt <= {max_occurrences} OR ({keep} AND rn = 1)
+    ),
+    rebuilt AS (
+        SELECT id, string_agg(line, chr(10) ORDER BY pos) AS text_clean,
+               count(*) AS n_kept
+        FROM kept GROUP BY id
+    )
+    SELECT b.id,
+           coalesce(r.text_clean, '') AS text_clean,
+           len(string_split(b.{text_col}, chr(10))) AS n_lines,
+           CAST(coalesce(r.n_kept, 0) AS BIGINT) AS n_kept
+    FROM (SELECT {id_col} AS id, {text_col} FROM {table}) b
+    LEFT JOIN rebuilt r ON r.id = b.id
+    """

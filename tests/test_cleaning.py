@@ -154,3 +154,65 @@ def test_gopher_map_only_plan(spark, sf_dir):
         ._jdf.queryExecution().executedPlan().toString()
     )
     assert "Exchange" not in plan and "BatchEvalPython" not in plan
+
+
+# ---------------------------------------------------------------------------
+# Corpus-wide duplicate-line removal
+# ---------------------------------------------------------------------------
+
+BOILER = "follow us on social media for more updates"
+
+
+def test_dedup_lines_keeps_first_occurrence(spark):
+    from etl_pack_spark.operators.cleaning import dedup_lines
+
+    df = _df(spark, [
+        (1, f"unique one\n{BOILER}"),
+        (2, f"{BOILER}\nunique two"),
+        (3, BOILER),
+    ])
+    out = {r["id"]: r for r in dedup_lines(df, "doc_id", "text").collect()}
+    assert out[1]["text_clean"] == f"unique one\n{BOILER}"  # first occurrence kept
+    assert out[2]["text_clean"] == "unique two"
+    assert out[3]["text_clean"] == "" and out[3]["n_kept"] == 0
+    assert out[3]["n_lines"] == 1
+
+
+def test_dedup_lines_drop_all_mode(spark):
+    from etl_pack_spark.operators.cleaning import dedup_lines
+
+    df = _df(spark, [(1, f"a\n{BOILER}"), (2, f"{BOILER}\nb")])
+    out = {r["id"]: r["text_clean"] for r in
+           dedup_lines(df, "doc_id", "text", keep_first=False).collect()}
+    assert out == {1: "a", 2: "b"}
+
+
+def test_dedup_lines_oracle_parity(spark):
+    import duckdb
+    import pandas as pd
+
+    from etl_pack_spark.operators.cleaning import dedup_lines, dedup_lines_sql
+
+    rows = []
+    for i in range(40):
+        body = f"document body number {i} with its own wording"
+        lines = [body]
+        if i % 3 == 0:
+            lines.append(BOILER)
+        if i % 5 == 0:
+            lines = [BOILER, body, "subscribe to our newsletter today"]
+        rows.append((i, "\n".join(lines)))
+    df = _df(spark, rows)
+    got = (
+        dedup_lines(df, "doc_id", "text")
+        .toPandas().sort_values("id").reset_index(drop=True)
+    )
+    con = duckdb.connect()
+    con.register("corpus", pd.DataFrame(rows, columns=["doc_id", "text"]))
+    want = (
+        con.execute(dedup_lines_sql("corpus", "doc_id", "text"))
+        .fetchdf().sort_values("id").reset_index(drop=True)
+    )
+    assert len(got) == len(want) == 40
+    for c in ["text_clean", "n_lines", "n_kept"]:
+        assert (got[c].values == want[c].values).all(), c
