@@ -96,11 +96,22 @@ def connected_components(
         raise ValueError(f"unknown method {method!r}")
     if method == "driver":
         return _driver_union_find(edges, src, dst)
+    released = True
     if method == "auto":
+        # persist around the probe: edge lists are usually the product
+        # of a whole near-dup pipeline, and the size probe would
+        # otherwise re-execute that pipeline once more for the labeling
+        edges = edges.persist()
+        released = False
         # bounded size probe: limit(n+1) is one cheap job, no full count
         probe = edges.select(src).limit(MAX_DRIVER_PAIRS + 1).count()
         if probe <= MAX_DRIVER_PAIRS:
-            return _driver_union_find(edges, src, dst)
+            try:
+                return _driver_union_find(edges, src, dst)
+            finally:
+                edges.unpersist(False)
+        # large graph: fall through to the loop; edges stays persisted
+        # until bi (its only remaining consumer) materializes
     # bidirectional edge list, persisted once — every iteration reuses it
     fwd = edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
     rev = edges.select(F.col(dst).alias("u"), F.col(src).alias("v"))
@@ -111,6 +122,11 @@ def connected_components(
         )
         labels = labels.persist()
         labels.count()  # materialize before entering the loop
+        if not released:
+            # bi (cached above) now holds the edges; the upstream
+            # pipeline's cache is no longer needed
+            edges.unpersist(False)
+            released = True
         for _ in range(max_iter):
             # neighbor labels flow one hop: node u sees label(v) for each
             # edge (u,v); new label = min(own, incoming). Equi-join +

@@ -75,3 +75,53 @@ def test_incremental_filter_partition_law(spark, rows, mask):
     src_h = {_reference_hash(list(t)) for t in rows}
     tgt_h = {_reference_hash(list(t)) for t in keep}
     assert out_h == src_h - tgt_h
+
+
+# ---------------------------------------------------------------------------
+# Cleaning / CDC idempotence laws
+# ---------------------------------------------------------------------------
+
+texts = st.lists(
+    st.text(alphabet="ab \n", min_size=0, max_size=30), min_size=1, max_size=8
+)
+
+
+@given(docs=texts)
+@settings(max_examples=15, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+def test_dedup_lines_idempotent(spark, docs):
+    """Applying corpus line-dedup to its own output is the identity."""
+    from etl_pack_spark.operators.cleaning import dedup_lines
+
+    df = spark.createDataFrame(list(enumerate(docs)), "doc_id long, text string")
+    once = dedup_lines(df, "doc_id", "text").select(
+        "id", "text_clean"
+    )
+    twice = dedup_lines(
+        once.withColumnRenamed("text_clean", "text"), "id", "text"
+    ).select("id", "text_clean")
+    a = sorted(map(tuple, once.collect()))
+    b = sorted(map(tuple, twice.collect()))
+    assert a == b
+
+
+@given(rows=st.lists(
+    st.tuples(st.integers(0, 2), st.integers(0, 5), st.text("xy", max_size=2)),
+    min_size=1, max_size=12,
+))
+@settings(max_examples=15, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+def test_scd2_build_idempotent_on_own_versions(spark, rows):
+    """Rebuilding SCD-2 from the surviving (key, ts, val) versions
+    reproduces the identical history."""
+    import datetime as dt
+
+    from etl_pack_spark.plans.merge import scd2_build
+
+    data = [(k, dt.datetime(2024, 1, 1 + t), v) for k, t, v in rows]
+    df = spark.createDataFrame(data, "k long, ts timestamp, val string")
+    hist = scd2_build(df, ["k"], "ts")
+    again = scd2_build(hist.select("k", "ts", "val"), ["k"], "ts")
+    a = sorted(map(tuple, hist.collect()))
+    b = sorted(map(tuple, again.collect()))
+    assert a == b
