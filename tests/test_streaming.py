@@ -148,3 +148,42 @@ def test_stateful_idle_timeout_evicts_state(spark, tmp_path):
     # has n_events=1; without eviction the third batch would emit n=2
     assert len(rows) >= 2
     assert {r["n_events"] for r in rows} == {1}, rows
+
+
+def test_stateless_operators_run_under_readstream(spark, sf_dir, tmp_path):
+    """Map-only operators (text_signals, c4_clean) are streaming-ready
+    with NO changes: the same DataFrame transform applied to a
+    readStream source produces, over an availableNow run, exactly the
+    batch result. This is the one-definition/two-engines contract for
+    every zero-shuffle operator in the library."""
+    import os
+
+    from etl_pack_spark.operators.textops import text_signals
+    from etl_pack_spark.sources.reader import read_table
+
+    src = f"{sf_dir}/documents.parquet"
+    mirror = tmp_path / "docs_dir"
+    os.makedirs(mirror, exist_ok=True)
+    os.symlink(src, mirror / "documents.parquet")
+
+    batch_schema = spark.read.parquet(str(mirror)).schema
+    stream = spark.readStream.schema(batch_schema).parquet(str(mirror))
+    q = (
+        text_signals(stream, "doc_id", "text")
+        .writeStream.outputMode("append")
+        .trigger(availableNow=True)
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .format("parquet")
+        .option("path", str(tmp_path / "out"))
+        .start()
+    )
+    q.awaitTermination()
+    streamed = sorted(
+        map(tuple, spark.read.parquet(str(tmp_path / "out")).collect())
+    )
+    batch = sorted(
+        map(tuple, text_signals(
+            read_table(spark, sf_dir, "documents"), "doc_id", "text"
+        ).collect())
+    )
+    assert streamed == batch and len(streamed) > 0
