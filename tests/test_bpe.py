@@ -1,0 +1,73 @@
+"""BPE induction/encoding: known-merge training, deterministic
+encoding, exact round-trip, and the vocabulary-bound guard."""
+
+from __future__ import annotations
+
+import pytest
+
+from etl_pack_spark.operators.bpe import (
+    END,
+    MAX_TRAIN_VOCAB,
+    bpe_encode,
+    decode_pieces,
+    train_bpe,
+    word_counts,
+)
+from etl_pack_spark.sources.reader import read_table
+
+
+def _df(spark, rows):
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_trains_expected_first_merge(spark):
+    # "ab" dominates: the first merge must be ('a', 'b</w>') or ('a','b')
+    # depending on boundary; with 2-char words it's ('a', 'b</w>')
+    df = _df(spark, [(1, "ab ab ab ab cd"), (2, "ab ab cd")])
+    merges = train_bpe(df, "text", num_merges=1)
+    assert merges == [("a", "b" + END)]
+
+
+def test_encode_applies_merges_greedily(spark):
+    df = _df(spark, [(1, "aaab aaab"), (2, "ab")])
+    merges = train_bpe(df, "text", num_merges=3)
+    enc = {r["id"]: r["pieces"] for r in
+           bpe_encode(df, "doc_id", "text", merges).collect()}
+    # every piece sequence must rebuild its source text exactly
+    assert decode_pieces(enc[1]) == "aaab aaab"
+    assert decode_pieces(enc[2]) == "ab"
+
+
+def test_deterministic_under_repartition(spark, sf_dir):
+    docs = read_table(spark, sf_dir, "documents").limit(100)
+    m1 = train_bpe(docs, "text", num_merges=20)
+    m2 = train_bpe(docs.repartition(7), "text", num_merges=20)
+    assert m1 == m2 and len(m1) == 20
+    e1 = sorted((r["id"], tuple(r["pieces"])) for r in
+                bpe_encode(docs, "doc_id", "text", m1).collect())
+    e2 = sorted((r["id"], tuple(r["pieces"])) for r in
+                bpe_encode(docs.repartition(5), "doc_id", "text", m2).collect())
+    assert e1 == e2
+
+
+def test_roundtrip_on_fixture(spark, sf_dir):
+    docs = read_table(spark, sf_dir, "documents").limit(50)
+    merges = train_bpe(docs, "text", num_merges=30)
+    enc = bpe_encode(docs, "doc_id", "text", merges)
+    texts = {r["doc_id"]: r["text"] for r in docs.collect()}
+    for r in enc.collect():
+        norm = " ".join(texts[r["id"]].split())
+        assert decode_pieces(r["pieces"]) == norm
+        assert r["n_pieces"] == len(r["pieces"])
+
+
+def test_vocab_guard_raises(spark, sf_dir):
+    docs = read_table(spark, sf_dir, "documents")
+    with pytest.raises(ValueError, match="distinct words"):
+        train_bpe(docs, "text", num_merges=1, max_vocab=3)
+
+
+def test_word_counts_shape(spark):
+    df = _df(spark, [(1, "x y x"), (2, "y")])
+    wc = {r["word"]: r["cnt"] for r in word_counts(df, "text").collect()}
+    assert wc == {"x": 2, "y": 2}
