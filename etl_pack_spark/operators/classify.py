@@ -42,13 +42,13 @@ def nb_train(
         F.col(label_col).cast("boolean").alias("y"),
         F.explode(tokens(text_col)).alias("tok"),
     )
-    counts = (
-        toks.groupBy("tok")
-        .agg(
+    from etl_pack_spark.operators.cache import pooled_persist
+
+    counts = pooled_persist(
+        toks.groupBy("tok").agg(
             F.sum(F.when(F.col("y"), 1).otherwise(0)).alias("c_pos"),
             F.sum(F.when(F.col("y"), 0).otherwise(1)).alias("c_neg"),
         )
-        .persist()
     )
     stats = counts.agg(
         F.sum("c_pos").alias("t_pos"),

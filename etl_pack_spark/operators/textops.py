@@ -486,7 +486,9 @@ def unigram_logprob(
     vocabulary/doc cardinality, never raw-corpus-sized rows.
     """
     toks = df.select(F.col(id_col), F.explode(tokens(text_col)).alias("tok"))
-    counts = toks.groupBy("tok").agg(F.count("*").alias("cnt")).persist()
+    from etl_pack_spark.operators.cache import pooled_persist
+
+    counts = pooled_persist(toks.groupBy("tok").agg(F.count("*").alias("cnt")))
     stats = counts.agg(
         F.sum("cnt").alias("total"), F.count("*").alias("vocab")
     )
