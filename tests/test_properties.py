@@ -125,3 +125,67 @@ def test_scd2_build_idempotent_on_own_versions(spark, rows):
     a = sorted(map(tuple, hist.collect()))
     b = sorted(map(tuple, again.collect()))
     assert a == b
+
+
+# ---------------------------------------------------------------------------
+# Randomized cross-engine parity: hypothesis-generated corpora must
+# match the DuckDB twins exactly (not just the fixed fixture)
+# ---------------------------------------------------------------------------
+
+corpus = st.lists(
+    st.text(alphabet="abc .\n", min_size=0, max_size=40),
+    min_size=1, max_size=10,
+)
+
+
+def _duck_with(rows):
+    import duckdb
+    import pandas as pd
+
+    con = duckdb.connect()
+    con.register("corpus", pd.DataFrame(rows, columns=["doc_id", "text"]))
+    return con
+
+
+@given(docs=corpus)
+@settings(max_examples=10, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+def test_text_signals_matches_duckdb_on_random_corpus(spark, docs):
+    from etl_pack_spark.operators.textops import text_signals, text_signals_sql
+
+    rows = list(enumerate(docs))
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = (
+        text_signals(df, "doc_id", "text")
+        .toPandas().sort_values("doc_id").reset_index(drop=True)
+    )
+    want = (
+        _duck_with(rows).execute(text_signals_sql("corpus", "doc_id", "text"))
+        .fetchdf().sort_values("doc_id").reset_index(drop=True)
+    )
+    assert len(got) == len(want)
+    for c in got.columns:
+        a, b = got[c], want[c]
+        same = (a == b) | (a.isna() & b.isna())
+        assert same.all(), (c, a[~same].head(), b[~same].head())
+
+
+@given(docs=corpus)
+@settings(max_examples=10, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+def test_dedup_lines_matches_duckdb_on_random_corpus(spark, docs):
+    from etl_pack_spark.operators.cleaning import dedup_lines, dedup_lines_sql
+
+    rows = list(enumerate(docs))
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = (
+        dedup_lines(df, "doc_id", "text")
+        .toPandas().sort_values("id").reset_index(drop=True)
+    )
+    want = (
+        _duck_with(rows).execute(dedup_lines_sql("corpus", "doc_id", "text"))
+        .fetchdf().sort_values("id").reset_index(drop=True)
+    )
+    assert len(got) == len(want)
+    for c in ["text_clean", "n_lines", "n_kept"]:
+        assert (got[c].values == want[c].values).all(), c
