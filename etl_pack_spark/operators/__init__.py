@@ -56,6 +56,7 @@ from etl_pack_spark.operators.contamination import (  # noqa: F401
 from etl_pack_spark.operators.packing import pack_sequences, pack_stats  # noqa: F401
 from etl_pack_spark.operators.bpe import bpe_encode, train_bpe  # noqa: F401
 from etl_pack_spark.operators.classify import nb_score, nb_train  # noqa: F401
+from etl_pack_spark.operators.temporal import asof_join, range_join, rolling_aggregate  # noqa: F401
 from etl_pack_spark.operators.cleaning import (  # noqa: F401
     c4_clean,
     dedup_lines,

@@ -113,3 +113,66 @@ def range_join(
     return joined.where(
         F.col(probe_ts).between(F.col(start_col), F.col(end_col))
     ).drop("__bucket")
+
+
+def rolling_aggregate(
+    df: DataFrame,
+    key_col: str,
+    ts_col: str,
+    value_col: str,
+    window: str = "1 hour",
+) -> DataFrame:
+    """Time-based moving aggregates per key: for every event, the
+    count/sum/min/max of ``value_col`` over the trailing ``window``
+    (RANGE frame ending at the current row, inclusive).
+
+    One hash exchange on the key + one in-partition sort — the same
+    shuffle any per-key window needs; the RANGE frame itself is a
+    streaming pass over the sorted partition (no per-row rescans).
+    ``window`` accepts the Spark interval grammar ("1 hour",
+    "15 minutes", ...).
+    """
+    import re
+
+    m = re.fullmatch(r"(\d+)\s*(second|minute|hour|day)s?", window.strip())
+    if not m:
+        raise ValueError(f"unsupported window {window!r}")
+    micros = int(m.group(1)) * {
+        "second": 1, "minute": 60, "hour": 3600, "day": 86400
+    }[m.group(2)] * 1_000_000
+    w = (
+        Window.partitionBy(key_col)
+        .orderBy(F.unix_micros(F.col(ts_col).cast("timestamp")))
+        .rangeBetween(-micros, 0)
+    )
+    return df.select(
+        F.col(key_col),
+        F.col(ts_col),
+        F.col(value_col),
+        F.count("*").over(w).alias("n_window"),
+        F.sum(value_col).over(w).alias("sum_window"),
+        F.min(value_col).over(w).alias("min_window"),
+        F.max(value_col).over(w).alias("max_window"),
+    )
+
+
+def rolling_aggregate_sql(
+    table: str,
+    key_col: str,
+    ts_col: str,
+    value_col: str,
+    window: str = "1 hour",
+) -> str:
+    """DuckDB twin of :func:`rolling_aggregate` (RANGE INTERVAL frame)."""
+    return f"""
+    SELECT {key_col}, {ts_col}, {value_col},
+           count(*) OVER w AS n_window,
+           sum({value_col}) OVER w AS sum_window,
+           min({value_col}) OVER w AS min_window,
+           max({value_col}) OVER w AS max_window
+    FROM {table}
+    WINDOW w AS (
+        PARTITION BY {key_col} ORDER BY {ts_col}
+        RANGE BETWEEN INTERVAL {window} PRECEDING AND CURRENT ROW
+    )
+    """

@@ -7,6 +7,7 @@ import datetime
 from pyspark.sql import functions as F
 
 from etl_pack_spark.operators.temporal import asof_join, range_join
+from etl_pack_spark.sources.reader import read_table
 
 T0 = datetime.datetime(2024, 1, 1)
 
@@ -82,3 +83,63 @@ def test_range_join_no_cartesian(spark, sf_dir):
                             (F.col("ts") + F.expr("INTERVAL 1 HOUR")).alias("s1"))
     plan = range_join(clicks, signups, "cts", "s0", "s1")._jdf.queryExecution().executedPlan().toString()
     assert "CartesianProduct" not in plan and "BroadcastNestedLoop" not in plan
+
+def test_rolling_aggregate_semantics(spark):
+    import datetime as dt
+
+    rows = [
+        (1, dt.datetime(2024, 1, 1, 10, 0), 1.0),
+        (1, dt.datetime(2024, 1, 1, 10, 30), 2.0),
+        (1, dt.datetime(2024, 1, 1, 11, 15), 4.0),   # 10:00 out of 1h frame
+        (2, dt.datetime(2024, 1, 1, 10, 0), 10.0),
+    ]
+    df = spark.createDataFrame(rows, "k long, ts timestamp, v double")
+    from etl_pack_spark.operators.temporal import rolling_aggregate
+
+    out = {(r["k"], r["ts"]): (r["n_window"], r["sum_window"]) for r in
+           rolling_aggregate(df, "k", "ts", "v").collect()}
+    assert out[(1, rows[0][1])] == (1, 1.0)
+    assert out[(1, rows[1][1])] == (2, 3.0)
+    assert out[(1, rows[2][1])] == (2, 6.0)  # 10:30 + 11:15 only
+    assert out[(2, rows[3][1])] == (1, 10.0)
+
+
+def test_rolling_aggregate_oracle_parity(spark, sf_dir):
+    import duckdb
+    import numpy as np
+
+    from etl_pack_spark.operators.temporal import (
+        rolling_aggregate,
+        rolling_aggregate_sql,
+    )
+
+    ev = read_table(spark, sf_dir, "events")
+    got = (
+        rolling_aggregate(ev, "user_id", "ts", "value")
+        .toPandas().sort_values(["user_id", "ts", "value"]).reset_index(drop=True)
+    )
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW events AS SELECT * FROM read_parquet('{sf_dir}/events.parquet')"
+    )
+    want = (
+        con.execute(rolling_aggregate_sql("events", "user_id", "ts", "value"))
+        .fetchdf().sort_values(["user_id", "ts", "value"]).reset_index(drop=True)
+    )
+    assert len(got) == len(want) > 0
+    assert (got["n_window"].values == want["n_window"].values).all()
+    # double sums: frame-order differences are last-ulp
+    assert np.allclose(got["sum_window"], want["sum_window"], rtol=1e-9)
+    assert np.allclose(got["min_window"], want["min_window"], rtol=0)
+    assert np.allclose(got["max_window"], want["max_window"], rtol=0)
+
+
+def test_rolling_aggregate_single_exchange(spark, sf_dir):
+    from etl_pack_spark.operators.temporal import rolling_aggregate
+
+    ev = read_table(spark, sf_dir, "events")
+    plan = (
+        rolling_aggregate(ev, "user_id", "ts", "value")
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert plan.count("Exchange hashpartitioning") == 1
