@@ -72,8 +72,10 @@ def prepare_pretraining_corpus(
         "doc_id", "lang", "split", F.col(domain_col), "copy_n",
         F.size(tokens("text")).alias("n_tokens"),
         # packing key: distinct per (doc, copy) so upweighted copies
-        # pack independently instead of colliding on doc_id
-        (F.col("doc_id") * 1024 + F.col("copy_n")).alias("__pack_key"),
+        # pack independently instead of colliding on doc_id. Hash-based:
+        # an arithmetic doc_id*K+copy key would overflow int64 (ANSI
+        # error) for snowflake-style 60-bit ids.
+        F.xxhash64("doc_id", "copy_n").alias("__pack_key"),
     )
     packed = pack_sequences(sized, "__pack_key", "n_tokens", budget=budget)
     return (

@@ -90,11 +90,17 @@ texts = st.lists(
 @settings(max_examples=15, deadline=None,
           suppress_health_check=[HealthCheck.function_scoped_fixture])
 def test_dedup_lines_idempotent(spark, docs):
-    """Applying corpus line-dedup to its own output is the identity."""
+    """Applying corpus line-dedup to its own output (minus the docs it
+    fully emptied — ``split('') == ['']`` would re-enter as an artifact
+    empty LINE and collide across emptied docs; hypothesis found that,
+    and a real pipeline drops empty docs between passes) is the
+    identity."""
+    from pyspark.sql import functions as F
+
     from etl_pack_spark.operators.cleaning import dedup_lines
 
     df = spark.createDataFrame(list(enumerate(docs)), "doc_id long, text string")
-    once = dedup_lines(df, "doc_id", "text").select(
+    once = dedup_lines(df, "doc_id", "text").where(F.col("n_kept") > 0).select(
         "id", "text_clean"
     )
     twice = dedup_lines(
