@@ -48,6 +48,51 @@ BENCH_QUERIES = [
 ]
 
 
+def _lib_unigram(spark, sf_dir):
+    from etl_pack_spark.operators.textops import unigram_logprob
+    from etl_pack_spark.sources.reader import read_table
+
+    return unigram_logprob(read_table(spark, sf_dir, "documents"), "doc_id", "text")
+
+
+def _lib_nb_classifier(spark, sf_dir):
+    from pyspark.sql import functions as F
+
+    from etl_pack_spark.operators.classify import nb_score, nb_train
+    from etl_pack_spark.sources.reader import read_table
+
+    docs = read_table(spark, sf_dir, "documents").withColumn(
+        "y", F.col("n_chars") > 250
+    )
+    return nb_score(docs, "doc_id", "text", nb_train(docs, "text", "y"))
+
+
+def _lib_dedup_lines(spark, sf_dir):
+    from etl_pack_spark.operators.cleaning import dedup_lines
+    from etl_pack_spark.sources.reader import read_table
+
+    return dedup_lines(read_table(spark, sf_dir, "documents"), "doc_id", "text")
+
+
+def _lib_rolling(spark, sf_dir):
+    from etl_pack_spark.operators.temporal import rolling_aggregate
+    from etl_pack_spark.sources.reader import read_table
+
+    return rolling_aggregate(
+        read_table(spark, sf_dir, "events"), "user_id", "ts", "value"
+    )
+
+
+# round-3 library operators without a (capped) registry slot — timed so
+# per-round records track them too
+LIB_QUERIES = {
+    "lib_unigram_logprob": _lib_unigram,
+    "lib_nb_classifier": _lib_nb_classifier,
+    "lib_dedup_lines": _lib_dedup_lines,
+    "lib_rolling_aggregate": _lib_rolling,
+}
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     m = re.search(r"sf([0-9.]+)", sf_dir)
@@ -65,7 +110,8 @@ def main() -> None:
         # standalone cost of that query.
         spark.catalog.clearCache()
         t0 = time.perf_counter()
-        df = suite.QUERIES[name](spark, sf_dir)
+        fn = LIB_QUERIES.get(name) or suite.QUERIES[name]
+        df = fn(spark, sf_dir)
         df.write.format("noop").mode("overwrite").save()
         return time.perf_counter() - t0
 
@@ -82,6 +128,11 @@ def main() -> None:
     timings: dict[str, float] = {}
     for name in BENCH_QUERIES:
         timings[name] = round(min(run(name) for _ in range(repeats)), 3)
+    # library operators outside the capped registry: timed and reported
+    # separately so the headline total stays comparable across rounds
+    lib_timings: dict[str, float] = {}
+    for name in LIB_QUERIES:
+        lib_timings[name] = round(min(run(name) for _ in range(repeats)), 3)
 
     total = round(sum(timings.values()), 3)
     out = {
@@ -89,6 +140,7 @@ def main() -> None:
         "value": total,
         "unit": "sec",
         "queries": timings,
+        "queries_lib": lib_timings,
         "sf": sf,
     }
 
