@@ -96,6 +96,16 @@ NOTES = {
         "gap-detection lag() and the session aggregation — the classic "
         "sessionization shape with no second shuffle."
     ),
+    "lib_unigram_logprob": (
+        "The LM is a vocabulary-sized aggregate broadcast back onto the "
+        "exploded tokens; both aggregates are map-side combinable — the "
+        "corpus-sized flows are map-only."
+    ),
+    "lib_nb_classifier": (
+        "Train and score in one lazy plan: the (token, label) count "
+        "aggregate becomes a broadcast model; scoring is a broadcast join "
+        "+ combinable per-doc sum. No iterations anywhere in the plan."
+    ),
 }
 
 
@@ -114,8 +124,11 @@ def main() -> None:
     import contextlib
     import io
 
+    from bench import LIB_QUERIES  # noqa: E402
+
     for name, note in NOTES.items():
-        df = suite.QUERIES[name](spark, sf_dir)
+        fn = LIB_QUERIES.get(name) or suite.QUERIES[name]
+        df = fn(spark, sf_dir)
         buf = io.StringIO()
         with contextlib.redirect_stdout(buf):
             df.explain(mode="formatted")
