@@ -32,7 +32,8 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
-from etl_pack_spark.operators.tokenize import tokens
+from etl_pack_spark.operators.cache import pooled_persist
+from etl_pack_spark.operators.tokenize import TOKEN_SPLIT_RE, tokens
 
 # Word-boundary marker appended to each word's final symbol (the
 # original word-level BPE convention; keeps merges from crossing words
@@ -64,7 +65,9 @@ def train_bpe(
     """Learn ``num_merges`` BPE merges from the corpus. Returns the
     ordered merge list (rank = position). Deterministic: greedy
     highest-count pair per round, ties broken lexicographically."""
-    wc = word_counts(df, text_col)
+    # pooled: the probe and the collect below otherwise run the
+    # corpus-sized aggregate twice
+    wc = pooled_persist(word_counts(df, text_col))
     probe = wc.limit(max_vocab + 1).count()
     if probe > max_vocab:
         raise ValueError(
@@ -142,14 +145,19 @@ def bpe_encode(
             syms[best_i : best_i + 2] = [syms[best_i] + syms[best_i + 1]]
         return syms
 
+    split_re = TOKEN_SPLIT_RE
+
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import re as _re
+
         for pdf in batches:
             out = []
             for rid, text in zip(pdf["id"], pdf["text"]):
                 if text is None:
                     out.append((rid, None, None))
                     continue
-                pieces = [p for w in text.split() for p in encode_word(w)]
+                words = [w for w in _re.split(split_re, text.lower()) if w]
+                pieces = [p for w in words for p in encode_word(w)]
                 out.append((rid, pieces, len(pieces)))
             yield pd.DataFrame(out, columns=["id", "pieces", "n_pieces"])
 

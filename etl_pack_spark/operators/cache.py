@@ -32,6 +32,11 @@ def pooled_persist(df: DataFrame) -> DataFrame:
             _POOL.move_to_end(key)
             return cached
         _POOL.pop(key, None)
+    if cached is not None and not cached.sameSemantics(df):
+        # semanticHash collision: release the old frame's cache before
+        # the pool loses its only reference to it
+        cached.unpersist(False)
+        _POOL.pop(key, None)
     _POOL[key] = df.persist()
     _POOL.move_to_end(key)
     while len(_POOL) > POOL_MAX:

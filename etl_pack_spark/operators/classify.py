@@ -114,6 +114,7 @@ def nb_train_score_sql(
         SELECT {id_col} AS id, ({label_expr}) AS y,
                {tokens_sql(text_col)} AS toks
         FROM {table}
+        WHERE ({label_expr}) IS NOT NULL
     ),
     tk AS (SELECT id, y, unnest(toks) AS tok FROM base),
     counts AS (

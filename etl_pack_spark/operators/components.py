@@ -72,7 +72,12 @@ def _driver_union_find(edges: DataFrame, src: str, dst: str) -> DataFrame:
             parent[hi] = lo
     nodes = {x for r in rows for x in (r[0], r[1])}
     out = [(n, find(n)) for n in sorted(nodes)]
-    return edges.sparkSession.createDataFrame(out, "id long, cluster_id long")
+    # id dtype follows the edge columns (string/UUID graphs work the
+    # same as longs — min-root comparisons match F.least's ordering)
+    id_type = edges.schema[src].dataType.simpleString()
+    return edges.sparkSession.createDataFrame(
+        out, f"id {id_type}, cluster_id {id_type}"
+    )
 
 
 def connected_components(

@@ -94,7 +94,8 @@ def pack_sequences(
         out["oversize"] = pd.Series(oversize, dtype="bool")
         return out
 
-    schema = f"{id_col} long, {token_col} long, pack_id long, oversize boolean"
+    id_type = dict(df.dtypes)[id_col]
+    schema = f"{id_col} {id_type}, {token_col} long, pack_id long, oversize boolean"
     return keyed.groupBy("__shard").applyInPandas(pack, schema=schema)
 
 

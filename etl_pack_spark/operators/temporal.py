@@ -46,8 +46,12 @@ def asof_join(
     predecessor keep NULL payload (left-outer semantics).
 
     Right side should be unique per (key, ts) — pre-aggregate if not —
-    so the match is well-defined.
+    so the match is well-defined. NULL join keys follow equi-join (and
+    DuckDB ASOF JOIN) semantics: a NULL-key left row never matches a
+    NULL-key right row (window partitioning would otherwise group the
+    NULLs together — right rows with NULL key are dropped up front).
     """
+    right = right.where(F.col(on).isNotNull())
     right_payload = right_payload or [c for c in right.columns if c not in (on, right_ts)]
 
     l_tagged = left.select(
@@ -88,6 +92,7 @@ def range_join(
     end_col: str,
     bucket_seconds: int = 3600,
     extra_on: list[str] | None = None,
+    max_buckets: int = 100_000,
 ) -> DataFrame:
     """Interval join: probe rows with ``start <= probe_ts <= end``.
 
@@ -97,18 +102,26 @@ def range_join(
     volume is bounded by rows-per-bucket instead of |probe| x |ranges|.
     Pick ``bucket_seconds`` near the typical range length: shorter
     buckets replicate ranges more, longer buckets widen candidates.
+
+    ``max_buckets`` guards the explode: a single sentinel-dated range
+    (end = 9999-12-31) would otherwise expand to tens of millions of
+    rows; exceeding the bound fails fast with a clear error instead.
     """
     extra_on = extra_on or []
     pb = probe.withColumn("__bucket", (F.unix_timestamp(F.col(probe_ts)) / bucket_seconds).cast("long"))
-    rb = ranges.withColumn(
-        "__bucket",
-        F.explode(
-            F.sequence(
-                (F.unix_timestamp(F.col(start_col)) / bucket_seconds).cast("long"),
-                (F.unix_timestamp(F.col(end_col)) / bucket_seconds).cast("long"),
-            )
-        ),
+    b_lo = (F.unix_timestamp(F.col(start_col)) / bucket_seconds).cast("long")
+    b_hi = (F.unix_timestamp(F.col(end_col)) / bucket_seconds).cast("long")
+    # the guard lives INSIDE the bucket expression — a separate asserted
+    # column would be pruned away as unused by the optimizer
+    msg = (
+        f"range_join: a range spans more than {max_buckets} buckets of "
+        f"{bucket_seconds}s; raise bucket_seconds/max_buckets or pre-clip "
+        f"sentinel end dates"
     )
+    guarded_seq = F.when(
+        (b_hi - b_lo) < F.lit(max_buckets), F.sequence(b_lo, b_hi)
+    ).otherwise(F.raise_error(F.lit(msg)).cast("array<bigint>"))
+    rb = ranges.withColumn("__bucket", F.explode(guarded_seq))
     joined = pb.join(rb, ["__bucket", *extra_on])
     return joined.where(
         F.col(probe_ts).between(F.col(start_col), F.col(end_col))

@@ -72,10 +72,12 @@ def prepare_pretraining_corpus(
         "doc_id", "lang", "split", F.col(domain_col), "copy_n",
         F.size(tokens("text")).alias("n_tokens"),
         # packing key: distinct per (doc, copy) so upweighted copies
-        # pack independently instead of colliding on doc_id. Hash-based:
-        # an arithmetic doc_id*K+copy key would overflow int64 (ANSI
-        # error) for snowflake-style 60-bit ids.
-        F.xxhash64("doc_id", "copy_n").alias("__pack_key"),
+        # pack independently instead of colliding on doc_id. A composite
+        # STRING key is collision-free (an arithmetic doc_id*K+copy key
+        # overflows int64 for snowflake-style ids; a 64-bit hash key
+        # would birthday-collide at the 10^10-row scale and fan out the
+        # join back).
+        F.concat_ws(":", F.col("doc_id"), F.col("copy_n")).alias("__pack_key"),
     )
     packed = pack_sequences(sized, "__pack_key", "n_tokens", budget=budget)
     return (

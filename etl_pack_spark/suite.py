@@ -1256,6 +1256,14 @@ ORACLES: dict[str, str] = {
         FROM dims d
         JOIN hist_csv hc ON hc.media_id = d.media_id
         JOIN thumb t ON t.media_id = d.media_id
+        UNION ALL
+        -- empty/NULL payloads: the featurizer emits the row with
+        -- n_bytes=0 and NULL features rather than dropping it
+        SELECT doc_id AS media_id, CAST(0 AS BIGINT) AS n_bytes,
+               CAST(NULL AS INTEGER) AS src_w, CAST(NULL AS INTEGER) AS src_h,
+               CAST(NULL AS VARCHAR) AS hist_csv, CAST(NULL AS VARCHAR) AS thumb_hex
+        FROM documents
+        WHERE text IS NULL OR octet_length(encode(text)) = 0
     """,
     "mm_decode_frames": """
         SELECT media_id,

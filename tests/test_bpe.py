@@ -51,14 +51,29 @@ def test_deterministic_under_repartition(spark, sf_dir):
 
 
 def test_roundtrip_on_fixture(spark, sf_dir):
+    import re
+
     docs = read_table(spark, sf_dir, "documents").limit(50)
     merges = train_bpe(docs, "text", num_merges=30)
     enc = bpe_encode(docs, "doc_id", "text", merges)
     texts = {r["doc_id"]: r["text"] for r in docs.collect()}
     for r in enc.collect():
-        norm = " ".join(texts[r["id"]].split())
+        # decode reproduces the TOKEN stream (same normalization train
+        # and encode share: lowercase [a-z0-9]+)
+        norm = " ".join(t for t in re.split("[^a-z0-9]+", texts[r["id"]].lower()) if t)
         assert decode_pieces(r["pieces"]) == norm
         assert r["n_pieces"] == len(r["pieces"])
+
+
+def test_encode_matches_training_tokenization(spark):
+    """Capitalized/punctuated words must hit the learned merges (the
+    encode path tokenizes identically to training)."""
+    df = _df(spark, [(1, "The cat. THE CAT! the cat")])
+    merges = train_bpe(df, "text", num_merges=10)
+    enc = bpe_encode(df, "doc_id", "text", merges).collect()[0]
+    assert decode_pieces(enc["pieces"]) == "the cat the cat the cat"
+    # 'the' and 'cat' fully merge into single pieces -> 6 pieces total
+    assert enc["n_pieces"] == 6
 
 
 def test_vocab_guard_raises(spark, sf_dir):

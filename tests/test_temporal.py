@@ -143,3 +143,26 @@ def test_rolling_aggregate_single_exchange(spark, sf_dir):
         ._jdf.queryExecution().executedPlan().toString()
     )
     assert plan.count("Exchange hashpartitioning") == 1
+
+
+def test_asof_null_keys_never_match(spark):
+    left = spark.createDataFrame(
+        [(1, None, _ts(10))], "id long, k string, ts timestamp"
+    ).select("id", "k", "ts")
+    right = spark.createDataFrame(
+        [(None, _ts(5), "x")], "k string, ts timestamp, v string"
+    )
+    out = asof_join(left, right, "k").collect()
+    assert len(out) == 1 and out[0]["v_r"] is None
+
+
+def test_range_join_guards_sentinel_ranges(spark):
+    import pytest
+
+    probe = spark.createDataFrame([(1, _ts(0))], "id long, ts timestamp")
+    ranges = spark.createDataFrame(
+        [(datetime.datetime(2024, 1, 1), datetime.datetime(9999, 12, 31), "open")],
+        "s timestamp, e timestamp, tag string",
+    )
+    with pytest.raises(Exception, match="range_join|ASSERT"):
+        range_join(probe, ranges, "ts", "s", "e").collect()
