@@ -169,5 +169,6 @@ def bpe_encode(
 
 def decode_pieces(pieces: list[str]) -> str:
     """Inverse of encode for one document: exact round-trip of the
-    whitespace-normalized text."""
+    TOKEN stream (the lowercase ``[a-z0-9]+`` normalization shared by
+    training and encoding; ``</w>`` cannot occur inside a token)."""
     return "".join(pieces).replace(END, " ").strip()
