@@ -113,3 +113,38 @@ def test_resize_fake_exact_bytes(spark):
     )
     assert bytes(out["thumb"]) == expect
     assert len(out["thumb"]) == 16
+
+
+def test_features_empty_payload_row_matches_oracle_branch(spark):
+    """Empty/NULL texts: the featurizer keeps the row (n_bytes=0, NULL
+    features) and the suite oracle's UNION branch emits the same row —
+    the driver gate stays green if the fixture ever gains empty docs."""
+    import duckdb
+    import pandas as pd
+
+    from pyspark.sql import functions as F
+
+    from etl_pack_spark import suite
+
+    rows = [(1, "some text"), (2, ""), (3, None)]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    feats = multimodal.media_features(multimodal.binarize_documents(docs), fake=True)
+    got = (
+        feats.select(
+            "media_id", "n_bytes", "src_w", "src_h",
+            F.when(F.col("hist").isNotNull(),
+                   F.concat_ws(",", F.col("hist").cast("array<string>"))).alias("hist_csv"),
+            F.lower(F.hex("thumb")).alias("thumb_hex"),
+        )
+        .toPandas().sort_values("media_id").reset_index(drop=True)
+    )
+    con = duckdb.connect()
+    con.register("documents", pd.DataFrame(rows, columns=["doc_id", "text"]))
+    want = (
+        con.execute(suite.ORACLES["mm_features"])
+        .fetchdf().sort_values("media_id").reset_index(drop=True)
+    )
+    assert len(got) == len(want) == 3
+    for c in got.columns:
+        a, b = got[c], want[c]
+        assert ((a == b) | (a.isna() & b.isna())).all(), c

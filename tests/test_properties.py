@@ -195,3 +195,27 @@ def test_dedup_lines_matches_duckdb_on_random_corpus(spark, docs):
     assert len(got) == len(want)
     for c in ["text_clean", "n_lines", "n_kept"]:
         assert (got[c].values == want[c].values).all(), c
+
+
+@given(docs=corpus)
+@settings(max_examples=10, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+def test_gopher_matches_duckdb_on_random_corpus(spark, docs):
+    from etl_pack_spark.operators.cleaning import gopher_signals, gopher_signals_sql
+
+    rows = list(enumerate(docs))
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = (
+        gopher_signals(df, "doc_id", "text")
+        .toPandas().sort_values("doc_id").reset_index(drop=True)
+    )
+    want = (
+        _duck_with(rows).execute(gopher_signals_sql("corpus", "doc_id", "text"))
+        .fetchdf().sort_values("doc_id").reset_index(drop=True)
+    )
+    assert len(got) == len(want)
+    for c in ["n_words", "stop_hits", "keep", "mean_word_len",
+              "symbol_ratio", "alpha_word_ratio"]:
+        a, b = got[c], want[c]
+        same = (a == b) | (a.isna() & b.isna())
+        assert same.all(), c
