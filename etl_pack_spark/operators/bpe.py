@@ -9,7 +9,7 @@ Scale design mirrors how real tokenizer trainers work:
     makes the distinct-word table orders of magnitude smaller than the
     corpus, so it collects to the trainer under an explicit bound
     (``MAX_TRAIN_VOCAB``, same guarded-bounded pattern as
-    components.MAX_DRIVER_PAIRS / similarity.MAX_BROADCAST_VECTORS).
+    components.MAX_DRIVER_PAIRS / quantize.pq_train's sample limit).
   * Merge training is the standard frequency-greedy loop over that
     word-count table (pair counts are weighted by word frequency);
     ties break lexicographically, so the merge list is deterministic
@@ -118,9 +118,12 @@ def bpe_encode(
     per word (the standard BPE encode). Arrow-batched mapInPandas; the
     rank table ships once per task via closure broadcast."""
     ranks = {pair: i for i, pair in enumerate(merges)}
+    # id keeps the INPUT column's type (string doc ids crash Arrow
+    # conversion if "id" is hardcoded long — same fix as pack_sequences)
+    id_type = df.schema[id_col].dataType
     schema = T.StructType(
         [
-            T.StructField("id", T.LongType(), False),
+            T.StructField("id", id_type, True),
             T.StructField("pieces", T.ArrayType(T.StringType()), True),
             T.StructField("n_pieces", T.IntegerType(), True),
         ]

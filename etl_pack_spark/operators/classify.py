@@ -37,7 +37,14 @@ def nb_train(
     Returns the model as a DataFrame: one ``(tok, llr)`` row per token
     seen in training (log P(tok|pos) - log P(tok|neg), add-``alpha``
     smoothed over the joint vocabulary) plus one ``(__prior__, llr)``
-    row carrying log P(pos) - log P(neg)."""
+    row carrying log P(pos) - log P(neg).
+
+    NULL labels are NOT training examples: an unlabeled document is
+    neither a positive nor a negative (``F.when(y, 0).otherwise(1)``
+    would silently count it as negative), so they are filtered here.
+    Scoring is a separate concern — :func:`nb_score` scores whatever
+    rows it is given, labeled or not."""
+    df = df.where(F.col(label_col).isNotNull())
     toks = df.select(
         F.col(label_col).cast("boolean").alias("y"),
         F.explode(tokens(text_col)).alias("tok"),
@@ -108,20 +115,25 @@ def nb_train_score_sql(
 ) -> str:
     """DuckDB twin of train-on-self + score (the supervised analogue of
     ``unigram_logprob_sql``); ``label_expr`` is a boolean SQL expression
-    over the table's columns."""
+    over the table's columns.
+
+    Score-set semantics (matches the Spark pair): the model trains only
+    on rows where ``label_expr`` is non-NULL (:func:`nb_train` filters
+    them), but EVERY row is scored — scoring needs no label."""
     return f"""
     WITH base AS (
         SELECT {id_col} AS id, ({label_expr}) AS y,
                {tokens_sql(text_col)} AS toks
         FROM {table}
-        WHERE ({label_expr}) IS NOT NULL
     ),
-    tk AS (SELECT id, y, unnest(toks) AS tok FROM base),
+    train AS (SELECT * FROM base WHERE y IS NOT NULL),
+    tk_train AS (SELECT id, y, unnest(toks) AS tok FROM train),
+    tk_all AS (SELECT id, unnest(toks) AS tok FROM base),
     counts AS (
         SELECT tok,
                sum(CASE WHEN y THEN 1 ELSE 0 END) AS c_pos,
                sum(CASE WHEN y THEN 0 ELSE 1 END) AS c_neg
-        FROM tk GROUP BY tok
+        FROM tk_train GROUP BY tok
     ),
     stats AS (SELECT sum(c_pos) AS t_pos, sum(c_neg) AS t_neg, count(*) AS vocab FROM counts),
     model AS (
@@ -133,7 +145,7 @@ def nb_train_score_sql(
     prior AS (
         SELECT ln((sum(CASE WHEN y THEN 1 ELSE 0 END) + {alpha})
                 / (sum(CASE WHEN y THEN 0 ELSE 1 END) + {alpha})) AS p
-        FROM base
+        FROM train
     )
     SELECT b.id,
            coalesce(s.tok_llr, 0.0) + prior.p AS score,
@@ -141,7 +153,7 @@ def nb_train_score_sql(
     FROM (SELECT id FROM base) b
     LEFT JOIN (
         SELECT id, sum(llr) AS tok_llr
-        FROM tk JOIN model USING (tok)
+        FROM tk_all JOIN model USING (tok)
         GROUP BY id
     ) s ON s.id = b.id, prior
     """

@@ -118,9 +118,16 @@ def range_join(
         f"{bucket_seconds}s; raise bucket_seconds/max_buckets or pre-clip "
         f"sentinel end dates"
     )
-    guarded_seq = F.when(
-        (b_hi - b_lo) < F.lit(max_buckets), F.sequence(b_lo, b_hi)
-    ).otherwise(F.raise_error(F.lit(msg)).cast("array<bigint>"))
+    # NULL start/end must stay NULL (explode drops them — the BETWEEN
+    # refine could never match them anyway), NOT fall into the
+    # raise_error branch: (b_hi - b_lo) < max_buckets is NULL for NULL
+    # bounds, and relying on optimizer-inferred IsNotNull pushdown to
+    # pre-prune them would turn a plan change into whole-job failures.
+    guarded_seq = (
+        F.when(b_lo.isNull() | b_hi.isNull(), F.lit(None).cast("array<bigint>"))
+        .when((b_hi - b_lo) < F.lit(max_buckets), F.sequence(b_lo, b_hi))
+        .otherwise(F.raise_error(F.lit(msg)).cast("array<bigint>"))
+    )
     rb = ranges.withColumn("__bucket", F.explode(guarded_seq))
     joined = pb.join(rb, ["__bucket", *extra_on])
     return joined.where(
@@ -176,7 +183,21 @@ def rolling_aggregate_sql(
     value_col: str,
     window: str = "1 hour",
 ) -> str:
-    """DuckDB twin of :func:`rolling_aggregate` (RANGE INTERVAL frame)."""
+    """DuckDB twin of :func:`rolling_aggregate`.
+
+    Frames on microsecond-truncated epoch (``epoch_us``), NOT the raw
+    timestamp: the Spark side orders on ``unix_micros`` (parquet nanos
+    truncated to us), so a RANGE INTERVAL frame over raw-ns timestamps
+    could include/exclude an event within <1us of a trailing-window
+    boundary that the Spark frame decides the other way."""
+    import re
+
+    m = re.fullmatch(r"(\d+)\s*(second|minute|hour|day)s?", window.strip())
+    if not m:
+        raise ValueError(f"unsupported window {window!r}")
+    micros = int(m.group(1)) * {
+        "second": 1, "minute": 60, "hour": 3600, "day": 86400
+    }[m.group(2)] * 1_000_000
     return f"""
     SELECT {key_col}, {ts_col}, {value_col},
            count(*) OVER w AS n_window,
@@ -185,7 +206,7 @@ def rolling_aggregate_sql(
            max({value_col}) OVER w AS max_window
     FROM {table}
     WINDOW w AS (
-        PARTITION BY {key_col} ORDER BY {ts_col}
-        RANGE BETWEEN INTERVAL {window} PRECEDING AND CURRENT ROW
+        PARTITION BY {key_col} ORDER BY epoch_us({ts_col}::TIMESTAMP)
+        RANGE BETWEEN {micros} PRECEDING AND CURRENT ROW
     )
     """

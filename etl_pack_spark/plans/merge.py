@@ -152,12 +152,19 @@ def scd2_build(
     # hash-partition on (key, ts) and force a second shuffle for the
     # history window). The (ts, rest) sort also satisfies the lead
     # window's ts-prefix ordering, so no extra sort either.
-    order = [F.col(ts_col).asc()] + [F.col(c).asc_nulls_first() for c in rest]
+    order = [F.col(ts_col).asc_nulls_first()] + [
+        F.col(c).asc_nulls_first() for c in rest
+    ]
     w_order = Window.partitionBy(*keys).orderBy(*order)
-    w_hist = Window.partitionBy(*keys).orderBy(F.col(ts_col).asc())
+    w_hist = Window.partitionBy(*keys).orderBy(F.col(ts_col).asc_nulls_first())
     prev_ts = F.lag(ts_col).over(w_order)
+    # A row is a duplicate only if a PREVIOUS row exists with the same ts
+    # (null-safe). Bare eqNullSafe(prev_ts) would also fire on the
+    # partition's FIRST row when its ts is NULL (lag default NULL ==
+    # NULL-ts row), silently dropping every NULL-ts key's survivor.
+    has_prev = F.lag(F.lit(1)).over(w_order).isNotNull()
     return (
-        changes.withColumn(_RN, F.col(ts_col).eqNullSafe(prev_ts))
+        changes.withColumn(_RN, has_prev & F.col(ts_col).eqNullSafe(prev_ts))
         .where(~F.col(_RN))
         .drop(_RN)
         .withColumn(effective_from, F.col(ts_col))
@@ -177,11 +184,14 @@ def scd2_build_sql(
     the tie-break total order matches Spark's."""
     key_list = ", ".join(keys)
     order = ", ".join(f"{c} ASC NULLS FIRST" for c in rest_cols) or "1"
+    # ts ordering is explicit NULLS FIRST to match Spark's asc_nulls_first
+    # (DuckDB defaults ASC to NULLS LAST, Spark to NULLS FIRST).
+    hist = f"PARTITION BY {key_list} ORDER BY {ts_col} ASC NULLS FIRST"
     return f"""
     SELECT *,
            {ts_col} AS effective_from,
-           lead({ts_col}) OVER (PARTITION BY {key_list} ORDER BY {ts_col}) AS effective_to,
-           lead({ts_col}) OVER (PARTITION BY {key_list} ORDER BY {ts_col}) IS NULL AS is_current
+           lead({ts_col}) OVER ({hist}) AS effective_to,
+           lead({ts_col}) OVER ({hist}) IS NULL AS is_current
     FROM (
         SELECT * FROM ({changes_sql})
         QUALIFY row_number() OVER (

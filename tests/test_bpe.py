@@ -86,3 +86,17 @@ def test_word_counts_shape(spark):
     df = _df(spark, [(1, "x y x"), (2, "y")])
     wc = {r["word"]: r["cnt"] for r in word_counts(df, "text").collect()}
     assert wc == {"x": 2, "y": 2}
+
+
+def test_encode_preserves_string_id_type(spark):
+    """bpe_encode derives the id field type from the input frame — a
+    hardcoded LongType crashed Arrow conversion for string doc ids."""
+    df = spark.createDataFrame(
+        [("doc-a", "ab ab ab"), ("doc-b", "ab cd")], "doc_id string, text string"
+    )
+    merges = train_bpe(df, "text", num_merges=2)
+    out = bpe_encode(df, "doc_id", "text", merges)
+    assert dict(out.dtypes)["id"] == "string"
+    got = {r["id"]: r["pieces"] for r in out.collect()}
+    assert decode_pieces(got["doc-a"]) == "ab ab ab"
+    assert decode_pieces(got["doc-b"]) == "ab cd"

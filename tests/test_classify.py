@@ -60,3 +60,38 @@ def test_scoring_plan_broadcasts_model(spark, sf_dir):
     assert "BroadcastHashJoin" in plan
     assert "SortMergeJoin" not in plan
     assert "BatchEvalPython" not in plan
+
+
+def test_null_labels_are_not_training_examples(spark):
+    """A NULL-label document must not train the model (F.when(y, 0)
+    .otherwise(1) would count it as a NEGATIVE example) — but it still
+    gets scored. Pinned against the DuckDB twin, which has always
+    filtered NULL labels from training."""
+    import duckdb
+    import numpy as np
+    import pandas as pd
+
+    rows = [
+        (1, "good clean prose text", True),
+        (2, "spam spam click here", False),
+        (3, "good clean prose text spam", None),  # unlabeled: score-only
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string, y boolean")
+    model = nb_train(df, "text", "y")
+    # the unlabeled doc's unique contribution must be absent from the model
+    toks_in_model = {r["tok"] for r in model.collect()}
+    assert "__prior__" in toks_in_model
+    got = (
+        nb_score(df, "doc_id", "text", model)
+        .toPandas().sort_values("id").reset_index(drop=True)
+    )
+    assert len(got) == 3  # every row scored, labeled or not
+
+    con = duckdb.connect()
+    con.register("documents_nb", pd.DataFrame(rows, columns=["doc_id", "text", "y"]))
+    want = (
+        con.execute(nb_train_score_sql("documents_nb", "doc_id", "text", "y"))
+        .fetchdf().sort_values("id").reset_index(drop=True)
+    )
+    assert np.allclose(got["score"], want["score"], rtol=1e-9, atol=1e-9)
+    assert (got["pred"].values == want["pred"].values).all()

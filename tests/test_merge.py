@@ -212,3 +212,64 @@ def test_scd2_merge_drops_replayed_and_late_changes(spark):
         (r["k"], r["ts"], r["val"], r["is_current"]) for r in merged.collect()
     )
     assert got == [(1, _ts(1), "v1", False), (1, _ts(5), "v5", True)]
+
+
+def test_scd2_null_ts_rows_survive(spark):
+    """NULL-ts change rows are versions with unknown start, not
+    duplicates: one survivor per (key, NULL-ts), ordered NULLS FIRST —
+    previously the lag-based dedup dropped ALL of them (the partition's
+    first row sees lag default NULL, and NULL eqNullSafe NULL is TRUE)."""
+    df = spark.createDataFrame(
+        [
+            (1, None, "a"),
+            (1, None, "b"),      # true duplicate of the NULL-ts version → collapsed
+            (1, _ts(5), "v5"),
+            (2, None, "only"),   # NULL-ts is the key's only row → current
+        ],
+        _SCHEMA,
+    )
+    got = sorted(
+        (
+            (r["k"], r["ts"], r["val"], r["effective_to"], r["is_current"])
+            for r in scd2_build(df, ["k"], "ts").collect()
+        ),
+        key=lambda t: (t[0], t[1] is not None, t[1] or _ts(1)),
+    )
+    assert got == [
+        (1, None, "a", _ts(5), False),   # NULLS FIRST: earliest version
+        (1, _ts(5), "v5", None, True),
+        (2, None, "only", None, True),
+    ]
+
+
+def test_scd2_null_ts_oracle_parity(spark):
+    """The same NULL-ts frame hash-matches the DuckDB twin (explicit
+    NULLS FIRST framing on both engines)."""
+    rows = [
+        (1, None, "a"), (1, None, "b"), (1, _ts(5), "v5"),
+        (2, None, "only"), (3, _ts(2), "x"), (3, _ts(4), "y"),
+    ]
+    df = spark.createDataFrame(rows, _SCHEMA)
+    def _key(t):
+        return (t[0], t[1] is not None, t[1] or _ts(1), t[2])
+
+    got = sorted(
+        map(tuple, scd2_build(df, ["k"], "ts")
+            .select("k", "ts", "val", "effective_from", "effective_to", "is_current")
+            .collect()),
+        key=_key,
+    )
+    con = duckdb.connect()
+    con.execute(
+        "CREATE TABLE ch (k BIGINT, ts TIMESTAMP, val VARCHAR)"
+    )
+    con.executemany("INSERT INTO ch VALUES (?, ?, ?)", rows)
+    want = [
+        tuple(r) for r in con.execute(
+            scd2_build_sql("SELECT * FROM ch", ["k"], "ts", rest_cols=["val"])
+        ).fetchall()
+    ]
+    # duckdb returns (k, ts, val, effective_from, effective_to, is_current)
+    def norm(t):
+        return (t[0], t[1], t[2], t[3], t[4], bool(t[5]))
+    assert got == sorted((norm(t) for t in want), key=_key)

@@ -166,3 +166,23 @@ def test_range_join_guards_sentinel_ranges(spark):
     )
     with pytest.raises(Exception, match="range_join|ASSERT"):
         range_join(probe, ranges, "ts", "s", "e").collect()
+
+
+def test_range_join_null_ranges_dropped_not_error(spark):
+    """NULL start/end ranges can never satisfy the BETWEEN refine; they
+    must be silently dropped by the bucket explode, NOT routed into the
+    max_buckets raise_error branch ((b_hi - b_lo) < N is NULL for NULL
+    bounds — the guard's else-branch would fail the whole job if the
+    optimizer ever stopped inferring IsNotNull pushdown)."""
+    probe = spark.createDataFrame([(1, _ts(30))], "id long, ts timestamp")
+    ranges = spark.createDataFrame(
+        [
+            (_ts(0), _ts(60), "full"),
+            (None, _ts(60), "null-start"),
+            (_ts(0), None, "null-end"),
+            (None, None, "null-both"),
+        ],
+        "s timestamp, e timestamp, tag string",
+    )
+    got = {r["tag"] for r in range_join(probe, ranges, "ts", "s", "e").collect()}
+    assert got == {"full"}
