@@ -48,48 +48,17 @@ BENCH_QUERIES = [
 ]
 
 
-def _lib_unigram(spark, sf_dir):
-    from etl_pack_spark.operators.textops import unigram_logprob
-    from etl_pack_spark.sources.reader import read_table
-
-    return unigram_logprob(read_table(spark, sf_dir, "documents"), "doc_id", "text")
-
-
-def _lib_nb_classifier(spark, sf_dir):
-    from pyspark.sql import functions as F
-
-    from etl_pack_spark.operators.classify import nb_score, nb_train
-    from etl_pack_spark.sources.reader import read_table
-
-    docs = read_table(spark, sf_dir, "documents").withColumn(
-        "y", F.col("n_chars") > 250
-    )
-    return nb_score(docs, "doc_id", "text", nb_train(docs, "text", "y"))
-
-
-def _lib_dedup_lines(spark, sf_dir):
-    from etl_pack_spark.operators.cleaning import dedup_lines
-    from etl_pack_spark.sources.reader import read_table
-
-    return dedup_lines(read_table(spark, sf_dir, "documents"), "doc_id", "text")
-
-
-def _lib_rolling(spark, sf_dir):
-    from etl_pack_spark.operators.temporal import rolling_aggregate
-    from etl_pack_spark.sources.reader import read_table
-
-    return rolling_aggregate(
-        read_table(spark, sf_dir, "events"), "user_id", "ts", "value"
-    )
-
-
-# round-3 library operators without a (capped) registry slot — timed so
-# per-round records track them too
+# round-3 library operators — driver-gated registry entries since r4,
+# timed separately so the headline total stays comparable across rounds
 LIB_QUERIES = {
-    "lib_unigram_logprob": _lib_unigram,
-    "lib_nb_classifier": _lib_nb_classifier,
-    "lib_dedup_lines": _lib_dedup_lines,
-    "lib_rolling_aggregate": _lib_rolling,
+    name: suite.QUERIES[name]
+    for name in [
+        "lib_unigram_logprob",
+        "lib_nb_classifier",
+        "lib_dedup_lines",
+        "lib_rolling_aggregate",
+        "gopher_signals",
+    ]
 }
 
 

@@ -87,14 +87,22 @@ def nb_score(
 ) -> DataFrame:
     """Score documents: ``(id, score, pred)`` where score = prior llr +
     Σ llr(token) over known tokens (unknown tokens contribute 0 — both
-    classes smoothed equally) and pred = score > 0. Broadcast model,
-    two map-side-combinable aggregates, corpus never shuffles raw."""
+    classes smoothed equally) and pred = score > 0. Broadcast model
+    (guarded — a vocabulary past guards.MAX_BROADCAST_MODEL_ROWS falls
+    back to an AQE-planned join), two map-side-combinable aggregates,
+    corpus never shuffles raw."""
+    from etl_pack_spark.operators.cache import pooled_persist
+    from etl_pack_spark.operators.guards import maybe_broadcast
+
     prior = model.where(F.col("tok") == "__prior__").select(
         F.col("llr").alias("__prior")
     )
+    # pooled: the guard probe and the join would otherwise run the
+    # model's lineage twice
+    tok_model = pooled_persist(model.where(F.col("tok") != "__prior__"))
     toks = df.select(F.col(id_col).alias("id"), F.explode_outer(tokens(text_col)).alias("tok"))
     scored = (
-        toks.join(F.broadcast(model.where(F.col("tok") != "__prior__")), "tok", "left")
+        toks.join(maybe_broadcast(tok_model), "tok", "left")
         .groupBy("id")
         .agg(F.coalesce(F.sum("llr"), F.lit(0.0)).alias("__tok_llr"))
         .crossJoin(F.broadcast(prior))

@@ -36,8 +36,9 @@ the corpus that produced it (pairs exist only where near-dups do), so
 below ``MAX_DRIVER_PAIRS`` the component labeling runs as an exact
 union-find on the driver — O(E α(N)) in milliseconds, zero Spark jobs
 per iteration — and the distributed loop is reserved for genuinely
-large graphs. Same guarded-bounded-path pattern as the broadcast
-cosine kernel (similarity.MAX_BROADCAST_VECTORS).
+large graphs. Same guarded-bounded-path pattern as the cosine block
+matrix's single-block broadcast shortcut (similarity.BLOCK_ROWS) and
+bpe.MAX_TRAIN_VOCAB.
 """
 
 from __future__ import annotations

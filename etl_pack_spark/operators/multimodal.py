@@ -2,10 +2,13 @@
 metadata, with Arrow-batched (mapInPandas) decode/feature plumbing.
 
 Image DIMENSION decode is REAL — PNG/JPEG/GIF/BMP/PPM headers are
-parsed from plain bytes (no codec library needed). Full PIXEL decode
-(and resize) is gated behind ``NotImplementedError`` — the codec
-libraries are not in this container — with a deterministic fake for
-exercising the pipeline shape. Everything Spark-side is real and
+parsed from plain bytes (no codec library needed). PNG PIXEL decode
+(and hence :func:`resize_image` on PNGs) is REAL too, stdlib-only:
+zlib inflate + per-row unfilter (:func:`png_decode`, 8-bit grey /
+grey+alpha / RGB / RGBA, non-interlaced). JPEG pixel decode and video
+frame extraction stay gated behind ``NotImplementedError`` — DCT/codec
+libraries are not in this container — each with a deterministic fake
+for exercising the pipeline shape. Everything Spark-side is real and
 tested: schema, binary handling, partitioning, the mapInPandas batch
 contract, and a genuine Arrow-vectorized feature extractor (byte
 histograms).
@@ -193,46 +196,151 @@ def decode_image(media: DataFrame, fake: bool = False) -> DataFrame:
     return media.select("media_id", "content").mapInPandas(run, schema=schema)
 
 
+def _png_decoder():
+    """Factory for a stdlib-only PNG pixel decoder (returned as a
+    CLOSURE so cloudpickle ships it by value into executor tasks —
+    module-level functions pickle by reference and would require the
+    package on the executor import path).
+
+    Covers 8-bit greyscale / grey+alpha / RGB / RGBA, non-interlaced —
+    the PNG baseline everything non-paletted emits (spec: RFC 2083 /
+    ISO 15948; filters 0-4 Sub/Up/Average/Paeth). Returns
+    ``(w, h, channels, pixels)`` with pixels row-major packed, or None
+    for anything it does not cover (palette, 16-bit, interlaced,
+    truncated, non-PNG)."""
+
+    def decode(b):
+        import zlib
+
+        if b is None or len(b) < 8 or bytes(b[:8]) != b"\x89PNG\r\n\x1a\n":
+            return None
+        b = bytes(b)
+        i, w, h, depth, ctype, interlace = 8, None, None, None, None, None
+        idat = bytearray()
+        while i + 8 <= len(b):
+            length = int.from_bytes(b[i : i + 4], "big")
+            typ = b[i + 4 : i + 8]
+            data = b[i + 8 : i + 8 + length]
+            if typ == b"IHDR" and length >= 13:
+                w = int.from_bytes(data[0:4], "big")
+                h = int.from_bytes(data[4:8], "big")
+                depth, ctype, interlace = data[8], data[9], data[12]
+            elif typ == b"IDAT":
+                idat += data
+            elif typ == b"IEND":
+                break
+            i += 12 + length  # len + type + data + crc
+        ch = {0: 1, 2: 3, 4: 2, 6: 4}.get(ctype)
+        if not w or not h or depth != 8 or interlace != 0 or ch is None:
+            return None
+        try:
+            raw = zlib.decompress(bytes(idat))
+        except zlib.error:
+            return None
+        stride = w * ch
+        if len(raw) < h * (stride + 1):
+            return None
+        out = bytearray(h * stride)
+        prev = bytearray(stride)
+        pos = 0
+        for y in range(h):
+            ftype = raw[pos]
+            pos += 1
+            line = bytearray(raw[pos : pos + stride])
+            pos += stride
+            if ftype == 1:  # Sub
+                for x in range(ch, stride):
+                    line[x] = (line[x] + line[x - ch]) & 0xFF
+            elif ftype == 2:  # Up
+                for x in range(stride):
+                    line[x] = (line[x] + prev[x]) & 0xFF
+            elif ftype == 3:  # Average
+                for x in range(stride):
+                    a = line[x - ch] if x >= ch else 0
+                    line[x] = (line[x] + ((a + prev[x]) >> 1)) & 0xFF
+            elif ftype == 4:  # Paeth
+                for x in range(stride):
+                    a = line[x - ch] if x >= ch else 0
+                    c = prev[x - ch] if x >= ch else 0
+                    up = prev[x]
+                    p = a + up - c
+                    pa, pb, pc = abs(p - a), abs(p - up), abs(p - c)
+                    pred = a if (pa <= pb and pa <= pc) else (up if pb <= pc else c)
+                    line[x] = (line[x] + pred) & 0xFF
+            elif ftype != 0:
+                return None
+            out[y * stride : (y + 1) * stride] = line
+            prev = line
+        return (w, h, ch, bytes(out))
+
+    return decode
+
+
+# driver-side handle for tests and ad-hoc use; executor tasks get their
+# own by-value copy via the operator closures below
+png_decode = _png_decoder()
+
+
 def resize_image(
     media: DataFrame, out_w: int = 8, out_h: int = 8, fake: bool = False
 ) -> DataFrame:
-    """Resize/thumbnail stub with the real Spark plumbing: per-row
-    binary in → fixed-size binary out over Arrow batches.
+    """Resize/thumbnail with the real Spark plumbing: per-row binary in
+    → fixed-size binary out over Arrow batches.
 
-    ``fake=True`` decodes the same pseudo-dimensions as
-    :func:`decode_image`, then nearest-neighbor samples payload bytes
-    into an ``out_w``×``out_h`` single-channel "thumbnail" — fully
-    deterministic, so tests pin exact output bytes. A real
-    implementation swaps only the body of the loop (PIL/cv2), not the
-    schema, batching, or partitioning.
+    ``fake=False`` REALLY decodes PNG payloads (stdlib zlib inflate +
+    per-row unfilter, :func:`png_decode`) and nearest-neighbor samples
+    actual pixels into an ``out_w``×``out_h``×channels thumbnail. JPEG
+    payloads still raise ``NotImplementedError`` (a DCT codec is not
+    re-implementable responsibly here); other undecodable payloads
+    yield a NULL row (quarantine-friendly, same posture as
+    :func:`decode_image`).
+
+    ``fake=True`` keeps the deterministic pseudo-dims + byte-sampling
+    stand-in the oracle-pinned suite queries use — independent of real
+    payload structure, so DuckDB can recompute it.
     """
     schema = T.StructType(
         [
-            T.StructField("media_id", T.LongType(), False),
+            T.StructField("media_id", media.schema["media_id"].dataType, True),
             T.StructField("src_w", T.IntegerType(), True),
             T.StructField("src_h", T.IntegerType(), True),
             T.StructField("thumb", T.BinaryType(), True),
         ]
     )
+    decode = _png_decoder()
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            if not fake:
-                raise NotImplementedError(
-                    "image resize requires an image library not present in this "
-                    "environment; pass fake=True for the deterministic stand-in"
-                )
             rows = []
             for mid, content in zip(pdf["media_id"], pdf["content"]):
                 if content is None or len(content) == 0:
                     rows.append((mid, None, None, None))
                     continue
-                n = len(content)
-                w, h = 16 + n % 64, 16 + (n // 64) % 64
+                if fake:
+                    n = len(content)
+                    w, h = 16 + n % 64, 16 + (n // 64) % 64
+                    px = bytes(
+                        content[((i * h // out_h) * w + (j * w // out_w)) % n]
+                        for i in range(out_h)
+                        for j in range(out_w)
+                    )
+                    rows.append((mid, w, h, px))
+                    continue
+                if bytes(content[:2]) == b"\xff\xd8":
+                    raise NotImplementedError(
+                        "JPEG decode requires a codec library not present in "
+                        "this environment; PNG payloads decode natively"
+                    )
+                dec = decode(content)
+                if dec is None:
+                    rows.append((mid, None, None, None))
+                    continue
+                w, h, ch, pix = dec
                 px = bytes(
-                    content[((i * h // out_h) * w + (j * w // out_w)) % n]
+                    pix[((i * h // out_h) * w + (j * w // out_w)) * ch + c]
                     for i in range(out_h)
                     for j in range(out_w)
+                    for c in range(ch)
                 )
                 rows.append((mid, w, h, px))
             yield pd.DataFrame(rows, columns=["media_id", "src_w", "src_h", "thumb"])
@@ -276,38 +384,49 @@ def decode_frames(media: DataFrame, every_n_bytes: int = 64, fake: bool = False)
     return media.select("media_id", "content").mapInPandas(run, schema=schema)
 
 
-_FEATURES_SCHEMA = T.StructType(
-    [
-        T.StructField("media_id", T.LongType(), False),
-        T.StructField("n_bytes", T.LongType(), True),
-        T.StructField("hist", T.ArrayType(T.LongType()), True),
-        T.StructField("src_w", T.IntegerType(), True),
-        T.StructField("src_h", T.IntegerType(), True),
-        T.StructField("thumb", T.BinaryType(), True),
-    ]
-)
-
-
 def media_features(
     media: DataFrame,
     buckets: int = 16,
     out_w: int = 8,
     out_h: int = 8,
     fake: bool = False,
+    passthrough: list[str] | None = None,
 ) -> DataFrame:
     """Composed featurizer: byte histogram + nearest-neighbor thumbnail
     per payload in ONE Arrow-batched pass. Same deterministic math as
     :func:`byte_histogram` / :func:`resize_image`; pinned by
-    tests/test_multimodal.py (binary output → rows-only driver check)."""
+    tests/test_multimodal.py (binary output → rows-only driver check).
+
+    ``passthrough`` columns of the input frame are carried verbatim into
+    the output (typed from the input schema) — how real featurizers ship
+    metadata alongside features without a join back onto the media
+    table. Stays one map-only pass either way."""
+    passthrough = passthrough or []
+    # id + passthrough types derive from the INPUT schema (hardcoding
+    # long ids breaks Arrow conversion for string media ids)
+    in_schema = media.schema
+    schema = T.StructType(
+        [
+            T.StructField("media_id", in_schema["media_id"].dataType, True),
+            T.StructField("n_bytes", T.LongType(), True),
+            T.StructField("hist", T.ArrayType(T.LongType()), True),
+            T.StructField("src_w", T.IntegerType(), True),
+            T.StructField("src_h", T.IntegerType(), True),
+            T.StructField("thumb", T.BinaryType(), True),
+        ]
+        + [T.StructField(c, in_schema[c].dataType, True) for c in passthrough]
+    )
+    pass_cols = list(passthrough)
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         import numpy as np
 
         for pdf in batches:
             rows = []
-            for mid, content in zip(pdf["media_id"], pdf["content"]):
+            extras = [pdf[c] for c in pass_cols]
+            for mid, content, *extra in zip(pdf["media_id"], pdf["content"], *extras):
                 if content is None or len(content) == 0:
-                    rows.append((mid, 0, None, None, None, None))
+                    rows.append((mid, 0, None, None, None, None, *extra))
                     continue
                 arr = np.frombuffer(content, dtype=np.uint8)
                 hist = np.bincount(arr >> (8 - buckets.bit_length() + 1), minlength=buckets)
@@ -323,12 +442,14 @@ def media_features(
                     for i in range(out_h)
                     for j in range(out_w)
                 )
-                rows.append((mid, n, hist[:buckets].tolist(), w, h, px))
+                rows.append((mid, n, hist[:buckets].tolist(), w, h, px, *extra))
             yield pd.DataFrame(
-                rows, columns=["media_id", "n_bytes", "hist", "src_w", "src_h", "thumb"]
+                rows,
+                columns=["media_id", "n_bytes", "hist", "src_w", "src_h", "thumb"]
+                + pass_cols,
             )
 
-    return media.select("media_id", "content").mapInPandas(run, schema=_FEATURES_SCHEMA)
+    return media.select("media_id", "content", *pass_cols).mapInPandas(run, schema=schema)
 
 
 def sample_frames(media: DataFrame, every_n_bytes: int = 64, fake: bool = False) -> DataFrame:

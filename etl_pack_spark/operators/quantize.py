@@ -40,6 +40,11 @@ import pandas as pd
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
+# per-query ADC tables (m × k doubles each) are broadcast to every
+# executor — the query frame must stay small; 16k queries ≈ 16k × 8 ×
+# 16 × 8 B ≈ 16 MB of tables, a safe ceiling
+MAX_QUERY_VECTORS = 16_384
+
 
 def pq_train(
     df: DataFrame,
@@ -143,10 +148,26 @@ def pq_topk(
     precomputed once (m × k doubles) and broadcast; scanning a code is
     then m table lookups + adds. Each partition emits its local top-k;
     one window merges the bounded partials.
+
+    The query-side collect is BOUNDED (``MAX_QUERY_VECTORS``): queries
+    are small by design (the distance tables are per-query state on
+    every executor), and the limit+probe turns an accidental
+    corpus-sized query frame into a clear error instead of a driver
+    OOM — the same posture as ``pq_train``'s explicit sample limit.
     """
     m, kcent, dsub = codebooks.shape
     spark = encoded.sparkSession
-    qpdf = queries.select(F.col(id_col).alias("qid"), F.col(vec).alias("qv")).toPandas()
+    qpdf = (
+        queries.select(F.col(id_col).alias("qid"), F.col(vec).alias("qv"))
+        .limit(MAX_QUERY_VECTORS + 1)
+        .toPandas()
+    )
+    if len(qpdf) > MAX_QUERY_VECTORS:
+        raise ValueError(
+            f"pq_topk got more than {MAX_QUERY_VECTORS} query vectors; "
+            f"the per-query ADC tables are broadcast state — batch the "
+            f"queries or raise MAX_QUERY_VECTORS deliberately"
+        )
     if len(qpdf) == 0:
         raise ValueError("no query vectors")
     Q = np.stack(qpdf["qv"].to_numpy()).astype(np.float64)

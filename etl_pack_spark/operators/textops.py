@@ -483,11 +483,15 @@ def unigram_logprob(
     combinable, vocabulary-sized result — zipf makes that << corpus),
     broadcast back onto the exploded tokens; the per-doc mean is a
     second map-side-combinable aggregate. Two shuffles total, both of
-    vocabulary/doc cardinality, never raw-corpus-sized rows.
+    vocabulary/doc cardinality, never raw-corpus-sized rows. The model
+    broadcast is guarded (guards.maybe_broadcast): a noise-token web
+    vocabulary past the bound falls back to an AQE-planned join instead
+    of a forced executor-OOM broadcast.
     """
-    toks = df.select(F.col(id_col), F.explode(tokens(text_col)).alias("tok"))
     from etl_pack_spark.operators.cache import pooled_persist
+    from etl_pack_spark.operators.guards import maybe_broadcast
 
+    toks = df.select(F.col(id_col), F.explode(tokens(text_col)).alias("tok"))
     counts = pooled_persist(toks.groupBy("tok").agg(F.count("*").alias("cnt")))
     stats = counts.agg(
         F.sum("cnt").alias("total"), F.count("*").alias("vocab")
@@ -500,7 +504,7 @@ def unigram_logprob(
         ).alias("logp"),
     )
     return (
-        toks.join(F.broadcast(model), "tok")
+        toks.join(maybe_broadcast(model), "tok")
         .groupBy(id_col)
         .agg(
             F.count("*").alias("n_tokens"),

@@ -21,6 +21,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from etl_pack_spark.operators.dedup import incremental_filter, snapshot_hashes
+from etl_pack_spark.plans.merge import apply_cdc
 
 
 def windowed_event_counts(
@@ -132,6 +133,69 @@ def stream_incremental_transfer(
 
     query = (
         stream.writeStream.foreachBatch(upsert)
+        .trigger(availableNow=True)
+        .option("checkpointLocation", checkpoint)
+        .start()
+    )
+    query.awaitTermination()
+    n = len(query.recentProgress)
+    query.stop()
+    return n
+
+
+def stream_cdc_apply(
+    spark: SparkSession,
+    source_dir: str,
+    target_path: str,
+    checkpoint: str,
+    keys: list[str],
+    ts_col: str = "ts",
+    op_col: str = "op",
+) -> int:
+    """CDC change-stream application under ``availableNow``: each
+    invocation folds the I/U/D change files that arrived since the last
+    checkpoint into the parquet target via :func:`plans.merge.apply_cdc`
+    (latest change per key wins, winning deletes delete) — the load mode
+    the reference's cron loop lacks, run in its cron-firing shape.
+
+    Exactly-once NET EFFECT without a transactional sink: apply_cdc is
+    idempotent and commutative under max-ts convergence, so re-delivered
+    micro-batches (at-least-once between checkpoint commit and target
+    swap) fold to the same table, and two incremental firings equal one
+    batch application — pinned by tests/test_streaming.py. The target
+    swap is write-staged-then-rename on the local filesystem; a real
+    deployment would swap in a transactional table format (Delta /
+    Iceberg MERGE) with the identical plan shape.
+
+    Returns the number of micro-batches processed.
+    """
+    import os
+    import shutil
+    import tempfile
+
+    schema = spark.read.parquet(source_dir).schema
+
+    def fold(batch_df: DataFrame, batch_id: int) -> None:
+        sess = batch_df.sparkSession
+        cols = [c for c in batch_df.columns if c != op_col]
+        if os.path.exists(target_path):
+            target = sess.read.parquet(target_path)
+        else:
+            target = batch_df.select(*cols).limit(0)
+        merged = apply_cdc(target, batch_df, keys, ts_col, op_col=op_col)
+        staged = tempfile.mkdtemp(
+            prefix=f"cdc_stage_{batch_id}_",
+            dir=os.path.dirname(os.path.abspath(target_path)) or ".",
+        )
+        # materialize BEFORE touching the target (the merged plan reads it)
+        merged.write.mode("overwrite").parquet(staged)
+        if os.path.exists(target_path):
+            shutil.rmtree(target_path)
+        os.replace(staged, target_path)
+
+    stream = spark.readStream.schema(schema).parquet(source_dir)
+    query = (
+        stream.writeStream.foreachBatch(fold)
         .trigger(availableNow=True)
         .option("checkpointLocation", checkpoint)
         .start()

@@ -22,7 +22,13 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from etl_pack_spark.operators import multimodal, neardup, sampling, similarity, textops
-from etl_pack_spark.operators.cleaning import c4_clean_sql
+from etl_pack_spark.operators.classify import nb_train_score_sql
+from etl_pack_spark.operators.cleaning import (
+    c4_clean_sql,
+    dedup_lines_sql,
+    gopher_signals_sql,
+)
+from etl_pack_spark.operators.temporal import rolling_aggregate_sql
 from etl_pack_spark.operators.components import connected_components_sql
 from etl_pack_spark.operators.contamination import contamination_report_sql
 from etl_pack_spark.operators.quality import profile_sql
@@ -139,7 +145,14 @@ def q_t1_datetime_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     DateType is exercised in-plan (cast + date arithmetic); the final
     projection renders dates as ISO strings because that IS the wire
     literal (and pandas rehydrates DuckDB DATE as midnight datetimes,
-    so a raw date column can never hash-match across engines)."""
+    so a raw date column can never hash-match across engines).
+
+    Round-4 merge: the same events projection also pins T2 (type-tag
+    normalization incl. unsigned widening — uint64→DECIMAL(20,0),
+    uint16→INT, SURVEY §7.4; q_t2_widen keeps the lineitem-side pin in
+    pytest) and the JSON extraction path (events.props — q_json_extract
+    stays pytest-pinned): all are per-row casts over one scan, so one
+    driver slot covers the whole projection family."""
     df = read_table(spark, sf_dir, "events")
     wire = F.date_format(F.col("ts"), "yyyy-MM-dd HH:mm:ss")
     quoted = F.concat(F.lit("'"),
@@ -154,6 +167,13 @@ def q_t1_datetime_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("value").cast("string").alias("num_literal"),
         F.date_format(d, "yyyy-MM-dd").alias("date_wire"),
         F.date_format(F.date_add(d, 7), "yyyy-MM-dd").alias("date_plus7"),
+        # T2 widening casts (decimal rendered as string: pandas decimal
+        # handling differs between engines, the digits do not)
+        F.col("event_id").cast("decimal(20,0)").cast("string").alias("id_u64"),
+        F.col("user_id").cast("int").alias("user_u16"),
+        F.col("value").cast("double").alias("value_f64"),
+        # JSON extraction (events.props)
+        F.get_json_object("props", "$.k").cast("int").alias("props_k"),
     )
 
 
@@ -225,9 +245,16 @@ def q_x4_incremental_load(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 def q_agg_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """TPC-H Q1-shaped pricing summary; decimal-exact sums."""
+    """TPC-H Q1-shaped pricing summary; decimal-exact sums.
+
+    Round-4 merge: the same aggregation also pins exact interpolated
+    quantiles (Spark `percentile` == DuckDB `quantile_cont`, shared
+    linear-interpolation definition, bit-identical doubles) — one agg
+    pass covers both families; q_agg_quantiles keeps the standalone
+    framing pinned in pytest."""
     df = read_table(spark, sf_dir, "lineitem")
     one = F.lit(1).cast(_DEC)
+    q = F.expr("percentile(CAST(l_extendedprice AS DOUBLE), array(0.25, 0.5, 0.99))")
     return (
         df.where(F.col("l_shipdate") <= "1997-09-02 00:00:00")
         .groupBy("l_returnflag", "l_linestatus")
@@ -238,6 +265,14 @@ def q_agg_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
             .cast("double")
             .alias("sum_disc_price"),
             F.count(F.lit(1)).alias("count_order"),
+            q.alias("__q"),
+        )
+        .select(
+            "l_returnflag", "l_linestatus", "sum_qty", "sum_base_price",
+            "sum_disc_price", "count_order",
+            F.element_at("__q", 1).alias("price_q25"),
+            F.element_at("__q", 2).alias("price_q50"),
+            F.element_at("__q", 3).alias("price_q99"),
         )
     )
 
@@ -731,9 +766,19 @@ def q_mm_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     binary feature columns are rendered to canonical scalars (CSV of the
     histogram, hex of the thumbnail) so the driver can hash-compare them
     against the DuckDB twin; exact raw bytes are pinned by
-    tests/test_multimodal.py."""
+    tests/test_multimodal.py.
+
+    Round-4 merge: the metadata scan (mime + magic-prefix sniffing,
+    formerly mm_binary_meta) rides the same pass as passthrough columns
+    — still one map-only stage, no join back onto the media table;
+    q_mm_binary_meta stays pytest-pinned standalone."""
     docs = read_table(spark, sf_dir, "documents")
-    feats = multimodal.media_features(multimodal.binarize_documents(docs), fake=True)
+    media = multimodal.binarize_documents(docs).withColumn(
+        "magic_hex", F.lower(F.hex(F.expr("substring(content, 1, 8)")))
+    )
+    feats = multimodal.media_features(
+        media, fake=True, passthrough=["mime", "magic_hex"]
+    )
     return feats.select(
         "media_id",
         "n_bytes",
@@ -744,13 +789,19 @@ def q_mm_features(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.concat_ws(",", F.col("hist").cast("array<string>")),
         ).alias("hist_csv"),
         F.lower(F.hex("thumb")).alias("thumb_hex"),
+        "mime",
+        "magic_hex",
     )
 
 
 def q_corpus_curate(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The composed training-data pipeline: quality gate → language
     verification → exact dedup → split assignment, as one plan (single
-    scan, one shuffle). See plans/curate.py."""
+    scan, one shuffle). See plans/curate.py.
+
+    Round-4 merge: exact dedup (formerly the standalone
+    dedup_exact_docs entry) is a stage of this plan, so this slot gates
+    it; q_dedup_exact_docs stays pytest-pinned standalone."""
     from etl_pack_spark.plans.curate import curate_corpus
 
     return curate_corpus(read_table(spark, sf_dir, "documents"))
@@ -849,6 +900,74 @@ def q_neardup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     return neardup_clusters(pairs, "doc_id")
 
 
+def q_lib_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet-style LM quality proxy: per-doc mean unigram log-prob under
+    the corpus's own smoothed unigram model (operators/textops.py).
+    mean_logprob rounded to 6 dp on BOTH engines — ln() is libm-
+    dependent (±1 ulp), everything else is exact."""
+    docs = read_table(spark, sf_dir, "documents")
+    out = textops.unigram_logprob(docs, "doc_id", "text")
+    return out.select(
+        "doc_id", "n_tokens", F.round("mean_logprob", 6).alias("mean_logprob")
+    )
+
+
+def q_lib_nb_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Naive-Bayes quality classifier, train-on-self with the weak label
+    n_chars > 250 (operators/classify.py): score every doc, rounded to
+    6 dp on both engines (same ln() caveat as unigram)."""
+    from etl_pack_spark.operators.classify import nb_score, nb_train
+
+    docs = read_table(spark, sf_dir, "documents").withColumn(
+        "y", F.col("n_chars") > 250
+    )
+    out = nb_score(docs, "doc_id", "text", nb_train(docs, "text", "y"))
+    return out.select("id", F.round("score", 6).alias("score"), "pred")
+
+
+def q_lib_dedup_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-wide duplicate-line removal (RefinedWeb-style boilerplate
+    strip, operators/cleaning.py): every doc back with its cleaned text
+    — exact strings, hash-exact compare."""
+    from etl_pack_spark.operators.cleaning import dedup_lines
+
+    docs = read_table(spark, sf_dir, "documents")
+    out = dedup_lines(docs, "doc_id", "text")
+    # n_lines: Spark size() is INT, the DuckDB twin's len() is BIGINT —
+    # cast so the driver's schema compare lines up
+    return out.withColumn("n_lines", F.col("n_lines").cast("long"))
+
+
+def q_lib_rolling_aggregate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-based trailing-hour moving aggregates per user over events
+    (operators/temporal.py, RANGE frame on microsecond epoch).
+    sum_window rounded to 6 dp on both engines (RANGE-frame double
+    summation order is engine-internal); count/min/max are exact."""
+    from etl_pack_spark.operators.temporal import rolling_aggregate
+
+    ev = read_table(spark, sf_dir, "events")
+    out = rolling_aggregate(ev, "user_id", "ts", "value")
+    return out.select(
+        "user_id", "ts", "value", "n_window",
+        F.round("sum_window", 6).alias("sum_window"),
+        "min_window", "max_window",
+    )
+
+
+def q_gopher_signals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher document-quality gates (Rae et al. 2021 A1.1): per-doc
+    metrics + composed keep flag, map-only (operators/cleaning.py).
+    All ratios are int/int doubles — bit-identical cross-engine."""
+    from etl_pack_spark.operators.cleaning import gopher_signals
+
+    docs = read_table(spark, sf_dir, "documents")
+    out = gopher_signals(docs, "doc_id", "text")
+    # size() is INT on Spark, len() BIGINT on DuckDB — align the schema
+    return out.withColumn("n_words", F.col("n_words").cast("long")).withColumn(
+        "stop_hits", F.col("stop_hits").cast("long")
+    )
+
+
 # fixed framing constants shared by the Spark query and its oracle
 BM25_QUERY = "spark hash table merge"
 MIXTURE_WEIGHTS = {
@@ -876,21 +995,28 @@ MIXTURE_WEIGHTS = {
 # text_langid+text_quality+text_tokens+text_fingerprint→text_signals
 # (one-scan composition) — freeing slots for the round-2 operator
 # families (retrieval, CDC, cleaning, contamination, mixture,
-# components) to get driver-gated oracle rows.
+# components) to get driver-gated oracle rows;
+# round 4: t2_widen+json_extract→t1_datetime_roundtrip (per-row cast /
+# extraction family over one events scan), agg_quantiles→
+# agg_pricing_summary (percentile agg rides the Q1 aggregation),
+# mm_binary_meta→mm_features (metadata as featurizer passthrough,
+# still map-only), dedup_exact_docs→corpus_curate (exact dedup is a
+# stage of the curation plan) — freeing slots for the round-3 library
+# operators (unigram LM, NB classifier, dedup_lines, rolling
+# aggregates, gopher gates). Every merged-away query keeps a pytest
+# DuckDB-parity pin via RETIRED_ORACLES below.
 QUERIES: dict[str, QueryFn] = {
     "p2_window": q_p2_window,
     "p4_page": q_p4_page,
     "h1_row_hash": q_h1_row_hash,
     "h3_anti_join": q_h3_anti_join,
     "t1_datetime_roundtrip": q_t1_datetime_roundtrip,
-    "t2_widen": q_t2_widen,
     "s1_scan": q_s1_scan,
     "s4_sink_roundtrip": q_s4_sink_roundtrip,
     "x4_incremental_load": q_x4_incremental_load,
     "stream_window_counts": q_stream_window_counts,
     "corpus_curate": q_corpus_curate,
     "text_sentiment": q_text_sentiment,
-    "mm_binary_meta": q_mm_binary_meta,
     "mm_decode_frames": q_mm_decode_frames,
     "mm_features": q_mm_features,
     "agg_pricing_summary": q_agg_pricing_summary,
@@ -904,12 +1030,9 @@ QUERIES: dict[str, QueryFn] = {
     "tpch_q5_like": q_tpch_q5_like,
     "text_vocab_topk": q_text_vocab_topk,
     "cluster_embeddings": q_cluster_embeddings,
-    "agg_quantiles": q_agg_quantiles,
-    "json_extract": q_json_extract,
     "sessionize": q_sessionize,
     "pivot_events": q_pivot_events,
     "set_except": q_set_except,
-    "dedup_exact_docs": q_dedup_exact_docs,
     "dedup_minhash_lsh": q_dedup_minhash_lsh,
     "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
     "dedup_simhash_pairs": q_dedup_simhash_pairs,
@@ -928,6 +1051,11 @@ QUERIES: dict[str, QueryFn] = {
     "contamination_eval": q_contamination_eval,
     "mixture_resample": q_mixture_resample,
     "neardup_components": q_neardup_components,
+    "lib_unigram_logprob": q_lib_unigram_logprob,
+    "lib_nb_classifier": q_lib_nb_classifier,
+    "lib_dedup_lines": q_lib_dedup_lines,
+    "lib_rolling_aggregate": q_lib_rolling_aggregate,
+    "gopher_signals": q_gopher_signals,
 }
 
 _CUSTOMER_HASH = row_hash_sql(CUSTOMER_COLS)
@@ -963,14 +1091,12 @@ ORACLES: dict[str, str] = {
                '''' || replace(event_type, '''', '''''') || '''' AS str_literal,
                CAST(value AS VARCHAR) AS num_literal,
                strftime(CAST(ts AS DATE), '%Y-%m-%d') AS date_wire,
-               strftime(CAST(ts AS DATE) + INTERVAL 7 DAY, '%Y-%m-%d') AS date_plus7
+               strftime(CAST(ts AS DATE) + INTERVAL 7 DAY, '%Y-%m-%d') AS date_plus7,
+               CAST(CAST(event_id AS DECIMAL(20,0)) AS VARCHAR) AS id_u64,
+               CAST(user_id AS INTEGER) AS user_u16,
+               CAST(value AS DOUBLE) AS value_f64,
+               CAST(json_extract_string(props, '$.k') AS INTEGER) AS props_k
         FROM events
-    """,
-    "t2_widen": """
-        SELECT CAST(CAST(l_orderkey AS DECIMAL(20,0)) AS VARCHAR) AS k_u64,
-               CAST(l_linenumber AS INTEGER) AS n_u16,
-               CAST(l_quantity AS DOUBLE) AS qty_f64
-        FROM lineitem
     """,
     "s1_scan": "SELECT * FROM nation",
     "s4_sink_roundtrip": f"""
@@ -1004,7 +1130,10 @@ ORACLES: dict[str, str] = {
                CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
                         * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2))))
                     AS DOUBLE) AS sum_disc_price,
-               COUNT(*) AS count_order
+               COUNT(*) AS count_order,
+               quantile_cont(CAST(l_extendedprice AS DOUBLE), 0.25) AS price_q25,
+               quantile_cont(CAST(l_extendedprice AS DOUBLE), 0.5) AS price_q50,
+               quantile_cont(CAST(l_extendedprice AS DOUBLE), 0.99) AS price_q99
         FROM lineitem
         WHERE l_shipdate <= TIMESTAMP '1997-09-02 00:00:00'
         GROUP BY l_returnflag, l_linestatus
@@ -1124,18 +1253,6 @@ ORACLES: dict[str, str] = {
         LIMIT 50
     """,
     # cluster_embeddings: iterative ML → rows-only check
-    "agg_quantiles": """
-        SELECT l_returnflag,
-               quantile_cont(CAST(l_extendedprice AS DOUBLE), 0.25) AS q25,
-               quantile_cont(CAST(l_extendedprice AS DOUBLE), 0.5) AS q50,
-               quantile_cont(CAST(l_extendedprice AS DOUBLE), 0.75) AS q75,
-               quantile_cont(CAST(l_extendedprice AS DOUBLE), 0.99) AS q99
-        FROM lineitem GROUP BY l_returnflag
-    """,
-    "json_extract": """
-        SELECT event_id, CAST(json_extract_string(props, '$.k') AS INTEGER) AS k
-        FROM events
-    """,
     "sessionize": """
         WITH e AS (
             SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, value FROM events
@@ -1174,10 +1291,6 @@ ORACLES: dict[str, str] = {
         EXCEPT
         SELECT DISTINCT o_custkey AS c_custkey FROM orders WHERE o_totalprice > 300000
     """,
-    "dedup_exact_docs": """
-        SELECT min(doc_id) AS doc_id FROM documents
-        GROUP BY md5(lower(coalesce(text, '')))
-    """,
     "dedup_minhash_lsh": neardup.minhash_lsh_dedup_pairs_sql("documents", "doc_id", "text"),
     "dedup_ngram_jaccard": neardup.ngram_jaccard_pairs_sql("documents", "doc_id", "text"),
     "dedup_simhash_pairs": neardup.simhash_neardup_pairs_sql("documents", "doc_id", "text"),
@@ -1197,12 +1310,6 @@ ORACLES: dict[str, str] = {
     "text_sentiment": textops.lexicon_sentiment_sql("documents", "doc_id", "text"),
     "corpus_curate": curate_corpus_sql("documents"),
     "dq_profile_orders": profile_sql("orders", DQ_COLS, DQ_NUM),
-    "mm_binary_meta": """
-        SELECT doc_id AS media_id, 'text/plain' AS mime,
-               CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
-               lower(substr(hex(encode(text)), 1, 16)) AS magic_hex
-        FROM documents
-    """,
     # mm_features: the Arrow featurizer's fake path is a deterministic
     # function of the UTF-8 payload, so the DuckDB twin recomputes the
     # 16-bucket histogram (high nibble of each byte = odd hex chars) and
@@ -1252,16 +1359,23 @@ ORACLES: dict[str, str] = {
                CAST(d.n AS BIGINT) AS n_bytes,
                CAST(d.w AS INTEGER) AS src_w,
                CAST(d.h AS INTEGER) AS src_h,
-               hc.hist_csv, t.thumb_hex
+               hc.hist_csv, t.thumb_hex,
+               'text/plain' AS mime,
+               lower(substr(nz.hx, 1, 16)) AS magic_hex
         FROM dims d
+        JOIN nz ON nz.media_id = d.media_id
         JOIN hist_csv hc ON hc.media_id = d.media_id
         JOIN thumb t ON t.media_id = d.media_id
         UNION ALL
         -- empty/NULL payloads: the featurizer emits the row with
-        -- n_bytes=0 and NULL features rather than dropping it
+        -- n_bytes=0 and NULL features rather than dropping it; the
+        -- passthrough meta keeps binarize's semantics (mime is a
+        -- literal; magic of an EMPTY payload is '', of NULL is NULL)
         SELECT doc_id AS media_id, CAST(0 AS BIGINT) AS n_bytes,
                CAST(NULL AS INTEGER) AS src_w, CAST(NULL AS INTEGER) AS src_h,
-               CAST(NULL AS VARCHAR) AS hist_csv, CAST(NULL AS VARCHAR) AS thumb_hex
+               CAST(NULL AS VARCHAR) AS hist_csv, CAST(NULL AS VARCHAR) AS thumb_hex,
+               'text/plain' AS mime,
+               CASE WHEN text IS NULL THEN CAST(NULL AS VARCHAR) ELSE '' END AS magic_hex
         FROM documents
         WHERE text IS NULL OR octet_length(encode(text)) = 0
     """,
@@ -1310,5 +1424,68 @@ ORACLES: dict[str, str] = {
         FROM ({connected_components_sql(
             neardup.simhash_neardup_pairs_sql("documents", "doc_id", "text")
         )})
+    """,
+    # round-6 on both engines: ln() is libm-dependent (±1 ulp); counts
+    # and everything integer-derived are exact
+    "lib_unigram_logprob": f"""
+        SELECT doc_id, n_tokens, round(mean_logprob, 6) AS mean_logprob
+        FROM ({textops.unigram_logprob_sql("documents", "doc_id", "text")})
+    """,
+    "lib_nb_classifier": f"""
+        SELECT id, round(score, 6) AS score, pred
+        FROM ({nb_train_score_sql("documents", "doc_id", "text", "n_chars > 250")})
+    """,
+    "lib_dedup_lines": dedup_lines_sql("documents", "doc_id", "text"),
+    # sum_window rounded: RANGE-frame double summation order is
+    # engine-internal; ts cast to us-precision TIMESTAMP (the Spark
+    # reader truncates parquet nanos the same way)
+    "lib_rolling_aggregate": f"""
+        SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, value, n_window,
+               round(sum_window, 6) AS sum_window, min_window, max_window
+        FROM ({rolling_aggregate_sql("events", "user_id", "ts", "value")})
+    """,
+    "gopher_signals": gopher_signals_sql("documents", "doc_id", "text"),
+}
+
+# Former driver-gated oracles of merged-away registry entries: each
+# (query, oracle) pair stays pinned by tests/test_registry_merges.py
+# with the same DuckDB hash-parity rigor the driver applies, so registry
+# consolidation never loses coverage.
+RETIRED_QUERIES: dict[str, QueryFn] = {
+    "t2_widen": q_t2_widen,
+    "agg_quantiles": q_agg_quantiles,
+    "json_extract": q_json_extract,
+    "mm_binary_meta": q_mm_binary_meta,
+    "dedup_exact_docs": q_dedup_exact_docs,
+}
+
+RETIRED_ORACLES: dict[str, str] = {
+    "t2_widen": """
+        SELECT CAST(CAST(l_orderkey AS DECIMAL(20,0)) AS VARCHAR) AS k_u64,
+               CAST(l_linenumber AS INTEGER) AS n_u16,
+               CAST(l_quantity AS DOUBLE) AS qty_f64
+        FROM lineitem
+    """,
+    "agg_quantiles": """
+        SELECT l_returnflag,
+               quantile_cont(CAST(l_extendedprice AS DOUBLE), 0.25) AS q25,
+               quantile_cont(CAST(l_extendedprice AS DOUBLE), 0.5) AS q50,
+               quantile_cont(CAST(l_extendedprice AS DOUBLE), 0.75) AS q75,
+               quantile_cont(CAST(l_extendedprice AS DOUBLE), 0.99) AS q99
+        FROM lineitem GROUP BY l_returnflag
+    """,
+    "json_extract": """
+        SELECT event_id, CAST(json_extract_string(props, '$.k') AS INTEGER) AS k
+        FROM events
+    """,
+    "mm_binary_meta": """
+        SELECT doc_id AS media_id, 'text/plain' AS mime,
+               CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+               lower(substr(hex(encode(text)), 1, 16)) AS magic_hex
+        FROM documents
+    """,
+    "dedup_exact_docs": """
+        SELECT min(doc_id) AS doc_id FROM documents
+        GROUP BY md5(lower(coalesce(text, '')))
     """,
 }

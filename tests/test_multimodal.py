@@ -96,9 +96,14 @@ def test_frame_sampling_offsets(spark, sf_dir):
         assert r["n"] == expect
 
 
-def test_resize_stub_raises_without_fake(spark, sf_dir):
-    with pytest.raises(PythonException, match="NotImplementedError"):
-        multimodal.resize_image(_media(spark, sf_dir).limit(1)).collect()
+def test_resize_real_quarantines_non_png(spark, sf_dir):
+    """fake=False decodes PNGs for real now; a non-PNG non-JPEG payload
+    (the documents fixture is text bytes) yields a NULL row instead of
+    killing the task — JPEG alone still raises (see
+    test_resize_image_jpeg_still_gated)."""
+    out = multimodal.resize_image(_media(spark, sf_dir).limit(3)).collect()
+    assert len(out) == 3
+    assert all(r["thumb"] is None and r["src_w"] is None for r in out)
 
 
 def test_resize_fake_exact_bytes(spark):
@@ -148,3 +153,129 @@ def test_features_empty_payload_row_matches_oracle_branch(spark):
     for c in got.columns:
         a, b = got[c], want[c]
         assert ((a == b) | (a.isna() & b.isna())).all(), c
+
+
+# ---------------------------------------------------------------------------
+# Real PNG pixel decode (stdlib zlib + unfilter)
+# ---------------------------------------------------------------------------
+
+def _make_png(w, h, ch, pixels, filters):
+    """Minimal valid PNG encoder for tests: 8-bit, non-interlaced,
+    one explicit filter type per row (so every unfilter branch gets
+    exercised against known pixels)."""
+    import struct
+    import zlib
+
+    ctype = {1: 0, 2: 4, 3: 2, 4: 6}[ch]
+
+    def chunk(typ, data):
+        return (
+            struct.pack(">I", len(data))
+            + typ
+            + data
+            + struct.pack(">I", zlib.crc32(typ + data) & 0xFFFFFFFF)
+        )
+
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, ctype, 0, 0, 0)
+    stride = w * ch
+    raw = bytearray()
+    for y in range(h):
+        ft = filters[y % len(filters)]
+        line = bytearray(pixels[y * stride : (y + 1) * stride])
+        prev = bytearray(pixels[(y - 1) * stride : y * stride]) if y else bytearray(stride)
+        enc = bytearray(line)
+        if ft == 1:
+            for x in range(stride - 1, ch - 1, -1):
+                enc[x] = (line[x] - line[x - ch]) & 0xFF
+        elif ft == 2:
+            for x in range(stride):
+                enc[x] = (line[x] - prev[x]) & 0xFF
+        elif ft == 3:
+            for x in range(stride):
+                a = line[x - ch] if x >= ch else 0
+                enc[x] = (line[x] - ((a + prev[x]) >> 1)) & 0xFF
+        elif ft == 4:
+            for x in range(stride):
+                a = line[x - ch] if x >= ch else 0
+                c = prev[x - ch] if x >= ch else 0
+                up = prev[x]
+                p = a + up - c
+                pa, pb, pc = abs(p - a), abs(p - up), abs(p - c)
+                pred = a if (pa <= pb and pa <= pc) else (up if pb <= pc else c)
+                enc[x] = (line[x] - pred) & 0xFF
+        raw += bytes([ft]) + bytes(enc)
+    return (
+        b"\x89PNG\r\n\x1a\n"
+        + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", zlib.compress(bytes(raw)))
+        + chunk(b"IEND", b"")
+    )
+
+
+def test_png_decode_roundtrip_all_filters():
+    from etl_pack_spark.operators.multimodal import png_decode
+
+    w, h = 7, 10
+    for ch in (1, 2, 3, 4):
+        pixels = bytes((i * 37 + c * 11) % 256 for i in range(w * h) for c in range(ch))
+        for filters in ([0], [1], [2], [3], [4], [0, 1, 2, 3, 4]):
+            blob = _make_png(w, h, ch, pixels, filters)
+            got = png_decode(blob)
+            assert got is not None, (ch, filters)
+            gw, gh, gch, gpix = got
+            assert (gw, gh, gch) == (w, h, ch)
+            assert gpix == pixels, (ch, filters)
+
+
+def test_png_decode_rejects_unsupported():
+    from etl_pack_spark.operators.multimodal import png_decode
+
+    assert png_decode(None) is None
+    assert png_decode(b"\xff\xd8notapng") is None
+    assert png_decode(b"\x89PNG\r\n\x1a\ntruncated") is None
+
+
+def test_resize_image_real_png_path(spark):
+    """fake=False really decodes PNG payloads distributed: the thumb is
+    nearest-neighbor over ACTUAL pixels, cross-checked against a
+    driver-side numpy reference."""
+    from etl_pack_spark.operators import multimodal
+
+    w, h, ch = 20, 12, 3
+    pngs = {}
+    rows = []
+    for mid in range(4):
+        pixels = bytes((i * 31 + mid * 7) % 256 for i in range(w * h * ch))
+        blob = _make_png(w, h, ch, pixels, [0, 2, 4])
+        pngs[mid] = pixels
+        rows.append((mid, blob, "image/png", len(blob)))
+    rows.append((99, None, "image/png", 0))       # NULL payload row
+    rows.append((98, b"not an image", "text/plain", 12))  # undecodable
+    media = spark.createDataFrame(
+        rows, "media_id long, content binary, mime string, n_bytes long"
+    )
+    out = {r["media_id"]: r for r in
+           multimodal.resize_image(media, out_w=8, out_h=8, fake=False).collect()}
+    assert out[99]["thumb"] is None
+    assert out[98]["thumb"] is None and out[98]["src_w"] is None
+    for mid, pixels in pngs.items():
+        r = out[mid]
+        assert (r["src_w"], r["src_h"]) == (w, h)
+        want = bytes(
+            pixels[((i * h // 8) * w + (j * w // 8)) * ch + c]
+            for i in range(8) for j in range(8) for c in range(ch)
+        )
+        assert bytes(r["thumb"]) == want
+
+
+def test_resize_image_jpeg_still_gated(spark):
+    import pytest
+
+    from etl_pack_spark.operators import multimodal
+
+    media = spark.createDataFrame(
+        [(1, b"\xff\xd8\xff\xe0fakejpeg", "image/jpeg", 12)],
+        "media_id long, content binary, mime string, n_bytes long",
+    )
+    with pytest.raises(Exception, match="NotImplementedError|JPEG"):
+        multimodal.resize_image(media, fake=False).collect()

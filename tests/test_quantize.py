@@ -111,3 +111,25 @@ def test_recall_vs_exact_l2(emb):
         total += 10
     recall = hits / total
     assert recall >= 0.5, f"recall@10 = {recall:.3f}"
+
+
+def test_pq_topk_bounds_query_collect(spark):
+    """An accidentally corpus-sized query frame must fail fast with a
+    clear error, not silently collect to the driver."""
+    import numpy as np
+    import pytest
+
+    from etl_pack_spark.operators import quantize
+
+    dims, m, k = 8, 2, 4
+    rows = [(i, [float(i % 7), float(i % 3)] * 4) for i in range(64)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    books = quantize.pq_train(df, dims=dims, m=m, k=k, sample_rows=64)
+    enc = quantize.pq_encode(df, books)
+    orig = quantize.MAX_QUERY_VECTORS
+    try:
+        quantize.MAX_QUERY_VECTORS = 10
+        with pytest.raises(ValueError, match="query vectors"):
+            quantize.pq_topk(enc, df, books).collect()
+    finally:
+        quantize.MAX_QUERY_VECTORS = orig

@@ -187,3 +187,67 @@ def test_stateless_operators_run_under_readstream(spark, sf_dir, tmp_path):
         ).collect())
     )
     assert streamed == batch and len(streamed) > 0
+
+
+def test_stream_cdc_apply_replay_equals_batch(spark, tmp_path):
+    """Streaming CDC (availableNow + checkpoint): two incremental
+    firings == one batch apply_cdc; replaying ALL files from a fresh
+    checkpoint onto the already-folded target changes nothing
+    (exactly-once net effect via max-ts convergence)."""
+    import datetime as dt
+
+    from etl_pack_spark.plans.merge import apply_cdc
+    from etl_pack_spark.streaming.incremental import stream_cdc_apply
+
+    def ts(d):
+        return dt.datetime(2024, 1, d)
+
+    src = tmp_path / "changes"
+    tgt = str(tmp_path / "target")
+    ckpt = str(tmp_path / "ckpt")
+    schema = "k long, ts timestamp, val string, op string"
+
+    part1 = [(1, ts(2), "a2", "U"), (2, ts(2), "b2", "I"), (3, ts(2), "c2", "I")]
+    part2 = [(2, ts(3), None, "D"), (3, ts(3), "c3", "U"), (4, ts(3), "d3", "I")]
+
+    # seed target with initial state
+    init = [(1, ts(1), "a1"), (9, ts(1), "keep")]
+    spark.createDataFrame(init, "k long, ts timestamp, val string").write.parquet(tgt)
+
+    spark.createDataFrame(part1, schema).write.parquet(str(src / "p1"))
+    # the streaming source needs one flat dir of files
+    import glob
+    import shutil
+
+    files = glob.glob(str(src / "p1" / "*.parquet"))
+    for i, f in enumerate(files):
+        shutil.copy(f, str(src / f"c1_{i}.parquet"))
+    shutil.rmtree(str(src / "p1"))
+
+    n1 = stream_cdc_apply(spark, str(src), tgt, ckpt, ["k"], "ts")
+    assert n1 >= 1
+
+    spark.createDataFrame(part2, schema).write.parquet(str(src / "p2"))
+    files = glob.glob(str(src / "p2" / "*.parquet"))
+    for i, f in enumerate(files):
+        shutil.copy(f, str(src / f"c2_{i}.parquet"))
+    shutil.rmtree(str(src / "p2"))
+
+    n2 = stream_cdc_apply(spark, str(src), tgt, ckpt, ["k"], "ts")
+    assert n2 >= 1
+
+    got = sorted(map(tuple, spark.read.parquet(tgt).collect()))
+
+    # one-shot batch equivalent over the same initial target + all changes
+    target0 = spark.createDataFrame(init, "k long, ts timestamp, val string")
+    changes = spark.createDataFrame(part1 + part2, schema)
+    want = sorted(map(tuple, apply_cdc(target0, changes, ["k"], "ts").collect()))
+    assert got == want
+    assert {(r[0], r[2]) for r in got} == {(1, "a2"), (3, "c3"), (4, "d3"), (9, "keep")}
+
+    # replay EVERYTHING from a fresh checkpoint onto the folded target:
+    # net effect must be zero (idempotence under re-delivery)
+    n3 = stream_cdc_apply(spark, str(src), tgt, str(tmp_path / "ckpt2"), ["k"], "ts")
+    assert n3 >= 1
+    again = sorted(map(tuple, spark.read.parquet(tgt).collect()))
+    assert again == want

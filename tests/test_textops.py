@@ -2,6 +2,8 @@
 
 from __future__ import annotations
 
+from pyspark.sql import functions as F
+
 from etl_pack_spark.operators import textops
 
 
@@ -153,3 +155,37 @@ def test_unigram_logprob_oracle_parity(spark, sf_dir):
     a = got["mean_logprob"].to_numpy()
     b = want["mean_logprob"].to_numpy()
     assert np.allclose(a, b, rtol=1e-12, atol=0)
+
+
+def test_unigram_guard_fallback_matches_broadcast_path(spark):
+    """Past MAX_BROADCAST_MODEL_ROWS the model join must drop the
+    forced broadcast hint (AQE picks the strategy) and still produce
+    identical results. Pinned by running the guard helper at a tiny
+    bound against the same frame."""
+    from etl_pack_spark.operators.guards import maybe_broadcast
+
+    df = spark.createDataFrame(
+        [(i, f"tok{i % 5} tok{(i + 1) % 5} common") for i in range(20)],
+        "doc_id long, text string",
+    )
+    from etl_pack_spark.operators.textops import unigram_logprob
+
+    want = sorted(map(tuple, unigram_logprob(df, "doc_id", "text").collect()))
+
+    # helper behavior: small model → hinted; past the bound → unhinted
+    model = spark.range(10).select(F.col("id").alias("tok"))
+    hinted = maybe_broadcast(model, max_rows=100)
+    unhinted = maybe_broadcast(model, max_rows=5)
+    assert "UnresolvedHint" in hinted._jdf.queryExecution().logical().toString()
+    assert "UnresolvedHint" not in unhinted._jdf.queryExecution().logical().toString()
+    # and the fallback join still computes the same answer
+    import etl_pack_spark.operators.guards as guards
+
+    orig = guards.MAX_BROADCAST_MODEL_ROWS
+    try:
+        guards.MAX_BROADCAST_MODEL_ROWS = 2  # force fallback
+
+        got = sorted(map(tuple, unigram_logprob(df, "doc_id", "text").collect()))
+    finally:
+        guards.MAX_BROADCAST_MODEL_ROWS = orig
+    assert got == want
