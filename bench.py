@@ -48,6 +48,45 @@ BENCH_QUERIES = [
 ]
 
 
+def _scaled_docs(spark, sf_dir, factor):
+    """The documents corpus replicated ``factor``× with remapped unique
+    doc_ids — the scaling probe for the text/near-dup family (the
+    fixture corpus only grows 10× across the shipped scale factors, so
+    extrapolation claims need a third, larger point). Replication is
+    the realistic hard case for dedup: every doc gains ``factor-1``
+    exact near-duplicates, so candidate volume scales superlinearly
+    while signature work scales linearly."""
+    from pyspark.sql import functions as F
+
+    from etl_pack_spark.sources.reader import read_table
+
+    docs = read_table(spark, sf_dir, "documents")
+    copies = F.explode(F.sequence(F.lit(0), F.lit(factor - 1))).alias("__copy")
+    return docs.select("*", copies).select(
+        (F.col("doc_id") * factor + F.col("__copy")).alias("doc_id"),
+        *[c for c in docs.columns if c != "doc_id"],
+    )
+
+
+def _scale_probe_queries():
+    from etl_pack_spark.operators import neardup, textops
+    from etl_pack_spark.operators.components import neardup_clusters
+
+    return {
+        "dedup_minhash_lsh": lambda d: neardup.minhash_lsh_dedup_pairs(
+            d, "doc_id", "text"
+        ),
+        "dedup_simhash_pairs": lambda d: neardup.simhash_neardup_pairs(
+            d, "doc_id", "text"
+        ),
+        "neardup_components": lambda d: neardup_clusters(
+            neardup.simhash_neardup_pairs(d, "doc_id", "text").select("id_a", "id_b"),
+            "doc_id",
+        ),
+        "text_signals": lambda d: textops.text_signals(d, "doc_id", "text"),
+    }
+
+
 # round-3 library operators — driver-gated registry entries since r4,
 # timed separately so the headline total stays comparable across rounds
 LIB_QUERIES = {
@@ -131,6 +170,40 @@ def main() -> None:
         out["sf_secondary"] = float(m2.group(1)) if m2 else -1.0
         out["queries_secondary"] = t2
         out["value_secondary"] = round(sum(t2.values()), 3)
+
+    # third scaling point for the text/near-dup family: the corpus
+    # replicated 10x with unique ids (see _scaled_docs). Headline and
+    # secondary numbers are untouched; this section exists so SCALE.md's
+    # extrapolation claims rest on three points, not two.
+    factor = int(os.environ.get("SPARK_GRAFT_BENCH_SCALE_FACTOR", "10"))
+    if factor > 1:
+        scaled = _scaled_docs(spark, sf_dir, factor).persist()
+        n_docs = scaled.count()  # materialize once; probe queries re-scan
+
+        def run3(fn) -> float:
+            t0 = time.perf_counter()
+            df = fn(scaled)
+            df.write.format("noop").mode("overwrite").save()
+            dt = time.perf_counter() - t0
+            # drop operator-internal pooled persists, keep the corpus
+            for (_, d) in list(_pool_items()):
+                d.unpersist(False)
+            return dt
+
+        def _pool_items():
+            from etl_pack_spark.operators.cache import _POOL
+
+            items = list(_POOL.items())
+            _POOL.clear()
+            return items
+
+        t3: dict[str, float] = {}
+        for name, fn in _scale_probe_queries().items():
+            t3[name] = round(min(run3(fn) for _ in range(repeats)), 3)
+        scaled.unpersist()
+        out["scale_probe_factor"] = factor
+        out["scale_probe_docs"] = n_docs
+        out["queries_scale_probe"] = t3
 
     print(json.dumps(out))
 

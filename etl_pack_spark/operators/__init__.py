@@ -73,3 +73,7 @@ from etl_pack_spark.operators.retrieval import (  # noqa: F401
     term_stats,
     tfidf_weights,
 )
+from etl_pack_spark.operators.chunking import (  # noqa: F401
+    chunk_documents,
+    chunk_documents_sql,
+)

@@ -50,8 +50,10 @@ def shingled(df: DataFrame, id_col: str, text_col: str, k: int = 3) -> DataFrame
     evaluate the interpreted HOF chain twice; explode-based consumers
     drop empty docs for free)."""
     # a small-file corpus scans as ONE task; shingling is CPU-bound, so
-    # spread rows across the cluster before the per-row work (at scale,
-    # many input splits make this a near-no-op shuffle of raw text)
+    # spread rows across the cluster before the per-row work. At scale
+    # this stays the right plan: downstream per-doc aggregates reuse
+    # HashPartitioning(id), so ONE shuffle of compact doc rows here
+    # replaces a strictly larger shuffle of exploded shingle rows later.
     return (
         df.repartition(F.col(id_col))
         .select(id_col, tokens(text_col).alias("__toks"))

@@ -231,9 +231,14 @@ def q_x4_incremental_load(spark: SparkSession, sf_dir: str) -> DataFrame:
     first half of the window (l_orderkey below the median)."""
     spec = ReadSpec(table="lineitem", window=("l_shipdate", WIN_LO, WIN_HI))
     # row hashing is CPU-bound; the fixture is a single small file (3
-    # splits), so spread rows before hashing — on real multi-split
-    # inputs the scan already provides the parallelism
-    src = windowed_read(spark, sf_dir, spec).repartition(F.col("l_orderkey"))
+    # splits), so spread rows before hashing. CONDITIONAL: the anti-join
+    # below keys on the row hash, not l_orderkey, so on a real
+    # many-split scan this repartition would be a pure extra
+    # full-corpus shuffle — spread only when the scan underuses the
+    # cluster (operators/partitioning.py).
+    from etl_pack_spark.operators.partitioning import spread_small_scan
+
+    src = spread_small_scan(windowed_read(spark, sf_dir, spec), "l_orderkey")
     tgt = src.where(F.col("l_orderkey") % 4 != 3)
     return incremental_filter(src, snapshot_hashes(tgt), src.columns)
 

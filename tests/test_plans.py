@@ -96,3 +96,20 @@ def test_mixture_resample_no_corpus_shuffle(spark, sf_dir):
     plan = plan_of(spark, sf_dir, "mixture_resample")
     assert "BroadcastHashJoin" in plan
     assert "SortMergeJoin" not in plan
+
+
+def test_spread_small_scan_is_conditional(spark, sf_dir):
+    """Fixture scans (few splits) get the repartition; a frame already
+    matching cluster parallelism does not — the x4 anti-join keys on
+    the row hash, so an unconditional repartition would be a pure extra
+    full shuffle at scale."""
+    from etl_pack_spark.operators.partitioning import spread_small_scan
+    from etl_pack_spark.sources.reader import read_table
+
+    small = read_table(spark, sf_dir, "lineitem")
+    spread = spread_small_scan(small, "l_orderkey")
+    assert "RepartitionByExpression" in spread._jdf.queryExecution().logical().toString()
+
+    wide = small.repartition(spark.sparkContext.defaultParallelism * 2)
+    kept = spread_small_scan(wide, "l_orderkey")
+    assert kept is wide  # untouched: no extra shuffle on a wide input

@@ -103,8 +103,23 @@ NOTES = {
     ),
     "lib_nb_classifier": (
         "Train and score in one lazy plan: the (token, label) count "
-        "aggregate becomes a broadcast model; scoring is a broadcast join "
-        "+ combinable per-doc sum. No iterations anywhere in the plan."
+        "aggregate becomes a broadcast model (guarded: past "
+        "MAX_BROADCAST_MODEL_ROWS the hint is dropped and AQE plans the "
+        "join); scoring is a broadcast join + combinable per-doc sum. No "
+        "iterations anywhere in the plan."
+    ),
+    "lib_dedup_lines": (
+        "Line stats are ONE map-side-combinable aggregate keyed by line "
+        "md5 (text never rides a shuffle twice); keep-decision is an "
+        "equi-join on the hash; reassembly one groupBy(id)."
+    ),
+    "lib_rolling_aggregate": (
+        "One hash exchange on the key + in-partition sort; the RANGE "
+        "frame is a streaming pass over the sorted partition."
+    ),
+    "gopher_signals": (
+        "Map-only: every Gopher metric is a higher-order array function "
+        "over one projection — zero Exchange at any corpus size."
     ),
 }
 
