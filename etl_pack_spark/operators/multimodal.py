@@ -70,19 +70,26 @@ def media_metadata(media: DataFrame) -> DataFrame:
 # Arrow-batched feature extraction (real plumbing, deterministic math)
 # ---------------------------------------------------------------------------
 
-_HIST_SCHEMA = T.StructType(
-    [
-        T.StructField("media_id", T.LongType(), False),
-        T.StructField("n_bytes", T.LongType(), True),
-        T.StructField("hist", T.ArrayType(T.LongType()), True),
-    ]
-)
+
+def _out_schema(media: "DataFrame", *fields: "T.StructField") -> "T.StructType":
+    """Output schema for a mapInPandas operator: media_id keeps the
+    INPUT column's type (hardcoding long breaks Arrow conversion for
+    string media ids — the bpe_encode/pack_sequences bug class),
+    followed by the operator's own fields."""
+    return T.StructType(
+        [T.StructField("media_id", media.schema["media_id"].dataType, True), *fields]
+    )
 
 
 def byte_histogram(media: DataFrame, buckets: int = 16) -> DataFrame:
     """16-bucket byte-value histogram per payload via mapInPandas —
     the same batch shape a real image featurizer would use. Pure
     numpy over Arrow batches; no per-row Python."""
+    schema = _out_schema(
+        media,
+        T.StructField("n_bytes", T.LongType(), True),
+        T.StructField("hist", T.ArrayType(T.LongType()), True),
+    )
 
     def extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         import numpy as np
@@ -98,7 +105,7 @@ def byte_histogram(media: DataFrame, buckets: int = 16) -> DataFrame:
                 out.append((mid, len(arr), hist[:buckets].tolist()))
             yield pd.DataFrame(out, columns=["media_id", "n_bytes", "hist"])
 
-    return media.select("media_id", "content").mapInPandas(extract, schema=_HIST_SCHEMA)
+    return media.select("media_id", "content").mapInPandas(extract, schema=schema)
 
 
 # ---------------------------------------------------------------------------
@@ -117,13 +124,11 @@ def decode_image(media: DataFrame, fake: bool = False) -> DataFrame:
     ``fake=True`` keeps the deterministic pseudo-dims stand-in used by
     the oracle-pinned suite queries (independent of real payloads).
     """
-    schema = T.StructType(
-        [
-            T.StructField("media_id", T.LongType(), False),
-            T.StructField("width", T.IntegerType(), True),
-            T.StructField("height", T.IntegerType(), True),
-            T.StructField("channels", T.IntegerType(), True),
-        ]
+    schema = _out_schema(
+        media,
+        T.StructField("width", T.IntegerType(), True),
+        T.StructField("height", T.IntegerType(), True),
+        T.StructField("channels", T.IntegerType(), True),
     )
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -282,7 +287,11 @@ png_decode = _png_decoder()
 
 
 def resize_image(
-    media: DataFrame, out_w: int = 8, out_h: int = 8, fake: bool = False
+    media: DataFrame,
+    out_w: int = 8,
+    out_h: int = 8,
+    fake: bool = False,
+    strict: bool = True,
 ) -> DataFrame:
     """Resize/thumbnail with the real Spark plumbing: per-row binary in
     → fixed-size binary out over Arrow batches.
@@ -290,22 +299,23 @@ def resize_image(
     ``fake=False`` REALLY decodes PNG payloads (stdlib zlib inflate +
     per-row unfilter, :func:`png_decode`) and nearest-neighbor samples
     actual pixels into an ``out_w``×``out_h``×channels thumbnail. JPEG
-    payloads still raise ``NotImplementedError`` (a DCT codec is not
-    re-implementable responsibly here); other undecodable payloads
-    yield a NULL row (quarantine-friendly, same posture as
-    :func:`decode_image`).
+    payloads raise ``NotImplementedError`` under the default
+    ``strict=True`` — an honest signal that a DCT codec is genuinely
+    missing, not silently skippable; on a mixed-media corpus pass
+    ``strict=False`` to quarantine JPEGs as NULL rows instead of
+    failing the job (one bad row would otherwise abort the whole
+    stage after task retries). Other undecodable payloads always
+    yield a NULL row (same posture as :func:`decode_image`).
 
     ``fake=True`` keeps the deterministic pseudo-dims + byte-sampling
     stand-in the oracle-pinned suite queries use — independent of real
     payload structure, so DuckDB can recompute it.
     """
-    schema = T.StructType(
-        [
-            T.StructField("media_id", media.schema["media_id"].dataType, True),
-            T.StructField("src_w", T.IntegerType(), True),
-            T.StructField("src_h", T.IntegerType(), True),
-            T.StructField("thumb", T.BinaryType(), True),
-        ]
+    schema = _out_schema(
+        media,
+        T.StructField("src_w", T.IntegerType(), True),
+        T.StructField("src_h", T.IntegerType(), True),
+        T.StructField("thumb", T.BinaryType(), True),
     )
     decode = _png_decoder()
 
@@ -326,11 +336,16 @@ def resize_image(
                     )
                     rows.append((mid, w, h, px))
                     continue
-                if bytes(content[:2]) == b"\xff\xd8":
-                    raise NotImplementedError(
-                        "JPEG decode requires a codec library not present in "
-                        "this environment; PNG payloads decode natively"
-                    )
+                if bytes(content[:3]) == b"\xff\xd8\xff":
+                    if strict:
+                        raise NotImplementedError(
+                            "JPEG decode requires a codec library not present "
+                            "in this environment; PNG payloads decode "
+                            "natively, or pass strict=False to quarantine "
+                            "JPEG rows as NULL"
+                        )
+                    rows.append((mid, None, None, None))
+                    continue
                 dec = decode(content)
                 if dec is None:
                     rows.append((mid, None, None, None))
@@ -353,15 +368,13 @@ def decode_frames(media: DataFrame, every_n_bytes: int = 64, fake: bool = False)
     scan): per sampled "frame" emit the decoded pseudo-dimensions and
     the frame offset. At scale this is the video-ingest shape — decode
     once per payload, fan out per frame, never rejoin."""
-    schema = T.StructType(
-        [
-            T.StructField("media_id", T.LongType(), False),
-            T.StructField("width", T.IntegerType(), True),
-            T.StructField("height", T.IntegerType(), True),
-            T.StructField("channels", T.IntegerType(), True),
-            T.StructField("frame_idx", T.IntegerType(), False),
-            T.StructField("offset", T.LongType(), False),
-        ]
+    schema = _out_schema(
+        media,
+        T.StructField("width", T.IntegerType(), True),
+        T.StructField("height", T.IntegerType(), True),
+        T.StructField("channels", T.IntegerType(), True),
+        T.StructField("frame_idx", T.IntegerType(), False),
+        T.StructField("offset", T.LongType(), False),
     )
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -406,14 +419,14 @@ def media_features(
     # long ids breaks Arrow conversion for string media ids)
     in_schema = media.schema
     schema = T.StructType(
-        [
-            T.StructField("media_id", in_schema["media_id"].dataType, True),
+        list(_out_schema(
+            media,
             T.StructField("n_bytes", T.LongType(), True),
             T.StructField("hist", T.ArrayType(T.LongType()), True),
             T.StructField("src_w", T.IntegerType(), True),
             T.StructField("src_h", T.IntegerType(), True),
             T.StructField("thumb", T.BinaryType(), True),
-        ]
+        ))
         + [T.StructField(c, in_schema[c].dataType, True) for c in passthrough]
     )
     pass_cols = list(passthrough)
@@ -456,12 +469,10 @@ def sample_frames(media: DataFrame, every_n_bytes: int = 64, fake: bool = False)
     """Video frame sampling stub: emits one row per sampled "frame"
     (offset positions). Real frame extraction needs a video library;
     the fake path samples byte offsets with the same output contract."""
-    schema = T.StructType(
-        [
-            T.StructField("media_id", T.LongType(), False),
-            T.StructField("frame_idx", T.IntegerType(), False),
-            T.StructField("offset", T.LongType(), False),
-        ]
+    schema = _out_schema(
+        media,
+        T.StructField("frame_idx", T.IntegerType(), False),
+        T.StructField("offset", T.LongType(), False),
     )
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:

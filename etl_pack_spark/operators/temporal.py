@@ -135,6 +135,22 @@ def range_join(
     ).drop("__bucket")
 
 
+
+def _window_micros(window: str) -> int:
+    """Parse the shared interval grammar ("1 hour", "15 minutes", ...)
+    to microseconds — defined ONCE for the Spark frame and its DuckDB
+    oracle twin so the two engines can never frame on different
+    windows."""
+    import re
+
+    m = re.fullmatch(r"(\d+)\s*(second|minute|hour|day)s?", window.strip())
+    if not m:
+        raise ValueError(f"unsupported window {window!r}")
+    return int(m.group(1)) * {
+        "second": 1, "minute": 60, "hour": 3600, "day": 86400
+    }[m.group(2)] * 1_000_000
+
+
 def rolling_aggregate(
     df: DataFrame,
     key_col: str,
@@ -152,14 +168,7 @@ def rolling_aggregate(
     ``window`` accepts the Spark interval grammar ("1 hour",
     "15 minutes", ...).
     """
-    import re
-
-    m = re.fullmatch(r"(\d+)\s*(second|minute|hour|day)s?", window.strip())
-    if not m:
-        raise ValueError(f"unsupported window {window!r}")
-    micros = int(m.group(1)) * {
-        "second": 1, "minute": 60, "hour": 3600, "day": 86400
-    }[m.group(2)] * 1_000_000
+    micros = _window_micros(window)
     w = (
         Window.partitionBy(key_col)
         .orderBy(F.unix_micros(F.col(ts_col).cast("timestamp")))
@@ -190,14 +199,7 @@ def rolling_aggregate_sql(
     truncated to us), so a RANGE INTERVAL frame over raw-ns timestamps
     could include/exclude an event within <1us of a trailing-window
     boundary that the Spark frame decides the other way."""
-    import re
-
-    m = re.fullmatch(r"(\d+)\s*(second|minute|hour|day)s?", window.strip())
-    if not m:
-        raise ValueError(f"unsupported window {window!r}")
-    micros = int(m.group(1)) * {
-        "second": 1, "minute": 60, "hour": 3600, "day": 86400
-    }[m.group(2)] * 1_000_000
+    micros = _window_micros(window)
     return f"""
     SELECT {key_col}, {ts_col}, {value_col},
            count(*) OVER w AS n_window,

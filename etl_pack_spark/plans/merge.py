@@ -100,10 +100,15 @@ def apply_cdc(
     The latest change per key wins; a winning 'D' removes the key. The
     target's own rows participate as op='I' at their stored timestamp,
     so a change older than the stored row is a no-op — the same
-    convergence rule Debezium-style consumers use, which makes the fold
-    idempotent under replay and commutative under out-of-order delivery
-    (any replay order with the same max-ts change yields the same
-    table). Single shuffle, same window shape as :func:`merge_upsert`.
+    convergence rule Debezium-style consumers use. WITHIN one call the
+    fold is order-free (the window sees every change at once) and
+    re-applying any subset of already-applied changes is a no-op
+    (idempotent under replay). ACROSS sequential calls there is one
+    asymmetry: a winning delete leaves no tombstone in the target, so a
+    LATER call carrying only an older insert for that key would
+    resurrect it — sequential folds need in-order batches (what a
+    checkpointed stream provides) or a sink that retains tombstones.
+    Single shuffle, same window shape as :func:`merge_upsert`.
     """
     cols = target.columns
     tgt = (

@@ -159,13 +159,20 @@ def stream_cdc_apply(
     the reference's cron loop lacks, run in its cron-firing shape.
 
     Exactly-once NET EFFECT without a transactional sink: apply_cdc is
-    idempotent and commutative under max-ts convergence, so re-delivered
-    micro-batches (at-least-once between checkpoint commit and target
-    swap) fold to the same table, and two incremental firings equal one
-    batch application — pinned by tests/test_streaming.py. The target
-    swap is write-staged-then-rename on the local filesystem; a real
-    deployment would swap in a transactional table format (Delta /
-    Iceberg MERGE) with the identical plan shape.
+    idempotent under re-delivery (a change not newer than the stored row
+    is a no-op), so micro-batches replayed between checkpoint commit and
+    target swap fold to the same table, and two incremental firings
+    equal one batch application — pinned by tests/test_streaming.py.
+    ORDER still matters ACROSS batches: apply_cdc keeps no delete
+    tombstones, so a batch with an old insert applied AFTER a later
+    batch already deleted that key would resurrect it — correctness
+    here rests on the file source's deterministic file ordering per
+    checkpoint, which replays batches in their original order. The
+    target swap is write-staged / backup / rename with crash recovery
+    (an interrupted swap restores the backup on the next firing, then
+    the checkpoint replays the batch); a real deployment would swap in
+    a transactional table format (Delta / Iceberg MERGE) with the
+    identical plan shape.
 
     Returns the number of micro-batches processed.
     """
@@ -174,9 +181,19 @@ def stream_cdc_apply(
     import tempfile
 
     schema = spark.read.parquet(source_dir).schema
+    backup = target_path.rstrip("/") + ".bak"
 
     def fold(batch_df: DataFrame, batch_id: int) -> None:
         sess = batch_df.sparkSession
+        # crash recovery: a previous firing died mid-swap. If the target
+        # vanished after its backup was taken, restore the backup (the
+        # checkpoint will replay that batch); if both exist, the swap
+        # completed and the backup is stale.
+        if os.path.exists(backup):
+            if not os.path.exists(target_path):
+                os.replace(backup, target_path)
+            else:
+                shutil.rmtree(backup)
         cols = [c for c in batch_df.columns if c != op_col]
         if os.path.exists(target_path):
             target = sess.read.parquet(target_path)
@@ -189,9 +206,14 @@ def stream_cdc_apply(
         )
         # materialize BEFORE touching the target (the merged plan reads it)
         merged.write.mode("overwrite").parquet(staged)
+        # swap: never a moment where neither target nor backup holds the
+        # pre-batch table (plain rmtree-then-rename had a kill window
+        # that silently emptied the target on replay)
         if os.path.exists(target_path):
-            shutil.rmtree(target_path)
+            os.replace(target_path, backup)
         os.replace(staged, target_path)
+        if os.path.exists(backup):
+            shutil.rmtree(backup)
 
     stream = spark.readStream.schema(schema).parquet(source_dir)
     query = (

@@ -279,3 +279,45 @@ def test_resize_image_jpeg_still_gated(spark):
     )
     with pytest.raises(Exception, match="NotImplementedError|JPEG"):
         multimodal.resize_image(media, fake=False).collect()
+
+
+def test_resize_image_nonstrict_quarantines_jpeg(spark):
+    from etl_pack_spark.operators import multimodal
+
+    w, h, ch = 10, 6, 1
+    pixels = bytes(range(w * h))
+    media = spark.createDataFrame(
+        [
+            (1, b"\xff\xd8\xff\xe0fakejpeg", "image/jpeg", 12),
+            (2, _make_png(w, h, ch, pixels, [0]), "image/png", 0),
+        ],
+        "media_id long, content binary, mime string, n_bytes long",
+    )
+    out = {r["media_id"]: r for r in
+           multimodal.resize_image(media, fake=False, strict=False).collect()}
+    assert out[1]["thumb"] is None          # JPEG quarantined, job survives
+    assert out[2]["src_w"] == w             # PNG still decodes
+
+
+def test_string_media_id_across_operators(spark):
+    """Every mapInPandas operator derives media_id's type from the
+    input — string ids must not crash Arrow conversion (the
+    bpe_encode/pack_sequences bug class, fixed at the shared
+    _out_schema level)."""
+    from etl_pack_spark.operators import multimodal
+
+    media = spark.createDataFrame(
+        [("m-1", b"hello world bytes", "text/plain", 17), ("m-2", None, "text/plain", 0)],
+        "media_id string, content binary, mime string, n_bytes long",
+    )
+    for df in [
+        multimodal.decode_image(media, fake=True),
+        multimodal.byte_histogram(media),
+        multimodal.decode_frames(media, fake=True),
+        multimodal.sample_frames(media, fake=True),
+        multimodal.resize_image(media, fake=True),
+        multimodal.media_features(media, fake=True, passthrough=["mime"]),
+    ]:
+        assert dict(df.dtypes)["media_id"] == "string"
+        ids = {r["media_id"] for r in df.collect()}
+        assert "m-1" in ids

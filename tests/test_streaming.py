@@ -251,3 +251,35 @@ def test_stream_cdc_apply_replay_equals_batch(spark, tmp_path):
     assert n3 >= 1
     again = sorted(map(tuple, spark.read.parquet(tgt).collect()))
     assert again == want
+
+
+def test_stream_cdc_apply_recovers_interrupted_swap(spark, tmp_path):
+    """A firing killed between the backup-move and the staged-move
+    leaves target missing + target.bak present; the next firing must
+    restore the backup before folding (no silent empty-target reset)."""
+    import datetime as dt
+    import os
+
+    from etl_pack_spark.streaming.incremental import stream_cdc_apply
+
+    src = tmp_path / "changes"
+    tgt = str(tmp_path / "target")
+    schema = "k long, ts timestamp, val string, op string"
+    spark.createDataFrame(
+        [(1, dt.datetime(2024, 1, 2), "a2", "U")], schema
+    ).coalesce(1).write.parquet(str(src))
+
+    spark.createDataFrame(
+        [(1, dt.datetime(2024, 1, 1), "a1"), (9, dt.datetime(2024, 1, 1), "keep")],
+        "k long, ts timestamp, val string",
+    ).write.parquet(tgt)
+
+    # simulate the crash window: target moved to backup, new target never landed
+    os.replace(tgt, tgt + ".bak")
+    assert not os.path.exists(tgt)
+
+    stream_cdc_apply(spark, str(src), tgt, str(tmp_path / "ck"), ["k"], "ts")
+    got = {(r["k"], r["val"]) for r in spark.read.parquet(tgt).collect()}
+    # pre-existing key 9 survives: the fold saw the RESTORED target
+    assert got == {(1, "a2"), (9, "keep")}
+    assert not os.path.exists(tgt + ".bak")

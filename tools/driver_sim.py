@@ -1,56 +1,30 @@
 """Local simulation of the driver's correctness gate: run a registry
 query on Spark and its oracle on DuckDB at the given sf_dir, compare
-row count, schema (sorted column names), and canonicalized values.
+row count, schema (sorted column names), and canonicalized values
+(compare logic shared with tests/test_registry_merges.py via
+etl_pack_spark.oracle).
 
 Usage: python tools/driver_sim.py [sf_dir] [key ...]  (default: all)
 """
 
 from __future__ import annotations
 
-import math
 import sys
 from pathlib import Path
 
 sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
 
-TABLES = [
-    "region", "nation", "customer", "supplier", "part", "orders",
-    "lineitem", "events", "documents", "embeddings",
-]
-
-
-def canon(df):
-    df = df[sorted(df.columns)]
-
-    def cell(v):
-        if v is None or (isinstance(v, float) and math.isnan(v)):
-            return None
-        if isinstance(v, float):
-            return repr(round(v, 9))
-        return str(v)
-
-    rows = [
-        tuple(cell(v) for v in row) for row in df.itertuples(index=False, name=None)
-    ]
-    # None-safe total order (NULLs first per column)
-    return sorted(rows, key=lambda r: tuple((v is not None, str(v)) for v in r))
-
 
 def main() -> None:
-    import duckdb
-
     from etl_pack_spark import suite
+    from etl_pack_spark.oracle import canon_frame, duck_connect
     from etl_pack_spark.session import get_spark
 
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
     keys = sys.argv[2:] or [k for k in suite.QUERIES if k in suite.ORACLES]
 
     spark = get_spark("driver_sim")
-    con = duckdb.connect()
-    for t in TABLES:
-        con.execute(
-            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')"
-        )
+    con = duck_connect(sf_dir)
 
     failures = 0
     for k in keys:
@@ -63,7 +37,7 @@ def main() -> None:
             got.columns = [c.lower() for c in got.columns]
             want.columns = [c.lower() for c in want.columns]
             rows_ok = len(got) == len(want)
-            vals_ok = canon(got) == canon(want) if schema_ok else False
+            vals_ok = canon_frame(got) == canon_frame(want) if schema_ok else False
             status = "OK" if (schema_ok and rows_ok and vals_ok) else "FAIL"
             if status == "FAIL":
                 failures += 1
@@ -75,7 +49,7 @@ def main() -> None:
                 print(f"   spark cols: {sorted(got.columns)}")
                 print(f"   duck  cols: {sorted(want.columns)}")
             elif not vals_ok:
-                a, b = canon(got), canon(want)
+                a, b = canon_frame(got), canon_frame(want)
                 diff = [(x, y) for x, y in zip(a, b) if x != y][:3]
                 print(f"   first diffs: {diff}")
         except Exception as e:  # noqa: BLE001
