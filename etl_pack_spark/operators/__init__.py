@@ -33,6 +33,8 @@ from etl_pack_spark.operators.textops import (  # noqa: F401
     text_signals,
     token_counts,
     unigram_logprob,
+    ppl_bucket_split,
+    ppl_bucket_split_sql,
 )
 from etl_pack_spark.operators.multimodal import (  # noqa: F401
     binarize_documents,

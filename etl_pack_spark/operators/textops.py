@@ -513,6 +513,75 @@ def unigram_logprob(
     )
 
 
+def ppl_bucket_split(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    head: float = 0.3,
+    tail: float = 0.3,
+    alpha: float = 1.0,
+) -> DataFrame:
+    """CCNet-style perplexity bucketing (Wenzek et al. 2020): score
+    every document with :func:`unigram_logprob`, then label the
+    best-scoring ``head`` fraction "head", the worst ``tail`` fraction
+    "tail", and the rest "middle" — the split CCNet uses to keep head
+    data, LM-filter middle, and drop tail.
+
+    Scale shape: cutoffs are ONE tiny exact-percentile aggregate over
+    the (already doc-sized) score frame, broadcast back as a cross
+    join; bucket assignment is then map-only. No global sort, no
+    single-partition window (an ``ntile`` over all docs would funnel
+    the corpus through one task). Exact interpolated percentiles keep
+    the cutoffs bit-identical to DuckDB's ``quantile_cont`` for the
+    oracle twin.
+    """
+    if not (0 < head and 0 < tail and head + tail < 1):
+        raise ValueError(f"fractions out of range: head={head} tail={tail}")
+    scored = unigram_logprob(df, id_col, text_col, alpha=alpha)
+    cuts = scored.agg(
+        F.expr(
+            f"percentile(mean_logprob, array({1 - head}, {tail}))"
+        ).alias("__cuts")
+    ).select(
+        F.element_at("__cuts", 1).alias("__hi"),
+        F.element_at("__cuts", 2).alias("__lo"),
+    )
+    bucket = (
+        F.when(F.col("mean_logprob") >= F.col("__hi"), "head")
+        .when(F.col("mean_logprob") <= F.col("__lo"), "tail")
+        .otherwise("middle")
+    )
+    return scored.crossJoin(F.broadcast(cuts)).select(
+        id_col, "n_tokens", "mean_logprob", bucket.alias("bucket")
+    )
+
+
+def ppl_bucket_split_sql(
+    table: str,
+    id_col: str,
+    text_col: str,
+    head: float = 0.3,
+    tail: float = 0.3,
+    alpha: float = 1.0,
+) -> str:
+    """DuckDB oracle twin of :func:`ppl_bucket_split` (quantile_cont
+    shares Spark percentile's linear-interpolation definition, so the
+    cutoffs — and therefore every bucket decision — are bit-identical)."""
+    return f"""
+    WITH scored AS ({unigram_logprob_sql(table, id_col, text_col, alpha=alpha)}),
+    cuts AS (
+        SELECT quantile_cont(mean_logprob, {1 - head}) AS hi,
+               quantile_cont(mean_logprob, {tail}) AS lo
+        FROM scored
+    )
+    SELECT {id_col}, n_tokens, mean_logprob,
+           CASE WHEN mean_logprob >= hi THEN 'head'
+                WHEN mean_logprob <= lo THEN 'tail'
+                ELSE 'middle' END AS bucket
+    FROM scored, cuts
+    """
+
+
 def unigram_logprob_sql(table: str, id_col: str, text_col: str, alpha: float = 1.0) -> str:
     """DuckDB twin of :func:`unigram_logprob`. log() is libm-dependent
     (±1 ulp vs the JVM), so tests compare at 1e-12 relative tolerance

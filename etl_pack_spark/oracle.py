@@ -1,5 +1,5 @@
 """Driver-compare helpers, defined ONCE for every local consumer of the
-correctness gate's semantics: ``tools/driver_sim.py`` (ad-hoc full-gate
+correctness gate's semantics: ``tools/check_oracle.py`` (ad-hoc full-gate
 simulation) and ``tests/test_registry_merges.py`` (retired-oracle
 parity pins). Mirrors the driver: DuckDB views over the fixture
 parquet, columns sorted by name, rows sorted NULL-safely, floats

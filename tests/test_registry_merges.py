@@ -1,6 +1,6 @@
 """Registry-consolidation safety net: every query merged OUT of the
 50-entry driver registry keeps full DuckDB hash-parity here, with the
-same compare the driver applies (shared with tools/driver_sim.py via
+same compare the driver applies (shared with tools/check_oracle.py via
 etl_pack_spark.oracle)."""
 
 from __future__ import annotations

@@ -189,3 +189,62 @@ def test_unigram_guard_fallback_matches_broadcast_path(spark):
     finally:
         guards.MAX_BROADCAST_MODEL_ROWS = orig
     assert got == want
+
+
+def test_ppl_bucket_split_oracle_parity(spark, sf_dir):
+    """CCNet head/middle/tail split matches DuckDB bit-for-bit (the
+    percentile cutoffs share the linear-interpolation definition)."""
+    import duckdb
+
+    from etl_pack_spark.operators.textops import ppl_bucket_split, ppl_bucket_split_sql
+    from etl_pack_spark.sources.reader import read_table
+
+    docs = read_table(spark, sf_dir, "documents")
+    got = sorted(
+        (r["doc_id"], r["bucket"]) for r in
+        ppl_bucket_split(docs, "doc_id", "text").collect()
+    )
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM read_parquet('{sf_dir}/documents.parquet')"
+    )
+    want = sorted(
+        (r[0], r[3]) for r in
+        con.execute(ppl_bucket_split_sql("documents", "doc_id", "text")).fetchall()
+    )
+    assert got == want and len(got) > 0
+    # fraction sanity: ~30/40/30 split (interpolated cutoffs -> approximate)
+    from collections import Counter
+
+    frac = Counter(b for _, b in got)
+    n = len(got)
+    assert 0.2 <= frac["head"] / n <= 0.4
+    assert 0.2 <= frac["tail"] / n <= 0.4
+
+
+def test_ppl_bucket_split_no_global_sort(spark, sf_dir):
+    """Bucketing must not funnel the corpus through a single-partition
+    window (ntile); only the tiny cutoff aggregate may single-partition."""
+    from etl_pack_spark.operators.textops import ppl_bucket_split
+    from etl_pack_spark.sources.reader import read_table
+
+    docs = read_table(spark, sf_dir, "documents")
+    plan = (
+        ppl_bucket_split(docs, "doc_id", "text")
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    import re
+
+    # word boundary: 'percentile(' itself contains 'ntile('
+    assert not re.search(r"\bntile\(", plan.lower())
+    assert "Window" not in plan
+
+
+def test_ppl_bucket_split_rejects_bad_fractions(spark):
+    import pytest
+
+    from etl_pack_spark.operators.textops import ppl_bucket_split
+
+    df = spark.createDataFrame([(1, "a b c")], "doc_id long, text string")
+    with pytest.raises(ValueError, match="fractions"):
+        ppl_bucket_split(df, "doc_id", "text", head=0.6, tail=0.6)

@@ -12,18 +12,13 @@ from __future__ import annotations
 import sys
 from pathlib import Path
 
-import duckdb
 import pandas as pd
 
 sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
 
 import __spark_entry__ as entry_mod  # noqa: E402
+from etl_pack_spark.oracle import duck_connect  # noqa: E402
 from etl_pack_spark.session import get_spark  # noqa: E402
-
-TABLES = [
-    "region", "nation", "customer", "supplier", "part",
-    "orders", "lineitem", "events", "documents", "embeddings",
-]
 
 
 def _fingerprint(df: pd.DataFrame) -> tuple:
@@ -53,9 +48,7 @@ def main() -> int:
     only = set(sys.argv[2:])
 
     spark = get_spark("check_oracle")
-    con = duckdb.connect()
-    for t in TABLES:
-        con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
+    con = duck_connect(sf_dir)
 
     queries = entry_mod.queries()
     oracles = entry_mod.oracle_sql()
