@@ -131,8 +131,10 @@ def main() -> None:
 
     # best-of-N: ambient load on a shared host inflates single-shot
     # wall times by up to ~2x; the minimum over repeats is the standard
-    # low-noise estimator of a query's actual cost
-    repeats = int(os.environ.get("SPARK_GRAFT_BENCH_REPEATS", "2"))
+    # low-noise estimator of a query's actual cost. N=3 since r4: the
+    # r3 dedup_simhash_pairs A/B showed best-of-2 still catching the
+    # JIT-warming tail of codegen-heavy queries (SCALE.md).
+    repeats = int(os.environ.get("SPARK_GRAFT_BENCH_REPEATS", "3"))
     timings: dict[str, float] = {}
     for name in BENCH_QUERIES:
         timings[name] = round(min(run(name) for _ in range(repeats)), 3)

@@ -219,3 +219,81 @@ def test_gopher_matches_duckdb_on_random_corpus(spark, docs):
         a, b = got[c], want[c]
         same = (a == b) | (a.isna() & b.isna())
         assert same.all(), c
+
+
+@given(
+    docs=st.lists(
+        st.text(alphabet="ab c", min_size=0, max_size=40), min_size=1, max_size=6
+    ),
+    chunk=st.integers(2, 6),
+    overlap=st.integers(0, 4),
+)
+@settings(max_examples=15, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+def test_chunking_matches_duckdb_on_random_corpus(spark, docs, chunk, overlap):
+    """Chunk windows are bit-identical cross-engine for arbitrary text
+    and any legal (chunk, overlap); every token is covered exactly
+    once plus `overlap` per extra chunk."""
+    import duckdb
+    import pandas as pd
+    from hypothesis import assume
+
+    from etl_pack_spark.operators.chunking import chunk_documents, chunk_documents_sql
+
+    assume(overlap < chunk)
+    df = spark.createDataFrame(list(enumerate(docs)), "doc_id long, text string")
+    got = sorted(map(tuple, chunk_documents(df, "doc_id", "text", chunk, overlap).collect()))
+    con = duckdb.connect()
+    con.register("corpus", pd.DataFrame(enumerate(docs), columns=["doc_id", "text"]))
+    want = sorted(map(tuple, con.execute(
+        chunk_documents_sql("corpus", "doc_id", "text", chunk, overlap)
+    ).fetchall()))
+    assert got == want
+
+
+@given(
+    changes=st.lists(
+        st.tuples(
+            st.integers(0, 2),            # key
+            st.integers(0, 5),            # ts day offset
+            st.sampled_from(["I", "U", "D"]),
+        ),
+        min_size=1, max_size=10,
+    ),
+    split_at=st.integers(1, 9),
+)
+@settings(max_examples=15, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+def test_apply_cdc_in_order_batches_equal_one_shot(spark, changes, split_at):
+    """Folding a change stream as two IN-ORDER batches (ordered by ts,
+    ties kept in one batch — what a checkpointed file stream delivers)
+    equals one-shot application. This is the exact contract
+    stream_cdc_apply relies on, stated as a law."""
+    import datetime as dt
+
+    from hypothesis import assume
+
+    from etl_pack_spark.plans.merge import apply_cdc
+
+    # duplicate (key, ts) tie-break is caller-owned per the merge.py
+    # contract ("a caller-supplied total order") — exclude it from the law
+    assume(len({(k, ts) for (k, ts, _) in changes}) == len(changes))
+    rows = [
+        (k, dt.datetime(2024, 1, 1 + ts), f"v{k}_{ts}", op)
+        for (k, ts, op) in changes
+    ]
+    schema = "k long, ts timestamp, val string, op string"
+    target = spark.createDataFrame([], "k long, ts timestamp, val string")
+
+    one_shot = apply_cdc(target, spark.createDataFrame(rows, schema), ["k"], "ts")
+
+    cut_day = dt.datetime(2024, 1, 1) + dt.timedelta(days=split_at % 6)
+    early = [r for r in rows if r[1] <= cut_day]
+    late = [r for r in rows if r[1] > cut_day]
+    folded = target
+    for part in (early, late):
+        if part:
+            folded = apply_cdc(
+                folded, spark.createDataFrame(part, schema), ["k"], "ts"
+            )
+    assert sorted(map(tuple, folded.collect())) == sorted(map(tuple, one_shot.collect()))
