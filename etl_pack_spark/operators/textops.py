@@ -527,17 +527,39 @@ def ppl_bucket_split(
     "tail", and the rest "middle" — the split CCNet uses to keep head
     data, LM-filter middle, and drop tail.
 
+    EVERY document gets a bucket: zero-token docs (empty text, pure
+    punctuation) have no LM score — ``n_tokens`` 0, NULL
+    ``mean_logprob`` — and route to "tail" (no scoreable content is
+    the worst quality signal, and silently dropping them would leak
+    rows out of a corpus SPLIT).
+
     Scale shape: cutoffs are ONE tiny exact-percentile aggregate over
-    the (already doc-sized) score frame, broadcast back as a cross
-    join; bucket assignment is then map-only. No global sort, no
-    single-partition window (an ``ntile`` over all docs would funnel
-    the corpus through one task). Exact interpolated percentiles keep
-    the cutoffs bit-identical to DuckDB's ``quantile_cont`` for the
-    oracle twin.
+    the (already doc-sized, pooled-persisted) score frame, broadcast
+    back as a cross join; bucket assignment is then map-only. No
+    global sort, no single-partition window (an ``ntile`` over all
+    docs would funnel the corpus through one task). Scores are rounded
+    to 6 dp BEFORE the cutoffs and comparisons on both engines — ln()
+    is libm-dependent (±1 ulp) and the per-doc double sum is
+    partition-order dependent, so an unrounded near-tie at a cutoff
+    could bucket differently per engine or per run.
     """
     if not (0 < head and 0 < tail and head + tail < 1):
         raise ValueError(f"fractions out of range: head={head} tail={tail}")
-    scored = unigram_logprob(df, id_col, text_col, alpha=alpha)
+    from etl_pack_spark.operators.cache import pooled_persist
+
+    # pooled: the cutoff aggregate and the output both consume the
+    # corpus-sized scoring pipeline — persist the doc-sized result
+    scored = pooled_persist(
+        unigram_logprob(df, id_col, text_col, alpha=alpha).withColumn(
+            "mean_logprob", F.round("mean_logprob", 6)
+        )
+    )
+    base = df.select(F.col(id_col)).distinct()
+    full = base.join(scored, id_col, "left").select(
+        F.col(id_col),
+        F.coalesce("n_tokens", F.lit(0)).alias("n_tokens"),
+        "mean_logprob",
+    )
     cuts = scored.agg(
         F.expr(
             f"percentile(mean_logprob, array({1 - head}, {tail}))"
@@ -547,11 +569,12 @@ def ppl_bucket_split(
         F.element_at("__cuts", 2).alias("__lo"),
     )
     bucket = (
-        F.when(F.col("mean_logprob") >= F.col("__hi"), "head")
+        F.when(F.col("mean_logprob").isNull(), "tail")
+        .when(F.col("mean_logprob") >= F.col("__hi"), "head")
         .when(F.col("mean_logprob") <= F.col("__lo"), "tail")
         .otherwise("middle")
     )
-    return scored.crossJoin(F.broadcast(cuts)).select(
+    return full.crossJoin(F.broadcast(cuts)).select(
         id_col, "n_tokens", "mean_logprob", bucket.alias("bucket")
     )
 
@@ -564,21 +587,32 @@ def ppl_bucket_split_sql(
     tail: float = 0.3,
     alpha: float = 1.0,
 ) -> str:
-    """DuckDB oracle twin of :func:`ppl_bucket_split` (quantile_cont
-    shares Spark percentile's linear-interpolation definition, so the
-    cutoffs — and therefore every bucket decision — are bit-identical)."""
+    """DuckDB oracle twin of :func:`ppl_bucket_split`: same round-6
+    scores (ln is libm-dependent), same quantile_cont interpolation
+    for cutoffs, same zero-token → tail routing."""
     return f"""
-    WITH scored AS ({unigram_logprob_sql(table, id_col, text_col, alpha=alpha)}),
+    WITH scored AS (
+        SELECT {id_col}, n_tokens, round(mean_logprob, 6) AS mean_logprob
+        FROM ({unigram_logprob_sql(table, id_col, text_col, alpha=alpha)})
+    ),
+    base AS (SELECT DISTINCT {id_col} FROM {table}),
+    full_set AS (
+        SELECT b.{id_col},
+               coalesce(s.n_tokens, 0) AS n_tokens,
+               s.mean_logprob
+        FROM base b LEFT JOIN scored s USING ({id_col})
+    ),
     cuts AS (
         SELECT quantile_cont(mean_logprob, {1 - head}) AS hi,
                quantile_cont(mean_logprob, {tail}) AS lo
         FROM scored
     )
     SELECT {id_col}, n_tokens, mean_logprob,
-           CASE WHEN mean_logprob >= hi THEN 'head'
+           CASE WHEN mean_logprob IS NULL THEN 'tail'
+                WHEN mean_logprob >= hi THEN 'head'
                 WHEN mean_logprob <= lo THEN 'tail'
                 ELSE 'middle' END AS bucket
-    FROM scored, cuts
+    FROM full_set, cuts
     """
 
 

@@ -1,9 +1,11 @@
-"""Driver-compare helpers, defined ONCE for every local consumer of the
-correctness gate's semantics: ``tools/check_oracle.py`` (ad-hoc full-gate
-simulation) and ``tests/test_registry_merges.py`` (retired-oracle
-parity pins). Mirrors the driver: DuckDB views over the fixture
-parquet, columns sorted by name, rows sorted NULL-safely, floats
-rounded before compare.
+"""Shared fixture plumbing for local simulations of the driver's
+correctness gate: the table list + DuckDB view registration used by
+both ``tools/check_oracle.py`` (repr-exact fingerprint, closest to the
+real driver) and ``tests/test_registry_merges.py`` (via
+:func:`canon_frame`, a 9-dp-rounded compare that surfaces float parity
+drift BEFORE the driver's stricter repr compare would). The two
+compares are intentionally different strictness levels of the same
+gate, sharing the fixture setup so the table universe can't diverge.
 """
 
 from __future__ import annotations

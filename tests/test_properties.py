@@ -260,7 +260,7 @@ def test_chunking_matches_duckdb_on_random_corpus(spark, docs, chunk, overlap):
         ),
         min_size=1, max_size=10,
     ),
-    split_at=st.integers(1, 9),
+    split_at=st.integers(0, 5),
 )
 @settings(max_examples=15, deadline=None,
           suppress_health_check=[HealthCheck.function_scoped_fixture])
@@ -287,7 +287,7 @@ def test_apply_cdc_in_order_batches_equal_one_shot(spark, changes, split_at):
 
     one_shot = apply_cdc(target, spark.createDataFrame(rows, schema), ["k"], "ts")
 
-    cut_day = dt.datetime(2024, 1, 1) + dt.timedelta(days=split_at % 6)
+    cut_day = dt.datetime(2024, 1, 1) + dt.timedelta(days=split_at)
     early = [r for r in rows if r[1] <= cut_day]
     late = [r for r in rows if r[1] > cut_day]
     folded = target

@@ -248,3 +248,29 @@ def test_ppl_bucket_split_rejects_bad_fractions(spark):
     df = spark.createDataFrame([(1, "a b c")], "doc_id long, text string")
     with pytest.raises(ValueError, match="fractions"):
         ppl_bucket_split(df, "doc_id", "text", head=0.6, tail=0.6)
+
+
+def test_ppl_bucket_split_keeps_zero_token_docs(spark):
+    """Empty / punctuation-only docs can't be scored — they must still
+    appear in the split (routed to tail), not silently leak out."""
+    import duckdb
+    import pandas as pd
+
+    from etl_pack_spark.operators.textops import ppl_bucket_split, ppl_bucket_split_sql
+
+    rows = [(i, f"token{i} common words here") for i in range(10)] + [
+        (100, ""), (101, "..!!.."), (102, None)
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r["doc_id"]: (r["n_tokens"], r["bucket"]) for r in
+           ppl_bucket_split(df, "doc_id", "text").collect()}
+    assert len(got) == 13
+    for d in (100, 101, 102):
+        assert got[d] == (0, "tail")
+
+    con = duckdb.connect()
+    con.register("documents_ppl", pd.DataFrame(rows, columns=["doc_id", "text"]))
+    want = {r[0]: (r[1], r[3]) for r in con.execute(
+        ppl_bucket_split_sql("documents_ppl", "doc_id", "text")
+    ).fetchall()}
+    assert got == want

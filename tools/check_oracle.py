@@ -53,6 +53,9 @@ def main() -> int:
     queries = entry_mod.queries()
     oracles = entry_mod.oracle_sql()
     failures = 0
+    for unknown in sorted(only - set(queries)):
+        print(f"FAIL  {unknown}: no such query key")
+        failures += 1
     for name, fn in queries.items():
         if only and name not in only:
             continue
