@@ -10,6 +10,7 @@ from etl_pack_spark.operators.neardup import (  # noqa: F401
     ngram_jaccard_pairs,
     simhash_neardup_pairs,
     simhash_signature,
+    minhash_match_incremental,
 )
 from etl_pack_spark.operators.similarity import (  # noqa: F401
     cosine_neardup_pairs,

@@ -95,12 +95,15 @@ def minhash_signature(sh_rows: DataFrame, id_col: str, num_hashes: int = 16) -> 
     return hashed.groupBy(id_col).agg(*mins)
 
 
-def lsh_candidate_pairs(
-    sig: DataFrame, id_col: str, num_hashes: int = 16, bands: int = 8
+def _banded(
+    sig: DataFrame,
+    id_col: str,
+    num_hashes: int,
+    bands: int,
+    extra_cols: list[str] | None = None,
 ) -> DataFrame:
-    """Band the signature, bucket-join on (band, key), emit id pairs
-    (a < b). The self-join is the one shuffle; bucket sizes are bounded
-    by LSH, so no quadratic blowup at scale."""
+    """One row per (doc, band) with the band's bucket key — the LSH
+    banding shared by the self-join and the incremental match."""
     rows_per_band = num_hashes // bands
     band_keys = [
         F.md5(
@@ -112,9 +115,20 @@ def lsh_candidate_pairs(
         )
         for b in range(bands)
     ]
-    banded = sig.select(
-        F.col(id_col), F.posexplode(F.array(*band_keys)).alias("band", "bk")
+    return sig.select(
+        F.col(id_col),
+        *(extra_cols or []),
+        F.posexplode(F.array(*band_keys)).alias("band", "bk"),
     )
+
+
+def lsh_candidate_pairs(
+    sig: DataFrame, id_col: str, num_hashes: int = 16, bands: int = 8
+) -> DataFrame:
+    """Band the signature, bucket-join on (band, key), emit id pairs
+    (a < b). The self-join is the one shuffle; bucket sizes are bounded
+    by LSH, so no quadratic blowup at scale."""
+    banded = _banded(sig, id_col, num_hashes, bands)
     a, b = banded.alias("a"), banded.alias("b")
     return (
         a.join(
@@ -190,6 +204,80 @@ def minhash_lsh_dedup_pairs(
         .agg(F.collect_list("s").alias("shingles"))
     )
     return jaccard_verified_pairs(cand, sh_cand, id_col, threshold)
+
+
+def minhash_match_incremental(
+    new_docs: DataFrame,
+    existing_sig: DataFrame,
+    id_col: str,
+    text_col: str,
+    k: int = 3,
+    num_hashes: int = 16,
+    bands: int = 8,
+    min_est: float = 0.5,
+) -> DataFrame:
+    """Incremental near-dup: match a NEW batch against a persisted
+    signature store WITHOUT touching the existing corpus's text — the
+    reference's incremental posture (anti-join new rows against the
+    target's hash snapshot, etl.go:23-48) lifted from exact dedup to
+    near-dup. ``existing_sig`` is a prior :func:`minhash_signature`
+    output (``id_col`` + ``mh_0..mh_{n-1}``, ~128 B/doc — the only
+    state a 100 TB corpus needs to retain for dedup-on-ingest).
+
+    Returns ``(id_a, id_b, est_jaccard)`` where ``id_a`` is always a
+    new doc, ``id_b`` an existing doc OR a new doc with ``id_a <
+    id_b`` (new-new pairs reported once, old-old pairs never
+    recomputed), and ``est_jaccard`` is the matching-minhash fraction
+    — the standard unbiased Jaccard estimator, exact-arithmetic
+    (int/int double) so it is bit-identical cross-engine. Granularity
+    is 1/num_hashes; callers wanting exact Jaccard re-verify the
+    (small) match set against retained text.
+
+    Shuffle shape: new-side banding joins the (old ∪ new) banding on
+    (band, key) — at scale the old side is a bucketed signature table
+    and the join shuffles ONLY signatures, never documents. Appending
+    the new signatures to the store afterwards keeps the next batch
+    incremental (same posture as the exact-hash snapshot).
+    """
+    rows = shingle_rows(new_docs, id_col, text_col, k, distinct=False)
+    sig_new = _pooled_persist(minhash_signature(rows, id_col, num_hashes))
+    allsig = existing_sig.withColumn("__new", F.lit(False)).unionByName(
+        sig_new.withColumn("__new", F.lit(True))
+    )
+    banded_all = _banded(allsig, id_col, num_hashes, bands, extra_cols=["__new"])
+    banded_new = _banded(sig_new, id_col, num_hashes, bands)
+    a, b = banded_new.alias("a"), banded_all.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bk") == F.col("b.bk"))
+            & (
+                (~F.col("b.__new"))  # new-vs-old: any order
+                | (F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))  # new-new once
+            ),
+        )
+        .select(F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b"))
+        .distinct()
+    )
+    sa = sig_new.select(
+        F.col(id_col).alias("id_a"),
+        *[F.col(f"mh_{i}").alias(f"a_{i}") for i in range(num_hashes)],
+    )
+    sb = allsig.select(
+        F.col(id_col).alias("id_b"),
+        *[F.col(f"mh_{i}").alias(f"b_{i}") for i in range(num_hashes)],
+    )
+    matches = sum(
+        F.when(F.col(f"a_{i}") == F.col(f"b_{i}"), 1).otherwise(0)
+        for i in range(num_hashes)
+    )
+    est = matches.cast("double") / F.lit(float(num_hashes))
+    return (
+        cand.join(sa, "id_a").join(sb, "id_b")
+        .select("id_a", "id_b", est.alias("est_jaccard"))
+        .where(F.col("est_jaccard") >= min_est)
+    )
 
 
 def minhash_lsh_dedup_pairs_sql(

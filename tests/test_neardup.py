@@ -79,3 +79,85 @@ def test_ngram_jaccard_guard_fires(spark):
     docs = spark.range(50).selectExpr("id AS doc_id", "CAST(id AS STRING) AS text")
     with pytest.raises(ValueError, match="minhash_lsh_dedup_pairs"):
         neardup.ngram_jaccard_pairs(docs, "doc_id", "text", max_docs=10)
+
+
+# ---------------------------------------------------------------------------
+# Incremental near-dup (new batch vs persisted signature store)
+# ---------------------------------------------------------------------------
+
+def test_incremental_matches_duplicate_against_store(spark):
+    from etl_pack_spark.operators import neardup
+    from etl_pack_spark.operators.tokenize import shingle_rows
+
+    base = "the quick brown fox jumps over the lazy dog again and again today"
+    old = spark.createDataFrame(
+        [(1, base), (2, "completely different text about spark execution plans")],
+        "doc_id long, text string",
+    )
+    new = spark.createDataFrame(
+        [(10, base), (11, "unrelated fresh content nothing like before")],
+        "doc_id long, text string",
+    )
+    sig_old = neardup.minhash_signature(
+        shingle_rows(old, "doc_id", "text", 3, distinct=False), "doc_id"
+    )
+    got = {(r["id_a"], r["id_b"]): r["est_jaccard"] for r in
+           neardup.minhash_match_incremental(new, sig_old, "doc_id", "text").collect()}
+    assert got[(10, 1)] == 1.0          # exact duplicate of stored doc
+    assert (11, 2) not in got and (11, 1) not in got
+
+
+def test_incremental_equals_full_run_restricted_to_new(spark, sf_dir):
+    """Folding a batch against the store finds EXACTLY the pairs a full
+    self-match would report that touch >= 1 new doc — the incremental
+    == full invariant, mirroring the exact-dedup flagship's."""
+    from pyspark.sql import functions as F
+
+    from etl_pack_spark.operators import neardup
+    from etl_pack_spark.operators.tokenize import shingle_rows
+    from etl_pack_spark.sources.reader import read_table
+
+    docs = read_table(spark, sf_dir, "documents")
+    old = docs.where(F.col("doc_id") % 5 != 0)
+    new = docs.where(F.col("doc_id") % 5 == 0)
+    new_ids = {r["doc_id"] for r in new.select("doc_id").collect()}
+
+    sig_old = neardup.minhash_signature(
+        shingle_rows(old, "doc_id", "text", 3, distinct=False), "doc_id"
+    )
+    inc = {
+        (frozenset((r["id_a"], r["id_b"])), r["est_jaccard"])
+        for r in neardup.minhash_match_incremental(
+            new, sig_old, "doc_id", "text", min_est=0.5
+        ).collect()
+    }
+    # full self-match: the same operator against an EMPTY store
+    full = {
+        (frozenset((r["id_a"], r["id_b"])), r["est_jaccard"])
+        for r in neardup.minhash_match_incremental(
+            docs, sig_old.limit(0), "doc_id", "text", min_est=0.5
+        ).collect()
+        if {r["id_a"], r["id_b"]} & new_ids
+    }
+    assert inc == full
+    assert len(inc) > 0
+
+
+def test_incremental_id_a_is_always_new(spark, sf_dir):
+    from pyspark.sql import functions as F
+
+    from etl_pack_spark.operators import neardup
+    from etl_pack_spark.operators.tokenize import shingle_rows
+    from etl_pack_spark.sources.reader import read_table
+
+    docs = read_table(spark, sf_dir, "documents")
+    old = docs.where(F.col("doc_id") % 5 != 0)
+    new = docs.where(F.col("doc_id") % 5 == 0)
+    sig_old = neardup.minhash_signature(
+        shingle_rows(old, "doc_id", "text", 3, distinct=False), "doc_id"
+    )
+    new_ids = {r["doc_id"] for r in new.select("doc_id").collect()}
+    for r in neardup.minhash_match_incremental(
+        new, sig_old, "doc_id", "text"
+    ).collect():
+        assert r["id_a"] in new_ids
