@@ -80,3 +80,16 @@ from etl_pack_spark.operators.chunking import (  # noqa: F401
     chunk_documents,
     chunk_documents_sql,
 )
+from etl_pack_spark.operators.similarity import (  # noqa: F401
+    assign_centroids,
+    semantic_dedup,
+    semantic_dedup_sql,
+)
+from etl_pack_spark.operators.substrings import (  # noqa: F401
+    repeated_ngram_spans,
+    repeated_ngram_spans_sql,
+)
+from etl_pack_spark.operators.sampling import (  # noqa: F401
+    budget_select,
+    budget_select_sql,
+)

@@ -17,7 +17,7 @@ boundary) — this is a training-data extension (SURVEY §7.3).
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 # 28-bit hash space: first 7 hex chars of md5. Integer thresholds in
@@ -207,4 +207,101 @@ def mixture_resample_sql(
     )
     SELECT {select}, unnest(generate_series(1, __copies)) AS copy_n
     FROM __copied WHERE __copies >= 1
+    """
+
+
+def budget_select(
+    df: DataFrame,
+    budget: int,
+    score_col: str = "quality",
+    weight_col: str = "n_tokens",
+    id_col: str = "doc_id",
+    buckets: int = 32,
+) -> DataFrame:
+    """Exact token-budget curation: order the corpus by
+    (``score_col`` DESC, ``id_col`` ASC) and keep the maximal PREFIX
+    whose cumulative ``weight_col`` stays ≤ ``budget`` — "take the best
+    documents until the token budget is spent", the selection step of
+    quality-pruning recipes (e.g. ordering by a CCNet/classifier
+    score). Rows with NULL score or weight are excluded. Returns
+    ``(id, score, weight, cum_weight)``.
+
+    A global running sum naively needs a single-partition window — the
+    classic driver-shaped bottleneck. This runs it DISTRIBUTED and
+    still exact: ``buckets`` approx-quantile cuts of the score split
+    the global order into contiguous score ranges; per-range totals
+    (a tiny ``buckets``-row aggregate) prefix-sum on the driver into
+    per-range offsets, and each range then windows only over its own
+    rows (offset + within-range running sum == the global running sum,
+    because ranges are contiguous in the order and bucket assignment is
+    a pure function of score — ties can never straddle a range).
+    Max rows per window task ≈ n/buckets + ties; weights are cast to
+    long so the decomposed sum is bit-exact regardless of grouping.
+    The cuts themselves only affect load balance, never the result.
+    """
+    base = df.select(
+        F.col(id_col),
+        F.col(score_col),
+        F.col(weight_col).cast("long").alias("__w"),
+    ).where(F.col(score_col).isNotNull() & F.col(weight_col).isNotNull())
+    # Greenwald-Khanna sketch: deterministic, one pass, driver gets
+    # `buckets-1` doubles — bounded by construction. buckets=1 is the
+    # degenerate single-range case (plain global window).
+    if buckets > 1:
+        cuts = base.stat.approxQuantile(
+            score_col, [i / buckets for i in range(1, buckets)], 0.001
+        )
+        cuts = sorted(set(cuts))
+    else:
+        cuts = []
+    # descending-range index: 0 = scores above every cut
+    b_expr = F.lit(0)
+    for c in cuts:
+        b_expr = b_expr + F.when(F.col(score_col) <= F.lit(c), 1).otherwise(0)
+    ranged = base.withColumn("__b", b_expr)
+    totals = {
+        r["__b"]: r["t"]
+        for r in ranged.groupBy("__b").agg(F.sum("__w").alias("t")).collect()
+    }
+    offset_of, acc = {}, 0
+    for bi in sorted(totals):
+        offset_of[bi] = acc
+        acc += totals[bi]
+    off_expr = F.lit(0).cast("long")
+    for bi, off in offset_of.items():
+        off_expr = F.when(F.col("__b") == bi, F.lit(off).cast("long")).otherwise(off_expr)
+    w = (
+        Window.partitionBy("__b")
+        .orderBy(F.desc(score_col), F.asc(id_col))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        ranged.withColumn("cum_weight", F.sum("__w").over(w) + off_expr)
+        .where(F.col("cum_weight") <= F.lit(int(budget)))
+        .select(
+            id_col, score_col, F.col("__w").alias(weight_col), "cum_weight"
+        )
+    )
+
+
+def budget_select_sql(
+    table: str,
+    budget: int,
+    score_col: str = "quality",
+    weight_col: str = "n_tokens",
+    id_col: str = "doc_id",
+) -> str:
+    """Oracle twin of :func:`budget_select` — the naive global window
+    the distributed decomposition must equal exactly."""
+    return f"""
+    SELECT {id_col}, {score_col}, {weight_col}, cum_weight FROM (
+        SELECT {id_col}, {score_col},
+               CAST({weight_col} AS BIGINT) AS {weight_col},
+               SUM(CAST({weight_col} AS BIGINT)) OVER (
+                   ORDER BY {score_col} DESC, {id_col}
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+               ) AS cum_weight
+        FROM {table}
+        WHERE {score_col} IS NOT NULL AND {weight_col} IS NOT NULL
+    ) WHERE cum_weight <= {budget}
     """

@@ -591,3 +591,126 @@ def lsh_neardup_pairs(
         .where(F.col("cos_sim") >= threshold)
         .distinct()
     )
+
+
+# ---------------------------------------------------------------------------
+# SemDeDup: semantic dedup via cluster-then-prune (Abbas et al. 2023,
+# "SemDeDup: Data-efficient learning at web-scale through semantic
+# deduplication", arXiv:2303.09540)
+# ---------------------------------------------------------------------------
+
+def assign_centroids(
+    df: DataFrame, nlist: int = 16, id_col: str = "vec_id", vec: str = "embedding"
+) -> DataFrame:
+    """Nearest-centroid assignment against the deterministic sampled
+    quantizer (centroids = vectors with ``id < nlist``, as in
+    :func:`ivf_topk` — SQL-expressible, so oracles hash-check it).
+
+    Scale shape: broadcast of ``nlist`` centroid rows against the
+    corpus; the argmax is a map-side-combinable struct max, so exactly
+    one row per vector leaves each task — no window over the
+    nlist-times-crossed rows. Returns ``(id, vec, norm, cid)``.
+    """
+    base = with_norm(df, vec)
+    cent = base.where(F.col(id_col) < nlist).select(
+        F.col(id_col).alias("cid"), F.col(vec).alias("cv"), F.col("norm").alias("cn")
+    )
+    c_sim = _dot_udf(F.col(vec), F.col("cv")) / (F.col("norm") * F.col("cn"))
+    crossed = base.crossJoin(F.broadcast(cent)).select(
+        F.col(id_col), F.col(vec), F.col("norm"), F.col("cid"), c_sim.alias("c_sim")
+    )
+    best = F.max(
+        F.struct(
+            F.col("c_sim"), (-F.col("cid")).alias("ncid"),
+            F.col(vec).alias("v"), F.col("norm").alias("nrm"),
+        )
+    ).alias("m")
+    return crossed.groupBy(id_col).agg(best).select(
+        F.col(id_col), (-F.col("m.ncid")).alias("cid"),
+        F.col("m.v").alias(vec), F.col("m.nrm").alias("norm"),
+    )
+
+
+def semantic_dedup(
+    df: DataFrame,
+    nlist: int = 16,
+    threshold: float = 0.95,
+    id_col: str = "vec_id",
+    vec: str = "embedding",
+) -> DataFrame:
+    """SemDeDup semantic deduplication: cluster the corpus by embedding,
+    then drop any row whose cluster contains a near-identical row
+    (cosine ≥ ``threshold``) with a smaller id. Returns the SURVIVORS
+    as ``(id, cid)``, ordered-stable under repartitioning.
+
+    The pair rule is greedy keep-lowest-id (a row is dropped iff a
+    lower-id near-dup shares its cluster) — deterministic and
+    SQL-parallel; the transitive-closure variant is
+    ``components.neardup_clusters`` over :func:`cosine_neardup_pairs`.
+
+    Scale shape: the quadratic pair scan is confined WITHIN clusters —
+    the SemDeDup design premise (nlist sized so clusters hold ~1e3-1e5
+    rows at 100 TB: pairs per task stay bounded while the corpus-level
+    cost is n²/nlist). Candidate generation is an equi-join on cid
+    (shuffle both sides by cid, no broadcast of the corpus), the dot
+    runs once per pair in an Arrow-vectorized kernel, and the drop set
+    feeds a left_anti join — no collect at any size.
+    """
+    assigned = assign_centroids(df, nlist, id_col, vec)
+    a = assigned.select(
+        F.col(id_col).alias("id_a"), F.col(vec).alias("va"),
+        F.col("norm").alias("na"), "cid",
+    )
+    b = assigned.select(
+        F.col(id_col).alias("id_b"), F.col(vec).alias("vb"),
+        F.col("norm").alias("nb"), "cid",
+    )
+    cos = _dot_udf(F.col("va"), F.col("vb")) / (F.col("na") * F.col("nb"))
+    dropped = (
+        a.join(b, "cid")
+        .where(F.col("id_a") < F.col("id_b"))
+        .select("id_b", cos.alias("cos_sim"))
+        .where(F.col("cos_sim") >= threshold)
+        .select(F.col("id_b").alias(id_col))
+        .distinct()
+    )
+    return assigned.join(dropped, id_col, "left_anti").select(id_col, "cid")
+
+
+def semantic_dedup_sql(
+    table: str,
+    nlist: int = 16,
+    threshold: float = 0.95,
+    id_col: str = "vec_id",
+    vec: str = "embedding",
+) -> str:
+    """Oracle twin of :func:`semantic_dedup` — same sampled centroids,
+    same argmax tie-break, same left-fold dots, same pair rule."""
+    return f"""
+    WITH n AS (
+        SELECT {id_col}, {vec} AS v, sqrt({_dot_sql(vec, vec)}) AS nrm FROM {table}
+    ),
+    cent AS (
+        SELECT {id_col} AS cid, v AS cv, nrm AS cn FROM n WHERE {id_col} < {nlist}
+    ),
+    assigned AS (
+        SELECT vid AS {id_col}, cid, v, nrm FROM (
+            SELECT n.{id_col} AS vid, cent.cid, n.v, n.nrm,
+                   ROW_NUMBER() OVER (
+                       PARTITION BY n.{id_col}
+                       ORDER BY {_dot_sql('n.v', 'cent.cv')} / (n.nrm * cent.cn) DESC,
+                                cent.cid
+                   ) AS rk
+            FROM n CROSS JOIN cent
+        ) WHERE rk = 1
+    ),
+    dropped AS (
+        SELECT DISTINCT b.{id_col}
+        FROM assigned a JOIN assigned b
+          ON a.cid = b.cid AND a.{id_col} < b.{id_col}
+        WHERE {_dot_sql('a.v', 'b.v')} / (a.nrm * b.nrm) >= {threshold}
+    )
+    SELECT s.{id_col}, s.cid FROM assigned s
+    LEFT JOIN dropped d ON s.{id_col} = d.{id_col}
+    WHERE d.{id_col} IS NULL
+    """

@@ -114,3 +114,63 @@ class TestMixtureResample:
         )
         out = mixture_resample(df, "doc_id", "lang", {"en": 1.0})
         assert {r["lang"] for r in out.collect()} == {"en"}
+
+
+def test_budget_select_oracle_parity(spark, sf_dir):
+    """Distributed bucketed prefix-sum == DuckDB's naive global window,
+    bit-exact (long weights)."""
+    import duckdb
+
+    from etl_pack_spark.operators.sampling import budget_select, budget_select_sql
+    from etl_pack_spark.sources.reader import read_table
+
+    docs = read_table(spark, sf_dir, "documents")
+    total = docs.agg(F.sum("n_chars")).collect()[0][0]
+    budget = int(total * 0.3)
+    got = sorted(map(tuple, budget_select(
+        docs, budget, score_col="n_chars", weight_col="n_chars").collect()))
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM read_parquet('{sf_dir}/documents.parquet')"
+    )
+    want = sorted(map(tuple, con.execute(budget_select_sql(
+        "documents", budget, score_col="n_chars", weight_col="n_chars")).fetchall()))
+    assert got == want
+    assert 0 < len(got) < docs.count()
+    assert max(r[3] for r in got) <= budget
+
+
+def test_budget_select_bucket_count_invariant(spark, sf_dir):
+    """The quantile cuts only affect load balance, never the result:
+    1 bucket (plain global window) == 32 buckets (distributed path)."""
+    from etl_pack_spark.operators.sampling import budget_select
+    from etl_pack_spark.sources.reader import read_table
+
+    docs = read_table(spark, sf_dir, "documents")
+    a = sorted(map(tuple, budget_select(
+        docs, 50_000, "n_chars", "n_chars", buckets=1).collect()))
+    b = sorted(map(tuple, budget_select(
+        docs, 50_000, "n_chars", "n_chars", buckets=32).collect()))
+    c = sorted(map(tuple, budget_select(
+        docs.repartition(9), 50_000, "n_chars", "n_chars", buckets=32).collect()))
+    assert a == b == c and len(a) > 0
+
+
+def test_budget_select_exact_boundary(spark):
+    """Prefix semantics at the boundary: a row whose cumulative weight
+    EQUALS the budget is kept; the next is cut; NULL score excluded."""
+    from etl_pack_spark.operators.sampling import budget_select
+
+    df = spark.createDataFrame(
+        [(1, 9.0, 10), (2, 8.0, 10), (3, 7.0, 10), (4, 6.0, 10), (5, None, 10)],
+        "doc_id long, quality double, n_tokens long",
+    )
+    got = sorted(r["doc_id"] for r in budget_select(df, 30, "quality", "n_tokens").collect())
+    assert got == [1, 2, 3]
+    # ties broken by id: same score -> lower id wins the budget
+    df2 = spark.createDataFrame(
+        [(10, 5.0, 10), (11, 5.0, 10), (12, 5.0, 10)],
+        "doc_id long, quality double, n_tokens long",
+    )
+    got2 = sorted(r["doc_id"] for r in budget_select(df2, 20, "quality", "n_tokens").collect())
+    assert got2 == [10, 11]

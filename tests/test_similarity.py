@@ -74,3 +74,54 @@ def test_block_matrix_path_matches_fast_path(spark, sf_dir, monkeypatch):
         emb, emb.where(F.col("vec_id") < 50)).collect()))
     assert blk_pairs == fast_pairs and len(fast_pairs) > 0
     assert blk_topk == fast_topk and len(fast_topk) > 0
+
+
+def test_semantic_dedup_oracle_parity(spark, sf_dir):
+    """SemDeDup (cluster -> within-cluster prune) matches the DuckDB
+    twin bit-for-bit: same sampled centroids, same argmax tie-break,
+    same left-fold cosine, same keep-lowest-id pair rule."""
+    import duckdb
+
+    emb = read_table(spark, sf_dir, "embeddings")
+    got = sorted(
+        (r["vec_id"], r["cid"]) for r in
+        similarity.semantic_dedup(emb, nlist=16, threshold=0.4).collect()
+    )
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW embeddings AS SELECT * FROM read_parquet('{sf_dir}/embeddings.parquet')"
+    )
+    want = sorted(map(tuple, con.execute(
+        similarity.semantic_dedup_sql("embeddings", nlist=16, threshold=0.4)
+    ).fetchall()))
+    assert got == want
+    n = emb.count()
+    assert 0 < len(got) < n  # something pruned, something survives
+
+
+def test_semantic_dedup_drops_planted_duplicate(spark):
+    """An exact duplicate vector lands in the same cluster and the
+    higher id is dropped; near-orthogonal rows all survive."""
+    import math
+
+    def basis(i, d=64):
+        v = [0.0] * d
+        v[i] = 1.0
+        return v
+
+    rows = [(i, basis(i)) for i in range(8)]  # ids 0..7 are centroids+selves
+    rows.append((100, basis(3)))              # exact dup of id 3
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    out = {r["vec_id"]: r["cid"] for r in
+           similarity.semantic_dedup(df, nlist=8, threshold=0.95).collect()}
+    assert 100 not in out           # dropped: id 3 is its lower-id twin
+    assert set(out) == set(range(8))
+    assert math.isfinite(out[3])
+
+
+def test_semantic_dedup_repartition_stable(spark, sf_dir):
+    emb = read_table(spark, sf_dir, "embeddings")
+    a = sorted(map(tuple, similarity.semantic_dedup(emb, threshold=0.4).collect()))
+    b = sorted(map(tuple, similarity.semantic_dedup(
+        emb.repartition(11), threshold=0.4).collect()))
+    assert a == b

@@ -1,0 +1,74 @@
+"""Corpus-level repeated-substring detection: DuckDB oracle parity,
+planted shared passages, short-doc edge, repartition stability."""
+
+from __future__ import annotations
+
+import duckdb
+
+from etl_pack_spark.operators.substrings import (
+    repeated_ngram_spans,
+    repeated_ngram_spans_sql,
+)
+from etl_pack_spark.sources.reader import read_table
+
+ROW = ("doc_id", "n_windows", "n_dup_windows", "dup_fraction", "keep")
+
+
+def _collect(df):
+    return sorted(tuple(r[c] for c in ROW) for r in df.collect())
+
+
+def test_repeated_ngram_spans_oracle_parity(spark, sf_dir):
+    docs = read_table(spark, sf_dir, "documents")
+    got = _collect(repeated_ngram_spans(docs, k=5))
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM read_parquet('{sf_dir}/documents.parquet')"
+    )
+    want = sorted(
+        map(tuple, con.execute(repeated_ngram_spans_sql("documents", k=5)).fetchall())
+    )
+    assert got == want
+    assert len(got) == docs.count()
+
+
+def test_planted_shared_passage_detected(spark):
+    passage = "the quick brown fox jumps over the lazy dog again and again"
+    df = spark.createDataFrame(
+        [
+            (1, f"intro one {passage} outro alpha"),
+            (2, f"different start here {passage} and a different ending"),
+            (3, "totally unrelated content with no overlap whatsoever in it"),
+            (4, "tiny doc"),  # fewer than k tokens -> zero windows
+        ],
+        "doc_id long, text string",
+    )
+    rows = {r["doc_id"]: r for r in repeated_ngram_spans(df, k=8).collect()}
+    # docs 1 and 2 share a 12-token passage -> both carry duplicated
+    # 8-token windows; doc 3 has none; doc 4 has no windows at all
+    assert rows[1]["n_dup_windows"] >= 1 and rows[2]["n_dup_windows"] >= 1
+    assert rows[3]["n_dup_windows"] == 0 and rows[3]["keep"]
+    assert rows[4]["n_windows"] == 0
+    assert rows[4]["dup_fraction"] == 0.0 and rows[4]["keep"]
+    # a 12-token shared passage contains exactly 5 shared 8-windows;
+    # doc 2's window set is larger, so its dup_fraction is lower
+    assert rows[1]["dup_fraction"] > rows[2]["dup_fraction"] > 0
+
+
+def test_gate_drops_mostly_duplicated_doc(spark):
+    passage = " ".join(f"w{i}" for i in range(20))
+    df = spark.createDataFrame(
+        [(1, passage + " unique tail"), (2, passage + " other ending")],
+        "doc_id long, text string",
+    )
+    rows = {r["doc_id"]: r for r in
+            repeated_ngram_spans(df, k=8, max_dup_fraction=0.5).collect()}
+    # both docs are dominated by the shared 20-token passage
+    assert not rows[1]["keep"] and not rows[2]["keep"]
+
+
+def test_repartition_stable(spark, sf_dir):
+    docs = read_table(spark, sf_dir, "documents")
+    a = _collect(repeated_ngram_spans(docs, k=5))
+    b = _collect(repeated_ngram_spans(docs.repartition(13), k=5))
+    assert a == b
