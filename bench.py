@@ -101,6 +101,40 @@ LIB_QUERIES = {
 }
 
 
+def _lib_extra_queries():
+    """Round-4 library operators outside the capped registry (their
+    correctness gates are the in-test DuckDB twins)."""
+    from pyspark.sql import functions as F
+
+    from etl_pack_spark.operators.sampling import budget_select
+    from etl_pack_spark.operators.similarity import semantic_dedup
+    from etl_pack_spark.operators.substrings import repeated_ngram_spans
+    from etl_pack_spark.sources.reader import read_table
+
+    def _semdedup(spark, sf_dir):
+        emb = read_table(spark, sf_dir, "embeddings")
+        # nlist scaled so clusters stay ~500 rows at any bench sf
+        n = emb.count()
+        return semantic_dedup(emb, nlist=max(16, n // 500), threshold=0.4)
+
+    def _spans(spark, sf_dir):
+        return repeated_ngram_spans(read_table(spark, sf_dir, "documents"), k=8)
+
+    def _budget(spark, sf_dir):
+        docs = read_table(spark, sf_dir, "documents")
+        total = docs.agg(F.sum("n_chars")).collect()[0][0] or 0
+        return budget_select(docs, int(total * 0.3), "n_chars", "n_chars")
+
+    return {
+        "lib_semantic_dedup": _semdedup,
+        "lib_repeated_ngram_spans": _spans,
+        "lib_budget_select": _budget,
+    }
+
+
+LIB_QUERIES.update(_lib_extra_queries())
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     m = re.search(r"sf([0-9.]+)", sf_dir)

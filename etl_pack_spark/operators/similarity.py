@@ -605,6 +605,11 @@ def assign_centroids(
     """Nearest-centroid assignment against the deterministic sampled
     quantizer (centroids = vectors with ``id < nlist``, as in
     :func:`ivf_topk` — SQL-expressible, so oracles hash-check it).
+    Contract: numeric ids with at least one id below ``nlist`` (rows
+    with none produce an empty assignment, same as the SQL twin); a
+    corpus with sparse ids should be renumbered first, or use the
+    KMeans path (``cluster_embeddings``) when oracle-exactness isn't
+    needed.
 
     Scale shape: broadcast of ``nlist`` centroid rows against the
     corpus; the argmax is a map-side-combinable struct max, so exactly
@@ -644,37 +649,51 @@ def semantic_dedup(
     as ``(id, cid)``, ordered-stable under repartitioning.
 
     The pair rule is greedy keep-lowest-id (a row is dropped iff a
-    lower-id near-dup shares its cluster) — deterministic and
-    SQL-parallel; the transitive-closure variant is
-    ``components.neardup_clusters`` over :func:`cosine_neardup_pairs`.
+    lower-id near-dup shares its cluster, whether or not that neighbor
+    is itself dropped) — deterministic and SQL-parallel; the
+    transitive-closure variant is ``components.neardup_clusters`` over
+    :func:`cosine_neardup_pairs`.
 
     Scale shape: the quadratic pair scan is confined WITHIN clusters —
     the SemDeDup design premise (nlist sized so clusters hold ~1e3-1e5
-    rows at 100 TB: pairs per task stay bounded while the corpus-level
-    cost is n²/nlist). Candidate generation is an equi-join on cid
-    (shuffle both sides by cid, no broadcast of the corpus), the dot
-    runs once per pair in an Arrow-vectorized kernel, and the drop set
-    feeds a left_anti join — no collect at any size.
+    rows at 100 TB: per-cluster work stays bounded while the
+    corpus-level cost is n²/nlist). ONE shuffle by cid fans clusters
+    out to tasks; each task scores its own cluster as a chunked matrix
+    kernel (every vector ships ONCE per cluster, never once per pair —
+    a pair-join would shuffle O(pairs)·vec bytes), with the same
+    strict left-fold dots as the block-matrix ops, so the oracle
+    hash-checks bit-exactly. Per-task memory = cluster_rows × dims × 8
+    bytes + a ~32 MB score tile; a skewed megacluster concentrates in
+    one task — size nlist for the corpus (SemDeDup uses n/nlist ≈ 1e4).
+    No collect at any size.
     """
+    import numpy as np
+
     assigned = assign_centroids(df, nlist, id_col, vec)
-    a = assigned.select(
-        F.col(id_col).alias("id_a"), F.col(vec).alias("va"),
-        F.col("norm").alias("na"), "cid",
+    id_type = dict(assigned.dtypes)[id_col]
+    tiled_dots = _make_tiled_dots()
+
+    def prune(pdf: pd.DataFrame) -> pd.DataFrame:
+        if len(pdf) == 0:
+            return pdf[[id_col, "cid"]]
+        pdf = pdf.sort_values(id_col).reset_index(drop=True)
+        M = np.stack(pdf[vec].to_numpy()).astype(np.float64)
+        nrm = np.sqrt(np.cumsum(M * M, axis=1)[:, -1])
+        n = len(pdf)
+        dropped = np.zeros(n, dtype=bool)
+        step = max(1, (32 << 20) // max(1, n * 8))
+        for s in range(0, n, step):
+            chunk = M[s : s + step]
+            cos = tiled_dots(chunk, M) / (nrm[s : s + step, None] * nrm[None, :])
+            # ascending-id order → "a lower-id near-dup exists" is a
+            # strictly-lower-triangular any() over the score rows
+            lower = np.arange(n)[None, :] < (s + np.arange(chunk.shape[0]))[:, None]
+            dropped[s : s + step] |= ((cos >= threshold) & lower).any(axis=1)
+        return pdf.loc[~dropped, [id_col, "cid"]]
+
+    return assigned.groupBy("cid").applyInPandas(
+        prune, schema=f"{id_col} {id_type}, cid {id_type}"
     )
-    b = assigned.select(
-        F.col(id_col).alias("id_b"), F.col(vec).alias("vb"),
-        F.col("norm").alias("nb"), "cid",
-    )
-    cos = _dot_udf(F.col("va"), F.col("vb")) / (F.col("na") * F.col("nb"))
-    dropped = (
-        a.join(b, "cid")
-        .where(F.col("id_a") < F.col("id_b"))
-        .select("id_b", cos.alias("cos_sim"))
-        .where(F.col("cos_sim") >= threshold)
-        .select(F.col("id_b").alias(id_col))
-        .distinct()
-    )
-    return assigned.join(dropped, id_col, "left_anti").select(id_col, "cid")
 
 
 def semantic_dedup_sql(

@@ -2,7 +2,9 @@
 operator library as ONE lazy plan per stage:
 
     quality/lang gate + split assign   (plans/curate.py — 1 scan, 1 shuffle)
+    → repeated-substring gate [opt]    (duplicated-window fraction ≤ max)
     → near-dup CLUSTER dedup           (simhash pairs → components → 1 survivor)
+    → SemDeDup semantic dedup [opt]    (embedding clusters → cosine prune)
     → eval decontamination             (broadcast semi-join, corpus never shuffles)
     → domain-mixture resample          (map-only + broadcast counts)
     → sequence packing to token budget (shard-local greedy first-fit)
@@ -25,6 +27,8 @@ from etl_pack_spark.operators.components import cluster_dedup
 from etl_pack_spark.operators.contamination import decontaminate
 from etl_pack_spark.operators.packing import pack_sequences
 from etl_pack_spark.operators.sampling import mixture_resample
+from etl_pack_spark.operators.similarity import semantic_dedup
+from etl_pack_spark.operators.substrings import repeated_ngram_spans
 from etl_pack_spark.operators.tokenize import tokens
 from etl_pack_spark.plans.curate import curate_corpus
 
@@ -37,19 +41,40 @@ def prepare_pretraining_corpus(
     budget: int = 2048,
     max_hamming: int = 10,
     ngram: int = 8,
+    max_dup_fraction: float | None = None,
+    embeddings: DataFrame | None = None,
+    emb_id_col: str = "vec_id",
+    sem_nlist: int = 16,
+    sem_threshold: float = 0.95,
 ) -> DataFrame:
     """Documents → packed training sequences.
 
     Returns ``(doc_id, lang, split, source, copy_n, n_tokens, pack_id,
     oversize)`` — one row per packed copy of every surviving train
     document. ``eval_df`` (optional) drives decontamination;
-    ``weights`` (optional) reweights domains (absent = keep mixture).
+    ``weights`` (optional) reweights domains (absent = keep mixture);
+    ``max_dup_fraction`` (optional) gates out documents whose k-token
+    windows are mostly duplicated elsewhere in the curated corpus;
+    ``embeddings`` (optional, keyed by ``emb_id_col`` = doc id) adds a
+    SemDeDup semantic-dedup stage after the exact/near-dup one.
     Deterministic end-to-end: every stage is hash-based, no RNG.
     """
     curated = curate_corpus(docs)  # (doc_id, lang, split)
     kept = docs.join(curated.select("doc_id", "split"), "doc_id").select(
         "doc_id", "text", "lang", "split", F.col(domain_col)
     )
+
+    if max_dup_fraction is not None:
+        # substring-level gate BEFORE doc-level dedup: duplicated
+        # passages are what drives borderline near-dup pairs, and the
+        # gate's one hash-shuffle is cheaper than the pair graph it
+        # shrinks
+        spans = repeated_ngram_spans(
+            kept, "doc_id", "text", max_dup_fraction=max_dup_fraction
+        )
+        kept = kept.join(
+            spans.where(F.col("keep")).select("doc_id"), "doc_id", "left_semi"
+        )
 
     # near-dup cluster dedup over the CURATED corpus: one survivor per
     # transitive simhash cluster (pairs are pre-thresholded, so the
@@ -58,6 +83,24 @@ def prepare_pretraining_corpus(
         kept, "doc_id", "text", max_hamming=max_hamming
     ).select("id_a", "id_b")
     unique = cluster_dedup(kept, pairs, "doc_id")
+
+    if embeddings is not None:
+        # SemDeDup: lexical dedup above can't see paraphrases; the
+        # embedding stage prunes semantic near-copies cluster-locally.
+        # Restrict to embeddings of still-alive docs first so the
+        # quadratic within-cluster scan runs on the deduped corpus.
+        alive = embeddings.join(
+            unique.select(F.col("doc_id").alias(emb_id_col)), emb_id_col, "left_semi"
+        )
+        surv = semantic_dedup(
+            alive, nlist=sem_nlist, threshold=sem_threshold, id_col=emb_id_col
+        ).select(F.col(emb_id_col).alias("doc_id"))
+        # drop only docs that HAD an embedding and were pruned — a doc
+        # with no embedding row is not evidence of duplication
+        sem_dropped = alive.select(F.col(emb_id_col).alias("doc_id")).join(
+            surv, "doc_id", "left_anti"
+        )
+        unique = unique.join(sem_dropped, "doc_id", "left_anti")
 
     train = unique.where(F.col("split") == "train")
     if eval_df is not None:

@@ -64,3 +64,52 @@ def test_pipeline_deterministic_under_repartition(spark, sf_dir):
     ka = sorted(map(tuple, a.select("doc_id", "copy_n", "n_tokens").collect()))
     kb = sorted(map(tuple, b.select("doc_id", "copy_n", "n_tokens").collect()))
     assert ka == kb
+
+
+def test_pipeline_substring_gate_contract(spark, sf_dir):
+    """A loose bound (max_dup_fraction=1.0) is a no-op; under a tight
+    bound no gated-out doc ever reaches the output. (Output ids are NOT
+    monotone in the bound: gating a doc before cluster dedup can swap
+    which member of its near-dup cluster survives — that's correct.)"""
+    from etl_pack_spark.operators.substrings import repeated_ngram_spans
+    from etl_pack_spark.plans.curate import curate_corpus
+
+    docs = _docs(spark, sf_dir)
+    base = prepare_pretraining_corpus(docs)
+    loose = prepare_pretraining_corpus(docs, max_dup_fraction=1.0)
+    tight = prepare_pretraining_corpus(docs, max_dup_fraction=0.0)
+    base_ids = {r["doc_id"] for r in base.select("doc_id").distinct().collect()}
+    loose_ids = {r["doc_id"] for r in loose.select("doc_id").distinct().collect()}
+    tight_ids = {r["doc_id"] for r in tight.select("doc_id").distinct().collect()}
+    assert loose_ids == base_ids
+    # recompute the gate on the same corpus the pipeline gates (the
+    # curated one — duplication is relative to the surviving corpus)
+    kept = docs.join(curate_corpus(docs).select("doc_id"), "doc_id")
+    gated_out = {
+        r["doc_id"]
+        for r in repeated_ngram_spans(kept, "doc_id", "text", max_dup_fraction=0.0)
+        .where(~F.col("keep")).collect()
+    }
+    assert gated_out, "fixture should contain duplicated windows"
+    assert not (tight_ids & gated_out)
+
+
+def test_pipeline_semantic_stage(spark, sf_dir):
+    """SemDeDup stage: prunes only docs that HAVE an embedding row;
+    docs without embeddings always survive it."""
+    docs = _docs(spark, sf_dir)
+    emb = read_table(spark, sf_dir, "embeddings")
+    base = prepare_pretraining_corpus(docs)
+    base_ids = {r["doc_id"] for r in base.select("doc_id").distinct().collect()}
+    # fixture embeddings only cover vec_id < 500; at threshold 0.4 the
+    # stage prunes within-cluster near-dups among those
+    sem = prepare_pretraining_corpus(docs, embeddings=emb, sem_threshold=0.4)
+    sem_ids = {r["doc_id"] for r in sem.select("doc_id").distinct().collect()}
+    assert sem_ids <= base_ids
+    emb_ids = {r["vec_id"] for r in emb.select("vec_id").collect()}
+    # every doc the stage removed had an embedding
+    assert (base_ids - sem_ids) <= emb_ids
+    # an impossible threshold is a no-op
+    noop = prepare_pretraining_corpus(docs, embeddings=emb, sem_threshold=1.1)
+    noop_ids = {r["doc_id"] for r in noop.select("doc_id").distinct().collect()}
+    assert noop_ids == base_ids

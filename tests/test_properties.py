@@ -297,3 +297,60 @@ def test_apply_cdc_in_order_batches_equal_one_shot(spark, changes, split_at):
                 folded, spark.createDataFrame(part, schema), ["k"], "ts"
             )
     assert sorted(map(tuple, folded.collect())) == sorted(map(tuple, one_shot.collect()))
+
+
+@given(docs=corpus, k=st.integers(2, 5))
+@settings(max_examples=10, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+def test_repeated_ngram_spans_matches_duckdb_on_random_corpus(spark, docs, k):
+    from etl_pack_spark.operators.substrings import (
+        repeated_ngram_spans,
+        repeated_ngram_spans_sql,
+    )
+
+    rows = list(enumerate(docs))
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = (
+        repeated_ngram_spans(df, k=k)
+        .toPandas().sort_values("doc_id").reset_index(drop=True)
+    )
+    want = (
+        _duck_with(rows).execute(repeated_ngram_spans_sql("corpus", k=k))
+        .fetchdf().sort_values("doc_id").reset_index(drop=True)
+    )
+    assert len(got) == len(want)
+    for c in ["n_windows", "n_dup_windows", "dup_fraction", "keep"]:
+        assert (got[c].values == want[c].values).all(), c
+
+
+@given(
+    rows=st.lists(
+        st.tuples(st.floats(-100, 100, allow_nan=False), st.integers(0, 50)),
+        min_size=1, max_size=30,
+    ),
+    frac=st.floats(0.1, 0.9),
+    buckets=st.integers(1, 8),
+)
+@settings(max_examples=15, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+def test_budget_select_matches_duckdb_on_random_weights(spark, rows, frac, buckets):
+    """The distributed bucketed prefix sum equals the naive global
+    window for ANY scores/weights/budget/bucket count — including
+    duplicate scores (id tie-break) and zero weights."""
+    import duckdb
+    import pandas as pd
+
+    from etl_pack_spark.operators.sampling import budget_select, budget_select_sql
+
+    data = [(i, s, w) for i, (s, w) in enumerate(rows)]
+    budget = max(1, int(sum(w for _, _, w in data) * frac))
+    df = spark.createDataFrame(data, "doc_id long, quality double, n_tokens long")
+    got = sorted(
+        map(tuple, budget_select(
+            df, budget, "quality", "n_tokens", buckets=buckets).collect())
+    )
+    con = duckdb.connect()
+    con.register("t", pd.DataFrame(data, columns=["doc_id", "quality", "n_tokens"]))
+    want = sorted(map(tuple, con.execute(
+        budget_select_sql("t", budget, "quality", "n_tokens")).fetchall()))
+    assert got == want

@@ -121,6 +121,24 @@ NOTES = {
         "Map-only: every Gopher metric is a higher-order array function "
         "over one projection — zero Exchange at any corpus size."
     ),
+    "lib_semantic_dedup": (
+        "SemDeDup: nlist centroid rows broadcast for assignment (the "
+        "struct-max reduction emits one row per vector map-side), then "
+        "ONE hash exchange on cid fans clusters to FlatMapGroupsInPandas "
+        "tasks — each vector ships once per cluster, never once per pair."
+    ),
+    "lib_repeated_ngram_spans": (
+        "Duplicated-window detection with NO self-join: shingles stream "
+        "through posexplode+lead codegen, md5 to 16 bytes before the "
+        "hash-partition window that counts docs per window; the per-doc "
+        "rollup partial-combines. The exchange carries hashes, not text."
+    ),
+    "lib_budget_select": (
+        "Exact global running sum with no single-partition window: the "
+        "plan shows per-range windows partitioned by the quantile bucket "
+        "column plus a tiny buckets-row aggregate — the only global "
+        "object is the cuts list, never the data."
+    ),
 }
 
 
