@@ -5,3 +5,8 @@ from etl_pack_spark.sinks.writers import (  # noqa: F401
     write_sink,
 )
 from etl_pack_spark.sinks.compaction import CompactionStats, compact  # noqa: F401
+from etl_pack_spark.sinks.sharding import (  # noqa: F401
+    shard_assign,
+    shard_assign_sql,
+    write_shuffled_shards,
+)
