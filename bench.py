@@ -102,8 +102,10 @@ LIB_QUERIES = {
 
 
 def _lib_extra_queries():
-    """Round-4 library operators outside the capped registry (their
-    correctness gates are the in-test DuckDB twins)."""
+    """Round-4 library operators at bench-scaled framings (the
+    registry entries for these ops — driver-gated since r4 wave 2 —
+    use fixture-fixed framings; these variants scale nlist/k/budget
+    with the bench corpus)."""
     from pyspark.sql import functions as F
 
     from etl_pack_spark.operators.sampling import budget_select
@@ -152,7 +154,14 @@ def main() -> None:
         # standalone cost of that query.
         spark.catalog.clearCache()
         t0 = time.perf_counter()
-        fn = LIB_QUERIES.get(name) or suite.QUERIES[name]
+        # RETIRED fallback: retired registry entries (e.g. text_sentiment,
+        # r4) stay in the headline list so the total remains comparable
+        # across rounds
+        fn = (
+            LIB_QUERIES.get(name)
+            or suite.QUERIES.get(name)
+            or suite.RETIRED_QUERIES[name]
+        )
         df = fn(spark, sf_dir)
         df.write.format("noop").mode("overwrite").save()
         return time.perf_counter() - t0
@@ -197,7 +206,8 @@ def main() -> None:
         def run2(name: str) -> float:
             spark.catalog.clearCache()
             t0 = time.perf_counter()
-            suite.QUERIES[name](spark, sf2_dir).write.format("noop").mode("overwrite").save()
+            fn = suite.QUERIES.get(name) or suite.RETIRED_QUERIES[name]
+            fn(spark, sf2_dir).write.format("noop").mode("overwrite").save()
             return time.perf_counter() - t0
 
         t2: dict[str, float] = {}

@@ -335,6 +335,79 @@ def minhash_lsh_dedup_pairs_sql(
     """
 
 
+def minhash_match_incremental_sql(
+    old_table: str,
+    new_table: str,
+    id_col: str,
+    text_col: str,
+    k: int = 3,
+    num_hashes: int = 16,
+    bands: int = 8,
+    min_est: float = 0.5,
+) -> str:
+    """DuckDB oracle twin of :func:`minhash_match_incremental`: the
+    old side's signatures recomputed from text here (the engine reads
+    them from the store — the arithmetic is identical either way, as
+    the store itself is a :func:`minhash_signature` output), same
+    banding, same new-vs-all candidate rule, same matching-fraction
+    estimator (int/int double — bit-identical cross-engine)."""
+    rows_per_band = num_hashes // bands
+    mh_cols = ",\n               ".join(
+        f"list_aggregate(list_transform(shingles, s -> "
+        f"({MH_A[i]} * {_h7_sql('s')} + {MH_B[i]}) % {MH_PRIME}), 'min') AS mh_{i}"
+        for i in range(num_hashes)
+    )
+
+    def _band_rows(src: str, flag: str) -> str:
+        return "\n        UNION ALL\n".join(
+            f"        SELECT {id_col}{flag}, {b} AS band, "
+            f"md5(concat_ws(',', "
+            f"{', '.join(f'CAST(mh_{b * rows_per_band + r} AS VARCHAR)' for r in range(rows_per_band))}"
+            f")) AS bk FROM {src}"
+            for b in range(bands)
+        )
+
+    def _sig(src: str) -> str:
+        return f"""
+        SELECT {id_col}, {mh_cols}
+        FROM (
+            SELECT {id_col}, list_distinct({shingles_sql('toks', k)}) AS shingles
+            FROM (SELECT {id_col}, {tokens_sql(text_col)} AS toks FROM {src})
+        ) WHERE len(shingles) >= 1
+        """
+
+    match_frac = " + ".join(
+        f"CASE WHEN sa.mh_{i} = sb.mh_{i} THEN 1 ELSE 0 END" for i in range(num_hashes)
+    )
+    return f"""
+    WITH sig_old AS ({_sig(old_table)}),
+    sig_new AS ({_sig(new_table)}),
+    sig_all AS (
+        SELECT *, FALSE AS is_new FROM sig_old
+        UNION ALL
+        SELECT *, TRUE AS is_new FROM sig_new
+    ),
+    banded_all AS (
+{_band_rows('sig_all', ', is_new')}
+    ),
+    banded_new AS (
+{_band_rows('sig_new', '')}
+    ),
+    cand AS (
+        SELECT DISTINCT a.{id_col} AS id_a, b.{id_col} AS id_b
+        FROM banded_new a JOIN banded_all b
+          ON a.band = b.band AND a.bk = b.bk
+         AND ((NOT b.is_new) OR a.{id_col} < b.{id_col})
+    )
+    SELECT id_a, id_b,
+           CAST({match_frac} AS DOUBLE) / {float(num_hashes)} AS est_jaccard
+    FROM cand
+    JOIN sig_new sa ON sa.{id_col} = cand.id_a
+    JOIN sig_all sb ON sb.{id_col} = cand.id_b
+    WHERE CAST({match_frac} AS DOUBLE) / {float(num_hashes)} >= {min_est}
+    """
+
+
 # ---------------------------------------------------------------------------
 # Exact n-gram Jaccard (the brute-force baseline LSH approximates)
 # ---------------------------------------------------------------------------

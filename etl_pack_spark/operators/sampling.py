@@ -294,7 +294,11 @@ def budget_select_sql(
     """Oracle twin of :func:`budget_select` — the naive global window
     the distributed decomposition must equal exactly."""
     return f"""
-    SELECT {id_col}, {score_col}, {weight_col}, cum_weight FROM (
+    SELECT {id_col}, {score_col}, {weight_col},
+           -- SUM(BIGINT) is HUGEINT in DuckDB → pandas float64; the
+           -- driver's frame compare needs the engine's BIGINT
+           CAST(cum_weight AS BIGINT) AS cum_weight
+    FROM (
         SELECT {id_col}, {score_col},
                CAST({weight_col} AS BIGINT) AS {weight_col},
                SUM(CAST({weight_col} AS BIGINT)) OVER (
@@ -305,3 +309,71 @@ def budget_select_sql(
         WHERE {score_col} IS NOT NULL AND {weight_col} IS NOT NULL
     ) WHERE cum_weight <= {budget}
     """
+
+
+def grouped_split_assign(
+    df: DataFrame,
+    pairs: DataFrame,
+    id_col: str = "doc_id",
+    splits: list[tuple[str, float]] = (("train", 0.90), ("val", 0.05), ("test", 0.05)),
+    seed: str = "split",
+) -> DataFrame:
+    """Leakage-safe train/val/test split: every member of a near-dup
+    GROUP lands in the same split. ``pairs`` is any near-dup edge list
+    ``(id_a, id_b)`` — minhash-LSH, simhash, or SemDeDup output; docs
+    in no pair are their own singleton group. The split key is the
+    group's cluster_id (min member id), hashed with the SAME
+    contiguous-range rule as :func:`split_assign`, so assignment is
+    append-stable: new docs never move an existing group unless a new
+    edge merges two groups — which then coherently re-lands the merged
+    group on ONE split.
+
+    Why a distinct op: random per-doc splits leak near-duplicates
+    across the train/eval boundary (Lee et al. 2021, arXiv:2107.06499
+    §5 measures ~1% of eval continuations exactly duplicated in train
+    at web scale); splitting by duplicate cluster makes that leakage
+    structurally impossible rather than statistically unlikely.
+
+    Scale shape: the cluster map holds only docs appearing in ≥1 pair
+    (a small fraction of the corpus), is persisted once (the probe and
+    the join reuse it), and joins to the corpus via
+    :func:`~etl_pack_spark.operators.guards.maybe_broadcast` —
+    broadcast under the bounded row probe, AQE-chosen shuffled join
+    past it. The split expression itself stays map-only. Returns the
+    input columns + ``cluster_id`` + ``split``.
+    """
+    from etl_pack_spark.operators.cache import pooled_persist
+    from etl_pack_spark.operators.components import neardup_clusters
+    from etl_pack_spark.operators.guards import maybe_broadcast
+
+    clusters = pooled_persist(
+        neardup_clusters(pairs, id_col).withColumnRenamed(id_col, "__gid")
+    )
+    joined = df.join(
+        maybe_broadcast(clusters), F.col(id_col) == F.col("__gid"), "left"
+    ).drop("__gid")
+    out = joined.withColumn(
+        "cluster_id", F.coalesce(F.col("cluster_id"), F.col(id_col))
+    )
+    return split_assign(out, "cluster_id", splits, seed)
+
+
+def grouped_split_sql(
+    table: str,
+    pairs_sql: str,
+    id_col: str = "doc_id",
+    splits: list[tuple[str, float]] = (("train", 0.90), ("val", 0.05), ("test", 0.05)),
+    seed: str = "split",
+    select: str = "d.*",
+) -> str:
+    """DuckDB oracle twin of :func:`grouped_split_assign`: recursive-CTE
+    components + identical md5 hash-range arithmetic on cluster_id."""
+    from etl_pack_spark.operators.components import connected_components_sql
+
+    base = f"""(
+        SELECT {select}, COALESCE(c.cluster_id, d.{id_col}) AS cluster_id
+        FROM {table} d
+        LEFT JOIN ({connected_components_sql(pairs_sql)}) c
+          ON d.{id_col} = c.id
+    )"""
+    return split_assign_sql(base, "cluster_id", splits, seed, select="*")

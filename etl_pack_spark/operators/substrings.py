@@ -110,8 +110,10 @@ def repeated_ngram_spans_sql(
         FROM flagged GROUP BY {id_col}
     )
     SELECT d.{id_col},
-           COALESCE(p.n_windows, 0) AS n_windows,
-           COALESCE(p.n_dup_windows, 0) AS n_dup_windows,
+           CAST(COALESCE(p.n_windows, 0) AS BIGINT) AS n_windows,
+           -- SUM(BIGINT) is HUGEINT in DuckDB → pandas float64; the
+           -- driver's frame compare needs the engine's BIGINT
+           CAST(COALESCE(p.n_dup_windows, 0) AS BIGINT) AS n_dup_windows,
            CASE WHEN COALESCE(p.n_windows, 0) > 0
                 THEN CAST(p.n_dup_windows AS DOUBLE) / CAST(p.n_windows AS DOUBLE)
                 ELSE 0.0 END AS dup_fraction,

@@ -29,7 +29,12 @@ from etl_pack_spark.operators.cleaning import (
     gopher_signals_sql,
 )
 from etl_pack_spark.operators.temporal import rolling_aggregate_sql
+from etl_pack_spark.operators.chunking import chunk_documents_sql as _chunk_documents_sql
 from etl_pack_spark.operators.components import connected_components_sql
+from etl_pack_spark.operators.substrings import (
+    repeated_ngram_spans_sql as _repeated_ngram_spans_sql,
+)
+from etl_pack_spark.sinks.sharding import shard_assign_sql as _shard_assign_sql
 from etl_pack_spark.operators.contamination import contamination_report_sql
 from etl_pack_spark.operators.quality import profile_sql
 from etl_pack_spark.operators.retrieval import bm25_topk_sql
@@ -597,12 +602,15 @@ def q_pivot_events(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_set_except(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Set op: customers in BUILDING segment with no order above 200k."""
+    """Set op: customers in BUILDING segment with no order above 400k.
+    (Threshold raised from 300k when this entry retired to the pytest
+    pin, which runs at sf0.001 where >300k matched every BUILDING
+    customer — the pin needs a non-empty difference.)"""
     customer = read_table(spark, sf_dir, "customer")
     orders = read_table(spark, sf_dir, "orders")
     seg = customer.where(F.col("c_mktsegment") == "BUILDING").select("c_custkey")
     big = (
-        orders.where(F.col("o_totalprice") > 300_000)
+        orders.where(F.col("o_totalprice") > 400_000)
         .select(F.col("o_custkey").alias("c_custkey"))
     )
     return seg.exceptAll(big.distinct()).distinct()
@@ -689,8 +697,24 @@ def q_sample_stratified_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_split_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Hash-range train/val/test assignment (90/5/5): appends never
-    move an existing doc's split."""
+    """LEAKAGE-SAFE train/val/test assignment (90/5/5): simhash
+    near-dup clusters land whole in one split, so near-duplicate
+    train/eval contamination is structurally impossible (Lee et al.
+    2021 §5); singleton docs hash-split as before, appends never move
+    an existing group. Round-4 upgrade of the plain per-doc split
+    (which stays pinned: retired `split_documents_plain` + the split
+    stage inside `corpus_curate`)."""
+    docs = read_table(spark, sf_dir, "documents")
+    pairs = neardup.simhash_neardup_pairs(docs, "doc_id", "text").select(
+        "id_a", "id_b"
+    )
+    return sampling.grouped_split_assign(
+        docs.select("doc_id", "lang"), pairs
+    ).select("doc_id", "lang", "cluster_id", "split")
+
+
+def q_split_documents_plain(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The pre-r4 per-doc hash split (retired pin)."""
     docs = read_table(spark, sf_dir, "documents")
     return sampling.split_assign(docs, "doc_id").select("doc_id", "lang", "split")
 
@@ -906,15 +930,16 @@ def q_neardup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_lib_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """CCNet-style LM quality proxy: per-doc mean unigram log-prob under
-    the corpus's own smoothed unigram model (operators/textops.py).
-    mean_logprob rounded to 6 dp on BOTH engines — ln() is libm-
+    """CCNet-style LM quality scoring + perplexity bucketing in one
+    pass (operators/textops.py): per-doc mean unigram log-prob under
+    the corpus's own smoothed unigram model, PLUS the head/middle/tail
+    bucket from the CCNet percentile split (Wenzek et al. 2020) —
+    round-4 merge: ppl_bucket_split rides the same scoring pipeline
+    (same grain, +1 column), so this slot gates both. Scores rounded
+    to 6 dp on BOTH engines BEFORE the cutoffs — ln() is libm-
     dependent (±1 ulp), everything else is exact."""
     docs = read_table(spark, sf_dir, "documents")
-    out = textops.unigram_logprob(docs, "doc_id", "text")
-    return out.select(
-        "doc_id", "n_tokens", F.round("mean_logprob", 6).alias("mean_logprob")
-    )
+    return textops.ppl_bucket_split(docs, "doc_id", "text")
 
 
 def q_lib_nb_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -981,6 +1006,89 @@ MIXTURE_WEIGHTS = {
     "src2": 0.3,
     "src3": 0.2,
 }
+# char budget for budget_select: strictly between 0 and the corpus
+# total at every shipped sf (sf0.01 ≈ 150k chars, sf0.1 ≈ 1.5M), so
+# the prefix cut is always non-trivial
+BUDGET_CHARS = 50_000
+N_SHARDS = 8
+
+
+def q_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup semantic dedup (arXiv:2303.09540): cluster embeddings
+    by nearest sampled centroid, drop rows with a lower-id cosine-0.4
+    neighbor in their cluster (operators/similarity.py). Replaces the
+    rows-only cluster_embeddings slot with an ORACLE-checked entry —
+    the clustering stage (nearest-centroid assignment) is inside this
+    op and hash-compared bit-exactly; the iterative KMeans path stays
+    pytest-pinned (tests/test_similarity.py)."""
+    emb = read_table(spark, sf_dir, "embeddings")
+    return similarity.semantic_dedup(emb, nlist=16, threshold=0.4)
+
+
+def q_repeated_ngram_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-level repeated-substring detection (exact-substring dedup
+    at fixed window k=5, arXiv:2107.06499 approximation): per doc the
+    duplicated-window fraction + keep gate (operators/substrings.py)."""
+    from etl_pack_spark.operators.substrings import repeated_ngram_spans
+
+    docs = read_table(spark, sf_dir, "documents")
+    return repeated_ngram_spans(docs, k=5)
+
+
+def q_budget_select(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-budget quality selection: exact global best-score prefix
+    under a char budget, computed distributed via quantile-range
+    decomposition (operators/sampling.py) — no single-partition
+    window. Score = doc length as a quality proxy (framing; any score
+    column works), weight = n_chars."""
+    from etl_pack_spark.operators.sampling import budget_select
+
+    docs = read_table(spark, sf_dir, "documents").select(
+        "doc_id", F.col("n_chars").cast("double").alias("score"), "n_chars"
+    )
+    return budget_select(
+        docs, BUDGET_CHARS, score_col="score", weight_col="n_chars"
+    )
+
+
+def q_chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Document chunking: 64-token windows with 16-token overlap, one
+    row per window (operators/chunking.py) — RAG / long-doc
+    pretraining prep; complements sequence packing."""
+    from etl_pack_spark.operators.chunking import chunk_documents
+
+    docs = read_table(spark, sf_dir, "documents")
+    return chunk_documents(docs, "doc_id", "text", chunk_tokens=64, overlap=16)
+
+
+def q_shard_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic shuffled-shard assignment for training-corpus
+    export (sinks/sharding.py): md5-derived shard + order key,
+    append-stable, map-only. The file-writing wrapper
+    (write_shuffled_shards) is pytest-pinned; this gates the
+    assignment arithmetic the files are built from."""
+    from etl_pack_spark.sinks.sharding import shard_assign
+
+    docs = read_table(spark, sf_dir, "documents")
+    return shard_assign(docs, N_SHARDS).select("doc_id", "shard", "pos")
+
+
+def q_minhash_match_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental near-dup: a new batch (doc_id % 5 == 0) matched
+    against the persisted minhash signature store of the existing
+    corpus (doc_id % 5 != 0) — signatures only, old text never
+    rescanned (operators/neardup.py). The reference's incremental
+    anti-join posture (etl.go:23-48) lifted from exact-hash to
+    near-dup."""
+    from etl_pack_spark.operators.tokenize import shingle_rows
+
+    docs = read_table(spark, sf_dir, "documents")
+    old = docs.where(F.col("doc_id") % 5 != 0)
+    new = docs.where(F.col("doc_id") % 5 == 0)
+    sig_old = neardup.minhash_signature(
+        shingle_rows(old, "doc_id", "text", 3, distinct=False), "doc_id"
+    )
+    return neardup.minhash_match_incremental(new, sig_old, "doc_id", "text")
 
 
 # ---------------------------------------------------------------------------
@@ -1008,7 +1116,15 @@ MIXTURE_WEIGHTS = {
 # still map-only), dedup_exact_docs→corpus_curate (exact dedup is a
 # stage of the curation plan) — freeing slots for the round-3 library
 # operators (unigram LM, NB classifier, dedup_lines, rolling
-# aggregates, gopher gates). Every merged-away query keeps a pytest
+# aggregates, gopher gates); round-4 wave 2: ppl_bucket_split→
+# lib_unigram_logprob (bucketing rides the scoring pass, same grain),
+# cluster_embeddings→semantic_dedup (clustering gated INSIDE SemDeDup
+# with a bit-exact oracle — upgrades a rows-only slot to oracle-
+# checked; KMeans pytest-pinned), set_except→retired (anti-join
+# family pinned at h3_anti_join), kmv_distinct_sketch / text_vocab_topk
+# / pivot_events / text_sentiment→retired — freeing slots for
+# repeated_ngram_spans, budget_select, chunk_documents, shard_assign,
+# minhash_match_incremental. Every merged-away query keeps a pytest
 # DuckDB-parity pin via RETIRED_ORACLES below.
 QUERIES: dict[str, QueryFn] = {
     "p2_window": q_p2_window,
@@ -1021,23 +1137,23 @@ QUERIES: dict[str, QueryFn] = {
     "x4_incremental_load": q_x4_incremental_load,
     "stream_window_counts": q_stream_window_counts,
     "corpus_curate": q_corpus_curate,
-    "text_sentiment": q_text_sentiment,
+    "minhash_match_incremental": q_minhash_match_incremental,
     "mm_decode_frames": q_mm_decode_frames,
     "mm_features": q_mm_features,
     "agg_pricing_summary": q_agg_pricing_summary,
     "join_revenue_by_nation": q_join_revenue_by_nation,
     "window_topk_orders": q_window_topk_orders,
     "multires_rollup": q_multires_rollup,
-    "kmv_distinct_sketch": q_kmv_distinct_sketch,
+    "budget_select": q_budget_select,
     "asof_purchase_view": q_asof_purchase_view,
     "range_click_in_signup_hour": q_range_click_in_signup_hour,
     "tpch_q3_like": q_tpch_q3_like,
     "tpch_q5_like": q_tpch_q5_like,
-    "text_vocab_topk": q_text_vocab_topk,
-    "cluster_embeddings": q_cluster_embeddings,
+    "chunk_documents": q_chunk_documents,
+    "semantic_dedup": q_semantic_dedup,
     "sessionize": q_sessionize,
-    "pivot_events": q_pivot_events,
-    "set_except": q_set_except,
+    "shard_assign": q_shard_assign,
+    "repeated_ngram_spans": q_repeated_ngram_spans,
     "dedup_minhash_lsh": q_dedup_minhash_lsh,
     "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
     "dedup_simhash_pairs": q_dedup_simhash_pairs,
@@ -1174,24 +1290,6 @@ ORACLES: dict[str, str] = {
         FROM b
         GROUP BY GROUPING SETS ((day, hour), (day))
     """,
-    "kmv_distinct_sketch": """
-        WITH h AS (
-            SELECT event_type, md5(CAST(user_id AS VARCHAR)) AS h FROM events
-        ),
-        g AS (
-            SELECT event_type,
-                   (list_sort(list_distinct(list(h))))[1:64] AS mins,
-                   COUNT(DISTINCT h) AS exact_distinct
-            FROM h GROUP BY event_type
-        )
-        SELECT event_type, exact_distinct,
-               CASE WHEN len(mins) < 64 THEN CAST(exact_distinct AS DOUBLE)
-                    ELSE CAST(63 AS DOUBLE)
-                         / (CAST(CAST('0x' || substr(mins[64], 1, 8) AS BIGINT) AS DOUBLE)
-                            / 4294967296.0)
-               END AS kmv_estimate
-        FROM g
-    """,
     "asof_purchase_view": """
         WITH l AS (
             SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts
@@ -1250,14 +1348,6 @@ ORACLES: dict[str, str] = {
                               AND TIMESTAMP '1996-12-31 23:59:59'
         GROUP BY r_name, n_name
     """,
-    "text_vocab_topk": f"""
-        SELECT tok, COUNT(*) AS tf, COUNT(DISTINCT doc_id) AS df
-        FROM (SELECT doc_id, unnest({tokens_sql('text')}) AS tok FROM documents)
-        GROUP BY tok
-        ORDER BY tf DESC, tok
-        LIMIT 50
-    """,
-    # cluster_embeddings: iterative ML → rows-only check
     "sessionize": """
         WITH e AS (
             SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, value FROM events
@@ -1282,20 +1372,6 @@ ORACLES: dict[str, str] = {
                CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
         FROM i GROUP BY user_id, island
     """,
-    "pivot_events": """
-        SELECT strftime(ts, '%Y-%m-%d') AS day,
-               COUNT(CASE WHEN event_type = 'click' THEN 1 END) AS click,
-               COUNT(CASE WHEN event_type = 'error' THEN 1 END) AS error,
-               COUNT(CASE WHEN event_type = 'purchase' THEN 1 END) AS purchase,
-               COUNT(CASE WHEN event_type = 'signup' THEN 1 END) AS signup,
-               COUNT(CASE WHEN event_type = 'view' THEN 1 END) AS view
-        FROM events GROUP BY 1
-    """,
-    "set_except": """
-        SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING'
-        EXCEPT
-        SELECT DISTINCT o_custkey AS c_custkey FROM orders WHERE o_totalprice > 300000
-    """,
     "dedup_minhash_lsh": neardup.minhash_lsh_dedup_pairs_sql("documents", "doc_id", "text"),
     "dedup_ngram_jaccard": neardup.ngram_jaccard_pairs_sql("documents", "doc_id", "text"),
     "dedup_simhash_pairs": neardup.simhash_neardup_pairs_sql("documents", "doc_id", "text"),
@@ -1307,12 +1383,13 @@ ORACLES: dict[str, str] = {
         "documents", "doc_id", "lang", SAMPLE_FRACTIONS,
         select="doc_id, lang, source, n_chars",
     ),
-    "split_documents": sampling.split_assign_sql(
-        "documents", "doc_id", select="doc_id, lang"
+    "split_documents": sampling.grouped_split_sql(
+        "(SELECT doc_id, lang FROM documents)",
+        f"SELECT id_a, id_b FROM ({neardup.simhash_neardup_pairs_sql('documents', 'doc_id', 'text')})",
+        select="d.doc_id, d.lang",
     ),
     "text_signals": textops.text_signals_sql("documents", "doc_id", "text"),
     "text_redact_pii": textops.redact_pii_sql("documents", "doc_id", "text"),
-    "text_sentiment": textops.lexicon_sentiment_sql("documents", "doc_id", "text"),
     "corpus_curate": curate_corpus_sql("documents"),
     "dq_profile_orders": profile_sql("orders", DQ_COLS, DQ_NUM),
     # mm_features: the Arrow featurizer's fake path is a deterministic
@@ -1430,12 +1507,10 @@ ORACLES: dict[str, str] = {
             neardup.simhash_neardup_pairs_sql("documents", "doc_id", "text")
         )})
     """,
-    # round-6 on both engines: ln() is libm-dependent (±1 ulp); counts
-    # and everything integer-derived are exact
-    "lib_unigram_logprob": f"""
-        SELECT doc_id, n_tokens, round(mean_logprob, 6) AS mean_logprob
-        FROM ({textops.unigram_logprob_sql("documents", "doc_id", "text")})
-    """,
+    # round-6 on both engines BEFORE the percentile cutoffs: ln() is
+    # libm-dependent (±1 ulp); counts and everything integer-derived
+    # are exact (r4 merge: ppl bucketing rides the scoring pass)
+    "lib_unigram_logprob": textops.ppl_bucket_split_sql("documents", "doc_id", "text"),
     "lib_nb_classifier": f"""
         SELECT id, round(score, 6) AS score, pred
         FROM ({nb_train_score_sql("documents", "doc_id", "text", "n_chars > 250")})
@@ -1450,6 +1525,26 @@ ORACLES: dict[str, str] = {
         FROM ({rolling_aggregate_sql("events", "user_id", "ts", "value")})
     """,
     "gopher_signals": gopher_signals_sql("documents", "doc_id", "text"),
+    "semantic_dedup": similarity.semantic_dedup_sql(
+        "embeddings", nlist=16, threshold=0.4
+    ),
+    "repeated_ngram_spans": _repeated_ngram_spans_sql("documents", k=5),
+    "budget_select": sampling.budget_select_sql(
+        "(SELECT doc_id, CAST(n_chars AS DOUBLE) AS score, n_chars FROM documents)",
+        BUDGET_CHARS, score_col="score", weight_col="n_chars",
+    ),
+    "chunk_documents": _chunk_documents_sql(
+        "documents", "doc_id", "text", chunk_tokens=64, overlap=16
+    ),
+    "shard_assign": f"""
+        SELECT doc_id, shard, pos
+        FROM ({_shard_assign_sql("documents", N_SHARDS)})
+    """,
+    "minhash_match_incremental": neardup.minhash_match_incremental_sql(
+        "(SELECT * FROM documents WHERE doc_id % 5 <> 0)",
+        "(SELECT * FROM documents WHERE doc_id % 5 = 0)",
+        "doc_id", "text",
+    ),
 }
 
 # Former driver-gated oracles of merged-away registry entries: each
@@ -1462,6 +1557,17 @@ RETIRED_QUERIES: dict[str, QueryFn] = {
     "json_extract": q_json_extract,
     "mm_binary_meta": q_mm_binary_meta,
     "dedup_exact_docs": q_dedup_exact_docs,
+    # round-4 consolidation wave 2: slots freed for the round-4 ops
+    # (semantic_dedup, repeated_ngram_spans, budget_select,
+    # chunk_documents, shard_assign, minhash_match_incremental).
+    # cluster_embeddings (rows-only KMeans) has no oracle and is
+    # pytest-pinned in tests/test_similarity.py instead.
+    "set_except": q_set_except,
+    "split_documents_plain": q_split_documents_plain,
+    "kmv_distinct_sketch": q_kmv_distinct_sketch,
+    "text_vocab_topk": q_text_vocab_topk,
+    "pivot_events": q_pivot_events,
+    "text_sentiment": q_text_sentiment,
 }
 
 RETIRED_ORACLES: dict[str, str] = {
@@ -1493,4 +1599,47 @@ RETIRED_ORACLES: dict[str, str] = {
         SELECT min(doc_id) AS doc_id FROM documents
         GROUP BY md5(lower(coalesce(text, '')))
     """,
+    "set_except": """
+        SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING'
+        EXCEPT
+        SELECT DISTINCT o_custkey AS c_custkey FROM orders WHERE o_totalprice > 400000
+    """,
+    "split_documents_plain": sampling.split_assign_sql(
+        "documents", "doc_id", select="doc_id, lang"
+    ),
+    "kmv_distinct_sketch": """
+        WITH h AS (
+            SELECT event_type, md5(CAST(user_id AS VARCHAR)) AS h FROM events
+        ),
+        g AS (
+            SELECT event_type,
+                   (list_sort(list_distinct(list(h))))[1:64] AS mins,
+                   COUNT(DISTINCT h) AS exact_distinct
+            FROM h GROUP BY event_type
+        )
+        SELECT event_type, exact_distinct,
+               CASE WHEN len(mins) < 64 THEN CAST(exact_distinct AS DOUBLE)
+                    ELSE CAST(63 AS DOUBLE)
+                         / (CAST(CAST('0x' || substr(mins[64], 1, 8) AS BIGINT) AS DOUBLE)
+                            / 4294967296.0)
+               END AS kmv_estimate
+        FROM g
+    """,
+    "text_vocab_topk": f"""
+        SELECT tok, COUNT(*) AS tf, COUNT(DISTINCT doc_id) AS df
+        FROM (SELECT doc_id, unnest({tokens_sql('text')}) AS tok FROM documents)
+        GROUP BY tok
+        ORDER BY tf DESC, tok
+        LIMIT 50
+    """,
+    "pivot_events": """
+        SELECT strftime(ts, '%Y-%m-%d') AS day,
+               COUNT(CASE WHEN event_type = 'click' THEN 1 END) AS click,
+               COUNT(CASE WHEN event_type = 'error' THEN 1 END) AS error,
+               COUNT(CASE WHEN event_type = 'purchase' THEN 1 END) AS purchase,
+               COUNT(CASE WHEN event_type = 'signup' THEN 1 END) AS signup,
+               COUNT(CASE WHEN event_type = 'view' THEN 1 END) AS view
+        FROM events GROUP BY 1
+    """,
+    "text_sentiment": textops.lexicon_sentiment_sql("documents", "doc_id", "text"),
 }

@@ -20,8 +20,10 @@ def test_every_oracle_has_a_query():
 
 def test_rows_only_set_is_intentional():
     # only genuinely non-SQL-expressible ops may skip the oracle
+    # (r4: cluster_embeddings' slot upgraded to the oracle-checked
+    # semantic_dedup; KMeans itself is pytest-pinned)
     rows_only = set(suite.QUERIES) - set(suite.ORACLES)
-    assert rows_only == {"cluster_embeddings", "ann_lsh_neardup"}, rows_only
+    assert rows_only == {"ann_lsh_neardup"}, rows_only
 
 
 def test_no_duplicate_output_aliases(spark, sf_dir):

@@ -161,3 +161,32 @@ def test_incremental_id_a_is_always_new(spark, sf_dir):
         new, sig_old, "doc_id", "text"
     ).collect():
         assert r["id_a"] in new_ids
+
+
+def test_incremental_match_oracle_parity(spark, sf_dir):
+    """The incremental matcher == its DuckDB twin, bit-exact (same md5
+    signature arithmetic, same banding, same matching-fraction
+    estimator) — the same compare the driver gate applies."""
+    from etl_pack_spark.operators.tokenize import shingle_rows
+    from etl_pack_spark.oracle import duck_connect
+
+    docs = read_table(spark, sf_dir, "documents")
+    old = docs.where(F.col("doc_id") % 5 != 0)
+    new = docs.where(F.col("doc_id") % 5 == 0)
+    sig_old = neardup.minhash_signature(
+        shingle_rows(old, "doc_id", "text", 3, distinct=False), "doc_id"
+    )
+    got = sorted(
+        (r["id_a"], r["id_b"], r["est_jaccard"])
+        for r in neardup.minhash_match_incremental(
+            new, sig_old, "doc_id", "text"
+        ).collect()
+    )
+    con = duck_connect(sf_dir)
+    want = sorted(map(tuple, con.execute(neardup.minhash_match_incremental_sql(
+        "(SELECT * FROM documents WHERE doc_id % 5 <> 0)",
+        "(SELECT * FROM documents WHERE doc_id % 5 = 0)",
+        "doc_id", "text",
+    )).fetchall()))
+    assert got == want
+    assert len(got) > 0

@@ -174,3 +174,96 @@ def test_budget_select_exact_boundary(spark):
     )
     got2 = sorted(r["doc_id"] for r in budget_select(df2, 20, "quality", "n_tokens").collect())
     assert got2 == [10, 11]
+
+
+class TestGroupedSplit:
+    """Leakage-safe split: near-dup cluster members share one split."""
+
+    def _pairs(self, spark, sf_dir):
+        from etl_pack_spark.operators import neardup
+        from etl_pack_spark.sources.reader import read_table
+
+        docs = read_table(spark, sf_dir, "documents")
+        return docs, neardup.simhash_neardup_pairs(
+            docs, "doc_id", "text"
+        ).select("id_a", "id_b")
+
+    def test_oracle_parity(self, spark, sf_dir):
+        from etl_pack_spark.operators.sampling import (
+            grouped_split_assign,
+            grouped_split_sql,
+        )
+        from etl_pack_spark.operators.neardup import simhash_neardup_pairs_sql
+        from etl_pack_spark.oracle import duck_connect
+
+        docs, pairs = self._pairs(spark, sf_dir)
+        got = sorted(
+            (r["doc_id"], r["cluster_id"], r["split"])
+            for r in grouped_split_assign(
+                docs.select("doc_id", "lang"), pairs
+            ).select("doc_id", "cluster_id", "split").collect()
+        )
+        con = duck_connect(sf_dir)
+        want = sorted(map(tuple, con.execute(grouped_split_sql(
+            "(SELECT doc_id, lang FROM documents)",
+            f"SELECT id_a, id_b FROM ({simhash_neardup_pairs_sql('documents', 'doc_id', 'text')})",
+            select="d.doc_id",
+        )).fetchall()))
+        assert got == want
+        assert len(got) == docs.count()
+
+    def test_cluster_members_share_split(self, spark, sf_dir):
+        from pyspark.sql import functions as F
+
+        from etl_pack_spark.operators.sampling import grouped_split_assign
+
+        docs, pairs = self._pairs(spark, sf_dir)
+        out = grouped_split_assign(docs, pairs)
+        bad = (
+            out.groupBy("cluster_id")
+            .agg(F.countDistinct("split").alias("k"))
+            .where(F.col("k") > 1)
+            .count()
+        )
+        assert bad == 0
+        # and the near-dup edges themselves never straddle splits
+        s = out.select("doc_id", "split")
+        joined = (
+            pairs.join(s.withColumnsRenamed({"doc_id": "id_a", "split": "sa"}), "id_a")
+            .join(s.withColumnsRenamed({"doc_id": "id_b", "split": "sb"}), "id_b")
+        )
+        assert joined.where(F.col("sa") != F.col("sb")).count() == 0
+        # all three splits exist and every doc is assigned exactly once
+        assert out.count() == docs.count()
+        assert {r["split"] for r in out.select("split").distinct().collect()} == {
+            "train", "val", "test"
+        }
+
+    def test_append_stable_for_unmerged_groups(self, spark, sf_dir):
+        """Splitting half the corpus, then the whole corpus, gives the
+        same assignment for groups whose membership didn't change."""
+        from pyspark.sql import functions as F
+
+        from etl_pack_spark.operators.sampling import grouped_split_assign
+
+        docs, pairs = self._pairs(spark, sf_dir)
+        half_docs = docs.where(F.col("doc_id") % 2 == 0)
+        half_ids = {r["doc_id"] for r in half_docs.select("doc_id").collect()}
+        half_pairs = pairs.where(
+            F.col("id_a").isin(half_ids) & F.col("id_b").isin(half_ids)
+        )
+        first = {
+            r["doc_id"]: (r["cluster_id"], r["split"])
+            for r in grouped_split_assign(half_docs, half_pairs).collect()
+        }
+        full = {
+            r["doc_id"]: (r["cluster_id"], r["split"])
+            for r in grouped_split_assign(docs, pairs).collect()
+        }
+        moved = {
+            d for d, v in first.items()
+            # a doc may move ONLY if its cluster changed (an edge to an
+            # odd doc merged its group)
+            if full[d] != v and full[d][0] == v[0]
+        }
+        assert moved == set()

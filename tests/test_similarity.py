@@ -125,3 +125,20 @@ def test_semantic_dedup_repartition_stable(spark, sf_dir):
     b = sorted(map(tuple, similarity.semantic_dedup(
         emb.repartition(11), threshold=0.4).collect()))
     assert a == b
+
+
+def test_kmeans_cluster_embeddings_pin(spark, sf_dir):
+    """The iterative KMeans path (retired from the driver registry when
+    semantic_dedup took the slot) stays pinned: fixed seed, k clusters,
+    every vector assigned, deterministic within a session."""
+    from etl_pack_spark.suite import q_cluster_embeddings
+
+    out = q_cluster_embeddings(spark, sf_dir).toPandas()
+    n = read_table(spark, sf_dir, "embeddings").count()
+    assert len(out) == n
+    assert out["vec_id"].nunique() == n
+    assert 1 < out["cluster"].nunique() <= 10
+    again = q_cluster_embeddings(spark, sf_dir).toPandas()
+    assert sorted(map(tuple, out.values.tolist())) == sorted(
+        map(tuple, again.values.tolist())
+    )
