@@ -127,10 +127,25 @@ def _lib_extra_queries():
         total = docs.agg(F.sum("n_chars")).collect()[0][0] or 0
         return budget_select(docs, int(total * 0.3), "n_chars", "n_chars")
 
+    def _html(spark, sf_dir):
+        from etl_pack_spark.operators.cleaning import html_strip
+
+        return html_strip(read_table(spark, sf_dir, "documents"), "doc_id", "text")
+
+    def _cap(spark, sf_dir):
+        from etl_pack_spark.operators.sampling import domain_cap
+
+        docs = read_table(spark, sf_dir, "documents").select(
+            "doc_id", "source", "n_chars"
+        )
+        return domain_cap(docs, "doc_id", "source", "n_chars", max_per_domain=40)
+
     return {
         "lib_semantic_dedup": _semdedup,
         "lib_repeated_ngram_spans": _spans,
         "lib_budget_select": _budget,
+        "lib_html_strip": _html,
+        "lib_domain_cap": _cap,
     }
 
 

@@ -377,3 +377,84 @@ def dedup_lines_sql(
     FROM (SELECT {id_col} AS id, {text_col} FROM {table}) b
     LEFT JOIN rebuilt r ON r.id = b.id
     """
+
+
+# ---------------------------------------------------------------------------
+# HTML stripping (web-corpus prep: CommonCrawl-style WET extraction —
+# the step BEFORE the C4 line/doc gates)
+# ---------------------------------------------------------------------------
+
+# block-level closers become newlines BEFORE tag stripping so the line
+# structure the C4 gates operate on survives extraction
+_HTML_BLOCK_RE = r"(?i)<(?:br\s*/?|/p|/div|/li|/tr|/h[1-6]|/blockquote)>"
+# no backreference (RE2 has none): a crossed pair like
+# <script>…</style> closes at the FIRST closer on both engines —
+# identical, and close enough for tag soup
+_HTML_DROP_RE = r"(?is)<(?:script|style)[^>]*>.*?</(?:script|style)\s*>"
+_HTML_TAG_RE = r"(?s)<[^>]*>"
+_HTML_COMMENT_RE = r"(?s)<!--.*?-->"
+# the handful of entities that dominate real HTML; a full entity table
+# is a locale/library concern, not an engine one
+_ENTITIES = [
+    ("&nbsp;", " "), ("&amp;", "&"), ("&lt;", "<"), ("&gt;", ">"),
+    ("&quot;", '"'), ("&#39;", "'"),
+]
+
+
+def html_strip(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Extract readable text from HTML: drop script/style/comment
+    blocks, turn block-level tag boundaries into newlines, strip the
+    remaining tags (as spaces, preserving word boundaries), decode the
+    common entities, collapse horizontal whitespace per line, and drop
+    blank lines. Returns ``(id, text_clean, n_lines)``.
+
+    Map-only — a chain of ``regexp_replace``/``replace`` expressions
+    inside whole-stage codegen; no shuffle, no Python. Regexes stay in
+    the Java∩RE2 common subset so the DuckDB twin is exact.
+    """
+    x = F.col(text_col)
+    x = F.regexp_replace(x, _HTML_COMMENT_RE, " ")
+    x = F.regexp_replace(x, _HTML_DROP_RE, " ")
+    x = F.regexp_replace(x, _HTML_BLOCK_RE, "\n")
+    x = F.regexp_replace(x, _HTML_TAG_RE, " ")
+    for src, dst in _ENTITIES:
+        x = F.replace(x, F.lit(src), F.lit(dst))
+    # per-line: collapse runs of spaces/tabs, trim, drop empty lines
+    x = F.regexp_replace(x, r"[ \t\x0b\f\r]+", " ")
+    lines = F.expr(
+        "filter(transform(split(__x, '\\n'), l -> trim(l)), l -> l != '')"
+    )
+    return (
+        df.select(F.col(id_col).alias("id"), x.alias("__x"))
+        .select(
+            "id",
+            F.array_join(lines, "\n").alias("text_clean"),
+            F.size(lines).alias("n_lines"),
+        )
+    )
+
+
+def html_strip_sql(table: str, id_col: str, text_col: str) -> str:
+    """DuckDB oracle twin of :func:`html_strip` — same regex chain
+    (RE2 'g' flag == Spark's replace-all default), same entity list,
+    same line collapse."""
+    x = text_col
+    x = f"regexp_replace({x}, '{_HTML_COMMENT_RE}', ' ', 'g')"
+    x = f"regexp_replace({x}, '{_HTML_DROP_RE}', ' ', 'g')"
+    x = f"regexp_replace({x}, '{_HTML_BLOCK_RE}', chr(10), 'g')"
+    x = f"regexp_replace({x}, '{_HTML_TAG_RE}', ' ', 'g')"
+    for src, dst in _ENTITIES:
+        d = dst.replace("'", "''")
+        x = f"replace({x}, '{src}', '{d}')"
+    x = f"regexp_replace({x}, '[ \\t\\x0b\\f\\r]+', ' ', 'g')"
+    lines = f"list_filter(list_transform(string_split({x}, chr(10)), l -> trim(l)), l -> l != '')"
+    return f"""
+    SELECT {id_col} AS id,
+           -- DuckDB array_to_string([]) is NULL where Spark's
+           -- array_join is '' — restore '' for non-NULL input
+           COALESCE(array_to_string({lines}, chr(10)),
+                    CASE WHEN {text_col} IS NULL THEN NULL ELSE '' END
+           ) AS text_clean,
+           len({lines}) AS n_lines
+    FROM {table}
+    """

@@ -377,3 +377,67 @@ def grouped_split_sql(
           ON d.{id_col} = c.id
     )"""
     return split_assign_sql(base, "cluster_id", splits, seed, select="*")
+
+
+def domain_cap(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    domain_col: str = "source",
+    score_col: str | None = None,
+    max_per_domain: int = 100,
+) -> DataFrame:
+    """Per-domain quota: keep at most ``max_per_domain`` docs per
+    ``domain_col``, preferring high ``score_col`` (ties and the
+    unscored case break on ascending id — fully deterministic). The
+    C4/Gopher-style cap that stops a single crawled site from
+    dominating the mixture.
+
+    Scale shape: a naive ``row_number() OVER (PARTITION BY domain)``
+    funnels a megadomain's every row through ONE task. This runs the
+    standard two-phase top-N instead: phase 1 ranks within (domain,
+    input partition) — per-task state bounded by the scan partition —
+    and keeps at most ``max_per_domain`` per pair, so the one domain
+    shuffle in phase 2 carries ≤ cap × n_partitions rows per domain,
+    not the domain's full row count. Top-N of per-partition top-Ns ==
+    global top-N because the order key is total (score DESC, id ASC).
+    Returns the input columns + ``domain_rank`` (1-based).
+    """
+    order = (
+        [F.col(score_col).desc(), F.col(id_col).asc()]
+        if score_col
+        else [F.col(id_col).asc()]
+    )
+    w_local = Window.partitionBy(
+        F.col(domain_col), F.spark_partition_id()
+    ).orderBy(*order)
+    survivors = (
+        df.withColumn("__lr", F.row_number().over(w_local))
+        .where(F.col("__lr") <= max_per_domain)
+        .drop("__lr")
+    )
+    w_global = Window.partitionBy(domain_col).orderBy(*order)
+    return (
+        survivors.withColumn("domain_rank", F.row_number().over(w_global))
+        .where(F.col("domain_rank") <= max_per_domain)
+    )
+
+
+def domain_cap_sql(
+    table: str,
+    id_col: str = "doc_id",
+    domain_col: str = "source",
+    score_col: str | None = None,
+    max_per_domain: int = 100,
+    select: str = "*",
+) -> str:
+    """Oracle twin of :func:`domain_cap` — the naive global window the
+    two-phase decomposition must equal exactly."""
+    order = f"{score_col} DESC, {id_col} ASC" if score_col else f"{id_col} ASC"
+    return f"""
+    SELECT {select} FROM (
+        SELECT *, CAST(ROW_NUMBER() OVER (
+            PARTITION BY {domain_col} ORDER BY {order}
+        ) AS INTEGER) AS domain_rank
+        FROM {table}
+    ) WHERE domain_rank <= {max_per_domain}
+    """

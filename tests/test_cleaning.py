@@ -216,3 +216,70 @@ def test_dedup_lines_oracle_parity(spark):
     assert len(got) == len(want) == 40
     for c in ["text_clean", "n_lines", "n_kept"]:
         assert (got[c].values == want[c].values).all(), c
+
+
+class TestHtmlStrip:
+    HTML_DOCS = [
+        (1, "<html><head><style>p {color:red}</style></head>"
+            "<body><h1>Title</h1><p>First   paragraph &amp; more.</p>"
+            "<p>Second&nbsp;one</p><script>var x = '<p>';</script>"
+            "<!-- a comment --><div>tail</div></body></html>"),
+        (2, "plain text, no markup"),
+        (3, "<ul><li>a</li><li>b</li></ul><br/>c &lt;tag&gt; &quot;q&quot; &#39;s&#39;"),
+        (4, ""),
+        (5, None),
+        (6, "<SCRIPT TYPE='text/js'>nested <b>bold</b></SCRIPT>after"),
+    ]
+
+    def _frames(self, spark):
+        import pandas as pd
+
+        pdf = pd.DataFrame(self.HTML_DOCS, columns=["doc_id", "text"])
+        sdf = spark.createDataFrame(pdf.astype(object).where(pd.notnull(pdf), None),
+                                    "doc_id long, text string")
+        return pdf, sdf
+
+    def test_oracle_parity_on_synthetic_html(self, spark):
+        import duckdb
+
+        from etl_pack_spark.operators.cleaning import html_strip, html_strip_sql
+
+        pdf, sdf = self._frames(spark)
+        got = sorted(map(tuple, html_strip(sdf, "doc_id", "text").collect()))
+        con = duckdb.connect()
+        con.register("html_docs", pdf)
+        want = sorted(map(tuple, con.execute(
+            html_strip_sql("html_docs", "doc_id", "text")).fetchall()))
+        assert got == want
+
+    def test_extraction_semantics(self, spark):
+        from etl_pack_spark.operators.cleaning import html_strip
+
+        _, sdf = self._frames(spark)
+        out = {r["id"]: (r["text_clean"], r["n_lines"])
+               for r in html_strip(sdf, "doc_id", "text").collect()}
+        assert out[1] == ("Title\nFirst paragraph & more.\nSecond one\ntail", 4)
+        assert out[2] == ("plain text, no markup", 1)
+        assert out[3] == ("a\nb\nc <tag> \"q\" 's'", 3)
+        assert out[4] == ("", 0)
+        assert out[5] == (None, None)          # NULL passes through
+        assert out[6] == ("after", 1)          # case-insensitive script drop
+
+    def test_fixture_docs_are_nop(self, spark, sf_dir):
+        """The fixture corpus has no markup: stripping == whitespace
+        collapse, so every doc survives with its token content."""
+        from etl_pack_spark.operators.cleaning import html_strip
+        from etl_pack_spark.sources.reader import read_table
+
+        docs = read_table(spark, sf_dir, "documents")
+        out = html_strip(docs, "doc_id", "text")
+        assert out.count() == docs.count()
+
+    def test_map_only_plan(self, spark, sf_dir):
+        from etl_pack_spark.operators.cleaning import html_strip
+        from etl_pack_spark.sources.reader import read_table
+
+        docs = read_table(spark, sf_dir, "documents")
+        plan = html_strip(docs, "doc_id", "text")._jdf.queryExecution().executedPlan().toString()
+        assert "Exchange" not in plan
+        assert "BatchEvalPython" not in plan

@@ -267,3 +267,63 @@ class TestGroupedSplit:
             if full[d] != v and full[d][0] == v[0]
         }
         assert moved == set()
+
+
+class TestDomainCap:
+    def test_oracle_parity(self, spark, sf_dir):
+        from etl_pack_spark.operators.sampling import domain_cap, domain_cap_sql
+        from etl_pack_spark.oracle import duck_connect
+        from etl_pack_spark.sources.reader import read_table
+
+        docs = read_table(spark, sf_dir, "documents").select(
+            "doc_id", "source", "n_chars"
+        )
+        got = sorted(map(tuple, domain_cap(
+            docs, "doc_id", "source", "n_chars", max_per_domain=40
+        ).collect()))
+        want = sorted(map(tuple, duck_connect(sf_dir).execute(domain_cap_sql(
+            "(SELECT doc_id, source, n_chars FROM documents)",
+            "doc_id", "source", "n_chars", max_per_domain=40,
+        )).fetchall()))
+        assert got == want
+        assert len(got) > 0
+
+    def test_cap_holds_and_keeps_best(self, spark):
+        from pyspark.sql import functions as F
+
+        from etl_pack_spark.operators.sampling import domain_cap
+
+        rows = [(i, "big" if i < 100 else "small", float(i)) for i in range(110)]
+        df = spark.createDataFrame(rows, "doc_id long, source string, score double")
+        out = domain_cap(df, "doc_id", "source", "score", max_per_domain=5)
+        by_dom = {
+            r["source"]: r["n"]
+            for r in out.groupBy("source").agg(F.count("*").alias("n")).collect()
+        }
+        assert by_dom == {"big": 5, "small": 5}
+        # the big domain keeps its TOP scores (95..99), rank 1 = best
+        kept = {r["doc_id"]: r["domain_rank"] for r in out.where(
+            F.col("source") == "big").collect()}
+        assert set(kept) == {95, 96, 97, 98, 99}
+        assert kept[99] == 1
+
+    def test_repartition_invariant(self, spark, sf_dir):
+        from etl_pack_spark.operators.sampling import domain_cap
+        from etl_pack_spark.sources.reader import read_table
+
+        docs = read_table(spark, sf_dir, "documents").select(
+            "doc_id", "source", "n_chars"
+        )
+        a = sorted(map(tuple, domain_cap(docs, "doc_id", "source", "n_chars", 40).collect()))
+        b = sorted(map(tuple, domain_cap(
+            docs.repartition(13), "doc_id", "source", "n_chars", 40).collect()))
+        assert a == b
+
+    def test_unscored_falls_back_to_id_order(self, spark):
+        from etl_pack_spark.operators.sampling import domain_cap
+
+        rows = [(i, "d") for i in range(10)]
+        df = spark.createDataFrame(rows, "doc_id long, source string")
+        got = sorted(r["doc_id"] for r in domain_cap(
+            df, "doc_id", "source", None, max_per_domain=3).collect())
+        assert got == [0, 1, 2]
