@@ -140,12 +140,18 @@ def _lib_extra_queries():
         )
         return domain_cap(docs, "doc_id", "source", "n_chars", max_per_domain=40)
 
+    def _norm(spark, sf_dir):
+        from etl_pack_spark.operators.textops import normalize_text
+
+        return normalize_text(read_table(spark, sf_dir, "documents"), "doc_id", "text")
+
     return {
         "lib_semantic_dedup": _semdedup,
         "lib_repeated_ngram_spans": _spans,
         "lib_budget_select": _budget,
         "lib_html_strip": _html,
         "lib_domain_cap": _cap,
+        "lib_normalize_text": _norm,
     }
 
 

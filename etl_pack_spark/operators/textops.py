@@ -8,6 +8,7 @@ divisions and therefore bit-identical cross-engine.
 
 from __future__ import annotations
 
+import pandas as pd
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
@@ -636,3 +637,53 @@ def unigram_logprob_sql(table: str, id_col: str, text_col: str, alpha: float = 1
     FROM tk JOIN model USING (tok)
     GROUP BY {id_col}
     """
+
+
+# ---------------------------------------------------------------------------
+# Unicode canonicalization (corpus normalization pass: run BEFORE any
+# hashing/dedup so byte-different, canonically-equal text coincides)
+# ---------------------------------------------------------------------------
+
+# C0/C1 control chars except \t and \n (after newline canonicalization)
+_CTRL_RE = r"[\x00-\x08\x0b\x0c\x0e-\x1f\x7f]"
+
+
+def normalize_text(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Canonicalize ``text_col``: newline forms → ``\\n``, control
+    chars stripped, then Unicode NFC composition. Returns ``(id,
+    text_norm)``, NULLs passed through.
+
+    Why: exact/near-dup hashing treats ``é`` (composed) and ``é``
+    (e + combining accent) as different documents; normalizing first
+    makes canonical equality literal equality. The newline/control
+    steps are JVM-side ``regexp_replace`` (codegen); only the NFC
+    composition itself needs Python — Spark has no Unicode-
+    normalization expression — and runs as ONE Arrow-batched pandas
+    UDF (never per-row Python). Map-only, no shuffle.
+
+    Cross-engine note: the DuckDB twin's ``nfc_normalize`` (utf8proc)
+    and CPython's ``unicodedata`` implement the same Unicode standard;
+    divergence would need a UCD version skew on freshly-assigned
+    codepoints — not a property of corpus text.
+    """
+    @F.pandas_udf("string")
+    def _nfc(s: pd.Series) -> pd.Series:
+        import unicodedata
+
+        return s.map(
+            lambda t: unicodedata.normalize("NFC", t) if t is not None else None
+        )
+
+    x = F.col(text_col)
+    x = F.regexp_replace(x, r"\r\n|\r", "\n")
+    x = F.regexp_replace(x, _CTRL_RE, "")
+    return df.select(F.col(id_col).alias("id"), _nfc(x).alias("text_norm"))
+
+
+def normalize_text_sql(table: str, id_col: str, text_col: str) -> str:
+    """DuckDB oracle twin of :func:`normalize_text` — same newline and
+    control-char steps, utf8proc NFC."""
+    x = text_col
+    x = f"regexp_replace({x}, '\\r\\n|\\r', chr(10), 'g')"
+    x = f"regexp_replace({x}, '{_CTRL_RE}', '', 'g')"
+    return f"SELECT {id_col} AS id, nfc_normalize({x}) AS text_norm FROM {table}"

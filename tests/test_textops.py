@@ -274,3 +274,72 @@ def test_ppl_bucket_split_keeps_zero_token_docs(spark):
         ppl_bucket_split_sql("documents_ppl", "doc_id", "text")
     ).fetchall()}
     assert got == want
+
+
+class TestNormalizeText:
+    ROWS = [
+        (1, "café"),                       # composed already
+        (2, "café"),                      # e + combining acute -> composes
+        (3, "a\r\nb\rc\nd"),                    # newline forms
+        (4, "x\x00y\x1fz\x7f"),                 # control chars stripped
+        (5, "tab\tkeeps\nnewline keeps"),
+        (6, None),
+        (7, "ＡA"),                    # fullwidth A stays distinct under NFC
+    ]
+
+    def _frames(self, spark):
+        import pandas as pd
+
+        pdf = pd.DataFrame(self.ROWS, columns=["doc_id", "text"])
+        sdf = spark.createDataFrame(
+            pdf.astype(object).where(pd.notnull(pdf), None),
+            "doc_id long, text string",
+        )
+        return pdf, sdf
+
+    def test_oracle_parity_synthetic(self, spark):
+        import duckdb
+
+        from etl_pack_spark.operators.textops import normalize_text, normalize_text_sql
+
+        pdf, sdf = self._frames(spark)
+        got = sorted(map(tuple, normalize_text(sdf, "doc_id", "text").collect()))
+        con = duckdb.connect()
+        con.register("t", pdf)
+        want = sorted(map(tuple, con.execute(
+            normalize_text_sql("t", "doc_id", "text")).fetchall()))
+        assert got == want
+
+    def test_oracle_parity_fixture(self, spark, sf_dir):
+        from etl_pack_spark.operators.textops import normalize_text, normalize_text_sql
+        from etl_pack_spark.oracle import duck_connect
+        from etl_pack_spark.sources.reader import read_table
+
+        docs = read_table(spark, sf_dir, "documents")
+        got = sorted(map(tuple, normalize_text(docs, "doc_id", "text").collect()))
+        want = sorted(map(tuple, duck_connect(sf_dir).execute(
+            normalize_text_sql("documents", "doc_id", "text")).fetchall()))
+        assert got == want
+        assert len(got) == docs.count()
+
+    def test_semantics(self, spark):
+        from etl_pack_spark.operators.textops import normalize_text
+
+        _, sdf = self._frames(spark)
+        out = {r["id"]: r["text_norm"] for r in normalize_text(sdf, "doc_id", "text").collect()}
+        assert out[1] == out[2] == "café"    # canonical equality -> literal
+        assert out[3] == "a\nb\nc\nd"
+        assert out[4] == "xyz"
+        assert out[5] == "tab\tkeeps\nnewline keeps"
+        assert out[6] is None
+        assert out[7] == "ＡA"           # NFC (not NFKC): compatibility kept
+
+    def test_arrow_not_row_python(self, spark, sf_dir):
+        from etl_pack_spark.operators.textops import normalize_text
+        from etl_pack_spark.sources.reader import read_table
+
+        docs = read_table(spark, sf_dir, "documents")
+        plan = normalize_text(docs, "doc_id", "text")._jdf.queryExecution().executedPlan().toString()
+        assert "BatchEvalPython" not in plan      # no per-row Python
+        assert "ArrowEvalPython" in plan          # the NFC step, Arrow-batched
+        assert "Exchange" not in plan             # map-only
