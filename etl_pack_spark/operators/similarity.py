@@ -733,3 +733,50 @@ def semantic_dedup_sql(
     LEFT JOIN dropped d ON s.{id_col} = d.{id_col}
     WHERE d.{id_col} IS NULL
     """
+
+
+def lsh_neardup_pairs_sql(
+    table: str,
+    dims: int = DIMS,
+    id_col: str = "vec_id",
+    vec: str = "embedding",
+    planes: int = 4,
+    tables: int = 4,
+    threshold: float = 0.95,
+) -> str:
+    """DuckDB oracle twin of :func:`lsh_neardup_pairs`. "Approximate"
+    here means recall < 1 vs brute force — the computation itself is
+    fully deterministic: hyperplanes are md5-derived dyadic rationals
+    (exact doubles), the projection sums are the same left-associative
+    ``+`` chains on both engines, and the re-rank cosine is the strict
+    left-fold dot — so the pair set hash-matches bit-exactly."""
+
+    def key_sql(t: int) -> str:
+        bits = []
+        for p in range(t * planes, (t + 1) * planes):
+            terms = " + ".join(
+                f"(CAST(v[{d + 1}] AS DOUBLE) * ({_hyperplane_expr(p, d)}))"
+                for d in range(dims)
+            )
+            bits.append(f"CASE WHEN ({terms}) >= 0 THEN '1' ELSE '0' END")
+        return "concat(" + ", ".join(bits) + ")"
+
+    banded = "\n        UNION ALL\n".join(
+        f"        SELECT id, v, nrm, {t} AS tbl, {key_sql(t)} AS bucket FROM n"
+        for t in range(tables)
+    )
+    return f"""
+    WITH n AS (
+        SELECT {id_col} AS id, {vec} AS v,
+               sqrt({_dot_sql(vec, vec, dims)}) AS nrm
+        FROM {table}
+    ),
+    banded AS (
+{banded}
+    )
+    SELECT DISTINCT a.id AS id_a, b.id AS id_b,
+           {_dot_sql('a.v', 'b.v', dims)} / (a.nrm * b.nrm) AS cos_sim
+    FROM banded a JOIN banded b
+      ON a.tbl = b.tbl AND a.bucket = b.bucket AND a.id < b.id
+    WHERE {_dot_sql('a.v', 'b.v', dims)} / (a.nrm * b.nrm) >= {threshold}
+    """

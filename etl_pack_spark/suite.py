@@ -670,7 +670,10 @@ def q_ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q_ann_lsh_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Scale-path ANN: hyperplane-LSH buckets + exact re-rank inside.
-    Approximate by design → rows-only check (no oracle)."""
+    "Approximate" = recall < 1 vs brute force; the computation itself
+    is deterministic (md5-derived hyperplanes, left-fold sums), so
+    since r4 it IS oracle-checked — the twin replicates the bucketing
+    bit-exactly. Last rows-only slot retired; registry is 50/50."""
     emb = read_table(spark, sf_dir, "embeddings")
     return similarity.lsh_neardup_pairs(emb, dims=64, planes=4, tables=6, threshold=0.4)
 
@@ -1377,7 +1380,11 @@ ORACLES: dict[str, str] = {
     "dedup_simhash_pairs": neardup.simhash_neardup_pairs_sql("documents", "doc_id", "text"),
     "neardup_embedding": similarity.cosine_neardup_pairs_sql("embeddings", threshold=0.4),
     "ann_cosine_topk": similarity.cosine_topk_sql("embeddings", "vec_id < 50"),
-    # ann_lsh_neardup: approximate by design → rows-only check
+    # "approximate" = sub-unit recall, NOT nondeterminism: the md5
+    # hyperplanes + left-fold sums replicate bit-exactly (r4)
+    "ann_lsh_neardup": similarity.lsh_neardup_pairs_sql(
+        "embeddings", dims=64, planes=4, tables=6, threshold=0.4
+    ),
     "ann_ivf_topk": similarity.ivf_topk_sql("embeddings"),
     "sample_stratified_docs": sampling.stratified_sample_sql(
         "documents", "doc_id", "lang", SAMPLE_FRACTIONS,

@@ -19,11 +19,12 @@ def test_every_oracle_has_a_query():
 
 
 def test_rows_only_set_is_intentional():
-    # only genuinely non-SQL-expressible ops may skip the oracle
-    # (r4: cluster_embeddings' slot upgraded to the oracle-checked
-    # semantic_dedup; KMeans itself is pytest-pinned)
+    # r4: every registry entry is oracle-checked — cluster_embeddings'
+    # slot upgraded to semantic_dedup, and ann_lsh_neardup gained a
+    # bit-exact twin (md5 hyperplanes are deterministic; "approximate"
+    # only means sub-unit recall vs brute force)
     rows_only = set(suite.QUERIES) - set(suite.ORACLES)
-    assert rows_only == {"ann_lsh_neardup"}, rows_only
+    assert rows_only == set(), rows_only
 
 
 def test_no_duplicate_output_aliases(spark, sf_dir):

@@ -142,3 +142,21 @@ def test_kmeans_cluster_embeddings_pin(spark, sf_dir):
     assert sorted(map(tuple, out.values.tolist())) == sorted(
         map(tuple, again.values.tolist())
     )
+
+
+def test_lsh_neardup_oracle_parity(spark, sf_dir):
+    """The hyperplane-LSH pair set matches the DuckDB twin bit-exactly:
+    md5-derived hyperplane coefficients are dyadic rationals, the
+    projection sums share one left-associative order, and the re-rank
+    cosine is the strict left-fold dot."""
+    from etl_pack_spark.oracle import duck_connect
+
+    emb = read_table(spark, sf_dir, "embeddings")
+    got = sorted(map(tuple, similarity.lsh_neardup_pairs(
+        emb, dims=64, planes=4, tables=6, threshold=0.4).collect()))
+    want = sorted(map(tuple, duck_connect(sf_dir).execute(
+        similarity.lsh_neardup_pairs_sql(
+            "embeddings", dims=64, planes=4, tables=6, threshold=0.4
+        )).fetchall()))
+    assert got == want
+    assert len(got) > 0
