@@ -241,3 +241,88 @@ def dedup_stream(events: DataFrame, key_cols: list[str], watermark: str = "2 hou
     if events.isStreaming:
         return events.withWatermark("ts", watermark).dropDuplicatesWithinWatermark(key_cols)
     return events.dropDuplicates(key_cols)
+
+
+def stream_neardup_ingest(
+    spark: SparkSession,
+    source_dir: str,
+    store_path: str,
+    matches_path: str,
+    checkpoint: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 3,
+    num_hashes: int = 16,
+    bands: int = 8,
+    min_est: float = 0.5,
+) -> int:
+    """Near-dup-on-ingest under ``availableNow``: each micro-batch of
+    new documents is matched against the persisted minhash signature
+    STORE (old corpus text is never rescanned — the store is the only
+    state, ~128 B/doc), matches appended to ``matches_path``, and the
+    batch's own signatures appended to the store so later batches and
+    firings see them. The reference's cron-incremental posture
+    (provider.go:69-87) lifted from exact-hash to near-dup.
+
+    Invariant (pinned in tests/test_streaming.py): streaming the
+    corpus in over ANY sequence of firings/micro-batches yields, as
+    distinct unordered pairs, exactly the pairs a full batch
+    self-match reports — every pair is new-new within some batch or
+    new-old across batches, and the estimator is a pure function of
+    the two signatures.
+
+    Delivery semantics: the store is exactly-once on CONTENT — a
+    replayed batch's signatures are absorbed by the anti-join (its ids
+    are already in the store) plus ``dropDuplicates`` on read, the
+    same idempotence argument as the exact-dedup flagship. The matches
+    sink is at-least-once (replays can append the same pair twice);
+    readers take ``DISTINCT``, which is total because (id_a, id_b,
+    est_jaccard) is deterministic.
+    """
+    import os
+
+    from etl_pack_spark.operators.neardup import (
+        minhash_match_incremental,
+        minhash_signature,
+    )
+    from etl_pack_spark.operators.tokenize import shingle_rows
+
+    schema = spark.read.parquet(source_dir).schema
+
+    def fold(batch_df: DataFrame, batch_id: int) -> None:
+        sess = batch_df.sparkSession
+        batch = batch_df.select(id_col, text_col)
+        sig_batch = minhash_signature(
+            shingle_rows(batch, id_col, text_col, k, distinct=False),
+            id_col,
+            num_hashes,
+        )
+        if os.path.exists(store_path):
+            sig_old = (
+                sess.read.parquet(store_path)
+                .dropDuplicates([id_col])
+                # replay absorber: a batch whose signatures already
+                # landed must not self-match against them
+                .join(batch.select(id_col), id_col, "left_anti")
+            )
+        else:
+            sig_old = sig_batch.limit(0)
+        matches = minhash_match_incremental(
+            batch, sig_old, id_col, text_col,
+            k=k, num_hashes=num_hashes, bands=bands, min_est=min_est,
+        )
+        matches.write.mode("append").parquet(matches_path)
+        # append AFTER the match (the match plan reads the pre-batch store)
+        sig_batch.write.mode("append").parquet(store_path)
+
+    stream = spark.readStream.schema(schema).parquet(source_dir)
+    query = (
+        stream.writeStream.foreachBatch(fold)
+        .trigger(availableNow=True)
+        .option("checkpointLocation", checkpoint)
+        .start()
+    )
+    query.awaitTermination()
+    n = len(query.recentProgress)
+    query.stop()
+    return n

@@ -283,3 +283,71 @@ def test_stream_cdc_apply_recovers_interrupted_swap(spark, tmp_path):
     # pre-existing key 9 survives: the fold saw the RESTORED target
     assert got == {(1, "a2"), (9, "keep")}
     assert not os.path.exists(tgt + ".bak")
+
+
+class TestStreamNeardupIngest:
+    def _write_half(self, spark, sf_dir, src, pred):
+        from pyspark.sql import functions as F
+
+        from etl_pack_spark.sources.reader import read_table
+
+        docs = read_table(spark, sf_dir, "documents").select("doc_id", "text")
+        docs.where(pred(F.col("doc_id"))).write.mode("append").parquet(src)
+
+    def test_streamed_ingest_equals_full_batch_self_match(
+        self, spark, sf_dir, tmp_path
+    ):
+        """Two firings over two arrivals produce, as distinct unordered
+        pairs, exactly the full batch self-match pair set — every pair
+        is new-new within a firing or new-old across firings."""
+        from pyspark.sql import functions as F
+
+        from etl_pack_spark.operators import neardup
+        from etl_pack_spark.operators.tokenize import shingle_rows
+        from etl_pack_spark.sources.reader import read_table
+        from etl_pack_spark.streaming.incremental import stream_neardup_ingest
+
+        src = str(tmp_path / "src")
+        store = str(tmp_path / "store")
+        matches = str(tmp_path / "matches")
+        ckpt = str(tmp_path / "ckpt")
+
+        self._write_half(spark, sf_dir, src, lambda d: d % 2 == 0)
+        stream_neardup_ingest(spark, src, store, matches, ckpt)
+        self._write_half(spark, sf_dir, src, lambda d: d % 2 != 0)
+        stream_neardup_ingest(spark, src, store, matches, ckpt)
+
+        got = {
+            (frozenset((r["id_a"], r["id_b"])), r["est_jaccard"])
+            for r in spark.read.parquet(matches).distinct().collect()
+        }
+        docs = read_table(spark, sf_dir, "documents").select("doc_id", "text")
+        sig_none = neardup.minhash_signature(
+            shingle_rows(docs, "doc_id", "text", 3, distinct=False), "doc_id"
+        ).limit(0)
+        want = {
+            (frozenset((r["id_a"], r["id_b"])), r["est_jaccard"])
+            for r in neardup.minhash_match_incremental(
+                docs, sig_none, "doc_id", "text"
+            ).collect()
+        }
+        assert got == want
+        assert len(got) > 0
+        # store holds every doc's signature exactly once (on distinct read)
+        store_ids = spark.read.parquet(store).select("doc_id").distinct()
+        assert store_ids.count() == docs.count()
+
+    def test_refire_without_new_data_is_noop(self, spark, sf_dir, tmp_path):
+        from etl_pack_spark.streaming.incremental import stream_neardup_ingest
+
+        src = str(tmp_path / "src")
+        store = str(tmp_path / "store")
+        matches = str(tmp_path / "matches")
+        ckpt = str(tmp_path / "ckpt")
+        self._write_half(spark, sf_dir, src, lambda d: d % 2 == 0)
+        stream_neardup_ingest(spark, src, store, matches, ckpt)
+        n_matches = spark.read.parquet(matches).count()
+        n_store = spark.read.parquet(store).count()
+        stream_neardup_ingest(spark, src, store, matches, ckpt)  # nothing new
+        assert spark.read.parquet(matches).count() == n_matches
+        assert spark.read.parquet(store).count() == n_store
