@@ -139,6 +139,45 @@ NOTES = {
         "column plus a tiny buckets-row aggregate — the only global "
         "object is the cuts list, never the data."
     ),
+    "split_documents": (
+        "Leakage-safe split: the near-dup cluster map (only docs with "
+        "edges) joins to the corpus via the bounded broadcast guard; "
+        "split assignment is a map-only hash-range CASE — the heavy "
+        "stage is the upstream simhash pair pass the pipeline runs "
+        "anyway."
+    ),
+    "chunk_documents": (
+        "Map-only: window starts are a sequence() array, windows a "
+        "posexplode + slice over one projection — zero Exchange; chunk "
+        "rows never carry the full document text, only their slice."
+    ),
+    "shard_assign": (
+        "Map-only md5 arithmetic: shard and order key are pure "
+        "functions of the row id — zero Exchange until the writer's "
+        "partitionBy(shard) exchange, which is the intended ONE "
+        "shuffle of the export."
+    ),
+    "minhash_match_incremental": (
+        "New-batch signatures band-join the (store ∪ new) banding on "
+        "(band, key): the exchanges carry 16-long signatures and "
+        "16-byte band keys, never document text; the store side reads "
+        "pre-computed signatures."
+    ),
+    "lib_html_strip": (
+        "One whole-stage-codegen projection: regex chain + entity "
+        "replaces + array line ops — zero Exchange, zero Python."
+    ),
+    "lib_domain_cap": (
+        "Two-phase top-N: window over (domain, input partition) then "
+        "over domain — the second exchange carries at most "
+        "cap × n_partitions rows per domain, so a megadomain never "
+        "funnels its full row count through one task."
+    ),
+    "lib_normalize_text": (
+        "Newline/control steps in codegen; ONE ArrowEvalPython stage "
+        "for the NFC composition (no Spark expression exists) — "
+        "map-only, no BatchEvalPython, no shuffle."
+    ),
 }
 
 
