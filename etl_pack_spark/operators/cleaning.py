@@ -385,19 +385,24 @@ def dedup_lines_sql(
 # ---------------------------------------------------------------------------
 
 # block-level closers become newlines BEFORE tag stripping so the line
-# structure the C4 gates operate on survives extraction
-_HTML_BLOCK_RE = r"(?i)<(?:br\s*/?|/p|/div|/li|/tr|/h[1-6]|/blockquote)>"
+# structure the C4 gates operate on survives extraction. Whitespace is
+# the EXPLICIT class [ \t\n\f\r], not \s: Java's \s matches vertical
+# tab where RE2's does not, so \s would silently break oracle parity
+_HTML_WS = r"[ \t\n\f\r]"
+_HTML_BLOCK_RE = rf"(?i)<(?:br{_HTML_WS}*/?|/p|/div|/li|/tr|/h[1-6]|/blockquote)>"
 # no backreference (RE2 has none): a crossed pair like
 # <script>…</style> closes at the FIRST closer on both engines —
 # identical, and close enough for tag soup
-_HTML_DROP_RE = r"(?is)<(?:script|style)[^>]*>.*?</(?:script|style)\s*>"
+_HTML_DROP_RE = rf"(?is)<(?:script|style)[^>]*>.*?</(?:script|style){_HTML_WS}*>"
 _HTML_TAG_RE = r"(?s)<[^>]*>"
 _HTML_COMMENT_RE = r"(?s)<!--.*?-->"
 # the handful of entities that dominate real HTML; a full entity table
-# is a locale/library concern, not an engine one
+# is a locale/library concern, not an engine one. '&amp;' MUST decode
+# LAST: decoding it first would turn author-escaped '&amp;lt;' into
+# '&lt;' and then (wrongly) into '<' — double-decoding
 _ENTITIES = [
-    ("&nbsp;", " "), ("&amp;", "&"), ("&lt;", "<"), ("&gt;", ">"),
-    ("&quot;", '"'), ("&#39;", "'"),
+    ("&nbsp;", " "), ("&lt;", "<"), ("&gt;", ">"),
+    ("&quot;", '"'), ("&#39;", "'"), ("&amp;", "&"),
 ]
 
 
@@ -413,8 +418,11 @@ def html_strip(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     the Java∩RE2 common subset so the DuckDB twin is exact.
     """
     x = F.col(text_col)
-    x = F.regexp_replace(x, _HTML_COMMENT_RE, " ")
+    # script/style BEFORE comments: a comment-open inside a script
+    # ('if(a<!--b)') would otherwise swallow the </script> closer and
+    # leak script code into the extracted text
     x = F.regexp_replace(x, _HTML_DROP_RE, " ")
+    x = F.regexp_replace(x, _HTML_COMMENT_RE, " ")
     x = F.regexp_replace(x, _HTML_BLOCK_RE, "\n")
     x = F.regexp_replace(x, _HTML_TAG_RE, " ")
     for src, dst in _ENTITIES:
@@ -439,8 +447,8 @@ def html_strip_sql(table: str, id_col: str, text_col: str) -> str:
     (RE2 'g' flag == Spark's replace-all default), same entity list,
     same line collapse."""
     x = text_col
-    x = f"regexp_replace({x}, '{_HTML_COMMENT_RE}', ' ', 'g')"
     x = f"regexp_replace({x}, '{_HTML_DROP_RE}', ' ', 'g')"
+    x = f"regexp_replace({x}, '{_HTML_COMMENT_RE}', ' ', 'g')"
     x = f"regexp_replace({x}, '{_HTML_BLOCK_RE}', chr(10), 'g')"
     x = f"regexp_replace({x}, '{_HTML_TAG_RE}', ' ', 'g')"
     for src, dst in _ENTITIES:

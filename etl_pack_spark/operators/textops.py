@@ -644,8 +644,11 @@ def unigram_logprob_sql(table: str, id_col: str, text_col: str, alpha: float = 1
 # hashing/dedup so byte-different, canonically-equal text coincides)
 # ---------------------------------------------------------------------------
 
-# C0/C1 control chars except \t and \n (after newline canonicalization)
-_CTRL_RE = r"[\x00-\x08\x0b\x0c\x0e-\x1f\x7f]"
+# C0 (except \t and \n, after newline canonicalization), DEL, and the
+# C1 range U+0080-U+009F — C1 strays are the classic Windows-1252
+# mojibake signature in web corpora. Both engines treat \x80-\x9f as
+# RUNES (verified: strips U+0085, leaves é untouched), never bytes.
+_CTRL_RE = r"[\x00-\x08\x0b\x0c\x0e-\x1f\x7f\x80-\x9f]"
 
 
 def normalize_text(df: DataFrame, id_col: str, text_col: str) -> DataFrame:

@@ -283,3 +283,68 @@ class TestHtmlStrip:
         plan = html_strip(docs, "doc_id", "text")._jdf.queryExecution().executedPlan().toString()
         assert "Exchange" not in plan
         assert "BatchEvalPython" not in plan
+
+
+class TestHtmlStripEdgeCases:
+    """Review-pass regressions: escaped entities, engine-divergent
+    whitespace classes, comment-opens inside scripts."""
+
+    def _run_both(self, spark, rows):
+        import duckdb
+        import pandas as pd
+
+        from etl_pack_spark.operators.cleaning import html_strip, html_strip_sql
+
+        pdf = pd.DataFrame(rows, columns=["doc_id", "text"])
+        sdf = spark.createDataFrame(pdf, "doc_id long, text string")
+        got = sorted(map(tuple, html_strip(sdf, "doc_id", "text").collect()))
+        con = duckdb.connect()
+        con.register("t", pdf)
+        want = sorted(map(tuple, con.execute(
+            html_strip_sql("t", "doc_id", "text")).fetchall()))
+        return got, want
+
+    def test_escaped_entities_decode_once(self, spark):
+        rows = [(1, "<p>use &amp;lt; to write a less-than sign</p>"),
+                (2, "&amp;nbsp; stays literal too")]
+        got, want = self._run_both(spark, rows)
+        assert got == want
+        out = dict((r[0], r[1]) for r in got)
+        assert out[1] == "use &lt; to write a less-than sign"
+        assert out[2] == "&nbsp; stays literal too"
+
+    def test_vertical_tab_in_tag_is_engine_identical(self, spark):
+        # Java \s matches \x0b, RE2 \s does not — the explicit
+        # whitespace class keeps both engines on the generic tag strip
+        rows = [(1, "a<br" + chr(11) + ">b"), (2, "c<br >d<br\t/>e")]
+        got, want = self._run_both(spark, rows)
+        assert got == want
+        out = dict((r[0], (r[1], r[2])) for r in got)
+        assert out[2] == ("c\nd\ne", 3)   # real whitespace still a break
+
+    def test_comment_open_inside_script_does_not_leak_code(self, spark):
+        rows = [(1, "<script>if(a<!--b){x()}</script><p>t-->u</p>")]
+        got, want = self._run_both(spark, rows)
+        assert got == want
+        text = got[0][1]
+        assert "if(a" not in text and "x()" not in text
+        assert "u" in text
+
+
+def test_normalize_strips_c1_mojibake(spark):
+    from etl_pack_spark.operators.textops import normalize_text, normalize_text_sql
+    import duckdb
+    import pandas as pd
+
+    rows = [(1, "a" + chr(0x85) + "b" + chr(0x92) + "c"), (2, "café")]
+    pdf = pd.DataFrame(rows, columns=["doc_id", "text"])
+    sdf = spark.createDataFrame(pdf, "doc_id long, text string")
+    got = sorted(map(tuple, normalize_text(sdf, "doc_id", "text").collect()))
+    con = duckdb.connect()
+    con.register("t", pdf)
+    want = sorted(map(tuple, con.execute(
+        normalize_text_sql("t", "doc_id", "text")).fetchall()))
+    assert got == want
+    out = dict(got)
+    assert out[1] == "abc"          # C1 strays removed
+    assert out[2] == "café"         # multi-byte text untouched
