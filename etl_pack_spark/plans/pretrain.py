@@ -46,6 +46,7 @@ def prepare_pretraining_corpus(
     emb_id_col: str = "vec_id",
     sem_nlist: int = 16,
     sem_threshold: float = 0.95,
+    leakage_safe_split: bool = False,
 ) -> DataFrame:
     """Documents → packed training sequences.
 
@@ -82,6 +83,21 @@ def prepare_pretraining_corpus(
     pairs = neardup.simhash_neardup_pairs(
         kept, "doc_id", "text", max_hamming=max_hamming
     ).select("id_a", "id_b")
+
+    if leakage_safe_split:
+        # reassign splits so a near-dup CLUSTER lands whole in one
+        # split (Lee et al. 2021 §5 leakage model) — reuses the pair
+        # graph the dedup stage needs anyway, so the only added work
+        # is the bounded cluster-map join. Matters most when dedup
+        # thresholds are loose or survivors of a cluster end up on the
+        # eval side; with per-doc hash splits a near-dup of a train doc
+        # can land in val/test.
+        from etl_pack_spark.operators.sampling import grouped_split_assign
+
+        kept = grouped_split_assign(kept.drop("split"), pairs, "doc_id").drop(
+            "cluster_id"
+        )
+
     unique = cluster_dedup(kept, pairs, "doc_id")
 
     if embeddings is not None:

@@ -113,3 +113,34 @@ def test_pipeline_semantic_stage(spark, sf_dir):
     noop = prepare_pretraining_corpus(docs, embeddings=emb, sem_threshold=1.1)
     noop_ids = {r["doc_id"] for r in noop.select("doc_id").distinct().collect()}
     assert noop_ids == base_ids
+
+
+def test_pipeline_leakage_safe_split(spark, sf_dir):
+    """With leakage_safe_split=True, no simhash near-dup pair straddles
+    the train/eval boundary in the PRE-dedup corpus, and the pipeline's
+    output contract is unchanged."""
+    from etl_pack_spark.operators import neardup
+    from etl_pack_spark.operators.sampling import grouped_split_assign
+
+    docs = _docs(spark, sf_dir)
+    out = prepare_pretraining_corpus(docs, leakage_safe_split=True)
+    assert out.count() > 0
+    assert {"doc_id", "lang", "split", "source", "copy_n",
+            "n_tokens", "pack_id", "oversize"} <= set(out.columns)
+
+    # reproduce the pipeline's regrouped split and check pair coherence
+    pairs = neardup.simhash_neardup_pairs(docs, "doc_id", "text").select(
+        "id_a", "id_b"
+    )
+    regrouped = grouped_split_assign(
+        docs.select("doc_id", "text"), pairs, "doc_id"
+    ).select("doc_id", "split")
+    straddlers = (
+        pairs.join(
+            regrouped.withColumnsRenamed({"doc_id": "id_a", "split": "sa"}), "id_a"
+        )
+        .join(regrouped.withColumnsRenamed({"doc_id": "id_b", "split": "sb"}), "id_b")
+        .where(F.col("sa") != F.col("sb"))
+        .count()
+    )
+    assert straddlers == 0
