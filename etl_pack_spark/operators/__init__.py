@@ -93,3 +93,11 @@ from etl_pack_spark.operators.sampling import (  # noqa: F401
     budget_select,
     budget_select_sql,
 )
+from etl_pack_spark.operators.cleaning import html_strip, html_strip_sql  # noqa: F401
+from etl_pack_spark.operators.sampling import (  # noqa: F401
+    domain_cap,
+    domain_cap_sql,
+    grouped_split_assign,
+    grouped_split_sql,
+)
+from etl_pack_spark.operators.textops import normalize_text, normalize_text_sql  # noqa: F401
