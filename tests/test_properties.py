@@ -354,3 +354,69 @@ def test_budget_select_matches_duckdb_on_random_weights(spark, rows, frac, bucke
     want = sorted(map(tuple, con.execute(
         budget_select_sql("t", budget, "quality", "n_tokens")).fetchall()))
     assert got == want
+
+
+# tag soup: angle brackets, slashes, entity fragments, whitespace forms
+# (incl. vertical tab — the Java-vs-RE2 \s divergence caught in review)
+html_corpus = st.lists(
+    st.text(
+        alphabet="<>/!&;#ab ps-tyler\"'=.\n\t\x0b\r0123456789",
+        min_size=0, max_size=60,
+    ),
+    min_size=1, max_size=8,
+)
+
+
+@given(docs=html_corpus)
+@settings(max_examples=15, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+def test_html_strip_matches_duckdb_on_tag_soup(spark, docs):
+    from etl_pack_spark.operators.cleaning import html_strip, html_strip_sql
+
+    rows = list(enumerate(docs))
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = (
+        html_strip(df, "doc_id", "text")
+        .toPandas().sort_values("id").reset_index(drop=True)
+    )
+    want = (
+        _duck_with(rows).execute(html_strip_sql("corpus", "doc_id", "text"))
+        .fetchdf().sort_values("id").reset_index(drop=True)
+    )
+    assert len(got) == len(want)
+    for c in ["text_clean", "n_lines"]:
+        assert (got[c].values == want[c].values).all(), (c, docs)
+
+
+# accents + combining marks + C0/C1 controls + newline forms
+norm_corpus = st.lists(
+    st.text(
+        alphabet=st.sampled_from(
+            list("ae \n\t\r") + ["́", "é", "\x85", "\x92", "\x07", "\x0b"]
+        ),
+        min_size=0, max_size=40,
+    ),
+    min_size=1, max_size=8,
+)
+
+
+@given(docs=norm_corpus)
+@settings(max_examples=15, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+def test_normalize_text_matches_duckdb_on_random_unicode(spark, docs):
+    from etl_pack_spark.operators.textops import normalize_text, normalize_text_sql
+
+    rows = list(enumerate(docs))
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = (
+        normalize_text(df, "doc_id", "text")
+        .toPandas().sort_values("id").reset_index(drop=True)
+    )
+    want = (
+        _duck_with(rows).execute(normalize_text_sql("corpus", "doc_id", "text"))
+        .fetchdf().sort_values("id").reset_index(drop=True)
+    )
+    assert len(got) == len(want)
+    a, b = got["text_norm"], want["text_norm"]
+    same = (a == b) | (a.isna() & b.isna())
+    assert same.all(), (docs, a[~same].head(), b[~same].head())
