@@ -41,7 +41,9 @@ from etl_pack_spark.operators.multimodal import (  # noqa: F401
     binarize_documents,
     byte_histogram,
     decode_image,
+    jpeg_decode,
     media_metadata,
+    png_decode,
     resize_image,
     sample_frames,
 )

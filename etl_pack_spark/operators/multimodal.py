@@ -2,16 +2,19 @@
 metadata, with Arrow-batched (mapInPandas) decode/feature plumbing.
 
 Image DIMENSION decode is REAL — PNG/JPEG/GIF/BMP/PPM headers are
-parsed from plain bytes (no codec library needed). PNG PIXEL decode
-(and hence :func:`resize_image` on PNGs) is REAL too, stdlib-only:
-zlib inflate + per-row unfilter (:func:`png_decode`, 8-bit grey /
-grey+alpha / RGB / RGBA, non-interlaced). JPEG pixel decode and video
-frame extraction stay gated behind ``NotImplementedError`` — DCT/codec
-libraries are not in this container — each with a deterministic fake
-for exercising the pipeline shape. Everything Spark-side is real and
-tested: schema, binary handling, partitioning, the mapInPandas batch
-contract, and a genuine Arrow-vectorized feature extractor (byte
-histograms).
+parsed from plain bytes (no codec library needed). PIXEL decode is
+REAL for PNG (stdlib zlib inflate + per-row unfilter,
+:func:`png_decode`: 8-bit grey / grey+alpha / RGB / RGBA,
+non-interlaced) AND baseline JPEG (stdlib+numpy Huffman + float
+reference IDCT + libjpeg-exact fancy chroma upsampling,
+:func:`jpeg_decode` — verified within the T.81-permitted ±2 LSB of
+the JVM ImageIO decoder), so :func:`resize_image` thumbnails both
+natively. Progressive/arithmetic JPEG and video frame extraction
+stay gated behind ``NotImplementedError``, each with a deterministic
+fake for exercising the pipeline shape. Everything Spark-side is real
+and tested: schema, binary handling, partitioning, the mapInPandas
+batch contract, and a genuine Arrow-vectorized feature extractor
+(byte histograms).
 
 Scale notes: binary payloads ride Parquet binary columns (no base64
 inflation); decode/feature stages are ``mapInPandas`` so each task
@@ -286,6 +289,312 @@ def _png_decoder():
 png_decode = _png_decoder()
 
 
+def _jpeg_decoder():
+    """Factory for a stdlib+numpy BASELINE JPEG decoder (closure, same
+    cloudpickle-by-value rationale as :func:`_png_decoder`).
+
+    Covers baseline sequential DCT (SOF0/SOF1): 8-bit samples, Huffman
+    entropy coding, 1 (grey) or 3 (YCbCr) components, integer chroma
+    subsampling (4:4:4 / 4:2:2 / 4:2:0), restart markers — what
+    libjpeg-family encoders (incl. the JDK's ImageIO) emit by default.
+    Progressive (SOF2), arithmetic coding, 12-bit, and hierarchical
+    modes return None (the caller's quarantine/strict gate decides).
+
+    Spec: ITU-T T.81 / ISO 10918-1. The IDCT is the float reference
+    form; conforming decoders may differ by ±1-2 LSB from fast-integer
+    implementations (T.81 allows this), so tests compare against the
+    JVM ImageIO oracle with a small tolerance, not bit-exactly.
+    Chroma upsampling is pixel replication (nearest).
+
+    Returns ``(w, h, channels, pixels)`` row-major packed, or None.
+    """
+
+    def decode(b):  # noqa: C901 — one self-contained codec
+        import numpy as np
+
+        if b is None or len(b) < 4 or bytes(b[:2]) != b"\xff\xd8":
+            return None
+        b = bytes(b)
+        ZZ = [  # zigzag order -> (row, col)
+            0, 1, 8, 16, 9, 2, 3, 10, 17, 24, 32, 25, 18, 11, 4, 5,
+            12, 19, 26, 33, 40, 48, 41, 34, 27, 20, 13, 6, 7, 14, 21, 28,
+            35, 42, 49, 56, 57, 50, 43, 36, 29, 22, 15, 23, 30, 37, 44, 51,
+            58, 59, 52, 45, 38, 31, 39, 46, 53, 60, 61, 54, 47, 55, 62, 63,
+        ]
+        qt, huff = {}, {}
+        frame, restart, scan_pos, scan_comps = None, 0, None, None
+        pos = 2
+        while pos + 2 <= len(b):
+            if b[pos] != 0xFF:
+                return None
+            while pos + 1 < len(b) and b[pos + 1] == 0xFF:  # fill bytes
+                pos += 1
+            marker = b[pos + 1]
+            pos += 2
+            if marker == 0xD9 or marker == 0x01 or 0xD0 <= marker <= 0xD8:
+                continue
+            if pos + 2 > len(b):
+                return None
+            seglen = int.from_bytes(b[pos : pos + 2], "big")
+            seg = b[pos + 2 : pos + seglen]
+            if marker == 0xDB:  # DQT (one or more tables)
+                i = 0
+                while i < len(seg):
+                    pq, tq = seg[i] >> 4, seg[i] & 15
+                    i += 1
+                    n = 64 * (2 if pq else 1)
+                    raw = seg[i : i + n]
+                    i += n
+                    if pq:
+                        vals = [int.from_bytes(raw[j : j + 2], "big") for j in range(0, 128, 2)]
+                    else:
+                        vals = list(raw)
+                    qt[tq] = np.array(vals, dtype=np.int32)
+            elif marker in (0xC0, 0xC1):  # SOF0/1 baseline
+                if seg[0] != 8:
+                    return None  # 12-bit
+                h = int.from_bytes(seg[1:3], "big")
+                w = int.from_bytes(seg[3:5], "big")
+                nc = seg[5]
+                comps = []
+                for c in range(nc):
+                    cid, hv, tq = seg[6 + 3 * c : 9 + 3 * c]
+                    comps.append({"id": cid, "h": hv >> 4, "v": hv & 15, "tq": tq})
+                frame = (w, h, comps)
+            elif marker in (0xC2, 0xC3, 0xC5, 0xC6, 0xC7,
+                            0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
+                return None  # progressive / arithmetic / hierarchical
+            elif marker == 0xC4:  # DHT (one or more tables)
+                i = 0
+                while i + 17 <= len(seg):
+                    tc, th = seg[i] >> 4, seg[i] & 15
+                    counts = list(seg[i + 1 : i + 17])
+                    nsym = sum(counts)
+                    syms = list(seg[i + 17 : i + 17 + nsym])
+                    i += 17 + nsym
+                    # canonical codes -> flat 16-bit LUT: (symbol, bits)
+                    lut = np.zeros((1 << 16, 2), dtype=np.int32)
+                    code, k = 0, 0
+                    for ln in range(1, 17):
+                        for _ in range(counts[ln - 1]):
+                            lo = code << (16 - ln)
+                            hi = (code + 1) << (16 - ln)
+                            lut[lo:hi, 0] = syms[k]
+                            lut[lo:hi, 1] = ln
+                            code += 1
+                            k += 1
+                        code <<= 1
+                    huff[(tc, th)] = lut
+            elif marker == 0xDD:
+                restart = int.from_bytes(seg[0:2], "big")
+            elif marker == 0xDA:  # SOS — scan follows
+                ns = seg[0]
+                scan_comps = []
+                for c in range(ns):
+                    cs, tt = seg[1 + 2 * c : 3 + 2 * c]
+                    scan_comps.append({"id": cs, "td": tt >> 4, "ta": tt & 15})
+                scan_pos = pos + seglen
+                break
+            pos += seglen
+        if frame is None or scan_pos is None:
+            return None
+        w, h, comps = frame
+        if len(comps) not in (1, 3) or w == 0 or h == 0:
+            return None
+        by_id = {c["id"]: c for c in comps}
+        for sc in scan_comps:
+            if sc["id"] not in by_id:
+                return None
+            by_id[sc["id"]].update(td=sc["td"], ta=sc["ta"])
+
+        # entropy-coded segments: un-stuff 0xFF00, split at RSTn
+        segments, cur, i = [], bytearray(), scan_pos
+        while i < len(b):
+            byte = b[i]
+            if byte == 0xFF:
+                nxt = b[i + 1] if i + 1 < len(b) else 0xD9
+                if nxt == 0x00:
+                    cur.append(0xFF)
+                    i += 2
+                    continue
+                if 0xD0 <= nxt <= 0xD7:
+                    segments.append(bytes(cur))
+                    cur = bytearray()
+                    i += 2
+                    continue
+                break  # EOI or next marker
+            cur.append(byte)
+            i += 1
+        segments.append(bytes(cur))
+
+        hmax = max(c["h"] for c in comps)
+        vmax = max(c["v"] for c in comps)
+        if hmax not in (1, 2, 4) or vmax not in (1, 2, 4):
+            return None
+        mcux = -(-w // (8 * hmax))
+        mcuy = -(-h // (8 * vmax))
+        planes = {}
+        for c in comps:
+            planes[c["id"]] = np.zeros(
+                (mcuy * c["v"] * 8, mcux * c["h"] * 8), dtype=np.float64
+            )
+            if c["tq"] not in qt or (0, c.get("td")) not in huff or (1, c.get("ta")) not in huff:
+                return None
+
+        # bit reader over one entropy segment
+        class _Bits:
+            __slots__ = ("data", "pos", "acc", "n")
+
+            def __init__(self, data):
+                self.data, self.pos, self.acc, self.n = data, 0, 0, 0
+
+            def _fill(self):
+                while self.n <= 48:
+                    nb = self.data[self.pos] if self.pos < len(self.data) else 0
+                    self.pos += 1
+                    self.acc = ((self.acc << 8) | nb) & ((1 << 64) - 1)
+                    self.n += 8
+
+            def peek16(self):
+                if self.n < 16:
+                    self._fill()
+                return (self.acc >> (self.n - 16)) & 0xFFFF
+
+            def drop(self, k):
+                self.n -= k
+
+            def take(self, k):
+                if k == 0:
+                    return 0
+                if self.n < k:
+                    self._fill()
+                v = (self.acc >> (self.n - k)) & ((1 << k) - 1)
+                self.n -= k
+                return v
+
+        def extend(v, t):
+            return v - (1 << t) + 1 if t and v < (1 << (t - 1)) else v
+
+        # float reference IDCT basis: B[u, x] = C(u)/2 cos((2x+1)uπ/16)
+        u = np.arange(8)
+        B = np.cos((2 * u[None, :] + 1) * u[:, None] * np.pi / 16) / 2.0
+        B[0, :] *= 1.0 / np.sqrt(2.0)
+
+        mcu_total = mcux * mcuy
+        per_seg = restart if restart else mcu_total
+        mcu = 0
+        for segdata in segments:
+            if mcu >= mcu_total:
+                break
+            bits = _Bits(segdata)
+            pred = {c["id"]: 0 for c in comps}
+            for _ in range(min(per_seg, mcu_total - mcu)):
+                my, mx = divmod(mcu, mcux)
+                for c in comps:
+                    dc_lut = huff[(0, c["td"])]
+                    ac_lut = huff[(1, c["ta"])]
+                    q = qt[c["tq"]]
+                    for by in range(c["v"]):
+                        for bx in range(c["h"]):
+                            sym, ln = dc_lut[bits.peek16()]
+                            if ln == 0:
+                                return None
+                            bits.drop(int(ln))
+                            diff = extend(bits.take(int(sym)), int(sym))
+                            pred[c["id"]] += diff
+                            coef = np.zeros(64, dtype=np.float64)
+                            coef[0] = pred[c["id"]] * int(q[0])
+                            k = 1
+                            while k <= 63:
+                                sym, ln = ac_lut[bits.peek16()]
+                                if ln == 0:
+                                    return None
+                                bits.drop(int(ln))
+                                r, s = int(sym) >> 4, int(sym) & 15
+                                if s == 0:
+                                    if r != 15:
+                                        break
+                                    k += 16
+                                    continue
+                                k += r
+                                if k > 63:
+                                    return None
+                                coef[k] = extend(bits.take(s), s) * int(q[k])
+                                k += 1
+                            blk = np.zeros(64, dtype=np.float64)
+                            blk[ZZ] = coef
+                            px = B.T @ blk.reshape(8, 8) @ B + 128.0
+                            y0 = (my * c["v"] + by) * 8
+                            x0 = (mx * c["h"] + bx) * 8
+                            planes[c["id"]][y0 : y0 + 8, x0 : x0 + 8] = px
+                mcu += 1
+        if mcu < mcu_total:
+            return None
+
+        # samples are uint8 ints BEFORE upsampling (libjpeg order of
+        # operations — upsampling then interpolates integer samples)
+        def h2_fancy(a):  # horizontal triangular doubling (libjpeg h2v1)
+            n = a.shape[1]
+            left = np.concatenate([a[:, :1], a[:, :-1]], axis=1)
+            right = np.concatenate([a[:, 1:], a[:, -1:]], axis=1)
+            even = (3 * a + left + 1) >> 2
+            odd = (3 * a + right + 2) >> 2
+            even[:, 0] = a[:, 0]
+            odd[:, -1] = a[:, -1]
+            out = np.empty((a.shape[0], 2 * n), dtype=a.dtype)
+            out[:, 0::2], out[:, 1::2] = even, odd
+            return out
+
+        def h2v2_fancy(a):  # triangular 2x2 (libjpeg h2v2), int-exact
+            up = np.concatenate([a[:1], a[:-1]], axis=0)
+            dn = np.concatenate([a[1:], a[-1:]], axis=0)
+            rows = []
+            for colsum in (3 * a + up, 3 * a + dn):
+                left = np.concatenate([colsum[:, :1], colsum[:, :-1]], axis=1)
+                right = np.concatenate([colsum[:, 1:], colsum[:, -1:]], axis=1)
+                even = (3 * colsum + left + 8) >> 4
+                odd = (3 * colsum + right + 7) >> 4
+                even[:, 0] = (colsum[:, 0] * 4 + 8) >> 4
+                odd[:, -1] = (colsum[:, -1] * 4 + 7) >> 4
+                row = np.empty((a.shape[0], 2 * a.shape[1]), dtype=a.dtype)
+                row[:, 0::2], row[:, 1::2] = even, odd
+                rows.append(row)
+            out = np.empty((2 * a.shape[0], 2 * a.shape[1]), dtype=a.dtype)
+            out[0::2], out[1::2] = rows[0], rows[1]
+            return out
+
+        full = []
+        for c in comps:
+            p = np.clip(np.rint(planes[c["id"]]), 0, 255).astype(np.int32)
+            # active (downsampled) region — MCU padding never interpolates
+            cw = -(-w * c["h"] // hmax)
+            chh = -(-h * c["v"] // vmax)
+            p = p[:chh, :cw]
+            fh, fv = hmax // c["h"], vmax // c["v"]
+            if (fh, fv) == (2, 2):
+                p = h2v2_fancy(p)
+            elif (fh, fv) == (2, 1):
+                p = h2_fancy(p)
+            elif (fh, fv) != (1, 1):
+                p = np.repeat(np.repeat(p, fv, axis=0), fh, axis=1)
+            full.append(p[:h, :w])
+        if len(full) == 1:
+            return (w, h, 1, full[0].astype(np.uint8).tobytes())
+        # libjpeg fixed-point YCbCr->RGB (FIX(x) = round(x * 2^16))
+        Y, Cb, Cr = full
+        cb, cr = Cb - 128, Cr - 128
+        r = Y + ((91881 * cr + 32768) >> 16)          # FIX(1.40200)
+        bl = Y + ((116130 * cb + 32768) >> 16)        # FIX(1.77200)
+        g = Y + ((-22554 * cb - 46802 * cr + 32768) >> 16)  # FIX(.34414)/.71414
+        rgb = np.clip(np.stack([r, g, bl], axis=-1), 0, 255).astype(np.uint8)
+        return (w, h, 3, rgb.tobytes())
+
+    return decode
+
+
+jpeg_decode = _jpeg_decoder()
+
+
 def resize_image(
     media: DataFrame,
     out_w: int = 8,
@@ -297,15 +606,16 @@ def resize_image(
     → fixed-size binary out over Arrow batches.
 
     ``fake=False`` REALLY decodes PNG payloads (stdlib zlib inflate +
-    per-row unfilter, :func:`png_decode`) and nearest-neighbor samples
-    actual pixels into an ``out_w``×``out_h``×channels thumbnail. JPEG
-    payloads raise ``NotImplementedError`` under the default
-    ``strict=True`` — an honest signal that a DCT codec is genuinely
-    missing, not silently skippable; on a mixed-media corpus pass
-    ``strict=False`` to quarantine JPEGs as NULL rows instead of
-    failing the job (one bad row would otherwise abort the whole
-    stage after task retries). Other undecodable payloads always
-    yield a NULL row (same posture as :func:`decode_image`).
+    per-row unfilter, :func:`png_decode`) AND baseline JPEG payloads
+    (stdlib+numpy Huffman/IDCT, :func:`jpeg_decode`), then
+    nearest-neighbor samples actual pixels into an
+    ``out_w``×``out_h``×channels thumbnail. A JPEG the baseline
+    decoder does not cover (progressive, arithmetic, 12-bit) raises
+    ``NotImplementedError`` under the default ``strict=True`` — an
+    honest signal, not silently skippable; on a mixed-media corpus
+    pass ``strict=False`` to quarantine those rows as NULL instead of
+    failing the job. Other undecodable payloads always yield a NULL
+    row (same posture as :func:`decode_image`).
 
     ``fake=True`` keeps the deterministic pseudo-dims + byte-sampling
     stand-in the oracle-pinned suite queries use — independent of real
@@ -318,6 +628,7 @@ def resize_image(
         T.StructField("thumb", T.BinaryType(), True),
     )
     decode = _png_decoder()
+    decode_jpeg = _jpeg_decoder()
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -337,14 +648,24 @@ def resize_image(
                     rows.append((mid, w, h, px))
                     continue
                 if bytes(content[:3]) == b"\xff\xd8\xff":
-                    if strict:
-                        raise NotImplementedError(
-                            "JPEG decode requires a codec library not present "
-                            "in this environment; PNG payloads decode "
-                            "natively, or pass strict=False to quarantine "
-                            "JPEG rows as NULL"
-                        )
-                    rows.append((mid, None, None, None))
+                    dec = decode_jpeg(content)
+                    if dec is None:
+                        if strict:
+                            raise NotImplementedError(
+                                "JPEG variant outside the baseline decoder "
+                                "(progressive/arithmetic/12-bit); pass "
+                                "strict=False to quarantine such rows as NULL"
+                            )
+                        rows.append((mid, None, None, None))
+                        continue
+                    w, h, ch, pix = dec
+                    px = bytes(
+                        pix[((i * h // out_h) * w + (j * w // out_w)) * ch + c]
+                        for i in range(out_h)
+                        for j in range(out_w)
+                        for c in range(ch)
+                    )
+                    rows.append((mid, w, h, px))
                     continue
                 dec = decode(content)
                 if dec is None:

@@ -321,3 +321,107 @@ def test_string_media_id_across_operators(spark):
         assert dict(df.dtypes)["media_id"] == "string"
         ids = {r["media_id"] for r in df.collect()}
         assert "m-1" in ids
+
+
+class TestJpegDecode:
+    """Baseline JPEG decoder vs the JVM's ImageIO decoder (an
+    independent libjpeg-derived implementation): T.81 allows small
+    IDCT variance, so the pin is |diff| <= 2 per sample, with the
+    flat case exact."""
+
+    def _enc(self, spark, w, h, fill, gray=False):
+        jvm = spark.sparkContext._jvm
+        BI = jvm.java.awt.image.BufferedImage
+        img = BI(w, h, BI.TYPE_BYTE_GRAY if gray else BI.TYPE_INT_RGB)
+        for y in range(h):
+            for x in range(w):
+                img.setRGB(x, y, fill(x, y))
+        baos = jvm.java.io.ByteArrayOutputStream()
+        assert jvm.javax.imageio.ImageIO.write(img, "jpg", baos)
+        return bytes(baos.toByteArray())
+
+    def _iio(self, spark, data, w, h, bands):
+        import numpy as np
+
+        jvm = spark.sparkContext._jvm
+        bais = jvm.java.io.ByteArrayInputStream(bytearray(data))
+        ras = jvm.javax.imageio.ImageIO.read(bais).getRaster()
+        out = np.zeros((h, w, bands), dtype=np.int32)
+        for y in range(h):
+            for x in range(w):
+                for c in range(bands):
+                    out[y, x, c] = ras.getSample(x, y, c)
+        return out
+
+    def _check(self, spark, data, w, h, bands, exact=False):
+        import numpy as np
+
+        dec = multimodal.jpeg_decode(data)
+        assert dec is not None
+        assert (dec[0], dec[1], dec[2]) == (w, h, bands)
+        got = np.frombuffer(dec[3], dtype=np.uint8).reshape(h, w, bands).astype(np.int32)
+        want = self._iio(spark, data, w, h, bands)
+        d = int(np.abs(got - want).max())
+        assert d == 0 if exact else d <= 2, d
+
+    def test_flat_rgb_exact(self, spark):
+        data = self._enc(spark, 16, 8, lambda x, y: (200 << 16) | (100 << 8) | 50)
+        self._check(spark, data, 16, 8, 3, exact=True)
+
+    def test_gradient_rgb_420_multi_mcu(self, spark):
+        data = self._enc(
+            spark, 32, 24,
+            lambda x, y: ((x * 8 & 255) << 16) | ((y * 10 & 255) << 8) | ((x * y) & 255),
+        )
+        self._check(spark, data, 32, 24, 3)
+
+    def test_grayscale_odd_dims(self, spark):
+        data = self._enc(
+            spark, 13, 7, lambda x, y: ((x * 19 + y * 11) & 255) * 0x010101, gray=True
+        )
+        self._check(spark, data, 13, 7, 1)
+
+    def test_odd_dims_rgb(self, spark):
+        data = self._enc(
+            spark, 33, 17,
+            lambda x, y: ((x * 7 & 255) << 16) | ((y * 13 & 255) << 8) | ((x + y) & 255),
+        )
+        self._check(spark, data, 33, 17, 3)
+
+    def test_unsupported_variant_returns_none(self):
+        # SOF2 (progressive) right after SOI
+        assert multimodal.jpeg_decode(b"\xff\xd8\xff\xc2\x00\x04\x08\x00") is None
+        assert multimodal.jpeg_decode(b"not a jpeg") is None
+        assert multimodal.jpeg_decode(None) is None
+
+    def test_resize_image_real_jpeg_through_spark(self, spark):
+        """End-to-end: JPEG payload through resize_image(fake=False) —
+        the mapInPandas/executor path, not just the local function."""
+        data = self._enc(
+            spark, 32, 24,
+            lambda x, y: ((x * 8 & 255) << 16) | ((y * 10 & 255) << 8) | ((x + y) & 255),
+        )
+        media = spark.createDataFrame(
+            [(1, bytearray(data), "image/jpeg", len(data))],
+            multimodal.MEDIA_SCHEMA,
+        )
+        row = multimodal.resize_image(media, fake=False).collect()[0]
+        assert (row["src_w"], row["src_h"]) == (32, 24)
+        assert len(row["thumb"]) == 8 * 8 * 3
+        # thumb pixels are REAL decoded samples: compare a corner pixel
+        # against the local decode
+        import numpy as np
+
+        dec = multimodal.jpeg_decode(data)
+        pix = np.frombuffer(dec[3], dtype=np.uint8).reshape(24, 32, 3)
+        assert tuple(row["thumb"][:3]) == tuple(pix[0, 0])
+
+    def test_progressive_jpeg_strict_gate(self, spark):
+        media = spark.createDataFrame(
+            [(1, bytearray(b"\xff\xd8\xff\xc2\x00\x04\x08\x00"), "image/jpeg", 8)],
+            multimodal.MEDIA_SCHEMA,
+        )
+        with pytest.raises(PythonException, match="baseline"):
+            multimodal.resize_image(media, fake=False, strict=True).collect()
+        out = multimodal.resize_image(media, fake=False, strict=False).collect()
+        assert out[0]["thumb"] is None
