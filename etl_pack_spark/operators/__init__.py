@@ -42,7 +42,10 @@ from etl_pack_spark.operators.multimodal import (  # noqa: F401
     byte_histogram,
     decode_image,
     jpeg_decode,
+    audio_features,
     media_metadata,
+    mp4_meta,
+    wav_decode,
     png_decode,
     resize_image,
     sample_frames,

@@ -811,3 +811,190 @@ def sample_frames(media: DataFrame, every_n_bytes: int = 64, fake: bool = False)
             yield pd.DataFrame(rows, columns=["media_id", "frame_idx", "offset"])
 
     return media.select("media_id", "content").mapInPandas(run, schema=schema)
+
+
+def _wav_decoder():
+    """Factory for a stdlib-only WAV/PCM decoder (closure for
+    cloudpickle-by-value, same rationale as the image decoders).
+
+    Covers RIFF/WAVE with PCM (format 1) and IEEE-float (format 3)
+    sample data, 8/16/32-bit int or 32/64-bit float, any channel
+    count — what uncompressed audio pipelines actually store.
+    Compressed formats (MP3/AAC/opus inside WAV or elsewhere) return
+    None: those need codec libraries. Returns
+    ``(sample_rate, channels, n_frames, samples)`` with samples as
+    float64 numpy array shaped (n_frames, channels) in [-1, 1).
+    """
+
+    def decode(b):
+        import struct
+
+        import numpy as np
+
+        if b is None or len(b) < 44 or bytes(b[:4]) != b"RIFF" or bytes(b[8:12]) != b"WAVE":
+            return None
+        b = bytes(b)
+        pos, fmt, data = 12, None, None
+        while pos + 8 <= len(b):
+            cid = b[pos : pos + 4]
+            size = int.from_bytes(b[pos + 4 : pos + 8], "little")
+            body = b[pos + 8 : pos + 8 + size]
+            if cid == b"fmt ":
+                fmt = body
+            elif cid == b"data":
+                data = body
+            pos += 8 + size + (size & 1)  # chunks are word-aligned
+        if fmt is None or data is None or len(fmt) < 16:
+            return None
+        audio_fmt, ch, rate, _, _, bits = struct.unpack("<HHIIHH", fmt[:16])
+        if ch == 0 or rate == 0:
+            return None
+        if audio_fmt == 1:  # integer PCM
+            if bits == 8:
+                x = (np.frombuffer(data, dtype=np.uint8).astype(np.float64) - 128.0) / 128.0
+            elif bits == 16:
+                x = np.frombuffer(data, dtype="<i2").astype(np.float64) / 32768.0
+            elif bits == 32:
+                x = np.frombuffer(data, dtype="<i4").astype(np.float64) / 2147483648.0
+            else:
+                return None
+        elif audio_fmt == 3:  # IEEE float
+            if bits == 32:
+                x = np.frombuffer(data, dtype="<f4").astype(np.float64)
+            elif bits == 64:
+                x = np.frombuffer(data, dtype="<f8")
+            else:
+                return None
+        else:
+            return None
+        n = len(x) // ch
+        return (rate, ch, n, x[: n * ch].reshape(n, ch))
+
+    return decode
+
+
+wav_decode = _wav_decoder()
+
+
+def audio_features(
+    media: DataFrame, window_ms: int = 100
+) -> DataFrame:
+    """REAL audio feature extraction over WAV payloads: per fixed
+    window, RMS energy and zero-crossing rate (the framing/energy
+    signals audio-data curation filters on — silence/clipping
+    detection, speech-band activity). One ``mapInPandas`` pass,
+    decode + window + reduce per Arrow batch; non-WAV / compressed
+    payloads yield a NULL row (quarantine posture). Returns one row
+    per (media_id, window): ``(media_id, sample_rate, channels,
+    window_idx, rms, zcr)`` with rms/zcr rounded to 6 dp so
+    cross-engine float noise can't flake the pins.
+    """
+    schema = _out_schema(
+        media,
+        T.StructField("sample_rate", T.IntegerType(), True),
+        T.StructField("channels", T.IntegerType(), True),
+        T.StructField("window_idx", T.IntegerType(), True),
+        T.StructField("rms", T.DoubleType(), True),
+        T.StructField("zcr", T.DoubleType(), True),
+    )
+    decode = _wav_decoder()
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        for pdf in batches:
+            rows = []
+            for mid, content in zip(pdf["media_id"], pdf["content"]):
+                dec = decode(content)
+                if dec is None:
+                    rows.append((mid, None, None, None, None, None))
+                    continue
+                rate, ch, n, x = dec
+                mono = x.mean(axis=1)
+                step = max(1, rate * window_ms // 1000)
+                for widx in range(0, max(1, -(-n // step))):
+                    seg = mono[widx * step : (widx + 1) * step]
+                    if len(seg) == 0:
+                        continue
+                    rms = float(np.sqrt(np.mean(seg * seg)))
+                    zcr = float(np.mean(np.signbit(seg[1:]) != np.signbit(seg[:-1]))) if len(seg) > 1 else 0.0
+                    rows.append((mid, rate, ch, widx, round(rms, 6), round(zcr, 6)))
+            yield pd.DataFrame(
+                rows,
+                columns=["media_id", "sample_rate", "channels", "window_idx", "rms", "zcr"],
+            )
+
+    return media.select("media_id", "content").mapInPandas(run, schema=schema)
+
+
+def _mp4_meta_parser():
+    """Factory for a stdlib-only MP4/ISO-BMFF METADATA parser: walks
+    the box tree (ftyp/moov/mvhd/trak/tkhd) for duration, timescale,
+    and the video track's display dimensions — real container parsing
+    from plain bytes (ISO 14496-12). FRAME decode stays gated (codec
+    work); this closes the metadata half the way PNG/JPEG headers did
+    for images. Returns ``(duration_ms, width, height, n_tracks)`` or
+    None for non-MP4 payloads."""
+
+    def parse(b):
+        if b is None or len(b) < 16:
+            return None
+        b = bytes(b)
+        if b[4:8] != b"ftyp":
+            return None
+
+        def walk(lo, hi, path):
+            out = []
+            pos = lo
+            while pos + 8 <= hi:
+                size = int.from_bytes(b[pos : pos + 4], "big")
+                typ = b[pos + 4 : pos + 8]
+                if size == 1:  # 64-bit largesize
+                    size = int.from_bytes(b[pos + 8 : pos + 16], "big")
+                    body = pos + 16
+                elif size == 0:
+                    size = hi - pos
+                    body = pos + 8
+                else:
+                    body = pos + 8
+                if size < 8 or pos + size > hi:
+                    return out
+                out.append((typ, body, pos + size))
+                pos += size
+            return out
+
+        dur_ms, width, height, n_tracks = None, None, None, 0
+        for typ, lo, hi in walk(0, len(b), ""):
+            if typ != b"moov":
+                continue
+            for t2, lo2, hi2 in walk(lo, hi, "moov"):
+                if t2 == b"mvhd":
+                    ver = b[lo2]
+                    if ver == 1:
+                        ts = int.from_bytes(b[lo2 + 20 : lo2 + 24], "big")
+                        dur = int.from_bytes(b[lo2 + 24 : lo2 + 32], "big")
+                    else:
+                        ts = int.from_bytes(b[lo2 + 12 : lo2 + 16], "big")
+                        dur = int.from_bytes(b[lo2 + 16 : lo2 + 20], "big")
+                    if ts:
+                        dur_ms = dur * 1000 // ts
+                elif t2 == b"trak":
+                    n_tracks += 1
+                    for t3, lo3, hi3 in walk(lo2, hi2, "trak"):
+                        if t3 != b"tkhd":
+                            continue
+                        ver = b[lo3]
+                        end = hi3
+                        # width/height: last 8 bytes, 16.16 fixed point
+                        w = int.from_bytes(b[end - 8 : end - 4], "big") >> 16
+                        h = int.from_bytes(b[end - 4 : end], "big") >> 16
+                        if w and h and width is None:
+                            width, height = w, h
+        if dur_ms is None and n_tracks == 0:
+            return None
+        return (dur_ms, width, height, n_tracks)
+
+    return parse
+
+
+mp4_meta = _mp4_meta_parser()

@@ -425,3 +425,111 @@ class TestJpegDecode:
             multimodal.resize_image(media, fake=False, strict=True).collect()
         out = multimodal.resize_image(media, fake=False, strict=False).collect()
         assert out[0]["thumb"] is None
+
+
+class TestWavAudio:
+    @staticmethod
+    def _wav(rate=8000, ch=1, bits=16, samples=None, fmt=1):
+        """Build a RIFF/WAVE payload from scratch (we own the writer;
+        the decoder is validated against the spec layout)."""
+        import struct
+
+        import numpy as np
+
+        if samples is None:
+            t = np.arange(rate // 2)  # 0.5 s
+            samples = np.sin(2 * np.pi * 440 * t / rate)
+        if fmt == 1 and bits == 16:
+            data = (np.clip(samples, -1, 1) * 32767).astype("<i2").tobytes()
+        elif fmt == 1 and bits == 8:
+            data = ((np.clip(samples, -1, 1) * 127) + 128).astype(np.uint8).tobytes()
+        elif fmt == 3 and bits == 32:
+            data = samples.astype("<f4").tobytes()
+        else:
+            raise ValueError
+        block = ch * bits // 8
+        hdr = struct.pack(
+            "<4sI4s4sIHHIIHH4sI",
+            b"RIFF", 36 + len(data), b"WAVE", b"fmt ", 16,
+            fmt, ch, rate, rate * block, block, bits, b"data", len(data),
+        )
+        return hdr + data
+
+    def test_decode_16bit_pcm(self):
+        import numpy as np
+
+        rate, n = 8000, 4000
+        t = np.arange(n)
+        sig = np.sin(2 * np.pi * 440 * t / rate)
+        dec = multimodal.wav_decode(self._wav(rate, samples=sig))
+        assert dec is not None
+        r, ch, frames, x = dec
+        assert (r, ch, frames) == (rate, 1, n)
+        assert np.abs(x[:, 0] - sig).max() < 1e-3   # 16-bit quantization
+
+    def test_decode_float32_and_8bit(self):
+        import numpy as np
+
+        sig = np.linspace(-0.5, 0.5, 1000)
+        # 8-bit: writer truncates and scales by 127 vs the reader's
+        # /128 midtread convention — worst case ~1.2e-2
+        for fmt, bits, tol in ((3, 32, 1e-6), (1, 8, 2e-2)):
+            dec = multimodal.wav_decode(self._wav(samples=sig, fmt=fmt, bits=bits))
+            assert dec is not None
+            assert np.abs(dec[3][:, 0] - sig).max() < tol
+
+    def test_rejects_non_wav(self):
+        assert multimodal.wav_decode(b"RIFFxxxxAVI LIST") is None
+        assert multimodal.wav_decode(b"\xff\xd8\xff") is None
+        assert multimodal.wav_decode(None) is None
+
+    def test_audio_features_through_spark(self, spark):
+        import numpy as np
+
+        rate = 8000
+        # 0.3 s: 0.1 s silence, 0.1 s loud 440 Hz, 0.1 s soft noise-free tone
+        sig = np.concatenate([
+            np.zeros(800),
+            0.9 * np.sin(2 * np.pi * 440 * np.arange(800) / rate),
+            0.1 * np.sin(2 * np.pi * 220 * np.arange(800) / rate),
+        ])
+        wav = self._wav(rate, samples=sig)
+        media = spark.createDataFrame(
+            [(1, bytearray(wav), "audio/wav", len(wav)),
+             (2, bytearray(b"not audio"), "application/octet-stream", 9)],
+            multimodal.MEDIA_SCHEMA,
+        )
+        rows = multimodal.audio_features(media, window_ms=100).collect()
+        by_win = {r["window_idx"]: r for r in rows if r["media_id"] == 1}
+        assert len(by_win) == 3
+        assert by_win[0]["rms"] < 1e-9                  # silence
+        assert abs(by_win[1]["rms"] - 0.9 / 2**0.5) < 0.01  # sine RMS = A/sqrt2
+        assert by_win[1]["rms"] > by_win[2]["rms"] * 5  # loud >> soft
+        assert by_win[1]["zcr"] > 0.05                  # 440 Hz crosses often
+        quarantined = [r for r in rows if r["media_id"] == 2]
+        assert len(quarantined) == 1 and quarantined[0]["rms"] is None
+
+
+class TestMp4Meta:
+    @staticmethod
+    def _box(typ, body):
+        return (len(body) + 8).to_bytes(4, "big") + typ + body
+
+    def _mp4(self, dur_units=90000, timescale=30000, w=640, h=360):
+        mvhd = bytes([0, 0, 0, 0]) + (0).to_bytes(8, "big") + \
+            timescale.to_bytes(4, "big") + dur_units.to_bytes(4, "big") + bytes(80)
+        tkhd = bytes([0, 0, 0, 0]) + bytes(72) + \
+            (w << 16).to_bytes(4, "big") + (h << 16).to_bytes(4, "big")
+        trak = self._box(b"trak", self._box(b"tkhd", tkhd))
+        moov = self._box(b"moov", self._box(b"mvhd", mvhd) + trak)
+        ftyp = self._box(b"ftyp", b"isom\x00\x00\x02\x00isomiso2")
+        return ftyp + moov
+
+    def test_parses_duration_and_dims(self):
+        meta = multimodal.mp4_meta(self._mp4())
+        assert meta == (3000, 640, 360, 1)   # 90000/30000 s = 3000 ms
+
+    def test_rejects_non_mp4(self):
+        assert multimodal.mp4_meta(b"RIFF....WAVE") is None
+        assert multimodal.mp4_meta(None) is None
+        assert multimodal.mp4_meta(b"\x89PNG\r\n\x1a\n--------") is None
