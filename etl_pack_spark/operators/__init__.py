@@ -19,6 +19,12 @@ from etl_pack_spark.operators.similarity import (  # noqa: F401
     lsh_neardup_pairs,
 )
 from etl_pack_spark.operators.sampling import (  # noqa: F401
+    budget_select,
+    budget_select_sql,
+    domain_cap,
+    domain_cap_sql,
+    grouped_split_assign,
+    grouped_split_sql,
     hash_unit,
     mixture_resample,
     split_assign,
@@ -94,15 +100,5 @@ from etl_pack_spark.operators.substrings import (  # noqa: F401
     repeated_ngram_spans,
     repeated_ngram_spans_sql,
 )
-from etl_pack_spark.operators.sampling import (  # noqa: F401
-    budget_select,
-    budget_select_sql,
-)
 from etl_pack_spark.operators.cleaning import html_strip, html_strip_sql  # noqa: F401
-from etl_pack_spark.operators.sampling import (  # noqa: F401
-    domain_cap,
-    domain_cap_sql,
-    grouped_split_assign,
-    grouped_split_sql,
-)
 from etl_pack_spark.operators.textops import normalize_text, normalize_text_sql  # noqa: F401

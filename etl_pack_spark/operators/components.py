@@ -204,14 +204,19 @@ def cluster_dedup(
     df: DataFrame,
     pairs: DataFrame,
     id_col: str = "doc_id",
+    clusters: DataFrame | None = None,
 ) -> DataFrame:
     """Keep ONE survivor per near-dup cluster (the min-id doc), pass
     through every doc not in any pair.
 
     The clusters frame is tiny relative to the corpus (only docs that
     near-dup something), so the anti-join's build side broadcasts; the
-    corpus itself is never shuffled.
+    corpus itself is never shuffled. Pass ``clusters`` (a prior
+    :func:`neardup_clusters` output, ideally persisted) when the
+    caller already labeled the graph — the components computation is
+    the one iterative stage and must not silently run twice.
     """
-    clusters = neardup_clusters(pairs, id_col)
+    if clusters is None:
+        clusters = neardup_clusters(pairs, id_col)
     losers = clusters.where(F.col(id_col) != F.col("cluster_id")).select(id_col)
     return df.join(F.broadcast(losers), id_col, "left_anti")

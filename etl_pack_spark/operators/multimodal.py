@@ -304,17 +304,29 @@ def _jpeg_decoder():
     form; conforming decoders may differ by ±1-2 LSB from fast-integer
     implementations (T.81 allows this), so tests compare against the
     JVM ImageIO oracle with a small tolerance, not bit-exactly.
-    Chroma upsampling is pixel replication (nearest).
+    Chroma upsampling mirrors libjpeg exactly: triangular "fancy"
+    interpolation for the h2v1/h2v2 factors, integer replication for
+    everything else (libjpeg's int_upsample does the same, so the
+    ImageIO parity claim holds for 4:4:0 too).
 
-    Returns ``(w, h, channels, pixels)`` row-major packed, or None.
+    Returns ``(w, h, channels, pixels)`` row-major packed, or None —
+    including for corrupt/truncated payloads (any parse error inside
+    is caught and quarantined as None, never raised: one bad web-crawl
+    image must not abort a Spark stage).
     """
 
-    def decode(b):  # noqa: C901 — one self-contained codec
-        import numpy as np
-
+    def decode(b):
         if b is None or len(b) < 4 or bytes(b[:2]) != b"\xff\xd8":
             return None
-        b = bytes(b)
+        try:
+            return _run(bytes(b))
+        except (IndexError, ValueError, KeyError, OverflowError):
+            # malformed segment lengths / truncated buffers: quarantine
+            return None
+
+    def _run(b):  # noqa: C901 — one self-contained codec
+        import numpy as np
+
         ZZ = [  # zigzag order -> (row, col)
             0, 1, 8, 16, 9, 2, 3, 10, 17, 24, 32, 25, 18, 11, 4, 5,
             12, 19, 26, 33, 40, 48, 41, 34, 27, 20, 13, 6, 7, 14, 21, 28,
@@ -401,6 +413,17 @@ def _jpeg_decoder():
         w, h, comps = frame
         if len(comps) not in (1, 3) or w == 0 or h == 0:
             return None
+        # this decoder only does the INTERLEAVED scan layout; a scan
+        # covering fewer components than the frame (T.81 non-interleaved
+        # multi-scan baseline) must not decode as garbage
+        if len(scan_comps) != len(comps):
+            return None
+        # T.81 A.2: a single-component scan is non-interleaved — the MCU
+        # is ONE 8x8 block over ceil(w/8) x ceil(h/8) regardless of the
+        # declared sampling factors (a 2x2-sampled gray frame would
+        # otherwise read a 4-block MCU grid and scramble the image)
+        if len(comps) == 1:
+            comps[0]["h"] = comps[0]["v"] = 1
         by_id = {c["id"]: c for c in comps}
         for sc in scan_comps:
             if sc["id"] not in by_id:
@@ -441,12 +464,16 @@ def _jpeg_decoder():
             if c["tq"] not in qt or (0, c.get("td")) not in huff or (1, c.get("ta")) not in huff:
                 return None
 
-        # bit reader over one entropy segment
+        # bit reader over one entropy segment. `used` counts LOGICALLY
+        # consumed bits so truncated streams are detectable: the zero
+        # padding past the end would otherwise decode as the first
+        # canonical Huffman code and fabricate plausible garbage
+        # (real trailing pad bits are 1s and hit the invalid-code path)
         class _Bits:
-            __slots__ = ("data", "pos", "acc", "n")
+            __slots__ = ("data", "pos", "acc", "n", "used")
 
             def __init__(self, data):
-                self.data, self.pos, self.acc, self.n = data, 0, 0, 0
+                self.data, self.pos, self.acc, self.n, self.used = data, 0, 0, 0, 0
 
             def _fill(self):
                 while self.n <= 48:
@@ -462,6 +489,7 @@ def _jpeg_decoder():
 
             def drop(self, k):
                 self.n -= k
+                self.used += k
 
             def take(self, k):
                 if k == 0:
@@ -470,6 +498,7 @@ def _jpeg_decoder():
                     self._fill()
                 v = (self.acc >> (self.n - k)) & ((1 << k) - 1)
                 self.n -= k
+                self.used += k
                 return v
 
         def extend(v, t):
@@ -528,6 +557,8 @@ def _jpeg_decoder():
                             x0 = (mx * c["h"] + bx) * 8
                             planes[c["id"]][y0 : y0 + 8, x0 : x0 + 8] = px
                 mcu += 1
+            if bits.used > 8 * len(segdata):
+                return None  # ran past the entropy data: truncated scan
         if mcu < mcu_total:
             return None
 
@@ -631,6 +662,16 @@ def resize_image(
     decode_jpeg = _jpeg_decoder()
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        def thumb(dec):
+            w, h, ch, pix = dec
+            px = bytes(
+                pix[((i * h // out_h) * w + (j * w // out_w)) * ch + c]
+                for i in range(out_h)
+                for j in range(out_w)
+                for c in range(ch)
+            )
+            return (w, h, px)
+
         for pdf in batches:
             rows = []
             for mid, content in zip(pdf["media_id"], pdf["content"]):
@@ -652,33 +693,20 @@ def resize_image(
                     if dec is None:
                         if strict:
                             raise NotImplementedError(
-                                "JPEG variant outside the baseline decoder "
-                                "(progressive/arithmetic/12-bit); pass "
-                                "strict=False to quarantine such rows as NULL"
+                                "JPEG outside the baseline decoder "
+                                "(progressive/arithmetic/12-bit/corrupt); "
+                                "pass strict=False to quarantine such rows "
+                                "as NULL"
                             )
                         rows.append((mid, None, None, None))
                         continue
-                    w, h, ch, pix = dec
-                    px = bytes(
-                        pix[((i * h // out_h) * w + (j * w // out_w)) * ch + c]
-                        for i in range(out_h)
-                        for j in range(out_w)
-                        for c in range(ch)
-                    )
-                    rows.append((mid, w, h, px))
+                    rows.append((mid, *thumb(dec)))
                     continue
                 dec = decode(content)
                 if dec is None:
                     rows.append((mid, None, None, None))
                     continue
-                w, h, ch, pix = dec
-                px = bytes(
-                    pix[((i * h // out_h) * w + (j * w // out_w)) * ch + c]
-                    for i in range(out_h)
-                    for j in range(out_w)
-                    for c in range(ch)
-                )
-                rows.append((mid, w, h, px))
+                rows.append((mid, *thumb(dec)))
             yield pd.DataFrame(rows, columns=["media_id", "src_w", "src_h", "thumb"])
 
     return media.select("media_id", "content").mapInPandas(run, schema=schema)
@@ -849,6 +877,12 @@ def _wav_decoder():
         audio_fmt, ch, rate, _, _, bits = struct.unpack("<HHIIHH", fmt[:16])
         if ch == 0 or rate == 0:
             return None
+        # truncated downloads can leave a data chunk that is not a
+        # multiple of the sample size — trim instead of letting
+        # np.frombuffer raise and kill the Spark task
+        width = bits // 8
+        if width:
+            data = data[: len(data) - (len(data) % width)]
         if audio_fmt == 1:  # integer PCM
             if bits == 8:
                 x = (np.frombuffer(data, dtype=np.uint8).astype(np.float64) - 128.0) / 128.0
@@ -910,12 +944,16 @@ def audio_features(
                     rows.append((mid, None, None, None, None, None))
                     continue
                 rate, ch, n, x = dec
+                if n == 0:
+                    # decodable but empty audio: keep the id visible
+                    # (a vanished row would silently break downstream
+                    # joins/counts) with NULL features
+                    rows.append((mid, rate, ch, None, None, None))
+                    continue
                 mono = x.mean(axis=1)
                 step = max(1, rate * window_ms // 1000)
-                for widx in range(0, max(1, -(-n // step))):
+                for widx in range(-(-n // step)):
                     seg = mono[widx * step : (widx + 1) * step]
-                    if len(seg) == 0:
-                        continue
                     rms = float(np.sqrt(np.mean(seg * seg)))
                     zcr = float(np.mean(np.signbit(seg[1:]) != np.signbit(seg[:-1]))) if len(seg) > 1 else 0.0
                     rows.append((mid, rate, ch, widx, round(rms, 6), round(zcr, 6)))
@@ -942,7 +980,12 @@ def _mp4_meta_parser():
         b = bytes(b)
         if b[4:8] != b"ftyp":
             return None
+        try:
+            return _walk_tree(b)
+        except (IndexError, ValueError):
+            return None  # malformed box tree: quarantine, never raise
 
+    def _walk_tree(b):
         def walk(lo, hi, path):
             out = []
             pos = lo

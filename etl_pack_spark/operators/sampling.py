@@ -313,10 +313,11 @@ def budget_select_sql(
 
 def grouped_split_assign(
     df: DataFrame,
-    pairs: DataFrame,
+    pairs: DataFrame | None = None,
     id_col: str = "doc_id",
     splits: list[tuple[str, float]] = (("train", 0.90), ("val", 0.05), ("test", 0.05)),
     seed: str = "split",
+    clusters: DataFrame | None = None,
 ) -> DataFrame:
     """Leakage-safe train/val/test split: every member of a near-dup
     GROUP lands in the same split. ``pairs`` is any near-dup edge list
@@ -341,14 +342,22 @@ def grouped_split_assign(
     broadcast under the bounded row probe, AQE-chosen shuffled join
     past it. The split expression itself stays map-only. Returns the
     input columns + ``cluster_id`` + ``split``.
+
+    Pass ``clusters`` (a prior, ideally persisted
+    :func:`~etl_pack_spark.operators.components.neardup_clusters`
+    result) instead of ``pairs`` when the pipeline already labeled the
+    graph — components is the one iterative stage and a pipeline that
+    also dedups from the same pairs must compute it exactly once.
     """
     from etl_pack_spark.operators.cache import pooled_persist
     from etl_pack_spark.operators.components import neardup_clusters
     from etl_pack_spark.operators.guards import maybe_broadcast
 
-    clusters = pooled_persist(
-        neardup_clusters(pairs, id_col).withColumnRenamed(id_col, "__gid")
-    )
+    if clusters is None:
+        if pairs is None:
+            raise ValueError("grouped_split_assign needs pairs or clusters")
+        clusters = pooled_persist(neardup_clusters(pairs, id_col))
+    clusters = clusters.withColumnRenamed(id_col, "__gid")
     joined = df.join(
         maybe_broadcast(clusters), F.col(id_col) == F.col("__gid"), "left"
     ).drop("__gid")

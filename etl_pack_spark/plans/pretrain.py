@@ -83,22 +83,29 @@ def prepare_pretraining_corpus(
     pairs = neardup.simhash_neardup_pairs(
         kept, "doc_id", "text", max_hamming=max_hamming
     ).select("id_a", "id_b")
+    # label the pair graph ONCE (components is the only iterative
+    # stage); the split reassignment and the dedup both consume the
+    # persisted labels
+    from etl_pack_spark.operators.cache import pooled_persist
+    from etl_pack_spark.operators.components import neardup_clusters
+
+    clusters = pooled_persist(neardup_clusters(pairs, "doc_id"))
 
     if leakage_safe_split:
         # reassign splits so a near-dup CLUSTER lands whole in one
-        # split (Lee et al. 2021 §5 leakage model) — reuses the pair
-        # graph the dedup stage needs anyway, so the only added work
-        # is the bounded cluster-map join. Matters most when dedup
-        # thresholds are loose or survivors of a cluster end up on the
-        # eval side; with per-doc hash splits a near-dup of a train doc
-        # can land in val/test.
+        # split (Lee et al. 2021 §5 leakage model) — reuses the labels
+        # the dedup stage needs anyway, so the only added work is the
+        # bounded cluster-map join. Matters most when dedup thresholds
+        # are loose or survivors of a cluster end up on the eval side;
+        # with per-doc hash splits a near-dup of a train doc can land
+        # in val/test.
         from etl_pack_spark.operators.sampling import grouped_split_assign
 
-        kept = grouped_split_assign(kept.drop("split"), pairs, "doc_id").drop(
-            "cluster_id"
-        )
+        kept = grouped_split_assign(
+            kept.drop("split"), None, "doc_id", clusters=clusters
+        ).drop("cluster_id")
 
-    unique = cluster_dedup(kept, pairs, "doc_id")
+    unique = cluster_dedup(kept, pairs, "doc_id", clusters=clusters)
 
     if embeddings is not None:
         # SemDeDup: lexical dedup above can't see paraphrases; the

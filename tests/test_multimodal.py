@@ -533,3 +533,75 @@ class TestMp4Meta:
         assert multimodal.mp4_meta(b"RIFF....WAVE") is None
         assert multimodal.mp4_meta(None) is None
         assert multimodal.mp4_meta(b"\x89PNG\r\n\x1a\n--------") is None
+
+
+class TestCorruptPayloadQuarantine:
+    """Review-pass regressions: corrupt/truncated binary payloads must
+    quarantine (None / NULL row), never raise into the Spark task."""
+
+    def test_jpeg_truncated_segments_return_none(self):
+        for payload in (
+            b"\xff\xd8\xff\xc0\x00\x02",          # SOF0 with empty body
+            b"\xff\xd8\xff\xda\x00\x02",          # empty SOS
+            b"\xff\xd8\xff\xc4\x00\x02",          # empty DHT
+            b"\xff\xd8\xff\xdb\x00\x03\x00",      # truncated DQT
+            b"\xff\xd8\xff\xc0\x00\x08\x08\x00\x10\x00\x10\x01",  # short comps
+        ):
+            assert multimodal.jpeg_decode(payload) is None, payload
+
+    def test_jpeg_truncated_scan_returns_none(self, spark):
+        """A baseline JPEG cut off mid-scan must not 'decode' to
+        zero-padded garbage."""
+        jvm = spark.sparkContext._jvm
+        BI = jvm.java.awt.image.BufferedImage
+        img = BI(32, 24, BI.TYPE_INT_RGB)
+        for y in range(24):
+            for x in range(32):
+                img.setRGB(x, y, ((x * 8 & 255) << 16) | ((y * 10 & 255) << 8) | ((x * y) & 255))
+        baos = jvm.java.io.ByteArrayOutputStream()
+        jvm.javax.imageio.ImageIO.write(img, "jpg", baos)
+        data = bytes(baos.toByteArray())
+        assert multimodal.jpeg_decode(data) is not None
+        assert multimodal.jpeg_decode(data[: len(data) // 2]) is None
+        assert multimodal.jpeg_decode(data[: len(data) - 20]) is None
+
+    def test_wav_truncated_data_chunk_decodes_trimmed(self):
+        import struct
+
+        data = b"\x01\x02\x03\x04\x05"  # 5 bytes: NOT a multiple of 2
+        hdr = struct.pack(
+            "<4sI4s4sIHHIIHH4sI",
+            b"RIFF", 36 + len(data), b"WAVE", b"fmt ", 16,
+            1, 1, 8000, 16000, 2, 16, b"data", len(data),
+        )
+        dec = multimodal.wav_decode(hdr + data)
+        assert dec is not None and dec[2] == 2   # trimmed to 2 frames
+
+    def test_wav_empty_data_keeps_id_in_audio_features(self, spark):
+        import struct
+
+        hdr = struct.pack(
+            "<4sI4s4sIHHIIHH4sI",
+            b"RIFF", 36, b"WAVE", b"fmt ", 16,
+            1, 1, 8000, 16000, 2, 16, b"data", 0,
+        )
+        media = spark.createDataFrame(
+            [(7, bytearray(hdr), "audio/wav", len(hdr))], multimodal.MEDIA_SCHEMA
+        )
+        rows = multimodal.audio_features(media).collect()
+        assert len(rows) == 1 and rows[0]["media_id"] == 7
+        assert rows[0]["sample_rate"] == 8000 and rows[0]["rms"] is None
+
+    def test_mp4_empty_box_bodies_return_none(self):
+        ftyp = (16).to_bytes(4, "big") + b"ftyp" + b"isom\x00\x00\x02\x00"
+        bare_mvhd = (8).to_bytes(4, "big") + b"mvhd"
+        moov = (8 + len(bare_mvhd)).to_bytes(4, "big") + b"moov" + bare_mvhd
+        assert multimodal.mp4_meta(ftyp + moov) is None
+
+    def test_resize_quarantines_corrupt_jpeg_nonstrict(self, spark):
+        media = spark.createDataFrame(
+            [(1, bytearray(b"\xff\xd8\xff\xc0\x00\x02"), "image/jpeg", 6)],
+            multimodal.MEDIA_SCHEMA,
+        )
+        out = multimodal.resize_image(media, fake=False, strict=False).collect()
+        assert out[0]["thumb"] is None
