@@ -100,5 +100,13 @@ from etl_pack_spark.operators.substrings import (  # noqa: F401
     repeated_ngram_spans,
     repeated_ngram_spans_sql,
 )
-from etl_pack_spark.operators.cleaning import html_strip, html_strip_sql  # noqa: F401
-from etl_pack_spark.operators.textops import normalize_text, normalize_text_sql  # noqa: F401
+from etl_pack_spark.operators.cleaning import (  # noqa: F401
+    html_clean_lines,
+    html_strip,
+    html_strip_sql,
+)
+from etl_pack_spark.operators.textops import (  # noqa: F401
+    normalize_text,
+    normalize_text_col,
+    normalize_text_sql,
+)

@@ -406,18 +406,11 @@ _ENTITIES = [
 ]
 
 
-def html_strip(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
-    """Extract readable text from HTML: drop script/style/comment
-    blocks, turn block-level tag boundaries into newlines, strip the
-    remaining tags (as spaces, preserving word boundaries), decode the
-    common entities, collapse horizontal whitespace per line, and drop
-    blank lines. Returns ``(id, text_clean, n_lines)``.
-
-    Map-only — a chain of ``regexp_replace``/``replace`` expressions
-    inside whole-stage codegen; no shuffle, no Python. Regexes stay in
-    the Java∩RE2 common subset so the DuckDB twin is exact.
-    """
-    x = F.col(text_col)
+def html_clean_lines(text_col) -> "F.Column":
+    """The extracted-lines array as a standalone Column expression
+    (array<string> of non-empty trimmed lines) — composable into any
+    projection without a join. See :func:`html_strip` for semantics."""
+    x = F.col(text_col) if isinstance(text_col, str) else text_col
     # script/style BEFORE comments: a comment-open inside a script
     # ('if(a<!--b)') would otherwise swallow the </script> closer and
     # leak script code into the extracted text
@@ -429,16 +422,28 @@ def html_strip(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
         x = F.replace(x, F.lit(src), F.lit(dst))
     # per-line: collapse runs of spaces/tabs, trim, drop empty lines
     x = F.regexp_replace(x, r"[ \t\x0b\f\r]+", " ")
-    lines = F.expr(
-        "filter(transform(split(__x, '\\n'), l -> trim(l)), l -> l != '')"
+    return F.filter(
+        F.transform(F.split(x, "\n"), lambda line: F.trim(line)),
+        lambda line: line != "",
     )
-    return (
-        df.select(F.col(id_col).alias("id"), x.alias("__x"))
-        .select(
-            "id",
-            F.array_join(lines, "\n").alias("text_clean"),
-            F.size(lines).alias("n_lines"),
-        )
+
+
+def html_strip(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Extract readable text from HTML: drop script/style/comment
+    blocks, turn block-level tag boundaries into newlines, strip the
+    remaining tags (as spaces, preserving word boundaries), decode the
+    common entities, collapse horizontal whitespace per line, and drop
+    blank lines. Returns ``(id, text_clean, n_lines)``.
+
+    Map-only — a chain of ``regexp_replace``/``replace`` expressions
+    inside whole-stage codegen; no shuffle, no Python. Regexes stay in
+    the Java∩RE2 common subset so the DuckDB twin is exact.
+    """
+    lines = html_clean_lines(text_col)
+    return df.select(
+        F.col(id_col).alias("id"),
+        F.array_join(lines, "\n").alias("text_clean"),
+        F.size(lines).alias("n_lines"),
     )
 
 

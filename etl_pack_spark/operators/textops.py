@@ -669,6 +669,16 @@ def normalize_text(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     divergence would need a UCD version skew on freshly-assigned
     codepoints — not a property of corpus text.
     """
+    return df.select(
+        F.col(id_col).alias("id"), normalize_text_col(text_col).alias("text_norm")
+    )
+
+
+def normalize_text_col(text_col) -> Column:
+    """The canonicalized text as a standalone Column expression —
+    composable into any projection without a join. See
+    :func:`normalize_text` for semantics."""
+
     @F.pandas_udf("string")
     def _nfc(s: pd.Series) -> pd.Series:
         import unicodedata
@@ -677,10 +687,10 @@ def normalize_text(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
             lambda t: unicodedata.normalize("NFC", t) if t is not None else None
         )
 
-    x = F.col(text_col)
+    x = F.col(text_col) if isinstance(text_col, str) else text_col
     x = F.regexp_replace(x, r"\r\n|\r", "\n")
     x = F.regexp_replace(x, _CTRL_RE, "")
-    return df.select(F.col(id_col).alias("id"), _nfc(x).alias("text_norm"))
+    return _nfc(x)
 
 
 def normalize_text_sql(table: str, id_col: str, text_col: str) -> str:

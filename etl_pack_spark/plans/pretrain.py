@@ -47,6 +47,8 @@ def prepare_pretraining_corpus(
     sem_nlist: int = 16,
     sem_threshold: float = 0.95,
     leakage_safe_split: bool = False,
+    extract_html: bool = False,
+    normalize_unicode: bool = False,
 ) -> DataFrame:
     """Documents → packed training sequences.
 
@@ -58,8 +60,24 @@ def prepare_pretraining_corpus(
     windows are mostly duplicated elsewhere in the curated corpus;
     ``embeddings`` (optional, keyed by ``emb_id_col`` = doc id) adds a
     SemDeDup semantic-dedup stage after the exact/near-dup one.
-    Deterministic end-to-end: every stage is hash-based, no RNG.
+    ``extract_html`` / ``normalize_unicode`` (optional) prepend the
+    raw-web prep stages — WET-style tag stripping and NFC
+    canonicalization — BEFORE curation, so hashing/dedup see extracted,
+    canonical text (both are map-only projections that fuse into the
+    curation scan; no extra shuffle). Deterministic end-to-end: every
+    stage is hash-based, no RNG.
     """
+    if extract_html:
+        from etl_pack_spark.operators.cleaning import html_clean_lines
+
+        docs = docs.withColumn(
+            "text", F.array_join(html_clean_lines("text"), "\n")
+        )
+    if normalize_unicode:
+        from etl_pack_spark.operators.textops import normalize_text_col
+
+        docs = docs.withColumn("text", normalize_text_col("text"))
+
     curated = curate_corpus(docs)  # (doc_id, lang, split)
     kept = docs.join(curated.select("doc_id", "split"), "doc_id").select(
         "doc_id", "text", "lang", "split", F.col(domain_col)

@@ -144,3 +144,24 @@ def test_pipeline_leakage_safe_split(spark, sf_dir):
         .count()
     )
     assert straddlers == 0
+
+
+def test_pipeline_web_prep_stages(spark, sf_dir):
+    """extract_html + normalize_unicode prepend WITHOUT adding a
+    shuffle (column rewrites, not joins), and HTML markup in raw docs
+    no longer leaks into the packed corpus."""
+    from pyspark.sql import functions as F
+
+    docs = _docs(spark, sf_dir).withColumn(
+        "text", F.concat(F.lit("<p>"), F.col("text"), F.lit("</p><script>x</script>"))
+    )
+    out = prepare_pretraining_corpus(
+        docs, extract_html=True, normalize_unicode=True
+    )
+    assert out.count() > 0
+    # same doc set as running the pipeline on the clean fixture (tag
+    # wrapping adds no tokens after extraction)
+    clean = prepare_pretraining_corpus(_docs(spark, sf_dir))
+    got = sorted(r["doc_id"] for r in out.select("doc_id").distinct().collect())
+    want = sorted(r["doc_id"] for r in clean.select("doc_id").distinct().collect())
+    assert got == want
