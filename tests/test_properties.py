@@ -420,3 +420,68 @@ def test_normalize_text_matches_duckdb_on_random_unicode(spark, docs):
     a, b = got["text_norm"], want["text_norm"]
     same = (a == b) | (a.isna() & b.isna())
     assert same.all(), (docs, a[~same].head(), b[~same].head())
+
+
+@given(
+    cut=st.integers(min_value=0, max_value=655),
+    mutations=st.lists(
+        st.tuples(st.integers(0, 654), st.integers(0, 255)), min_size=0, max_size=8
+    ),
+)
+@settings(max_examples=40, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+def test_jpeg_decoder_never_raises_on_mutated_input(spark, cut, mutations):
+    """Quarantine contract under fuzzing: truncate and byte-flip a
+    real JPEG arbitrarily — decode() must return None or a valid
+    (w, h, ch, bytes) tuple, never raise (a corrupt web-crawl image
+    must not abort a Spark stage)."""
+    from etl_pack_spark.operators.multimodal import jpeg_decode
+
+    data = bytearray(_reference_jpeg(spark))
+    for pos, val in mutations:
+        if pos < len(data):
+            data[pos] = val
+    data = bytes(data[: max(4, cut)])
+    out = jpeg_decode(data)
+    if out is not None:
+        w, h, ch, pix = out
+        assert len(pix) == w * h * ch
+
+
+_JPEG_CACHE = {}
+
+
+def _reference_jpeg(spark):
+    if "jpg" not in _JPEG_CACHE:
+        jvm = spark.sparkContext._jvm
+        BI = jvm.java.awt.image.BufferedImage
+        img = BI(24, 16, BI.TYPE_INT_RGB)
+        for y in range(16):
+            for x in range(24):
+                img.setRGB(x, y, ((x * 10 & 255) << 16) | ((y * 15 & 255) << 8) | 60)
+        baos = jvm.java.io.ByteArrayOutputStream()
+        jvm.javax.imageio.ImageIO.write(img, "jpg", baos)
+        _JPEG_CACHE["jpg"] = bytes(baos.toByteArray())
+    return _JPEG_CACHE["jpg"]
+
+
+@given(blob=st.binary(min_size=0, max_size=300))
+@settings(max_examples=40, deadline=None)
+def test_binary_parsers_never_raise_on_arbitrary_bytes(blob):
+    """wav_decode / mp4_meta / jpeg_decode / png_decode on arbitrary
+    bytes: None or a well-formed tuple, never an exception."""
+    from etl_pack_spark.operators.multimodal import (
+        jpeg_decode,
+        mp4_meta,
+        png_decode,
+        wav_decode,
+    )
+
+    for fn in (jpeg_decode, mp4_meta, png_decode, wav_decode):
+        fn(blob)  # must not raise
+
+    # and a RIFF/ftyp-prefixed variant to get past the magic checks
+    wav_decode(b"RIFF\x00\x00\x00\x00WAVE" + blob)
+    mp4_meta(b"\x00\x00\x00\x10ftypisom\x00\x00\x02\x00" + blob)
+    jpeg_decode(b"\xff\xd8" + blob)
+    png_decode(b"\x89PNG\r\n\x1a\n" + blob)
