@@ -145,6 +145,15 @@ def _lib_extra_queries():
 
         return normalize_text(read_table(spark, sf_dir, "documents"), "doc_id", "text")
 
+    def _pretrain(spark, sf_dir):
+        # the flagship composition end-to-end: curate -> cluster dedup
+        # -> pack, with leakage-safe splits — tracked so regressions in
+        # any stage's plan show up in ONE per-round number
+        from etl_pack_spark.plans.pretrain import prepare_pretraining_corpus
+
+        docs = read_table(spark, sf_dir, "documents")
+        return prepare_pretraining_corpus(docs, leakage_safe_split=True)
+
     return {
         "lib_semantic_dedup": _semdedup,
         "lib_repeated_ngram_spans": _spans,
@@ -152,6 +161,7 @@ def _lib_extra_queries():
         "lib_html_strip": _html,
         "lib_domain_cap": _cap,
         "lib_normalize_text": _norm,
+        "lib_pretrain_e2e": _pretrain,
     }
 
 

@@ -165,3 +165,24 @@ def test_pipeline_web_prep_stages(spark, sf_dir):
     got = sorted(r["doc_id"] for r in out.select("doc_id").distinct().collect())
     want = sorted(r["doc_id"] for r in clean.select("doc_id").distinct().collect())
     assert got == want
+
+
+def test_web_prep_stages_add_no_exchange(spark, sf_dir):
+    """The html/NFC pre-stages are column rewrites fused into the scan:
+    the curated plan with them must contain exactly as many Exchanges
+    as without (a join-back implementation would add one per stage)."""
+    from pyspark.sql import functions as F
+
+    from etl_pack_spark.plans.curate import curate_corpus
+
+    docs = _docs(spark, sf_dir)
+    base = curate_corpus(docs)._jdf.queryExecution().executedPlan().toString()
+
+    from etl_pack_spark.operators.cleaning import html_clean_lines
+    from etl_pack_spark.operators.textops import normalize_text_col
+
+    prepped = docs.withColumn(
+        "text", F.array_join(html_clean_lines("text"), "\n")
+    ).withColumn("text", normalize_text_col("text"))
+    withstages = curate_corpus(prepped)._jdf.queryExecution().executedPlan().toString()
+    assert withstages.count("Exchange") == base.count("Exchange")
