@@ -253,3 +253,92 @@ def scd2_merge(
         live, keys, ts_col, effective_from, effective_to, current_flag
     )
     return closed.unionByName(rebuilt)
+
+
+def snapshot_diff(
+    old: DataFrame,
+    new: DataFrame,
+    keys: list[str],
+    op_col: str = "op",
+) -> DataFrame:
+    """Derive the I/U/D CHANGE STREAM from two snapshots of a keyed
+    table — the inverse of :func:`apply_cdc`: reconciliation when the
+    source system exposes no change log (the posture the reference's
+    re-scan world lives in, upgraded from append-only to full diff).
+
+    Requires ``keys`` unique within each snapshot and identical
+    schemas. Returns one row per changed key: the key columns, ``op``
+    ∈ {'I','U','D'}, and the payload columns (new side for I/U, the
+    depart-ing old side for D). Unchanged keys emit nothing. The
+    round-trip law — ``apply_cdc(old, snapshot_diff(old, new) + ts)
+    == new`` — is pinned in tests/test_merge.py.
+
+    Scale shape: the module's union-not-join idiom — old ∪ new with a
+    side tag, then ONE combinable groupBy on the key collecting each
+    side's payload struct; change detection is a null-safe struct
+    compare (NOT the H1 multiset hash, whose cell-sorting would call
+    two columns with swapped values "unchanged"). No full-outer join
+    (two shuffled sides + a hash table build); the DuckDB oracle twin
+    deliberately IS the full-outer-join formulation, so two
+    independent plans must agree.
+    """
+    cols = old.columns
+    if new.columns != cols:
+        raise ValueError(f"schema mismatch: {cols} vs {new.columns}")
+    payload = [c for c in cols if c not in keys]
+
+    def tagged(df, src):
+        return df.select(
+            *keys,
+            F.struct(*payload).alias("__p"),
+            F.lit(src).alias("__src"),
+        )
+
+    u = tagged(old, 0).unionByName(tagged(new, 1))
+    agg = u.groupBy(*keys).agg(
+        F.max(F.when(F.col("__src") == 0, F.lit(1))).alias("__in_o"),
+        F.max(F.when(F.col("__src") == 1, F.lit(1))).alias("__in_n"),
+        F.max(F.when(F.col("__src") == 0, F.col("__p"))).alias("__po"),
+        F.max(F.when(F.col("__src") == 1, F.col("__p"))).alias("__pn"),
+    )
+    op = (
+        F.when(F.col("__in_o").isNull(), "I")
+        .when(F.col("__in_n").isNull(), "D")
+        .when(~F.col("__po").eqNullSafe(F.col("__pn")), "U")
+    )
+    flagged = agg.withColumn(op_col, op).where(F.col(op_col).isNotNull())
+    pick = [
+        F.when(F.col(op_col) == "D", F.col(f"__po.{c}"))
+        .otherwise(F.col(f"__pn.{c}"))
+        .alias(c)
+        for c in payload
+    ]
+    return flagged.select(*keys, *pick, op_col)
+
+
+def snapshot_diff_sql(
+    old_sql: str,
+    new_sql: str,
+    keys: list[str],
+    payload: list[str],
+    op_col: str = "op",
+) -> str:
+    """DuckDB oracle twin of :func:`snapshot_diff` — deliberately the
+    OTHER formulation (full outer join + per-column IS DISTINCT FROM)
+    so an independent plan checks the hash-compare one."""
+    on = " AND ".join(f"o.{k} = n.{k}" for k in keys)
+    differs = " OR ".join(f"o.{c} IS DISTINCT FROM n.{c}" for c in payload)
+    key0 = keys[0]
+    sel_keys = ", ".join(f"COALESCE(o.{k}, n.{k}) AS {k}" for k in keys)
+    sel_payload = ", ".join(
+        f"CASE WHEN n.{key0} IS NULL THEN o.{c} ELSE n.{c} END AS {c}"
+        for c in payload
+    )
+    return f"""
+    SELECT {sel_keys}, {sel_payload},
+           CASE WHEN o.{key0} IS NULL THEN 'I'
+                WHEN n.{key0} IS NULL THEN 'D'
+                ELSE 'U' END AS {op_col}
+    FROM ({old_sql}) o FULL JOIN ({new_sql}) n ON {on}
+    WHERE o.{key0} IS NULL OR n.{key0} IS NULL OR ({differs})
+    """

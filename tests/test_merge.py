@@ -273,3 +273,99 @@ def test_scd2_null_ts_oracle_parity(spark):
     def norm(t):
         return (t[0], t[1], t[2], t[3], t[4], bool(t[5]))
     assert got == sorted((norm(t) for t in want), key=_key)
+
+
+class TestSnapshotDiff:
+    """snapshot_diff: derive the I/U/D stream from two snapshots."""
+
+    def _frames(self, spark):
+        old = spark.createDataFrame(
+            [(1, "a", 10.0), (2, "b", 20.0), (3, "c", None), (4, "d", 40.0)],
+            "k long, name string, val double",
+        )
+        new = spark.createDataFrame(
+            [(1, "a", 10.0),        # unchanged
+             (2, "B", 20.0),        # updated (name)
+             (3, "c", 30.0),        # updated (NULL -> value)
+             (5, "e", 50.0)],       # inserted; 4 deleted
+            "k long, name string, val double",
+        )
+        return old, new
+
+    def test_semantics(self, spark):
+        from etl_pack_spark.plans.merge import snapshot_diff
+
+        old, new = self._frames(spark)
+        got = {r["k"]: (r["op"], r["name"], r["val"])
+               for r in snapshot_diff(old, new, ["k"]).collect()}
+        assert got == {
+            2: ("U", "B", 20.0),
+            3: ("U", "c", 30.0),
+            4: ("D", "d", 40.0),
+            5: ("I", "e", 50.0),
+        }
+
+    def test_oracle_parity_full_outer_join_twin(self, spark):
+        import duckdb as _duck
+
+        from etl_pack_spark.plans.merge import snapshot_diff, snapshot_diff_sql
+
+        old, new = self._frames(spark)
+        got = sorted(map(tuple, snapshot_diff(old, new, ["k"]).collect()))
+        con = _duck.connect()
+        con.register("old_t", old.toPandas())
+        con.register("new_t", new.toPandas())
+        want = sorted(map(tuple, con.execute(snapshot_diff_sql(
+            "SELECT * FROM old_t", "SELECT * FROM new_t",
+            ["k"], ["name", "val"],
+        )).fetchall()))
+        assert got == want
+
+    def test_oracle_parity_on_fixture(self, spark, sf_dir):
+        from etl_pack_spark.oracle import duck_connect
+        from etl_pack_spark.plans.merge import snapshot_diff, snapshot_diff_sql
+        from etl_pack_spark.sources.reader import read_table
+
+        orders = read_table(spark, sf_dir, "orders").select(
+            "o_orderkey", "o_custkey", "o_totalprice"
+        )
+        old = orders.where(F.col("o_orderkey") % 5 != 0)
+        new = orders.where(F.col("o_orderkey") % 3 != 0).withColumn(
+            "o_totalprice",
+            F.when(F.col("o_orderkey") % 7 == 0, F.col("o_totalprice") * 2)
+            .otherwise(F.col("o_totalprice")),
+        )
+        got = sorted(map(tuple, snapshot_diff(old, new, ["o_orderkey"]).collect()))
+        base = "SELECT o_orderkey, o_custkey, o_totalprice FROM orders"
+        want = sorted(map(tuple, duck_connect(sf_dir).execute(snapshot_diff_sql(
+            f"{base} WHERE o_orderkey % 5 <> 0",
+            f"""SELECT o_orderkey, o_custkey,
+                 CASE WHEN o_orderkey % 7 = 0 THEN o_totalprice * 2
+                      ELSE o_totalprice END AS o_totalprice
+                FROM ({base} WHERE o_orderkey % 3 <> 0)""",
+            ["o_orderkey"], ["o_custkey", "o_totalprice"],
+        )).fetchall()))
+        assert got == want
+        assert len(got) > 0
+
+    def test_roundtrip_apply_cdc_reproduces_new(self, spark):
+        """THE law: apply_cdc(old, diff) == new, exactly."""
+        from etl_pack_spark.plans.merge import apply_cdc, snapshot_diff
+
+        old, new = self._frames(spark)
+        changes = snapshot_diff(old, new, ["k"]).withColumn("ts", F.lit(2))
+        target = old.withColumn("ts", F.lit(1))
+        result = apply_cdc(target, changes, ["k"], "ts")
+        got = sorted(map(tuple, result.drop("ts").collect()))
+        want = sorted(map(tuple, new.collect()))
+        assert got == want
+
+    def test_swapped_column_values_flag_update(self, spark):
+        """The H1 multiset hash would call a value swap 'unchanged';
+        the struct compare must not."""
+        from etl_pack_spark.plans.merge import snapshot_diff
+
+        old = spark.createDataFrame([(1, "x", "y")], "k long, a string, b string")
+        new = spark.createDataFrame([(1, "y", "x")], "k long, a string, b string")
+        got = [(r["op"], r["a"], r["b"]) for r in snapshot_diff(old, new, ["k"]).collect()]
+        assert got == [("U", "y", "x")]
