@@ -5,13 +5,15 @@ Image DIMENSION decode is REAL — PNG/JPEG/GIF/BMP/PPM headers are
 parsed from plain bytes (no codec library needed). PIXEL decode is
 REAL for PNG (stdlib zlib inflate + per-row unfilter,
 :func:`png_decode`: 8-bit grey / grey+alpha / RGB / RGBA,
-non-interlaced) AND baseline JPEG (stdlib+numpy Huffman + float
-reference IDCT + libjpeg-exact fancy chroma upsampling,
-:func:`jpeg_decode` — verified within the T.81-permitted ±2 LSB of
-the JVM ImageIO decoder), so :func:`resize_image` thumbnails both
-natively. Progressive/arithmetic JPEG and video frame extraction
-stay gated behind ``NotImplementedError``, each with a deterministic
-fake for exercising the pipeline shape. Everything Spark-side is real
+non-interlaced) AND JPEG — baseline sequential and PROGRESSIVE
+(stdlib+numpy Huffman with spectral selection / successive
+approximation, float reference IDCT, libjpeg-exact fancy chroma
+upsampling, :func:`jpeg_decode` — verified within the T.81-permitted
+±2 LSB of the JVM ImageIO decoder on both scan layouts), so
+:func:`resize_image` thumbnails all of them natively.
+Arithmetic-coded/12-bit/lossless JPEG and video frame extraction stay
+gated behind ``NotImplementedError``, each with a deterministic fake
+for exercising the pipeline shape. Everything Spark-side is real
 and tested: schema, binary handling, partitioning, the mapInPandas
 batch contract, and a genuine Arrow-vectorized feature extractor
 (byte histograms).
@@ -290,15 +292,16 @@ png_decode = _png_decoder()
 
 
 def _jpeg_decoder():
-    """Factory for a stdlib+numpy BASELINE JPEG decoder (closure, same
+    """Factory for a stdlib+numpy JPEG decoder (closure, same
     cloudpickle-by-value rationale as :func:`_png_decoder`).
 
-    Covers baseline sequential DCT (SOF0/SOF1): 8-bit samples, Huffman
-    entropy coding, 1 (grey) or 3 (YCbCr) components, integer chroma
-    subsampling (4:4:4 / 4:2:2 / 4:2:0), restart markers — what
-    libjpeg-family encoders (incl. the JDK's ImageIO) emit by default.
-    Progressive (SOF2), arithmetic coding, 12-bit, and hierarchical
-    modes return None (the caller's quarantine/strict gate decides).
+    Covers baseline sequential (SOF0/1) AND progressive (SOF2) DCT:
+    8-bit samples, Huffman entropy coding, 1 (grey) or 3 (YCbCr)
+    components, integer chroma subsampling (4:4:4 / 4:2:2 / 4:2:0),
+    restart markers, interleaved and non-interleaved scans, spectral
+    selection + successive approximation (T.81 G.1.2 semantics,
+    refinement bit handling as in the spec's flow charts). Arithmetic
+    coding, 12-bit, lossless, and hierarchical modes return None.
 
     Spec: ITU-T T.81 / ISO 10918-1. The IDCT is the float reference
     form; conforming decoders may differ by ±1-2 LSB from fast-integer
@@ -315,160 +318,36 @@ def _jpeg_decoder():
     image must not abort a Spark stage).
     """
 
+    class _Bad(Exception):
+        pass
+
     def decode(b):
         if b is None or len(b) < 4 or bytes(b[:2]) != b"\xff\xd8":
             return None
         try:
             return _run(bytes(b))
-        except (IndexError, ValueError, KeyError, OverflowError):
+        except (_Bad, IndexError, ValueError, KeyError, OverflowError):
             # malformed segment lengths / truncated buffers: quarantine
             return None
 
     def _run(b):  # noqa: C901 — one self-contained codec
         import numpy as np
 
-        ZZ = [  # zigzag order -> (row, col)
+        # zigzag sequence index -> raster index (row*8+col)
+        ZZ = [
             0, 1, 8, 16, 9, 2, 3, 10, 17, 24, 32, 25, 18, 11, 4, 5,
             12, 19, 26, 33, 40, 48, 41, 34, 27, 20, 13, 6, 7, 14, 21, 28,
             35, 42, 49, 56, 57, 50, 43, 36, 29, 22, 15, 23, 30, 37, 44, 51,
             58, 59, 52, 45, 38, 31, 39, 46, 53, 60, 61, 54, 47, 55, 62, 63,
         ]
         qt, huff = {}, {}
-        frame, restart, scan_pos, scan_comps = None, 0, None, None
-        pos = 2
-        while pos + 2 <= len(b):
-            if b[pos] != 0xFF:
-                return None
-            while pos + 1 < len(b) and b[pos + 1] == 0xFF:  # fill bytes
-                pos += 1
-            marker = b[pos + 1]
-            pos += 2
-            if marker == 0xD9 or marker == 0x01 or 0xD0 <= marker <= 0xD8:
-                continue
-            if pos + 2 > len(b):
-                return None
-            seglen = int.from_bytes(b[pos : pos + 2], "big")
-            seg = b[pos + 2 : pos + seglen]
-            if marker == 0xDB:  # DQT (one or more tables)
-                i = 0
-                while i < len(seg):
-                    pq, tq = seg[i] >> 4, seg[i] & 15
-                    i += 1
-                    n = 64 * (2 if pq else 1)
-                    raw = seg[i : i + n]
-                    i += n
-                    if pq:
-                        vals = [int.from_bytes(raw[j : j + 2], "big") for j in range(0, 128, 2)]
-                    else:
-                        vals = list(raw)
-                    qt[tq] = np.array(vals, dtype=np.int32)
-            elif marker in (0xC0, 0xC1):  # SOF0/1 baseline
-                if seg[0] != 8:
-                    return None  # 12-bit
-                h = int.from_bytes(seg[1:3], "big")
-                w = int.from_bytes(seg[3:5], "big")
-                nc = seg[5]
-                comps = []
-                for c in range(nc):
-                    cid, hv, tq = seg[6 + 3 * c : 9 + 3 * c]
-                    comps.append({"id": cid, "h": hv >> 4, "v": hv & 15, "tq": tq})
-                frame = (w, h, comps)
-            elif marker in (0xC2, 0xC3, 0xC5, 0xC6, 0xC7,
-                            0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
-                return None  # progressive / arithmetic / hierarchical
-            elif marker == 0xC4:  # DHT (one or more tables)
-                i = 0
-                while i + 17 <= len(seg):
-                    tc, th = seg[i] >> 4, seg[i] & 15
-                    counts = list(seg[i + 1 : i + 17])
-                    nsym = sum(counts)
-                    syms = list(seg[i + 17 : i + 17 + nsym])
-                    i += 17 + nsym
-                    # canonical codes -> flat 16-bit LUT: (symbol, bits)
-                    lut = np.zeros((1 << 16, 2), dtype=np.int32)
-                    code, k = 0, 0
-                    for ln in range(1, 17):
-                        for _ in range(counts[ln - 1]):
-                            lo = code << (16 - ln)
-                            hi = (code + 1) << (16 - ln)
-                            lut[lo:hi, 0] = syms[k]
-                            lut[lo:hi, 1] = ln
-                            code += 1
-                            k += 1
-                        code <<= 1
-                    huff[(tc, th)] = lut
-            elif marker == 0xDD:
-                restart = int.from_bytes(seg[0:2], "big")
-            elif marker == 0xDA:  # SOS — scan follows
-                ns = seg[0]
-                scan_comps = []
-                for c in range(ns):
-                    cs, tt = seg[1 + 2 * c : 3 + 2 * c]
-                    scan_comps.append({"id": cs, "td": tt >> 4, "ta": tt & 15})
-                scan_pos = pos + seglen
-                break
-            pos += seglen
-        if frame is None or scan_pos is None:
-            return None
-        w, h, comps = frame
-        if len(comps) not in (1, 3) or w == 0 or h == 0:
-            return None
-        # this decoder only does the INTERLEAVED scan layout; a scan
-        # covering fewer components than the frame (T.81 non-interleaved
-        # multi-scan baseline) must not decode as garbage
-        if len(scan_comps) != len(comps):
-            return None
-        # T.81 A.2: a single-component scan is non-interleaved — the MCU
-        # is ONE 8x8 block over ceil(w/8) x ceil(h/8) regardless of the
-        # declared sampling factors (a 2x2-sampled gray frame would
-        # otherwise read a 4-block MCU grid and scramble the image)
-        if len(comps) == 1:
-            comps[0]["h"] = comps[0]["v"] = 1
-        by_id = {c["id"]: c for c in comps}
-        for sc in scan_comps:
-            if sc["id"] not in by_id:
-                return None
-            by_id[sc["id"]].update(td=sc["td"], ta=sc["ta"])
+        frame, restart, progressive, scanned = None, 0, False, False
+        comps, coefs = None, {}
+        w = h = hmax = vmax = mcux = mcuy = 0
 
-        # entropy-coded segments: un-stuff 0xFF00, split at RSTn
-        segments, cur, i = [], bytearray(), scan_pos
-        while i < len(b):
-            byte = b[i]
-            if byte == 0xFF:
-                nxt = b[i + 1] if i + 1 < len(b) else 0xD9
-                if nxt == 0x00:
-                    cur.append(0xFF)
-                    i += 2
-                    continue
-                if 0xD0 <= nxt <= 0xD7:
-                    segments.append(bytes(cur))
-                    cur = bytearray()
-                    i += 2
-                    continue
-                break  # EOI or next marker
-            cur.append(byte)
-            i += 1
-        segments.append(bytes(cur))
-
-        hmax = max(c["h"] for c in comps)
-        vmax = max(c["v"] for c in comps)
-        if hmax not in (1, 2, 4) or vmax not in (1, 2, 4):
-            return None
-        mcux = -(-w // (8 * hmax))
-        mcuy = -(-h // (8 * vmax))
-        planes = {}
-        for c in comps:
-            planes[c["id"]] = np.zeros(
-                (mcuy * c["v"] * 8, mcux * c["h"] * 8), dtype=np.float64
-            )
-            if c["tq"] not in qt or (0, c.get("td")) not in huff or (1, c.get("ta")) not in huff:
-                return None
-
-        # bit reader over one entropy segment. `used` counts LOGICALLY
-        # consumed bits so truncated streams are detectable: the zero
-        # padding past the end would otherwise decode as the first
-        # canonical Huffman code and fabricate plausible garbage
-        # (real trailing pad bits are 1s and hit the invalid-code path)
+        # ---- bit reader over one entropy segment (see baseline notes:
+        # `used` detects truncated streams that would otherwise decode
+        # the zero padding as the first canonical Huffman code) ----
         class _Bits:
             __slots__ = ("data", "pos", "acc", "n", "used")
 
@@ -501,69 +380,326 @@ def _jpeg_decoder():
                 self.used += k
                 return v
 
+        def huffdec(bits, lut):
+            sym, ln = lut[bits.peek16()]
+            if ln == 0:
+                raise _Bad("invalid huffman code")
+            bits.drop(int(ln))
+            return int(sym)
+
         def extend(v, t):
             return v - (1 << t) + 1 if t and v < (1 << (t - 1)) else v
 
+        # ---- per-scan entropy decode into the raw coefficient store ----
+        def decode_scan(scan_comps, Ss, Se, Ah, Al, segments):
+            interleaved = len(scan_comps) > 1
+            if interleaved:
+                units = mcux * mcuy  # one unit = one MCU
+            else:
+                c = scan_comps[0]
+                cw = -(-w * c["h"] // hmax)   # component's sampled width
+                ch_ = -(-h * c["v"] // vmax)
+                bw = -(-cw // 8)              # true block grid (no MCU pad)
+                bh = -(-ch_ // 8)
+                units = bw * bh  # one unit = one block
+            per_seg = restart if restart else units
+            unit = 0
+            for segdata in segments:
+                if unit >= units:
+                    break
+                bits = _Bits(segdata)
+                pred = {c["id"]: 0 for c in scan_comps}
+                state = {"eob": 0}
+                for _ in range(min(per_seg, units - unit)):
+                    if interleaved:
+                        my, mx = divmod(unit, mcux)
+                        for c in scan_comps:
+                            for by in range(c["v"]):
+                                for bx in range(c["h"]):
+                                    blk = coefs[c["id"]][
+                                        my * c["v"] + by, mx * c["h"] + bx
+                                    ]
+                                    decode_block(
+                                        bits, c, blk, Ss, Se, Ah, Al, pred, state
+                                    )
+                    else:
+                        c = scan_comps[0]
+                        by, bx = divmod(unit, bw)
+                        blk = coefs[c["id"]][by, bx]
+                        decode_block(bits, c, blk, Ss, Se, Ah, Al, pred, state)
+                    unit += 1
+                if bits.used > 8 * len(segdata):
+                    raise _Bad("truncated entropy data")
+            if unit < units:
+                raise _Bad("not enough entropy data for scan")
+
+        def decode_block(bits, c, blk, Ss, Se, Ah, Al, pred, state):
+            if Ss == 0:
+                if Ah == 0:  # DC first (baseline or progressive)
+                    t = huffdec(bits, huff[(0, c["td"])])
+                    if t > 15:
+                        raise _Bad("bad DC category")
+                    diff = extend(bits.take(t), t)
+                    pred[c["id"]] += diff
+                    blk[0] = pred[c["id"]] << Al
+                else:  # DC refinement: one bit
+                    if bits.take(1):
+                        blk[0] |= 1 << Al
+                if progressive:
+                    return  # progressive DC scans carry no AC
+                Ss_eff = 1  # baseline: AC follows in the same pass
+            else:
+                Ss_eff = Ss
+            if Ah == 0:
+                ac_first(bits, c, blk, Ss_eff, Se, Al, state)
+            else:
+                ac_refine(bits, c, blk, Ss_eff, Se, Al, state)
+
+        def ac_first(bits, c, blk, Ss, Se, Al, state):
+            if state["eob"] > 0:
+                state["eob"] -= 1
+                return
+            act = huff[(1, c["ta"])]
+            k = Ss
+            while k <= Se:
+                sym = huffdec(bits, act)
+                r, s = sym >> 4, sym & 15
+                if s == 0:
+                    if r != 15:
+                        state["eob"] = (1 << r) - 1
+                        if r:
+                            state["eob"] += bits.take(r)
+                        break
+                    k += 16
+                    continue
+                k += r
+                if k > Se:
+                    raise _Bad("AC run past band")
+                blk[k] = extend(bits.take(s), s) << Al
+                k += 1
+
+        def ac_refine(bits, c, blk, Ss, Se, Al, state):
+            p1 = 1 << Al
+            act = huff[(1, c["ta"])]
+            k = Ss
+            if state["eob"] == 0:
+                while k <= Se:
+                    sym = huffdec(bits, act)
+                    r, s = sym >> 4, sym & 15
+                    newval = 0
+                    if s:
+                        if s != 1:
+                            raise _Bad("bad refinement size")
+                        newval = p1 if bits.take(1) else -p1
+                    else:
+                        if r != 15:
+                            state["eob"] = 1 << r
+                            if r:
+                                state["eob"] += bits.take(r)
+                            break
+                    # advance over r ZERO-history coefficients, applying
+                    # correction bits to nonzero-history ones in between
+                    while k <= Se:
+                        v = int(blk[k])
+                        if v != 0:
+                            if bits.take(1) and (v & p1) == 0:
+                                blk[k] = v + (p1 if v >= 0 else -p1)
+                        else:
+                            if r == 0:
+                                break
+                            r -= 1
+                        k += 1
+                    if newval:
+                        if k > Se:
+                            raise _Bad("refinement run past band")
+                        blk[k] = newval
+                    k += 1
+            if state["eob"] > 0:
+                while k <= Se:
+                    v = int(blk[k])
+                    if v != 0 and bits.take(1) and (v & p1) == 0:
+                        blk[k] = v + (p1 if v >= 0 else -p1)
+                    k += 1
+                state["eob"] -= 1
+
+        # ---- marker walk (possibly many scans) ----
+        pos = 2
+        while pos + 2 <= len(b):
+            if b[pos] != 0xFF:
+                raise _Bad("lost marker sync")
+            while pos + 1 < len(b) and b[pos + 1] == 0xFF:  # fill bytes
+                pos += 1
+            marker = b[pos + 1]
+            pos += 2
+            if marker == 0xD9:
+                break
+            if marker == 0x01 or 0xD0 <= marker <= 0xD8:
+                continue
+            if pos + 2 > len(b):
+                raise _Bad("truncated segment header")
+            seglen = int.from_bytes(b[pos : pos + 2], "big")
+            if seglen < 2:
+                raise _Bad("bad segment length")
+            seg = b[pos + 2 : pos + seglen]
+            if marker == 0xDB:  # DQT
+                i = 0
+                while i < len(seg):
+                    pq, tq = seg[i] >> 4, seg[i] & 15
+                    i += 1
+                    n = 64 * (2 if pq else 1)
+                    raw = seg[i : i + n]
+                    if len(raw) < n:
+                        raise _Bad("truncated DQT")
+                    i += n
+                    if pq:
+                        vals = [
+                            int.from_bytes(raw[j : j + 2], "big")
+                            for j in range(0, 128, 2)
+                        ]
+                    else:
+                        vals = list(raw)
+                    qt[tq] = np.array(vals, dtype=np.int64)
+            elif marker in (0xC0, 0xC1, 0xC2):  # SOF0/1 baseline, SOF2 progressive
+                progressive = marker == 0xC2
+                if seg[0] != 8:
+                    return None  # 12-bit
+                h = int.from_bytes(seg[1:3], "big")
+                w = int.from_bytes(seg[3:5], "big")
+                nc = seg[5]
+                if len(comps or []) or nc not in (1, 3) or w == 0 or h == 0:
+                    return None  # re-definition or unsupported layout
+                comps = []
+                for ci in range(nc):
+                    trip = seg[6 + 3 * ci : 9 + 3 * ci]
+                    if len(trip) < 3:
+                        raise _Bad("truncated SOF")
+                    cid, hv, tq = trip
+                    comps.append({"id": cid, "h": hv >> 4, "v": hv & 15, "tq": tq})
+                # single-component frames are effectively 1x1 sampled
+                if nc == 1:
+                    comps[0]["h"] = comps[0]["v"] = 1
+                hmax = max(c["h"] for c in comps)
+                vmax = max(c["v"] for c in comps)
+                if hmax not in (1, 2, 4) or vmax not in (1, 2, 4):
+                    return None
+                if any(c["h"] < 1 or c["v"] < 1 for c in comps):
+                    return None
+                mcux = -(-w // (8 * hmax))
+                mcuy = -(-h // (8 * vmax))
+                for c in comps:
+                    coefs[c["id"]] = np.zeros(
+                        (mcuy * c["v"], mcux * c["h"], 64), dtype=np.int32
+                    )
+                frame = (w, h)
+            elif marker in (0xC3, 0xC5, 0xC6, 0xC7,
+                            0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
+                return None  # lossless / arithmetic / hierarchical
+            elif marker == 0xC4:  # DHT
+                i = 0
+                while i + 17 <= len(seg):
+                    tc, th = seg[i] >> 4, seg[i] & 15
+                    counts = list(seg[i + 1 : i + 17])
+                    nsym = sum(counts)
+                    syms = list(seg[i + 17 : i + 17 + nsym])
+                    if len(syms) < nsym:
+                        raise _Bad("truncated DHT")
+                    i += 17 + nsym
+                    lut = np.zeros((1 << 16, 2), dtype=np.int32)
+                    code, k = 0, 0
+                    for ln in range(1, 17):
+                        for _ in range(counts[ln - 1]):
+                            lo = code << (16 - ln)
+                            hi = (code + 1) << (16 - ln)
+                            if hi > (1 << 16):
+                                raise _Bad("overfull huffman table")
+                            lut[lo:hi, 0] = syms[k]
+                            lut[lo:hi, 1] = ln
+                            code += 1
+                            k += 1
+                        code <<= 1
+                    huff[(tc, th)] = lut
+            elif marker == 0xDD:
+                restart = int.from_bytes(seg[0:2], "big")
+            elif marker == 0xDA:  # SOS + entropy data
+                if frame is None:
+                    raise _Bad("SOS before SOF")
+                ns = seg[0]
+                by_id = {c["id"]: c for c in comps}
+                scan_comps = []
+                for ci in range(ns):
+                    pair = seg[1 + 2 * ci : 3 + 2 * ci]
+                    if len(pair) < 2:
+                        raise _Bad("truncated SOS")
+                    cs, tt = pair
+                    if cs not in by_id:
+                        raise _Bad("scan references unknown component")
+                    c = dict(by_id[cs])
+                    c["td"], c["ta"] = tt >> 4, tt & 15
+                    scan_comps.append(c)
+                tail = seg[1 + 2 * ns : 4 + 2 * ns]
+                if len(tail) < 3:
+                    raise _Bad("truncated SOS tail")
+                Ss, Se, aa = tail[0], tail[1], tail[2]
+                Ah, Al = aa >> 4, aa & 15
+                if not progressive:
+                    Ss, Se, Ah, Al = 0, 63, 0, 0
+                if Se > 63 or Ss > Se:
+                    raise _Bad("bad spectral band")
+                need_ac = (not progressive) or Ss > 0
+                for c in scan_comps:
+                    if Ss == 0 and Ah == 0 and (0, c["td"]) not in huff:
+                        raise _Bad("missing DC table")
+                    if need_ac and (1, c["ta"]) not in huff:
+                        raise _Bad("missing AC table")
+                    if c["tq"] not in qt:
+                        raise _Bad("missing quant table")
+                if progressive and Ss > 0 and ns != 1:
+                    raise _Bad("progressive AC scan must be non-interleaved")
+                # slice the entropy-coded data: unstuff FF00, split at RSTn
+                segments, cur, i = [], bytearray(), pos + seglen
+                while i < len(b):
+                    byte = b[i]
+                    if byte == 0xFF:
+                        nxt = b[i + 1] if i + 1 < len(b) else 0xD9
+                        if nxt == 0x00:
+                            cur.append(0xFF)
+                            i += 2
+                            continue
+                        if 0xD0 <= nxt <= 0xD7:
+                            segments.append(bytes(cur))
+                            cur = bytearray()
+                            i += 2
+                            continue
+                        break
+                    cur.append(byte)
+                    i += 1
+                segments.append(bytes(cur))
+                decode_scan(scan_comps, Ss, Se, Ah, Al, segments)
+                scanned = True
+                pos = i
+                continue
+            pos += seglen
+        if frame is None or not scanned:
+            raise _Bad("no frame or no scan")
+
+        # ---- finish: dequantize (zigzag order), dezigzag, IDCT ----
         # float reference IDCT basis: B[u, x] = C(u)/2 cos((2x+1)uπ/16)
         u = np.arange(8)
         B = np.cos((2 * u[None, :] + 1) * u[:, None] * np.pi / 16) / 2.0
         B[0, :] *= 1.0 / np.sqrt(2.0)
+        inv_zz = np.argsort(np.array(ZZ))  # raster index -> zigzag index
 
-        mcu_total = mcux * mcuy
-        per_seg = restart if restart else mcu_total
-        mcu = 0
-        for segdata in segments:
-            if mcu >= mcu_total:
-                break
-            bits = _Bits(segdata)
-            pred = {c["id"]: 0 for c in comps}
-            for _ in range(min(per_seg, mcu_total - mcu)):
-                my, mx = divmod(mcu, mcux)
-                for c in comps:
-                    dc_lut = huff[(0, c["td"])]
-                    ac_lut = huff[(1, c["ta"])]
-                    q = qt[c["tq"]]
-                    for by in range(c["v"]):
-                        for bx in range(c["h"]):
-                            sym, ln = dc_lut[bits.peek16()]
-                            if ln == 0:
-                                return None
-                            bits.drop(int(ln))
-                            diff = extend(bits.take(int(sym)), int(sym))
-                            pred[c["id"]] += diff
-                            coef = np.zeros(64, dtype=np.float64)
-                            coef[0] = pred[c["id"]] * int(q[0])
-                            k = 1
-                            while k <= 63:
-                                sym, ln = ac_lut[bits.peek16()]
-                                if ln == 0:
-                                    return None
-                                bits.drop(int(ln))
-                                r, s = int(sym) >> 4, int(sym) & 15
-                                if s == 0:
-                                    if r != 15:
-                                        break
-                                    k += 16
-                                    continue
-                                k += r
-                                if k > 63:
-                                    return None
-                                coef[k] = extend(bits.take(s), s) * int(q[k])
-                                k += 1
-                            blk = np.zeros(64, dtype=np.float64)
-                            blk[ZZ] = coef
-                            px = B.T @ blk.reshape(8, 8) @ B + 128.0
-                            y0 = (my * c["v"] + by) * 8
-                            x0 = (mx * c["h"] + bx) * 8
-                            planes[c["id"]][y0 : y0 + 8, x0 : x0 + 8] = px
-                mcu += 1
-            if bits.used > 8 * len(segdata):
-                return None  # ran past the entropy data: truncated scan
-        if mcu < mcu_total:
-            return None
+        planes = {}
+        for c in comps:
+            cz = coefs[c["id"]].astype(np.float64) * qt[c["tq"]][None, None, :]
+            bh_, bw_ = cz.shape[0], cz.shape[1]
+            # dezigzag: raster position r takes zigzag slot inv_zz[r]
+            blocks = cz[:, :, inv_zz].reshape(bh_, bw_, 8, 8)
+            px = np.einsum("ux,ijuv,vy->ijxy", B, blocks, B) + 128.0
+            plane = px.transpose(0, 2, 1, 3).reshape(bh_ * 8, bw_ * 8)
+            planes[c["id"]] = plane
 
-        # samples are uint8 ints BEFORE upsampling (libjpeg order of
-        # operations — upsampling then interpolates integer samples)
+        # ---- upsample (libjpeg-exact) + color convert (fixed point) ----
         def h2_fancy(a):  # horizontal triangular doubling (libjpeg h2v1)
             n = a.shape[1]
             left = np.concatenate([a[:, :1], a[:, :-1]], axis=1)
@@ -597,7 +733,6 @@ def _jpeg_decoder():
         full = []
         for c in comps:
             p = np.clip(np.rint(planes[c["id"]]), 0, 255).astype(np.int32)
-            # active (downsampled) region — MCU padding never interpolates
             cw = -(-w * c["h"] // hmax)
             chh = -(-h * c["v"] // vmax)
             p = p[:chh, :cw]
@@ -637,11 +772,11 @@ def resize_image(
     → fixed-size binary out over Arrow batches.
 
     ``fake=False`` REALLY decodes PNG payloads (stdlib zlib inflate +
-    per-row unfilter, :func:`png_decode`) AND baseline JPEG payloads
-    (stdlib+numpy Huffman/IDCT, :func:`jpeg_decode`), then
-    nearest-neighbor samples actual pixels into an
-    ``out_w``×``out_h``×channels thumbnail. A JPEG the baseline
-    decoder does not cover (progressive, arithmetic, 12-bit) raises
+    per-row unfilter, :func:`png_decode`) AND JPEG payloads — baseline
+    and progressive (stdlib+numpy Huffman/IDCT, :func:`jpeg_decode`) —
+    then nearest-neighbor samples actual pixels into an
+    ``out_w``×``out_h``×channels thumbnail. A JPEG the decoder does
+    not cover (arithmetic-coded, 12-bit, lossless, corrupt) raises
     ``NotImplementedError`` under the default ``strict=True`` — an
     honest signal, not silently skippable; on a mixed-media corpus
     pass ``strict=False`` to quarantine those rows as NULL instead of
@@ -693,10 +828,10 @@ def resize_image(
                     if dec is None:
                         if strict:
                             raise NotImplementedError(
-                                "JPEG outside the baseline decoder "
-                                "(progressive/arithmetic/12-bit/corrupt); "
-                                "pass strict=False to quarantine such rows "
-                                "as NULL"
+                                "JPEG outside the decoder's coverage "
+                                "(arithmetic/12-bit/lossless/corrupt; "
+                                "baseline AND progressive DO decode); pass "
+                                "strict=False to quarantine such rows as NULL"
                             )
                         rows.append((mid, None, None, None))
                         continue

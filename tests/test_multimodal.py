@@ -389,8 +389,10 @@ class TestJpegDecode:
         self._check(spark, data, 33, 17, 3)
 
     def test_unsupported_variant_returns_none(self):
-        # SOF2 (progressive) right after SOI
+        # truncated SOF2 header (progressive itself decodes since r4)
         assert multimodal.jpeg_decode(b"\xff\xd8\xff\xc2\x00\x04\x08\x00") is None
+        # arithmetic-coded (SOF9) is genuinely unsupported
+        assert multimodal.jpeg_decode(b"\xff\xd8\xff\xc9\x00\x04\x08\x00") is None
         assert multimodal.jpeg_decode(b"not a jpeg") is None
         assert multimodal.jpeg_decode(None) is None
 
@@ -416,12 +418,12 @@ class TestJpegDecode:
         pix = np.frombuffer(dec[3], dtype=np.uint8).reshape(24, 32, 3)
         assert tuple(row["thumb"][:3]) == tuple(pix[0, 0])
 
-    def test_progressive_jpeg_strict_gate(self, spark):
+    def test_uncovered_jpeg_strict_gate(self, spark):
         media = spark.createDataFrame(
-            [(1, bytearray(b"\xff\xd8\xff\xc2\x00\x04\x08\x00"), "image/jpeg", 8)],
+            [(1, bytearray(b"\xff\xd8\xff\xc9\x00\x04\x08\x00"), "image/jpeg", 8)],
             multimodal.MEDIA_SCHEMA,
         )
-        with pytest.raises(PythonException, match="baseline"):
+        with pytest.raises(PythonException, match="coverage"):
             multimodal.resize_image(media, fake=False, strict=True).collect()
         out = multimodal.resize_image(media, fake=False, strict=False).collect()
         assert out[0]["thumb"] is None
@@ -605,3 +607,38 @@ class TestCorruptPayloadQuarantine:
         )
         out = multimodal.resize_image(media, fake=False, strict=False).collect()
         assert out[0]["thumb"] is None
+
+
+class TestProgressiveJpeg(TestJpegDecode):
+    """The same ImageIO comparisons with PROGRESSIVE (SOF2) encoding:
+    spectral selection + successive approximation scans."""
+
+    def _enc(self, spark, w, h, fill, gray=False):
+        jvm = spark.sparkContext._jvm
+        BI = jvm.java.awt.image.BufferedImage
+        img = BI(w, h, BI.TYPE_BYTE_GRAY if gray else BI.TYPE_INT_RGB)
+        for y in range(h):
+            for x in range(w):
+                img.setRGB(x, y, fill(x, y))
+        it = jvm.javax.imageio.ImageIO.getImageWritersByFormatName("jpg")
+        wr = it.next()
+        param = wr.getDefaultWriteParam()
+        param.setProgressiveMode(jvm.javax.imageio.ImageWriteParam.MODE_DEFAULT)
+        baos = jvm.java.io.ByteArrayOutputStream()
+        ios = jvm.javax.imageio.ImageIO.createImageOutputStream(baos)
+        wr.setOutput(ios)
+        wr.write(None, jvm.javax.imageio.IIOImage(img, None, None), param)
+        ios.flush()
+        wr.dispose()
+        data = bytes(baos.toByteArray())
+        assert b"\xff\xc2" in data[:600]   # really SOF2
+        return data
+
+    # inherits every comparison test from TestJpegDecode; the two
+    # non-encoding tests below are overridden as no-ops (they don't
+    # depend on the scan layout)
+    def test_unsupported_variant_returns_none(self):
+        pass
+
+    def test_uncovered_jpeg_strict_gate(self, spark):
+        pass
