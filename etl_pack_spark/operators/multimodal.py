@@ -326,8 +326,9 @@ def _jpeg_decoder():
             return None
         try:
             return _run(bytes(b))
-        except (_Bad, IndexError, ValueError, KeyError, OverflowError):
-            # malformed segment lengths / truncated buffers: quarantine
+        except (_Bad, IndexError, ValueError, KeyError, OverflowError, MemoryError):
+            # malformed segment lengths / truncated buffers / absurd
+            # header-declared allocations: quarantine
             return None
 
     def _run(b):  # noqa: C901 — one self-contained codec
@@ -428,6 +429,11 @@ def _jpeg_decoder():
                         blk = coefs[c["id"]][by, bx]
                         decode_block(bits, c, blk, Ss, Se, Ah, Al, pred, state)
                     unit += 1
+                    # periodic early-out: a truncated stream whose zero
+                    # padding decodes as valid codes must not grind
+                    # through millions of fabricated units first
+                    if unit % 4096 == 0 and bits.used > 8 * len(segdata):
+                        raise _Bad("truncated entropy data")
                 if bits.used > 8 * len(segdata):
                     raise _Bad("truncated entropy data")
             if unit < units:
@@ -584,6 +590,13 @@ def _jpeg_decoder():
                     return None
                 if any(c["h"] < 1 or c["v"] < 1 for c in comps):
                     return None
+                # header-declared dims drive the coefficient-store
+                # allocation and the pure-Python MCU loop — a crafted
+                # 30-byte file claiming 65535x65535 would request tens
+                # of GB and then burn minutes decoding padding. 64 MP
+                # covers every real photograph; past it, quarantine.
+                if w * h > 64_000_000:
+                    raise _Bad("declared dimensions exceed the decode bound")
                 mcux = -(-w // (8 * hmax))
                 mcuy = -(-h // (8 * vmax))
                 for c in comps:

@@ -266,12 +266,16 @@ def snapshot_diff(
     source system exposes no change log (the posture the reference's
     re-scan world lives in, upgraded from append-only to full diff).
 
-    Requires ``keys`` unique within each snapshot and identical
-    schemas. Returns one row per changed key: the key columns, ``op``
-    ∈ {'I','U','D'}, and the payload columns (new side for I/U, the
-    depart-ing old side for D). Unchanged keys emit nothing. The
-    round-trip law — ``apply_cdc(old, snapshot_diff(old, new) + ts)
-    == new`` — is pinned in tests/test_merge.py.
+    Requires ``keys`` unique AND non-NULL within each snapshot (NULL
+    business keys have no cross-engine-stable identity: a group-by
+    matches them, a join does not — reject them upstream), identical
+    schemas, and ORDERABLE payload columns (maps are not — cast them
+    to a comparable rendering first; the struct compare needs Spark
+    ordering). Returns one row per changed key: the key columns,
+    ``op`` ∈ {'I','U','D'}, and the payload columns (new side for
+    I/U, the departing old side for D). Unchanged keys emit nothing.
+    The round-trip law — ``apply_cdc(old, snapshot_diff(old, new) +
+    ts) == new`` — is pinned in tests/test_merge.py.
 
     Scale shape: the module's union-not-join idiom — old ∪ new with a
     side tag, then ONE combinable groupBy on the key collecting each
@@ -285,7 +289,19 @@ def snapshot_diff(
     cols = old.columns
     if new.columns != cols:
         raise ValueError(f"schema mismatch: {cols} vs {new.columns}")
+    if op_col in cols:
+        raise ValueError(
+            f"op_col {op_col!r} collides with an input column; pass a "
+            f"different op_col"
+        )
     payload = [c for c in cols if c not in keys]
+    for f in old.schema.fields:
+        if f.name in payload and "map<" in f.dataType.simpleString():
+            raise ValueError(
+                f"payload column {f.name!r} is a map — not orderable in "
+                f"Spark; cast it to a comparable rendering (e.g. sorted "
+                f"json) before diffing"
+            )
 
     def tagged(df, src):
         return df.select(
@@ -325,17 +341,23 @@ def snapshot_diff_sql(
 ) -> str:
     """DuckDB oracle twin of :func:`snapshot_diff` — deliberately the
     OTHER formulation (full outer join + per-column IS DISTINCT FROM)
-    so an independent plan checks the hash-compare one."""
+    so an independent plan checks the struct-compare one. Shares the
+    engine's non-NULL-keys requirement: a NULL key never matches in
+    the join, so the two formulations only agree when keys are
+    non-NULL (which the engine contract demands anyway)."""
     on = " AND ".join(f"o.{k} = n.{k}" for k in keys)
-    differs = " OR ".join(f"o.{c} IS DISTINCT FROM n.{c}" for c in payload)
+    differs = (
+        " OR ".join(f"o.{c} IS DISTINCT FROM n.{c}" for c in payload)
+        or "FALSE"  # keys-only table: a pure membership (I/D) diff
+    )
     key0 = keys[0]
     sel_keys = ", ".join(f"COALESCE(o.{k}, n.{k}) AS {k}" for k in keys)
-    sel_payload = ", ".join(
-        f"CASE WHEN n.{key0} IS NULL THEN o.{c} ELSE n.{c} END AS {c}"
+    sel_payload = "".join(
+        f", CASE WHEN n.{key0} IS NULL THEN o.{c} ELSE n.{c} END AS {c}"
         for c in payload
     )
     return f"""
-    SELECT {sel_keys}, {sel_payload},
+    SELECT {sel_keys}{sel_payload},
            CASE WHEN o.{key0} IS NULL THEN 'I'
                 WHEN n.{key0} IS NULL THEN 'D'
                 ELSE 'U' END AS {op_col}

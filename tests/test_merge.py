@@ -369,3 +369,66 @@ class TestSnapshotDiff:
         new = spark.createDataFrame([(1, "y", "x")], "k long, a string, b string")
         got = [(r["op"], r["a"], r["b"]) for r in snapshot_diff(old, new, ["k"]).collect()]
         assert got == [("U", "y", "x")]
+
+
+class TestSnapshotDiffGuards:
+    """Review-pass regressions: contract violations fail fast and the
+    decoder-style bounds hold."""
+
+    def test_op_col_collision_rejected(self, spark):
+        from etl_pack_spark.plans.merge import snapshot_diff
+
+        df = spark.createDataFrame([(1, "I")], "k long, op string")
+        try:
+            snapshot_diff(df, df, ["k"])
+            assert False, "expected ValueError"
+        except ValueError as e:
+            assert "op_col" in str(e)
+
+    def test_map_payload_rejected_with_clear_error(self, spark):
+        from pyspark.sql import functions as F
+
+        from etl_pack_spark.plans.merge import snapshot_diff
+
+        df = spark.createDataFrame([(1, "a")], "k long, v string").select(
+            "k", F.create_map(F.lit("x"), F.col("v")).alias("attrs")
+        )
+        try:
+            snapshot_diff(df, df, ["k"])
+            assert False, "expected ValueError"
+        except ValueError as e:
+            assert "map" in str(e)
+
+    def test_keys_only_membership_diff(self, spark):
+        import duckdb as _duck
+
+        from etl_pack_spark.plans.merge import snapshot_diff, snapshot_diff_sql
+
+        old = spark.createDataFrame([(1,), (2,), (3,)], "k long")
+        new = spark.createDataFrame([(2,), (3,), (4,)], "k long")
+        got = sorted(map(tuple, snapshot_diff(old, new, ["k"]).collect()))
+        con = _duck.connect()
+        con.register("o_t", old.toPandas())
+        con.register("n_t", new.toPandas())
+        want = sorted(map(tuple, con.execute(snapshot_diff_sql(
+            "SELECT * FROM o_t", "SELECT * FROM n_t", ["k"], [],
+        )).fetchall()))
+        assert got == want == [(1, "D"), (4, "I")]
+
+
+def test_jpeg_decoder_bounds_declared_dims():
+    """A 30-byte file claiming 65535x65535 must quarantine fast, not
+    allocate tens of GB or grind through 67M fabricated MCUs."""
+    import time
+
+    from etl_pack_spark.operators.multimodal import jpeg_decode
+
+    crafted = (
+        b"\xff\xd8"
+        + b"\xff\xc0" + (17).to_bytes(2, "big") + b"\x08"
+        + (65535).to_bytes(2, "big") + (65535).to_bytes(2, "big") + b"\x03"
+        + b"\x01\x22\x00\x02\x11\x01\x03\x11\x01"
+    )
+    t0 = time.perf_counter()
+    assert jpeg_decode(crafted) is None
+    assert time.perf_counter() - t0 < 1.0
