@@ -6,6 +6,7 @@ from etl_pack_spark.operators.dedup import (  # noqa: F401
     snapshot_hashes,
 )
 from etl_pack_spark.operators.neardup import (  # noqa: F401
+    hamming_neardup_pairs,
     minhash_lsh_dedup_pairs,
     ngram_jaccard_pairs,
     simhash_neardup_pairs,
@@ -47,8 +48,9 @@ from etl_pack_spark.operators.multimodal import (  # noqa: F401
     binarize_documents,
     byte_histogram,
     decode_image,
-    jpeg_decode,
     audio_features,
+    image_dhash,
+    jpeg_decode,
     media_metadata,
     mp4_meta,
     wav_decode,

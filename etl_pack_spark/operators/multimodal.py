@@ -1189,3 +1189,61 @@ def _mp4_meta_parser():
 
 
 mp4_meta = _mp4_meta_parser()
+
+
+def image_dhash(media: DataFrame, fake: bool = False) -> DataFrame:
+    """Perceptual difference-hash per image payload — the image-side
+    member of the dedup family (text: simhash/minhash, embeddings:
+    SemDeDup, images: THIS): decode pixels (PNG or JPEG via the real
+    decoders), integer-luma grayscale, nearest-sample to a 9×8 grid,
+    compare horizontal neighbors → 64 bits rendered as 16 hex chars —
+    the SAME signature format as ``simhash_signature``, so
+    ``neardup.hamming_neardup_pairs`` dedups images with the identical
+    block-match shuffle shape (re-encoded/resized copies of one image
+    land within a few hamming bits; distinct images don't).
+
+    Undecodable payloads yield a NULL hash (quarantine). ``fake=True``
+    hashes raw bytes deterministically (md5 prefix) so the plumbing
+    runs on non-image fixtures. Returns ``(media_id, dhash)``.
+    """
+    schema = _out_schema(media, T.StructField("dhash", T.StringType(), True))
+    decode_png = _png_decoder()
+    decode_jpeg = _jpeg_decoder()
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import hashlib
+
+        import numpy as np
+
+        def dhash(content):
+            if content is None or len(content) == 0:
+                return None
+            if fake:
+                return hashlib.md5(bytes(content)).hexdigest()[:16]
+            if bytes(content[:3]) == b"\xff\xd8\xff":
+                dec = decode_jpeg(content)
+            else:
+                dec = decode_png(content)
+            if dec is None:
+                return None
+            w, h, ch, pix = dec
+            a = np.frombuffer(pix, dtype=np.uint8).reshape(h, w, ch).astype(np.int32)
+            if ch >= 3:
+                # integer luma (ITU-R 601-ish fixed point): deterministic
+                g = (77 * a[:, :, 0] + 150 * a[:, :, 1] + 29 * a[:, :, 2]) >> 8
+            else:
+                g = a[:, :, 0]
+            ys = (np.arange(8) * h) // 8
+            xs = (np.arange(9) * w) // 9
+            grid = g[np.ix_(ys, xs)]
+            bits = (grid[:, :-1] > grid[:, 1:]).astype(np.uint64).reshape(64)
+            val = 0
+            for bit in bits:
+                val = (val << 1) | int(bit)
+            return f"{val:016x}"
+
+        for pdf in batches:
+            rows = [(mid, dhash(c)) for mid, c in zip(pdf["media_id"], pdf["content"])]
+            yield pd.DataFrame(rows, columns=["media_id", "dhash"])
+
+    return media.select("media_id", "content").mapInPandas(run, schema=schema)

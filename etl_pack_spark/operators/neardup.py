@@ -556,25 +556,24 @@ def _hamming_exprs(ha: str, hb: str, dialect: str) -> str:
     return "(" + " + ".join(terms) + ")"
 
 
-def simhash_neardup_pairs(
-    df: DataFrame,
+def hamming_neardup_pairs(
+    sig: DataFrame,
     id_col: str,
-    text_col: str,
+    sig_col: str = "simhash",
     max_hamming: int = 10,
     chunks: int = 4,
 ) -> DataFrame:
-    """SimHash near-dup pairs: candidates share at least one exact
-    16/chunks-hex-char block (pigeonhole: any pair within
-    ``chunks-1`` differing blocks is found; bits are spread, so low-
-    hamming pairs almost surely share a block), then exact hamming
-    filters. Same shuffle shape as minhash LSH — block equi-join,
-    no all-pairs."""
+    """Near-dup pairs over ANY 64-bit signature rendered as 16 hex
+    chars (simhash of text, dHash of images, …): candidates share at
+    least one exact 16/chunks-hex-char block (pigeonhole: any pair
+    within ``chunks-1`` differing blocks is found), then exact hamming
+    filters. Block equi-join — never all-pairs. Callers should pass a
+    persisted ``sig`` (it feeds the banding and the verify join)."""
     width = 16 // chunks
-    sig = _pooled_persist(simhash_signature(df, id_col, text_col))
     blocks = sig.select(
         F.col(id_col),
         F.posexplode(
-            F.array(*[F.substring("simhash", 1 + c * width, width) for c in range(chunks)])
+            F.array(*[F.substring(sig_col, 1 + c * width, width) for c in range(chunks)])
         ).alias("blk_idx", "blk"),
     )
     a, b = blocks.alias("a"), blocks.alias("b")
@@ -588,14 +587,28 @@ def simhash_neardup_pairs(
         .select(F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b"))
         .distinct()
     )
-    sa = sig.select(F.col(id_col).alias("id_a"), F.col("simhash").alias("ha"))
-    sb = sig.select(F.col(id_col).alias("id_b"), F.col("simhash").alias("hb"))
+    sa = sig.select(F.col(id_col).alias("id_a"), F.col(sig_col).alias("ha"))
+    sb = sig.select(F.col(id_col).alias("id_b"), F.col(sig_col).alias("hb"))
     ham = F.expr(_hamming_exprs("ha", "hb", "spark"))
     return (
         cand.join(sa, "id_a").join(sb, "id_b")
         .select("id_a", "id_b", ham.alias("hamming"))
         .where(F.col("hamming") <= max_hamming)
     )
+
+
+def simhash_neardup_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    max_hamming: int = 10,
+    chunks: int = 4,
+) -> DataFrame:
+    """SimHash near-dup pairs: text signatures through the generic
+    :func:`hamming_neardup_pairs` block-match (same shuffle shape as
+    minhash LSH — block equi-join, no all-pairs)."""
+    sig = _pooled_persist(simhash_signature(df, id_col, text_col))
+    return hamming_neardup_pairs(sig, id_col, "simhash", max_hamming, chunks)
 
 
 def simhash_neardup_pairs_sql(

@@ -642,3 +642,115 @@ class TestProgressiveJpeg(TestJpegDecode):
 
     def test_uncovered_jpeg_strict_gate(self, spark):
         pass
+
+
+class TestImageDhash:
+    """Perceptual dHash: re-encodings of one image hash near, distinct
+    images hash far; pairs flow through the generic hamming
+    block-match."""
+
+    def _scene(self, x, y):
+        # smooth scene with structure (gradients + a blob)
+        import math
+
+        d = math.hypot(x - 20, y - 12)
+        v = 128 + 60 * math.sin(x / 7) + 40 * math.cos(y / 5) - 3 * d
+        g = int(max(0, min(255, v)))
+        return (g << 16) | (g << 8) | g
+
+    def _jpeg(self, spark, quality, fill, w=48, h=32):
+        jvm = spark.sparkContext._jvm
+        BI = jvm.java.awt.image.BufferedImage
+        img = BI(w, h, BI.TYPE_INT_RGB)
+        for y in range(h):
+            for x in range(w):
+                img.setRGB(x, y, fill(x, y))
+        it = jvm.javax.imageio.ImageIO.getImageWritersByFormatName("jpg")
+        wr = it.next()
+        param = wr.getDefaultWriteParam()
+        param.setCompressionMode(jvm.javax.imageio.ImageWriteParam.MODE_EXPLICIT)
+        param.setCompressionQuality(quality)
+        baos = jvm.java.io.ByteArrayOutputStream()
+        ios = jvm.javax.imageio.ImageIO.createImageOutputStream(baos)
+        wr.setOutput(ios)
+        wr.write(None, jvm.javax.imageio.IIOImage(img, None, None), param)
+        ios.flush()
+        wr.dispose()
+        return bytes(baos.toByteArray())
+
+    @staticmethod
+    def _ham(a, b):
+        return bin(int(a, 16) ^ int(b, 16)).count("1")
+
+    def test_reencodings_hash_near_distinct_far(self, spark):
+        hi = self._jpeg(spark, 0.95, self._scene)
+        lo = self._jpeg(spark, 0.5, self._scene)
+        other = self._jpeg(spark, 0.9, lambda x, y: self._scene(47 - x, y))
+        assert hi != lo  # genuinely different bytes
+        media = spark.createDataFrame(
+            [(1, bytearray(hi), "image/jpeg", len(hi)),
+             (2, bytearray(lo), "image/jpeg", len(lo)),
+             (3, bytearray(other), "image/jpeg", len(other)),
+             (4, bytearray(b"not an image"), "text/plain", 12)],
+            multimodal.MEDIA_SCHEMA,
+        )
+        hashes = {r["media_id"]: r["dhash"]
+                  for r in multimodal.image_dhash(media).collect()}
+        assert len(hashes[1]) == 16
+        assert self._ham(hashes[1], hashes[2]) <= 6       # same scene
+        assert self._ham(hashes[1], hashes[3]) > 12       # mirrored scene
+        assert hashes[4] is None                          # quarantined
+
+    def test_pairs_via_generic_hamming_blockmatch(self, spark):
+        from etl_pack_spark.operators.neardup import hamming_neardup_pairs
+
+        hi = self._jpeg(spark, 0.95, self._scene)
+        lo = self._jpeg(spark, 0.6, self._scene)
+        other = self._jpeg(spark, 0.9, lambda x, y: self._scene(47 - x, 31 - y))
+        media = spark.createDataFrame(
+            [(1, bytearray(hi), "image/jpeg", len(hi)),
+             (2, bytearray(lo), "image/jpeg", len(lo)),
+             (3, bytearray(other), "image/jpeg", len(other))],
+            multimodal.MEDIA_SCHEMA,
+        )
+        sig = multimodal.image_dhash(media).where(F.col("dhash").isNotNull())
+        pairs = {(r["id_a"], r["id_b"]): r["hamming"] for r in
+                 hamming_neardup_pairs(sig, "media_id", "dhash", max_hamming=6).collect()}
+        assert (1, 2) in pairs
+        assert not any(3 in p for p in pairs)
+
+    def test_png_and_jpeg_of_same_image_agree(self, spark):
+        import struct
+        import zlib
+
+        w, h = 48, 32
+        jpg = self._jpeg(spark, 0.95, self._scene)
+        # build the same scene as a PNG (grayscale)
+        rows = bytearray()
+        for y in range(h):
+            rows.append(0)
+            for x in range(w):
+                rows.append(self._scene(x, y) & 255)
+
+        def chunk(typ, data):
+            return (struct.pack(">I", len(data)) + typ + data
+                    + struct.pack(">I", zlib.crc32(typ + data) & 0xFFFFFFFF))
+
+        png = (b"\x89PNG\r\n\x1a\n"
+               + chunk(b"IHDR", struct.pack(">IIBBBBB", w, h, 8, 0, 0, 0, 0))
+               + chunk(b"IDAT", zlib.compress(bytes(rows)))
+               + chunk(b"IEND", b""))
+        media = spark.createDataFrame(
+            [(1, bytearray(jpg), "image/jpeg", 0), (2, bytearray(png), "image/png", 0)],
+            multimodal.MEDIA_SCHEMA,
+        )
+        hashes = {r["media_id"]: r["dhash"]
+                  for r in multimodal.image_dhash(media).collect()}
+        assert self._ham(hashes[1], hashes[2]) <= 6
+
+    def test_fake_mode_is_deterministic(self, spark, sf_dir):
+        a = {r["media_id"]: r["dhash"] for r in
+             multimodal.image_dhash(_media(spark, sf_dir).limit(10), fake=True).collect()}
+        b = {r["media_id"]: r["dhash"] for r in
+             multimodal.image_dhash(_media(spark, sf_dir).limit(10), fake=True).collect()}
+        assert a == b and all(len(v) == 16 for v in a.values())
