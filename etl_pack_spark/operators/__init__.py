@@ -48,6 +48,7 @@ from etl_pack_spark.operators.multimodal import (  # noqa: F401
     binarize_documents,
     byte_histogram,
     decode_image,
+    audio_dhash,
     audio_features,
     image_dhash,
     jpeg_decode,

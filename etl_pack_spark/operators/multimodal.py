@@ -1247,3 +1247,56 @@ def image_dhash(media: DataFrame, fake: bool = False) -> DataFrame:
             yield pd.DataFrame(rows, columns=["media_id", "dhash"])
 
     return media.select("media_id", "content").mapInPandas(run, schema=schema)
+
+
+def audio_dhash(media: DataFrame, fake: bool = False) -> DataFrame:
+    """Perceptual audio fingerprint — the audio member of the dedup
+    family: decode WAV/PCM, mono-mix, split the full duration into 65
+    equal TIME windows, RMS energy per window, compare consecutive
+    energies → 64 bits as 16 hex chars (the shared signature format,
+    so ``neardup.hamming_neardup_pairs`` dedups audio too). Windowing
+    by TIME (not sample count) makes the hash robust to re-encodings
+    at different sample rates and bit depths of the same recording;
+    distinct recordings differ in many bits.
+
+    Undecodable/compressed payloads yield a NULL hash (quarantine);
+    ``fake=True`` hashes raw bytes (md5 prefix) for non-audio
+    fixtures. Returns ``(media_id, adhash)``.
+    """
+    schema = _out_schema(media, T.StructField("adhash", T.StringType(), True))
+    decode = _wav_decoder()
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import hashlib
+
+        import numpy as np
+
+        def adhash(content):
+            if content is None or len(content) == 0:
+                return None
+            if fake:
+                return hashlib.md5(bytes(content)).hexdigest()[:16]
+            dec = decode(content)
+            if dec is None or dec[2] == 0:
+                return None
+            rate, ch, n, x = dec
+            mono = x.mean(axis=1)
+            # 65 equal-duration windows via cumulative-energy prefix
+            # sums at fractional boundaries (sample-rate independent)
+            bounds = (np.arange(66) * n) // 65
+            cs = np.concatenate([[0.0], np.cumsum(mono * mono)])
+            counts = np.diff(bounds)
+            if (counts == 0).any():
+                return None  # too short to window (sub-65-sample clip)
+            rms = np.sqrt(np.diff(cs[bounds]) / counts)
+            bits = (rms[:-1] > rms[1:]).astype(np.uint64)
+            val = 0
+            for bit in bits:
+                val = (val << 1) | int(bit)
+            return f"{val:016x}"
+
+        for pdf in batches:
+            rows = [(mid, adhash(c)) for mid, c in zip(pdf["media_id"], pdf["content"])]
+            yield pd.DataFrame(rows, columns=["media_id", "adhash"])
+
+    return media.select("media_id", "content").mapInPandas(run, schema=schema)

@@ -754,3 +754,90 @@ class TestImageDhash:
         b = {r["media_id"]: r["dhash"] for r in
              multimodal.image_dhash(_media(spark, sf_dir).limit(10), fake=True).collect()}
         assert a == b and all(len(v) == 16 for v in a.values())
+
+
+class TestAudioDhash:
+    """Audio fingerprint: re-encodings (sample rate / bit depth) of one
+    recording hash near; a different recording hashes far."""
+
+    @staticmethod
+    def _signal(t):
+        import math
+
+        # amplitude-modulated tone: distinctive energy envelope
+        return 0.6 * math.sin(2 * math.pi * 330 * t) * (
+            0.3 + 0.7 * abs(math.sin(2 * math.pi * 1.7 * t))
+        )
+
+    def _wav_at(self, rate, bits=16, fmt=1, seconds=1.0, sig=None):
+        import struct
+
+        import numpy as np
+
+        sig = sig or self._signal
+        t = np.arange(int(rate * seconds)) / rate
+        x = np.array([sig(ti) for ti in t])
+        if fmt == 1 and bits == 16:
+            data = (np.clip(x, -1, 1) * 32767).astype("<i2").tobytes()
+        elif fmt == 1 and bits == 8:
+            data = ((np.clip(x, -1, 1) * 127) + 128).astype(np.uint8).tobytes()
+        elif fmt == 3 and bits == 32:
+            data = x.astype("<f4").tobytes()
+        else:
+            raise ValueError
+        block = bits // 8
+        hdr = struct.pack(
+            "<4sI4s4sIHHIIHH4sI",
+            b"RIFF", 36 + len(data), b"WAVE", b"fmt ", 16,
+            fmt, 1, rate, rate * block, block, bits, b"data", len(data),
+        )
+        return hdr + data
+
+    @staticmethod
+    def _ham(a, b):
+        return bin(int(a, 16) ^ int(b, 16)).count("1")
+
+    def test_reencodings_near_distinct_far(self, spark):
+        import math
+
+        a16k = self._wav_at(16000)
+        a8k = self._wav_at(8000)
+        a8bit = self._wav_at(16000, bits=8)
+        afloat = self._wav_at(16000, bits=32, fmt=3)
+        other = self._wav_at(16000, sig=lambda t: 0.5 * math.sin(
+            2 * math.pi * 250 * t) * (0.3 + 0.7 * abs(math.cos(2 * math.pi * 3.1 * t))))
+        media = spark.createDataFrame(
+            [(1, bytearray(a16k), "audio/wav", 0),
+             (2, bytearray(a8k), "audio/wav", 0),
+             (3, bytearray(a8bit), "audio/wav", 0),
+             (4, bytearray(afloat), "audio/wav", 0),
+             (5, bytearray(other), "audio/wav", 0),
+             (6, bytearray(b"not audio"), "text/plain", 0)],
+            multimodal.MEDIA_SCHEMA,
+        )
+        hashes = {r["media_id"]: r["adhash"]
+                  for r in multimodal.audio_dhash(media).collect()}
+        assert self._ham(hashes[1], hashes[2]) <= 8   # resampled
+        assert self._ham(hashes[1], hashes[3]) <= 8   # 8-bit
+        assert self._ham(hashes[1], hashes[4]) <= 4   # float
+        assert self._ham(hashes[1], hashes[5]) > 14   # different recording
+        assert hashes[6] is None
+
+    def test_pairs_through_blockmatch(self, spark):
+        from etl_pack_spark.operators.neardup import hamming_neardup_pairs
+
+        media = spark.createDataFrame(
+            [(1, bytearray(self._wav_at(16000)), "audio/wav", 0),
+             (2, bytearray(self._wav_at(8000)), "audio/wav", 0)],
+            multimodal.MEDIA_SCHEMA,
+        )
+        sig = multimodal.audio_dhash(media)
+        pairs = hamming_neardup_pairs(sig, "media_id", "adhash", max_hamming=8).collect()
+        assert [(r["id_a"], r["id_b"]) for r in pairs] == [(1, 2)]
+
+    def test_too_short_clip_quarantined(self, spark):
+        short = self._wav_at(8000, seconds=0.005)   # 40 samples < 65
+        media = spark.createDataFrame(
+            [(1, bytearray(short), "audio/wav", 0)], multimodal.MEDIA_SCHEMA
+        )
+        assert multimodal.audio_dhash(media).collect()[0]["adhash"] is None
