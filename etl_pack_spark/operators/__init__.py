@@ -51,8 +51,11 @@ from etl_pack_spark.operators.multimodal import (  # noqa: F401
     audio_dhash,
     audio_features,
     image_dhash,
+    bmp_decode,
     jpeg_decode,
     media_metadata,
+    pixel_decode,
+    ppm_decode,
     mp4_meta,
     wav_decode,
     png_decode,

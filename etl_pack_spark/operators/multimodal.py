@@ -774,6 +774,114 @@ def _jpeg_decoder():
 jpeg_decode = _jpeg_decoder()
 
 
+def _bmp_decoder():
+    """Uncompressed 8/24/32-bit BI_RGB Windows BMP (bottom-up or
+    top-down rows, 4-byte row padding, BGR(A) order). Compressed or
+    paletted-color variants return None."""
+
+    def decode(b):
+        if b is None or len(b) < 54 or bytes(b[:2]) != b"BM":
+            return None
+        b = bytes(b)
+        try:
+            off = int.from_bytes(b[10:14], "little")
+            w = int.from_bytes(b[18:22], "little", signed=True)
+            hh = int.from_bytes(b[22:26], "little", signed=True)
+            bits = int.from_bytes(b[28:30], "little")
+            compression = int.from_bytes(b[30:34], "little")
+            if compression != 0 or bits not in (8, 24, 32) or w <= 0 or hh == 0:
+                return None
+            h = abs(hh)
+            if w * h > 64_000_000:
+                return None
+            ch = {8: 1, 24: 3, 32: 4}[bits]
+            stride = (w * ch + 3) & ~3
+            if off + stride * h > len(b):
+                return None
+            out = bytearray(w * h * min(ch, 3))
+            oc = min(ch, 3)  # drop alpha; 8-bit assumed grayscale ramp
+            for row in range(h):
+                src = off + (row if hh < 0 else h - 1 - row) * stride
+                line = b[src : src + w * ch]
+                for x in range(w):
+                    px = line[x * ch : (x + 1) * ch]
+                    dst = (row * w + x) * oc
+                    if ch == 1:
+                        out[dst] = px[0]
+                    else:  # BGR(A) -> RGB
+                        out[dst] = px[2]
+                        out[dst + 1] = px[1]
+                        out[dst + 2] = px[0]
+            return (w, h, oc, bytes(out))
+        except (IndexError, ValueError):
+            return None
+
+    return decode
+
+
+def _ppm_decoder():
+    """Binary PPM (P6, RGB) / PGM (P5, gray), 8-bit maxval."""
+
+    def decode(b):
+        if b is None or len(b) < 8 or bytes(b[:2]) not in (b"P5", b"P6"):
+            return None
+        b = bytes(b)
+        ch = 3 if b[:2] == b"P6" else 1
+        toks, i, tok = [], 2, b""
+        while i < len(b) and len(toks) < 3:
+            c = b[i : i + 1]
+            if c == b"#":
+                while i < len(b) and b[i : i + 1] != b"\n":
+                    i += 1
+            elif c.isspace():
+                if tok:
+                    toks.append(tok)
+                    tok = b""
+            else:
+                tok += c
+            i += 1
+        if len(toks) < 3 or not all(t.isdigit() for t in toks):
+            return None
+        w, h, maxval = int(toks[0]), int(toks[1]), int(toks[2])
+        if maxval != 255 or w == 0 or h == 0 or w * h > 64_000_000:
+            return None
+        data = b[i : i + w * h * ch]
+        if len(data) < w * h * ch:
+            return None
+        return (w, h, ch, data)
+
+    return decode
+
+
+bmp_decode = _bmp_decoder()
+ppm_decode = _ppm_decoder()
+
+
+def _pixel_decoder():
+    """One dispatching pixel decoder over every natively-supported
+    format (PNG, baseline+progressive JPEG, BMP, binary PPM/PGM) —
+    the closure the pixel-consuming operators ship to executors.
+    Returns ``(w, h, channels, row-major bytes)`` or None."""
+    png, jpg, bmp, ppm = _png_decoder(), _jpeg_decoder(), _bmp_decoder(), _ppm_decoder()
+
+    def decode(b):
+        if b is None or len(b) < 4:
+            return None
+        head = bytes(b[:3])
+        if head == b"\xff\xd8\xff":
+            return jpg(b)
+        if bytes(b[:2]) == b"BM":
+            return bmp(b)
+        if bytes(b[:2]) in (b"P5", b"P6"):
+            return ppm(b)
+        return png(b)
+
+    return decode
+
+
+pixel_decode = _pixel_decoder()
+
+
 def resize_image(
     media: DataFrame,
     out_w: int = 8,
@@ -806,8 +914,7 @@ def resize_image(
         T.StructField("src_h", T.IntegerType(), True),
         T.StructField("thumb", T.BinaryType(), True),
     )
-    decode = _png_decoder()
-    decode_jpeg = _jpeg_decoder()
+    decode_px = _pixel_decoder()
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         def thumb(dec):
@@ -836,22 +943,15 @@ def resize_image(
                     )
                     rows.append((mid, w, h, px))
                     continue
-                if bytes(content[:3]) == b"\xff\xd8\xff":
-                    dec = decode_jpeg(content)
-                    if dec is None:
-                        if strict:
-                            raise NotImplementedError(
-                                "JPEG outside the decoder's coverage "
-                                "(arithmetic/12-bit/lossless/corrupt; "
-                                "baseline AND progressive DO decode); pass "
-                                "strict=False to quarantine such rows as NULL"
-                            )
-                        rows.append((mid, None, None, None))
-                        continue
-                    rows.append((mid, *thumb(dec)))
-                    continue
-                dec = decode(content)
+                dec = decode_px(content)
                 if dec is None:
+                    if strict and bytes(content[:3]) == b"\xff\xd8\xff":
+                        raise NotImplementedError(
+                            "JPEG outside the decoder's coverage "
+                            "(arithmetic/12-bit/lossless/corrupt; "
+                            "baseline AND progressive DO decode); pass "
+                            "strict=False to quarantine such rows as NULL"
+                        )
                     rows.append((mid, None, None, None))
                     continue
                 rows.append((mid, *thumb(dec)))
@@ -1207,8 +1307,7 @@ def image_dhash(media: DataFrame, fake: bool = False) -> DataFrame:
     runs on non-image fixtures. Returns ``(media_id, dhash)``.
     """
     schema = _out_schema(media, T.StructField("dhash", T.StringType(), True))
-    decode_png = _png_decoder()
-    decode_jpeg = _jpeg_decoder()
+    decode_px = _pixel_decoder()
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         import hashlib
@@ -1220,10 +1319,7 @@ def image_dhash(media: DataFrame, fake: bool = False) -> DataFrame:
                 return None
             if fake:
                 return hashlib.md5(bytes(content)).hexdigest()[:16]
-            if bytes(content[:3]) == b"\xff\xd8\xff":
-                dec = decode_jpeg(content)
-            else:
-                dec = decode_png(content)
+            dec = decode_px(content)
             if dec is None:
                 return None
             w, h, ch, pix = dec

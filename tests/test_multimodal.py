@@ -841,3 +841,62 @@ class TestAudioDhash:
             [(1, bytearray(short), "audio/wav", 0)], multimodal.MEDIA_SCHEMA
         )
         assert multimodal.audio_dhash(media).collect()[0]["adhash"] is None
+
+
+class TestBmpPpmDecode:
+    @staticmethod
+    def _bmp(w, h, rgb_rows, bottom_up=True):
+        import struct
+
+        ch = 3
+        stride = (w * ch + 3) & ~3
+        body = bytearray()
+        rows = list(rgb_rows)
+        if bottom_up:
+            rows = rows[::-1]
+        for row in rows:
+            line = bytearray()
+            for (r, g, b) in row:
+                line += bytes([b, g, r])     # BGR on disk
+            line += bytes(stride - len(line))
+            body += line
+        hh = h if bottom_up else -h
+        hdr = (b"BM" + struct.pack("<IHHI", 54 + len(body), 0, 0, 54)
+               + struct.pack("<IiiHHIIiiII", 40, w, hh, 1, 24, 0, len(body), 0, 0, 0, 0))
+        return bytes(hdr + body)
+
+    def test_bmp_roundtrip_both_orientations(self):
+        rows = [[(x * 10, y * 20, x + y) for x in range(5)] for y in range(3)]
+        for bu in (True, False):
+            dec = multimodal.bmp_decode(self._bmp(5, 3, rows, bottom_up=bu))
+            assert dec is not None and (dec[0], dec[1], dec[2]) == (5, 3, 3)
+            pix = dec[3]
+            for y in range(3):
+                for x in range(5):
+                    assert tuple(pix[(y * 5 + x) * 3 : (y * 5 + x) * 3 + 3]) == rows[y][x]
+
+    def test_ppm_pgm_roundtrip(self):
+        ppm = b"P6\n# c\n4 2\n255\n" + bytes(range(24))
+        dec = multimodal.ppm_decode(ppm)
+        assert dec == (4, 2, 3, bytes(range(24)))
+        pgm = b"P5\n3 2\n255\n" + bytes(range(6))
+        assert multimodal.ppm_decode(pgm) == (3, 2, 1, bytes(range(6)))
+
+    def test_rejects_unsupported(self):
+        assert multimodal.bmp_decode(b"BM" + bytes(60)) is None   # w=0
+        assert multimodal.ppm_decode(b"P6\n4 2\n65535\n" + bytes(48)) is None
+        assert multimodal.ppm_decode(b"P6\n4 2\n255\n" + bytes(3)) is None  # short
+
+    def test_resize_and_dhash_accept_bmp(self, spark):
+        rows = [[((x * 37) & 255, (y * 53) & 255, (x ^ y) & 255) for x in range(16)]
+                for y in range(12)]
+        payload = self._bmp(16, 12, rows)
+        media = spark.createDataFrame(
+            [(1, bytearray(payload), "image/bmp", len(payload))],
+            multimodal.MEDIA_SCHEMA,
+        )
+        out = multimodal.resize_image(media, fake=False).collect()[0]
+        assert (out["src_w"], out["src_h"]) == (16, 12)
+        assert len(out["thumb"]) == 8 * 8 * 3
+        dh = multimodal.image_dhash(media).collect()[0]["dhash"]
+        assert dh is not None and len(dh) == 16
