@@ -52,6 +52,7 @@ from etl_pack_spark.operators.multimodal import (  # noqa: F401
     audio_features,
     image_dhash,
     bmp_decode,
+    gif_decode,
     jpeg_decode,
     media_metadata,
     pixel_decode,

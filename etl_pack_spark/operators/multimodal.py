@@ -857,12 +857,136 @@ bmp_decode = _bmp_decoder()
 ppm_decode = _ppm_decoder()
 
 
+def _gif_decoder():
+    """GIF87a/89a FIRST frame: LZW decompression (variable code
+    width, 4096-entry dictionary), global/local palettes, interlace.
+    Lossless, so tests compare bit-exactly against the JVM ImageIO
+    decoder. Animations decode to their first frame (the dedup/resize
+    semantics for stills-in-motion); malformed streams return None."""
+
+    def decode(b):
+        if b is None or len(b) < 13 or bytes(b[:4]) != b"GIF8":
+            return None
+        try:
+            return _run(bytes(b))
+        except (IndexError, ValueError):
+            return None
+
+    def _run(b):
+        flags = b[10]
+        pos = 13
+        gct = None
+        if flags & 0x80:
+            n = 2 << (flags & 7)
+            gct = b[pos : pos + 3 * n]
+            pos += 3 * n
+        while pos < len(b):
+            block = b[pos]
+            if block == 0x3B:  # trailer
+                return None
+            if block == 0x21:  # extension: skip sub-blocks
+                pos += 2
+                while pos < len(b) and b[pos] != 0:
+                    pos += 1 + b[pos]
+                pos += 1
+                continue
+            if block != 0x2C:
+                return None
+            # image descriptor
+            iw = int.from_bytes(b[pos + 5 : pos + 7], "little")
+            ih = int.from_bytes(b[pos + 7 : pos + 9], "little")
+            iflags = b[pos + 9]
+            pos += 10
+            pal = gct
+            if iflags & 0x80:
+                n = 2 << (iflags & 7)
+                pal = b[pos : pos + 3 * n]
+                pos += 3 * n
+            if pal is None or iw == 0 or ih == 0 or iw * ih > 64_000_000:
+                return None
+            mcs = b[pos]
+            pos += 1
+            data = bytearray()
+            while pos < len(b) and b[pos] != 0:
+                ln = b[pos]
+                data += b[pos + 1 : pos + 1 + ln]
+                pos += 1 + ln
+            # LZW decode
+            clear, end = 1 << mcs, (1 << mcs) + 1
+            if mcs < 2 or mcs > 11:
+                return None
+            base = [(i,) for i in range(clear)] + [None, None]
+            table = list(base)
+            width = mcs + 1
+            out, prev = [], None
+            acc = nbits = 0
+            need = iw * ih
+            for byte in data:
+                acc |= byte << nbits
+                nbits += 8
+                while nbits >= width and len(out) < need:
+                    code = acc & ((1 << width) - 1)
+                    acc >>= width
+                    nbits -= width
+                    if code == clear:
+                        table = list(base)
+                        width = mcs + 1
+                        prev = None
+                        continue
+                    if code == end:
+                        break
+                    if prev is None:
+                        if code >= len(table) or table[code] is None:
+                            return None
+                        entry = table[code]
+                    elif code < len(table) and table[code] is not None:
+                        entry = table[code]
+                        if len(table) < 4096:
+                            table.append(prev + (entry[0],))
+                    elif code == len(table) and len(table) < 4096:
+                        entry = prev + (prev[0],)
+                        table.append(entry)
+                    else:
+                        return None
+                    out.extend(entry)
+                    prev = entry
+                    if len(table) == (1 << width) and width < 12:
+                        width += 1
+            if len(out) < need:
+                return None
+            idx = out[:need]
+            # interlace: rows arrive in 4 passes
+            if iflags & 0x40:
+                order = (
+                    list(range(0, ih, 8)) + list(range(4, ih, 8))
+                    + list(range(2, ih, 4)) + list(range(1, ih, 2))
+                )
+                rows = [None] * ih
+                for src, dst in enumerate(order):
+                    rows[dst] = idx[src * iw : (src + 1) * iw]
+                idx = [v for row in rows for v in row]
+            px = bytearray(need * 3)
+            npal = len(pal) // 3
+            for i, v in enumerate(idx):
+                if v >= npal:
+                    return None
+                px[3 * i : 3 * i + 3] = pal[3 * v : 3 * v + 3]
+            return (iw, ih, 3, bytes(px))
+        return None
+
+    return decode
+
+
+gif_decode = _gif_decoder()
+
+
 def _pixel_decoder():
     """One dispatching pixel decoder over every natively-supported
     format (PNG, baseline+progressive JPEG, BMP, binary PPM/PGM) —
     the closure the pixel-consuming operators ship to executors.
     Returns ``(w, h, channels, row-major bytes)`` or None."""
-    png, jpg, bmp, ppm = _png_decoder(), _jpeg_decoder(), _bmp_decoder(), _ppm_decoder()
+    png, jpg, bmp = _png_decoder(), _jpeg_decoder(), _bmp_decoder()
+    ppm, gif = _ppm_decoder(), _gif_decoder()
 
     def decode(b):
         if b is None or len(b) < 4:
@@ -874,6 +998,8 @@ def _pixel_decoder():
             return bmp(b)
         if bytes(b[:2]) in (b"P5", b"P6"):
             return ppm(b)
+        if bytes(b[:4]) == b"GIF8":
+            return gif(b)
         return png(b)
 
     return decode

