@@ -1,19 +1,20 @@
 """Multimodal columns: image/audio/video as opaque binary + typed
 metadata, with Arrow-batched (mapInPandas) decode/feature plumbing.
 
-Image DIMENSION decode is REAL — PNG/JPEG/GIF/BMP/PPM headers are
-parsed from plain bytes (no codec library needed). PIXEL decode is
-REAL for PNG (stdlib zlib inflate + per-row unfilter,
-:func:`png_decode`: 8-bit grey / grey+alpha / RGB / RGBA,
-non-interlaced) AND JPEG — baseline sequential and PROGRESSIVE
+Image decode is REAL end-to-end: every format whose header we parse
+(PNG / JPEG / GIF / BMP / binary PPM-PGM) also decodes PIXELS
+natively via the dispatching :func:`pixel_decode` — PNG (stdlib zlib
+inflate + per-row unfilter), JPEG baseline AND progressive
 (stdlib+numpy Huffman with spectral selection / successive
 approximation, float reference IDCT, libjpeg-exact fancy chroma
-upsampling, :func:`jpeg_decode` — verified within the T.81-permitted
-±2 LSB of the JVM ImageIO decoder on both scan layouts), so
-:func:`resize_image` thumbnails all of them natively.
-Arithmetic-coded/12-bit/lossless JPEG and video frame extraction stay
-gated behind ``NotImplementedError``, each with a deterministic fake
-for exercising the pipeline shape. Everything Spark-side is real
+upsampling; within the T.81-permitted ±2 LSB of the JVM ImageIO
+decoder on both scan layouts), GIF incl. interlace (LZW, bit-exact vs
+ImageIO — palette formats are lossless), BMP, and PPM. Audio decodes
+too (:func:`wav_decode`), and :func:`mp4_meta` parses video container
+metadata. Only arithmetic-coded/12-bit/lossless JPEG, compressed
+audio, and video FRAME extraction stay gated behind
+``NotImplementedError``, each with a deterministic fake for
+exercising the pipeline shape. Everything Spark-side is real
 and tested: schema, binary handling, partitioning, the mapInPandas
 batch contract, and a genuine Arrow-vectorized feature extractor
 (byte histograms).
