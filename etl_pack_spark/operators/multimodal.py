@@ -123,10 +123,12 @@ def decode_image(media: DataFrame, fake: bool = False) -> DataFrame:
 
     ``fake=False`` parses REAL image headers — PNG (IHDR), JPEG (SOF
     segment scan), GIF, BMP, and binary PPM/PGM are all
-    dimension-readable from plain bytes, no image library required.
+    dimension-readable from plain bytes, no image library required
+    (and every one of these also pixel-decodes via
+    :func:`pixel_decode` when full decode is wanted — this op stays
+    header-only so metadata passes never touch payload bodies).
     Unrecognized payloads yield NULL dims (quarantine-friendly) rather
-    than killing the task. Full pixel decode (and hence resize) still
-    needs a codec library — see :func:`resize_image`'s gate.
+    than killing the task.
     ``fake=True`` keeps the deterministic pseudo-dims stand-in used by
     the oracle-pinned suite queries (independent of real payloads).
     """
