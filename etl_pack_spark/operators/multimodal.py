@@ -168,6 +168,12 @@ def decode_image(media: DataFrame, fake: bool = False) -> DataFrame:
                 while i < len(b) and len(toks) < 2:
                     c = b[i : i + 1]
                     if c == b"#":
+                        # '#' ends the token, then comment to EOL
+                        # (duplicated in _ppm_decoder — closures stay
+                        # self-contained for by-value pickling)
+                        if tok:
+                            toks.append(tok)
+                            tok = b""
                         while i < len(b) and b[i : i + 1] != b"\n":
                             i += 1
                     elif c.isspace():
@@ -778,16 +784,21 @@ jpeg_decode = _jpeg_decoder()
 
 
 def _bmp_decoder():
-    """Uncompressed 8/24/32-bit BI_RGB Windows BMP (bottom-up or
-    top-down rows, 4-byte row padding, BGR(A) order). Compressed or
-    paletted-color variants return None."""
+    """Uncompressed 8-bit-paletted / 24 / 32-bit BI_RGB Windows BMP
+    (bottom-up or top-down rows, 4-byte row padding, BGR(A) order;
+    8-bit indices resolve through the BGRA color table). Compressed
+    variants return None. Vectorized — a 64 MP payload converts in
+    numpy, never a per-pixel Python loop."""
 
     def decode(b):
+        import numpy as np
+
         if b is None or len(b) < 54 or bytes(b[:2]) != b"BM":
             return None
         b = bytes(b)
         try:
             off = int.from_bytes(b[10:14], "little")
+            dib = int.from_bytes(b[14:18], "little")
             w = int.from_bytes(b[18:22], "little", signed=True)
             hh = int.from_bytes(b[22:26], "little", signed=True)
             bits = int.from_bytes(b[28:30], "little")
@@ -801,21 +812,26 @@ def _bmp_decoder():
             stride = (w * ch + 3) & ~3
             if off + stride * h > len(b):
                 return None
-            out = bytearray(w * h * min(ch, 3))
-            oc = min(ch, 3)  # drop alpha; 8-bit assumed grayscale ramp
-            for row in range(h):
-                src = off + (row if hh < 0 else h - 1 - row) * stride
-                line = b[src : src + w * ch]
-                for x in range(w):
-                    px = line[x * ch : (x + 1) * ch]
-                    dst = (row * w + x) * oc
-                    if ch == 1:
-                        out[dst] = px[0]
-                    else:  # BGR(A) -> RGB
-                        out[dst] = px[2]
-                        out[dst + 1] = px[1]
-                        out[dst + 2] = px[0]
-            return (w, h, oc, bytes(out))
+            raw = np.frombuffer(
+                b, dtype=np.uint8, count=stride * h, offset=off
+            ).reshape(h, stride)
+            if hh > 0:
+                raw = raw[::-1]  # bottom-up storage -> top-down rows
+            if ch == 1:
+                # resolve palette indices through the BGRA color table
+                ncolors = int.from_bytes(b[46:50], "little") or 256
+                pal_off = 14 + dib
+                pal = np.frombuffer(
+                    b, dtype=np.uint8, count=4 * ncolors, offset=pal_off
+                ).reshape(ncolors, 4)
+                idx = raw[:, :w]
+                if int(idx.max()) >= ncolors:
+                    return None
+                rgb = pal[idx][:, :, [2, 1, 0]]  # BGRA -> RGB
+                return (w, h, 3, np.ascontiguousarray(rgb).tobytes())
+            px = raw[:, : w * ch].reshape(h, w, ch)
+            rgb = px[:, :, [2, 1, 0]]  # BGR(A) -> RGB, alpha dropped
+            return (w, h, 3, np.ascontiguousarray(rgb).tobytes())
         except (IndexError, ValueError):
             return None
 
@@ -834,6 +850,14 @@ def _ppm_decoder():
         while i < len(b) and len(toks) < 3:
             c = b[i : i + 1]
             if c == b"#":
+                # netpbm: '#' ends the current token AND starts a
+                # comment running to end-of-line ('4#c\n2' reads 4, 2
+                # — not 42). Same rule in decode_image's copy (both
+                # are nested closures on purpose: cloudpickle ships
+                # them by value so executors need no package import).
+                if tok:
+                    toks.append(tok)
+                    tok = b""
                 while i < len(b) and b[i : i + 1] != b"\n":
                     i += 1
             elif c.isspace():
@@ -876,7 +900,10 @@ def _gif_decoder():
             return None
 
     def _run(b):
+        sw = int.from_bytes(b[6:8], "little")   # logical screen
+        sh = int.from_bytes(b[8:10], "little")
         flags = b[10]
+        bg_idx = b[11]
         pos = 13
         gct = None
         if flags & 0x80:
@@ -895,7 +922,11 @@ def _gif_decoder():
                 continue
             if block != 0x2C:
                 return None
-            # image descriptor
+            # image descriptor (frames may cover only a sub-region of
+            # the logical screen — composite below so dims agree with
+            # decode_image's header parse)
+            left = int.from_bytes(b[pos + 1 : pos + 3], "little")
+            top = int.from_bytes(b[pos + 3 : pos + 5], "little")
             iw = int.from_bytes(b[pos + 5 : pos + 7], "little")
             ih = int.from_bytes(b[pos + 7 : pos + 9], "little")
             iflags = b[pos + 9]
@@ -924,7 +955,10 @@ def _gif_decoder():
             out, prev = [], None
             acc = nbits = 0
             need = iw * ih
+            ended = False
             for byte in data:
+                if ended:
+                    break
                 acc |= byte << nbits
                 nbits += 8
                 while nbits >= width and len(out) < need:
@@ -937,6 +971,9 @@ def _gif_decoder():
                         prev = None
                         continue
                     if code == end:
+                        # terminate BOTH loops: resuming on later bytes
+                        # would decode post-end garbage with stale state
+                        ended = True
                         break
                     if prev is None:
                         if code >= len(table) or table[code] is None:
@@ -968,13 +1005,26 @@ def _gif_decoder():
                 for src, dst in enumerate(order):
                     rows[dst] = idx[src * iw : (src + 1) * iw]
                 idx = [v for row in rows for v in row]
-            px = bytearray(need * 3)
             npal = len(pal) // 3
-            for i, v in enumerate(idx):
-                if v >= npal:
+            if max(idx) >= npal:
+                return None
+            if (left, top, iw, ih) == (0, 0, sw, sh) or sw * sh == 0:
+                frame_idx, fw, fh = idx, iw, ih
+            else:
+                # composite the sub-frame onto the logical screen at
+                # the background color, so dims agree with the header
+                # parse and a re-encode of the full frame hashes near
+                if left + iw > sw or top + ih > sh or sw * sh > 64_000_000:
                     return None
+                frame_idx = [bg_idx if bg_idx < npal else 0] * (sw * sh)
+                for y in range(ih):
+                    dst = (top + y) * sw + left
+                    frame_idx[dst : dst + iw] = idx[y * iw : (y + 1) * iw]
+                fw, fh = sw, sh
+            px = bytearray(len(frame_idx) * 3)
+            for i, v in enumerate(frame_idx):
                 px[3 * i : 3 * i + 3] = pal[3 * v : 3 * v + 3]
-            return (iw, ih, 3, bytes(px))
+            return (fw, fh, 3, bytes(px))
         return None
 
     return decode
@@ -1458,9 +1508,23 @@ def image_dhash(media: DataFrame, fake: bool = False) -> DataFrame:
                 g = (77 * a[:, :, 0] + 150 * a[:, :, 1] + 29 * a[:, :, 2]) >> 8
             else:
                 g = a[:, :, 0]
-            ys = (np.arange(8) * h) // 8
-            xs = (np.arange(9) * w) // 9
-            grid = g[np.ix_(ys, xs)]
+            # AREA-AVERAGED 9x8 grid (standard dHash): cell means, not
+            # nearest pixels — nearest sampling flips bits wildly on
+            # resized copies of high-frequency content (text, dither)
+            yb = (np.arange(9) * h) // 8
+            xb = (np.arange(10) * w) // 9
+            cs = np.zeros((h + 1, w + 1), dtype=np.int64)
+            cs[1:, 1:] = g.cumsum(axis=0).cumsum(axis=1)
+            sums = (
+                cs[yb[1:, None], xb[None, 1:]]
+                - cs[yb[:-1, None], xb[None, 1:]]
+                - cs[yb[1:, None], xb[None, :-1]]
+                + cs[yb[:-1, None], xb[None, :-1]]
+            )
+            areas = (yb[1:, None] - yb[:-1, None]) * (xb[None, 1:] - xb[None, :-1])
+            if (areas == 0).any():
+                return None  # image too small for a 9x8 grid
+            grid = sums / areas
             bits = (grid[:, :-1] > grid[:, 1:]).astype(np.uint64).reshape(64)
             val = 0
             for bit in bits:

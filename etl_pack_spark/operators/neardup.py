@@ -567,8 +567,12 @@ def hamming_neardup_pairs(
     chars (simhash of text, dHash of images, …): candidates share at
     least one exact 16/chunks-hex-char block (pigeonhole: any pair
     within ``chunks-1`` differing blocks is found), then exact hamming
-    filters. Block equi-join — never all-pairs. Callers should pass a
-    persisted ``sig`` (it feeds the banding and the verify join)."""
+    filters. Block equi-join — never all-pairs. The signature frame is
+    pooled-persisted HERE: it feeds both sides of the banding
+    self-join and both verify joins, and for image/audio signatures
+    the upstream lineage is an expensive pixel/PCM decode that must
+    not run four times."""
+    sig = _pooled_persist(sig)
     width = 16 // chunks
     blocks = sig.select(
         F.col(id_col),
@@ -606,8 +610,9 @@ def simhash_neardup_pairs(
 ) -> DataFrame:
     """SimHash near-dup pairs: text signatures through the generic
     :func:`hamming_neardup_pairs` block-match (same shuffle shape as
-    minhash LSH — block equi-join, no all-pairs)."""
-    sig = _pooled_persist(simhash_signature(df, id_col, text_col))
+    minhash LSH — block equi-join, no all-pairs; the generic op owns
+    the signature persist)."""
+    sig = simhash_signature(df, id_col, text_col)
     return hamming_neardup_pairs(sig, id_col, "simhash", max_hamming, chunks)
 
 

@@ -969,3 +969,91 @@ class TestGifDecode:
         assert (out["src_w"], out["src_h"]) == (32, 24)
         dh = multimodal.image_dhash(media).collect()[0]["dhash"]
         assert dh is not None and len(dh) == 16
+
+
+class TestDecoderReviewRegressions:
+    """Second review pass over the media decoders."""
+
+    def test_dhash_robust_to_resize(self, spark):
+        """Area-averaged dHash: the same scene rendered at two
+        resolutions hashes near (nearest sampling would not)."""
+        jvm = spark.sparkContext._jvm
+        BI = jvm.java.awt.image.BufferedImage
+        import math
+
+        def scene_norm(u, v):  # resolution-independent scene
+            g = int(max(0, min(255, 128 + 90 * math.sin(6 * u) * math.cos(4 * v))))
+            return (g << 16) | (g << 8) | g
+
+        def png_bytes(w, h):
+            img = BI(w, h, BI.TYPE_INT_RGB)
+            for y in range(h):
+                for x in range(w):
+                    img.setRGB(x, y, scene_norm(x / w, y / h))
+            baos = jvm.java.io.ByteArrayOutputStream()
+            jvm.javax.imageio.ImageIO.write(img, "png", baos)
+            return bytes(baos.toByteArray())
+
+        media = spark.createDataFrame(
+            [(1, bytearray(png_bytes(64, 48)), "image/png", 0),
+             (2, bytearray(png_bytes(37, 29)), "image/png", 0)],
+            multimodal.MEDIA_SCHEMA,
+        )
+        h = {r["media_id"]: r["dhash"] for r in multimodal.image_dhash(media).collect()}
+        d = bin(int(h[1], 16) ^ int(h[2], 16)).count("1")
+        assert d <= 6, d
+
+    def test_bmp_8bit_palette_resolved(self):
+        import struct
+
+        # 2x1 8-bit BMP: palette[0]=red, palette[1]=blue (stored BGRA)
+        pal = bytes([0, 0, 255, 0,  255, 0, 0, 0])
+        row = bytes([0, 1, 0, 0])   # 2 px + padding to 4
+        hdr = (b"BM" + struct.pack("<IHHI", 54 + len(pal) + len(row), 0, 0, 54 + len(pal))
+               + struct.pack("<IiiHHIIiiII", 40, 2, 1, 1, 8, 0, len(row), 0, 0, 2, 0))
+        dec = multimodal.bmp_decode(hdr + pal + row)
+        assert dec is not None and (dec[0], dec[1], dec[2]) == (2, 1, 3)
+        assert tuple(dec[3][:3]) == (255, 0, 0)    # index 0 -> red
+        assert tuple(dec[3][3:6]) == (0, 0, 255)   # index 1 -> blue
+
+    def test_ppm_comment_adjacent_to_digit(self):
+        ppm = b"P6\n4#comment\n2 255\n" + bytes(24)
+        dec = multimodal.ppm_decode(ppm)
+        assert dec is not None and (dec[0], dec[1]) == (4, 2)
+
+    def test_gif_subframe_composites_to_screen(self):
+        # hand-built GIF: 4x2 screen, bg index 1, 2x1 frame at (1,1)...
+        # wait the screen is 4x2 so frame at (1,1) spans row 1
+        # palette: 0=black, 1=white, 2=red
+        gct = bytes([0, 0, 0, 255, 255, 255, 255, 0, 0]) + bytes(3)  # 4 entries
+        hdr = b"GIF89a" + (4).to_bytes(2, "little") + (2).to_bytes(2, "little") \
+            + bytes([0x81, 1, 0])  # GCT flag + size 4(2<<1), bg=1
+        # image descriptor: left=1, top=1, w=2, h=1, no LCT
+        desc = b"\x2c" + (1).to_bytes(2, "little") + (1).to_bytes(2, "little") \
+            + (2).to_bytes(2, "little") + (1).to_bytes(2, "little") + b"\x00"
+        # LZW: mcs=2, codes: clear(100), 2, 2, end(101) at width 3
+        # bits LSB-first: clear=4, '2', '2', end=5
+        stream = [4, 2, 2, 5]
+        acc = nb = 0
+        out = bytearray()
+        for code in stream:
+            acc |= code << nb
+            nb += 3
+            while nb >= 8:
+                out.append(acc & 255)
+                acc >>= 8
+                nb -= 8
+        if nb:
+            out.append(acc & 255)
+        data = bytes([2]) + bytes([len(out)]) + bytes(out) + b"\x00"
+        gif = hdr + gct + desc + data + b"\x3b"
+        dec = multimodal.gif_decode(gif)
+        assert dec is not None and (dec[0], dec[1], dec[2]) == (4, 2, 3)
+        import numpy as np
+
+        px = np.frombuffer(dec[3], dtype=np.uint8).reshape(2, 4, 3)
+        white, red = (255, 255, 255), (255, 0, 0)
+        assert tuple(px[0, 0]) == white            # background
+        assert tuple(px[1, 1]) == red              # frame pixel
+        assert tuple(px[1, 2]) == red
+        assert tuple(px[1, 3]) == white            # outside frame
