@@ -38,3 +38,81 @@ def test_compact_clustering_gives_disjoint_file_ranges(spark, sf_dir, tmp_path):
     # range clustering ⇒ per-file key ranges overlap at most at boundaries
     for (lo1, hi1), (lo2, hi2) in zip(ranges, ranges[1:]):
         assert hi1 <= lo2
+
+
+class TestZOrder:
+    """Z-order clustering: per-file min/max ranges are tight on BOTH
+    dimensions at once, where single-column range clustering leaves
+    the second dimension's ranges ~full-width."""
+
+    @staticmethod
+    def _avg_range(path, col, lo, hi):
+        import os
+
+        import pyarrow.parquet as pq
+
+        files = [os.path.join(r, f) for r, _, fs in os.walk(path)
+                 for f in fs if f.endswith(".parquet")]
+        widths = []
+        for f in files:
+            md = pq.ParquetFile(f).metadata
+            fmins, fmaxs = [], []
+            for rg in range(md.num_row_groups):
+                for ci in range(md.num_columns):
+                    c = md.row_group(rg).column(ci)
+                    if c.path_in_schema == col and c.statistics is not None:
+                        fmins.append(c.statistics.min)
+                        fmaxs.append(c.statistics.max)
+            if fmins:
+                widths.append((max(fmaxs) - min(fmins)) / (hi - lo or 1))
+        return sum(widths) / len(widths), len(files)
+
+    def test_both_dims_prunable(self, spark, sf_dir, tmp_path):
+        from pyspark.sql import functions as F
+
+        from etl_pack_spark.sinks.compaction import compact, compact_zorder
+
+        src = str(tmp_path / "src")
+        ev = read_table(spark, sf_dir, "events").select(
+            "event_id", "user_id", F.col("value").cast("double").alias("value")
+        )
+        ev.repartition(4).write.parquet(src)
+        lo_u, hi_u, lo_v, hi_v = ev.agg(
+            F.min("user_id"), F.max("user_id"), F.min("value"), F.max("value")
+        ).collect()[0]
+
+        zpath = str(tmp_path / "z")
+        stats = compact_zorder(spark, src, zpath, ["user_id", "value"],
+                               target_file_mb=0.002)
+        assert stats.out_files >= 5
+        ru, nf = self._avg_range(zpath, "user_id", lo_u, hi_u)
+        rv, _ = self._avg_range(zpath, "value", lo_v, hi_v)
+        # single-dim range clustering for comparison
+        rpath = str(tmp_path / "r")
+        compact(spark, src, rpath, target_file_mb=0.002, cluster_by=["user_id"])
+        ru1, _ = self._avg_range(rpath, "user_id", lo_u, hi_u)
+        rv1, _ = self._avg_range(rpath, "value", lo_v, hi_v)
+        # z-order: both dims substantially narrowed; single-column
+        # range clustering leaves the second dim clearly wider (the
+        # fixture's mild user/value correlation narrows it somewhat,
+        # so the pin is relative, with the absolute bound on z-order)
+        assert ru < 0.7 and rv < 0.7, (ru, rv, nf)
+        assert rv < rv1 * 0.85, (rv, rv1)
+        assert ru + rv < ru1 + rv1
+        # and the rewrite is content-preserving
+        a = sorted(map(tuple, spark.read.parquet(zpath).collect()))
+        b = sorted(map(tuple, ev.collect()))
+        assert a == b
+
+    def test_null_and_constant_columns_safe(self, spark, tmp_path):
+        from etl_pack_spark.sinks.compaction import compact_zorder
+
+        df = spark.createDataFrame(
+            [(i, None if i % 3 == 0 else float(i), 7.0) for i in range(100)],
+            "id long, x double, konst double",
+        )
+        src = str(tmp_path / "src2")
+        df.write.parquet(src)
+        out = str(tmp_path / "z2")
+        compact_zorder(spark, src, out, ["x", "konst"], target_file_mb=0.01)
+        assert spark.read.parquet(out).count() == 100
