@@ -91,6 +91,8 @@ def zorder_key(df: DataFrame, cols: list[str], bits: int = 16):
     terms = []
     for d, c in enumerate(cols):
         mn, mx = bounds[f"mn_{c}"], bounds[f"mx_{c}"]
+        if mn is None or mx is None:  # all-NULL column: constant dim
+            mn, mx = 0.0, 0.0
         span = (mx - mn) or 1.0
         v = F.least(
             F.lit(top),

@@ -116,3 +116,16 @@ class TestZOrder:
         out = str(tmp_path / "z2")
         compact_zorder(spark, src, out, ["x", "konst"], target_file_mb=0.01)
         assert spark.read.parquet(out).count() == 100
+
+
+def test_zorder_all_null_column_safe(spark, tmp_path):
+    from etl_pack_spark.sinks.compaction import compact_zorder
+
+    df = spark.createDataFrame(
+        [(i, None) for i in range(50)], "a long, b double"
+    )
+    src = str(tmp_path / "srcn")
+    df.write.parquet(src)
+    out = str(tmp_path / "zn")
+    compact_zorder(spark, src, out, ["a", "b"], target_file_mb=0.01)
+    assert spark.read.parquet(out).count() == 50
