@@ -53,3 +53,78 @@ def expect_unique(col: str) -> F.Column:
 
 def expect_between(col: str, lo, hi) -> F.Column:
     return F.count(F.when(~F.col(col).between(lo, hi), 1)) == 0
+
+
+def mad_outliers(
+    df: DataFrame,
+    value_col: str,
+    group_cols: list[str] | None = None,
+    k: float = 3.5,
+) -> DataFrame:
+    """Robust outlier flagging via median/MAD (the DQ rule that
+    survives the very outliers a mean/stddev z-score is skewed by):
+    per group, ``robust_z = 0.6745 * |x - median| / MAD`` and
+    ``is_outlier = robust_z > k`` (Iglewicz & Hoaglin's modified
+    z-score with the standard 3.5 cutoff). A zero/NULL MAD (constant
+    or too-small group) flags nothing. NULL values pass through
+    unflagged (missingness is the profile's dimension, not
+    dispersion's).
+
+    Scale shape: medians come from ONE exact-percentile aggregate per
+    group (two sequential aggregates — the MAD needs |x - median|
+    first), joined back by group key; the flagging itself is map-only.
+    No window over the full table, no sort. With no ``group_cols`` the
+    two aggregates are single-row and broadcast back as a cross join.
+    Returns the input + ``robust_z`` + ``is_outlier``.
+    """
+    group_cols = group_cols or []
+    gb = (lambda d: d.groupBy(*group_cols)) if group_cols else (lambda d: d.groupBy())
+    med = gb(df).agg(
+        F.expr(f"percentile({value_col}, 0.5)").alias("__med")
+    )
+    joined = (
+        df.join(med, group_cols) if group_cols else df.crossJoin(F.broadcast(med))
+    )
+    dev = joined.withColumn("__adev", F.abs(F.col(value_col) - F.col("__med")))
+    mad = gb(dev).agg(F.expr("percentile(__adev, 0.5)").alias("__mad"))
+    full = (
+        dev.join(mad, group_cols) if group_cols else dev.crossJoin(F.broadcast(mad))
+    )
+    z = F.when(
+        F.col("__mad") > 0, 0.6745 * F.col("__adev") / F.col("__mad")
+    )
+    return (
+        full.withColumn("robust_z", z)
+        .withColumn("is_outlier", F.coalesce(F.col("robust_z") > k, F.lit(False)))
+        .drop("__med", "__adev", "__mad")
+    )
+
+
+def mad_outliers_sql(
+    table: str,
+    value_col: str,
+    group_cols: list[str] | None = None,
+    k: float = 3.5,
+    select: str = "*",
+) -> str:
+    """DuckDB oracle twin of :func:`mad_outliers` — same exact
+    interpolated medians (quantile_cont == Spark percentile), same
+    modified z-score."""
+    group_cols = group_cols or []
+    part = f"PARTITION BY {', '.join(group_cols)}" if group_cols else ""
+    return f"""
+    SELECT {select},
+           CASE WHEN mad > 0 THEN 0.6745 * adev / mad END AS robust_z,
+           COALESCE(CASE WHEN mad > 0 THEN 0.6745 * adev / mad END > {k},
+                    FALSE) AS is_outlier
+    FROM (
+        SELECT *, quantile_cont(adev, 0.5) OVER ({part}) AS mad
+        FROM (
+            SELECT *, abs({value_col} - med) AS adev
+            FROM (
+                SELECT *, quantile_cont({value_col}, 0.5) OVER ({part}) AS med
+                FROM {table}
+            )
+        )
+    )
+    """

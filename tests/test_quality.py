@@ -56,3 +56,49 @@ def test_repetition_ratio(spark):
             textops.repetition_ratio(df, "doc_id", "text").collect()}
     assert rows[1]["repetition"] > 0.8   # 6 identical 3-grams
     assert rows[2]["repetition"] == 0.0  # all 3-grams unique
+
+
+class TestMadOutliers:
+    def test_flags_planted_outlier_not_spread(self, spark):
+        from etl_pack_spark.operators.quality import mad_outliers
+
+        rows = [(i, "g", float(v)) for i, v in enumerate([10, 11, 9, 10, 12, 10, 11, 500])]
+        df = spark.createDataFrame(rows, "id long, g string, v double")
+        out = {r["id"]: r["is_outlier"] for r in mad_outliers(df, "v", ["g"]).collect()}
+        assert out[7] is True
+        assert all(not out[i] for i in range(7))
+
+    def test_constant_group_flags_nothing(self, spark):
+        from etl_pack_spark.operators.quality import mad_outliers
+
+        df = spark.createDataFrame(
+            [(i, 5.0) for i in range(10)] + [(99, None)], "id long, v double"
+        )
+        out = mad_outliers(df, "v").collect()
+        assert all(not r["is_outlier"] for r in out)
+        assert len(out) == 11                 # NULL row kept, unflagged
+
+    def test_oracle_parity_grouped_fixture(self, spark, sf_dir):
+        from etl_pack_spark.operators.quality import mad_outliers, mad_outliers_sql
+        from etl_pack_spark.oracle import duck_connect
+        from etl_pack_spark.sources.reader import read_table
+
+        from pyspark.sql import functions as F
+
+        ev = read_table(spark, sf_dir, "events").select(
+            "event_id", "event_type", F.col("value").cast("double").alias("value")
+        )
+        got = sorted(
+            (r["event_id"], r["is_outlier"],
+             None if r["robust_z"] is None else round(r["robust_z"], 9))
+            for r in mad_outliers(ev, "value", ["event_type"]).collect()
+        )
+        want = sorted(
+            (r[0], r[2], None if r[1] is None else round(r[1], 9))
+            for r in duck_connect(sf_dir).execute(mad_outliers_sql(
+                "(SELECT event_id, event_type, CAST(value AS DOUBLE) AS value FROM events)",
+                "value", ["event_type"], select="event_id",
+            )).fetchall()
+        )
+        assert got == want
+        assert len(got) > 0 and any(o for _, o, _ in got)
