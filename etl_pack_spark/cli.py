@@ -35,9 +35,20 @@ def parse_window(raw: str) -> tuple[str, str, str]:
 
 def build_parser() -> argparse.ArgumentParser:
     p = argparse.ArgumentParser(prog="etl_pack_spark", description=__doc__)
-    p.add_argument("--source-dir", required=True, help="directory of parquet tables")
-    p.add_argument("--table", required=True, help="source table name")
+    p.add_argument("--source-dir", help="directory of parquet tables")
+    p.add_argument("--table", help="source table name")
     p.add_argument("--target", required=True, help="target parquet path")
+    # lake maintenance mode: the OTHER cron job besides transfer
+    p.add_argument("--compact", default=None, metavar="SRC",
+                   help="compact/cluster parquet at SRC into --target "
+                        "instead of running a transfer")
+    p.add_argument("--cluster-by", default="",
+                   help="compact: range-cluster by these columns")
+    p.add_argument("--zorder-by", default="",
+                   help="compact: Z-ORDER by these columns "
+                        "(multi-dimensional pruning)")
+    p.add_argument("--target-file-mb", type=float, default=256.0,
+                   help="compact: target output file size")
     p.add_argument("--fields", default="", help="comma-separated projection (default: all)")
     p.add_argument("--window", type=parse_window, default=None,
                    help="range predicate column:from:to (inclusive)")
@@ -57,6 +68,34 @@ def main(argv: list[str] | None = None) -> int:
     from etl_pack_spark.session import get_spark
 
     spark = get_spark("etl_pack_spark_cli")
+
+    if args.compact:
+        if args.cluster_by and args.zorder_by:
+            print("error: --cluster-by and --zorder-by are exclusive",
+                  file=sys.stderr)
+            return 2
+        from etl_pack_spark.sinks.compaction import compact, compact_zorder
+
+        if args.zorder_by:
+            st = compact_zorder(
+                spark, args.compact, args.target,
+                [c for c in args.zorder_by.split(",") if c],
+                target_file_mb=args.target_file_mb,
+            )
+        else:
+            st = compact(
+                spark, args.compact, args.target,
+                target_file_mb=args.target_file_mb,
+                cluster_by=[c for c in args.cluster_by.split(",") if c] or None,
+            )
+        print(json.dumps({"mode": "compact", "in_files": st.in_files,
+                          "out_files": st.out_files, "target": st.out_path}))
+        return 0
+
+    if not args.source_dir or not args.table:
+        print("error: --source-dir and --table are required for transfers",
+              file=sys.stderr)
+        return 2
 
     if args.streaming:
         if not args.checkpoint:

@@ -106,3 +106,38 @@ def test_read_source_orc_roundtrip_with_pushdown(spark, sf_dir, tmp_path):
         ._jdf.queryExecution().executedPlan().toString()
     )
     assert "PushedFilters: [" in plan and "n_regionkey" in plan.split("PushedFilters")[1][:80]
+
+
+def test_cli_compact_zorder(sf_dir, tmp_path):
+    import json
+    import subprocess
+    import sys
+
+    src = str(tmp_path / "src")
+    # stage a small table to compact
+    subprocess.run(
+        [sys.executable, "-m", "etl_pack_spark.cli",
+         "--source-dir", sf_dir, "--table", "events",
+         "--target", src],
+        check=True, capture_output=True, text=True, cwd="/root/repo",
+    )
+    out = subprocess.run(
+        [sys.executable, "-m", "etl_pack_spark.cli",
+         "--compact", src, "--target", str(tmp_path / "z"),
+         "--zorder-by", "user_id,value", "--target-file-mb", "0.01"],
+        check=True, capture_output=True, text=True, cwd="/root/repo",
+    )
+    res = json.loads(out.stdout.strip().splitlines()[-1])
+    assert res["mode"] == "compact" and res["out_files"] >= 1
+
+
+def test_cli_transfer_still_requires_source(tmp_path):
+    import subprocess
+    import sys
+
+    r = subprocess.run(
+        [sys.executable, "-m", "etl_pack_spark.cli", "--target", str(tmp_path / "t")],
+        capture_output=True, text=True, cwd="/root/repo",
+    )
+    assert r.returncode == 2
+    assert "source-dir" in r.stderr
