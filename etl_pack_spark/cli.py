@@ -65,15 +65,40 @@ def build_parser() -> argparse.ArgumentParser:
 def main(argv: list[str] | None = None) -> int:
     args = build_parser().parse_args(argv)
 
-    from etl_pack_spark.session import get_spark
-
-    spark = get_spark("etl_pack_spark_cli")
-
+    # validate BEFORE building a Spark session: a cron misconfiguration
+    # should fail in milliseconds with a clear message, not after tens
+    # of seconds of JVM startup
     if args.compact:
         if args.cluster_by and args.zorder_by:
             print("error: --cluster-by and --zorder-by are exclusive",
                   file=sys.stderr)
             return 2
+        if args.target_file_mb <= 0:
+            print("error: --target-file-mb must be > 0", file=sys.stderr)
+            return 2
+        ignored = [
+            name for name, val in [
+                ("--source-dir", args.source_dir), ("--table", args.table),
+                ("--fields", args.fields), ("--window", args.window),
+                ("--order", args.order), ("--increment", args.increment),
+                ("--partition-by", args.partition_by),
+                ("--streaming", args.streaming),
+            ] if val
+        ]
+        if ignored:
+            print(f"error: {', '.join(ignored)} do not apply to --compact",
+                  file=sys.stderr)
+            return 2
+    elif not args.source_dir or not args.table:
+        print("error: --source-dir and --table are required for transfers",
+              file=sys.stderr)
+        return 2
+
+    from etl_pack_spark.session import get_spark
+
+    spark = get_spark("etl_pack_spark_cli")
+
+    if args.compact:
         from etl_pack_spark.sinks.compaction import compact, compact_zorder
 
         if args.zorder_by:
@@ -91,11 +116,6 @@ def main(argv: list[str] | None = None) -> int:
         print(json.dumps({"mode": "compact", "in_files": st.in_files,
                           "out_files": st.out_files, "target": st.out_path}))
         return 0
-
-    if not args.source_dir or not args.table:
-        print("error: --source-dir and --table are required for transfers",
-              file=sys.stderr)
-        return 2
 
     if args.streaming:
         if not args.checkpoint:

@@ -79,17 +79,29 @@ def mad_outliers(
     """
     group_cols = group_cols or []
     gb = (lambda d: d.groupBy(*group_cols)) if group_cols else (lambda d: d.groupBy())
+    def join_back(left, agg_df, payload):
+        # NULL-SAFE group join: a plain equi-join on the names would
+        # silently DROP rows whose group key is NULL (Spark equi-joins
+        # never match NULLs) while the DuckDB twin's PARTITION BY
+        # keeps them as their own group
+        if not group_cols:
+            return left.crossJoin(F.broadcast(agg_df))
+        renamed = agg_df.select(
+            *[F.col(c).alias(f"__g_{c}") for c in group_cols], payload
+        )
+        cond = None
+        for c in group_cols:
+            e = F.col(c).eqNullSafe(F.col(f"__g_{c}"))
+            cond = e if cond is None else (cond & e)
+        return left.join(renamed, cond).drop(*[f"__g_{c}" for c in group_cols])
+
     med = gb(df).agg(
         F.expr(f"percentile({value_col}, 0.5)").alias("__med")
     )
-    joined = (
-        df.join(med, group_cols) if group_cols else df.crossJoin(F.broadcast(med))
-    )
+    joined = join_back(df, med, "__med")
     dev = joined.withColumn("__adev", F.abs(F.col(value_col) - F.col("__med")))
     mad = gb(dev).agg(F.expr("percentile(__adev, 0.5)").alias("__mad"))
-    full = (
-        dev.join(mad, group_cols) if group_cols else dev.crossJoin(F.broadcast(mad))
-    )
+    full = join_back(dev, mad, "__mad")
     z = F.when(
         F.col("__mad") > 0, 0.6745 * F.col("__adev") / F.col("__mad")
     )
@@ -112,8 +124,9 @@ def mad_outliers_sql(
     modified z-score."""
     group_cols = group_cols or []
     part = f"PARTITION BY {', '.join(group_cols)}" if group_cols else ""
+    sel = select if select != "*" else "* EXCLUDE (med, adev, mad)"
     return f"""
-    SELECT {select},
+    SELECT {sel},
            CASE WHEN mad > 0 THEN 0.6745 * adev / mad END AS robust_z,
            COALESCE(CASE WHEN mad > 0 THEN 0.6745 * adev / mad END > {k},
                     FALSE) AS is_outlier

@@ -141,3 +141,20 @@ def test_cli_transfer_still_requires_source(tmp_path):
     )
     assert r.returncode == 2
     assert "source-dir" in r.stderr
+
+
+def test_cli_compact_rejects_transfer_flags_fast(tmp_path):
+    import subprocess
+    import sys
+    import time
+
+    t0 = time.perf_counter()
+    r = subprocess.run(
+        [sys.executable, "-m", "etl_pack_spark.cli",
+         "--compact", str(tmp_path), "--target", str(tmp_path / "o"),
+         "--increment"],
+        capture_output=True, text=True, cwd="/root/repo",
+    )
+    took = time.perf_counter() - t0
+    assert r.returncode == 2 and "--increment" in r.stderr
+    assert took < 10   # validated before JVM startup, not after

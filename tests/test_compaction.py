@@ -129,3 +129,36 @@ def test_zorder_all_null_column_safe(spark, tmp_path):
     out = str(tmp_path / "zn")
     compact_zorder(spark, src, out, ["a", "b"], target_file_mb=0.01)
     assert spark.read.parquet(out).count() == 50
+
+
+def test_zorder_bits_guard(spark, tmp_path):
+    import pytest as _pt
+
+    from etl_pack_spark.sinks.compaction import zorder_key
+
+    df = spark.createDataFrame([(1.0, 2.0, 3.0, 4.0, 5.0)],
+                               "a double, b double, c double, d double, e double")
+    with _pt.raises(ValueError, match="bits"):
+        zorder_key(df, ["a", "b", "c", "d", "e"])   # 5*16=80 > 63
+    # 5 columns at bits=12 is fine
+    df.withColumn("z", zorder_key(df, ["a", "b", "c", "d", "e"], bits=12)).collect()
+
+
+def test_footer_bounds_used(spark, tmp_path):
+    from etl_pack_spark.sinks.compaction import _footer_bounds
+
+    df = spark.createDataFrame([(i, float(i * 2)) for i in range(100)],
+                               "a long, b double")
+    src = str(tmp_path / "fb")
+    df.write.parquet(src)
+    b = _footer_bounds(src, ["a", "b"])
+    assert b == {"a": (0.0, 99.0), "b": (0.0, 198.0)}
+
+
+def test_target_file_mb_guard(spark, tmp_path):
+    import pytest as _pt
+
+    from etl_pack_spark.sinks.compaction import compact
+
+    with _pt.raises(ValueError, match="target_file_mb"):
+        compact(spark, str(tmp_path), str(tmp_path / "o"), target_file_mb=0)

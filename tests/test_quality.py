@@ -102,3 +102,17 @@ class TestMadOutliers:
         )
         assert got == want
         assert len(got) > 0 and any(o for _, o, _ in got)
+
+
+def test_mad_outliers_null_group_keys_kept(spark):
+    """Review regression: NULL group keys must survive (null-safe join)
+    and be scored as their own group — matching PARTITION BY."""
+    from etl_pack_spark.operators.quality import mad_outliers
+
+    rows = [(i, None if i < 8 else "g", float(v))
+            for i, v in enumerate([10, 11, 9, 10, 12, 10, 11, 500, 1, 2])]
+    df = spark.createDataFrame(rows, "id long, g string, v double")
+    out = {r["id"]: r["is_outlier"] for r in mad_outliers(df, "v", ["g"]).collect()}
+    assert len(out) == 10                  # nothing dropped
+    assert out[7] is True                  # outlier within the NULL group
+    assert all(not out[i] for i in (0, 8, 9))
