@@ -49,6 +49,13 @@ def build_parser() -> argparse.ArgumentParser:
                         "(multi-dimensional pruning)")
     p.add_argument("--target-file-mb", type=float, default=256.0,
                    help="compact: target output file size")
+    p.add_argument("--zorder-bits", type=int, default=0,
+                   help="compact: bits per z-order dimension "
+                        "(0 = auto: min(16, 63 // n_cols))")
+    p.add_argument("--in-place", action="store_true",
+                   help="compact: atomically swap the result into "
+                        "--target via staged write + backup + rename "
+                        "(crash-safe; --compact SRC may equal --target)")
     p.add_argument("--fields", default="", help="comma-separated projection (default: all)")
     p.add_argument("--window", type=parse_window, default=None,
                    help="range predicate column:from:to (inclusive)")
@@ -68,6 +75,7 @@ def main(argv: list[str] | None = None) -> int:
     # validate BEFORE building a Spark session: a cron misconfiguration
     # should fail in milliseconds with a clear message, not after tens
     # of seconds of JVM startup
+    zorder_cols = [c for c in args.zorder_by.split(",") if c]
     if args.compact:
         if args.cluster_by and args.zorder_by:
             print("error: --cluster-by and --zorder-by are exclusive",
@@ -75,6 +83,26 @@ def main(argv: list[str] | None = None) -> int:
             return 2
         if args.target_file_mb <= 0:
             print("error: --target-file-mb must be > 0", file=sys.stderr)
+            return 2
+        # z-order bit budget: bits*len(cols) must fit in 63 bits. Auto
+        # (--zorder-bits 0) clamps to the widest legal value so 4+
+        # columns just work; an EXPLICIT over-budget value is a config
+        # error and must fail here, not after JVM startup.
+        zorder_bits = args.zorder_bits
+        if zorder_cols:
+            if zorder_bits == 0:
+                zorder_bits = min(16, 63 // len(zorder_cols))
+            elif zorder_bits < 1 or zorder_bits * len(zorder_cols) > 63:
+                print(
+                    f"error: --zorder-bits {zorder_bits} with "
+                    f"{len(zorder_cols)} columns needs bits*cols in "
+                    f"[1, 63]; max here is {63 // len(zorder_cols)} "
+                    "(or 0 for auto)",
+                    file=sys.stderr)
+                return 2
+        if args.compact == args.target and not args.in_place:
+            print("error: --compact SRC equals --target; pass --in-place "
+                  "for an atomic self-rewrite", file=sys.stderr)
             return 2
         ignored = [
             name for name, val in [
@@ -99,22 +127,35 @@ def main(argv: list[str] | None = None) -> int:
     spark = get_spark("etl_pack_spark_cli")
 
     if args.compact:
+        from etl_pack_spark.sinks.atomic import (
+            publish_swap,
+            recover_swap,
+            stage_dir,
+        )
         from etl_pack_spark.sinks.compaction import compact, compact_zorder
 
-        if args.zorder_by:
+        if args.in_place:
+            # a previous firing may have died mid-swap; restore first
+            # so the source read below sees the pre-crash table
+            recover_swap(args.target)
+            out_path = stage_dir(args.target, prefix="compact_stage_")
+        else:
+            out_path = args.target
+        if zorder_cols:
             st = compact_zorder(
-                spark, args.compact, args.target,
-                [c for c in args.zorder_by.split(",") if c],
-                target_file_mb=args.target_file_mb,
+                spark, args.compact, out_path, zorder_cols,
+                target_file_mb=args.target_file_mb, bits=zorder_bits,
             )
         else:
             st = compact(
-                spark, args.compact, args.target,
+                spark, args.compact, out_path,
                 target_file_mb=args.target_file_mb,
                 cluster_by=[c for c in args.cluster_by.split(",") if c] or None,
             )
+        if args.in_place:
+            publish_swap(out_path, args.target)
         print(json.dumps({"mode": "compact", "in_files": st.in_files,
-                          "out_files": st.out_files, "target": st.out_path}))
+                          "out_files": st.out_files, "target": args.target}))
         return 0
 
     if args.streaming:

@@ -1,0 +1,61 @@
+"""Crash-safe staged/backup/rename swap for directory-shaped sinks.
+
+The pattern (factored out of ``streaming.incremental.stream_cdc_apply``,
+which pioneered it for the CDC target): write the new table to a STAGED
+directory first, then swap it in via ``target -> target.bak`` +
+``staged -> target`` + drop backup. There is never a moment where
+neither ``target`` nor ``target.bak`` holds the previous table, so a
+kill at any point is recoverable: :func:`recover_swap` at the start of
+the next firing restores the backup if the swap died between the two
+renames, or discards it if the swap completed.
+
+Scope: POSIX-rename semantics (local FS / NFS / HDFS-mounted paths).
+On object stores rename is copy+delete and not atomic — there a real
+deployment swaps in a transactional table format (Delta / Iceberg
+commit) with the identical staged-write shape; these helpers are the
+non-transactional fallback the CLI and streaming sinks share.
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+import tempfile
+
+
+def backup_path(target_path: str) -> str:
+    return target_path.rstrip("/") + ".bak"
+
+
+def recover_swap(target_path: str) -> None:
+    """Recover from a previous interrupted swap: if the target vanished
+    after its backup was taken, restore the backup; if both exist, the
+    swap completed and the backup is stale — drop it."""
+    backup = backup_path(target_path)
+    if os.path.exists(backup):
+        if not os.path.exists(target_path):
+            os.replace(backup, target_path)
+        else:
+            shutil.rmtree(backup)
+
+
+def stage_dir(target_path: str, prefix: str = "stage_") -> str:
+    """A fresh staging directory in the target's parent (same
+    filesystem, so the final rename is a metadata operation)."""
+    parent = os.path.dirname(os.path.abspath(target_path)) or "."
+    staged = tempfile.mkdtemp(prefix=prefix, dir=parent)
+    # Spark's overwrite mode wants to create the dir itself
+    os.rmdir(staged)
+    return staged
+
+
+def publish_swap(staged: str, target_path: str) -> None:
+    """Swap a fully-written ``staged`` directory into ``target_path``.
+    Call :func:`recover_swap` first at process start; between the two
+    renames here the previous table lives at ``target_path + '.bak'``."""
+    backup = backup_path(target_path)
+    if os.path.exists(target_path):
+        os.replace(target_path, backup)
+    os.replace(staged, target_path)
+    if os.path.exists(backup):
+        shutil.rmtree(backup)

@@ -12,12 +12,20 @@ effect the reference's per-day tables give it, done Spark-native).
 range-partition shuffle, sampled boundaries — AQE-friendly);
 ``sortWithinPartitions`` orders rows inside each file so row-group
 stats are tight at any file size.
+
+Object-store readiness: file inventory goes through the Hadoop
+FileSystem API (``Path.getFileSystem``), so ``file:``, ``hdfs:``,
+``s3a:``, ``abfs:`` paths all list correctly — never ``os.walk``,
+which silently returns nothing for URI paths and would plan 1 output
+file from 0 input bytes. Footer-statistics reads are distributed as a
+small Spark job over the file list (one task per ~few hundred files),
+because at the millions-of-small-files state compaction exists to fix,
+a serial driver loop over footers IS the bottleneck.
 """
 
 from __future__ import annotations
 
 import math
-import os
 from dataclasses import dataclass
 
 from pyspark.sql import DataFrame, SparkSession
@@ -31,14 +39,30 @@ class CompactionStats:
     out_path: str
 
 
-def _dir_stats(path: str) -> tuple[int, int]:
-    files = [
-        os.path.join(r, f)
-        for r, _, fs in os.walk(path)
-        for f in fs
-        if f.endswith(".parquet")
-    ]
-    return len(files), sum(os.path.getsize(f) for f in files)
+def list_parquet_files(spark: SparkSession, path: str) -> list[tuple[str, int]]:
+    """Recursive ``(file_uri, bytes)`` inventory of a table directory
+    via the Hadoop FileSystem API — scheme-aware (file:/hdfs:/s3a:/…),
+    unlike ``os.walk`` which only sees driver-local POSIX paths.
+    Metadata sidecars (``_SUCCESS``, ``.crc``) are excluded."""
+    jvm = spark._jvm
+    hpath = jvm.org.apache.hadoop.fs.Path(path)
+    fs = hpath.getFileSystem(spark._jsc.hadoopConfiguration())
+    if not fs.exists(hpath):
+        raise FileNotFoundError(f"compaction input does not exist: {path}")
+    out: list[tuple[str, int]] = []
+    it = fs.listFiles(hpath, True)
+    while it.hasNext():
+        st = it.next()
+        p = st.getPath().toString()
+        name = p.rsplit("/", 1)[-1]
+        if name.endswith(".parquet") and not name.startswith(("_", ".")):
+            out.append((p, int(st.getLen())))
+    return out
+
+
+def _dir_stats(spark: SparkSession, path: str) -> tuple[int, int]:
+    files = list_parquet_files(spark, path)
+    return len(files), sum(n for _, n in files)
 
 
 def compact(
@@ -51,19 +75,22 @@ def compact(
     """Rewrite ``in_path`` to ``out_path`` at ~target_file_mb per file,
     range-clustered by ``cluster_by`` when given.
 
-    Runs as ONE Spark job: a scan, at most one range shuffle, a write.
-    File count derives from actual input bytes, so repeated compaction
-    is stable. Output is written to a separate path (atomic swap is the
-    caller's rename — object stores make in-place rewrites unsafe).
+    Runs as ONE Spark data job: a scan, at most one range shuffle, a
+    write. File count derives from actual input bytes, so repeated
+    compaction is stable. Output is written to a separate path — for an
+    atomic in-place swap use the CLI's ``--compact`` (staged/backup/
+    rename via :mod:`etl_pack_spark.sinks.atomic`) or a transactional
+    table format. An empty input listing is a loud error, not a 1-file
+    plan from 0 bytes (an object-store path typo must not "succeed").
     """
-    n_in, in_bytes, n_out = _plan_out_files(in_path, target_file_mb)
+    n_in, in_bytes, n_out = _plan_out_files(spark, in_path, target_file_mb)
     df: DataFrame = spark.read.parquet(in_path)
     if cluster_by:
         df = df.repartitionByRange(n_out, *cluster_by).sortWithinPartitions(*cluster_by)
     else:
         df = df.coalesce(n_out)
     df.write.mode("overwrite").parquet(out_path)
-    out_files, _ = _dir_stats(out_path)
+    out_files, _ = _dir_stats(spark, out_path)
     return CompactionStats(n_in, in_bytes, out_files, out_path)
 
 
@@ -96,10 +123,23 @@ def zorder_key(
             f"zorder_key needs bits*len(cols) <= 63 (got {bits}*{ndims}="
             f"{bits * ndims}); pass bits={63 // ndims} for {ndims} columns"
         )
+
+    def as_double(c: str):
+        # temporal types can't CAST to double under ANSI — normalize to
+        # epoch numbers (only ordering matters for the interleave);
+        # try_cast keeps non-numeric strings NULL instead of erroring
+        t = df.schema[c].dataType.typeName()
+        if t.startswith("timestamp"):
+            return F.unix_micros(F.col(c).cast("timestamp")).cast("double")
+        if t == "date":
+            return F.datediff(F.col(c), F.lit("1970-01-01")).cast("double")
+        return F.col(c).try_cast("double")
+
+    num = {c: as_double(c) for c in cols}
     if bounds is None:
         row = df.agg(
-            *[F.min(F.col(c).cast("double")).alias(f"mn_{c}") for c in cols],
-            *[F.max(F.col(c).cast("double")).alias(f"mx_{c}") for c in cols],
+            *[F.min(num[c]).alias(f"mn_{c}") for c in cols],
+            *[F.max(num[c]).alias(f"mx_{c}") for c in cols],
         ).collect()[0]
         bounds = {c: (row[f"mn_{c}"], row[f"mx_{c}"]) for c in cols}
     top = (1 << bits) - 1
@@ -113,7 +153,7 @@ def zorder_key(
             F.lit(top),
             F.greatest(
                 F.lit(0),
-                ((F.col(c).cast("double") - F.lit(mn)) / F.lit(span) * top).cast("long"),
+                ((num[c] - F.lit(mn)) / F.lit(span) * top).cast("long"),
             ),
         )
         v = F.coalesce(v, F.lit(0))
@@ -124,48 +164,122 @@ def zorder_key(
     return reduce(lambda a, b: a.bitwiseOR(b), terms)
 
 
-def _footer_bounds(in_path: str, cols: list[str]) -> dict | None:
-    """Per-column (min, max) from parquet FOOTER statistics — metadata
-    reads only, no data scan. None when any column lacks stats (the
-    caller then falls back to the one-agg scan)."""
-    try:
-        import pyarrow.parquet as pq
-    except ImportError:
-        return None
-    files = [
-        os.path.join(r, f)
-        for r, _, fs in os.walk(in_path)
-        for f in fs
-        if f.endswith(".parquet")
-    ]
+# parquet physical types whose footer min/max are trustworthy as
+# numeric z-order bounds. BYTE_ARRAY (strings) is deliberately OUT: a
+# string column whose lexicographic min/max happen to parse as numbers
+# ('10' < '9') would yield inverted bounds that silently degrade the
+# clustering; BOOLEAN and INT96 (legacy nanos timestamps, surfaced as
+# datetime objects) likewise fall back to the agg scan.
+_NUMERIC_PHYSICAL = {"INT32", "INT64", "FLOAT", "DOUBLE"}
+
+
+def _local_path(uri: str) -> str:
+    """``file:`` URI (any slash count) → plain POSIX path; other
+    schemes pass through for pyarrow's URI-aware open."""
+    if uri.startswith("file:"):
+        p = uri[len("file:"):]
+        while p.startswith("//"):
+            p = p[1:]
+        return p
+    return uri
+
+
+def _file_footer_bounds(uri: str, cols: list[str]) -> dict | None:
+    """(min, max) per requested column from ONE parquet file's footer.
+    ``None`` means "fall back to the agg scan": a column missing stats,
+    or a non-numeric physical type (see ``_NUMERIC_PHYSICAL``)."""
+    import pyarrow.parquet as pq
+
+    path = _local_path(uri)
+    if "://" in path:  # non-file scheme: object store via pyarrow fs
+        import pyarrow.fs as pafs
+
+        fs, rel = pafs.FileSystem.from_uri(path)
+        f = pq.ParquetFile(fs.open_input_file(rel))
+    else:
+        f = pq.ParquetFile(path)
+    md = f.metadata
     mins: dict = {c: None for c in cols}
     maxs: dict = {c: None for c in cols}
-    for f in files:
-        md = pq.ParquetFile(f).metadata
-        for rg in range(md.num_row_groups):
-            for ci in range(md.num_columns):
-                col = md.row_group(rg).column(ci)
-                name = col.path_in_schema
-                if name not in mins:
-                    continue
-                st = col.statistics
-                if st is None or st.min is None or st.max is None:
-                    return None
-                try:
-                    lo, hi = float(st.min), float(st.max)
-                except (TypeError, ValueError):
-                    return None
-                mins[name] = lo if mins[name] is None else min(mins[name], lo)
-                maxs[name] = hi if maxs[name] is None else max(maxs[name], hi)
+    for rg in range(md.num_row_groups):
+        for ci in range(md.num_columns):
+            col = md.row_group(rg).column(ci)
+            name = col.path_in_schema
+            if name not in mins:
+                continue
+            if col.physical_type not in _NUMERIC_PHYSICAL:
+                return None
+            st = col.statistics
+            if st is None or not st.has_min_max:
+                return None
+            lo, hi = st.min, st.max
+            if isinstance(lo, bool) or not isinstance(lo, (int, float)):
+                return None
+            lo, hi = float(lo), float(hi)
+            mins[name] = lo if mins[name] is None else min(mins[name], lo)
+            maxs[name] = hi if maxs[name] is None else max(maxs[name], hi)
     if any(mins[c] is None for c in cols):
         return None
     return {c: (mins[c], maxs[c]) for c in cols}
 
 
-def _plan_out_files(in_path: str, target_file_mb: float) -> tuple[int, int, int]:
+def _merge_bounds(a: dict | None, b: dict | None) -> dict | None:
+    if a is None or b is None:
+        return None
+    return {
+        c: (min(a[c][0], b[c][0]), max(a[c][1], b[c][1])) for c in a
+    }
+
+
+def _footer_bounds(
+    spark: SparkSession, in_path: str, cols: list[str]
+) -> dict | None:
+    """Per-column (min, max) from parquet FOOTER statistics — metadata
+    reads only, no data scan. None when any column lacks stats or is a
+    non-numeric type (the caller then falls back to the one-agg scan).
+
+    The footer reads run as a SPARK JOB over the Hadoop-listed file
+    inventory (~300 files per task, merged with ``treeReduce`` so the
+    driver sees one dict per partition, never one per file) — on the
+    millions-of-small-files tables compaction targets, a serial driver
+    loop over footers would dominate the whole job.
+    """
+    try:
+        import pyarrow.parquet as pq  # noqa: F401
+    except ImportError:
+        return None
+    files = [p for p, _ in list_parquet_files(spark, in_path)]
+    if not files:
+        return None
+    cols = list(cols)
+
+    def one(uri: str) -> dict | None:
+        try:
+            return _file_footer_bounds(uri, cols)
+        except Exception:
+            return None
+
+    if len(files) <= 16:  # not worth a job's scheduling overhead
+        out = one(files[0])
+        for f in files[1:]:
+            out = _merge_bounds(out, one(f))
+        return out
+    n_parts = max(1, math.ceil(len(files) / 300))
+    rdd = spark.sparkContext.parallelize(files, n_parts).map(one)
+    return rdd.treeReduce(_merge_bounds)
+
+
+def _plan_out_files(
+    spark: SparkSession, in_path: str, target_file_mb: float
+) -> tuple[int, int, int]:
     if target_file_mb <= 0:
         raise ValueError(f"target_file_mb must be > 0, got {target_file_mb}")
-    n_in, in_bytes = _dir_stats(in_path)
+    n_in, in_bytes = _dir_stats(spark, in_path)
+    if n_in == 0:
+        raise ValueError(
+            f"no parquet files under {in_path!r} — refusing to compact an "
+            "empty listing (wrong path / scheme?)"
+        )
     n_out = max(1, math.ceil(in_bytes / (target_file_mb * (1 << 20))))
     return n_in, in_bytes, n_out
 
@@ -183,11 +297,13 @@ def compact_zorder(
     ranges on every ``zorder_by`` column simultaneously. Same
     single-DATA-job shape and stable file sizing as :func:`compact`:
     normalization bounds come from the parquet FOOTERS (metadata
-    only) when every column carries stats, falling back to one tiny
-    agg scan otherwise."""
-    n_in, in_bytes, n_out = _plan_out_files(in_path, target_file_mb)
+    only, read as a distributed job) when every column carries numeric
+    stats, falling back to one tiny agg scan otherwise."""
+    n_in, in_bytes, n_out = _plan_out_files(spark, in_path, target_file_mb)
     df = spark.read.parquet(in_path)
-    z = zorder_key(df, zorder_by, bits, bounds=_footer_bounds(in_path, zorder_by))
+    z = zorder_key(
+        df, zorder_by, bits, bounds=_footer_bounds(spark, in_path, zorder_by)
+    )
     out = (
         df.withColumn("__z", z)
         .repartitionByRange(n_out, "__z")
@@ -195,5 +311,5 @@ def compact_zorder(
         .drop("__z")
     )
     out.write.mode("overwrite").parquet(out_path)
-    out_files, _ = _dir_stats(out_path)
+    out_files, _ = _dir_stats(spark, out_path)
     return CompactionStats(n_in, in_bytes, out_files, out_path)

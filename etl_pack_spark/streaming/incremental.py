@@ -177,43 +177,29 @@ def stream_cdc_apply(
     Returns the number of micro-batches processed.
     """
     import os
-    import shutil
-    import tempfile
+
+    from etl_pack_spark.sinks.atomic import publish_swap, recover_swap, stage_dir
 
     schema = spark.read.parquet(source_dir).schema
-    backup = target_path.rstrip("/") + ".bak"
 
     def fold(batch_df: DataFrame, batch_id: int) -> None:
         sess = batch_df.sparkSession
-        # crash recovery: a previous firing died mid-swap. If the target
-        # vanished after its backup was taken, restore the backup (the
-        # checkpoint will replay that batch); if both exist, the swap
-        # completed and the backup is stale.
-        if os.path.exists(backup):
-            if not os.path.exists(target_path):
-                os.replace(backup, target_path)
-            else:
-                shutil.rmtree(backup)
+        # crash recovery: a previous firing died mid-swap (the
+        # checkpoint will replay that batch after the restore)
+        recover_swap(target_path)
         cols = [c for c in batch_df.columns if c != op_col]
         if os.path.exists(target_path):
             target = sess.read.parquet(target_path)
         else:
             target = batch_df.select(*cols).limit(0)
         merged = apply_cdc(target, batch_df, keys, ts_col, op_col=op_col)
-        staged = tempfile.mkdtemp(
-            prefix=f"cdc_stage_{batch_id}_",
-            dir=os.path.dirname(os.path.abspath(target_path)) or ".",
-        )
-        # materialize BEFORE touching the target (the merged plan reads it)
+        staged = stage_dir(target_path, prefix=f"cdc_stage_{batch_id}_")
+        # materialize BEFORE touching the target (the merged plan reads
+        # it); the swap never leaves a moment where neither target nor
+        # backup holds the pre-batch table (plain rmtree-then-rename had
+        # a kill window that silently emptied the target on replay)
         merged.write.mode("overwrite").parquet(staged)
-        # swap: never a moment where neither target nor backup holds the
-        # pre-batch table (plain rmtree-then-rename had a kill window
-        # that silently emptied the target on replay)
-        if os.path.exists(target_path):
-            os.replace(target_path, backup)
-        os.replace(staged, target_path)
-        if os.path.exists(backup):
-            shutil.rmtree(backup)
+        publish_swap(staged, target_path)
 
     stream = spark.readStream.schema(schema).parquet(source_dir)
     query = (

@@ -158,3 +158,75 @@ def test_cli_compact_rejects_transfer_flags_fast(tmp_path):
     took = time.perf_counter() - t0
     assert r.returncode == 2 and "--increment" in r.stderr
     assert took < 10   # validated before JVM startup, not after
+
+
+def test_cli_zorder_auto_bits_many_cols(spark, sf_dir, tmp_path):
+    """4+ z-order columns auto-clamp bits (16*4 > 63 used to crash
+    after JVM startup); in-process main() reuses the test session."""
+    from etl_pack_spark.cli import main
+
+    src = str(tmp_path / "src4")
+    spark.read.parquet(f"{sf_dir}/events.parquet").select(
+        "event_id", "user_id", "value", "ts"
+    ).write.parquet(src)
+    rc = main([
+        "--compact", src, "--target", str(tmp_path / "z4"),
+        "--zorder-by", "event_id,user_id,value,ts",
+        "--target-file-mb", "0.05",
+    ])
+    assert rc == 0
+    assert spark.read.parquet(str(tmp_path / "z4")).count() == \
+        spark.read.parquet(src).count()
+
+
+def test_cli_zorder_explicit_bits_over_budget_fails_fast(tmp_path):
+    from etl_pack_spark.cli import main
+
+    rc = main([
+        "--compact", str(tmp_path), "--target", str(tmp_path / "o"),
+        "--zorder-by", "a,b,c,d", "--zorder-bits", "16",
+    ])
+    assert rc == 2
+
+
+def test_cli_compact_in_place_requires_flag(tmp_path):
+    from etl_pack_spark.cli import main
+
+    rc = main(["--compact", str(tmp_path / "t"), "--target", str(tmp_path / "t")])
+    assert rc == 2
+
+
+def test_cli_compact_in_place_and_crash_recovery(spark, sf_dir, tmp_path):
+    """--in-place self-rewrite: staged write + backup + rename; a
+    simulated crash mid-swap (backup exists, target gone) is recovered
+    on the next firing — mirrors the streaming CDC swap test."""
+    import os
+    import shutil
+
+    from etl_pack_spark.cli import main
+
+    tgt = str(tmp_path / "table")
+    spark.read.parquet(f"{sf_dir}/nation.parquet").repartition(6).write.parquet(tgt)
+    n = spark.read.parquet(tgt).count()
+
+    rc = main(["--compact", tgt, "--target", tgt, "--in-place",
+               "--cluster-by", "n_nationkey"])
+    assert rc == 0
+    assert spark.read.parquet(tgt).count() == n
+    assert not os.path.exists(tgt + ".bak")
+    assert len([f for f in os.listdir(tgt) if f.endswith(".parquet")]) == 1
+
+    # simulate a crash between the two renames: the pre-swap table
+    # lives at .bak, the target path is gone
+    os.replace(tgt, tgt + ".bak")
+    rc = main(["--compact", tgt, "--target", tgt, "--in-place"])
+    assert rc == 0
+    assert spark.read.parquet(tgt).count() == n
+    assert not os.path.exists(tgt + ".bak")
+
+    # stale backup next to an intact target is discarded, not restored
+    shutil.copytree(tgt, tgt + ".bak")
+    rc = main(["--compact", tgt, "--target", tgt, "--in-place"])
+    assert rc == 0
+    assert spark.read.parquet(tgt).count() == n
+    assert not os.path.exists(tgt + ".bak")

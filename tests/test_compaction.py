@@ -151,8 +151,68 @@ def test_footer_bounds_used(spark, tmp_path):
                                "a long, b double")
     src = str(tmp_path / "fb")
     df.write.parquet(src)
-    b = _footer_bounds(src, ["a", "b"])
+    b = _footer_bounds(spark, src, ["a", "b"])
     assert b == {"a": (0.0, 99.0), "b": (0.0, 198.0)}
+
+
+def test_footer_bounds_distributed_many_files(spark, tmp_path):
+    # >16 files takes the Spark-job path (parallelize + treeReduce)
+    from etl_pack_spark.sinks.compaction import _footer_bounds
+
+    df = spark.createDataFrame([(i, float(i * 2)) for i in range(100)],
+                               "a long, b double")
+    src = str(tmp_path / "fbm")
+    df.repartition(20).write.parquet(src)
+    b = _footer_bounds(spark, src, ["a", "b"])
+    assert b == {"a": (0.0, 99.0), "b": (0.0, 198.0)}
+
+
+def test_footer_bounds_rejects_string_stats(spark, tmp_path):
+    # a string column whose lexicographic min/max parse as numbers must
+    # NOT produce (inverted) numeric bounds — fall back to the agg scan
+    from etl_pack_spark.sinks.compaction import _footer_bounds, compact_zorder
+
+    df = spark.createDataFrame(
+        [(i, str(i)) for i in range(1, 20)], "a long, s string"
+    )
+    src = str(tmp_path / "fbs")
+    df.write.parquet(src)
+    assert _footer_bounds(spark, src, ["a", "s"]) is None
+    # and the z-order compact still runs via the fallback
+    out = str(tmp_path / "fbz")
+    compact_zorder(spark, src, out, ["a", "s"], target_file_mb=1)
+    assert spark.read.parquet(out).count() == 19
+
+
+def test_hadoop_scheme_path_listing(spark, sf_dir, tmp_path):
+    # drive compact through an explicit file:-scheme URI: proves the
+    # inventory goes through the Hadoop FileSystem API (os.walk would
+    # see 0 files and mis-plan)
+    from etl_pack_spark.sinks.compaction import compact, list_parquet_files
+
+    li = read_table(spark, sf_dir, "nation")
+    frag = str(tmp_path / "frag_uri")
+    li.repartition(5).write.parquet(frag)
+    uri = "file://" + frag
+    files = list_parquet_files(spark, uri)
+    assert len(files) == 5 and all(n > 0 for _, n in files)
+    out_uri = "file://" + str(tmp_path / "compact_uri")
+    stats = compact(spark, uri, out_uri, target_file_mb=256)
+    assert stats.in_files == 5 and stats.out_files == 1
+    assert spark.read.parquet(out_uri).count() == li.count()
+
+
+def test_empty_listing_is_loud(spark, tmp_path):
+    import pytest as _pt
+
+    from etl_pack_spark.sinks.compaction import compact
+
+    empty = tmp_path / "empty"
+    empty.mkdir()
+    with _pt.raises(ValueError, match="no parquet files"):
+        compact(spark, str(empty), str(tmp_path / "o"))
+    with _pt.raises(FileNotFoundError):
+        compact(spark, str(tmp_path / "missing"), str(tmp_path / "o"))
 
 
 def test_target_file_mb_guard(spark, tmp_path):
