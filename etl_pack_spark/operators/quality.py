@@ -12,13 +12,32 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
-def profile(df: DataFrame, cols: list[str], numeric_cols: list[str]) -> DataFrame:
+def profile(
+    df: DataFrame,
+    cols: list[str],
+    numeric_cols: list[str],
+    approx_distinct: bool = False,
+    rsd: float = 0.05,
+) -> DataFrame:
     """One-row profile: row count, per-column non-null + distinct
-    counts, min/max for numeric columns."""
+    counts, min/max for numeric columns.
+
+    ``approx_distinct=True`` swaps exact ``COUNT(DISTINCT)`` for
+    ``approx_count_distinct`` (HyperLogLog++, relative error ``rsd``).
+    Exact distinct deduplicates per-column values through a shuffle —
+    on a 100 TB high-cardinality column that IS the column; the HLL
+    sketch is a constant ~KBs of map-side-combinable state per column,
+    which is the right default posture at scale (exact stays the
+    DuckDB-twin/oracle variant)."""
     aggs = [F.count(F.lit(1)).alias("n_rows")]
+    nd = (
+        (lambda c: F.approx_count_distinct(c, rsd))
+        if approx_distinct
+        else F.countDistinct
+    )
     for c in cols:
         aggs.append(F.count(F.col(c)).alias(f"nn_{c}"))
-        aggs.append(F.countDistinct(F.col(c)).alias(f"nd_{c}"))
+        aggs.append(nd(F.col(c)).alias(f"nd_{c}"))
     for c in numeric_cols:
         aggs.append(F.min(F.col(c)).alias(f"min_{c}"))
         aggs.append(F.max(F.col(c)).alias(f"max_{c}"))
@@ -60,6 +79,7 @@ def mad_outliers(
     value_col: str,
     group_cols: list[str] | None = None,
     k: float = 3.5,
+    accuracy: int | None = 10_000,
 ) -> DataFrame:
     """Robust outlier flagging via median/MAD (the DQ rule that
     survives the very outliers a mean/stddev z-score is skewed by):
@@ -70,14 +90,34 @@ def mad_outliers(
     unflagged (missingness is the profile's dimension, not
     dispersion's).
 
-    Scale shape: medians come from ONE exact-percentile aggregate per
-    group (two sequential aggregates — the MAD needs |x - median|
-    first), joined back by group key; the flagging itself is map-only.
-    No window over the full table, no sort. With no ``group_cols`` the
+    Scale shape: medians come from ONE percentile aggregate per group
+    (two sequential aggregates — the MAD needs |x - median| first),
+    joined back by group key; the flagging itself is map-only. No
+    window over the full table, no sort. With no ``group_cols`` the
     two aggregates are single-row and broadcast back as a cross join.
     Returns the input + ``robust_z`` + ``is_outlier``.
+
+    ``accuracy`` (default 10 000) uses ``percentile_approx`` — a
+    bounded-state quantile sketch (KLL/GK-style, error ≤ 1/accuracy of
+    rank) whose aggregate buffer is O(accuracy) regardless of group
+    size. That is the scale default on purpose: Spark's EXACT
+    ``percentile`` buffers a value→count map per group, O(distinct
+    values per group) — on a 100 TB continuous-valued column with few
+    groups, one group's buffer IS the column (executor OOM).
+    ``accuracy=None`` selects the exact aggregate — the DuckDB-twin /
+    oracle variant for fixture-scale parity tests (and exact medians on
+    provably small groups). Note the two differ in interpolation: the
+    sketch returns an actual data value at the rank, exact
+    ``percentile`` interpolates between the two middle values — at a
+    3.5-MAD cutoff the flag sets typically coincide (pinned on the
+    fixture by tests/test_quality.py).
     """
     group_cols = group_cols or []
+    med_expr = (
+        f"percentile({{c}}, 0.5)"
+        if accuracy is None
+        else f"percentile_approx({{c}}, 0.5, {int(accuracy)})"
+    )
     gb = (lambda d: d.groupBy(*group_cols)) if group_cols else (lambda d: d.groupBy())
     def join_back(left, agg_df, payload):
         # NULL-SAFE group join: a plain equi-join on the names would
@@ -96,11 +136,11 @@ def mad_outliers(
         return left.join(renamed, cond).drop(*[f"__g_{c}" for c in group_cols])
 
     med = gb(df).agg(
-        F.expr(f"percentile({value_col}, 0.5)").alias("__med")
+        F.expr(med_expr.format(c=value_col)).alias("__med")
     )
     joined = join_back(df, med, "__med")
     dev = joined.withColumn("__adev", F.abs(F.col(value_col) - F.col("__med")))
-    mad = gb(dev).agg(F.expr("percentile(__adev, 0.5)").alias("__mad"))
+    mad = gb(dev).agg(F.expr(med_expr.format(c="__adev")).alias("__mad"))
     full = join_back(dev, mad, "__mad")
     z = F.when(
         F.col("__mad") > 0, 0.6745 * F.col("__adev") / F.col("__mad")

@@ -91,7 +91,9 @@ class TestMadOutliers:
         got = sorted(
             (r["event_id"], r["is_outlier"],
              None if r["robust_z"] is None else round(r["robust_z"], 9))
-            for r in mad_outliers(ev, "value", ["event_type"]).collect()
+            for r in mad_outliers(
+                ev, "value", ["event_type"], accuracy=None
+            ).collect()
         )
         want = sorted(
             (r[0], r[2], None if r[1] is None else round(r[1], 9))
@@ -116,3 +118,39 @@ def test_mad_outliers_null_group_keys_kept(spark):
     assert len(out) == 10                  # nothing dropped
     assert out[7] is True                  # outlier within the NULL group
     assert all(not out[i] for i in (0, 8, 9))
+
+
+def test_mad_outliers_approx_default_matches_exact_flags(spark, sf_dir):
+    """The scale default (percentile_approx sketch) must produce the
+    same flag set as the exact aggregate on the fixture, and its plan
+    must contain the approx aggregate, not exact percentile."""
+    from pyspark.sql import functions as F
+
+    from etl_pack_spark.operators.quality import mad_outliers
+
+    ev = read_table(spark, sf_dir, "events").select(
+        "event_id", "event_type", F.col("value").cast("double").alias("value")
+    )
+    approx = mad_outliers(ev, "value", ["event_type"])
+    plan = approx._jdf.queryExecution().optimizedPlan().toString()
+    assert "approx_percentile" in plan or "percentile_approx" in plan
+    assert "percentile(" not in plan.replace("approx_percentile(", "")
+    a = {r["event_id"]: r["is_outlier"] for r in approx.collect()}
+    e = {
+        r["event_id"]: r["is_outlier"]
+        for r in mad_outliers(ev, "value", ["event_type"], accuracy=None).collect()
+    }
+    assert a == e and any(a.values())
+
+
+def test_profile_approx_distinct(spark, sf_dir):
+    """HLL profile variant: bounded sketch state, counts within rsd of
+    exact on the fixture."""
+    orders = read_table(spark, sf_dir, "orders")
+    exact = profile(orders, ["o_custkey"], ["o_totalprice"]).first()
+    appr = profile(
+        orders, ["o_custkey"], ["o_totalprice"], approx_distinct=True
+    ).first()
+    assert abs(appr["nd_o_custkey"] - exact["nd_o_custkey"]) \
+        <= 0.15 * exact["nd_o_custkey"]
+    assert appr["n_rows"] == exact["n_rows"]
