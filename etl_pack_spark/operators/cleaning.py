@@ -447,11 +447,12 @@ def html_strip(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     )
 
 
-def html_strip_sql(table: str, id_col: str, text_col: str) -> str:
-    """DuckDB oracle twin of :func:`html_strip` — same regex chain
-    (RE2 'g' flag == Spark's replace-all default), same entity list,
-    same line collapse."""
-    x = text_col
+def html_clean_lines_sql(text_expr: str) -> str:
+    """DuckDB expression twin of :func:`html_clean_lines` — the
+    non-empty-trimmed-lines list over any SQL string expression,
+    composable into a larger SELECT (same regex chain in the
+    Java∩RE2 common subset, same entity order)."""
+    x = text_expr
     x = f"regexp_replace({x}, '{_HTML_DROP_RE}', ' ', 'g')"
     x = f"regexp_replace({x}, '{_HTML_COMMENT_RE}', ' ', 'g')"
     x = f"regexp_replace({x}, '{_HTML_BLOCK_RE}', chr(10), 'g')"
@@ -460,7 +461,14 @@ def html_strip_sql(table: str, id_col: str, text_col: str) -> str:
         d = dst.replace("'", "''")
         x = f"replace({x}, '{src}', '{d}')"
     x = f"regexp_replace({x}, '[ \\t\\x0b\\f\\r]+', ' ', 'g')"
-    lines = f"list_filter(list_transform(string_split({x}, chr(10)), l -> trim(l)), l -> l != '')"
+    return f"list_filter(list_transform(string_split({x}, chr(10)), l -> trim(l)), l -> l != '')"
+
+
+def html_strip_sql(table: str, id_col: str, text_col: str) -> str:
+    """DuckDB oracle twin of :func:`html_strip` — same regex chain
+    (RE2 'g' flag == Spark's replace-all default), same entity list,
+    same line collapse."""
+    lines = html_clean_lines_sql(text_col)
     return f"""
     SELECT {id_col} AS id,
            -- DuckDB array_to_string([]) is NULL where Spark's

@@ -616,17 +616,23 @@ def simhash_neardup_pairs(
     return hamming_neardup_pairs(sig, id_col, "simhash", max_hamming, chunks)
 
 
-def simhash_neardup_pairs_sql(
-    table: str, id_col: str, text_col: str, max_hamming: int = 10, chunks: int = 4
+def hamming_neardup_pairs_sql(
+    sig_sql: str,
+    id_col: str,
+    sig_col: str = "simhash",
+    max_hamming: int = 10,
+    chunks: int = 4,
 ) -> str:
+    """DuckDB oracle twin of :func:`hamming_neardup_pairs` over ANY
+    signature subquery ``sig_sql`` producing ``(id_col, sig_col)`` —
+    same pigeonhole block candidates, same nibble-popcount hamming."""
     width = 16 // chunks
-    sig_sql = simhash_signature_sql(table, id_col, text_col)
     block_rows = "\n            UNION ALL\n".join(
         f"            SELECT {id_col}, {c} AS blk_idx, "
-        f"substr(simhash, {1 + c * width}, {width}) AS blk FROM sig"
+        f"substr({sig_col}, {1 + c * width}, {width}) AS blk FROM sig"
         for c in range(chunks)
     )
-    ham = _hamming_exprs("sa.simhash", "sb.simhash", "duckdb")
+    ham = _hamming_exprs(f"sa.{sig_col}", f"sb.{sig_col}", "duckdb")
     return f"""
     WITH sig AS ({sig_sql}),
     blocks AS (
@@ -643,6 +649,15 @@ def simhash_neardup_pairs_sql(
     JOIN sig sb ON sb.{id_col} = cand.id_b
     WHERE {ham} <= {max_hamming}
     """
+
+
+def simhash_neardup_pairs_sql(
+    table: str, id_col: str, text_col: str, max_hamming: int = 10, chunks: int = 4
+) -> str:
+    return hamming_neardup_pairs_sql(
+        simhash_signature_sql(table, id_col, text_col),
+        id_col, "simhash", max_hamming, chunks,
+    )
 
 
 def simhash_signature_sql(table: str, id_col: str, text_col: str) -> str:

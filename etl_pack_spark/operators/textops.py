@@ -693,10 +693,19 @@ def normalize_text_col(text_col) -> Column:
     return _nfc(x)
 
 
+def normalize_text_expr_sql(text_expr: str) -> str:
+    """DuckDB expression twin of :func:`normalize_text_col` over any
+    SQL string expression — composable into a larger SELECT."""
+    x = text_expr
+    x = f"regexp_replace({x}, '\\r\\n|\\r', chr(10), 'g')"
+    x = f"regexp_replace({x}, '{_CTRL_RE}', '', 'g')"
+    return f"nfc_normalize({x})"
+
+
 def normalize_text_sql(table: str, id_col: str, text_col: str) -> str:
     """DuckDB oracle twin of :func:`normalize_text` — same newline and
     control-char steps, utf8proc NFC."""
-    x = text_col
-    x = f"regexp_replace({x}, '\\r\\n|\\r', chr(10), 'g')"
-    x = f"regexp_replace({x}, '{_CTRL_RE}', '', 'g')"
-    return f"SELECT {id_col} AS id, nfc_normalize({x}) AS text_norm FROM {table}"
+    return (
+        f"SELECT {id_col} AS id, "
+        f"{normalize_text_expr_sql(text_col)} AS text_norm FROM {table}"
+    )

@@ -27,7 +27,9 @@ from etl_pack_spark.operators.cleaning import (
     c4_clean_sql,
     dedup_lines_sql,
     gopher_signals_sql,
+    html_clean_lines_sql,
 )
+from etl_pack_spark.operators.textops import normalize_text_expr_sql
 from etl_pack_spark.operators.temporal import rolling_aggregate_sql
 from etl_pack_spark.operators.chunking import chunk_documents_sql as _chunk_documents_sql
 from etl_pack_spark.operators.components import connected_components_sql
@@ -36,9 +38,9 @@ from etl_pack_spark.operators.substrings import (
 )
 from etl_pack_spark.sinks.sharding import shard_assign_sql as _shard_assign_sql
 from etl_pack_spark.operators.contamination import contamination_report_sql
-from etl_pack_spark.operators.quality import profile_sql
+from etl_pack_spark.operators.quality import mad_outliers_sql, profile_sql
 from etl_pack_spark.operators.retrieval import bm25_topk_sql
-from etl_pack_spark.plans.merge import scd2_build_sql
+from etl_pack_spark.plans.merge import scd2_build_sql, snapshot_diff_sql
 from etl_pack_spark.operators.tokenize import tokens_sql
 from etl_pack_spark.operators.dedup import (
     exact_dedup,
@@ -648,9 +650,33 @@ def q_dedup_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SimHash near-dup pairs (hamming ≤ 10 of 64 bits) via block-match
     candidates + exact hamming verify. Subsumes the signature stage
     (the pairs plan computes every doc's 64-bit simhash first;
-    signatures alone are pinned by tests/test_neardup.py)."""
+    signatures alone are pinned by tests/test_neardup.py).
+
+    Round-5 merge: the SAME generic block-match
+    (``neardup.hamming_neardup_pairs``) also dedups IMAGE signatures —
+    a re-ingested copy slice of the corpus (every 50th doc again under
+    a shifted id, the media-pipeline duplicate-ingest case) is
+    binarized and perceptual-hashed (``image_dhash`` fake path:
+    md5-prefix over the payload — bit-exact in DuckDB), and its pairs
+    ride this slot with ``modality='binary'``; the copy/original pairs
+    land at hamming 0. Real-pixel dHash stays pinned by
+    tests/test_multimodal.py."""
     docs = read_table(spark, sf_dir, "documents")
-    return neardup.simhash_neardup_pairs(docs, "doc_id", "text")
+    text_pairs = (
+        neardup.simhash_neardup_pairs(docs, "doc_id", "text")
+        .select("id_a", "id_b", "hamming", F.lit("text").alias("modality"))
+    )
+    base = docs.select("doc_id", "text")
+    copies = base.where(F.col("doc_id") % 50 == 0).withColumn(
+        "doc_id", F.col("doc_id") + 1_000_000
+    )
+    media = multimodal.binarize_documents(base.unionByName(copies))
+    sig = multimodal.image_dhash(media, fake=True)
+    img_pairs = (
+        neardup.hamming_neardup_pairs(sig, "media_id", "dhash")
+        .select("id_a", "id_b", "hamming", F.lit("binary").alias("modality"))
+    )
+    return text_pairs.unionByName(img_pairs)
 
 
 def q_neardup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -692,11 +718,20 @@ SAMPLE_FRACTIONS = {"en": 0.25, "de": 1.0, "es": 1.0, "fr": 1.0, "zh": 0.5}
 
 def q_sample_stratified_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic hash-stratified sample of the corpus by language —
-    map-only predicate, stable under repartitioning and re-ingest."""
+    map-only predicate, stable under repartitioning and re-ingest.
+
+    Round-5 merge: ``domain_cap`` rides the sampled set as the next
+    pipeline stage (keep the 10 longest docs per source, ties on id) —
+    the two-phase top-N decomposition must equal the oracle's naive
+    global window; the standalone cap stays pinned by
+    tests/test_sampling.py."""
     docs = read_table(spark, sf_dir, "documents")
-    return sampling.stratified_sample(
+    samp = sampling.stratified_sample(
         docs, "doc_id", "lang", SAMPLE_FRACTIONS
     ).select("doc_id", "lang", "source", "n_chars")
+    return sampling.domain_cap(
+        samp, "doc_id", "source", score_col="n_chars", max_per_domain=10
+    )
 
 
 def q_split_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -769,10 +804,26 @@ DQ_NUM = ["o_totalprice"]
 
 
 def q_dq_profile_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Data-quality profile of orders in one aggregation pass."""
-    from etl_pack_spark.operators.quality import profile
+    """Data-quality pass over orders: the one-aggregation profile PLUS
+    a per-priority robust-outlier summary (round-5 merge: MAD modified
+    z-score flagging — ``mad_outliers`` — rides this slot; the exact
+    aggregate is used here for oracle parity, the library default is
+    the bounded-state ``percentile_approx`` sketch). The profile row
+    broadcasts onto the 5-row summary — no extra scan of orders."""
+    from etl_pack_spark.operators.quality import mad_outliers, profile
 
-    return profile(read_table(spark, sf_dir, "orders"), DQ_COLS, DQ_NUM)
+    orders = read_table(spark, sf_dir, "orders")
+    prof = profile(orders, DQ_COLS, DQ_NUM)
+    priced = orders.select(
+        "o_orderpriority", F.col("o_totalprice").cast("double").alias("price")
+    )
+    out = mad_outliers(priced, "price", ["o_orderpriority"], accuracy=None)
+    summ = out.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n_vals"),
+        F.sum(F.col("is_outlier").cast("int")).cast("long").alias("n_outliers"),
+        F.round(F.max("robust_z"), 6).alias("max_robust_z"),
+    )
+    return summ.crossJoin(F.broadcast(prof))
 
 
 def q_mm_binary_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -867,16 +918,52 @@ def q_bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("id", F.round("score", 6).alias("score"))
 
 
+SNAP_CUT = "2024-01-20 00:00:00"   # old snapshot: events up to here
+SNAP_LO = "2024-01-08 00:00:00"    # new snapshot: events from here on
+
+
 def q_cdc_scd2(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SCD-2 history build from the events change stream: one window
     shuffle on (user_id, event_type), effective_from/to ranges +
-    is_current flag (plans/merge.py)."""
-    from etl_pack_spark.plans.merge import scd2_build
+    is_current flag (plans/merge.py).
+
+    Round-5 merge: snapshot RECONCILIATION (``plans.merge.
+    snapshot_diff`` — union + one combinable groupBy, no full-outer
+    join) rides this slot: two keyed snapshots of the same stream —
+    an older partial extract (state up to SNAP_CUT, user shard 0
+    missing) vs a fresher one (state since SNAP_LO, user shard 3
+    missing; mismatched shard coverage is exactly the state
+    reconciliation exists to surface) — are diffed and each history
+    row is annotated with its key's I/U/D ``reconcile_op`` (NULL =
+    unchanged), so all three ops are live paths. Full diff semantics
+    (incl. the apply_cdc round-trip law) stay pinned by
+    tests/test_merge.py."""
+    from etl_pack_spark.plans.merge import scd2_build, snapshot_diff
 
     ev = read_table(spark, sf_dir, "events").select(
         "user_id", "event_type", "ts", "value"
     )
-    return scd2_build(ev, ["user_id", "event_type"], "ts")
+    hist = scd2_build(ev, ["user_id", "event_type"], "ts")
+
+    def snap(pred):
+        return (
+            ev.where(pred)
+            .groupBy("user_id", "event_type")
+            .agg(F.max("value").alias("v"), F.count(F.lit(1)).alias("n"))
+        )
+
+    old = snap(
+        (F.col("ts") <= F.lit(SNAP_CUT).cast("timestamp"))
+        & (F.col("user_id") % 10 != 0)
+    )
+    new = snap(
+        (F.col("ts") >= F.lit(SNAP_LO).cast("timestamp"))
+        & (F.col("user_id") % 10 != 3)
+    )
+    diff = snapshot_diff(old, new, ["user_id", "event_type"]).select(
+        "user_id", "event_type", F.col("op").alias("reconcile_op")
+    )
+    return hist.join(diff, ["user_id", "event_type"], "left")
 
 
 def q_c4_clean(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -884,13 +971,28 @@ def q_c4_clean(spark: SparkSession, sf_dir: str) -> DataFrame:
     gates as one map-only projection (operators/cleaning.py). The
     fixture corpus is keyword text (no sentence punctuation), so the
     framing disables the terminal-punctuation rule and discriminates on
-    word count + a badword gate instead."""
-    from etl_pack_spark.operators.cleaning import c4_clean
+    word count + a badword gate instead.
+
+    Round-5 merge: the two downstream canonicalization stages ride the
+    same map-only projection over the survivors — HTML extraction
+    (``html_clean_lines`` → ``text_stripped``) and Unicode NFC
+    normalization (``normalize_text_col`` → ``text_norm``, the one
+    Arrow-batched UDF in the cleaning family; Spark has no NFC
+    expression). Still zero Exchanges; the standalone operators stay
+    pinned by tests/test_cleaning.py and tests/test_textops.py."""
+    from etl_pack_spark.operators.cleaning import c4_clean, html_clean_lines
 
     docs = read_table(spark, sf_dir, "documents")
-    return c4_clean(
+    base = c4_clean(
         docs, "doc_id", "text",
         min_words=30, min_lines=1, badwords=["slow"], require_terminal=False,
+    )
+    return base.select(
+        "id", "text_clean", "n_lines", "n_kept",
+        F.array_join(html_clean_lines(F.col("text_clean")), "\n").alias(
+            "text_stripped"
+        ),
+        textops.normalize_text_col(F.col("text_clean")).alias("text_norm"),
     )
 
 
@@ -1129,6 +1231,15 @@ def q_minhash_match_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
 # repeated_ngram_spans, budget_select, chunk_documents, shard_assign,
 # minhash_match_incremental. Every merged-away query keeps a pytest
 # DuckDB-parity pin via RETIRED_ORACLES below.
+# Round 5 — five previously pytest-only operators gain driver-gated
+# oracle rows by riding existing slots (no slot count change):
+# html_strip + normalize_text ride c4_clean (same map-only projection
+# over the survivors), domain_cap rides sample_stratified_docs (next
+# pipeline stage), mad_outliers rides dq_profile_orders (per-priority
+# outlier summary × the profile row), snapshot_diff rides cdc_scd2
+# (reconcile_op annotation, I/U/D all live), and image_dhash +
+# generic hamming_neardup_pairs ride dedup_simhash_pairs (binary
+# modality union over a corpus-with-reingested-copies media table).
 QUERIES: dict[str, QueryFn] = {
     "p2_window": q_p2_window,
     "p4_page": q_p4_page,
@@ -1377,7 +1488,22 @@ ORACLES: dict[str, str] = {
     """,
     "dedup_minhash_lsh": neardup.minhash_lsh_dedup_pairs_sql("documents", "doc_id", "text"),
     "dedup_ngram_jaccard": neardup.ngram_jaccard_pairs_sql("documents", "doc_id", "text"),
-    "dedup_simhash_pairs": neardup.simhash_neardup_pairs_sql("documents", "doc_id", "text"),
+    # r5 merge: text simhash pairs + binary (md5-prefix fake dHash)
+    # hamming pairs over the corpus-with-reingested-copies media table
+    "dedup_simhash_pairs": f"""
+        SELECT id_a, id_b, hamming, 'text' AS modality
+        FROM ({neardup.simhash_neardup_pairs_sql("documents", "doc_id", "text")})
+        UNION ALL
+        SELECT id_a, id_b, hamming, 'binary' AS modality
+        FROM ({neardup.hamming_neardup_pairs_sql(
+            '''SELECT doc_id AS media_id, substr(md5(text), 1, 16) AS dhash
+               FROM (SELECT doc_id, text FROM documents
+                     UNION ALL
+                     SELECT doc_id + 1000000 AS doc_id, text FROM documents
+                     WHERE doc_id % 50 = 0)
+               WHERE octet_length(encode(text)) > 0''',
+            "media_id", "dhash")})
+    """,
     "neardup_embedding": similarity.cosine_neardup_pairs_sql("embeddings", threshold=0.4),
     "ann_cosine_topk": similarity.cosine_topk_sql("embeddings", "vec_id < 50"),
     # "approximate" = sub-unit recall, NOT nondeterminism: the md5
@@ -1386,9 +1512,14 @@ ORACLES: dict[str, str] = {
         "embeddings", dims=64, planes=4, tables=6, threshold=0.4
     ),
     "ann_ivf_topk": similarity.ivf_topk_sql("embeddings"),
-    "sample_stratified_docs": sampling.stratified_sample_sql(
-        "documents", "doc_id", "lang", SAMPLE_FRACTIONS,
-        select="doc_id, lang, source, n_chars",
+    # r5 merge: domain_cap (two-phase top-N vs the oracle's naive
+    # global window) rides the stratified sample
+    "sample_stratified_docs": sampling.domain_cap_sql(
+        f"""({sampling.stratified_sample_sql(
+            "documents", "doc_id", "lang", SAMPLE_FRACTIONS,
+            select="doc_id, lang, source, n_chars",
+        )})""",
+        "doc_id", "source", score_col="n_chars", max_per_domain=10,
     ),
     "split_documents": sampling.grouped_split_sql(
         "(SELECT doc_id, lang FROM documents)",
@@ -1398,7 +1529,20 @@ ORACLES: dict[str, str] = {
     "text_signals": textops.text_signals_sql("documents", "doc_id", "text"),
     "text_redact_pii": textops.redact_pii_sql("documents", "doc_id", "text"),
     "corpus_curate": curate_corpus_sql("documents"),
-    "dq_profile_orders": profile_sql("orders", DQ_COLS, DQ_NUM),
+    # r5 merge: MAD outlier summary (exact-percentile variant) × the
+    # one-row profile (cross join both sides)
+    "dq_profile_orders": f"""
+        SELECT s.*, p.* FROM (
+            SELECT o_orderpriority, COUNT(*) AS n_vals,
+                   CAST(SUM(CASE WHEN is_outlier THEN 1 ELSE 0 END) AS BIGINT)
+                       AS n_outliers,
+                   round(max(robust_z), 6) AS max_robust_z
+            FROM ({mad_outliers_sql(
+                "(SELECT o_orderpriority, CAST(o_totalprice AS DOUBLE) AS price FROM orders)",
+                "price", ["o_orderpriority"])})
+            GROUP BY 1
+        ) s CROSS JOIN ({profile_sql("orders", DQ_COLS, DQ_NUM)}) p
+    """,
     # mm_features: the Arrow featurizer's fake path is a deterministic
     # function of the UTF-8 payload, so the DuckDB twin recomputes the
     # 16-bucket histogram (high nibble of each byte = odd hex chars) and
@@ -1489,16 +1633,50 @@ ORACLES: dict[str, str] = {
         SELECT id, round(score, 6) AS score
         FROM ({bm25_topk_sql("documents", "doc_id", "text", BM25_QUERY, k=20)})
     """,
-    "cdc_scd2": scd2_build_sql(
-        "SELECT user_id, event_type, ts, value FROM events",
-        ["user_id", "event_type"],
-        "ts",
-        rest_cols=["value"],
-    ),
-    "c4_clean": c4_clean_sql(
-        "documents", "doc_id", "text",
-        min_words=30, min_lines=1, badwords=["slow"], require_terminal=False,
-    ),
+    # r5 merge: each SCD-2 history row annotated with its key's I/U/D
+    # from the snapshot reconciliation (snapshot_diff's oracle twin is
+    # deliberately the full-outer-join formulation)
+    "cdc_scd2": f"""
+        WITH hist AS ({scd2_build_sql(
+            "SELECT user_id, event_type, ts, value FROM events",
+            ["user_id", "event_type"],
+            "ts",
+            rest_cols=["value"],
+        )}),
+        snap_old AS (
+            SELECT user_id, event_type, max(value) AS v, count(*) AS n
+            FROM events
+            WHERE CAST(ts AS TIMESTAMP) <= TIMESTAMP '{SNAP_CUT}'
+              AND user_id % 10 <> 0
+            GROUP BY 1, 2
+        ),
+        snap_new AS (
+            SELECT user_id, event_type, max(value) AS v, count(*) AS n
+            FROM events
+            WHERE CAST(ts AS TIMESTAMP) >= TIMESTAMP '{SNAP_LO}'
+              AND user_id % 10 <> 3
+            GROUP BY 1, 2
+        ),
+        d AS ({snapshot_diff_sql(
+            "SELECT * FROM snap_old", "SELECT * FROM snap_new",
+            ["user_id", "event_type"], ["v", "n"],
+        )})
+        SELECT hist.*, d.op AS reconcile_op
+        FROM hist LEFT JOIN d
+          ON hist.user_id = d.user_id AND hist.event_type = d.event_type
+    """,
+    # r5 merge: HTML extraction + NFC normalization ride the survivors
+    "c4_clean": f"""
+        WITH base AS ({c4_clean_sql(
+            "documents", "doc_id", "text",
+            min_words=30, min_lines=1, badwords=["slow"], require_terminal=False,
+        )})
+        SELECT id, text_clean, n_lines, n_kept,
+               COALESCE(array_to_string({html_clean_lines_sql("text_clean")},
+                                        chr(10)), '') AS text_stripped,
+               {normalize_text_expr_sql("text_clean")} AS text_norm
+        FROM base
+    """,
     "contamination_eval": contamination_report_sql(
         "(SELECT * FROM documents WHERE doc_id % 10 <> 7)",
         "(SELECT * FROM documents WHERE doc_id % 10 = 7)",
