@@ -608,6 +608,20 @@ def _jpeg_decoder():
                     raise _Bad("declared dimensions exceed the decode bound")
                 mcux = -(-w // (8 * hmax))
                 mcuy = -(-h // (8 * vmax))
+                # payload-plausibility gate: the DC first scan emits at
+                # least ONE Huffman bit per 8x8 block (progressive AC
+                # scans can EOB-run over blocks, the DC scan cannot),
+                # so any legal stream carries >= total_blocks/8 entropy
+                # bytes. A <1 KB crafted header declaring huge dims —
+                # which would allocate GBs of coefficient stores below
+                # and then "decode" padding — fails here instead.
+                total_blocks = mcux * mcuy * sum(
+                    c["h"] * c["v"] for c in comps
+                )
+                if total_blocks > len(b) * 8:
+                    raise _Bad(
+                        "declared dimensions implausible for payload size"
+                    )
                 for c in comps:
                     coefs[c["id"]] = np.zeros(
                         (mcuy * c["v"], mcux * c["h"], 64), dtype=np.int32
@@ -713,12 +727,26 @@ def _jpeg_decoder():
 
         planes = {}
         for c in comps:
-            cz = coefs[c["id"]].astype(np.float64) * qt[c["tq"]][None, None, :]
-            bh_, bw_ = cz.shape[0], cz.shape[1]
-            # dezigzag: raster position r takes zigzag slot inv_zz[r]
-            blocks = cz[:, :, inv_zz].reshape(bh_, bw_, 8, 8)
-            px = np.einsum("ux,ijuv,vy->ijxy", B, blocks, B) + 128.0
-            plane = px.transpose(0, 2, 1, 3).reshape(bh_ * 8, bw_ * 8)
+            store = coefs[c["id"]]
+            bh_, bw_ = store.shape[0], store.shape[1]
+            plane = np.empty((bh_ * 8, bw_ * 8), dtype=np.float64)
+            # per-component, STRIPED dequant+IDCT: the float64
+            # intermediates (dequantized coefs + dezigzag copy +
+            # einsum output) are ~3x the plane size if materialized
+            # whole — cap the transient at ~128 MB by processing
+            # block-row stripes (the plane itself is the only
+            # full-size float64 buffer alive per component)
+            step = max(1, (2 << 20) // max(1, bw_ * 64))
+            for r0 in range(0, bh_, step):
+                cz = store[r0 : r0 + step].astype(np.float64) * qt[c["tq"]][
+                    None, None, :
+                ]
+                # dezigzag: raster position r takes zigzag slot inv_zz[r]
+                blocks = cz[:, :, inv_zz].reshape(cz.shape[0], bw_, 8, 8)
+                px = np.einsum("ux,ijuv,vy->ijxy", B, blocks, B) + 128.0
+                plane[r0 * 8 : (r0 + cz.shape[0]) * 8] = px.transpose(
+                    0, 2, 1, 3
+                ).reshape(cz.shape[0] * 8, bw_ * 8)
             planes[c["id"]] = plane
 
         # ---- upsample (libjpeg-exact) + color convert (fixed point) ----
@@ -888,8 +916,15 @@ def _gif_decoder():
     """GIF87a/89a FIRST frame: LZW decompression (variable code
     width, 4096-entry dictionary), global/local palettes, interlace.
     Lossless, so tests compare bit-exactly against the JVM ImageIO
-    decoder. Animations decode to their first frame (the dedup/resize
-    semantics for stills-in-motion); malformed streams return None."""
+    decoder — a claim scoped to OPAQUE frames: pixels marked
+    transparent by a Graphic Control Extension composite
+    deterministically as the logical-screen background color (the
+    same fill sub-frame compositing uses), which keeps a transparent
+    GIF and its background-flattened re-encode adjacent in dHash
+    space; renderers that flatten onto a different matte will differ
+    on those pixels by construction. Animations decode to their first
+    frame (the dedup/resize semantics for stills-in-motion);
+    malformed streams return None."""
 
     def decode(b):
         if b is None or len(b) < 13 or bytes(b[:4]) != b"GIF8":
@@ -910,13 +945,18 @@ def _gif_decoder():
             n = 2 << (flags & 7)
             gct = b[pos : pos + 3 * n]
             pos += 3 * n
+        transp_idx = None
         while pos < len(b):
             block = b[pos]
             if block == 0x3B:  # trailer
                 return None
-            if block == 0x21:  # extension: skip sub-blocks
+            if block == 0x21:  # extension
+                # Graphic Control Extension: remember the transparent
+                # color index governing the NEXT image descriptor
+                if pos + 6 < len(b) and b[pos + 1] == 0xF9 and b[pos + 2] >= 4:
+                    transp_idx = b[pos + 6] if (b[pos + 3] & 1) else None
                 pos += 2
-                while pos < len(b) and b[pos] != 0:
+                while pos < len(b) and b[pos] != 0:  # skip sub-blocks
                     pos += 1 + b[pos]
                 pos += 1
                 continue
@@ -1021,6 +1061,11 @@ def _gif_decoder():
                     dst = (top + y) * sw + left
                     frame_idx[dst : dst + iw] = idx[y * iw : (y + 1) * iw]
                 fw, fh = sw, sh
+            # transparent pixels composite as the background color
+            # (deterministic flatten; see decoder docstring)
+            if transp_idx is not None:
+                bg = bg_idx if bg_idx < npal and bg_idx != transp_idx else 0
+                frame_idx = [bg if v == transp_idx else v for v in frame_idx]
             px = bytearray(len(frame_idx) * 3)
             for i, v in enumerate(frame_idx):
                 px[3 * i : 3 * i + 3] = pal[3 * v : 3 * v + 3]

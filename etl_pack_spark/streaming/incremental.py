@@ -259,11 +259,21 @@ def stream_neardup_ingest(
 
     Delivery semantics: the store is exactly-once on CONTENT — a
     replayed batch's signatures are absorbed by the anti-join (its ids
-    are already in the store) plus ``dropDuplicates`` on read, the
-    same idempotence argument as the exact-dedup flagship. The matches
-    sink is at-least-once (replays can append the same pair twice);
-    readers take ``DISTINCT``, which is total because (id_a, id_b,
+    are already in the store) plus the latest-wins read, the same
+    idempotence argument as the exact-dedup flagship. The matches sink
+    is at-least-once (replays can append the same pair twice); readers
+    take ``DISTINCT``, which is total because (id_a, id_b,
     est_jaccard) is deterministic.
+
+    Updated-document semantics: re-ingesting an existing ``id`` with
+    changed text REPLACES its stored signature for all later matching
+    — the store carries the appending batch id and reads resolve each
+    id to its highest-batch signature (``max_by``, deterministic; a
+    replayed batch rewrites identical rows so ties are value-equal).
+    The id's own old-vs-new signatures are never emitted as a match
+    pair (same document, not a duplicate). Ids must be unique WITHIN
+    one micro-batch — two texts under one id in the same batch have no
+    defined winner.
     """
     import os
 
@@ -284,9 +294,14 @@ def stream_neardup_ingest(
             num_hashes,
         )
         if os.path.exists(store_path):
+            store = sess.read.parquet(store_path)
+            sig_cols = [c for c in store.columns if c not in (id_col, "__batch")]
             sig_old = (
-                sess.read.parquet(store_path)
-                .dropDuplicates([id_col])
+                store.groupBy(id_col)
+                # latest-wins, deterministically: an updated doc's new
+                # signature replaces the old one for future matching
+                .agg(F.max_by(F.struct(*sig_cols), "__batch").alias("__s"))
+                .select(id_col, *[F.col(f"__s.{c}").alias(c) for c in sig_cols])
                 # replay absorber: a batch whose signatures already
                 # landed must not self-match against them
                 .join(batch.select(id_col), id_col, "left_anti")
@@ -299,7 +314,9 @@ def stream_neardup_ingest(
         )
         matches.write.mode("append").parquet(matches_path)
         # append AFTER the match (the match plan reads the pre-batch store)
-        sig_batch.write.mode("append").parquet(store_path)
+        sig_batch.withColumn("__batch", F.lit(batch_id)).write.mode(
+            "append"
+        ).parquet(store_path)
 
     stream = spark.readStream.schema(schema).parquet(source_dir)
     query = (

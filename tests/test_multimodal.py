@@ -1057,3 +1057,69 @@ class TestDecoderReviewRegressions:
         assert tuple(px[1, 1]) == red              # frame pixel
         assert tuple(px[1, 2]) == red
         assert tuple(px[1, 3]) == white            # outside frame
+
+
+def _lzw_pack(stream, width=3):
+    acc = nb = 0
+    out = bytearray()
+    for code in stream:
+        acc |= code << nb
+        nb += width
+        while nb >= 8:
+            out.append(acc & 255)
+            acc >>= 8
+            nb -= 8
+    if nb:
+        out.append(acc & 255)
+    return bytes(out)
+
+
+def test_gif_gce_transparency_composites_as_background():
+    """A GCE-marked transparent index must flatten to the background
+    palette color, not leak the palette entry behind the index."""
+    # palette: 0=black, 1=white, 2=red, 3=green; bg=1 (white)
+    gct = bytes([0, 0, 0, 255, 255, 255, 255, 0, 0, 0, 255, 0])
+    hdr = b"GIF89a" + (3).to_bytes(2, "little") + (1).to_bytes(2, "little") \
+        + bytes([0x81, 1, 0])
+    # GCE: transparency flag on, transparent index = 2 (red)
+    gce = b"\x21\xf9\x04\x01\x00\x00\x02\x00"
+    desc = b"\x2c" + bytes(4) + (3).to_bytes(2, "little") \
+        + (1).to_bytes(2, "little") + b"\x00"
+    body = _lzw_pack([4, 0, 2, 3, 5])        # clear, px 0 2 3, end
+    data = bytes([2, len(body)]) + body + b"\x00"
+    dec = multimodal.gif_decode(hdr + gct + gce + desc + data + b"\x3b")
+    assert dec is not None and (dec[0], dec[1]) == (3, 1)
+    import numpy as np
+
+    px = np.frombuffer(dec[3], dtype=np.uint8).reshape(1, 3, 3)
+    assert tuple(px[0, 0]) == (0, 0, 0)        # opaque black kept
+    assert tuple(px[0, 1]) == (255, 255, 255)  # transparent -> bg white
+    assert tuple(px[0, 2]) == (0, 255, 0)      # opaque green kept
+    # same stream WITHOUT the GCE keeps the red pixel
+    dec2 = multimodal.gif_decode(hdr + gct + desc + data + b"\x3b")
+    px2 = np.frombuffer(dec2[3], dtype=np.uint8).reshape(1, 3, 3)
+    assert tuple(px2[0, 1]) == (255, 0, 0)
+
+
+def test_jpeg_huge_declared_dims_tiny_payload_quarantined():
+    """A <1 KB header declaring ~64 MP must fail the payload-
+    plausibility gate instantly (legal streams carry >= 1 bit of DC
+    entropy per block), not allocate GB-scale coefficient stores."""
+    import struct
+    import time
+
+    dqt = b"\xff\xdb" + struct.pack(">H", 67) + b"\x00" + bytes([16] * 64)
+    sof = b"\xff\xc0" + struct.pack(">H", 17) + b"\x08" \
+        + struct.pack(">H", 8000) + struct.pack(">H", 8000) + b"\x03" \
+        + bytes([1, 0x22, 0]) + bytes([2, 0x11, 0]) + bytes([3, 0x11, 0])
+    # one trivial DHT (all codes absent except one 2-bit symbol)
+    counts = bytes([0, 1] + [0] * 14)
+    dht = b"\xff\xc4" + struct.pack(">H", 2 + 1 + 16 + 1) + b"\x00" + counts + b"\x00"
+    dht += b"\xff\xc4" + struct.pack(">H", 2 + 1 + 16 + 1) + b"\x10" + counts + b"\x00"
+    sos = b"\xff\xda" + struct.pack(">H", 12) + b"\x03" \
+        + bytes([1, 0x00, 2, 0x00, 3, 0x00]) + bytes([0, 63, 0])
+    payload = b"\xff\xd8" + dqt + sof + dht + sos + b"\x00" * 64 + b"\xff\xd9"
+    assert len(payload) < 1024
+    t0 = time.perf_counter()
+    assert multimodal.jpeg_decode(payload) is None
+    assert time.perf_counter() - t0 < 2.0

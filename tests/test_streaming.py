@@ -351,3 +351,63 @@ class TestStreamNeardupIngest:
         stream_neardup_ingest(spark, src, store, matches, ckpt)  # nothing new
         assert spark.read.parquet(matches).count() == n_matches
         assert spark.read.parquet(store).count() == n_store
+
+
+class TestNeardupIngestUpdates:
+    def test_updated_doc_signature_replaces_old_deterministically(
+        self, spark, tmp_path
+    ):
+        """Re-ingesting an id with changed text: the LATEST signature
+        wins for later matching (max_by batch, not an arbitrary
+        dropDuplicates pick), and the id never pairs with itself."""
+        from etl_pack_spark.operators import neardup
+        from etl_pack_spark.operators.tokenize import shingle_rows
+        from etl_pack_spark.streaming.incremental import stream_neardup_ingest
+
+        src = str(tmp_path / "src")
+        store = str(tmp_path / "store")
+        matches = str(tmp_path / "matches")
+        ckpt = str(tmp_path / "ckpt")
+
+        t_a = "the quick brown fox jumps over the lazy dog again and again"
+        t_b = "completely different words about databases and distributed systems"
+        spark.createDataFrame([(1, t_a)], "doc_id long, text string") \
+            .write.mode("append").parquet(src)
+        stream_neardup_ingest(spark, src, store, matches, ckpt)
+        # doc 1 is REWRITTEN to text_b in a later arrival
+        spark.createDataFrame([(1, t_b)], "doc_id long, text string") \
+            .write.mode("append").parquet(src)
+        stream_neardup_ingest(spark, src, store, matches, ckpt)
+        # no self-pair was emitted for the update
+        assert spark.read.parquet(matches).count() == 0
+        # a new doc near-duplicating the UPDATED text must match; one
+        # near-duplicating the ORIGINAL text must not (old sig replaced)
+        spark.createDataFrame(
+            [(2, t_b + " extra"), (3, t_a + " extra")],
+            "doc_id long, text string",
+        ).write.mode("append").parquet(src)
+        stream_neardup_ingest(spark, src, store, matches, ckpt)
+        pairs = {
+            frozenset((r["id_a"], r["id_b"]))
+            for r in spark.read.parquet(matches).distinct().collect()
+        }
+        assert frozenset((1, 2)) in pairs
+        assert frozenset((1, 3)) not in pairs
+        # and the resolved store signature for id 1 equals text_b's
+        sig_b = neardup.minhash_signature(
+            shingle_rows(
+                spark.createDataFrame([(1, t_b)], "doc_id long, text string"),
+                "doc_id", "text", 3, distinct=False,
+            ),
+            "doc_id",
+        ).collect()[0]
+        from pyspark.sql import functions as F
+
+        st = spark.read.parquet(store)
+        cols = [c for c in st.columns if c not in ("doc_id", "__batch")]
+        latest = (
+            st.groupBy("doc_id")
+            .agg(F.max_by(F.struct(*cols), "__batch").alias("s"))
+            .where("doc_id = 1").select("s.*").collect()[0]
+        )
+        assert tuple(latest) == tuple(sig_b[c] for c in cols)
