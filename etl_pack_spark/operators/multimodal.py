@@ -1288,7 +1288,9 @@ def media_features(
 
 def sample_frames(media: DataFrame, every_n_bytes: int = 64, fake: bool = False) -> DataFrame:
     """Video frame sampling stub: emits one row per sampled "frame"
-    (offset positions). Real frame extraction needs a video library;
+    (offset positions). REAL frame extraction exists for Motion-JPEG
+    containers — see :func:`video_frames` (sample-table spans through
+    the stdlib JPEG decoder); other codecs need a video library, and
     the fake path samples byte offsets with the same output contract."""
     schema = _out_schema(
         media,
@@ -1309,6 +1311,186 @@ def sample_frames(media: DataFrame, every_n_bytes: int = 64, fake: bool = False)
                 for i, off in enumerate(range(0, n, every_n_bytes)):
                     rows.append((mid, i, off))
             yield pd.DataFrame(rows, columns=["media_id", "frame_idx", "offset"])
+
+    return media.select("media_id", "content").mapInPandas(run, schema=schema)
+
+
+def _mp4_sample_extractor():
+    """Factory for a stdlib-only ISO-BMFF SAMPLE-TABLE reader: walks
+    moov→trak→mdia→minf→stbl and resolves stsd (codec fourcc), stsz
+    (sample sizes), stsc (sample→chunk runs), stco/co64 (chunk
+    offsets) into per-sample ``(offset, size)`` spans — the real
+    container half of video decode (ISO 14496-12 §8.5-8.7). Returns
+    ``(fourcc, [(offset, size), ...])`` for the first track with a
+    complete sample table, or None for non-MP4 / malformed payloads.
+    Spans beyond the payload (truncated download) are dropped."""
+
+    def walk(b, lo, hi):
+        out, pos = [], lo
+        while pos + 8 <= hi:
+            size = int.from_bytes(b[pos : pos + 4], "big")
+            typ = b[pos + 4 : pos + 8]
+            if size == 1:  # 64-bit largesize
+                size = int.from_bytes(b[pos + 8 : pos + 16], "big")
+                body = pos + 16
+            elif size == 0:
+                size = hi - pos
+                body = pos + 8
+            else:
+                body = pos + 8
+            if size < 8 or pos + size > hi:
+                return out
+            out.append((typ, body, pos + size))
+            pos += size
+        return out
+
+    def find(b, lo, hi, name):
+        return [x for x in walk(b, lo, hi) if x[0] == name]
+
+    _MAX_ENTRIES = 1_000_000  # a 12 MB table bound; past it, quarantine
+
+    def _stbl_samples(b, slo, shi):
+        fourcc = sizes = chunk_offs = stsc = None
+        for t, lo, hi in walk(b, slo, shi):
+            if t == b"stsd" and hi >= lo + 16:
+                if int.from_bytes(b[lo + 4 : lo + 8], "big") >= 1:
+                    fourcc = bytes(b[lo + 12 : lo + 16])
+            elif t == b"stsz" and hi >= lo + 12:
+                uniform = int.from_bytes(b[lo + 4 : lo + 8], "big")
+                cnt = int.from_bytes(b[lo + 8 : lo + 12], "big")
+                if cnt > _MAX_ENTRIES:
+                    return None
+                if uniform:
+                    sizes = [uniform] * cnt
+                elif lo + 12 + 4 * cnt <= hi:
+                    sizes = [
+                        int.from_bytes(b[lo + 12 + 4 * i : lo + 16 + 4 * i], "big")
+                        for i in range(cnt)
+                    ]
+            elif t in (b"stco", b"co64") and hi >= lo + 8:
+                w = 4 if t == b"stco" else 8
+                cnt = int.from_bytes(b[lo + 4 : lo + 8], "big")
+                if cnt > _MAX_ENTRIES or lo + 8 + w * cnt > hi:
+                    return None
+                chunk_offs = [
+                    int.from_bytes(b[lo + 8 + w * i : lo + 8 + w * (i + 1)], "big")
+                    for i in range(cnt)
+                ]
+            elif t == b"stsc" and hi >= lo + 8:
+                cnt = int.from_bytes(b[lo + 4 : lo + 8], "big")
+                if cnt > _MAX_ENTRIES or lo + 8 + 12 * cnt > hi:
+                    return None
+                stsc = [
+                    (
+                        int.from_bytes(b[lo + 8 + 12 * i : lo + 12 + 12 * i], "big"),
+                        int.from_bytes(b[lo + 12 + 12 * i : lo + 16 + 12 * i], "big"),
+                    )
+                    for i in range(cnt)
+                ]
+        if not (fourcc and sizes and chunk_offs and stsc):
+            return None
+        spans, si = [], 0
+        for ri, (first, per) in enumerate(stsc):
+            last = (stsc[ri + 1][0] - 1) if ri + 1 < len(stsc) else len(chunk_offs)
+            for c in range(first, last + 1):
+                if c < 1 or c > len(chunk_offs) or si >= len(sizes):
+                    break
+                off = chunk_offs[c - 1]
+                for _ in range(per):
+                    if si >= len(sizes):
+                        break
+                    sz = sizes[si]
+                    if sz > 0 and off + sz <= len(b):
+                        spans.append((off, sz))
+                    off += sz
+                    si += 1
+        return (fourcc, spans) if spans else None
+
+    def extract(b):
+        if b is None or len(b) < 16:
+            return None
+        b = bytes(b)
+        if b[4:8] != b"ftyp":
+            return None
+        try:
+            for typ, lo, hi in walk(b, 0, len(b)):
+                if typ != b"moov":
+                    continue
+                for _, lo2, hi2 in find(b, lo, hi, b"trak"):
+                    for _, lo3, hi3 in find(b, lo2, hi2, b"mdia"):
+                        for _, lo4, hi4 in find(b, lo3, hi3, b"minf"):
+                            for _, lo5, hi5 in find(b, lo4, hi4, b"stbl"):
+                                got = _stbl_samples(b, lo5, hi5)
+                                if got:
+                                    return got
+        except (IndexError, ValueError):
+            return None  # malformed box tree: quarantine, never raise
+        return None
+
+    return extract
+
+
+mp4_samples = _mp4_sample_extractor()
+
+# QuickTime/ISO fourccs whose samples are standalone JPEG images — the
+# one codec family the stdlib JPEG decoder can serve without a codec
+# library. Everything else (avc1/hvc1/vp09/av01) stays honestly gated.
+MJPEG_FOURCC = {b"jpeg", b"mjpa", b"mjpb"}
+
+
+def video_frames(media: DataFrame, max_frames: int = 16) -> DataFrame:
+    """REAL video-frame decode for Motion-JPEG in MP4/MOV: the
+    container's sample table (:func:`mp4_samples`) gives per-frame
+    byte spans, each span is a standalone JPEG fed to the existing
+    stdlib decoder, and up to ``max_frames`` evenly-strided frames
+    emit ``(media_id, frame_idx, offset, n_bytes, width, height,
+    channels, frame_dhash)`` — dims from the actual decode and the
+    shared 64-bit perceptual hash per frame, so
+    ``neardup.hamming_neardup_pairs`` over (media, frame) signatures
+    dedups re-encoded video the same way it dedups images. One
+    ``mapInPandas`` pass, map-only: pixels never leave the executor,
+    only 8-byte hashes and dims do.
+
+    Non-MP4 / malformed payloads and non-MJPEG codecs (H.264/HEVC/AV1
+    need entropy+prediction codecs no stdlib provides) emit ZERO rows
+    — quarantine by omission, countable by anti-joining media ids;
+    undecodable individual frames emit their row with NULL dims/hash.
+    """
+    schema = _out_schema(
+        media,
+        T.StructField("frame_idx", T.IntegerType(), False),
+        T.StructField("offset", T.LongType(), False),
+        T.StructField("n_bytes", T.LongType(), False),
+        T.StructField("width", T.IntegerType(), True),
+        T.StructField("height", T.IntegerType(), True),
+        T.StructField("channels", T.IntegerType(), True),
+        T.StructField("frame_dhash", T.StringType(), True),
+    )
+    extract = _mp4_sample_extractor()
+    decode_px = _pixel_decoder()
+    calc = _dhash_calc()
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        cols = [
+            "media_id", "frame_idx", "offset", "n_bytes",
+            "width", "height", "channels", "frame_dhash",
+        ]
+        for pdf in batches:
+            rows = []
+            for mid, content in zip(pdf["media_id"], pdf["content"]):
+                got = extract(content)
+                if got is None or got[0] not in MJPEG_FOURCC:
+                    continue
+                spans = got[1]
+                stride = max(1, -(-len(spans) // max_frames))
+                for k, (off, sz) in enumerate(spans[::stride][:max_frames]):
+                    dec = decode_px(bytes(content[off : off + sz]))
+                    if dec is None:
+                        rows.append((mid, k, off, sz, None, None, None, None))
+                    else:
+                        w, h, ch, pix = dec
+                        rows.append((mid, k, off, sz, w, h, ch, calc(w, h, ch, pix)))
+            yield pd.DataFrame(rows, columns=cols)
 
     return media.select("media_id", "content").mapInPandas(run, schema=schema)
 
@@ -1515,6 +1697,46 @@ def _mp4_meta_parser():
 mp4_meta = _mp4_meta_parser()
 
 
+def _dhash_calc():
+    """Factory for the shared pixel→dHash kernel: integer-luma
+    grayscale, AREA-AVERAGED 9×8 grid (cell means, not nearest pixels
+    — nearest sampling flips bits wildly on resized copies of
+    high-frequency content), horizontal-neighbor compare → 64 bits as
+    16 hex chars. Used by :func:`image_dhash` (whole images) and
+    :func:`video_frames` (per-frame hashes)."""
+
+    def calc(w, h, ch, pix):
+        import numpy as np
+
+        a = np.frombuffer(pix, dtype=np.uint8).reshape(h, w, ch).astype(np.int32)
+        if ch >= 3:
+            # integer luma (ITU-R 601-ish fixed point): deterministic
+            g = (77 * a[:, :, 0] + 150 * a[:, :, 1] + 29 * a[:, :, 2]) >> 8
+        else:
+            g = a[:, :, 0]
+        yb = (np.arange(9) * h) // 8
+        xb = (np.arange(10) * w) // 9
+        cs = np.zeros((h + 1, w + 1), dtype=np.int64)
+        cs[1:, 1:] = g.cumsum(axis=0).cumsum(axis=1)
+        sums = (
+            cs[yb[1:, None], xb[None, 1:]]
+            - cs[yb[:-1, None], xb[None, 1:]]
+            - cs[yb[1:, None], xb[None, :-1]]
+            + cs[yb[:-1, None], xb[None, :-1]]
+        )
+        areas = (yb[1:, None] - yb[:-1, None]) * (xb[None, 1:] - xb[None, :-1])
+        if (areas == 0).any():
+            return None  # image too small for a 9x8 grid
+        grid = sums / areas
+        bits = (grid[:, :-1] > grid[:, 1:]).astype(np.uint64).reshape(64)
+        val = 0
+        for bit in bits:
+            val = (val << 1) | int(bit)
+        return f"{val:016x}"
+
+    return calc
+
+
 def image_dhash(media: DataFrame, fake: bool = False) -> DataFrame:
     """Perceptual difference-hash per image payload — the image-side
     member of the dedup family (text: simhash/minhash, embeddings:
@@ -1532,11 +1754,10 @@ def image_dhash(media: DataFrame, fake: bool = False) -> DataFrame:
     """
     schema = _out_schema(media, T.StructField("dhash", T.StringType(), True))
     decode_px = _pixel_decoder()
+    calc = _dhash_calc()
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         import hashlib
-
-        import numpy as np
 
         def dhash(content):
             if content is None or len(content) == 0:
@@ -1546,35 +1767,7 @@ def image_dhash(media: DataFrame, fake: bool = False) -> DataFrame:
             dec = decode_px(content)
             if dec is None:
                 return None
-            w, h, ch, pix = dec
-            a = np.frombuffer(pix, dtype=np.uint8).reshape(h, w, ch).astype(np.int32)
-            if ch >= 3:
-                # integer luma (ITU-R 601-ish fixed point): deterministic
-                g = (77 * a[:, :, 0] + 150 * a[:, :, 1] + 29 * a[:, :, 2]) >> 8
-            else:
-                g = a[:, :, 0]
-            # AREA-AVERAGED 9x8 grid (standard dHash): cell means, not
-            # nearest pixels — nearest sampling flips bits wildly on
-            # resized copies of high-frequency content (text, dither)
-            yb = (np.arange(9) * h) // 8
-            xb = (np.arange(10) * w) // 9
-            cs = np.zeros((h + 1, w + 1), dtype=np.int64)
-            cs[1:, 1:] = g.cumsum(axis=0).cumsum(axis=1)
-            sums = (
-                cs[yb[1:, None], xb[None, 1:]]
-                - cs[yb[:-1, None], xb[None, 1:]]
-                - cs[yb[1:, None], xb[None, :-1]]
-                + cs[yb[:-1, None], xb[None, :-1]]
-            )
-            areas = (yb[1:, None] - yb[:-1, None]) * (xb[None, 1:] - xb[None, :-1])
-            if (areas == 0).any():
-                return None  # image too small for a 9x8 grid
-            grid = sums / areas
-            bits = (grid[:, :-1] > grid[:, 1:]).astype(np.uint64).reshape(64)
-            val = 0
-            for bit in bits:
-                val = (val << 1) | int(bit)
-            return f"{val:016x}"
+            return calc(*dec)
 
         for pdf in batches:
             rows = [(mid, dhash(c)) for mid, c in zip(pdf["media_id"], pdf["content"])]

@@ -1123,3 +1123,126 @@ def test_jpeg_huge_declared_dims_tiny_payload_quarantined():
     t0 = time.perf_counter()
     assert multimodal.jpeg_decode(payload) is None
     assert time.perf_counter() - t0 < 2.0
+
+
+class TestVideoFrames:
+    """Real MJPEG-in-MP4 frame decode: container sample table → spans
+    → the stdlib JPEG decoder → per-frame dims + dHash."""
+
+    @staticmethod
+    def _box(typ, payload):
+        return (8 + len(payload)).to_bytes(4, "big") + typ + payload
+
+    def _mjpeg_mp4(self, jpegs, fourcc=b"jpeg"):
+        ftyp = self._box(b"ftyp", b"qt  " + bytes(4))
+        base = len(ftyp) + 8
+        mdat = self._box(b"mdat", b"".join(jpegs))
+        stsd = self._box(
+            b"stsd", bytes(4) + (1).to_bytes(4, "big") + self._box(fourcc, bytes(70))
+        )
+        stsz = self._box(
+            b"stsz",
+            bytes(4) + (0).to_bytes(4, "big") + len(jpegs).to_bytes(4, "big")
+            + b"".join(len(j).to_bytes(4, "big") for j in jpegs),
+        )
+        stsc = self._box(
+            b"stsc",
+            bytes(4) + (1).to_bytes(4, "big") + (1).to_bytes(4, "big")
+            + len(jpegs).to_bytes(4, "big") + (1).to_bytes(4, "big"),
+        )
+        stco = self._box(b"stco", bytes(4) + (1).to_bytes(4, "big")
+                         + base.to_bytes(4, "big"))
+        stbl = self._box(b"stbl", stsd + stsz + stsc + stco)
+        moov = self._box(
+            b"moov", self._box(b"trak", self._box(b"mdia", self._box(b"minf", stbl)))
+        )
+        return ftyp + mdat + moov
+
+    def _enc_jpeg(self, spark, w, h, fill):
+        jvm = spark.sparkContext._jvm
+        BI = jvm.java.awt.image.BufferedImage
+        img = BI(w, h, BI.TYPE_INT_RGB)
+        for y in range(h):
+            for x in range(w):
+                img.setRGB(x, y, fill(x, y))
+        baos = jvm.java.io.ByteArrayOutputStream()
+        assert jvm.javax.imageio.ImageIO.write(img, "jpg", baos)
+        return bytes(baos.toByteArray())
+
+    def _media(self, spark, payloads):
+        return spark.createDataFrame(
+            [(i, bytearray(p), "video/mp4", len(p)) for i, p in enumerate(payloads)],
+            "media_id long, content binary, mime string, n_bytes long",
+        )
+
+    def test_decodes_planted_frames_end_to_end(self, spark):
+        jpegs = [
+            self._enc_jpeg(spark, 24, 16, lambda x, y, k=k:
+                           ((x * (k + 3) & 255) << 16) | ((y * 31 & 255) << 8) | (k * 80))
+            for k in range(3)
+        ]
+        mp4 = self._mjpeg_mp4(jpegs)
+        rows = sorted(
+            map(tuple, multimodal.video_frames(self._media(spark, [mp4])).collect())
+        )
+        assert len(rows) == 3
+        # dims from the real decode; hashes equal the standalone image path
+        want = [
+            r["dhash"] for r in multimodal.image_dhash(
+                self._media(spark, jpegs)).orderBy("media_id").collect()
+        ]
+        for k, (mid, fi, off, nb, w, h, ch, dh) in enumerate(rows):
+            assert (mid, fi) == (0, k) and (w, h, ch) == (24, 16, 3)
+            assert nb == len(jpegs[k]) and dh == want[k]
+        # sample-table offsets point at real JPEG magic
+        assert all(mp4[r[2]:r[2] + 3] == b"\xff\xd8\xff" for r in rows)
+
+    def test_stride_caps_frames(self, spark):
+        jpegs = [self._enc_jpeg(spark, 16, 16, lambda x, y, k=k: k * 1000 + x)
+                 for k in range(5)]
+        mp4 = self._mjpeg_mp4(jpegs)
+        rows = multimodal.video_frames(
+            self._media(spark, [mp4]), max_frames=2).collect()
+        assert len(rows) == 2
+        assert {r["frame_idx"] for r in rows} == {0, 1}
+
+    def test_non_mjpeg_codec_and_garbage_emit_nothing(self, spark):
+        jpegs = [self._enc_jpeg(spark, 16, 16, lambda x, y: x * y)]
+        avc = self._mjpeg_mp4(jpegs, fourcc=b"avc1")
+        df = spark.createDataFrame(
+            [(0, bytearray(avc)), (1, bytearray(b"not a video")), (2, None),
+             (3, bytearray(b""))],
+            "media_id long, content binary",
+        )
+        out = multimodal.video_frames(df).collect()
+        assert out == []
+
+    def test_container_fuzz_quarantines(self, spark):
+        jpegs = [self._enc_jpeg(spark, 16, 16, lambda x, y: (x << 8) | y)
+                 for _ in range(2)]
+        mp4 = self._mjpeg_mp4(jpegs)
+        mangled = []
+        for cut in (10, len(mp4) // 2, len(mp4) - 5):
+            mangled.append(mp4[:cut])                       # truncations
+        for pos in range(len(mp4) - 40, len(mp4), 7):       # moov bit flips
+            m = bytearray(mp4)
+            m[pos] ^= 0xFF
+            mangled.append(bytes(m))
+        out = multimodal.video_frames(self._media(spark, mangled)).collect()
+        # no exception; any surviving rows carry sane spans
+        for r in out:
+            assert r["offset"] >= 0 and r["n_bytes"] > 0
+
+    def test_corrupt_single_frame_yields_null_dims(self, spark):
+        jpegs = [self._enc_jpeg(spark, 16, 16, lambda x, y: x + y)
+                 for _ in range(2)]
+        mp4 = bytearray(self._mjpeg_mp4(jpegs))
+        # wreck the SECOND frame's entropy data, keep the table intact
+        first_len = len(jpegs[0])
+        start = 16 + 8 + first_len + 4
+        for i in range(start, start + len(jpegs[1]) - 8):
+            mp4[i] = 0
+        rows = {r["frame_idx"]: r for r in
+                multimodal.video_frames(self._media(spark, [bytes(mp4)])).collect()}
+        assert rows[0]["width"] == 16 and rows[0]["frame_dhash"] is not None
+        assert rows[1]["width"] is None and rows[1]["frame_dhash"] is None
