@@ -209,14 +209,34 @@ def main() -> None:
     # r3 dedup_simhash_pairs A/B showed best-of-2 still catching the
     # JIT-warming tail of codegen-heavy queries (SCALE.md).
     repeats = int(os.environ.get("SPARK_GRAFT_BENCH_REPEATS", "3"))
+
+    def _median(xs: list[float]) -> float:
+        s = sorted(xs)
+        n = len(s)
+        return s[n // 2] if n % 2 else (s[n // 2 - 1] + s[n // 2]) / 2
+
+    def time_query(run_fn, name: str, n: int = repeats):
+        xs = [run_fn(name) for _ in range(n)]
+        # {min, median, n} per query (r5): the min is the estimator of
+        # record, the min↔median gap is the recorded ambient-noise band
+        # so sub-1.5x round-over-round moves are classifiable from the
+        # artifact without a manual A/B
+        return round(min(xs), 3), {
+            "min": round(min(xs), 3),
+            "median": round(_median(xs), 3),
+            "n": n,
+        }
+
     timings: dict[str, float] = {}
+    stats: dict[str, dict] = {}
     for name in BENCH_QUERIES:
-        timings[name] = round(min(run(name) for _ in range(repeats)), 3)
+        timings[name], stats[name] = time_query(run, name)
     # library operators outside the capped registry: timed and reported
     # separately so the headline total stays comparable across rounds
     lib_timings: dict[str, float] = {}
+    lib_stats: dict[str, dict] = {}
     for name in LIB_QUERIES:
-        lib_timings[name] = round(min(run(name) for _ in range(repeats)), 3)
+        lib_timings[name], lib_stats[name] = time_query(run, name)
 
     total = round(sum(timings.values()), 3)
     out = {
@@ -224,7 +244,9 @@ def main() -> None:
         "value": total,
         "unit": "sec",
         "queries": timings,
+        "queries_stats": stats,
         "queries_lib": lib_timings,
+        "queries_lib_stats": lib_stats,
         "sf": sf,
     }
 
@@ -242,18 +264,26 @@ def main() -> None:
             return time.perf_counter() - t0
 
         t2: dict[str, float] = {}
+        s2: dict[str, dict] = {}
         for name in BENCH_QUERIES:
-            t2[name] = round(min(run2(name) for _ in range(repeats)), 3)
+            t2[name], s2[name] = time_query(run2, name)
         out["sf_secondary"] = float(m2.group(1)) if m2 else -1.0
         out["queries_secondary"] = t2
+        out["queries_secondary_stats"] = s2
         out["value_secondary"] = round(sum(t2.values()), 3)
 
     # third scaling point for the text/near-dup family: the corpus
     # replicated 10x with unique ids (see _scaled_docs). Headline and
     # secondary numbers are untouched; this section exists so SCALE.md's
     # extrapolation claims rest on three points, not two.
-    factor = int(os.environ.get("SPARK_GRAFT_BENCH_SCALE_FACTOR", "10"))
-    if factor > 1:
+    def _pool_items():
+        from etl_pack_spark.operators.cache import _POOL
+
+        items = list(_POOL.items())
+        _POOL.clear()
+        return items
+
+    def probe_at(factor: int, n_reps: int):
         scaled = _scaled_docs(spark, sf_dir, factor).persist()
         n_docs = scaled.count()  # materialize once; probe queries re-scan
 
@@ -267,20 +297,30 @@ def main() -> None:
                 d.unpersist(False)
             return dt
 
-        def _pool_items():
-            from etl_pack_spark.operators.cache import _POOL
-
-            items = list(_POOL.items())
-            _POOL.clear()
-            return items
-
         t3: dict[str, float] = {}
         for name, fn in _scale_probe_queries().items():
-            t3[name] = round(min(run3(fn) for _ in range(repeats)), 3)
+            t3[name] = round(min(run3(fn) for _ in range(n_reps)), 3)
         scaled.unpersist()
+        return n_docs, t3
+
+    factor = int(os.environ.get("SPARK_GRAFT_BENCH_SCALE_FACTOR", "10"))
+    if factor > 1:
+        n_docs, t3 = probe_at(factor, repeats)
         out["scale_probe_factor"] = factor
         out["scale_probe_docs"] = n_docs
         out["queries_scale_probe"] = t3
+
+    # fourth point (r5): a single-shot probe at a larger replication so
+    # the extrapolation curve is recorded from the artifact itself
+    # (previously a one-off in SCALE.md prose). n=1 keeps the bench's
+    # wall-time budget; the curve claim needs the ORDER of growth, not
+    # a low-noise point.
+    factor2 = int(os.environ.get("SPARK_GRAFT_BENCH_SCALE_FACTOR2", "30"))
+    if factor2 > factor:
+        n_docs2, t4 = probe_at(factor2, 1)
+        out["scale_probe2_factor"] = factor2
+        out["scale_probe2_docs"] = n_docs2
+        out["queries_scale_probe2"] = t4
 
     print(json.dumps(out))
 
