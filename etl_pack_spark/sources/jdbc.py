@@ -66,3 +66,51 @@ def jdbc_reader(
 def jdbc_read(spark: SparkSession, url: str, table: str, **kwargs) -> DataFrame:
     """Load a JDBC table (live environments only)."""
     return jdbc_reader(spark, url, table, **kwargs).load()
+
+
+def snapshot_query(
+    fields: str,
+    table: str,
+    cursor: str | None = None,
+    cursor_min: str | None = None,
+    cursor_max: str | None = None,
+) -> str:
+    """Remote snapshot SQL for the JDBC ``query`` option — the exact
+    string shape the reference's writer-side generator emits
+    (``mysql/writer/main.go`` ``createSnapshotQuery``, golden-pinned at
+    ``mysql/writer/main_test.go:109-149`` including its trailing-space
+    quirk on the unfiltered form), so a reference deployment's remote
+    SQL audit logs line up verbatim. ``cursor_min``/``cursor_max`` are
+    passed through as dialect EXPRESSIONS (``STR_TO_DATE(...)``,
+    ``toDate(...)``/``today()``), not quoted values — that is the
+    reference's contract and what lets each dialect's date functions
+    ride through unescaped."""
+    where = (
+        f"WHERE {cursor} BETWEEN {cursor_min} AND {cursor_max}" if cursor else ""
+    )
+    return f"SELECT {fields} FROM {table} {where}"
+
+
+def page_query(
+    fields: str,
+    table: str,
+    cursor: str | None = None,
+    cursor_min: str | None = None,
+    cursor_max: str | None = None,
+    order_by: str | None = None,
+    offset: int = 0,
+    limit: int = 1000,
+) -> str:
+    """The reference reader's OFFSET-paginated SQL, string-exact
+    (``mysql/reader/main.go`` ``sqlGenerator``, golden-pinned at
+    ``mysql/reader/main_test.go:8-87`` — including the double/triple
+    spaces its empty clause slots leave behind). Kept as a dialect pin
+    and migration shim ONLY: ``OFFSET n`` makes the database re-walk n
+    rows per page (quadratic total work), which is exactly what the
+    partitioned range read in :func:`jdbc_reader` replaces (SURVEY
+    §7.4) — new code should never page."""
+    where = (
+        f"WHERE {cursor} BETWEEN {cursor_min} AND {cursor_max}" if cursor else ""
+    )
+    order = f"ORDER BY {order_by}" if order_by else ""
+    return f"SELECT {fields} FROM {table} {where} {order} LIMIT {offset}, {limit}"
