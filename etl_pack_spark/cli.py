@@ -37,11 +37,19 @@ def build_parser() -> argparse.ArgumentParser:
     p = argparse.ArgumentParser(prog="etl_pack_spark", description=__doc__)
     p.add_argument("--source-dir", help="directory of parquet tables")
     p.add_argument("--table", help="source table name")
-    p.add_argument("--target", required=True, help="target parquet path")
-    # lake maintenance mode: the OTHER cron job besides transfer
+    p.add_argument("--target", default=None, help="target parquet path")
+    # lake maintenance modes: the OTHER cron jobs besides transfer
     p.add_argument("--compact", default=None, metavar="SRC",
                    help="compact/cluster parquet at SRC into --target "
                         "instead of running a transfer")
+    p.add_argument("--compact-partitions", default=None, metavar="ROOT",
+                   help="selective in-place compaction of a partitioned "
+                        "table: rewrite only fragmented leaves (>= "
+                        "--min-files files under half the target size), "
+                        "each swapped atomically")
+    p.add_argument("--min-files", type=int, default=2,
+                   help="compact-partitions: leaves with fewer files "
+                        "are never rewritten")
     p.add_argument("--cluster-by", default="",
                    help="compact: range-cluster by these columns")
     p.add_argument("--zorder-by", default="",
@@ -76,7 +84,23 @@ def main(argv: list[str] | None = None) -> int:
     # should fail in milliseconds with a clear message, not after tens
     # of seconds of JVM startup
     zorder_cols = [c for c in args.zorder_by.split(",") if c]
-    if args.compact:
+    if args.compact and args.compact_partitions:
+        print("error: --compact and --compact-partitions are exclusive",
+              file=sys.stderr)
+        return 2
+    if args.compact_partitions:
+        if args.target_file_mb <= 0 or args.min_files < 2:
+            print("error: --target-file-mb must be > 0 and --min-files >= 2",
+                  file=sys.stderr)
+            return 2
+        if args.zorder_by or args.target or args.source_dir or args.table:
+            print("error: --compact-partitions takes only --cluster-by, "
+                  "--target-file-mb, --min-files", file=sys.stderr)
+            return 2
+    elif args.compact:
+        if not args.target:
+            print("error: --compact requires --target", file=sys.stderr)
+            return 2
         if args.cluster_by and args.zorder_by:
             print("error: --cluster-by and --zorder-by are exclusive",
                   file=sys.stderr)
@@ -117,14 +141,31 @@ def main(argv: list[str] | None = None) -> int:
             print(f"error: {', '.join(ignored)} do not apply to --compact",
                   file=sys.stderr)
             return 2
-    elif not args.source_dir or not args.table:
-        print("error: --source-dir and --table are required for transfers",
-              file=sys.stderr)
+    elif not args.source_dir or not args.table or not args.target:
+        print("error: --source-dir, --table and --target are required "
+              "for transfers", file=sys.stderr)
         return 2
 
     from etl_pack_spark.session import get_spark
 
     spark = get_spark("etl_pack_spark_cli")
+
+    if args.compact_partitions:
+        from etl_pack_spark.sinks.compaction import compact_partitions
+
+        stats = compact_partitions(
+            spark, args.compact_partitions,
+            target_file_mb=args.target_file_mb, min_files=args.min_files,
+            cluster_by=[c for c in args.cluster_by.split(",") if c] or None,
+        )
+        print(json.dumps({
+            "mode": "compact_partitions", "root": args.compact_partitions,
+            "rewritten": [
+                {"leaf": s_.out_path, "in_files": s_.in_files,
+                 "out_files": s_.out_files} for s_ in stats
+            ],
+        }))
+        return 0
 
     if args.compact:
         from etl_pack_spark.sinks.atomic import (

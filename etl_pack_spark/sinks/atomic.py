@@ -2,9 +2,11 @@
 
 The pattern (factored out of ``streaming.incremental.stream_cdc_apply``,
 which pioneered it for the CDC target): write the new table to a STAGED
-directory first, then swap it in via ``target -> target.bak`` +
-``staged -> target`` + drop backup. There is never a moment where
-neither ``target`` nor ``target.bak`` holds the previous table, so a
+directory first, then swap it in via ``target -> .target.bak`` +
+``staged -> target`` + drop backup (staging and backup dirs are
+dot-prefixed so concurrent Spark readers of the parent directory
+never see them). There is never a moment where neither ``target``
+nor its backup holds the previous table, so a
 kill at any point is recoverable: :func:`recover_swap` at the start of
 the next firing restores the backup if the swap died between the two
 renames, or discards it if the swap completed.
@@ -24,7 +26,14 @@ import tempfile
 
 
 def backup_path(target_path: str) -> str:
-    return target_path.rstrip("/") + ".bak"
+    """HIDDEN sibling (leading dot): during the swap window the
+    previous table lives here, and a dot-prefixed directory is
+    invisible to Spark's file listings — a concurrent reader of the
+    PARENT directory (partitioned-table case: the leaf's backup sits
+    inside the table root) must never see backup data as a partition."""
+    t = target_path.rstrip("/")
+    parent, name = os.path.split(t)
+    return os.path.join(parent, f".{name}.bak")
 
 
 def recover_swap(target_path: str) -> None:
@@ -40,10 +49,12 @@ def recover_swap(target_path: str) -> None:
 
 
 def stage_dir(target_path: str, prefix: str = "stage_") -> str:
-    """A fresh staging directory in the target's parent (same
-    filesystem, so the final rename is a metadata operation)."""
+    """A fresh HIDDEN staging directory in the target's parent (same
+    filesystem, so the final rename is a metadata operation; the
+    leading dot keeps half-written data invisible to Spark readers of
+    the parent — see :func:`backup_path`)."""
     parent = os.path.dirname(os.path.abspath(target_path)) or "."
-    staged = tempfile.mkdtemp(prefix=prefix, dir=parent)
+    staged = tempfile.mkdtemp(prefix="." + prefix.lstrip("."), dir=parent)
     # Spark's overwrite mode wants to create the dir itself
     os.rmdir(staged)
     return staged
@@ -52,7 +63,7 @@ def stage_dir(target_path: str, prefix: str = "stage_") -> str:
 def publish_swap(staged: str, target_path: str) -> None:
     """Swap a fully-written ``staged`` directory into ``target_path``.
     Call :func:`recover_swap` first at process start; between the two
-    renames here the previous table lives at ``target_path + '.bak'``."""
+    renames here the previous table lives at the hidden backup path."""
     backup = backup_path(target_path)
     if os.path.exists(target_path):
         os.replace(target_path, backup)

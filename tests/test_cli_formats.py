@@ -204,6 +204,7 @@ def test_cli_compact_in_place_and_crash_recovery(spark, sf_dir, tmp_path):
     import shutil
 
     from etl_pack_spark.cli import main
+    from etl_pack_spark.sinks.atomic import backup_path
 
     tgt = str(tmp_path / "table")
     spark.read.parquet(f"{sf_dir}/nation.parquet").repartition(6).write.parquet(tgt)
@@ -213,20 +214,44 @@ def test_cli_compact_in_place_and_crash_recovery(spark, sf_dir, tmp_path):
                "--cluster-by", "n_nationkey"])
     assert rc == 0
     assert spark.read.parquet(tgt).count() == n
-    assert not os.path.exists(tgt + ".bak")
+    assert not os.path.exists(backup_path(tgt))
     assert len([f for f in os.listdir(tgt) if f.endswith(".parquet")]) == 1
 
     # simulate a crash between the two renames: the pre-swap table
     # lives at .bak, the target path is gone
-    os.replace(tgt, tgt + ".bak")
+    os.replace(tgt, backup_path(tgt))
     rc = main(["--compact", tgt, "--target", tgt, "--in-place"])
     assert rc == 0
     assert spark.read.parquet(tgt).count() == n
-    assert not os.path.exists(tgt + ".bak")
+    assert not os.path.exists(backup_path(tgt))
 
     # stale backup next to an intact target is discarded, not restored
-    shutil.copytree(tgt, tgt + ".bak")
+    shutil.copytree(tgt, backup_path(tgt))
     rc = main(["--compact", tgt, "--target", tgt, "--in-place"])
     assert rc == 0
     assert spark.read.parquet(tgt).count() == n
-    assert not os.path.exists(tgt + ".bak")
+    assert not os.path.exists(backup_path(tgt))
+
+
+def test_cli_compact_partitions(spark, sf_dir, tmp_path):
+    import json as _json
+
+    from etl_pack_spark.cli import main
+
+    root = str(tmp_path / "ptab")
+    spark.read.parquet(f"{sf_dir}/orders.parquet").select(
+        "o_orderkey", "o_orderstatus"
+    ).repartition(6).write.partitionBy("o_orderstatus").parquet(root)
+    n = spark.read.parquet(root).count()
+    rc = main(["--compact-partitions", root])
+    assert rc == 0
+    assert spark.read.parquet(root).count() == n
+    import os
+    for leaf in os.listdir(root):
+        if not leaf.startswith(("_", ".")):
+            files = [f for f in os.listdir(os.path.join(root, leaf))
+                     if f.endswith(".parquet")]
+            assert len(files) == 1
+    # flags from other modes are rejected fast
+    assert main(["--compact-partitions", root, "--target", "x"]) == 2
+    assert main(["--compact-partitions", root, "--compact", "y"]) == 2

@@ -222,3 +222,57 @@ def test_target_file_mb_guard(spark, tmp_path):
 
     with _pt.raises(ValueError, match="target_file_mb"):
         compact(spark, str(tmp_path), str(tmp_path / "o"), target_file_mb=0)
+
+
+class TestCompactPartitions:
+    """Selective in-place compaction: only fragmented leaves rewrite,
+    swaps are atomic and hidden from concurrent readers."""
+
+    def _frag_table(self, spark, sf_dir, tmp_path):
+        root = str(tmp_path / "ptable")
+        orders = read_table(spark, sf_dir, "orders").select(
+            "o_orderkey", "o_totalprice", "o_orderstatus"
+        )
+        orders.repartition(8).write.partitionBy("o_orderstatus").parquet(root)
+        return root, orders
+
+    def test_only_fragmented_leaves_rewrite(self, spark, sf_dir, tmp_path):
+        import os
+
+        from etl_pack_spark.sinks.compaction import compact_partitions
+
+        root, orders = self._frag_table(spark, sf_dir, tmp_path)
+        n_rows = orders.count()
+        stats = compact_partitions(spark, root, target_file_mb=256)
+        assert len(stats) == 3                      # every status leaf was fragmented
+        assert all(s.in_files == 8 and s.out_files == 1 for s in stats)
+        assert spark.read.parquet(root).count() == n_rows
+        # second run: steady state, nothing fragmented, nothing rewritten
+        assert compact_partitions(spark, root, target_file_mb=256) == []
+        # no stage/backup litter; leaves hold exactly one file each
+        for leaf in os.listdir(root):
+            if leaf.startswith(("_", ".")):
+                continue
+            files = [f for f in os.listdir(os.path.join(root, leaf))
+                     if f.endswith(".parquet")]
+            assert len(files) == 1
+
+    def test_interrupted_leaf_swap_recovers(self, spark, sf_dir, tmp_path):
+        import os
+
+        from etl_pack_spark.sinks.atomic import backup_path
+        from etl_pack_spark.sinks.compaction import compact_partitions
+
+        root, orders = self._frag_table(spark, sf_dir, tmp_path)
+        n_rows = orders.count()
+        compact_partitions(spark, root)
+        # simulate a crash mid-swap on one leaf: table gone, backup holds it
+        leaf = os.path.join(root, sorted(
+            d for d in os.listdir(root) if d.startswith("o_orderstatus="))[0])
+        os.replace(leaf, backup_path(leaf))
+        # a concurrent reader between the renames sees the OTHER leaves
+        # only — never duplicated or half-written data
+        assert spark.read.parquet(root).count() < n_rows
+        compact_partitions(spark, root)
+        assert spark.read.parquet(root).count() == n_rows
+        assert not os.path.exists(backup_path(leaf))

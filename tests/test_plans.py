@@ -74,12 +74,29 @@ def test_bm25_broadcasts_stats_not_corpus(spark, sf_dir):
 
 
 def test_cdc_scd2_single_exchange(spark, sf_dir):
-    # dedup-then-lead over (key, ts): both windows share ONE hash
-    # exchange on the business key — no join, no second shuffle of the
-    # change stream (AQE may add a coalesce read, not a new exchange)
+    # the SCD-2 CORE keeps its shape: dedup-then-lead over (key, ts),
+    # both windows sharing ONE hash exchange on the business key — no
+    # join, no second shuffle of the change stream
+    from pyspark.sql import functions as F
+
+    from etl_pack_spark.plans.merge import scd2_build
+    from etl_pack_spark.sources.reader import read_table
+
+    ev = read_table(spark, sf_dir, "events").select(
+        "user_id", "event_type", "ts", "value"
+    )
+    core = scd2_build(ev, ["user_id", "event_type"], "ts")
+    cp = core._jdf.queryExecution().executedPlan().toString()
+    assert cp.count("Exchange hashpartitioning") == 1
+    assert "Join" not in cp
+    # the r5 registry slot adds the snapshot-diff rider: bounded extra
+    # work — one conditional-agg snapshot pass + the diff groupBy, and
+    # the ONLY join is the reconcile-op map broadcast onto history
+    # (never a shuffled join of the event stream against itself)
     plan = plan_of(spark, sf_dir, "cdc_scd2")
-    assert plan.count("Exchange hashpartitioning") == 1
-    assert "Join" not in plan
+    assert plan.count("Exchange hashpartitioning") <= 4
+    assert "SortMergeJoin" not in plan
+    assert plan.count("BroadcastHashJoin") == 1
 
 
 def test_contamination_broadcasts_eval_grams(spark, sf_dir):

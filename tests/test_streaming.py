@@ -255,7 +255,7 @@ def test_stream_cdc_apply_replay_equals_batch(spark, tmp_path):
 
 def test_stream_cdc_apply_recovers_interrupted_swap(spark, tmp_path):
     """A firing killed between the backup-move and the staged-move
-    leaves target missing + target.bak present; the next firing must
+    leaves target missing + the hidden backup present; the next firing must
     restore the backup before folding (no silent empty-target reset)."""
     import datetime as dt
     import os
@@ -275,14 +275,15 @@ def test_stream_cdc_apply_recovers_interrupted_swap(spark, tmp_path):
     ).write.parquet(tgt)
 
     # simulate the crash window: target moved to backup, new target never landed
-    os.replace(tgt, tgt + ".bak")
+    from etl_pack_spark.sinks.atomic import backup_path
+    os.replace(tgt, backup_path(tgt))
     assert not os.path.exists(tgt)
 
     stream_cdc_apply(spark, str(src), tgt, str(tmp_path / "ck"), ["k"], "ts")
     got = {(r["k"], r["val"]) for r in spark.read.parquet(tgt).collect()}
     # pre-existing key 9 survives: the fold saw the RESTORED target
     assert got == {(1, "a2"), (9, "keep")}
-    assert not os.path.exists(tgt + ".bak")
+    assert not os.path.exists(backup_path(tgt))
 
 
 class TestStreamNeardupIngest:
