@@ -53,7 +53,12 @@ NOTES = {
         "Dedup-per-(key, ts) and the lead() history window share ONE hash "
         "exchange on the business key: the dedup runs as a lag over the "
         "same partitioning, and its (ts, rest) sort satisfies the lead "
-        "window's ts-prefix ordering, so no second sort either."
+        "window's ts-prefix ordering, so no second sort either. The r5 "
+        "snapshot-diff rider derives BOTH reconciliation snapshots from "
+        "one conditional aggregate (the four metrics live in one struct "
+        "so per-branch pruning cannot split the subtree) and joins the "
+        "per-key I/U/D map back by broadcast — never a shuffled "
+        "self-join of the event stream."
     ),
     "bm25_search": (
         "Postings are filtered to the query's terms BEFORE the idf join, "
