@@ -316,7 +316,7 @@ def main() -> None:
     # wall-time budget; the curve claim needs the ORDER of growth, not
     # a low-noise point.
     factor2 = int(os.environ.get("SPARK_GRAFT_BENCH_SCALE_FACTOR2", "30"))
-    if factor2 > factor:
+    if factor > 1 and factor2 > factor:  # factor<=1 disables ALL probes
         n_docs2, t4 = probe_at(factor2, 1)
         out["scale_probe2_factor"] = factor2
         out["scale_probe2_docs"] = n_docs2

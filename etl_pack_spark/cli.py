@@ -93,9 +93,23 @@ def main(argv: list[str] | None = None) -> int:
             print("error: --target-file-mb must be > 0 and --min-files >= 2",
                   file=sys.stderr)
             return 2
-        if args.zorder_by or args.target or args.source_dir or args.table:
-            print("error: --compact-partitions takes only --cluster-by, "
-                  "--target-file-mb, --min-files", file=sys.stderr)
+        foreign = [
+            name for name, val in [
+                ("--target", args.target), ("--zorder-by", args.zorder_by),
+                ("--zorder-bits", args.zorder_bits),
+                ("--in-place", args.in_place),
+                ("--source-dir", args.source_dir), ("--table", args.table),
+                ("--fields", args.fields), ("--window", args.window),
+                ("--order", args.order), ("--increment", args.increment),
+                ("--partition-by", args.partition_by),
+                ("--streaming", args.streaming),
+                ("--checkpoint", args.checkpoint),
+            ] if val
+        ]
+        if foreign:
+            print(f"error: {', '.join(foreign)} do not apply to "
+                  "--compact-partitions (it takes only --cluster-by, "
+                  "--target-file-mb, --min-files)", file=sys.stderr)
             return 2
     elif args.compact:
         if not args.target:
@@ -124,7 +138,10 @@ def main(argv: list[str] | None = None) -> int:
                     "(or 0 for auto)",
                     file=sys.stderr)
                 return 2
-        if args.compact == args.target and not args.in_place:
+        import os as _os
+        same = _os.path.normpath(_os.path.abspath(args.compact)) == \
+            _os.path.normpath(_os.path.abspath(args.target))
+        if same and not args.in_place:
             print("error: --compact SRC equals --target; pass --in-place "
                   "for an atomic self-rewrite", file=sys.stderr)
             return 2

@@ -918,8 +918,10 @@ def _gif_decoder():
     Lossless, so tests compare bit-exactly against the JVM ImageIO
     decoder — a claim scoped to OPAQUE frames: pixels marked
     transparent by a Graphic Control Extension composite
-    deterministically as the logical-screen background color (the
-    same fill sub-frame compositing uses), which keeps a transparent
+    deterministically as the logical-screen background color (or a
+    white matte when the background index is itself the transparent
+    one — the common "background = transparent" authoring pattern,
+    matched to what standard flatteners do), which keeps a transparent
     GIF and its background-flattened re-encode adjacent in dHash
     space; renderers that flatten onto a different matte will differ
     on those pixels by construction. Animations decode to their first
@@ -1061,14 +1063,22 @@ def _gif_decoder():
                     dst = (top + y) * sw + left
                     frame_idx[dst : dst + iw] = idx[y * iw : (y + 1) * iw]
                 fw, fh = sw, sh
-            # transparent pixels composite as the background color
-            # (deterministic flatten; see decoder docstring)
-            if transp_idx is not None:
-                bg = bg_idx if bg_idx < npal and bg_idx != transp_idx else 0
-                frame_idx = [bg if v == transp_idx else v for v in frame_idx]
             px = bytearray(len(frame_idx) * 3)
             for i, v in enumerate(frame_idx):
                 px[3 * i : 3 * i + 3] = pal[3 * v : 3 * v + 3]
+            # transparent pixels composite as the background color; when
+            # the background index IS the transparent one (the common
+            # authoring pattern: "background = transparent") flatten to
+            # white like standard flatteners, at the RGB stage so the
+            # matte need not exist in the palette
+            if transp_idx is not None:
+                if bg_idx < npal and bg_idx != transp_idx:
+                    matte = pal[3 * bg_idx : 3 * bg_idx + 3]
+                else:
+                    matte = b"\xff\xff\xff"
+                for i, v in enumerate(frame_idx):
+                    if v == transp_idx:
+                        px[3 * i : 3 * i + 3] = matte
             return (fw, fh, 3, bytes(px))
         return None
 
@@ -1407,11 +1417,15 @@ def _mp4_sample_extractor():
         return (fourcc, spans) if spans else None
 
     def extract(b):
+        """ALL tracks with a complete sample table, in moov order —
+        callers pick by codec (a sound track listed before the video
+        track must not shadow it)."""
         if b is None or len(b) < 16:
-            return None
+            return []
         b = bytes(b)
         if b[4:8] != b"ftyp":
-            return None
+            return []
+        tracks = []
         try:
             for typ, lo, hi in walk(b, 0, len(b)):
                 if typ != b"moov":
@@ -1422,15 +1436,22 @@ def _mp4_sample_extractor():
                             for _, lo5, hi5 in find(b, lo4, hi4, b"stbl"):
                                 got = _stbl_samples(b, lo5, hi5)
                                 if got:
-                                    return got
+                                    tracks.append(got)
         except (IndexError, ValueError):
-            return None  # malformed box tree: quarantine, never raise
-        return None
+            return []  # malformed box tree: quarantine, never raise
+        return tracks
 
     return extract
 
 
-mp4_samples = _mp4_sample_extractor()
+_mp4_all_tracks = _mp4_sample_extractor()
+
+
+def mp4_samples(b):
+    """First track with a complete sample table (``(fourcc, spans)``)
+    or None — see ``_mp4_sample_extractor`` for the full track list."""
+    tracks = _mp4_all_tracks(b)
+    return tracks[0] if tracks else None
 
 # QuickTime/ISO fourccs whose samples are standalone JPEG images — the
 # one codec family the stdlib JPEG decoder can serve without a codec
@@ -1478,10 +1499,14 @@ def video_frames(media: DataFrame, max_frames: int = 16) -> DataFrame:
         for pdf in batches:
             rows = []
             for mid, content in zip(pdf["media_id"], pdf["content"]):
-                got = extract(content)
-                if got is None or got[0] not in MJPEG_FOURCC:
+                # first MJPEG track among ALL tracks — a sound track
+                # listed before the video track must not shadow it
+                spans = next(
+                    (sp for cc, sp in extract(content) if cc in MJPEG_FOURCC),
+                    None,
+                )
+                if spans is None:
                     continue
-                spans = got[1]
                 stride = max(1, -(-len(spans) // max_frames))
                 for k, (off, sz) in enumerate(spans[::stride][:max_frames]):
                     dec = decode_px(bytes(content[off : off + sz]))

@@ -39,13 +39,17 @@ def backup_path(target_path: str) -> str:
 def recover_swap(target_path: str) -> None:
     """Recover from a previous interrupted swap: if the target vanished
     after its backup was taken, restore the backup; if both exist, the
-    swap completed and the backup is stale — drop it."""
-    backup = backup_path(target_path)
-    if os.path.exists(backup):
-        if not os.path.exists(target_path):
-            os.replace(backup, target_path)
-        else:
-            shutil.rmtree(backup)
+    swap completed and the backup is stale — drop it. Also honors the
+    LEGACY visible backup name (``target.bak``, pre-hidden-naming) so
+    a crash under the old code is still recovered after an upgrade
+    instead of the table silently restarting empty."""
+    legacy = target_path.rstrip("/") + ".bak"
+    for backup in (backup_path(target_path), legacy):
+        if os.path.exists(backup):
+            if not os.path.exists(target_path):
+                os.replace(backup, target_path)
+            else:
+                shutil.rmtree(backup)
 
 
 def stage_dir(target_path: str, prefix: str = "stage_") -> str:

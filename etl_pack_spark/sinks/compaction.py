@@ -83,7 +83,7 @@ def compact(
     table format. An empty input listing is a loud error, not a 1-file
     plan from 0 bytes (an object-store path typo must not "succeed").
     """
-    n_in, in_bytes, n_out = _plan_out_files(spark, in_path, target_file_mb)
+    n_in, in_bytes, n_out, _ = _plan_out_files(spark, in_path, target_file_mb)
     df: DataFrame = spark.read.parquet(in_path)
     if cluster_by:
         df = df.repartitionByRange(n_out, *cluster_by).sortWithinPartitions(*cluster_by)
@@ -232,7 +232,10 @@ def _merge_bounds(a: dict | None, b: dict | None) -> dict | None:
 
 
 def _footer_bounds(
-    spark: SparkSession, in_path: str, cols: list[str]
+    spark: SparkSession,
+    in_path: str,
+    cols: list[str],
+    files: list[str] | None = None,
 ) -> dict | None:
     """Per-column (min, max) from parquet FOOTER statistics — metadata
     reads only, no data scan. None when any column lacks stats or is a
@@ -248,7 +251,8 @@ def _footer_bounds(
         import pyarrow.parquet as pq  # noqa: F401
     except ImportError:
         return None
-    files = [p for p, _ in list_parquet_files(spark, in_path)]
+    if files is None:
+        files = [p for p, _ in list_parquet_files(spark, in_path)]
     if not files:
         return None
     cols = list(cols)
@@ -271,32 +275,39 @@ def _footer_bounds(
 
 def _plan_out_files(
     spark: SparkSession, in_path: str, target_file_mb: float
-) -> tuple[int, int, int]:
+) -> tuple[int, int, int, list[str]]:
+    """(n_in, in_bytes, n_out, file_uris) — the inventory is returned
+    so callers never pay the recursive listing twice (on the
+    millions-of-files tables compaction targets, the listing IS a
+    dominant cost)."""
     if target_file_mb <= 0:
         raise ValueError(f"target_file_mb must be > 0, got {target_file_mb}")
-    n_in, in_bytes = _dir_stats(spark, in_path)
+    inv = list_parquet_files(spark, in_path)
+    n_in, in_bytes = len(inv), sum(n for _, n in inv)
     if n_in == 0:
         raise ValueError(
             f"no parquet files under {in_path!r} — refusing to compact an "
             "empty listing (wrong path / scheme?)"
         )
     n_out = max(1, math.ceil(in_bytes / (target_file_mb * (1 << 20))))
-    return n_in, in_bytes, n_out
+    return n_in, in_bytes, n_out, [p for p, _ in inv]
 
 
-def _leaf_dirs(spark: SparkSession, root: str) -> list[str]:
+def _leaf_dirs(spark: SparkSession, root: str) -> list[tuple[str, int, int]]:
     """LEAF directories (those directly containing parquet files)
     under a partitioned table root, via the Hadoop FileSystem API —
-    each leaf is one partition and one compaction unit."""
+    each leaf is one partition and one compaction unit. Returns
+    ``(path, n_parquet_files, bytes)`` so the fragmentation decision
+    costs no second listing."""
     jvm = spark._jvm
     hroot = jvm.org.apache.hadoop.fs.Path(root)
     fs = hroot.getFileSystem(spark._jsc.hadoopConfiguration())
     if not fs.exists(hroot):
         raise FileNotFoundError(f"compaction root does not exist: {root}")
-    leaves: list[str] = []
+    leaves: list[tuple[str, int, int]] = []
 
     def descend(p):
-        has_parquet, subdirs = False, []
+        n, nbytes, subdirs = 0, 0, []
         for st in fs.listStatus(p):
             name = st.getPath().getName()
             if name.startswith(("_", ".")):
@@ -304,9 +315,10 @@ def _leaf_dirs(spark: SparkSession, root: str) -> list[str]:
             if st.isDirectory():
                 subdirs.append(st.getPath())
             elif name.endswith(".parquet"):
-                has_parquet = True
-        if has_parquet:
-            leaves.append(p.toString())
+                n += 1
+                nbytes += int(st.getLen())
+        if n:
+            leaves.append((p.toString(), n, nbytes))
         for d in subdirs:
             descend(d)
 
@@ -359,9 +371,8 @@ def compact_partitions(
                 recover_swap(os.path.join(r, d[1:-4]))
                 dirs.remove(d)
 
-    for leaf in _leaf_dirs(spark, root):
+    for leaf, n, nbytes in _leaf_dirs(spark, root):
         local = _local_path(leaf)
-        n, nbytes = _dir_stats(spark, leaf)
         if n < min_files or nbytes / n >= min_avg_mb * (1 << 20):
             continue
         staged = stage_dir(local, prefix="compact_part_")
@@ -389,10 +400,11 @@ def compact_zorder(
     normalization bounds come from the parquet FOOTERS (metadata
     only, read as a distributed job) when every column carries numeric
     stats, falling back to one tiny agg scan otherwise."""
-    n_in, in_bytes, n_out = _plan_out_files(spark, in_path, target_file_mb)
+    n_in, in_bytes, n_out, files = _plan_out_files(spark, in_path, target_file_mb)
     df = spark.read.parquet(in_path)
     z = zorder_key(
-        df, zorder_by, bits, bounds=_footer_bounds(spark, in_path, zorder_by)
+        df, zorder_by, bits,
+        bounds=_footer_bounds(spark, in_path, zorder_by, files=files),
     )
     out = (
         df.withColumn("__z", z)

@@ -295,6 +295,10 @@ def stream_neardup_ingest(
         )
         if os.path.exists(store_path):
             store = sess.read.parquet(store_path)
+            if "__batch" not in store.columns:
+                # migration shim: stores written before the batch stamp
+                # existed read as batch -1 (any stamped rewrite wins)
+                store = store.withColumn("__batch", F.lit(-1))
             sig_cols = [c for c in store.columns if c not in (id_col, "__batch")]
             sig_old = (
                 store.groupBy(id_col)

@@ -1246,3 +1246,58 @@ class TestVideoFrames:
                 multimodal.video_frames(self._media(spark, [bytes(mp4)])).collect()}
         assert rows[0]["width"] == 16 and rows[0]["frame_dhash"] is not None
         assert rows[1]["width"] is None and rows[1]["frame_dhash"] is None
+
+
+def test_video_frames_audio_track_first_still_decodes(spark):
+    """A sound track listed before the video track must not shadow the
+    MJPEG track (extractor returns ALL tracks; the operator picks the
+    first MJPEG one)."""
+    tv = TestVideoFrames()
+    jpeg = tv._enc_jpeg(spark, 16, 16, lambda x, y: (x * 7 << 8) | y)
+    # build a file whose moov carries an AUDIO trak (mp4a) before the
+    # video trak, both with complete sample tables
+    box = TestVideoFrames._box
+    ftyp = box(b"ftyp", b"qt  " + bytes(4))
+    base = len(ftyp) + 8
+    mdat = box(b"mdat", b"\x00" * 32 + jpeg)
+
+    def trak(fourcc, sizes, chunk_off):
+        stsd = box(b"stsd", bytes(4) + (1).to_bytes(4, "big") + box(fourcc, bytes(70)))
+        stsz = box(b"stsz", bytes(4) + (0).to_bytes(4, "big")
+                   + len(sizes).to_bytes(4, "big")
+                   + b"".join(sz.to_bytes(4, "big") for sz in sizes))
+        stsc = box(b"stsc", bytes(4) + (1).to_bytes(4, "big")
+                   + (1).to_bytes(4, "big") + len(sizes).to_bytes(4, "big")
+                   + (1).to_bytes(4, "big"))
+        stco = box(b"stco", bytes(4) + (1).to_bytes(4, "big")
+                   + chunk_off.to_bytes(4, "big"))
+        return box(b"trak", box(b"mdia", box(b"minf",
+                   box(b"stbl", stsd + stsz + stsc + stco))))
+
+    moov = box(b"moov",
+               trak(b"mp4a", [32], base) + trak(b"jpeg", [len(jpeg)], base + 32))
+    mp4 = ftyp + mdat + moov
+    df = spark.createDataFrame([(0, bytearray(mp4))], "media_id long, content binary")
+    rows = multimodal.video_frames(df).collect()
+    assert len(rows) == 1 and rows[0]["width"] == 16
+
+
+def test_gif_background_equals_transparent_flattens_white():
+    """The common 'background = transparent' authoring pattern must
+    flatten to a white matte, not arbitrary palette entry 0."""
+    lz = _lzw_pack
+    gct = bytes([10, 20, 30, 200, 100, 50, 255, 0, 0]) + bytes(3)
+    # bg index 2 (red) == transparent index 2
+    hdr = b"GIF89a" + (2).to_bytes(2, "little") + (1).to_bytes(2, "little") \
+        + bytes([0x81, 2, 0])
+    gce = b"\x21\xf9\x04\x01\x00\x00\x02\x00"
+    desc = b"\x2c" + bytes(4) + (2).to_bytes(2, "little") \
+        + (1).to_bytes(2, "little") + b"\x00"
+    body = lz([4, 1, 2, 5])
+    data = bytes([2, len(body)]) + body + b"\x00"
+    dec = multimodal.gif_decode(hdr + gct + gce + desc + data + b"\x3b")
+    import numpy as np
+
+    px = np.frombuffer(dec[3], dtype=np.uint8).reshape(1, 2, 3)
+    assert tuple(px[0, 0]) == (200, 100, 50)    # opaque pixel kept
+    assert tuple(px[0, 1]) == (255, 255, 255)   # transparent -> white

@@ -412,3 +412,47 @@ class TestNeardupIngestUpdates:
             .where("doc_id = 1").select("s.*").collect()[0]
         )
         assert tuple(latest) == tuple(sig_b[c] for c in cols)
+
+
+def test_neardup_store_without_batch_column_migrates(spark, tmp_path):
+    """Stores written before the batch stamp existed (no __batch
+    column) must keep working: they read as batch -1 and any stamped
+    rewrite wins."""
+    from etl_pack_spark.operators import neardup
+    from etl_pack_spark.operators.tokenize import shingle_rows
+    from etl_pack_spark.streaming.incremental import stream_neardup_ingest
+
+    src = str(tmp_path / "src")
+    store = str(tmp_path / "store")
+    t_a = "alpha beta gamma delta epsilon zeta eta theta running words"
+    # legacy store: signatures WITHOUT __batch
+    neardup.minhash_signature(
+        shingle_rows(
+            spark.createDataFrame([(1, t_a)], "doc_id long, text string"),
+            "doc_id", "text", 3, distinct=False,
+        ),
+        "doc_id",
+    ).write.parquet(store)
+    # new arrival near-duplicating the stored doc must match against it
+    spark.createDataFrame([(2, t_a + " tail")], "doc_id long, text string") \
+        .write.mode("append").parquet(src)
+    stream_neardup_ingest(spark, src, store, str(tmp_path / "m"),
+                          str(tmp_path / "ck"))
+    pairs = {frozenset((r["id_a"], r["id_b"]))
+             for r in spark.read.parquet(str(tmp_path / "m")).collect()}
+    assert frozenset((1, 2)) in pairs
+
+
+def test_recover_swap_honors_legacy_backup_name(tmp_path):
+    """A crash under the pre-hidden-naming code left 'target.bak'; the
+    upgraded recovery must restore it, not restart the table empty."""
+    import os
+
+    from etl_pack_spark.sinks.atomic import recover_swap
+
+    tgt = str(tmp_path / "tbl")
+    os.makedirs(tgt + ".bak")
+    open(os.path.join(tgt + ".bak", "part-0.parquet"), "w").write("x")
+    recover_swap(tgt)
+    assert os.path.isdir(tgt) and not os.path.exists(tgt + ".bak")
+    assert os.path.exists(os.path.join(tgt, "part-0.parquet"))
