@@ -1,0 +1,127 @@
+"""ClickHouse HTTP ``FORMAT JSON`` response decoding, engine-side.
+
+The reference reads ClickHouse over HTTP: it appends ``FORMAT JSON``
+to SELECTs and decodes the ``{"meta": [{name, type}...], "data":
+[{col: val}...]}`` body into its Batch (``clickhouse/clickhouse.go:
+37-41`` query shaping, ``:69-77`` decode, ``:90-124`` convert/
+flatMeta), collapsing unknown type tags to string
+(``clickhouse/types/types.go`` ``Update``) and re-rendering DateTime
+values (``ToUniversal``). No ClickHouse server is reachable in this
+environment, so the TRANSPORT cannot run — but the decode semantics
+can, against captured/golden response bodies, closing that half of
+the live-dialect delta.
+
+Scale shape: one response body is one page (the reference pages with
+``LIMIT offset, n``; here pages come from partitioned range reads —
+``sources/jdbc.py``). :func:`clickhouse_json_to_df` parses ONE page
+driver-side (useful for tests and small control queries);
+:func:`clickhouse_json_pages` parses MANY pages as an Arrow-batched
+``mapInPandas`` stage — bodies fetched per partition are decoded on
+executors, so the driver never sees row data.
+"""
+
+from __future__ import annotations
+
+import datetime as _dt
+import decimal as _dec
+import json
+from collections.abc import Iterator
+
+from pyspark.sql import DataFrame, SparkSession
+
+from etl_pack_spark.schema import (
+    CLICKHOUSE_TO_UNIVERSAL,
+    normalize_type_tags,
+    universal_struct,
+)
+
+_CH_DT_FMT = "%Y-%m-%d %H:%M:%S"  # clickhouse/types/types.go:27
+
+
+def _coerce(value, tag: str):
+    """One JSON cell → the Python value for its universal tag.
+
+    Mirrors the reference's value path: DateTime strings re-parse
+    (``ToUniversal``), everything else passes through, and any value
+    under an UNKNOWN tag is stringified (its ``fmt.Sprint`` collapse —
+    non-scalar JSON values render as compact JSON here, the one
+    deliberate divergence from Go's ``fmt`` rendering)."""
+    if value is None:
+        return None
+    if tag == "datetime":
+        return _dt.datetime.strptime(str(value), _CH_DT_FMT)
+    if tag == "date":
+        return _dt.date.fromisoformat(str(value))
+    if tag == "uint64":
+        return _dec.Decimal(str(value))
+    if tag in ("int8", "int16", "int32", "int64", "uint8", "uint16", "uint32"):
+        return int(value)
+    if tag in ("float32", "float64"):
+        return float(value)
+    if isinstance(value, (dict, list)):
+        return json.dumps(value, separators=(",", ":"))
+    return str(value)
+
+
+def parse_meta(payload) -> tuple[list[str], list[str]]:
+    """(names, universal tags) from a response body — ``flatMeta`` +
+    the unknown→string collapse."""
+    obj = payload if isinstance(payload, dict) else json.loads(payload)
+    meta = obj.get("meta", [])
+    names = [m["name"] for m in meta]
+    tags = normalize_type_tags(
+        [m["type"] for m in meta], CLICKHOUSE_TO_UNIVERSAL
+    )
+    return names, tags
+
+
+def clickhouse_json_to_df(spark: SparkSession, payload) -> DataFrame:
+    """ONE ``FORMAT JSON`` body → a typed DataFrame (driver-side
+    parse; for many pages use :func:`clickhouse_json_pages`)."""
+    obj = payload if isinstance(payload, dict) else json.loads(payload)
+    names, tags = parse_meta(obj)
+    schema = universal_struct(names, tags)
+    rows = [
+        tuple(_coerce(r.get(n), t) for n, t in zip(names, tags))
+        for r in obj.get("data", [])
+    ]
+    return spark.createDataFrame(rows, schema)
+
+
+def clickhouse_json_pages(
+    bodies: DataFrame,
+    names: list[str],
+    ch_types: list[str],
+    body_col: str = "body",
+) -> DataFrame:
+    """MANY response pages → one typed DataFrame, decoded on the
+    executors: ``bodies`` carries one ``FORMAT JSON`` body per row
+    (however they were fetched — one per partition/range), and each
+    Arrow batch of bodies parses in place. ``names``/``ch_types`` are
+    the expected meta (all pages of one query share it); a page whose
+    meta disagrees raises rather than silently mis-mapping columns.
+    """
+    import pandas as pd
+
+    tags = normalize_type_tags(ch_types, CLICKHOUSE_TO_UNIVERSAL)
+    schema = universal_struct(names, tags)
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = []
+            for body in pdf[body_col]:
+                if body is None:
+                    continue
+                obj = json.loads(body)
+                got = parse_meta(obj)
+                if got != (names, tags):
+                    raise ValueError(
+                        f"page meta {got} != expected {(names, tags)}"
+                    )
+                for r in obj.get("data", []):
+                    out.append(
+                        tuple(_coerce(r.get(n), t) for n, t in zip(names, tags))
+                    )
+            yield pd.DataFrame(out, columns=names)
+
+    return bodies.select(body_col).mapInPandas(run, schema=schema)
