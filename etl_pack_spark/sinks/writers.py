@@ -117,3 +117,53 @@ def jdbc_writer(
     if password is not None:
         writer = writer.option("password", password)
     return writer
+
+
+def insert_header(target: str, names: list[str]) -> str:
+    """The reference writer's INSERT header, string-exact
+    (``mysql/writer/main.go`` ``createHeader``, golden-pinned at
+    ``mysql/writer/main_test.go`` — including the no-columns form and
+    the trailing space). Compatibility/audit shim: real writes go
+    through :func:`jdbc_writer`'s typed parameter binding."""
+    cols = f" ({','.join(names)})" if names else ""
+    return f"INSERT INTO {target}{cols} VALUES "
+
+
+def render_insert_literal(tag: str, value: str) -> str:
+    """T3 universal→storage literal rendering, reference-exact
+    (``mysql/types/types.go`` ``FromUniversal``): ``int64``/``date``
+    pass raw; ``datetime`` re-parses the universal ISO form and
+    renders ``'YYYY-MM-DD HH:MM:SS'`` (unparseable input is an error,
+    aborting the batch like the reference); EVERYTHING else — note:
+    including the unsigned ints its own golden test calls "not
+    supported in this version" — is quoted with ``''`` escaping."""
+    import datetime as _dt
+
+    if tag in ("int64", "date"):
+        return value
+    if tag == "datetime":
+        v = value.replace("Z", "+00:00") if value.endswith("Z") else value
+        dt = _dt.datetime.fromisoformat(v)  # Go layout 2006-01-02T15:04:05.999Z07:00
+        return f"'{dt:%Y-%m-%d %H:%M:%S}'"
+    return "'" + value.replace("'", "''") + "'"
+
+
+def insert_batch_sql(
+    target: str, names: list[str], tags: list[str], values: list[str]
+) -> tuple[int, str]:
+    """One multi-VALUES INSERT from a flat row-major value list —
+    ``messageToQuery`` (``mysql/writer/main.go:96-123``), returning
+    ``(count_rows, sql)`` exactly like its ``InsertBatch``. Shim for
+    dialect parity and audit-log comparison only (see
+    :func:`insert_header`)."""
+    sql = insert_header(target, names)
+    width = len(names)
+    parts = []
+    for i, v in enumerate(values):
+        col = i % width
+        if col == 0:
+            parts.append("(" if i == 0 else "),(")
+        else:
+            parts.append(",")
+        parts.append(render_insert_literal(tags[col], v))
+    return len(values) // width, sql + "".join(parts) + ")"

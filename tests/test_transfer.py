@@ -108,3 +108,47 @@ def test_write_sink_tsv_is_tab_separated(spark, sf_dir, tmp_path):
     lines = open(part).read().strip().splitlines()
     assert lines[0] == "n_nationkey\tn_name"
     assert all("\t" in l for l in lines[1:])
+
+
+class TestWriterGoldenSql:
+    """Ported golden vectors for the writer's literal-SQL shims
+    (header, FromUniversal rendering, multi-VALUES assembly)."""
+
+    def test_header_with_and_without_columns(self):
+        from etl_pack_spark.sinks.writers import insert_header
+
+        assert insert_header("DB.table", ["col1", "col2", "col3"]) == \
+            "INSERT INTO DB.table (col1,col2,col3) VALUES "
+        assert insert_header("DB.table", []) == "INSERT INTO DB.table VALUES "
+
+    def test_message_to_query_golden(self):
+        from etl_pack_spark.sinks.writers import insert_batch_sql
+
+        n, sql = insert_batch_sql(
+            "DB.table",
+            ["col1", "col2", "col3"],
+            ["int64", "uint32", "string"],   # uint32: unsupported -> quoted
+            ["-1", "2", "Hello!", "-3", "4", "World!"],
+        )
+        assert n == 2
+        assert sql == ("INSERT INTO DB.table (col1,col2,col3) VALUES "
+                       "(-1,'2','Hello!'),(-3,'4','World!')")
+
+    def test_bad_datetime_aborts(self):
+        import pytest as _pt
+
+        from etl_pack_spark.sinks.writers import insert_batch_sql
+
+        with _pt.raises(ValueError):
+            insert_batch_sql("DB.table", ["col1"], ["datetime"], ["-1", "-3"])
+
+    def test_datetime_and_quote_escaping(self):
+        from etl_pack_spark.sinks.writers import render_insert_literal
+
+        assert render_insert_literal(
+            "datetime", "2022-06-19T12:30:45.999+07:00"
+        ) == "'2022-06-19 12:30:45'"
+        assert render_insert_literal("datetime", "2022-06-19T12:30:45Z") == \
+            "'2022-06-19 12:30:45'"
+        assert render_insert_literal("string", "it's") == "'it''s'"
+        assert render_insert_literal("int64", "-9") == "-9"
