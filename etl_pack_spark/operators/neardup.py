@@ -122,13 +122,37 @@ def _banded(
     )
 
 
+def _drop_hot_buckets(rows: DataFrame, keys: list[str], cap: int) -> DataFrame:
+    """Remove rows whose bucket (by ``keys``) holds more than ``cap``
+    members: ONE map-side-combinable count + a broadcast anti-join on
+    the (by construction few) overfull bucket keys — the heavy-hitter
+    guard for candidate-generating self-joins. A bucket of b members
+    emits b² / 2 candidate pairs, so a single degenerate bucket
+    (boilerplate pages, empty docs, adversarial duplication) can
+    dominate the whole job; capping trades recall ONLY among pairs
+    whose every shared bucket is overfull — which at cap≫1 means
+    near-identical floods that exact dedup upstream should own."""
+    over = (
+        rows.groupBy(*keys).count().where(F.col("count") > cap).drop("count")
+    )
+    return rows.join(F.broadcast(over), keys, "left_anti")
+
+
 def lsh_candidate_pairs(
-    sig: DataFrame, id_col: str, num_hashes: int = 16, bands: int = 8
+    sig: DataFrame,
+    id_col: str,
+    num_hashes: int = 16,
+    bands: int = 8,
+    max_bucket: int | None = None,
 ) -> DataFrame:
     """Band the signature, bucket-join on (band, key), emit id pairs
     (a < b). The self-join is the one shuffle; bucket sizes are bounded
-    by LSH, so no quadratic blowup at scale."""
+    by LSH, so no quadratic blowup at scale — except under mass
+    duplication, where ``max_bucket`` (opt-in) caps the blowup via
+    :func:`_drop_hot_buckets`."""
     banded = _banded(sig, id_col, num_hashes, bands)
+    if max_bucket is not None:
+        banded = _drop_hot_buckets(banded, ["band", "bk"], max_bucket)
     a, b = banded.alias("a"), banded.alias("b")
     return (
         a.join(
@@ -169,6 +193,7 @@ def minhash_lsh_dedup_pairs(
     num_hashes: int = 16,
     bands: int = 8,
     threshold: float = 0.8,
+    max_bucket: int | None = None,
 ) -> DataFrame:
     """The full near-dup pipeline: shingle → minhash → LSH buckets →
     exact-Jaccard verify.
@@ -185,7 +210,9 @@ def minhash_lsh_dedup_pairs(
     # tiny (num_hashes longs per doc), so caching it is correct at any
     # corpus size; cand is smaller still.
     sig = _pooled_persist(minhash_signature(rows, id_col, num_hashes))
-    cand = _pooled_persist(lsh_candidate_pairs(sig, id_col, num_hashes, bands))
+    cand = _pooled_persist(
+        lsh_candidate_pairs(sig, id_col, num_hashes, bands, max_bucket)
+    )
     cand_ids = _pooled_persist(
         cand.select(F.col("id_a").alias(id_col))
         .union(cand.select(F.col("id_b").alias(id_col)))
@@ -562,6 +589,7 @@ def hamming_neardup_pairs(
     sig_col: str = "simhash",
     max_hamming: int = 10,
     chunks: int = 4,
+    max_block_freq: int | None = None,
 ) -> DataFrame:
     """Near-dup pairs over ANY 64-bit signature rendered as 16 hex
     chars (simhash of text, dHash of images, …): candidates share at
@@ -580,6 +608,13 @@ def hamming_neardup_pairs(
             F.array(*[F.substring(sig_col, 1 + c * width, width) for c in range(chunks)])
         ).alias("blk_idx", "blk"),
     )
+    if max_block_freq is not None:
+        # heavy-hitter guard (opt-in): a block value shared by b docs
+        # emits b²/2 candidates — mass-duplicated signatures make one
+        # block dominate the join (the 30x replication probe's
+        # superlinear point). Pairs whose EVERY shared block is capped
+        # are lost; at sane caps those are identical-signature floods.
+        blocks = _drop_hot_buckets(blocks, ["blk_idx", "blk"], max_block_freq)
     a, b = blocks.alias("a"), blocks.alias("b")
     cand = (
         a.join(
@@ -607,13 +642,17 @@ def simhash_neardup_pairs(
     text_col: str,
     max_hamming: int = 10,
     chunks: int = 4,
+    max_block_freq: int | None = None,
 ) -> DataFrame:
     """SimHash near-dup pairs: text signatures through the generic
     :func:`hamming_neardup_pairs` block-match (same shuffle shape as
     minhash LSH — block equi-join, no all-pairs; the generic op owns
-    the signature persist)."""
+    the signature persist). ``max_block_freq`` opts into the
+    heavy-hitter bucket cap."""
     sig = simhash_signature(df, id_col, text_col)
-    return hamming_neardup_pairs(sig, id_col, "simhash", max_hamming, chunks)
+    return hamming_neardup_pairs(
+        sig, id_col, "simhash", max_hamming, chunks, max_block_freq
+    )
 
 
 def hamming_neardup_pairs_sql(

@@ -190,3 +190,51 @@ def test_incremental_match_oracle_parity(spark, sf_dir):
     )).fetchall()))
     assert got == want
     assert len(got) > 0
+
+
+class TestHeavyHitterCap:
+    """Opt-in hot-bucket caps: mass-duplicated signatures must not
+    dominate candidate generation; distinct near-pairs survive."""
+
+    def test_simhash_block_cap_drops_flood_keeps_pair(self, spark):
+        from etl_pack_spark.operators import neardup
+
+        flood = [(i, "the same flooded boilerplate page text repeated "
+                     "everywhere across the crawl again and again")
+                 for i in range(40)]
+        base = ("a genuinely unique document about distributed query "
+                "engines their shuffle strategies broadcast joins "
+                "partition pruning adaptive execution code generation "
+                "vectorized readers columnar storage predicate pushdown "
+                "statistics collection and cost based optimization")
+        near = [(100, base), (101, base + " appendix")]
+        df = spark.createDataFrame(flood + near, "doc_id long, text string")
+        uncapped = neardup.simhash_neardup_pairs(df, "doc_id", "text")
+        capped = neardup.simhash_neardup_pairs(
+            df, "doc_id", "text", max_block_freq=10
+        )
+        got_u = {frozenset((r["id_a"], r["id_b"])) for r in uncapped.collect()}
+        got_c = {frozenset((r["id_a"], r["id_b"])) for r in capped.collect()}
+        assert frozenset((100, 101)) in got_u
+        assert frozenset((100, 101)) in got_c          # unique pair survives
+        # the 40-doc flood (780 pairs) is capped away
+        assert len(got_u) > 700 and len(got_c) < 10
+
+    def test_minhash_bucket_cap_same_semantics(self, spark):
+        from etl_pack_spark.operators import neardup
+
+        flood = [(i, "flood flood flood flood flood flood flood flood")
+                 for i in range(30)]
+        base2 = ("orthogonal content about perceptual hashing of images "
+                 "and audio fingerprints in data pipelines with banded "
+                 "signatures bucket joins candidate verification exact "
+                 "jaccard scoring and incremental signature stores for "
+                 "streaming ingest at corpus scale")
+        near = [(200, base2), (201, base2 + " appendix")]
+        df = spark.createDataFrame(flood + near, "doc_id long, text string")
+        capped = neardup.minhash_lsh_dedup_pairs(
+            df, "doc_id", "text", max_bucket=8
+        )
+        got = {frozenset((r["id_a"], r["id_b"])) for r in capped.collect()}
+        assert frozenset((200, 201)) in got
+        assert all(100 <= min(p) for p in got)          # no flood pairs
