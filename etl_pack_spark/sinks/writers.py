@@ -156,8 +156,16 @@ def insert_batch_sql(
     ``(count_rows, sql)`` exactly like its ``InsertBatch``. Shim for
     dialect parity and audit-log comparison only (see
     :func:`insert_header`)."""
-    sql = insert_header(target, names)
     width = len(names)
+    if width == 0 or not values or len(values) % width:
+        # the reference never feeds these shapes (its reader always
+        # sends full non-empty rows); emitting a dangling ')' or a
+        # short tuple would be silently-wrong SQL
+        raise ValueError(
+            f"values (len {len(values)}) must be a non-empty multiple of "
+            f"names (len {width})"
+        )
+    sql = insert_header(target, names)
     parts = []
     for i, v in enumerate(values):
         col = i % width

@@ -58,6 +58,16 @@ def _coerce(value, tag: str):
         return int(value)
     if tag in ("float32", "float64"):
         return float(value)
+    return _render_unknown(value)
+
+
+def _render_unknown(value):
+    """fmt.Sprint-compatible stringification for values under UNKNOWN
+    type tags: JSON booleans render lowercase like Go's, scalars pass
+    through, and non-scalars render as compact JSON (the one
+    deliberate divergence from Go's ``fmt`` rendering)."""
+    if isinstance(value, bool):
+        return "true" if value else "false"
     if isinstance(value, (dict, list)):
         return json.dumps(value, separators=(",", ":"))
     return str(value)
@@ -105,23 +115,51 @@ def clickhouse_json_pages(
 
     tags = normalize_type_tags(ch_types, CLICKHOUSE_TO_UNIVERSAL)
     schema = universal_struct(names, tags)
+    int_tags = {"int8", "int16", "int32", "int64", "uint8", "uint16", "uint32"}
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            out = []
+            frames = []
             for body in pdf[body_col]:
                 if body is None:
-                    continue
+                    # a NULL body means an upstream fetch failure —
+                    # dropping the page silently would hand consumers
+                    # an incomplete corpus with zero diagnostics
+                    raise ValueError("NULL response body (failed fetch?)")
                 obj = json.loads(body)
                 got = parse_meta(obj)
                 if got != (names, tags):
                     raise ValueError(
                         f"page meta {got} != expected {(names, tags)}"
                     )
-                for r in obj.get("data", []):
-                    out.append(
-                        tuple(_coerce(r.get(n), t) for n, t in zip(names, tags))
+                frames.append(
+                    pd.DataFrame(obj.get("data", []), columns=names)
+                )
+            page = (
+                pd.concat(frames, ignore_index=True)
+                if frames
+                else pd.DataFrame(columns=names)
+            )
+            # COLUMN-WISE coercion (vectorized pandas passes, not a
+            # per-cell Python loop — this is the scale path)
+            for n, t in zip(names, tags):
+                col = page[n]
+                if t == "datetime":
+                    page[n] = pd.to_datetime(col, format=_CH_DT_FMT)
+                elif t == "date":
+                    page[n] = pd.to_datetime(col).dt.date
+                elif t == "uint64":
+                    page[n] = col.map(
+                        lambda v: None if pd.isna(v) else _dec.Decimal(str(v))
                     )
-            yield pd.DataFrame(out, columns=names)
+                elif t in int_tags:
+                    page[n] = col.astype("Int64")
+                elif t in ("float32", "float64"):
+                    page[n] = col.astype("float64")
+                else:
+                    page[n] = col.map(
+                        lambda v: None if v is None else _render_unknown(v)
+                    )
+            yield page
 
     return bodies.select(body_col).mapInPandas(run, schema=schema)

@@ -311,3 +311,27 @@ class TestClickhouseFormatJson:
         )
         with _pt.raises(Exception, match="meta"):
             clickhouse_json_pages(bodies, ["ts"], ["DateTime"]).collect()
+
+
+def test_clickhouse_unknown_bool_renders_go_style(spark):
+    import json as _json
+
+    from etl_pack_spark.sources.clickhouse_json import clickhouse_json_to_df
+
+    body = {"meta": [{"name": "b", "type": "Bool"}],
+            "data": [{"b": True}, {"b": False}, {"b": None}]}
+    vals = sorted(
+        (r["b"] for r in clickhouse_json_to_df(spark, _json.dumps(body)).collect()),
+        key=lambda v: (v is None, v),
+    )
+    assert vals == ["false", "true", None]
+
+
+def test_clickhouse_null_body_raises(spark):
+    import pytest as _pt
+
+    from etl_pack_spark.sources.clickhouse_json import clickhouse_json_pages
+
+    bodies = spark.createDataFrame([(1, None)], "page int, body string")
+    with _pt.raises(Exception, match="NULL response body"):
+        clickhouse_json_pages(bodies, ["b"], ["Bool"]).collect()

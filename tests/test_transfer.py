@@ -152,3 +152,16 @@ class TestWriterGoldenSql:
             "'2022-06-19 12:30:45'"
         assert render_insert_literal("string", "it's") == "'it''s'"
         assert render_insert_literal("int64", "-9") == "-9"
+
+
+def test_insert_batch_sql_rejects_malformed_shapes():
+    import pytest as _pt
+
+    from etl_pack_spark.sinks.writers import insert_batch_sql
+
+    with _pt.raises(ValueError, match="multiple"):
+        insert_batch_sql("t", ["c"], ["string"], [])
+    with _pt.raises(ValueError, match="multiple"):
+        insert_batch_sql("t", [], ["string"], ["x"])
+    with _pt.raises(ValueError, match="multiple"):
+        insert_batch_sql("t", ["a", "b"], ["string", "string"], ["1", "2", "3"])
