@@ -1,0 +1,100 @@
+"""URL canonicalization + URL-keyed dedup for web corpora.
+
+Crawl pipelines dedup by URL BEFORE any content hashing (C4 keeps one
+page per URL; CCNet dedups per-shard by URL): the same page fetched
+twice differs in ads/timestamps, so content-level near-dup is the
+expensive fallback, not the first line. That only works if URLs are
+canonical — ``http://WWW.Site.com:80/a/b/?utm_source=x&id=1#frag`` and
+``https://site.com/a/b?id=1`` should collide.
+
+Everything here is a map-only Column expression chain (Spark's
+``try_parse_url`` + regex/array built-ins, whole-stage codegen — no UDF,
+no shuffle); the dedup itself is the standard two-phase keep-first.
+Canonicalization rules (the common subset of crawler canonicalizers,
+pinned by tests/test_urls.py vectors):
+
+  * scheme + host lowercase; scheme collapsed to https (fetch-protocol
+    noise, not identity); leading ``www.`` stripped
+  * default ports (``:80``, ``:443``) stripped
+  * fragment dropped
+  * tracking params dropped (``utm_*``, ``fbclid``, ``gclid``,
+    ``msclkid``, ``ref``), remaining query params SORTED (order is
+    transport noise)
+  * trailing ``/`` stripped from non-root paths; empty path → ``/``
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+TRACKING_PARAM_RE = r"^(utm_[a-z]+|fbclid|gclid|msclkid|ref)="
+
+
+def canonical_url_col(url) -> Column:
+    """The canonical form of ``url`` as a pure Column expression.
+    NULL/unparseable inputs (no host) yield NULL."""
+    u = F.col(url) if isinstance(url, str) else url
+    host = F.lower(F.try_parse_url(u, F.lit("HOST")))
+    host = F.regexp_replace(host, r"^www\.", "")
+    # parse_url HOST excludes the port; grab it separately and keep
+    # only non-default ones
+    raw_port = F.regexp_extract(u, r"^[a-zA-Z][a-zA-Z0-9+.-]*://[^/?#]*:(\d+)", 1)
+    port = F.when(raw_port.isin("", "80", "443"), F.lit("")).otherwise(
+        F.concat(F.lit(":"), raw_port)
+    )
+    path = F.coalesce(F.try_parse_url(u, F.lit("PATH")), F.lit(""))
+    path = F.when(path == "", F.lit("/")).otherwise(
+        F.when(
+            (path != "/") & path.endswith("/"),
+            F.substring(path, 1, F.length(path) - 1),
+        ).otherwise(path)
+    )
+    q = F.try_parse_url(u, F.lit("QUERY"))
+    kept = F.filter(
+        F.split(F.coalesce(q, F.lit("")), "&"),
+        lambda p: (p != "") & ~p.rlike(TRACKING_PARAM_RE),
+    )
+    query = F.array_join(F.array_sort(kept), "&")
+    tail = F.when(query == "", F.lit("")).otherwise(F.concat(F.lit("?"), query))
+    return F.when(
+        host.isNull() | (host == ""), F.lit(None).cast("string")
+    ).otherwise(F.concat(F.lit("https://"), host, port, path, tail))
+
+
+def dedup_by_url(
+    df: DataFrame,
+    url_col: str,
+    id_col: str,
+    keep: str = "min",
+) -> DataFrame:
+    """ONE row per canonical URL — the crawl-level first-line dedup.
+    Winner per URL is the ``min`` (default) or ``max`` ``id_col``
+    (deterministic; with ingest-ordered ids min = first-fetched).
+    Rows with a NULL canonical URL (unparseable) are KEPT — dropping
+    them would silently delete every malformed-URL doc as "duplicates
+    of NULL". Returns the input + ``canonical_url``.
+
+    Scale shape: the same two-phase top-1 as ``domain_cap`` — phase 1
+    ranks within (url, input partition) so a mega-duplicated URL never
+    funnels through one task; phase 2's shuffle carries at most one
+    row per (url, partition).
+    """
+    order = F.col(id_col).asc() if keep == "min" else F.col(id_col).desc()
+    with_url = df.withColumn("canonical_url", canonical_url_col(url_col))
+    w_local = Window.partitionBy(
+        "canonical_url", F.spark_partition_id()
+    ).orderBy(order)
+    survivors = (
+        with_url.where(F.col("canonical_url").isNotNull())
+        .withColumn("__r", F.row_number().over(w_local))
+        .where(F.col("__r") == 1)
+        .drop("__r")
+    )
+    w_global = Window.partitionBy("canonical_url").orderBy(order)
+    deduped = (
+        survivors.withColumn("__r", F.row_number().over(w_global))
+        .where(F.col("__r") == 1)
+        .drop("__r")
+    )
+    return deduped.unionByName(with_url.where(F.col("canonical_url").isNull()))

@@ -1,0 +1,84 @@
+"""URL canonicalization + URL-keyed crawl dedup."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from etl_pack_spark.operators.urls import canonical_url_col, dedup_by_url
+
+VECTORS = [
+    # (input, canonical)
+    ("http://WWW.Site.com:80/a/b/?utm_source=x&id=1#frag",
+     "https://site.com/a/b?id=1"),
+    ("https://site.com/a/b?id=1", "https://site.com/a/b?id=1"),
+    ("https://Site.com:443/", "https://site.com/"),
+    ("http://site.com", "https://site.com/"),
+    ("https://site.com:8080/x", "https://site.com:8080/x"),
+    ("https://site.com/x?b=2&a=1", "https://site.com/x?a=1&b=2"),
+    ("https://site.com/x?utm_campaign=c&utm_medium=m&fbclid=f&gclid=g&ref=r",
+     "https://site.com/x"),
+    ("https://site.com/deep/path/", "https://site.com/deep/path"),
+    ("https://site.com/?q=a%20b", "https://site.com/?q=a%20b"),
+    ("not a url", None),
+    (None, None),
+]
+
+
+def test_canonicalization_vectors(spark):
+    df = spark.createDataFrame(
+        [(i, u) for i, (u, _) in enumerate(VECTORS)], "i int, url string"
+    )
+    got = {
+        r["i"]: r["c"]
+        for r in df.select("i", canonical_url_col("url").alias("c")).collect()
+    }
+    for i, (_, want) in enumerate(VECTORS):
+        assert got[i] == want, (i, VECTORS[i][0], got[i])
+
+
+def test_canonical_equivalent_urls_collide(spark):
+    a = "http://WWW.Example.org:80/page/?utm_source=feed&x=1&y=2#top"
+    b = "https://example.org/page?y=2&x=1"
+    df = spark.createDataFrame([(1, a), (2, b)], "id int, url string")
+    c = df.select(canonical_url_col("url").alias("c")).distinct()
+    assert c.count() == 1
+
+
+def test_dedup_by_url_keeps_first_and_null_urls(spark):
+    rows = [
+        (1, "http://www.site.com/a/?utm_source=x", "first"),
+        (5, "https://site.com/a", "dup-of-1"),
+        (3, "https://other.com/b", "unique"),
+        (7, "garbage", "unparseable-kept"),
+        (8, None, "null-kept"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, url string, tag string")
+    out = dedup_by_url(df, "url", "doc_id")
+    got = {r["doc_id"]: r["canonical_url"] for r in out.collect()}
+    assert set(got) == {1, 3, 7, 8}          # 5 deduped away; 7/8 kept
+    assert got[1] == "https://site.com/a"
+    assert got[7] is None and got[8] is None
+    # keep="max" flips the winner
+    out2 = dedup_by_url(df, "url", "doc_id", keep="max")
+    assert {r["doc_id"] for r in out2.collect()} == {5, 3, 7, 8}
+
+
+def test_dedup_by_url_partition_invariant(spark):
+    rows = [(i, f"https://s.com/p{i % 7}/?utm_source=u&k={i % 3}") for i in range(200)]
+    df = spark.createDataFrame(rows, "doc_id long, url string")
+    a = sorted(r["doc_id"] for r in dedup_by_url(df, "url", "doc_id").collect())
+    b = sorted(
+        r["doc_id"]
+        for r in dedup_by_url(df.repartition(13), "url", "doc_id").collect()
+    )
+    assert a == b and len(a) == 21          # 7 paths x 3 k-values
+
+
+def test_plan_is_map_only_for_canonicalization(spark):
+    df = spark.createDataFrame([(1, "https://a.com/x")], "id int, url string")
+    plan = (
+        df.select(canonical_url_col("url").alias("c"))
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "Exchange" not in plan and "BatchEvalPython" not in plan
