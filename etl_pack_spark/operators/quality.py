@@ -181,3 +181,47 @@ def mad_outliers_sql(
         )
     )
     """
+
+
+def pii_profile(df: DataFrame, cols: list[str]) -> DataFrame:
+    """COLUMN-level PII exposure profile: for every string column, the
+    count and fraction of rows containing each PII pattern family
+    (``textops.PII_PATTERNS`` — emails / card-like numbers / phones).
+    The DQ question before the per-row scrub (``textops.redact_pii``)
+    is WHICH columns leak: free-text fields that should have been
+    structured, or structured fields holding raw contact data.
+
+    ONE aggregation pass, all map-side-combinable count-if aggregates
+    (constant state per column×pattern), same shape as
+    :func:`profile`. Returns one row:
+    ``n_rows`` + ``pii_{pattern}_{col}`` counts +
+    ``pii_{pattern}_frac_{col}`` fractions (NULL cells count clean).
+    """
+    from etl_pack_spark.operators.textops import PII_PATTERNS
+
+    n = F.count(F.lit(1))
+    aggs = [n.alias("n_rows")]
+    for c in cols:
+        for name, pat in PII_PATTERNS:
+            hit = F.count(F.when(F.col(c).rlike(pat), 1))
+            aggs.append(hit.alias(f"pii_{name}_{c}"))
+            aggs.append(
+                F.round(hit / n, 6).alias(f"pii_{name}_frac_{c}")
+            )
+    return df.agg(*aggs)
+
+
+def pii_profile_sql(table: str, cols: list[str]) -> str:
+    """DuckDB oracle twin of :func:`pii_profile` — same regexes, same
+    count-if shape."""
+    from etl_pack_spark.operators.textops import PII_PATTERNS
+
+    parts = ["COUNT(*) AS n_rows"]
+    for c in cols:
+        for name, pat in PII_PATTERNS:
+            hit = f"COUNT(CASE WHEN regexp_matches({c}, '{pat}') THEN 1 END)"
+            parts.append(f"{hit} AS pii_{name}_{c}")
+            parts.append(
+                f"round(CAST({hit} AS DOUBLE) / COUNT(*), 6) AS pii_{name}_frac_{c}"
+            )
+    return f"SELECT {', '.join(parts)} FROM {table}"

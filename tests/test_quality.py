@@ -154,3 +154,35 @@ def test_profile_approx_distinct(spark, sf_dir):
     assert abs(appr["nd_o_custkey"] - exact["nd_o_custkey"]) \
         <= 0.15 * exact["nd_o_custkey"]
     assert appr["n_rows"] == exact["n_rows"]
+
+
+def test_pii_profile_counts_and_oracle_twin(spark):
+    from etl_pack_spark.operators.quality import pii_profile, pii_profile_sql
+
+    rows = [
+        (1, "mail me at a@b.com", "clean"),
+        (2, "card 4242-4242-4242-4242", "call +1 (555) 123-4567 now"),
+        (3, None, "also clean"),
+        (4, "two mails x@y.org and z@w.io", "clean"),
+    ]
+    df = spark.createDataFrame(rows, "id long, notes string, extra string")
+    got = pii_profile(df, ["notes", "extra"]).first().asDict()
+    assert got["n_rows"] == 4
+    assert got["pii_email_notes"] == 2          # rows 1 and 4 (row-level)
+    assert got["pii_card_notes"] == 1
+    assert got["pii_phone_extra"] == 1
+    assert got["pii_email_extra"] == 0
+    assert got["pii_email_frac_notes"] == 0.5
+
+    import duckdb
+
+    con = duckdb.connect()
+    con.execute(
+        "CREATE TABLE t (id BIGINT, notes VARCHAR, extra VARCHAR)"
+    )
+    con.executemany("INSERT INTO t VALUES (?, ?, ?)", rows)
+    want = dict(zip(
+        [d[0] for d in con.execute(pii_profile_sql("t", ["notes", "extra"])).description],
+        con.execute(pii_profile_sql("t", ["notes", "extra"])).fetchone(),
+    ))
+    assert {k: got[k] for k in want} == want
