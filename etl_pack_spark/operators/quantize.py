@@ -76,19 +76,29 @@ def pq_train(
     X = np.stack(sample["v"].to_numpy()).astype(np.float64)
     if len(X) < k:
         raise ValueError(f"sample of {len(X)} rows cannot seed k={k} centroids")
+    return _train_books(X, dims, m, k, iters)
+
+
+def _lloyd(sub: np.ndarray, k: int, iters: int) -> np.ndarray:
+    """Deterministic fixed-iteration Lloyd: first-k init (caller
+    provides hash-ordered rows), argmin ties to the lowest centroid,
+    empty clusters keep their previous centroid."""
+    cent = sub[:k].copy()
+    for _ in range(iters):
+        d2 = ((sub[:, None, :] - cent[None, :, :]) ** 2).sum(axis=2)
+        assign = d2.argmin(axis=1)
+        for c in range(k):
+            mask = assign == c
+            if mask.any():
+                cent[c] = sub[mask].mean(axis=0)
+    return cent
+
+
+def _train_books(X: np.ndarray, dims: int, m: int, k: int, iters: int) -> np.ndarray:
     dsub = dims // m
     books = np.empty((m, k, dsub))
     for j in range(m):
-        sub = X[:, j * dsub : (j + 1) * dsub]
-        cent = sub[:k].copy()  # hash-order init
-        for _ in range(iters):
-            d2 = ((sub[:, None, :] - cent[None, :, :]) ** 2).sum(axis=2)
-            assign = d2.argmin(axis=1)
-            for c in range(k):
-                mask = assign == c
-                if mask.any():
-                    cent[c] = sub[mask].mean(axis=0)
-        books[j] = cent
+        books[j] = _lloyd(X[:, j * dsub : (j + 1) * dsub], k, iters)
     return books
 
 
@@ -228,3 +238,208 @@ def pq_reconstruct(codebooks: np.ndarray, codes: np.ndarray) -> np.ndarray:
     for j in range(m):
         out[:, j * dsub : (j + 1) * dsub] = codebooks[j][codes[:, j]]
     return out
+
+
+# ---------------------------------------------------------------------------
+# IVF-PQ: the composed billion-scale ANN recipe (FAISS IVFPQ shape)
+# ---------------------------------------------------------------------------
+
+def ivf_pq_index(
+    df: DataFrame,
+    dims: int,
+    nlist: int = 16,
+    m: int = 8,
+    k: int = 16,
+    id_col: str = "vec_id",
+    vec: str = "embedding",
+    sample_rows: int = 4096,
+    iters: int = 5,
+):
+    """Build the composed IVF-PQ index: coarse inverted lists (IVF,
+    pruning WHICH vectors a query scores) over PQ codes of the
+    RESIDUALS (compressing HOW each one is scored) — the standard
+    billion-scale layout: per vector the index stores one small int
+    (its list) + m code bytes, never the raw floats.
+
+    Returns ``(cids, centroids, codebooks, encoded)`` where ``cids``/
+    ``centroids`` are the coarse quantizer (deterministic sample:
+    vectors with ``id < nlist``, the same bit-stable posture as
+    ``similarity.ivf_topk``), ``codebooks`` are PQ books trained on a
+    bounded hash-sample of residuals, and ``encoded`` is the
+    distributed ``(id, cid, codes)`` frame. Residual encoding matters:
+    residuals are centered near zero, so the same code budget carries
+    ~a list-radius less variance than raw vectors.
+
+    Scale shape: the only driver-side data is the coarse centroids
+    (nlist × dims) and the residual training sample; encoding is ONE
+    map-only ``mapInPandas`` pass with the quantizers broadcast.
+    """
+    if dims % m:
+        raise ValueError(f"dims={dims} not divisible by m={m}")
+    cent_pdf = (
+        df.where(F.col(id_col) < nlist)
+        .select(F.col(id_col).alias("cid"), F.col(vec).alias("cv"))
+        .orderBy("cid")
+        .toPandas()
+    )
+    if len(cent_pdf) == 0:
+        raise ValueError(f"no coarse centroids: no ids < nlist={nlist}")
+    cids = cent_pdf["cid"].to_numpy()
+    C = np.stack(cent_pdf["cv"].to_numpy()).astype(np.float64)
+
+    sample = (
+        df.select(F.col(id_col).alias("id"), F.col(vec).alias("v"))
+        .withColumn("__h", F.xxhash64(F.col("id")))
+        .orderBy("__h")
+        .limit(sample_rows)
+        .toPandas()
+    )
+    X = np.stack(sample["v"].to_numpy()).astype(np.float64)
+    if len(X) < k:
+        raise ValueError(f"sample of {len(X)} rows cannot seed k={k} centroids")
+    d2 = ((X[:, None, :] - C[None, :, :]) ** 2).sum(axis=2)
+    R = X - C[d2.argmin(axis=1)]
+    codebooks = _train_books(R, dims, m, k, iters)
+
+    spark = df.sparkSession
+    bc = spark.sparkContext.broadcast((cids, C, codebooks))
+
+    def encode(batches):
+        # NESTED for by-value pickling
+        import numpy as np
+
+        cids_, C_, books = bc.value
+        m_, k_, dsub = books.shape
+        for pdf in batches:
+            if len(pdf) == 0:
+                yield pd.DataFrame({"id": [], "cid": [], "codes": []})
+                continue
+            X_ = np.stack(pdf["v"].to_numpy()).astype(np.float64)
+            d2_ = -2.0 * (X_ @ C_.T) + (C_**2).sum(axis=1)[None, :]
+            a = d2_.argmin(axis=1)
+            Rv = X_ - C_[a]
+            codes = np.empty((len(X_), m_), dtype=np.int16)
+            for j in range(m_):
+                sub = Rv[:, j * dsub : (j + 1) * dsub]
+                dd = -2.0 * (sub @ books[j].T) + (books[j] ** 2).sum(axis=1)[None, :]
+                codes[:, j] = dd.argmin(axis=1)
+            yield pd.DataFrame(
+                {"id": pdf["id"].to_numpy(), "cid": cids_[a], "codes": list(codes)}
+            )
+
+    encoded = df.select(
+        F.col(id_col).alias("id"), F.col(vec).alias("v")
+    ).mapInPandas(encode, schema="id long, cid long, codes array<smallint>")
+    return cids, C, codebooks, encoded
+
+
+def ivf_pq_topk(
+    encoded: DataFrame,
+    queries: DataFrame,
+    cids: np.ndarray,
+    centroids: np.ndarray,
+    codebooks: np.ndarray,
+    k: int = 5,
+    nprobe: int = 4,
+    id_col: str = "vec_id",
+    vec: str = "embedding",
+) -> DataFrame:
+    """ADC top-k over the IVF-PQ index: each query scores ONLY the
+    codes in its ``nprobe`` nearest inverted lists, by asymmetric
+    distance to the residual reconstruction — the probed fraction
+    (≈ nprobe/nlist of the corpus) is scanned with m table lookups per
+    code, so a query touches neither raw vectors nor the other lists.
+    Returns ``(q_id, n_id, adc_dist, rk)``, smallest distance first,
+    ties broken on id.
+
+    Per (query, probed-list) the distance table is built from the
+    RESIDUAL ``q - centroid[list]`` (that's what the codes encode);
+    broadcast state is nq × nprobe tables of m × k doubles — bounded
+    by the same query-count guard as :func:`pq_topk`.
+    """
+    m, kcent, dsub = codebooks.shape
+    spark = encoded.sparkSession
+    qpdf = (
+        queries.select(F.col(id_col).alias("qid"), F.col(vec).alias("qv"))
+        .limit(MAX_QUERY_VECTORS + 1)
+        .toPandas()
+    )
+    if len(qpdf) > MAX_QUERY_VECTORS:
+        raise ValueError(
+            f"ivf_pq_topk got more than {MAX_QUERY_VECTORS} query vectors; "
+            "batch the queries"
+        )
+    if len(qpdf) == 0:
+        raise ValueError("no query vectors")
+    Q = np.stack(qpdf["qv"].to_numpy()).astype(np.float64)
+    nq = len(Q)
+    nprobe = min(nprobe, len(cids))
+    d2c = ((Q[:, None, :] - centroids[None, :, :]) ** 2).sum(axis=2)
+    # nprobe nearest lists per query, ties to the lowest cid
+    # (lexsort on (cid, dist) -> stable smallest-dist-then-cid order)
+    probe_idx = np.empty((nq, nprobe), dtype=np.int64)
+    for qi in range(nq):
+        order = np.lexsort((cids, d2c[qi]))
+        probe_idx[qi] = order[:nprobe]
+    tables = np.empty((nq, nprobe, m, kcent))
+    probe_cids = np.empty((nq, nprobe), dtype=np.int64)
+    for qi in range(nq):
+        for pi in range(nprobe):
+            ci = probe_idx[qi, pi]
+            probe_cids[qi, pi] = cids[ci]
+            r = Q[qi] - centroids[ci]
+            for j in range(m):
+                diff = r[j * dsub : (j + 1) * dsub][None, :] - codebooks[j]
+                tables[qi, pi, j] = (diff**2).sum(axis=1)
+    bc = spark.sparkContext.broadcast(
+        (qpdf["qid"].to_numpy(), probe_cids, tables)
+    )
+
+    def scan(batches):
+        # NESTED for by-value pickling
+        import numpy as np
+
+        qids, pcids, tabs = bc.value
+        nq_, npr, m_, kc = tabs.shape
+        for pdf in batches:
+            if len(pdf) == 0:
+                yield pd.DataFrame({"q_id": [], "n_id": [], "adc_dist": []})
+                continue
+            ids = pdf["id"].to_numpy()
+            cid = pdf["cid"].to_numpy()
+            codes = np.stack(pdf["codes"].to_numpy()).astype(np.int64)
+            rows = {"q_id": [], "n_id": [], "adc_dist": []}
+            for qi in range(nq_):
+                mask = np.isin(cid, pcids[qi])
+                if not mask.any():
+                    continue
+                sel = np.nonzero(mask)[0]
+                # per selected row, which probe slot its list occupies
+                slot = np.searchsorted(
+                    pcids[qi], cid[sel],
+                    sorter=np.argsort(pcids[qi]),
+                )
+                slot = np.argsort(pcids[qi])[slot]
+                d = np.zeros(len(sel))
+                for j in range(m_):
+                    d += tabs[qi, slot, j, codes[sel, j]]
+                kk = min(k + 1, len(sel))
+                cand = (
+                    np.argpartition(d, kk - 1)[:kk] if kk < len(sel)
+                    else np.arange(len(sel))
+                )
+                order = cand[np.lexsort((ids[sel][cand], d[cand]))]
+                rows["q_id"].extend([qids[qi]] * len(order))
+                rows["n_id"].extend(ids[sel][order].tolist())
+                rows["adc_dist"].extend(d[order].tolist())
+            yield pd.DataFrame(rows)
+
+    partial = encoded.mapInPandas(
+        scan, schema="q_id long, n_id long, adc_dist double"
+    )
+    w = Window.partitionBy("q_id").orderBy(F.asc("adc_dist"), F.asc("n_id"))
+    return (
+        partial.where(F.col("n_id") != F.col("q_id"))
+        .withColumn("rk", F.row_number().over(w))
+        .where(F.col("rk") <= k)
+    )

@@ -133,3 +133,87 @@ def test_pq_topk_bounds_query_collect(spark):
             quantize.pq_topk(enc, df, books).collect()
     finally:
         quantize.MAX_QUERY_VECTORS = orig
+
+
+class TestIvfPq:
+    """Composed IVF-PQ: coarse lists over residual codes — correctness
+    vs a driver-side numpy twin, recall vs exact search, probe pruning."""
+
+    def _emb(self, spark, sf_dir):
+        from etl_pack_spark.sources.reader import read_table
+
+        return read_table(spark, sf_dir, "embeddings")
+
+    def _index(self, spark, sf_dir):
+        import numpy as np
+
+        from etl_pack_spark.operators.quantize import ivf_pq_index
+
+        emb = self._emb(spark, sf_dir)
+        dims = len(emb.select("embedding").first()[0])
+        return emb, ivf_pq_index(emb, dims, nlist=16, m=8, k=16)
+
+    def test_adc_matches_numpy_twin(self, spark, sf_dir):
+        import numpy as np
+
+        from etl_pack_spark.operators.quantize import ivf_pq_topk, pq_reconstruct
+
+        emb, (cids, C, books, encoded) = self._index(spark, sf_dir)
+        queries = emb.where("vec_id < 5")
+        got = ivf_pq_topk(encoded, queries, cids, C, books, k=3, nprobe=4)
+        rows = {(r["q_id"], r["n_id"]): r["adc_dist"] for r in got.collect()}
+        assert len(rows) > 0
+        # twin: reconstruct = centroid + decoded residual; adc == L2^2
+        enc = encoded.toPandas().set_index("id")
+        data = {r["vec_id"]: np.array(r["embedding"], dtype=np.float64)
+                for r in emb.collect()}
+        cid_row = {c: i for i, c in enumerate(cids)}
+        for (q, n), d in rows.items():
+            codes = np.array(enc.loc[n, "codes"], dtype=np.int64)[None, :]
+            recon = C[cid_row[enc.loc[n, "cid"]]] + pq_reconstruct(books, codes)[0]
+            want = float(((data[q] - recon) ** 2).sum())
+            assert abs(d - want) < 1e-9, (q, n)
+
+    def test_recall_vs_exact_reasonable(self, spark, sf_dir):
+        """Recall pin at 8-bit codebooks (k=256). Context: the fixture
+        embeddings are near-random, ANN's worst case — PQ distortion,
+        not IVF pruning, is the recall floor here (4-bit codes ~0.3,
+        8-bit ~0.55, nprobe barely moves either); real clustered
+        corpora sit far higher."""
+        import numpy as np
+
+        from etl_pack_spark.operators.quantize import ivf_pq_index, ivf_pq_topk
+
+        emb = self._emb(spark, sf_dir)
+        dims = len(emb.select("embedding").first()[0])
+        cids, C, books, encoded = ivf_pq_index(emb, dims, nlist=16, m=16, k=256)
+        queries = emb.where("vec_id < 20")
+        got = ivf_pq_topk(encoded, queries, cids, C, books, k=5, nprobe=8)
+        approx = {}
+        for r in got.collect():
+            approx.setdefault(r["q_id"], set()).add(r["n_id"])
+        data = {r["vec_id"]: np.array(r["embedding"], dtype=np.float64)
+                for r in emb.collect()}
+        hits = total = 0
+        for q in approx:
+            qd = sorted(
+                ((float(((data[q] - v) ** 2).sum()), n)
+                 for n, v in data.items() if n != q)
+            )[:5]
+            exact = {n for _, n in qd}
+            hits += len(exact & approx[q])
+            total += 5
+        assert hits / total >= 0.4          # see docstring
+
+    def test_probed_lists_only(self, spark, sf_dir):
+        from etl_pack_spark.operators.quantize import ivf_pq_topk
+
+        emb, (cids, C, books, encoded) = self._index(spark, sf_dir)
+        queries = emb.where("vec_id < 3")
+        got = ivf_pq_topk(encoded, queries, cids, C, books, k=50, nprobe=2)
+        enc = {r["id"]: r["cid"] for r in encoded.collect()}
+        # every returned neighbor must live in one of at most 2 lists/query
+        per_q = {}
+        for r in got.collect():
+            per_q.setdefault(r["q_id"], set()).add(enc[r["n_id"]])
+        assert per_q and all(len(ls) <= 2 for ls in per_q.values())
