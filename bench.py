@@ -154,6 +154,34 @@ def _lib_extra_queries():
         docs = read_table(spark, sf_dir, "documents")
         return prepare_pretraining_corpus(docs, leakage_safe_split=True)
 
+    def _url_dedup(spark, sf_dir):
+        # the fixture has no URL column; synthesize deterministic
+        # crawl-ish URLs (with tracking noise and dup-generating path
+        # collisions) so the operator's cost is measured at corpus scale
+        from etl_pack_spark.operators.urls import dedup_by_url
+
+        docs = read_table(spark, sf_dir, "documents").select(
+            "doc_id", "source",
+            F.concat(
+                F.lit("http://WWW."), F.col("source"), F.lit(".example.com/p/"),
+                (F.col("doc_id") % 500).cast("string"),
+                F.lit("/?utm_source=crawl&utm_medium=bot&id="),
+                (F.col("doc_id") % 7).cast("string"),
+            ).alias("url"),
+        )
+        return dedup_by_url(docs, "url", "doc_id")
+
+    def _ivf_pq(spark, sf_dir):
+        from etl_pack_spark.operators.quantize import ivf_pq_index, ivf_pq_topk
+        from etl_pack_spark.sources.reader import read_table as rt
+
+        emb = rt(spark, sf_dir, "embeddings")
+        dims = len(emb.select("embedding").first()[0])
+        cids, C, books, enc = ivf_pq_index(emb, dims, nlist=16, m=8, k=16)
+        return ivf_pq_topk(
+            enc, emb.where("vec_id < 50"), cids, C, books, k=5, nprobe=4
+        )
+
     return {
         "lib_semantic_dedup": _semdedup,
         "lib_repeated_ngram_spans": _spans,
@@ -162,6 +190,8 @@ def _lib_extra_queries():
         "lib_domain_cap": _cap,
         "lib_normalize_text": _norm,
         "lib_pretrain_e2e": _pretrain,
+        "lib_url_dedup": _url_dedup,
+        "lib_ivf_pq_topk": _ivf_pq,
     }
 
 
