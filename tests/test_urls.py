@@ -82,3 +82,28 @@ def test_plan_is_map_only_for_canonicalization(spark):
         ._jdf.queryExecution().executedPlan().toString()
     )
     assert "Exchange" not in plan and "BatchEvalPython" not in plan
+
+
+def test_canonicalization_idempotent(spark):
+    """canonical(canonical(u)) == canonical(u) — re-ingesting already-
+    canonical URLs must not drift (hypothesis-style generated inputs
+    plus the vectors)."""
+    import random
+
+    rnd = random.Random(7)
+    hosts = ["WWW.A.com", "b.org:8080", "c.net:443", "d.io"]
+    paths = ["", "/", "/x", "/x/", "/x/y/"]
+    queries = ["", "?a=1", "?b=2&a=1", "?utm_source=s", "?utm_source=s&z=9&a=1"]
+    urls = [u for u, _ in VECTORS if u] + [
+        f"http{'s' if rnd.random() < 0.5 else ''}://{h}{p}{q}"
+        + ("#f" if rnd.random() < 0.3 else "")
+        for h in hosts for p in paths for q in queries
+    ]
+    df = spark.createDataFrame([(i, u) for i, u in enumerate(urls)],
+                               "i int, url string")
+    once = df.select("i", canonical_url_col("url").alias("c1"))
+    twice = once.select(
+        "i", "c1", canonical_url_col(F.col("c1")).alias("c2")
+    ).collect()
+    for r in twice:
+        assert r["c2"] == r["c1"], (urls[r["i"]], r["c1"], r["c2"])
