@@ -46,6 +46,47 @@ from pyspark.sql import functions as F
 MAX_QUERY_VECTORS = 16_384
 
 
+def _hash_sample(
+    df: DataFrame, id_col: str, vec: str, sample_rows: int, k: int
+) -> np.ndarray:
+    """The bounded deterministic training sample shared by every
+    quantizer trainer: the ``sample_rows`` vectors with the lowest
+    ``xxhash64(id)`` (append-stable), as a float64 matrix; fewer than
+    ``k`` rows cannot seed ``k`` centroids and raises."""
+    sample = (
+        df.select(F.col(id_col).alias("id"), F.col(vec).alias("v"))
+        .withColumn("__h", F.xxhash64(F.col("id")))
+        .orderBy("__h")
+        .limit(sample_rows)
+        .toPandas()
+    )
+    X = np.stack(sample["v"].to_numpy()).astype(np.float64)
+    if len(X) < k:
+        raise ValueError(f"sample of {len(X)} rows cannot seed k={k} centroids")
+    return X
+
+
+def _collect_queries(queries: DataFrame, id_col: str, vec: str, op: str):
+    """Bounded query-side collect shared by the ADC searches: the
+    per-query distance tables are broadcast state on every executor,
+    so an accidental corpus-sized query frame must be a clear error,
+    not a driver OOM. Returns ``(qids ndarray, Q float64 matrix)``."""
+    qpdf = (
+        queries.select(F.col(id_col).alias("qid"), F.col(vec).alias("qv"))
+        .limit(MAX_QUERY_VECTORS + 1)
+        .toPandas()
+    )
+    if len(qpdf) > MAX_QUERY_VECTORS:
+        raise ValueError(
+            f"{op} got more than {MAX_QUERY_VECTORS} query vectors; the "
+            "per-query ADC tables are broadcast state — batch the queries "
+            "or raise MAX_QUERY_VECTORS deliberately"
+        )
+    if len(qpdf) == 0:
+        raise ValueError("no query vectors")
+    return qpdf["qid"].to_numpy(), np.stack(qpdf["qv"].to_numpy()).astype(np.float64)
+
+
 def pq_train(
     df: DataFrame,
     dims: int,
@@ -66,16 +107,7 @@ def pq_train(
     """
     if dims % m:
         raise ValueError(f"dims={dims} not divisible by m={m}")
-    sample = (
-        df.select(F.col(id_col).alias("id"), F.col(vec).alias("v"))
-        .withColumn("__h", F.xxhash64(F.col("id")))
-        .orderBy("__h")
-        .limit(sample_rows)
-        .toPandas()
-    )
-    X = np.stack(sample["v"].to_numpy()).astype(np.float64)
-    if len(X) < k:
-        raise ValueError(f"sample of {len(X)} rows cannot seed k={k} centroids")
+    X = _hash_sample(df, id_col, vec, sample_rows, k)
     return _train_books(X, dims, m, k, iters)
 
 
@@ -167,26 +199,13 @@ def pq_topk(
     """
     m, kcent, dsub = codebooks.shape
     spark = encoded.sparkSession
-    qpdf = (
-        queries.select(F.col(id_col).alias("qid"), F.col(vec).alias("qv"))
-        .limit(MAX_QUERY_VECTORS + 1)
-        .toPandas()
-    )
-    if len(qpdf) > MAX_QUERY_VECTORS:
-        raise ValueError(
-            f"pq_topk got more than {MAX_QUERY_VECTORS} query vectors; "
-            f"the per-query ADC tables are broadcast state — batch the "
-            f"queries or raise MAX_QUERY_VECTORS deliberately"
-        )
-    if len(qpdf) == 0:
-        raise ValueError("no query vectors")
-    Q = np.stack(qpdf["qv"].to_numpy()).astype(np.float64)
+    qids_arr, Q = _collect_queries(queries, id_col, vec, "pq_topk")
     tables = np.empty((len(Q), m, kcent))
     for j in range(m):
         qs = Q[:, j * dsub : (j + 1) * dsub]
         diff = qs[:, None, :] - codebooks[j][None, :, :]
         tables[:, j, :] = (diff**2).sum(axis=2)
-    bc = spark.sparkContext.broadcast((qpdf["qid"].to_numpy(), tables))
+    bc = spark.sparkContext.broadcast((qids_arr, tables))
 
     def scan(batches):
         # NESTED for by-value pickling
@@ -212,9 +231,11 @@ def pq_topk(
             kk = min(k + 1, n)
             for qi in range(nq):
                 d = dist[qi]
-                # partition then exact (dist, id) order for determinism
-                cand = np.argpartition(d, kk - 1)[:kk] if kk < n else np.arange(n)
-                order = cand[np.lexsort((ids[cand], d[cand]))]
+                # FULL (dist, id) lexsort before truncation: argpartition
+                # selects an arbitrary subset among EQUAL distances
+                # (duplicate docs share codes), which would make the kept
+                # candidate — and thus the result — partitioning-dependent
+                order = np.lexsort((ids, d))[:kk]
                 rows["q_id"].extend([qids[qi]] * len(order))
                 rows["n_id"].extend(ids[order].tolist())
                 rows["adc_dist"].extend(d[order].tolist())
@@ -359,19 +380,7 @@ def ivf_pq_topk(
     """
     m, kcent, dsub = codebooks.shape
     spark = encoded.sparkSession
-    qpdf = (
-        queries.select(F.col(id_col).alias("qid"), F.col(vec).alias("qv"))
-        .limit(MAX_QUERY_VECTORS + 1)
-        .toPandas()
-    )
-    if len(qpdf) > MAX_QUERY_VECTORS:
-        raise ValueError(
-            f"ivf_pq_topk got more than {MAX_QUERY_VECTORS} query vectors; "
-            "batch the queries"
-        )
-    if len(qpdf) == 0:
-        raise ValueError("no query vectors")
-    Q = np.stack(qpdf["qv"].to_numpy()).astype(np.float64)
+    qids_arr, Q = _collect_queries(queries, id_col, vec, "ivf_pq_topk")
     nq = len(Q)
     nprobe = min(nprobe, len(cids))
     d2c = ((Q[:, None, :] - centroids[None, :, :]) ** 2).sum(axis=2)
@@ -384,16 +393,16 @@ def ivf_pq_topk(
     tables = np.empty((nq, nprobe, m, kcent))
     probe_cids = np.empty((nq, nprobe), dtype=np.int64)
     for qi in range(nq):
-        for pi in range(nprobe):
-            ci = probe_idx[qi, pi]
+        # probe slots SORTED by cid so the scan's searchsorted needs no
+        # per-batch argsort (slot order is irrelevant to correctness)
+        ordered = probe_idx[qi][np.argsort(cids[probe_idx[qi]])]
+        for pi, ci in enumerate(ordered):
             probe_cids[qi, pi] = cids[ci]
             r = Q[qi] - centroids[ci]
             for j in range(m):
                 diff = r[j * dsub : (j + 1) * dsub][None, :] - codebooks[j]
                 tables[qi, pi, j] = (diff**2).sum(axis=1)
-    bc = spark.sparkContext.broadcast(
-        (qpdf["qid"].to_numpy(), probe_cids, tables)
-    )
+    bc = spark.sparkContext.broadcast((qids_arr, probe_cids, tables))
 
     def scan(batches):
         # NESTED for by-value pickling
@@ -414,21 +423,16 @@ def ivf_pq_topk(
                 if not mask.any():
                     continue
                 sel = np.nonzero(mask)[0]
-                # per selected row, which probe slot its list occupies
-                slot = np.searchsorted(
-                    pcids[qi], cid[sel],
-                    sorter=np.argsort(pcids[qi]),
-                )
-                slot = np.argsort(pcids[qi])[slot]
+                # pcids rows are pre-sorted by cid (see the builder)
+                slot = np.searchsorted(pcids[qi], cid[sel])
                 d = np.zeros(len(sel))
                 for j in range(m_):
                     d += tabs[qi, slot, j, codes[sel, j]]
                 kk = min(k + 1, len(sel))
-                cand = (
-                    np.argpartition(d, kk - 1)[:kk] if kk < len(sel)
-                    else np.arange(len(sel))
-                )
-                order = cand[np.lexsort((ids[sel][cand], d[cand]))]
+                # full (dist, id) lexsort before truncation: ties among
+                # equal ADC distances must keep the LOWEST id or the
+                # result becomes partitioning-dependent
+                order = np.lexsort((ids[sel], d))[:kk]
                 rows["q_id"].extend([qids[qi]] * len(order))
                 rows["n_id"].extend(ids[sel][order].tolist())
                 rows["adc_dist"].extend(d[order].tolist())

@@ -36,20 +36,26 @@ def canonical_url_col(url) -> Column:
     NULL/unparseable inputs (no host) yield NULL."""
     u = F.col(url) if isinstance(url, str) else url
     host = F.lower(F.try_parse_url(u, F.lit("HOST")))
-    host = F.regexp_replace(host, r"^www\.", "")
-    # parse_url HOST excludes the port; grab it separately and keep
-    # only non-default ones
-    raw_port = F.regexp_extract(u, r"^[a-zA-Z][a-zA-Z0-9+.-]*://[^/?#]*:(\d+)", 1)
+    # ALL leading www. labels (single-application would make the
+    # canonicalization non-idempotent on www.www.*)
+    host = F.regexp_replace(host, r"^(www\.)+", "")
+    # port: from the AUTHORITY with userinfo stripped and the match
+    # ANCHORED at the end — a greedy scan over the whole authority
+    # would backtrack into numeric passwords (user:123@host) and IPv6
+    # literals ([2001:db8::1]) and fabricate a port
+    hostport = F.regexp_replace(
+        F.coalesce(F.try_parse_url(u, F.lit("AUTHORITY")), F.lit("")),
+        r"^.*@", "",
+    )
+    raw_port = F.regexp_extract(hostport, r":(\d+)$", 1)
     port = F.when(raw_port.isin("", "80", "443"), F.lit("")).otherwise(
         F.concat(F.lit(":"), raw_port)
     )
     path = F.coalesce(F.try_parse_url(u, F.lit("PATH")), F.lit(""))
-    path = F.when(path == "", F.lit("/")).otherwise(
-        F.when(
-            (path != "/") & path.endswith("/"),
-            F.substring(path, 1, F.length(path) - 1),
-        ).otherwise(path)
-    )
+    # ALL trailing slashes (one-at-a-time would be non-idempotent on
+    # '/x//'); a fully-stripped path re-roots to '/'
+    path = F.regexp_replace(path, r"/+$", "")
+    path = F.when(path == "", F.lit("/")).otherwise(path)
     q = F.try_parse_url(u, F.lit("QUERY"))
     kept = F.filter(
         F.split(F.coalesce(q, F.lit("")), "&"),
@@ -80,6 +86,8 @@ def dedup_by_url(
     funnels through one task; phase 2's shuffle carries at most one
     row per (url, partition).
     """
+    if keep not in ("min", "max"):
+        raise ValueError(f"keep must be 'min' or 'max', got {keep!r}")
     order = F.col(id_col).asc() if keep == "min" else F.col(id_col).desc()
     with_url = df.withColumn("canonical_url", canonical_url_col(url_col))
     w_local = Window.partitionBy(

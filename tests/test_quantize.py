@@ -217,3 +217,33 @@ class TestIvfPq:
         for r in got.collect():
             per_q.setdefault(r["q_id"], set()).add(enc[r["n_id"]])
         assert per_q and all(len(ls) <= 2 for ls in per_q.values())
+
+
+def test_pq_topk_repartition_invariant_with_duplicate_vectors(spark, sf_dir):
+    """Review regression: duplicate vectors share codes, so ADC
+    distances tie exactly — the local prune must keep the LOWEST id
+    (full lexsort before truncation) or results depend on
+    partitioning."""
+    from pyspark.sql import functions as F
+
+    from etl_pack_spark.operators.quantize import pq_encode, pq_topk, pq_train
+    from etl_pack_spark.sources.reader import read_table
+
+    emb = read_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    # replicate the corpus: every vector appears twice with a shifted id
+    dup = emb.select(
+        (F.col("vec_id") + 1_000_000).alias("vec_id"), "embedding"
+    )
+    corpus = emb.unionByName(dup)
+    dims = len(emb.select("embedding").first()[0])
+    books = pq_train(corpus, dims)
+    queries = emb.where("vec_id < 5")
+
+    def run(parts):
+        enc = pq_encode(corpus.repartition(parts), books)
+        return sorted(
+            (r["q_id"], r["rk"], r["n_id"])
+            for r in pq_topk(enc, queries, books, k=4).collect()
+        )
+
+    assert run(3) == run(17)
