@@ -1,6 +1,10 @@
 """Benchmark harness (driver contract): runs the headline queries at
 $SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1) on
-local[$SPARK_GRAFT_CPUS] and prints ONE JSON line.
+local[$SPARK_GRAFT_CPUS]. The LAST stdout line is a compact JSON
+record (metric/value/unit + headline per-query mins) sized to survive
+the driver's tail capture — the r5 full-record line outgrew it and
+truncated the headline; the full record (spreads, secondary suite,
+probes) is printed on an earlier line AND written to BENCH_FULL.json.
 
 Each query executes fully through the noop sink (no collect cost, no
 column-pruning shortcut a count() would allow). First run of the first
@@ -328,37 +332,68 @@ def main() -> None:
             return dt
 
         t3: dict[str, float] = {}
+        s3: dict[str, dict] = {}
         for name, fn in _scale_probe_queries().items():
             if only is not None and name not in only:
                 continue
-            t3[name] = round(min(run3(fn) for _ in range(n_reps)), 3)
+            xs = [run3(fn) for _ in range(n_reps)]
+            t3[name] = round(min(xs), 3)
+            s3[name] = {"min": round(min(xs), 3), "n": n_reps}
         scaled.unpersist()
-        return n_docs, t3
+        return n_docs, t3, s3
 
     factor = int(os.environ.get("SPARK_GRAFT_BENCH_SCALE_FACTOR", "10"))
     if factor > 1:
-        n_docs, t3 = probe_at(factor, repeats)
+        n_docs, t3, _ = probe_at(factor, repeats)
         out["scale_probe_factor"] = factor
         out["scale_probe_docs"] = n_docs
         out["queries_scale_probe"] = t3
 
-    # fourth point (r5): a single-shot probe at a larger replication so
-    # the extrapolation curve is recorded from the artifact itself
-    # (previously a one-off in SCALE.md prose). n=1 and a two-query
-    # subset (one pair-emitting, one scan-bound) keep the bench's
-    # wall-time budget; the curve claim needs the ORDER of growth, not
-    # a low-noise point — the full four-query 30x sweep lives in
-    # SCALE.md's r5 snapshot.
+    # fourth point: a best-of-2 probe at a larger replication so the
+    # extrapolation curve is recorded from the artifact itself. A
+    # two-query subset (one pair-emitting, one scan-bound) keeps the
+    # bench's wall-time budget; n=2 (r6, was single-shot) so the
+    # round's main scale claim rests on a repeated measurement.
     factor2 = int(os.environ.get("SPARK_GRAFT_BENCH_SCALE_FACTOR2", "30"))
+    reps2 = int(os.environ.get("SPARK_GRAFT_BENCH_SCALE2_REPEATS", "2"))
     if factor > 1 and factor2 > factor:  # factor<=1 disables ALL probes
-        n_docs2, t4 = probe_at(
-            factor2, 1, only={"dedup_minhash_lsh", "text_signals"}
+        n_docs2, t4, s4 = probe_at(
+            factor2, reps2, only={"dedup_minhash_lsh", "text_signals"}
         )
         out["scale_probe2_factor"] = factor2
         out["scale_probe2_docs"] = n_docs2
         out["queries_scale_probe2"] = t4
+        out["queries_scale_probe2_stats"] = s4
 
+    # Artifact layout (r6 — the r5 artifact was truncated): the FULL
+    # record (per-query {min,median,n} spreads, secondary suite,
+    # probes) goes to a sidecar file and to an early stdout line; the
+    # LAST stdout line is a compact JSON record capped at what a tail
+    # capture always retains — metric/value/unit + the headline
+    # per-query mins + one-number summaries of every other section.
+    full_path = Path(__file__).resolve().parent / "BENCH_FULL.json"
+    try:
+        full_path.write_text(json.dumps(out, indent=1) + "\n")
+    except OSError:
+        pass  # read-only checkout: the early stdout line still has it
     print(json.dumps(out))
+    compact = {
+        "metric": out["metric"],
+        "value": out["value"],
+        "unit": out["unit"],
+        "sf": out["sf"],
+        "queries": out["queries"],
+        "full_record": full_path.name,
+    }
+    for key in (
+        "sf_secondary", "value_secondary",
+        "scale_probe_factor", "scale_probe_docs", "queries_scale_probe",
+        "scale_probe2_factor", "scale_probe2_docs",
+        "queries_scale_probe2", "queries_scale_probe2_stats",
+    ):
+        if key in out:
+            compact[key] = out[key]
+    print(json.dumps(compact))
 
 
 if __name__ == "__main__":
