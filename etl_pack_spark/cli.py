@@ -186,6 +186,7 @@ def main(argv: list[str] | None = None) -> int:
 
     if args.compact:
         from etl_pack_spark.sinks.atomic import (
+            clean_orphan_stages,
             publish_swap,
             recover_swap,
             stage_dir,
@@ -194,8 +195,10 @@ def main(argv: list[str] | None = None) -> int:
 
         if args.in_place:
             # a previous firing may have died mid-swap; restore first
-            # so the source read below sees the pre-crash table
+            # so the source read below sees the pre-crash table, and
+            # drop any staging dir a pre-swap crash orphaned
             recover_swap(args.target)
+            clean_orphan_stages(args.target, "compact_stage_")
             out_path = stage_dir(args.target, prefix="compact_stage_")
         else:
             out_path = args.target

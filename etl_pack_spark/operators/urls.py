@@ -18,22 +18,50 @@ pinned by tests/test_urls.py vectors):
   * default ports (``:80``, ``:443``) stripped
   * fragment dropped
   * tracking params dropped (``utm_*``, ``fbclid``, ``gclid``,
-    ``msclkid``, ``ref``), remaining query params SORTED (order is
-    transport noise)
+    ``msclkid`` — see ``TRACKING_PARAMS``), remaining query params
+    SORTED (order is transport noise)
   * trailing ``/`` stripped from non-root paths; empty path → ``/``
+
+Precision/recall trade-off of the tracking list: every name on it
+merges URLs that differ only in that param — correct for pure
+click-attribution noise (``utm_*``, ``fbclid``), but a name that ANY
+site uses as content routing would merge genuinely distinct pages and
+``dedup_by_url`` would then silently delete the losers. That is why
+``ref`` is NOT on the default list (VCS branch refs, forum thread
+refs, ``ref=<page>`` routers are content-identifying), even though
+some crawlers drop it as Amazon-style referral noise: a kept
+duplicate costs one near-dup pass downstream, a merged distinct page
+is unrecoverable. Callers who know their corpus can pass their own
+``tracking_params`` (regex alternatives, anchored ``^(...)=``).
 """
 
 from __future__ import annotations
 
+from collections.abc import Sequence
+
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
-TRACKING_PARAM_RE = r"^(utm_[a-z]+|fbclid|gclid|msclkid|ref)="
+# Default tracking-param names (regex alternatives). Deliberately
+# conservative — see the module docstring's trade-off note.
+TRACKING_PARAMS: tuple[str, ...] = ("utm_[a-z]+", "fbclid", "gclid", "msclkid")
 
 
-def canonical_url_col(url) -> Column:
+def _tracking_re(params: Sequence[str]) -> str:
+    return r"^(" + "|".join(params) + r")="
+
+
+TRACKING_PARAM_RE = _tracking_re(TRACKING_PARAMS)
+
+
+def canonical_url_col(
+    url, tracking_params: Sequence[str] = TRACKING_PARAMS
+) -> Column:
     """The canonical form of ``url`` as a pure Column expression.
-    NULL/unparseable inputs (no host) yield NULL."""
+    NULL/unparseable inputs (no host) yield NULL. ``tracking_params``
+    is the drop-list of query-param name patterns (regex
+    alternatives); see the module docstring for the default's
+    rationale."""
     u = F.col(url) if isinstance(url, str) else url
     host = F.lower(F.try_parse_url(u, F.lit("HOST")))
     # ALL leading www. labels (single-application would make the
@@ -59,7 +87,7 @@ def canonical_url_col(url) -> Column:
     q = F.try_parse_url(u, F.lit("QUERY"))
     kept = F.filter(
         F.split(F.coalesce(q, F.lit("")), "&"),
-        lambda p: (p != "") & ~p.rlike(TRACKING_PARAM_RE),
+        lambda p: (p != "") & ~p.rlike(_tracking_re(tracking_params)),
     )
     query = F.array_join(F.array_sort(kept), "&")
     tail = F.when(query == "", F.lit("")).otherwise(F.concat(F.lit("?"), query))
@@ -73,6 +101,7 @@ def dedup_by_url(
     url_col: str,
     id_col: str,
     keep: str = "min",
+    tracking_params: Sequence[str] = TRACKING_PARAMS,
 ) -> DataFrame:
     """ONE row per canonical URL — the crawl-level first-line dedup.
     Winner per URL is the ``min`` (default) or ``max`` ``id_col``
@@ -89,7 +118,9 @@ def dedup_by_url(
     if keep not in ("min", "max"):
         raise ValueError(f"keep must be 'min' or 'max', got {keep!r}")
     order = F.col(id_col).asc() if keep == "min" else F.col(id_col).desc()
-    with_url = df.withColumn("canonical_url", canonical_url_col(url_col))
+    with_url = df.withColumn(
+        "canonical_url", canonical_url_col(url_col, tracking_params)
+    )
     w_local = Window.partitionBy(
         "canonical_url", F.spark_partition_id()
     ).orderBy(order)

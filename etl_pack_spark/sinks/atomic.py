@@ -56,12 +56,39 @@ def stage_dir(target_path: str, prefix: str = "stage_") -> str:
     """A fresh HIDDEN staging directory in the target's parent (same
     filesystem, so the final rename is a metadata operation; the
     leading dot keeps half-written data invisible to Spark readers of
-    the parent — see :func:`backup_path`)."""
+    the parent — see :func:`backup_path`).
+
+    Single-writer assumption: the name is minted by ``mkdtemp`` but
+    handed to Spark EMPTY (overwrite mode wants to create the
+    directory itself), so between the ``rmdir`` here and Spark's
+    ``mkdir`` a concurrent run could mint the same name. All callers
+    are single-flight maintenance jobs (one cron firing per target at
+    a time — the same assumption the backup/rename swap itself needs:
+    two concurrent :func:`publish_swap` calls on one target would race
+    regardless); do not point two live writers at one target."""
     parent = os.path.dirname(os.path.abspath(target_path)) or "."
     staged = tempfile.mkdtemp(prefix="." + prefix.lstrip("."), dir=parent)
     # Spark's overwrite mode wants to create the dir itself
     os.rmdir(staged)
     return staged
+
+
+def clean_orphan_stages(target_path: str, prefix: str = "stage_") -> None:
+    """Delete hidden staging directories a previous run left behind —
+    a crash anywhere between :func:`stage_dir` and the
+    :func:`publish_swap` rename orphans the staged data, and nothing
+    else ever visits dot-prefixed siblings, so without this pre-pass
+    dead bytes accumulate forever. Call it where :func:`recover_swap`
+    is called (same single-writer assumption: a concurrent run's live
+    staging dir would be indistinguishable from an orphan)."""
+    parent = os.path.dirname(os.path.abspath(target_path)) or "."
+    hidden = "." + prefix.lstrip(".")
+    if not os.path.isdir(parent):
+        return
+    for name in os.listdir(parent):
+        p = os.path.join(parent, name)
+        if name.startswith(hidden) and os.path.isdir(p):
+            shutil.rmtree(p, ignore_errors=True)
 
 
 def publish_swap(staged: str, target_path: str) -> None:

@@ -364,11 +364,19 @@ def compact_partitions(
 
     # recovery pre-pass: a leaf that crashed mid-swap exists ONLY as
     # its hidden backup (the leaf dir itself is gone, so leaf
-    # discovery would never visit it) — restore those first
+    # discovery would never visit it) — restore those first; a leaf
+    # that crashed BEFORE its swap left an orphaned hidden staging dir
+    # instead — delete those (nothing else ever visits dot-prefixed
+    # siblings, so orphans would accumulate dead bytes forever)
+    import shutil as _shutil
+
     for r, dirs, _ in os.walk(_local_path(root)):
         for d in list(dirs):
             if d.startswith(".") and d.endswith(".bak"):
                 recover_swap(os.path.join(r, d[1:-4]))
+                dirs.remove(d)
+            elif d.startswith(".compact_part_"):
+                _shutil.rmtree(os.path.join(r, d), ignore_errors=True)
                 dirs.remove(d)
 
     for leaf, n, nbytes in _leaf_dirs(spark, root):

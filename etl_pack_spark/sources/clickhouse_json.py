@@ -152,8 +152,25 @@ def clickhouse_json_pages(
                     page[n] = col.map(
                         lambda v: None if pd.isna(v) else _dec.Decimal(str(v))
                     )
+                elif t == "int64":
+                    # ClickHouse quotes 64-bit ints as JSON strings by
+                    # default (output_format_json_quote_64bit_integers=1)
+                    # — astype('Int64') on strings raises, and
+                    # pd.to_numeric routes through float64 when NULLs
+                    # are present, corrupting values beyond 2^53. Exact
+                    # per-cell int() (driver _coerce parity; the uint64
+                    # Decimal path beside it is per-cell for the same
+                    # reason).
+                    # (Series.map would infer float64 for int+None
+                    # results — pd.array keeps python-int precision)
+                    page[n] = pd.array(
+                        [None if v is None else int(v) for v in col],
+                        dtype="Int64",
+                    )
                 elif t in int_tags:
-                    page[n] = col.astype("Int64")
+                    # narrow ints arrive bare, but accept quoted forms
+                    # too; values < 2^32 survive the float64 routing
+                    page[n] = pd.to_numeric(col).astype("Int64")
                 elif t in ("float32", "float64"):
                     page[n] = col.astype("float64")
                 else:

@@ -178,15 +178,22 @@ def stream_cdc_apply(
     """
     import os
 
-    from etl_pack_spark.sinks.atomic import publish_swap, recover_swap, stage_dir
+    from etl_pack_spark.sinks.atomic import (
+        clean_orphan_stages,
+        publish_swap,
+        recover_swap,
+        stage_dir,
+    )
 
     schema = spark.read.parquet(source_dir).schema
 
     def fold(batch_df: DataFrame, batch_id: int) -> None:
         sess = batch_df.sparkSession
         # crash recovery: a previous firing died mid-swap (the
-        # checkpoint will replay that batch after the restore)
+        # checkpoint will replay that batch after the restore); a
+        # PRE-swap crash instead orphaned its staging dir — drop those
         recover_swap(target_path)
+        clean_orphan_stages(target_path, "cdc_stage_")
         cols = [c for c in batch_df.columns if c != op_col]
         if os.path.exists(target_path):
             target = sess.read.parquet(target_path)
@@ -294,11 +301,23 @@ def stream_neardup_ingest(
             num_hashes,
         )
         if os.path.exists(store_path):
-            store = sess.read.parquet(store_path)
+            # mergeSchema: after the FIRST stamped append to a legacy
+            # store the directory mixes files with and without __batch;
+            # default schema inference reads ONE footer, which either
+            # loses the stamp column (all rows -> batch -1, ties between
+            # old and new signatures) or exists only in some files. With
+            # merged schemas legacy rows surface as __batch NULL, which
+            # max_by would IGNORE (silently dropping legacy signatures)
+            # — hence the coalesce to -1 (any stamped rewrite wins).
+            store = sess.read.option("mergeSchema", "true").parquet(store_path)
             if "__batch" not in store.columns:
-                # migration shim: stores written before the batch stamp
-                # existed read as batch -1 (any stamped rewrite wins)
+                # migration shim: store written entirely before the
+                # batch stamp existed
                 store = store.withColumn("__batch", F.lit(-1))
+            else:
+                store = store.withColumn(
+                    "__batch", F.coalesce(F.col("__batch"), F.lit(-1))
+                )
             sig_cols = [c for c in store.columns if c not in (id_col, "__batch")]
             sig_old = (
                 store.groupBy(id_col)

@@ -276,3 +276,39 @@ class TestCompactPartitions:
         compact_partitions(spark, root)
         assert spark.read.parquet(root).count() == n_rows
         assert not os.path.exists(backup_path(leaf))
+
+    def test_orphaned_stage_dirs_are_cleaned(self, spark, sf_dir, tmp_path):
+        """A crash BETWEEN stage_dir and publish_swap leaves a hidden
+        .compact_part_* directory; no reader ever sees it, so without
+        the recovery pre-pass its dead bytes accumulate forever."""
+        import os
+
+        from etl_pack_spark.sinks.compaction import compact_partitions
+
+        root, orders = self._frag_table(spark, sf_dir, tmp_path)
+        n_rows = orders.count()
+        orphan = os.path.join(root, ".compact_part_dead0")
+        os.makedirs(orphan)
+        with open(os.path.join(orphan, "part-0.parquet"), "wb") as f:
+            f.write(b"dead")
+        compact_partitions(spark, root)
+        assert not os.path.exists(orphan)
+        assert spark.read.parquet(root).count() == n_rows
+
+
+def test_clean_orphan_stages_unit(tmp_path):
+    """clean_orphan_stages removes only hidden dirs under the given
+    prefix — never the target, its backup, or unrelated siblings."""
+    import os
+
+    from etl_pack_spark.sinks.atomic import clean_orphan_stages
+
+    target = tmp_path / "table"
+    target.mkdir()
+    (tmp_path / ".compact_stage_abc").mkdir()
+    (tmp_path / ".compact_stage_def").mkdir()
+    (tmp_path / ".table.bak").mkdir()
+    (tmp_path / "other").mkdir()
+    clean_orphan_stages(str(target), "compact_stage_")
+    left = sorted(os.listdir(tmp_path))
+    assert left == [".table.bak", "other", "table"]

@@ -313,6 +313,40 @@ class TestClickhouseFormatJson:
             clickhouse_json_pages(bodies, ["ts"], ["DateTime"]).collect()
 
 
+def test_clickhouse_quoted_int64_default_config(spark):
+    """ClickHouse's DEFAULT config quotes 64-bit integers as JSON
+    strings (output_format_json_quote_64bit_integers=1). Both decode
+    paths must accept that body, and the executor path must keep full
+    64-bit precision even with NULLs in the column (a float64 routing
+    would corrupt values beyond 2^53)."""
+    import json as _json
+
+    from etl_pack_spark.sources.clickhouse_json import (
+        clickhouse_json_pages,
+        clickhouse_json_to_df,
+    )
+
+    body = {
+        "meta": [{"name": "iv", "type": "Int64"},
+                 {"name": "n32", "type": "Int32"}],
+        "data": [
+            {"iv": "9223372036854775807", "n32": 1},
+            {"iv": "-9223372036854775808", "n32": 2},
+            {"iv": "9007199254740993", "n32": 3},   # 2^53 + 1
+            {"iv": None, "n32": 4},
+        ],
+        "rows": 4,
+    }
+    want = [(9223372036854775807, 1), (-9223372036854775808, 2),
+            (9007199254740993, 3), (None, 4)]
+    drv = clickhouse_json_to_df(spark, _json.dumps(body))
+    assert sorted(map(tuple, drv.collect()), key=lambda r: r[1]) == want
+    bodies = spark.createDataFrame([(1, _json.dumps(body))],
+                                   "page int, body string")
+    exe = clickhouse_json_pages(bodies, ["iv", "n32"], ["Int64", "Int32"])
+    assert sorted(map(tuple, exe.collect()), key=lambda r: r[1]) == want
+
+
 def test_clickhouse_unknown_bool_renders_go_style(spark):
     import json as _json
 

@@ -443,6 +443,61 @@ def test_neardup_store_without_batch_column_migrates(spark, tmp_path):
     assert frozenset((1, 2)) in pairs
 
 
+def test_neardup_store_mixed_legacy_and_stamped_files(spark, tmp_path):
+    """After the FIRST stamped append to a legacy store the directory
+    MIXES files without __batch and files with it. The store read must
+    (a) still see the stamp column (mergeSchema — default inference
+    reads one arbitrary footer and can lose it), and (b) not lose
+    legacy ids whose __batch reads as NULL under the merged schema
+    (max_by ignores NULL — coalesce to -1 keeps them matchable) while
+    (c) a stamped rewrite of a legacy id still wins."""
+    from etl_pack_spark.operators import neardup
+    from etl_pack_spark.operators.tokenize import shingle_rows
+    from etl_pack_spark.streaming.incremental import stream_neardup_ingest
+
+    src = str(tmp_path / "src")
+    store = str(tmp_path / "store")
+    t_a = "alpha beta gamma delta epsilon zeta eta theta running words"
+    t_b = "totally unrelated prose about compilers and type inference"
+    t_c = "storage engines compact sorted runs into larger immutable files"
+
+    def sig_of(rows):
+        return neardup.minhash_signature(
+            shingle_rows(
+                spark.createDataFrame(rows, "doc_id long, text string"),
+                "doc_id", "text", 3, distinct=False,
+            ),
+            "doc_id",
+        )
+
+    # legacy file: docs 1 (t_a) and 5 (t_c), no __batch column
+    sig_of([(1, t_a), (5, t_c)]).write.parquet(store)
+    # first stamped append: unrelated doc 2 — store is now MIXED
+    spark.createDataFrame([(2, t_b)], "doc_id long, text string") \
+        .write.mode("append").parquet(src)
+    stream_neardup_ingest(spark, src, store, str(tmp_path / "m"),
+                          str(tmp_path / "ck"))
+    # doc 1 is REWRITTEN with t_b text (stamped; must beat legacy t_a)
+    spark.createDataFrame([(1, t_b)], "doc_id long, text string") \
+        .write.mode("append").parquet(src)
+    stream_neardup_ingest(spark, src, store, str(tmp_path / "m"),
+                          str(tmp_path / "ck"))
+    # new arrivals: 3 near-dups t_c (legacy-only id 5 must still match),
+    # 4 near-dups t_b (rewritten id 1 must match via its NEW signature),
+    # and nothing near-dups t_a anymore (1's legacy signature replaced)
+    spark.createDataFrame(
+        [(3, t_c + " tail"), (4, t_b + " tail")],
+        "doc_id long, text string",
+    ).write.mode("append").parquet(src)
+    stream_neardup_ingest(spark, src, store, str(tmp_path / "m"),
+                          str(tmp_path / "ck"))
+    pairs = {frozenset((r["id_a"], r["id_b"]))
+             for r in spark.read.parquet(str(tmp_path / "m")).collect()}
+    assert frozenset((3, 5)) in pairs       # legacy signature survived
+    assert frozenset((1, 4)) in pairs       # rewrite matchable
+    assert frozenset((1, 3)) not in pairs   # legacy t_a signature replaced
+
+
 def test_recover_swap_honors_legacy_backup_name(tmp_path):
     """A crash under the pre-hidden-naming code left 'target.bak'; the
     upgraded recovery must restore it, not restart the table empty."""

@@ -16,8 +16,11 @@ VECTORS = [
     ("http://site.com", "https://site.com/"),
     ("https://site.com:8080/x", "https://site.com:8080/x"),
     ("https://site.com/x?b=2&a=1", "https://site.com/x?a=1&b=2"),
-    ("https://site.com/x?utm_campaign=c&utm_medium=m&fbclid=f&gclid=g&ref=r",
+    ("https://site.com/x?utm_campaign=c&utm_medium=m&fbclid=f&gclid=g&msclkid=m",
      "https://site.com/x"),
+    # 'ref' is content-identifying on many sites (VCS branch refs,
+    # forum threads, ref=<page> routers) — NOT dropped by default
+    ("https://site.com/x?ref=main&a=1", "https://site.com/x?a=1&ref=main"),
     ("https://site.com/deep/path/", "https://site.com/deep/path"),
     ("https://site.com/?q=a%20b", "https://site.com/?q=a%20b"),
     ("not a url", None),
@@ -135,6 +138,32 @@ def test_userinfo_ipv6_multislash_and_nested_www(spark):
     again = {r["i"]: r["c"] for r in
              canon.select("i", canonical_url_col("url").alias("c")).collect()}
     assert all(again[i] == got[i] for i in again)
+
+
+def test_custom_tracking_params_list(spark):
+    """The tracking drop-list is a parameter: corpora where 'ref' IS
+    attribution noise can opt into dropping it, and the default list
+    can be extended without touching the canonicalizer."""
+    from etl_pack_spark.operators.urls import TRACKING_PARAMS
+
+    df = spark.createDataFrame(
+        [(1, "https://site.com/x?ref=r&utm_source=s&a=1")], "i int, url string"
+    )
+    default = df.select(canonical_url_col("url").alias("c")).first()["c"]
+    assert default == "https://site.com/x?a=1&ref=r"
+    widened = df.select(
+        canonical_url_col("url", TRACKING_PARAMS + ("ref",)).alias("c")
+    ).first()["c"]
+    assert widened == "https://site.com/x?a=1"
+    # dedup_by_url threads the list through
+    d2 = spark.createDataFrame(
+        [(1, "https://s.com/p?ref=a"), (2, "https://s.com/p?ref=b")],
+        "doc_id long, url string",
+    )
+    assert dedup_by_url(d2, "url", "doc_id").count() == 2
+    assert dedup_by_url(
+        d2, "url", "doc_id", tracking_params=("ref",)
+    ).count() == 1
 
 
 def test_dedup_by_url_rejects_bad_keep(spark):
