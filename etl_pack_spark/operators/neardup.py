@@ -122,6 +122,31 @@ def _banded(
     )
 
 
+# Default heavy-hitter cap for the candidate-generating self-joins,
+# ON by default since r6 (the opt-in default left a demonstrated
+# superlinear point: at 30x corpus replication one simhash block
+# reached 8 730 members = ~38M candidate pairs from a single block,
+# and real crawls produce the same shape — boilerplate pages and
+# empty/short docs collapse to one signature, which exact dedup does
+# NOT own because identical simhash != identical text). 4096 sits far
+# above any natural bucket observed on the fixtures (sf0.01 max 28,
+# sf0.1 max 291 — 14x-680x margin) while bounding any one bucket's
+# pair emission at ~8.4M; the cap is mirrored in the oracle SQL
+# generators, so cross-engine parity holds by construction even when
+# it engages. Pass None to disable.
+DEFAULT_MAX_BUCKET = 4096
+
+
+def overfull_buckets(rows: DataFrame, keys: list[str], cap: int) -> DataFrame:
+    """The bucket keys holding more than ``cap`` members, with their
+    counts — ONE map-side-combinable aggregate. Small by construction
+    (heavy hitters are few); the dedup guard anti-joins on it, and
+    operators surface it so a large corpus' skew is VISIBLE (a hot
+    bucket seen here is the shuffle that would have died) before the
+    candidate join runs."""
+    return rows.groupBy(*keys).count().where(F.col("count") > cap)
+
+
 def _drop_hot_buckets(rows: DataFrame, keys: list[str], cap: int) -> DataFrame:
     """Remove rows whose bucket (by ``keys``) holds more than ``cap``
     members: ONE map-side-combinable count + a broadcast anti-join on
@@ -132,9 +157,7 @@ def _drop_hot_buckets(rows: DataFrame, keys: list[str], cap: int) -> DataFrame:
     dominate the whole job; capping trades recall ONLY among pairs
     whose every shared bucket is overfull — which at cap≫1 means
     near-identical floods that exact dedup upstream should own."""
-    over = (
-        rows.groupBy(*keys).count().where(F.col("count") > cap).drop("count")
-    )
+    over = overfull_buckets(rows, keys, cap).drop("count")
     return rows.join(F.broadcast(over), keys, "left_anti")
 
 
@@ -143,13 +166,15 @@ def lsh_candidate_pairs(
     id_col: str,
     num_hashes: int = 16,
     bands: int = 8,
-    max_bucket: int | None = None,
+    max_bucket: int | None = DEFAULT_MAX_BUCKET,
 ) -> DataFrame:
     """Band the signature, bucket-join on (band, key), emit id pairs
     (a < b). The self-join is the one shuffle; bucket sizes are bounded
     by LSH, so no quadratic blowup at scale — except under mass
-    duplication, where ``max_bucket`` (opt-in) caps the blowup via
-    :func:`_drop_hot_buckets`."""
+    duplication, where ``max_bucket`` (ON by default, see
+    ``DEFAULT_MAX_BUCKET``; ``None`` disables) caps the blowup via
+    :func:`_drop_hot_buckets`. :func:`overfull_buckets` over the
+    banding reports what a given cap would drop."""
     banded = _banded(sig, id_col, num_hashes, bands)
     if max_bucket is not None:
         banded = _drop_hot_buckets(banded, ["band", "bk"], max_bucket)
@@ -193,7 +218,7 @@ def minhash_lsh_dedup_pairs(
     num_hashes: int = 16,
     bands: int = 8,
     threshold: float = 0.8,
-    max_bucket: int | None = None,
+    max_bucket: int | None = DEFAULT_MAX_BUCKET,
 ) -> DataFrame:
     """The full near-dup pipeline: shingle → minhash → LSH buckets →
     exact-Jaccard verify.
@@ -307,6 +332,22 @@ def minhash_match_incremental(
     )
 
 
+def _hot_filter_sql(src: str, keys: list[str], cap: int | None) -> str:
+    """CTE tail mirroring :func:`_drop_hot_buckets`: rows of ``src``
+    whose bucket (by ``keys``) holds more than ``cap`` members are
+    dropped. Returns SQL for a subquery usable in FROM; the identity
+    passthrough when the cap is disabled."""
+    if cap is None:
+        return src
+    kl = ", ".join(keys)
+    on = " AND ".join(f"h.{k} = b.{k}" for k in keys)
+    return (
+        f"(SELECT b.* FROM {src} b WHERE NOT EXISTS ("
+        f"SELECT 1 FROM (SELECT {kl} FROM {src} GROUP BY {kl} "
+        f"HAVING COUNT(*) > {cap}) h WHERE {on}))"
+    )
+
+
 def minhash_lsh_dedup_pairs_sql(
     table: str,
     id_col: str,
@@ -315,8 +356,11 @@ def minhash_lsh_dedup_pairs_sql(
     num_hashes: int = 16,
     bands: int = 8,
     threshold: float = 0.8,
+    max_bucket: int | None = DEFAULT_MAX_BUCKET,
 ) -> str:
-    """The identical pipeline as DuckDB SQL (oracle)."""
+    """The identical pipeline as DuckDB SQL (oracle), including the
+    heavy-hitter bucket cap (same default as the Spark op, so parity
+    holds by construction even when the cap engages)."""
     rows_per_band = num_hashes // bands
     mh_cols = ",\n               ".join(
         f"list_aggregate(list_transform(shingles, s -> "
@@ -346,7 +390,8 @@ def minhash_lsh_dedup_pairs_sql(
     ),
     cand AS (
         SELECT DISTINCT a.{id_col} AS id_a, b.{id_col} AS id_b
-        FROM banded a JOIN banded b
+        FROM {_hot_filter_sql('banded', ['band', 'bk'], max_bucket)} a
+        JOIN {_hot_filter_sql('banded', ['band', 'bk'], max_bucket)} b
           ON a.band = b.band AND a.bk = b.bk AND a.{id_col} < b.{id_col}
     )
     SELECT id_a, id_b,
@@ -589,13 +634,15 @@ def hamming_neardup_pairs(
     sig_col: str = "simhash",
     max_hamming: int = 10,
     chunks: int = 4,
-    max_block_freq: int | None = None,
+    max_block_freq: int | None = DEFAULT_MAX_BUCKET,
 ) -> DataFrame:
     """Near-dup pairs over ANY 64-bit signature rendered as 16 hex
     chars (simhash of text, dHash of images, …): candidates share at
     least one exact 16/chunks-hex-char block (pigeonhole: any pair
     within ``chunks-1`` differing blocks is found), then exact hamming
-    filters. Block equi-join — never all-pairs. The signature frame is
+    filters. Block equi-join — never all-pairs; ``max_block_freq``
+    (ON by default, see ``DEFAULT_MAX_BUCKET``; ``None`` disables)
+    drops degenerate hot blocks first. The signature frame is
     pooled-persisted HERE: it feeds both sides of the banding
     self-join and both verify joins, and for image/audio signatures
     the upstream lineage is an expensive pixel/PCM decode that must
@@ -609,9 +656,9 @@ def hamming_neardup_pairs(
         ).alias("blk_idx", "blk"),
     )
     if max_block_freq is not None:
-        # heavy-hitter guard (opt-in): a block value shared by b docs
-        # emits b²/2 candidates — mass-duplicated signatures make one
-        # block dominate the join (the 30x replication probe's
+        # heavy-hitter guard (default on): a block value shared by b
+        # docs emits b²/2 candidates — mass-duplicated signatures make
+        # one block dominate the join (the 30x replication probe's
         # superlinear point). Pairs whose EVERY shared block is capped
         # are lost; at sane caps those are identical-signature floods.
         blocks = _drop_hot_buckets(blocks, ["blk_idx", "blk"], max_block_freq)
@@ -642,13 +689,13 @@ def simhash_neardup_pairs(
     text_col: str,
     max_hamming: int = 10,
     chunks: int = 4,
-    max_block_freq: int | None = None,
+    max_block_freq: int | None = DEFAULT_MAX_BUCKET,
 ) -> DataFrame:
     """SimHash near-dup pairs: text signatures through the generic
     :func:`hamming_neardup_pairs` block-match (same shuffle shape as
     minhash LSH — block equi-join, no all-pairs; the generic op owns
-    the signature persist). ``max_block_freq`` opts into the
-    heavy-hitter bucket cap."""
+    the signature persist). ``max_block_freq`` is the heavy-hitter
+    bucket cap (default on, ``DEFAULT_MAX_BUCKET``)."""
     sig = simhash_signature(df, id_col, text_col)
     return hamming_neardup_pairs(
         sig, id_col, "simhash", max_hamming, chunks, max_block_freq
@@ -661,10 +708,13 @@ def hamming_neardup_pairs_sql(
     sig_col: str = "simhash",
     max_hamming: int = 10,
     chunks: int = 4,
+    max_block_freq: int | None = DEFAULT_MAX_BUCKET,
 ) -> str:
     """DuckDB oracle twin of :func:`hamming_neardup_pairs` over ANY
     signature subquery ``sig_sql`` producing ``(id_col, sig_col)`` —
-    same pigeonhole block candidates, same nibble-popcount hamming."""
+    same pigeonhole block candidates, same nibble-popcount hamming,
+    same heavy-hitter block cap (shared default, so parity holds even
+    when the cap engages)."""
     width = 16 // chunks
     block_rows = "\n            UNION ALL\n".join(
         f"            SELECT {id_col}, {c} AS blk_idx, "
@@ -672,6 +722,7 @@ def hamming_neardup_pairs_sql(
         for c in range(chunks)
     )
     ham = _hamming_exprs(f"sa.{sig_col}", f"sb.{sig_col}", "duckdb")
+    blocks_k = _hot_filter_sql("blocks", ["blk_idx", "blk"], max_block_freq)
     return f"""
     WITH sig AS ({sig_sql}),
     blocks AS (
@@ -679,7 +730,7 @@ def hamming_neardup_pairs_sql(
     ),
     cand AS (
         SELECT DISTINCT a.{id_col} AS id_a, b.{id_col} AS id_b
-        FROM blocks a JOIN blocks b
+        FROM {blocks_k} a JOIN {blocks_k} b
           ON a.blk_idx = b.blk_idx AND a.blk = b.blk AND a.{id_col} < b.{id_col}
     )
     SELECT id_a, id_b, {ham} AS hamming
@@ -691,11 +742,16 @@ def hamming_neardup_pairs_sql(
 
 
 def simhash_neardup_pairs_sql(
-    table: str, id_col: str, text_col: str, max_hamming: int = 10, chunks: int = 4
+    table: str,
+    id_col: str,
+    text_col: str,
+    max_hamming: int = 10,
+    chunks: int = 4,
+    max_block_freq: int | None = DEFAULT_MAX_BUCKET,
 ) -> str:
     return hamming_neardup_pairs_sql(
         simhash_signature_sql(table, id_col, text_col),
-        id_col, "simhash", max_hamming, chunks,
+        id_col, "simhash", max_hamming, chunks, max_block_freq,
     )
 
 

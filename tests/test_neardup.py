@@ -193,7 +193,7 @@ def test_incremental_match_oracle_parity(spark, sf_dir):
 
 
 class TestHeavyHitterCap:
-    """Opt-in hot-bucket caps: mass-duplicated signatures must not
+    """Default-on hot-bucket caps: mass-duplicated signatures must not
     dominate candidate generation; distinct near-pairs survive."""
 
     def test_simhash_block_cap_drops_flood_keeps_pair(self, spark):
@@ -209,7 +209,9 @@ class TestHeavyHitterCap:
                 "statistics collection and cost based optimization")
         near = [(100, base), (101, base + " appendix")]
         df = spark.createDataFrame(flood + near, "doc_id long, text string")
-        uncapped = neardup.simhash_neardup_pairs(df, "doc_id", "text")
+        uncapped = neardup.simhash_neardup_pairs(
+            df, "doc_id", "text", max_block_freq=None
+        )
         capped = neardup.simhash_neardup_pairs(
             df, "doc_id", "text", max_block_freq=10
         )
@@ -238,3 +240,102 @@ class TestHeavyHitterCap:
         got = {frozenset((r["id_a"], r["id_b"])) for r in capped.collect()}
         assert frozenset((200, 201)) in got
         assert all(100 <= min(p) for p in got)          # no flood pairs
+
+    def test_default_cap_has_fixture_headroom(self, spark, sf_dir):
+        """The default cap must sit FAR above every natural bucket on
+        the fixture corpus (so the 50 oracle rows are bit-identical
+        whether or not either engine implements the cap): no minhash
+        band bucket or simhash block within 10x of the default."""
+        from etl_pack_spark.operators import neardup
+        from etl_pack_spark.operators.tokenize import shingle_rows
+
+        docs = read_table(spark, sf_dir, "documents")
+        margin = neardup.DEFAULT_MAX_BUCKET // 10
+        sig = neardup.minhash_signature(
+            shingle_rows(docs, "doc_id", "text", 3, distinct=False), "doc_id"
+        )
+        banded = neardup._banded(sig, "doc_id", 16, 8)
+        assert neardup.overfull_buckets(
+            banded, ["band", "bk"], margin
+        ).count() == 0
+        ssig = neardup.simhash_signature(docs, "doc_id", "text")
+        blocks = ssig.select(
+            "doc_id",
+            F.posexplode(F.array(
+                *[F.substring("simhash", 1 + c * 4, 4) for c in range(4)]
+            )).alias("blk_idx", "blk"),
+        )
+        assert neardup.overfull_buckets(
+            blocks, ["blk_idx", "blk"], margin
+        ).count() == 0
+
+    def test_overfull_buckets_surfaces_skew(self, spark):
+        """The skew-report helper names the hot bucket with its count —
+        what a 100 TB operator inspects before the candidate join."""
+        from etl_pack_spark.operators import neardup
+
+        rows = spark.createDataFrame(
+            [(i, 0, "hot") for i in range(20)] + [(99, 0, "cold")],
+            "doc_id long, blk_idx int, blk string",
+        )
+        got = neardup.overfull_buckets(rows, ["blk_idx", "blk"], 5).collect()
+        assert len(got) == 1
+        assert got[0]["blk"] == "hot" and got[0]["count"] == 20
+
+    def test_engaged_cap_matches_oracle_sql(self, spark, tmp_path):
+        """When the cap ENGAGES, Spark and the DuckDB oracle must still
+        agree pair-for-pair — the cap is mirrored in the SQL
+        generators, not an engine-side divergence."""
+        import duckdb
+
+        from etl_pack_spark.operators import neardup
+
+        flood = [(i, "the same flooded boilerplate page text repeated "
+                     "everywhere across the crawl again and again")
+                 for i in range(40)]
+        base = ("a genuinely unique document about distributed query "
+                "engines their shuffle strategies broadcast joins "
+                "partition pruning and adaptive execution at scale")
+        rows = flood + [(100, base), (101, base + " appendix")]
+        df = spark.createDataFrame(rows, "doc_id long, text string")
+        pq = str(tmp_path / "docs.parquet")
+        df.coalesce(1).write.parquet(pq)
+        con = duckdb.connect()
+        con.execute(
+            f"CREATE VIEW documents AS SELECT * FROM read_parquet('{pq}/*.parquet')"
+        )
+        for cap in (10, None):
+            got = sorted(
+                (r["id_a"], r["id_b"], r["hamming"])
+                for r in neardup.simhash_neardup_pairs(
+                    df, "doc_id", "text", max_block_freq=cap
+                ).collect()
+            )
+            want = sorted(map(tuple, con.execute(
+                neardup.simhash_neardup_pairs_sql(
+                    "documents", "doc_id", "text", max_block_freq=cap
+                )
+            ).fetchall()))
+            assert got == want, f"cap={cap}"
+        # and the capped run genuinely dropped the flood
+        assert len(want) > 700  # last iteration: cap=None keeps flood
+        got10 = neardup.simhash_neardup_pairs(
+            df, "doc_id", "text", max_block_freq=10
+        ).count()
+        assert got10 < 10
+        # same engaged-cap parity for the minhash-LSH generator
+        got_mh = sorted(
+            (r["id_a"], r["id_b"], round(r["jaccard"], 9))
+            for r in neardup.minhash_lsh_dedup_pairs(
+                df, "doc_id", "text", max_bucket=8
+            ).collect()
+        )
+        want_mh = sorted(
+            (a, b, round(j, 9)) for a, b, j in con.execute(
+                neardup.minhash_lsh_dedup_pairs_sql(
+                    "documents", "doc_id", "text", max_bucket=8
+                )
+            ).fetchall()
+        )
+        assert got_mh == want_mh
+        assert all(100 <= a for a, _, _ in got_mh) and len(got_mh) >= 1
