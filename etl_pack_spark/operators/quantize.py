@@ -13,7 +13,7 @@ to score, PQ compresses HOW each one is scored.
 Scale shape:
 
   * Training is on a BOUNDED deterministic sample (lowest
-    ``xxhash64(id)`` wins, ``sample_rows`` cap) — the same posture as
+    ``md5(id)`` wins, ``sample_rows`` cap) — the same posture as
     IVF's sampled coarse quantizer: codebooks are kilobytes derived
     from a fixed-size sample, never a full-corpus collect.
   * Encoding is map-only: codebooks ride a broadcast variable into a
@@ -51,11 +51,15 @@ def _hash_sample(
 ) -> np.ndarray:
     """The bounded deterministic training sample shared by every
     quantizer trainer: the ``sample_rows`` vectors with the lowest
-    ``xxhash64(id)`` (append-stable), as a float64 matrix; fewer than
+    ``md5(id)`` hex (append-stable), as a float64 matrix; fewer than
     ``k`` rows cannot seed ``k`` centroids and raises."""
     sample = (
         df.select(F.col(id_col).alias("id"), F.col(vec).alias("v"))
-        .withColumn("__h", F.xxhash64(F.col("id")))
+        # md5 (r6, was xxhash64): same append-stable deterministic
+        # sample, but expressible identically in the DuckDB oracle
+        # (xxhash64 is Spark-only), so the trained codebooks are
+        # cross-engine reproducible
+        .withColumn("__h", F.md5(F.col("id").cast("string")))
         .orderBy("__h")
         .limit(sample_rows)
         .toPandas()
@@ -100,7 +104,7 @@ def pq_train(
     """Train PQ codebooks: ``(m, k, dims//m)`` float64 array.
 
     The training sample is the ``sample_rows`` corpus vectors with the
-    lowest ``xxhash64(id)`` — deterministic, append-stable, and bounded
+    lowest ``md5(id)`` — deterministic, append-stable, and bounded
     (this is a codebook fit on a fixed-size sample, not a data
     collect). Lloyd's algorithm runs ``iters`` fixed iterations per
     subspace; empty clusters keep their previous centroid.
@@ -230,7 +234,13 @@ def pq_topk(
             # the merge exact
             kk = min(k + 1, n)
             for qi in range(nq):
-                d = dist[qi]
+                # 10dp rounding: ADC sums differ from other engines'
+                # in the last ulp (accumulation order), so EXACT ties
+                # (duplicate vectors share codes) must collapse to the
+                # same value before the id tie-break, or rank order
+                # diverges cross-engine; 5e-11 max error is far inside
+                # the twin tests' 1e-9 tolerance
+                d = np.round(dist[qi], 10)
                 # FULL (dist, id) lexsort before truncation: argpartition
                 # selects an arbitrary subset among EQUAL distances
                 # (duplicate docs share codes), which would make the kept
@@ -308,16 +318,7 @@ def ivf_pq_index(
     cids = cent_pdf["cid"].to_numpy()
     C = np.stack(cent_pdf["cv"].to_numpy()).astype(np.float64)
 
-    sample = (
-        df.select(F.col(id_col).alias("id"), F.col(vec).alias("v"))
-        .withColumn("__h", F.xxhash64(F.col("id")))
-        .orderBy("__h")
-        .limit(sample_rows)
-        .toPandas()
-    )
-    X = np.stack(sample["v"].to_numpy()).astype(np.float64)
-    if len(X) < k:
-        raise ValueError(f"sample of {len(X)} rows cannot seed k={k} centroids")
+    X = _hash_sample(df, id_col, vec, sample_rows, k)
     d2 = ((X[:, None, :] - C[None, :, :]) ** 2).sum(axis=2)
     R = X - C[d2.argmin(axis=1)]
     codebooks = _train_books(R, dims, m, k, iters)
@@ -428,6 +429,8 @@ def ivf_pq_topk(
                 d = np.zeros(len(sel))
                 for j in range(m_):
                     d += tabs[qi, slot, j, codes[sel, j]]
+                # 10dp rounding — see pq_topk's scan for the rationale
+                d = np.round(d, 10)
                 kk = min(k + 1, len(sel))
                 # full (dist, id) lexsort before truncation: ties among
                 # equal ADC distances must keep the LOWEST id or the
@@ -447,3 +450,236 @@ def ivf_pq_topk(
         .withColumn("rk", F.row_number().over(w))
         .where(F.col("rk") <= k)
     )
+
+
+# ---------------------------------------------------------------------------
+# DuckDB oracle twin (driver gate) + index persistence
+# ---------------------------------------------------------------------------
+
+def _l2sq_sql(a: str, b: str, n: int) -> str:
+    """Squared L2 between two n-element DOUBLE lists — explicit
+    element sum (sequential list_sum; cross-engine value differences
+    vs numpy's accumulation order are last-ulp and absorbed by the
+    output rounding; orderings flip only on sub-ulp near-ties, which
+    real-valued embeddings do not produce and exact duplicates resolve
+    identically via the id/index tie-breaks both engines apply)."""
+    return (
+        f"list_sum(list_transform(generate_series(1, {n}), "
+        f"__i -> ({a}[__i] - {b}[__i]) ^ 2))"
+    )
+
+
+def ivf_pq_topk_sql(
+    table: str,
+    dims: int,
+    nlist: int = 16,
+    m: int = 8,
+    kcent: int = 16,
+    iters: int = 5,
+    sample_rows: int = 4096,
+    k: int = 5,
+    nprobe: int = 4,
+    query_pred: str = "vec_id < 50",
+    id_col: str = "vec_id",
+    vec: str = "embedding",
+) -> str:
+    """DuckDB oracle twin of the FULL IVF-PQ pipeline
+    (:func:`ivf_pq_index` + :func:`ivf_pq_topk`): same md5-ordered
+    bounded training sample, same coarse quantizer (ids < nlist), the
+    same fixed-``iters`` Lloyd training UNROLLED as one CTE chain per
+    iteration (argmin ties to the lowest centroid, empty clusters keep
+    their previous centroid), residual encoding, per-(query, probed
+    list) ADC tables, and the (distance, id) tie-broken top-k. Raw
+    engine distances differ from numpy in the last ulp (summation
+    order); the reported distance is rounded by the caller on both
+    sides and ranks are compared on the raw values."""
+    dsub = dims // m
+    dvec = f"list_transform(generate_series(1, {dims}), __i -> CAST(v[__i] AS DOUBLE))"
+    cdvec = f"list_transform(generate_series(1, {dims}), __i -> CAST(cv[__i] AS DOUBLE))"
+
+    def slices(src_list: str) -> str:
+        # one branch per subspace: (j, sub)
+        return "\n            UNION ALL\n".join(
+            f"            SELECT *, {j} AS j, {src_list}[{j * dsub + 1}:{(j + 1) * dsub}] AS sub"
+            f" FROM __SRC__"
+            for j in range(m)
+        )
+
+    # Lloyd iterations, unrolled: cent_0 = first-kcent sample residual
+    # rows per subspace (hash order); cent_t = per-cluster means under
+    # cent_{t-1} assignment, empty clusters keeping the old centroid
+    lloyd = []
+    for t in range(1, iters + 1):
+        prev = f"cent_{t - 1}"
+        lloyd.append(f"""
+    asg_{t} AS MATERIALIZED (
+        SELECT rn, j, c FROM (
+            SELECT p.rn, p.j, c.c,
+                   ROW_NUMBER() OVER (
+                       PARTITION BY p.rn, p.j
+                       ORDER BY {_l2sq_sql('p.sub', 'c.cvec', dsub)}, c.c
+                   ) AS ark
+            FROM spts p JOIN {prev} c USING (j)
+        ) WHERE ark = 1
+    ),
+    mean_{t} AS MATERIALIZED (
+        SELECT j, c, list(av ORDER BY pos) AS cvec FROM (
+            SELECT j, c, pos, avg(val) AS av FROM (
+                SELECT a.j, a.c,
+                       unnest(p.sub) AS val,
+                       unnest(generate_series(1, {dsub})) AS pos
+                FROM asg_{t} a JOIN spts p ON p.rn = a.rn AND p.j = a.j
+            ) GROUP BY j, c, pos
+        ) GROUP BY j, c
+    ),
+    cent_{t} AS MATERIALIZED (
+        SELECT c0.j, c0.c, COALESCE(mn.cvec, c0.cvec) AS cvec
+        FROM {prev} c0 LEFT JOIN mean_{t} mn ON mn.j = c0.j AND mn.c = c0.c
+    )""")
+
+    return f"""
+    WITH emb AS MATERIALIZED (
+        SELECT {id_col} AS id,
+               list_transform(generate_series(1, {dims}),
+                              __i -> CAST({vec}[__i] AS DOUBLE)) AS v
+        FROM {table}
+    ),
+    coarse AS MATERIALIZED (SELECT id AS cid, v AS cv FROM emb WHERE id < {nlist}),
+    samp AS MATERIALIZED (
+        SELECT id, v, rn FROM (
+            SELECT id, v,
+                   ROW_NUMBER() OVER (ORDER BY md5(CAST(id AS VARCHAR))) AS rn
+            FROM emb
+        ) WHERE rn <= {sample_rows}
+    ),
+    samp_res AS MATERIALIZED (
+        SELECT rn, list_transform(generate_series(1, {dims}),
+                                  __i -> v[__i] - cv[__i]) AS r
+        FROM (
+            SELECT s.rn, s.v, c.cv,
+                   ROW_NUMBER() OVER (
+                       PARTITION BY s.rn
+                       ORDER BY {_l2sq_sql('s.v', 'c.cv', dims)}, c.cid
+                   ) AS ark
+            FROM samp s CROSS JOIN coarse c
+        ) WHERE ark = 1
+    ),
+    spts AS MATERIALIZED (
+{slices('r').replace('__SRC__', 'samp_res')}
+    ),
+    cent_0 AS MATERIALIZED (
+        SELECT j, rn - 1 AS c, sub AS cvec FROM spts WHERE rn <= {kcent}
+    ),{','.join(lloyd)},
+    books AS MATERIALIZED (SELECT j, c, cvec FROM cent_{iters}),
+    enc_res AS MATERIALIZED (
+        SELECT id, cid, list_transform(generate_series(1, {dims}),
+                                       __i -> v[__i] - cv[__i]) AS r
+        FROM (
+            SELECT e.id, c.cid, e.v, c.cv,
+                   ROW_NUMBER() OVER (
+                       PARTITION BY e.id
+                       ORDER BY {_l2sq_sql('e.v', 'c.cv', dims)}, c.cid
+                   ) AS ark
+            FROM emb e CROSS JOIN coarse c
+        ) WHERE ark = 1
+    ),
+    epts AS MATERIALIZED (
+{slices('r').replace('__SRC__', 'enc_res')}
+    ),
+    codes AS MATERIALIZED (
+        SELECT id, cid, j, c AS code FROM (
+            SELECT p.id, p.cid, p.j, b.c,
+                   ROW_NUMBER() OVER (
+                       PARTITION BY p.id, p.j
+                       ORDER BY {_l2sq_sql('p.sub', 'b.cvec', dsub)}, b.c
+                   ) AS ark
+            FROM epts p JOIN books b USING (j)
+        ) WHERE ark = 1
+    ),
+    q AS MATERIALIZED (SELECT id AS qid, v FROM emb WHERE ({query_pred.replace(id_col, 'id')})),
+    qprobe AS MATERIALIZED (
+        SELECT qid, cid, r FROM (
+            SELECT qq.qid, c.cid,
+                   list_transform(generate_series(1, {dims}),
+                                  __i -> qq.v[__i] - c.cv[__i]) AS r,
+                   ROW_NUMBER() OVER (
+                       PARTITION BY qq.qid
+                       ORDER BY {_l2sq_sql('qq.v', 'c.cv', dims)}, c.cid
+                   ) AS prk
+            FROM q qq CROSS JOIN coarse c
+        ) WHERE prk <= {nprobe}
+    ),
+    qpts AS MATERIALIZED (
+{slices('r').replace('__SRC__', 'qprobe')}
+    ),
+    tabs AS MATERIALIZED (
+        SELECT qp.qid, qp.cid, b.j, b.c,
+               {_l2sq_sql('qp.sub', 'b.cvec', dsub)} AS tval
+        FROM qpts qp JOIN books b USING (j)
+    ),
+    scored AS MATERIALIZED (
+        SELECT t.qid AS q_id, co.id AS n_id, round(SUM(t.tval), 10) AS adc_dist
+        FROM codes co
+        JOIN tabs t ON t.cid = co.cid AND t.j = co.j AND t.c = co.code
+        WHERE co.id != t.qid
+        GROUP BY 1, 2
+    )
+    SELECT q_id, n_id, adc_dist, rk FROM (
+        SELECT q_id, n_id, adc_dist,
+               ROW_NUMBER() OVER (PARTITION BY q_id
+                                  ORDER BY adc_dist, n_id) AS rk
+        FROM scored
+    ) WHERE rk <= {k}
+    """
+
+
+def ivf_pq_save(
+    path: str,
+    cids: np.ndarray,
+    centroids: np.ndarray,
+    codebooks: np.ndarray,
+    encoded: DataFrame,
+) -> None:
+    """Persist an :func:`ivf_pq_index` build as a parquet directory —
+    the build-once / query-many lifecycle a 100 TB deployment needs
+    (the same posture as the minhash signature store): ``coarse``
+    (nlist rows) and ``books`` (m*k rows) are kilobyte-scale metadata,
+    ``codes`` is the distributed encoded frame (1 list id + m code
+    shorts per vector — the only corpus-sized artifact). Doubles
+    round-trip parquet bit-exactly, so a loaded index answers queries
+    bit-identically to the in-memory build (pinned in tests)."""
+    spark = encoded.sparkSession
+    m, kcent, dsub = codebooks.shape
+    spark.createDataFrame(
+        [(int(c), [float(x) for x in cv]) for c, cv in zip(cids, centroids)],
+        "cid long, cv array<double>",
+    ).coalesce(1).write.mode("overwrite").parquet(f"{path}/coarse")
+    spark.createDataFrame(
+        [
+            (j, c, [float(x) for x in codebooks[j, c]])
+            for j in range(m)
+            for c in range(kcent)
+        ],
+        "j int, c int, cvec array<double>",
+    ).coalesce(1).write.mode("overwrite").parquet(f"{path}/books")
+    encoded.write.mode("overwrite").parquet(f"{path}/codes")
+
+
+def ivf_pq_load(spark, path: str):
+    """Load a persisted IVF-PQ index: ``(cids, centroids, codebooks,
+    encoded)`` exactly as :func:`ivf_pq_index` returned them. Only the
+    kilobyte-scale coarse/books metadata is collected; codes stay a
+    distributed frame."""
+    coarse = sorted(
+        (r["cid"], r["cv"]) for r in spark.read.parquet(f"{path}/coarse").collect()
+    )
+    cids = np.array([c for c, _ in coarse], dtype=np.int64)
+    C = np.array([cv for _, cv in coarse], dtype=np.float64)
+    rows = spark.read.parquet(f"{path}/books").collect()
+    m = 1 + max(r["j"] for r in rows)
+    kcent = 1 + max(r["c"] for r in rows)
+    dsub = len(rows[0]["cvec"])
+    books = np.empty((m, kcent, dsub), dtype=np.float64)
+    for r in rows:
+        books[r["j"], r["c"]] = r["cvec"]
+    return cids, C, books, spark.read.parquet(f"{path}/codes")

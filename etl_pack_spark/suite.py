@@ -22,6 +22,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from etl_pack_spark.operators import multimodal, neardup, sampling, similarity, textops
+from etl_pack_spark.operators import quantize as _quantize
 from etl_pack_spark.operators.classify import nb_train_score_sql
 from etl_pack_spark.operators.cleaning import (
     c4_clean_sql,
@@ -38,7 +39,11 @@ from etl_pack_spark.operators.substrings import (
 )
 from etl_pack_spark.sinks.sharding import shard_assign_sql as _shard_assign_sql
 from etl_pack_spark.operators.contamination import contamination_report_sql
-from etl_pack_spark.operators.quality import mad_outliers_sql, profile_sql
+from etl_pack_spark.operators.quality import (
+    mad_outliers_sql,
+    pii_profile_sql,
+    profile_sql,
+)
 from etl_pack_spark.operators.retrieval import bm25_topk_sql
 from etl_pack_spark.plans.merge import scd2_build_sql, snapshot_diff_sql
 from etl_pack_spark.operators.tokenize import tokens_sql
@@ -694,6 +699,11 @@ def q_ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity.cosine_topk(emb, emb.where(F.col("vec_id") < 50))
 
 
+# fixture embedding dimensionality (embeddings.parquet; also hard-wired
+# in the LSH hyperplane framing below)
+EMB_DIMS = 64
+
+
 def q_ann_lsh_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Scale-path ANN: hyperplane-LSH buckets + exact re-rank inside.
     "Approximate" = recall < 1 vs brute force; the computation itself
@@ -705,10 +715,34 @@ def q_ann_lsh_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """IVF-flat ANN top-5 (sampled coarse quantizer, nprobe=4 of 16
-    lists) — deterministic quantizer keeps it oracle-checkable."""
+    """IVF-family ANN top-5, both compression tiers in one slot:
+
+    * ``ivf_flat`` — sampled coarse quantizer, nprobe=4 of 16 lists,
+      exact re-rank of probed raw vectors (cosine, descending).
+    * ``ivf_pq`` (round-6 merge rider) — the billion-scale layout:
+      the SAME coarse lists over PQ codes of the residuals (m=8, 16
+      centroids, 5 Lloyd iterations on the md5-hash-bounded sample),
+      ADC distance (ascending). The oracle twin unrolls the full
+      Lloyd training in SQL, so the driver hash-checks codebook
+      training, residual encoding, and ADC search end-to-end.
+
+    ``score`` is rounded to 6dp on both engines: ADC sums 8 doubles
+    whose accumulation order is engine-internal (last-ulp)."""
+    from etl_pack_spark.operators import quantize
+
     emb = read_table(spark, sf_dir, "embeddings")
-    return similarity.ivf_topk(emb)
+    flat = similarity.ivf_topk(emb).select(
+        "q_id", "n_id", F.round("cos_sim", 6).alias("score"), "rk",
+        F.lit("ivf_flat").alias("method"),
+    )
+    cids, C, books, enc = quantize.ivf_pq_index(emb, EMB_DIMS, nlist=16, m=8, k=16)
+    pq = quantize.ivf_pq_topk(
+        enc, emb.where("vec_id < 50"), cids, C, books, k=5, nprobe=4
+    ).select(
+        "q_id", "n_id", F.round("adc_dist", 6).alias("score"), "rk",
+        F.lit("ivf_pq").alias("method"),
+    )
+    return flat.unionByName(pq)
 
 
 # Rebalancing fractions for the stratified corpus sample: downsample the
@@ -803,14 +837,23 @@ DQ_COLS = ["o_custkey", "o_orderstatus", "o_orderpriority"]
 DQ_NUM = ["o_totalprice"]
 
 
+# columns the PII exposure profile (r6 merge rider) scans: the
+# free-text field that SHOULD carry the corpus' planted PII and a
+# structured field that should be clean — both answers matter
+PII_PROFILE_COLS = ["text", "source"]
+
+
 def q_dq_profile_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Data-quality pass over orders: the one-aggregation profile PLUS
-    a per-priority robust-outlier summary (round-5 merge: MAD modified
-    z-score flagging — ``mad_outliers`` — rides this slot; the exact
-    aggregate is used here for oracle parity, the library default is
-    the bounded-state ``percentile_approx`` sketch). The profile row
-    broadcasts onto the 5-row summary — no extra scan of orders."""
-    from etl_pack_spark.operators.quality import mad_outliers, profile
+    """Data-quality pass: the one-aggregation orders profile PLUS a
+    per-priority robust-outlier summary (round-5 merge: MAD modified
+    z-score flagging — ``mad_outliers``; the exact aggregate is used
+    here for oracle parity, the library default is the bounded-state
+    ``percentile_approx`` sketch) PLUS the column-level PII exposure
+    profile over the documents corpus (round-6 merge: ``pii_profile``
+    — WHICH columns leak, the DQ question before the per-row
+    ``text_redact_pii`` scrub). Both one-row profiles broadcast onto
+    the 5-row summary — no extra shuffle."""
+    from etl_pack_spark.operators.quality import mad_outliers, pii_profile, profile
 
     orders = read_table(spark, sf_dir, "orders")
     prof = profile(orders, DQ_COLS, DQ_NUM)
@@ -823,7 +866,10 @@ def q_dq_profile_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.col("is_outlier").cast("int")).cast("long").alias("n_outliers"),
         F.round(F.max("robust_z"), 6).alias("max_robust_z"),
     )
-    return summ.crossJoin(F.broadcast(prof))
+    pii = pii_profile(
+        read_table(spark, sf_dir, "documents"), PII_PROFILE_COLS
+    ).withColumnRenamed("n_rows", "pii_n_docs")
+    return summ.crossJoin(F.broadcast(prof)).crossJoin(F.broadcast(pii))
 
 
 def q_mm_binary_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -877,14 +923,49 @@ def q_mm_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _crawl_url_col() -> F.Column:
+    """Deterministic crawl-ish URLs for the documents fixture (which
+    has no URL column): scheme/www/trailing-slash noise varies by
+    doc_id parity, tracking params ride every URL, and the path
+    collides on doc_id % 200 within a source — so canonicalization has
+    real work to do and URL-dedup has real duplicates to drop. The
+    oracle recomputes the EXPECTED canonical form directly (golden
+    canonicalization at corpus scale)."""
+    return F.concat(
+        F.when(F.col("doc_id") % 2 == 0, F.lit("http://WWW."))
+        .otherwise(F.lit("https://")),
+        F.col("source"), F.lit(".example.com/p/"),
+        (F.col("doc_id") % 200).cast("string"),
+        F.when(F.col("doc_id") % 2 == 0, F.lit("/")).otherwise(F.lit("")),
+        F.lit("?utm_source=crawl&id="), (F.col("doc_id") % 2).cast("string"),
+    )
+
+
 def q_corpus_curate(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """The composed training-data pipeline: quality gate → language
-    verification → exact dedup → split assignment, as one plan (single
-    scan, one shuffle). See plans/curate.py.
+    """The composed training-data pipeline: URL-keyed crawl dedup →
+    quality gate → language verification → exact content dedup → split
+    assignment, as one plan. See plans/curate.py and operators/urls.py.
 
     Round-4 merge: exact dedup (formerly the standalone
     dedup_exact_docs entry) is a stage of this plan, so this slot gates
-    it; q_dedup_exact_docs stays pytest-pinned standalone."""
+    it; q_dedup_exact_docs stays pytest-pinned standalone.
+    Round-6 merge: ``dedup_by_url`` is the pipeline's FIRST stage (the
+    crawl-level dedup that runs before any content hashing); the
+    returned ``canonical_url`` column puts the canonicalizer's output
+    itself under the driver's value hash. The pre-URL framing stays
+    pinned as retired ``corpus_curate_plain``."""
+    from etl_pack_spark.operators.urls import dedup_by_url
+    from etl_pack_spark.plans.curate import curate_corpus
+
+    docs = read_table(spark, sf_dir, "documents")
+    kept = dedup_by_url(docs.withColumn("url", _crawl_url_col()), "url", "doc_id")
+    curated = curate_corpus(kept.select("doc_id", "text", "lang"))
+    return curated.join(kept.select("doc_id", "canonical_url"), "doc_id")
+
+
+def q_corpus_curate_plain(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The pre-r6 framing (retired pin): curation without the URL
+    stage."""
     from etl_pack_spark.plans.curate import curate_corpus
 
     return curate_corpus(read_table(spark, sf_dir, "documents"))
@@ -1528,7 +1609,17 @@ ORACLES: dict[str, str] = {
     "ann_lsh_neardup": similarity.lsh_neardup_pairs_sql(
         "embeddings", dims=64, planes=4, tables=6, threshold=0.4
     ),
-    "ann_ivf_topk": similarity.ivf_topk_sql("embeddings"),
+    # r6 merge: IVF-flat + the full IVF-PQ pipeline (Lloyd training
+    # unrolled in SQL) in one slot, distinguished by `method`
+    "ann_ivf_topk": f"""
+        SELECT q_id, n_id, round(cos_sim, 6) AS score, rk,
+               'ivf_flat' AS method
+        FROM ({similarity.ivf_topk_sql("embeddings")})
+        UNION ALL
+        SELECT q_id, n_id, round(adc_dist, 6) AS score, rk,
+               'ivf_pq' AS method
+        FROM ({_quantize.ivf_pq_topk_sql("embeddings", 64)})
+    """,
     # r5 merge: domain_cap (two-phase top-N vs the oracle's naive
     # global window) rides the stratified sample
     "sample_stratified_docs": sampling.domain_cap_sql(
@@ -1545,11 +1636,36 @@ ORACLES: dict[str, str] = {
     ),
     "text_signals": textops.text_signals_sql("documents", "doc_id", "text"),
     "text_redact_pii": textops.redact_pii_sql("documents", "doc_id", "text"),
-    "corpus_curate": curate_corpus_sql("documents"),
+    # r6 merge: URL-keyed crawl dedup is the pipeline's first stage;
+    # the oracle recomputes the EXPECTED canonical form of the
+    # synthesized URLs directly (scheme→https, www/port/slash/tracking
+    # noise gone, params sorted) — golden canonicalization at corpus
+    # scale — and keeps the min-doc_id winner per canonical URL
+    "corpus_curate": f"""
+        WITH uu AS (
+            SELECT doc_id,
+                   'https://' || source || '.example.com/p/'
+                   || CAST(doc_id % 200 AS VARCHAR)
+                   || '?id=' || CAST(doc_id % 2 AS VARCHAR) AS canonical_url
+            FROM documents
+        ),
+        keep AS (
+            SELECT canonical_url, min(doc_id) AS doc_id
+            FROM uu GROUP BY canonical_url
+        ),
+        base AS (
+            SELECT d.doc_id, d.text, d.lang
+            FROM keep k JOIN documents d USING (doc_id)
+        )
+        SELECT c.doc_id, c.lang, c.split, k2.canonical_url
+        FROM ({curate_corpus_sql('base')}) c
+        JOIN keep k2 USING (doc_id)
+    """,
     # r5 merge: MAD outlier summary (exact-percentile variant) × the
-    # one-row profile (cross join both sides)
+    # one-row profile; r6 merge: × the one-row column-level PII
+    # exposure profile over documents (cross join all three)
     "dq_profile_orders": f"""
-        SELECT s.*, p.* FROM (
+        SELECT s.*, p.*, pp.* FROM (
             SELECT o_orderpriority, COUNT(*) AS n_vals,
                    CAST(SUM(CASE WHEN is_outlier THEN 1 ELSE 0 END) AS BIGINT)
                        AS n_outliers,
@@ -1559,6 +1675,10 @@ ORACLES: dict[str, str] = {
                 "price", ["o_orderpriority"])})
             GROUP BY 1
         ) s CROSS JOIN ({profile_sql("orders", DQ_COLS, DQ_NUM)}) p
+        CROSS JOIN (
+            SELECT * EXCLUDE (n_rows), n_rows AS pii_n_docs
+            FROM ({pii_profile_sql("documents", PII_PROFILE_COLS)})
+        ) pp
     """,
     # mm_features: the Arrow featurizer's fake path is a deterministic
     # function of the UTF-8 payload, so the DuckDB twin recomputes the
@@ -1770,6 +1890,13 @@ RETIRED_QUERIES: dict[str, QueryFn] = {
     "text_vocab_topk": q_text_vocab_topk,
     "pivot_events": q_pivot_events,
     "text_sentiment": q_text_sentiment,
+    # round-6 riders: displaced framings of slots that GAINED stages
+    # (corpus_curate without the URL stage; IVF-flat with unrounded
+    # cosine — the r6 slot rounds to absorb the PQ rider's ulp)
+    "corpus_curate_plain": q_corpus_curate_plain,
+    "ann_ivf_flat": lambda spark, sf_dir: similarity.ivf_topk(
+        read_table(spark, sf_dir, "embeddings")
+    ),
 }
 
 RETIRED_ORACLES: dict[str, str] = {
@@ -1844,4 +1971,6 @@ RETIRED_ORACLES: dict[str, str] = {
         FROM events GROUP BY 1
     """,
     "text_sentiment": textops.lexicon_sentiment_sql("documents", "doc_id", "text"),
+    "corpus_curate_plain": curate_corpus_sql("documents"),
+    "ann_ivf_flat": similarity.ivf_topk_sql("embeddings"),
 }

@@ -247,3 +247,75 @@ def test_pq_topk_repartition_invariant_with_duplicate_vectors(spark, sf_dir):
         )
 
     assert run(3) == run(17)
+
+
+def test_ivf_pq_save_load_roundtrip_bit_identical(spark, sf_dir, tmp_path):
+    """Index lifecycle: build → save → load → query must answer
+    bit-identically to the unsaved path (doubles round-trip parquet
+    exactly) — the build-once / query-many posture a large deployment
+    needs."""
+    import numpy as np
+
+    from etl_pack_spark.operators.quantize import (
+        ivf_pq_index,
+        ivf_pq_load,
+        ivf_pq_save,
+        ivf_pq_topk,
+    )
+    from etl_pack_spark.sources.reader import read_table
+
+    emb = read_table(spark, sf_dir, "embeddings")
+    dims = len(emb.select("embedding").first()[0])
+    cids, C, books, enc = ivf_pq_index(emb, dims, nlist=16, m=8, k=16)
+    path = str(tmp_path / "ivfpq_index")
+    ivf_pq_save(path, cids, C, books, enc)
+    cids2, C2, books2, enc2 = ivf_pq_load(spark, path)
+    assert np.array_equal(cids, cids2)
+    assert np.array_equal(C, C2)          # bit-exact, not allclose
+    assert np.array_equal(books, books2)
+    queries = emb.where("vec_id < 20")
+
+    def rows(e, ci, ce, bo):
+        return sorted(
+            (r["q_id"], r["rk"], r["n_id"], r["adc_dist"])
+            for r in ivf_pq_topk(e, queries, ci, ce, bo, k=5, nprobe=4).collect()
+        )
+
+    assert rows(enc2, cids2, C2, books2) == rows(enc, cids, C, books)
+
+
+def test_ivf_pq_sql_twin_matches_engine(spark, sf_dir):
+    """The DuckDB oracle twin (Lloyd training unrolled in SQL) must
+    reproduce the engine's IVF-PQ results — the same parity the driver
+    gate checks, pinned here with a smaller framing so the pytest
+    suite owns it too."""
+    import duckdb
+
+    from etl_pack_spark.operators.quantize import ivf_pq_index, ivf_pq_topk
+    from etl_pack_spark.operators.quantize import ivf_pq_topk_sql
+    from etl_pack_spark.sources.reader import read_table
+
+    emb = read_table(spark, sf_dir, "embeddings")
+    dims = len(emb.select("embedding").first()[0])
+    cids, C, books, enc = ivf_pq_index(
+        emb, dims, nlist=8, m=4, k=8, iters=3
+    )
+    got = sorted(
+        (r["q_id"], r["n_id"], round(r["adc_dist"], 6), r["rk"])
+        for r in ivf_pq_topk(
+            enc, emb.where("vec_id < 10"), cids, C, books, k=3, nprobe=2
+        ).collect()
+    )
+    sql = ivf_pq_topk_sql(
+        "embeddings", dims, nlist=8, m=4, kcent=8, iters=3,
+        k=3, nprobe=2, query_pred="vec_id < 10",
+    )
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW embeddings AS SELECT * FROM "
+        f"read_parquet('{sf_dir}/embeddings.parquet')"
+    )
+    want = sorted(
+        (a, b, round(d, 6), rk) for a, b, d, rk in con.execute(sql).fetchall()
+    )
+    assert got == want and len(got) > 0
