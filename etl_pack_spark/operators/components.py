@@ -118,10 +118,18 @@ def connected_components(
                 edges.unpersist(False)
         # large graph: fall through to the loop; edges stays persisted
         # until bi (its only remaining consumer) materializes
-    # bidirectional edge list, persisted once — every iteration reuses it
+    # bidirectional edge list, persisted once — every iteration reuses
+    # it. Repartitioned by v BEFORE the persist (r6): the per-iteration
+    # join keys on v, and a cached frame keeps its outputPartitioning,
+    # so every iteration's join satisfies its edge-side distribution
+    # from the cache and shuffles ONLY the (much smaller) labels frame
+    # — one exchange per iteration instead of re-exchanging the static
+    # edge list every time. At 100 TB the edge frame dominates the
+    # labels frame by the average degree, so this removes the loop's
+    # largest repeated shuffle.
     fwd = edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
     rev = edges.select(F.col(dst).alias("u"), F.col(src).alias("v"))
-    bi = fwd.union(rev).distinct().persist()
+    bi = fwd.union(rev).distinct().repartition(F.col("v")).persist()
     try:
         labels = bi.select(F.col("u").alias("id")).distinct().select(
             "id", F.col("id").alias("cluster_id")

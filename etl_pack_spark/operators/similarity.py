@@ -408,6 +408,7 @@ def ivf_topk(
     query_max_id: int = 50,
     id_col: str = "vec_id",
     vec: str = "embedding",
+    queries: DataFrame | None = None,
 ) -> DataFrame:
     """IVF-flat approximate top-k: a coarse quantizer partitions the
     corpus into ``nlist`` inverted lists; each query exactly re-ranks
@@ -445,9 +446,17 @@ def ivf_topk(
         F.col(id_col).alias("n_id"), (-F.col("m.ncid")).alias("cid"),
         F.col("m.v").alias("nv"), F.col("m.nrm").alias("nn"),
     )
+    # query rows: an explicit id frame (broadcast semi-join — queries
+    # are corpus members) or the default ids-below-threshold framing
+    if queries is not None:
+        q_rows = crossed.join(
+            F.broadcast(queries.select(id_col)), id_col, "left_semi"
+        )
+    else:
+        q_rows = crossed.where(F.col(id_col) < query_max_id)
     w_probe = Window.partitionBy("q_id").orderBy(F.desc("c_sim"), F.asc("cid"))
     probes = (
-        crossed.where(F.col(id_col) < query_max_id)
+        q_rows
         .select(
             F.col(id_col).alias("q_id"), F.col(vec).alias("qv"),
             F.col("norm").alias("qn"), "cid", "c_sim",
@@ -780,3 +789,102 @@ def lsh_neardup_pairs_sql(
       ON a.tbl = b.tbl AND a.bucket = b.bucket AND a.id < b.id
     WHERE {_dot_sql('a.v', 'b.v', dims)} / (a.nrm * b.nrm) >= {threshold}
     """
+
+
+# ---------------------------------------------------------------------------
+# The ANN chooser: one entry point over the five search paths
+# ---------------------------------------------------------------------------
+
+def ann_topk(
+    df: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    method: str = "auto",
+    id_col: str = "vec_id",
+    vec: str = "embedding",
+    dims: int | None = None,
+    nlist: int = 16,
+    nprobe: int = 4,
+    m: int = 8,
+    pq_k: int = 256,
+) -> DataFrame:
+    """Top-k nearest neighbors per query, dispatched to the
+    scale-right search path. ``queries`` is a frame of corpus rows
+    (``id_col`` [+ ``vec``]) to search for.
+
+    Decision table (n = corpus vectors; recall numbers are the
+    near-iid fixture's floor — clustered real corpora sit higher):
+
+    ============  ========  =======================  ====================
+    method        recall    cost / memory            when
+    ============  ========  =======================  ====================
+    ``brute``     1.0       O(n·q) dot products,     correctness baseline;
+                            block-matrix (no          n ≲ 10^5 or offline
+                            collect/broadcast)        ground truth
+    ``ivf_flat``  ~nprobe/  scans ≈ nprobe/nlist     n ≲ 10^7 where raw
+                  nlist     of raw vectors/query     vectors still fit
+                  tail
+    ``pq``        ~0.5+     full scan of m-byte      RAM-bound corpora
+                            codes (32-64x smaller),  needing full recall
+                            ADC table lookups        sweep per query
+    ``ivf_pq``    ~0.4+     nprobe lists of m-byte   the billion-scale
+                            codes — both prunings    default (FAISS IVFPQ
+                            composed                 layout)
+    ``lsh``       pairs     bucket-join, no topk     near-DUP pairs, not
+                            semantics                topk — use
+                                                     :func:`lsh_neardup_pairs`
+    ============  ========  =======================  ====================
+
+    ``auto`` picks ``brute`` ≤ 100k vectors, ``ivf_flat`` ≤ 2M, else
+    ``ivf_pq`` (probe by bounded ``limit(n+1)`` counts, one cheap job).
+
+    Returned frame: ``(q_id, n_id, score, rk, method)`` — ``rk`` 1 =
+    nearest. ``score`` is cosine similarity (higher = nearer) for
+    ``brute``/``ivf_flat`` and squared ADC distance (lower = nearer)
+    for the PQ paths; ``rk`` is the comparable field across methods.
+    """
+    methods = ("auto", "brute", "ivf_flat", "pq", "ivf_pq")
+    if method == "lsh":
+        raise ValueError(
+            "lsh is a near-dup PAIRS path (no top-k semantics); call "
+            "lsh_neardup_pairs directly"
+        )
+    if method not in methods:
+        raise ValueError(f"method must be one of {methods}, got {method!r}")
+    if method == "auto":
+        probe = df.select(id_col).limit(2_000_001).count()
+        method = (
+            "brute" if probe <= 100_000
+            else "ivf_flat" if probe <= 2_000_000
+            else "ivf_pq"
+        )
+    if method == "brute":
+        out = cosine_topk(df, queries, k, id_col, vec)
+        score = F.col("cos_sim")
+    elif method == "ivf_flat":
+        out = ivf_topk(
+            df, k, nlist=nlist, nprobe=nprobe, id_col=id_col, vec=vec,
+            queries=queries,
+        )
+        score = F.col("cos_sim")
+    else:
+        from etl_pack_spark.operators import quantize
+
+        if dims is None:
+            dims = len(df.select(vec).first()[0])
+        q_full = df.join(F.broadcast(queries.select(id_col)), id_col, "left_semi")
+        if method == "pq":
+            books = quantize.pq_train(df, dims, m=m, k=pq_k, id_col=id_col, vec=vec)
+            enc = quantize.pq_encode(df, books, id_col=id_col, vec=vec)
+            out = quantize.pq_topk(enc, q_full, books, k, id_col=id_col, vec=vec)
+        else:
+            cids, C, books, enc = quantize.ivf_pq_index(
+                df, dims, nlist=nlist, m=m, k=pq_k, id_col=id_col, vec=vec
+            )
+            out = quantize.ivf_pq_topk(
+                enc, q_full, cids, C, books, k, nprobe, id_col=id_col, vec=vec
+            )
+        score = F.col("adc_dist")
+    return out.select(
+        "q_id", "n_id", score.alias("score"), "rk", F.lit(method).alias("method")
+    )

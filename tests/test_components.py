@@ -96,3 +96,48 @@ def test_driver_and_distributed_paths_agree(spark, sf_dir):
     b = sorted(map(tuple, connected_components(pairs, method="distributed").collect()))
     assert a == b and len(a) > 0
     pairs.unpersist()
+
+
+def test_distributed_loop_reuses_edge_exchange(spark):
+    """The static bidirectional edge frame is repartitioned by the
+    join key BEFORE its persist, so each min-label iteration's join
+    satisfies the edge-side distribution straight from the cache —
+    only the labels frame shuffles per iteration. The plan above the
+    edge-side InMemoryTableScan must contain no Exchange."""
+    from pyspark.sql import functions as F
+
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        edges = spark.createDataFrame(
+            [(i, i + 1) for i in range(200)], "id_a long, id_b long"
+        )
+        fwd = edges.select(F.col("id_a").alias("u"), F.col("id_b").alias("v"))
+        rev = edges.select(F.col("id_b").alias("u"), F.col("id_a").alias("v"))
+        # the exact build connected_components uses
+        bi = fwd.union(rev).distinct().repartition(F.col("v")).persist()
+        try:
+            bi.count()
+            labels = (
+                bi.select(F.col("u").alias("id")).distinct()
+                .select("id", F.col("id").alias("cluster_id"))
+            )
+            j = bi.join(labels.withColumnRenamed("id", "v"), "v")
+            plan = j._jdf.queryExecution().executedPlan().toString()
+            # top-level tree only (the cached relation prints its own
+            # build plan, whose exchanges ran once and are irrelevant)
+            top = []
+            for line in plan.splitlines():
+                if "InMemoryRelation" in line:
+                    break
+                top.append(line)
+            scan_at = next(
+                i for i, l in enumerate(top) if "InMemoryTableScan" in l
+            )
+            join_side = "\n".join(top[:scan_at])
+            assert "InMemoryTableScan" in top[scan_at]
+            assert "Exchange" not in join_side, join_side
+        finally:
+            bi.unpersist()
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)

@@ -4,6 +4,7 @@ candidates ⊆ exact."""
 from __future__ import annotations
 
 import numpy as np
+import pytest
 from pyspark.sql import functions as F
 
 from etl_pack_spark.operators import similarity
@@ -160,3 +161,50 @@ def test_lsh_neardup_oracle_parity(spark, sf_dir):
         )).fetchall()))
     assert got == want
     assert len(got) > 0
+
+
+class TestAnnChooser:
+    """One entry point over the ANN family: the dispatcher must land
+    every method on its documented path with a uniform result shape."""
+
+    @pytest.mark.parametrize("method", ["brute", "ivf_flat", "pq", "ivf_pq"])
+    def test_every_method_returns_uniform_topk(self, spark, sf_dir, method):
+        from etl_pack_spark.operators.similarity import ann_topk
+        from etl_pack_spark.sources.reader import read_table
+
+        emb = read_table(spark, sf_dir, "embeddings")
+        queries = emb.where("vec_id < 5")
+        out = ann_topk(emb, queries, k=3, method=method, pq_k=16)
+        rows = out.collect()
+        assert out.columns == ["q_id", "n_id", "score", "rk", "method"]
+        assert {r["method"] for r in rows} == {method}
+        assert {r["q_id"] for r in rows} == {0, 1, 2, 3, 4}
+        assert all(1 <= r["rk"] <= 3 and r["n_id"] != r["q_id"] for r in rows)
+        per_q = {}
+        for r in rows:
+            per_q.setdefault(r["q_id"], []).append(r["rk"])
+        assert all(sorted(v) == [1, 2, 3] for v in per_q.values())
+
+    def test_auto_picks_brute_at_fixture_scale(self, spark, sf_dir):
+        from etl_pack_spark.operators.similarity import ann_topk, cosine_topk
+        from etl_pack_spark.sources.reader import read_table
+
+        emb = read_table(spark, sf_dir, "embeddings")
+        queries = emb.where("vec_id < 3")
+        out = ann_topk(emb, queries, k=3, method="auto")
+        rows = out.collect()
+        assert {r["method"] for r in rows} == {"brute"}
+        want = {(r["q_id"], r["rk"], r["n_id"])
+                for r in cosine_topk(emb, queries, 3).collect()}
+        assert {(r["q_id"], r["rk"], r["n_id"]) for r in rows} == want
+
+    def test_lsh_and_unknown_methods_rejected(self, spark, sf_dir):
+        from etl_pack_spark.operators.similarity import ann_topk
+        from etl_pack_spark.sources.reader import read_table
+
+        emb = read_table(spark, sf_dir, "embeddings")
+        q = emb.where("vec_id < 2")
+        with pytest.raises(ValueError, match="lsh_neardup_pairs"):
+            ann_topk(emb, q, method="lsh")
+        with pytest.raises(ValueError, match="method"):
+            ann_topk(emb, q, method="hnsw")
