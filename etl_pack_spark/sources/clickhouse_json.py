@@ -6,10 +6,12 @@ to SELECTs and decodes the ``{"meta": [{name, type}...], "data":
 37-41`` query shaping, ``:69-77`` decode, ``:90-124`` convert/
 flatMeta), collapsing unknown type tags to string
 (``clickhouse/types/types.go`` ``Update``) and re-rendering DateTime
-values (``ToUniversal``). No ClickHouse server is reachable in this
-environment, so the TRANSPORT cannot run — but the decode semantics
-can, against captured/golden response bodies, closing that half of
-the live-dialect delta.
+values (``ToUniversal``). No real ClickHouse server is reachable in
+this environment, but BOTH halves run and are tested: the decode
+against captured/golden response bodies, and the transport
+(:func:`clickhouse_http_query` — POST + basic auth + ``FORMAT JSON``
+append, ``clickhouse.go:29-79`` semantics-exact) against an in-test
+loopback HTTP fixture server (tests/test_sources.py).
 
 Scale shape: one response body is one page (the reference pages with
 ``LIMIT offset, n``; here pages come from partitioned range reads —
@@ -180,3 +182,100 @@ def clickhouse_json_pages(
             yield page
 
     return bodies.select(body_col).mapInPandas(run, schema=schema)
+
+
+# ---------------------------------------------------------------------------
+# HTTP transport (the reference's wire path, clickhouse/clickhouse.go)
+# ---------------------------------------------------------------------------
+
+def _build_http_query():
+    """Factory for the transport impl: the returned NESTED function is
+    cloudpickled by value into executor-side kernels, so any session
+    can run the fetch stage without importing this package on workers
+    (same posture as the similarity/quantize kernels)."""
+
+    def impl(
+        address: str,
+        query: str,
+        user: str = "",
+        password: str = "",
+        timeout: float = 30.0,
+    ):
+        import base64
+        import urllib.error
+        import urllib.request
+
+        q = query.strip()
+        is_read = q.startswith("SELECT")
+        if is_read:
+            q += " FORMAT JSON"
+        req = urllib.request.Request(
+            address, data=q.encode("utf-8"), method="POST"
+        )
+        token = base64.b64encode(
+            f"{user}:{password}".encode("utf-8")
+        ).decode("ascii")
+        req.add_header("Authorization", f"Basic {token}")
+        try:
+            with urllib.request.urlopen(req, timeout=timeout) as resp:
+                body = resp.read()
+        except urllib.error.HTTPError as e:
+            raise ValueError(e.read().decode("utf-8", "replace"))
+        return body.decode("utf-8") if is_read else None
+
+    return impl
+
+
+def clickhouse_http_query(
+    address: str,
+    query: str,
+    user: str = "",
+    password: str = "",
+    timeout: float = 30.0,
+) -> str | None:
+    """The reference's ClickHouse HTTP transport, semantics-exact
+    (``clickhouse/clickhouse.go:29-79``): POST the query text as the
+    body, basic auth, ``" FORMAT JSON"`` appended to trimmed queries
+    that start with SELECT; a non-200 response surfaces the response
+    BODY as the error (ClickHouse puts its error message there); the
+    decoded body is returned for SELECTs, ``None`` for writes/DDL
+    (the reference parses only read responses). stdlib urllib — no
+    client library dependency."""
+    return _build_http_query()(address, query, user, password, timeout)
+
+
+def clickhouse_fetch_pages(
+    spark: SparkSession,
+    address: str,
+    queries: list[str],
+    user: str = "",
+    password: str = "",
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """Fetch MANY page queries as a distributed bodies frame (one
+    ``FORMAT JSON`` body per row) — each partition's queries are
+    POSTed from the executor that owns them, so page payloads never
+    route through the driver. Feed the result to
+    :func:`clickhouse_json_pages` for the Arrow-batched decode.
+
+    The page queries themselves typically come from
+    ``sources.jdbc.page_query`` (the reference generator's exact
+    strings); at scale prefer partitioned range reads
+    (``sources/jdbc.py``) — this is the wire-parity path."""
+    import pandas as pd
+
+    http_query = _build_http_query()  # nested fn: pickled by value
+
+    def fetch(batches):
+        for pdf in batches:
+            bodies = [
+                http_query(address, q, user, password) for q in pdf["query"]
+            ]
+            yield pd.DataFrame({"page": pdf["page"], "body": bodies})
+
+    rows = spark.createDataFrame(
+        [(i, q) for i, q in enumerate(queries)], "page int, query string"
+    )
+    if num_partitions:
+        rows = rows.repartition(num_partitions)
+    return rows.mapInPandas(fetch, schema="page int, body string")

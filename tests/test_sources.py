@@ -369,3 +369,132 @@ def test_clickhouse_null_body_raises(spark):
     bodies = spark.createDataFrame([(1, None)], "page int, body string")
     with _pt.raises(Exception, match="NULL response body"):
         clickhouse_json_pages(bodies, ["b"], ["Bool"]).collect()
+
+
+class TestClickhouseLoopbackTransport:
+    """The reference's HTTP wire path (clickhouse.go:29-79) driven for
+    real against a loopback fixture server: POST body carries the
+    query, basic auth rides the Authorization header, SELECTs get
+    ' FORMAT JSON' appended, non-200 surfaces the response body as the
+    error, and fetched pages flow into the Arrow-batched decoder."""
+
+    BODY1 = {
+        "meta": [{"name": "n", "type": "Int32"},
+                 {"name": "name", "type": "String"}],
+        "data": [{"n": 1, "name": "a"}, {"n": 2, "name": "b"}],
+        "rows": 2,
+    }
+    BODY2 = {
+        "meta": [{"name": "n", "type": "Int32"},
+                 {"name": "name", "type": "String"}],
+        "data": [{"n": 3, "name": "c"}],
+        "rows": 1,
+    }
+
+    @pytest.fixture()
+    def server(self):
+        import base64
+        import json as _json
+        import threading
+        from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+
+        from etl_pack_spark.sources.jdbc import page_query
+
+        pages = {
+            page_query("n, name", "db.t", order_by="n", offset=0, limit=2)
+            + " FORMAT JSON": _json.dumps(self.BODY1),
+            page_query("n, name", "db.t", order_by="n", offset=2, limit=2)
+            + " FORMAT JSON": _json.dumps(self.BODY2),
+        }
+        token = base64.b64encode(b"etl:secret").decode()
+        seen: list[str] = []
+
+        class Handler(BaseHTTPRequestHandler):
+            def do_POST(self):
+                q = self.rfile.read(
+                    int(self.headers.get("Content-Length", 0))
+                ).decode()
+                seen.append(q)
+                if self.headers.get("Authorization") != f"Basic {token}":
+                    self._reply(401, "Code: 516. Authentication failed")
+                elif q in pages:
+                    self._reply(200, pages[q])
+                elif q.startswith("INSERT"):
+                    self._reply(200, "")
+                else:
+                    self._reply(404, f"Code: 60. Unknown query: {q}")
+
+            def _reply(self, code, body):
+                data = body.encode()
+                self.send_response(code)
+                self.send_header("Content-Length", str(len(data)))
+                self.end_headers()
+                self.wfile.write(data)
+
+            def log_message(self, *a):
+                pass
+
+        try:
+            srv = ThreadingHTTPServer(("127.0.0.1", 0), Handler)
+        except OSError as e:  # pragma: no cover - sandbox without loopback
+            pytest.skip(f"loopback sockets unavailable in sandbox: {e}")
+        t = threading.Thread(target=srv.serve_forever, daemon=True)
+        t.start()
+        try:
+            yield f"http://127.0.0.1:{srv.server_address[1]}/", seen
+        finally:
+            srv.shutdown()
+            srv.server_close()
+
+    def test_select_appends_format_json_and_decodes(self, spark, server):
+        import json as _json
+
+        from etl_pack_spark.sources.clickhouse_json import (
+            clickhouse_fetch_pages,
+            clickhouse_json_pages,
+            clickhouse_json_to_df,
+        )
+        from etl_pack_spark.sources.jdbc import page_query
+
+        address, seen = server
+        queries = [
+            page_query("n, name", "db.t", order_by="n", offset=o, limit=2)
+            for o in (0, 2)
+        ]
+        bodies = clickhouse_fetch_pages(
+            spark, address, queries, user="etl", password="secret"
+        )
+        got = clickhouse_json_pages(bodies, ["n", "name"], ["Int32", "String"])
+        want = clickhouse_json_to_df(spark, _json.dumps(self.BODY1)).unionByName(
+            clickhouse_json_to_df(spark, _json.dumps(self.BODY2))
+        )
+        assert sorted(map(tuple, got.collect())) == sorted(map(tuple, want.collect()))
+        # the wire really saw ' FORMAT JSON'-suffixed page SQL
+        assert sorted(seen) == sorted(q + " FORMAT JSON" for q in queries)
+
+    def test_bad_auth_surfaces_server_body(self, server):
+        from etl_pack_spark.sources.clickhouse_json import clickhouse_http_query
+
+        address, _ = server
+        with pytest.raises(ValueError, match="Authentication failed"):
+            clickhouse_http_query(
+                address, "SELECT n, name FROM db.t  ORDER BY n LIMIT 0, 2",
+                user="etl", password="wrong",
+            )
+
+    def test_error_body_is_the_exception(self, server):
+        from etl_pack_spark.sources.clickhouse_json import clickhouse_http_query
+
+        address, _ = server
+        with pytest.raises(ValueError, match="Code: 60"):
+            clickhouse_http_query(address, "SELECT broken", "etl", "secret")
+
+    def test_non_select_returns_none_without_format_json(self, server):
+        from etl_pack_spark.sources.clickhouse_json import clickhouse_http_query
+
+        address, seen = server
+        out = clickhouse_http_query(
+            address, "INSERT INTO db.t VALUES (9, 'z')", "etl", "secret"
+        )
+        assert out is None
+        assert seen[-1] == "INSERT INTO db.t VALUES (9, 'z')"  # no suffix
