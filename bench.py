@@ -357,8 +357,13 @@ def main() -> None:
     factor2 = int(os.environ.get("SPARK_GRAFT_BENCH_SCALE_FACTOR2", "30"))
     reps2 = int(os.environ.get("SPARK_GRAFT_BENCH_SCALE2_REPEATS", "2"))
     if factor > 1 and factor2 > factor:  # factor<=1 disables ALL probes
+        # simhash joined the subset in r6: it held the one superlinear
+        # point (hot-block fan-out), and the now-default heavy-hitter
+        # cap engages exactly at this replication level — the probe is
+        # the evidence the cap bounds it
         n_docs2, t4, s4 = probe_at(
-            factor2, reps2, only={"dedup_minhash_lsh", "text_signals"}
+            factor2, reps2,
+            only={"dedup_minhash_lsh", "dedup_simhash_pairs", "text_signals"},
         )
         out["scale_probe2_factor"] = factor2
         out["scale_probe2_docs"] = n_docs2
