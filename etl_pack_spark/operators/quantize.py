@@ -683,3 +683,54 @@ def ivf_pq_load(spark, path: str):
     for r in rows:
         books[r["j"], r["c"]] = r["cvec"]
     return cids, C, books, spark.read.parquet(f"{path}/codes")
+
+
+def ivf_pq_append(
+    spark,
+    path: str,
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec: str = "embedding",
+) -> DataFrame:
+    """Append NEW vectors to a persisted IVF-PQ index WITHOUT
+    retraining — the production posture (FAISS ``add()``): quantizers
+    are frozen at build time so existing codes stay valid and the
+    append is ONE map-only encode pass + a parquet append of (id, cid,
+    codes) rows. Codebook drift from distribution shift is a REBUILD
+    decision (compare recall on a holdout), never an implicit side
+    effect of ingest. Returns the reloaded encoded frame (old + new).
+
+    Caller contract: ids must be new (the index does not dedup; run
+    the dedup family first) and single-writer per index directory —
+    the same posture as the signature store."""
+    cids, C, books, _ = ivf_pq_load(spark, path)
+    bc = spark.sparkContext.broadcast((cids, C, books))
+
+    def encode(batches):
+        # NESTED for by-value pickling (mirrors ivf_pq_index's kernel)
+        import numpy as np
+
+        cids_, C_, books_ = bc.value
+        m_, k_, dsub = books_.shape
+        for pdf in batches:
+            if len(pdf) == 0:
+                yield pd.DataFrame({"id": [], "cid": [], "codes": []})
+                continue
+            X_ = np.stack(pdf["v"].to_numpy()).astype(np.float64)
+            d2_ = -2.0 * (X_ @ C_.T) + (C_**2).sum(axis=1)[None, :]
+            a = d2_.argmin(axis=1)
+            Rv = X_ - C_[a]
+            codes = np.empty((len(X_), m_), dtype=np.int16)
+            for j in range(m_):
+                sub = Rv[:, j * dsub : (j + 1) * dsub]
+                dd = -2.0 * (sub @ books_[j].T) + (books_[j] ** 2).sum(axis=1)[None, :]
+                codes[:, j] = dd.argmin(axis=1)
+            yield pd.DataFrame(
+                {"id": pdf["id"].to_numpy(), "cid": cids_[a], "codes": list(codes)}
+            )
+
+    new_codes = df.select(
+        F.col(id_col).alias("id"), F.col(vec).alias("v")
+    ).mapInPandas(encode, schema="id long, cid long, codes array<smallint>")
+    new_codes.write.mode("append").parquet(f"{path}/codes")
+    return spark.read.parquet(f"{path}/codes")

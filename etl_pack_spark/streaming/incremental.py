@@ -352,3 +352,80 @@ def stream_neardup_ingest(
     n = len(query.recentProgress)
     query.stop()
     return n
+
+
+def stream_url_dedup_ingest(
+    spark: SparkSession,
+    source_dir: str,
+    store_path: str,
+    out_path: str,
+    checkpoint: str,
+    url_col: str = "url",
+    id_col: str = "doc_id",
+) -> int:
+    """URL-keyed crawl dedup ON INGEST under ``availableNow`` — the
+    crawl-frontier posture: each micro-batch canonicalizes its URLs
+    (``operators.urls``), keeps one row per canonical URL within the
+    batch (min ``id_col``), drops rows whose canonical URL the
+    persisted STORE has already admitted, appends survivors (plus
+    their canonical URL) to ``out_path``, and appends the survivors'
+    URL→winner rows to the store so later batches and firings see
+    them. The store is the only retained state (~one short row per
+    distinct URL ever admitted); old corpus rows are never rescanned —
+    the same incremental posture as the exact-hash flagship and the
+    minhash signature store, lifted to the C4/CCNet first-line key.
+
+    Winner semantics are FIRST-FETCH-WINS across batches (crawl
+    order): a URL's winner is the min ``id_col`` within the batch
+    that first admitted it, and later re-fetches lose regardless of
+    id — ingest never retracts already-admitted rows. Rows whose URL
+    is NULL/unparseable pass through to ``out_path`` (never stored,
+    never deduped — dropping them would delete every malformed-URL
+    doc as "duplicates of NULL").
+
+    Delivery: the output sink is at-least-once (a replayed batch can
+    re-append the same surviving rows; readers take per-``id_col``
+    DISTINCT, which is total because the row content is
+    deterministic); the store is append-only and replays converge —
+    re-appended URL rows carry the same winner, and the anti-join
+    makes extra copies harmless.
+    """
+    import os
+
+    from etl_pack_spark.operators.urls import dedup_by_url
+
+    schema = spark.read.parquet(source_dir).schema
+
+    def fold(batch_df: DataFrame, batch_id: int) -> None:
+        sess = batch_df.sparkSession
+        batch = dedup_by_url(batch_df, url_col, id_col)
+        with_url = batch.where(F.col("canonical_url").isNotNull())
+        nulls = batch.where(F.col("canonical_url").isNull())
+        if os.path.exists(store_path):
+            store = sess.read.parquet(store_path).select("canonical_url")
+            fresh = with_url.join(store, "canonical_url", "left_anti")
+        else:
+            fresh = with_url
+        out = fresh.unionByName(nulls)
+        # output BEFORE store: a crash between the two re-emits the
+        # batch's survivors on replay (at-least-once output) instead
+        # of silently dropping them (store-first would anti-join the
+        # replay away with nothing written)
+        out.write.mode("append").parquet(out_path)
+        fresh.select(
+            "canonical_url", F.col(id_col).alias("winner_id")
+        ).withColumn("__batch", F.lit(batch_id)).write.mode("append").parquet(
+            store_path
+        )
+
+    stream = spark.readStream.schema(schema).parquet(source_dir)
+    query = (
+        stream.writeStream.foreachBatch(fold)
+        .trigger(availableNow=True)
+        .option("checkpointLocation", checkpoint)
+        .start()
+    )
+    query.awaitTermination()
+    n = len(query.recentProgress)
+    query.stop()
+    return n

@@ -511,3 +511,74 @@ def test_recover_swap_honors_legacy_backup_name(tmp_path):
     recover_swap(tgt)
     assert os.path.isdir(tgt) and not os.path.exists(tgt + ".bak")
     assert os.path.exists(os.path.join(tgt, "part-0.parquet"))
+
+
+class TestStreamUrlDedupIngest:
+    """Crawl-frontier URL dedup on ingest: the canonical-URL store is
+    the only retained state; admitted rows never rescan."""
+
+    def _write(self, spark, src, rows):
+        spark.createDataFrame(
+            rows, "doc_id long, url string, text string"
+        ).write.mode("append").parquet(src)
+
+    def test_matches_batch_dedup_on_ordered_arrivals(self, spark, tmp_path):
+        """Streaming the corpus in id order over several firings must
+        admit exactly the rows batch dedup_by_url keeps (first-fetch ==
+        min id when arrivals are ordered), with NULL-URL rows passed
+        through."""
+        from etl_pack_spark.operators.urls import dedup_by_url
+        from etl_pack_spark.streaming.incremental import stream_url_dedup_ingest
+
+        src, store = str(tmp_path / "src"), str(tmp_path / "store")
+        out, ckpt = str(tmp_path / "out"), str(tmp_path / "ckpt")
+        all_rows = [
+            (i, f"http://WWW.s{i % 3}.com/p/{i % 4}/?utm_source=x", f"t{i}")
+            for i in range(20)
+        ] + [(90, "garbage", "kept"), (91, None, "kept-too")]
+        self._write(spark, src, all_rows[:10])
+        stream_url_dedup_ingest(spark, src, store, out, ckpt)
+        self._write(spark, src, all_rows[10:])
+        stream_url_dedup_ingest(spark, src, store, out, ckpt)
+
+        got = {r["doc_id"] for r in spark.read.parquet(out).collect()}
+        batch = dedup_by_url(
+            spark.createDataFrame(all_rows, "doc_id long, url string, text string"),
+            "url", "doc_id",
+        )
+        want = {r["doc_id"] for r in batch.collect()}
+        assert got == want
+        assert {90, 91} <= got            # NULL-canonical passthrough
+        # store holds one row per admitted URL, none for NULL-URL rows
+        st = spark.read.parquet(store)
+        assert st.count() == st.select("canonical_url").distinct().count()
+        assert st.count() == len(want) - 2
+
+    def test_refetch_of_known_url_is_dropped_first_fetch_wins(
+        self, spark, tmp_path
+    ):
+        from etl_pack_spark.streaming.incremental import stream_url_dedup_ingest
+
+        src, store = str(tmp_path / "src"), str(tmp_path / "store")
+        out, ckpt = str(tmp_path / "out"), str(tmp_path / "ckpt")
+        self._write(spark, src, [(7, "https://a.com/x", "first fetch")])
+        stream_url_dedup_ingest(spark, src, store, out, ckpt)
+        # later firing re-fetches the same page under URL noise, with a
+        # LOWER id — first fetch still wins (ingest never retracts)
+        self._write(spark, src, [(3, "http://www.a.com/x/?utm_b=1", "refetch")])
+        stream_url_dedup_ingest(spark, src, store, out, ckpt)
+        rows = spark.read.parquet(out).collect()
+        assert [(r["doc_id"], r["text"]) for r in rows] == [(7, "first fetch")]
+
+    def test_refire_without_new_data_is_noop(self, spark, tmp_path):
+        from etl_pack_spark.streaming.incremental import stream_url_dedup_ingest
+
+        src, store = str(tmp_path / "src"), str(tmp_path / "store")
+        out, ckpt = str(tmp_path / "out"), str(tmp_path / "ckpt")
+        self._write(spark, src, [(1, "https://a.com/1", "x")])
+        stream_url_dedup_ingest(spark, src, store, out, ckpt)
+        n_out = spark.read.parquet(out).count()
+        n_store = spark.read.parquet(store).count()
+        stream_url_dedup_ingest(spark, src, store, out, ckpt)
+        assert spark.read.parquet(out).count() == n_out
+        assert spark.read.parquet(store).count() == n_store
