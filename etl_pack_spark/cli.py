@@ -50,6 +50,12 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--min-files", type=int, default=2,
                    help="compact-partitions: leaves with fewer files "
                         "are never rewritten")
+    p.add_argument("--compact-sigstore", default=None, metavar="STORE",
+                   help="compact an append-only signature/URL store to "
+                        "one latest row per id (crash-safe swap; no "
+                        "matching-behavior change) instead of a transfer")
+    p.add_argument("--id-col", default="doc_id",
+                   help="compact-sigstore: the store's id column")
     p.add_argument("--cluster-by", default="",
                    help="compact: range-cluster by these columns")
     p.add_argument("--zorder-by", default="",
@@ -84,10 +90,30 @@ def main(argv: list[str] | None = None) -> int:
     # should fail in milliseconds with a clear message, not after tens
     # of seconds of JVM startup
     zorder_cols = [c for c in args.zorder_by.split(",") if c]
-    if args.compact and args.compact_partitions:
-        print("error: --compact and --compact-partitions are exclusive",
-              file=sys.stderr)
+    if sum(map(bool, (args.compact, args.compact_partitions,
+                      args.compact_sigstore))) > 1:
+        print("error: --compact, --compact-partitions and "
+              "--compact-sigstore are exclusive", file=sys.stderr)
         return 2
+    if args.compact_sigstore:
+        foreign = [
+            name for name, val in [
+                ("--target", args.target), ("--zorder-by", args.zorder_by),
+                ("--cluster-by", args.cluster_by),
+                ("--in-place", args.in_place),
+                ("--source-dir", args.source_dir), ("--table", args.table),
+                ("--fields", args.fields), ("--window", args.window),
+                ("--order", args.order), ("--increment", args.increment),
+                ("--partition-by", args.partition_by),
+                ("--streaming", args.streaming),
+                ("--checkpoint", args.checkpoint),
+            ] if val
+        ]
+        if foreign:
+            print(f"error: {', '.join(foreign)} do not apply to "
+                  "--compact-sigstore (it takes only --id-col)",
+                  file=sys.stderr)
+            return 2
     if args.compact_partitions:
         if args.target_file_mb <= 0 or args.min_files < 2:
             print("error: --target-file-mb must be > 0 and --min-files >= 2",
@@ -158,7 +184,9 @@ def main(argv: list[str] | None = None) -> int:
             print(f"error: {', '.join(ignored)} do not apply to --compact",
                   file=sys.stderr)
             return 2
-    elif not args.source_dir or not args.table or not args.target:
+    elif not args.compact_sigstore and (
+        not args.source_dir or not args.table or not args.target
+    ):
         print("error: --source-dir, --table and --target are required "
               "for transfers", file=sys.stderr)
         return 2
@@ -166,6 +194,14 @@ def main(argv: list[str] | None = None) -> int:
     from etl_pack_spark.session import get_spark
 
     spark = get_spark("etl_pack_spark_cli")
+
+    if args.compact_sigstore:
+        from etl_pack_spark.streaming.incremental import compact_signature_store
+
+        n = compact_signature_store(spark, args.compact_sigstore, args.id_col)
+        print(json.dumps({"mode": "compact_sigstore",
+                          "store": args.compact_sigstore, "rows": n}))
+        return 0
 
     if args.compact_partitions:
         from etl_pack_spark.sinks.compaction import compact_partitions

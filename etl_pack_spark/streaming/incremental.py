@@ -429,3 +429,57 @@ def stream_url_dedup_ingest(
     n = len(query.recentProgress)
     query.stop()
     return n
+
+
+def compact_signature_store(
+    spark: SparkSession,
+    store_path: str,
+    id_col: str = "doc_id",
+) -> int:
+    """Compact an append-only signature/URL store to its RESOLVED
+    content: one row per id carrying the latest-batch signature (the
+    same ``max_by(__batch)`` resolution every read applies), written
+    back via the crash-safe staged/backup/rename swap. Returns the
+    number of rows in the compacted store.
+
+    Why a maintenance op: the ingest path appends one row per
+    (id, batch) — rewrites and replays accumulate superseded rows that
+    every subsequent read filters through. The resolution is
+    idempotent, so compaction changes NO observable matching behavior
+    (pinned in tests); it just makes the store's size proportional to
+    live ids again. Run it from the same scheduler as the ingest
+    firings (single-writer per store, like every sink here), e.g.
+    after every N firings. Legacy rows (no ``__batch``) resolve at
+    batch -1 and come out stamped — compaction also migrates old
+    stores to the stamped layout."""
+    from etl_pack_spark.sinks.atomic import (
+        clean_orphan_stages,
+        publish_swap,
+        recover_swap,
+        stage_dir,
+    )
+
+    recover_swap(store_path)
+    clean_orphan_stages(store_path, "sigstore_stage_")
+    store = spark.read.option("mergeSchema", "true").parquet(store_path)
+    if "__batch" not in store.columns:
+        store = store.withColumn("__batch", F.lit(-1))
+    else:
+        store = store.withColumn(
+            "__batch", F.coalesce(F.col("__batch"), F.lit(-1))
+        )
+    payload = [c for c in store.columns if c not in (id_col, "__batch")]
+    resolved = (
+        store.groupBy(id_col)
+        .agg(
+            F.max_by(F.struct(*payload), "__batch").alias("__s"),
+            F.max("__batch").alias("__batch"),
+        )
+        .select(
+            id_col, *[F.col(f"__s.{c}").alias(c) for c in payload], "__batch"
+        )
+    )
+    staged = stage_dir(store_path, prefix="sigstore_stage_")
+    resolved.write.mode("overwrite").parquet(staged)
+    publish_swap(staged, store_path)
+    return spark.read.parquet(store_path).count()

@@ -255,3 +255,28 @@ def test_cli_compact_partitions(spark, sf_dir, tmp_path):
     # flags from other modes are rejected fast
     assert main(["--compact-partitions", root, "--target", "x"]) == 2
     assert main(["--compact-partitions", root, "--compact", "y"]) == 2
+
+
+def test_cli_compact_sigstore(spark, tmp_path):
+    """--compact-sigstore: the maintenance firing for the incremental
+    stores — end-to-end through main(), plus fast flag validation."""
+    from pyspark.sql import functions as F
+
+    from etl_pack_spark.cli import main
+
+    store = str(tmp_path / "store")
+    base = spark.range(5).select(
+        F.col("id").alias("doc_id"), (F.col("id") * 10).alias("mh_0")
+    )
+    base.withColumn("__batch", F.lit(0).cast("long")).write.parquet(store)
+    # rewrite of doc 3 in a later batch — compaction must keep batch 1
+    spark.createDataFrame([(3, 999, 1)], "doc_id long, mh_0 long, __batch long") \
+        .write.mode("append").parquet(store)
+    rc = main(["--compact-sigstore", store])
+    assert rc == 0
+    rows = {r["doc_id"]: r["mh_0"] for r in spark.read.parquet(store).collect()}
+    assert rows == {0: 0, 1: 10, 2: 20, 3: 999, 4: 40}
+    # exclusive with the other maintenance modes; foreign flags rejected
+    assert main(["--compact-sigstore", store, "--compact", store,
+                 "--target", store]) == 2
+    assert main(["--compact-sigstore", store, "--streaming"]) == 2

@@ -582,3 +582,59 @@ class TestStreamUrlDedupIngest:
         stream_url_dedup_ingest(spark, src, store, out, ckpt)
         assert spark.read.parquet(out).count() == n_out
         assert spark.read.parquet(store).count() == n_store
+
+
+def test_compact_signature_store_preserves_matching(spark, tmp_path):
+    """Compaction resolves the append-only store to one latest row per
+    id (migrating legacy unstamped files too) and must change NO
+    observable matching behavior; an interrupted swap recovers."""
+    import os
+
+    from etl_pack_spark.operators import neardup
+    from etl_pack_spark.operators.tokenize import shingle_rows
+    from etl_pack_spark.sinks.atomic import backup_path
+    from etl_pack_spark.streaming.incremental import (
+        compact_signature_store,
+        stream_neardup_ingest,
+    )
+
+    src, store = str(tmp_path / "src"), str(tmp_path / "store")
+    t_a = "alpha beta gamma delta epsilon zeta eta theta running words"
+    t_b = "storage engines compact sorted runs into larger immutable files"
+
+    def sig_of(rows):
+        return neardup.minhash_signature(
+            shingle_rows(
+                spark.createDataFrame(rows, "doc_id long, text string"),
+                "doc_id", "text", 3, distinct=False,
+            ),
+            "doc_id",
+        )
+
+    # legacy unstamped file + two stamped generations of doc 1
+    sig_of([(1, t_a), (5, t_b)]).write.parquet(store)
+    spark.createDataFrame([(1, t_b)], "doc_id long, text string") \
+        .write.mode("append").parquet(src)
+    stream_neardup_ingest(spark, src, store, str(tmp_path / "m0"),
+                          str(tmp_path / "ck0"))
+    pre_rows = spark.read.option("mergeSchema", "true").parquet(store).count()
+    n = compact_signature_store(spark, store)
+    assert n == 2 < pre_rows                   # one row per live id
+    st = spark.read.parquet(store)
+    assert "__batch" in st.columns             # legacy rows migrated
+    # matching behavior unchanged: new arrivals near-dup t_b -> both
+    # ids 1 (rewritten) and 5 match; nothing matches the superseded t_a
+    spark.createDataFrame(
+        [(3, t_b + " tail"), (4, t_a + " tail")],
+        "doc_id long, text string",
+    ).write.mode("append").parquet(src)
+    stream_neardup_ingest(spark, src, store, str(tmp_path / "m1"),
+                          str(tmp_path / "ck1"))
+    pairs = {frozenset((r["id_a"], r["id_b"]))
+             for r in spark.read.parquet(str(tmp_path / "m1")).collect()}
+    assert frozenset((1, 3)) in pairs and frozenset((3, 5)) in pairs
+    assert frozenset((1, 4)) not in pairs
+    # interrupted swap: store vanished, only the backup remains ->
+    # the next compaction recovers it first
+    os.replace(store, backup_path(store))
+    assert compact_signature_store(spark, store) == 4  # +2 new ids
