@@ -20,6 +20,7 @@ non-transactional fallback the CLI and streaming sinks share.
 
 from __future__ import annotations
 
+import hashlib
 import os
 import shutil
 import tempfile
@@ -52,22 +53,39 @@ def recover_swap(target_path: str) -> None:
                 shutil.rmtree(backup)
 
 
+def _stage_prefix(target_path: str, prefix: str) -> str:
+    """Hidden staging-name prefix SCOPED TO THE TARGET: the target's
+    basename is baked into the name so :func:`clean_orphan_stages` for
+    one target can never match (and delete) the live staging dir of a
+    concurrent job on a SIBLING target in the same parent directory —
+    the single-writer assumption is per target, not per parent. A
+    fixed-length basename digest follows the readable name so prefix
+    matching stays unambiguous even when one basename is a prefix of
+    another (``table`` vs ``table_x``)."""
+    name = os.path.basename(os.path.abspath(target_path).rstrip("/"))
+    digest = hashlib.md5(name.encode()).hexdigest()[:8]
+    return "." + prefix.lstrip(".") + name + "_" + digest + "_"
+
+
 def stage_dir(target_path: str, prefix: str = "stage_") -> str:
     """A fresh HIDDEN staging directory in the target's parent (same
     filesystem, so the final rename is a metadata operation; the
     leading dot keeps half-written data invisible to Spark readers of
     the parent — see :func:`backup_path`).
 
-    Single-writer assumption: the name is minted by ``mkdtemp`` but
-    handed to Spark EMPTY (overwrite mode wants to create the
-    directory itself), so between the ``rmdir`` here and Spark's
-    ``mkdir`` a concurrent run could mint the same name. All callers
-    are single-flight maintenance jobs (one cron firing per target at
-    a time — the same assumption the backup/rename swap itself needs:
-    two concurrent :func:`publish_swap` calls on one target would race
-    regardless); do not point two live writers at one target."""
+    Single-writer assumption (PER TARGET): the name is minted by
+    ``mkdtemp`` but handed to Spark EMPTY (overwrite mode wants to
+    create the directory itself), so between the ``rmdir`` here and
+    Spark's ``mkdir`` a concurrent run could mint the same name. All
+    callers are single-flight maintenance jobs (one cron firing per
+    target at a time — the same assumption the backup/rename swap
+    itself needs: two concurrent :func:`publish_swap` calls on one
+    target would race regardless); do not point two live writers at
+    one target. Sibling targets in one parent are fine: the staging
+    name embeds the target basename, so their stages never collide
+    and their orphan cleanups never cross."""
     parent = os.path.dirname(os.path.abspath(target_path)) or "."
-    staged = tempfile.mkdtemp(prefix="." + prefix.lstrip("."), dir=parent)
+    staged = tempfile.mkdtemp(prefix=_stage_prefix(target_path, prefix), dir=parent)
     # Spark's overwrite mode wants to create the dir itself
     os.rmdir(staged)
     return staged
@@ -79,10 +97,11 @@ def clean_orphan_stages(target_path: str, prefix: str = "stage_") -> None:
     :func:`publish_swap` rename orphans the staged data, and nothing
     else ever visits dot-prefixed siblings, so without this pre-pass
     dead bytes accumulate forever. Call it where :func:`recover_swap`
-    is called (same single-writer assumption: a concurrent run's live
-    staging dir would be indistinguishable from an orphan)."""
+    is called. Matches ONLY this target's stages (the basename is part
+    of the staging name), so a concurrent job on a sibling target in
+    the same parent keeps its live staging dir."""
     parent = os.path.dirname(os.path.abspath(target_path)) or "."
-    hidden = "." + prefix.lstrip(".")
+    hidden = _stage_prefix(target_path, prefix)
     if not os.path.isdir(parent):
         return
     for name in os.listdir(parent):

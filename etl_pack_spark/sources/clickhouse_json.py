@@ -115,6 +115,14 @@ def clickhouse_json_pages(
     """
     import pandas as pd
 
+    from etl_pack_spark.sources.reader import ensure_session_confs
+
+    # the decode closure references module-level helpers (parse_meta,
+    # the dialect dicts), so executors must be able to import the
+    # package — ship it, like read_table does, instead of requiring a
+    # get_spark-created session
+    ensure_session_confs(bodies.sparkSession)
+
     tags = normalize_type_tags(ch_types, CLICKHOUSE_TO_UNIVERSAL)
     schema = universal_struct(names, tags)
     int_tags = {"int8", "int16", "int32", "int64", "uint8", "uint16", "uint32"}
@@ -134,8 +142,14 @@ def clickhouse_json_pages(
                     raise ValueError(
                         f"page meta {got} != expected {(names, tags)}"
                     )
+                # dtype=object: the default constructor infers float64
+                # for a bare-int column containing NULLs (quote_64bit=0
+                # servers), corrupting int64 values beyond 2^53 BEFORE
+                # the typed per-column coercion below can see them
                 frames.append(
-                    pd.DataFrame(obj.get("data", []), columns=names)
+                    pd.DataFrame(
+                        obj.get("data", []), columns=names, dtype=object
+                    )
                 )
             page = (
                 pd.concat(frames, ignore_index=True)
@@ -165,8 +179,11 @@ def clickhouse_json_pages(
                     # reason).
                     # (Series.map would infer float64 for int+None
                     # results — pd.array keeps python-int precision)
+                    # pd.isna, not `is None`: a bare-int column with
+                    # NULLs arrives float64 with NaN (quote_64bit=0
+                    # servers), and int(NaN) raises
                     page[n] = pd.array(
-                        [None if v is None else int(v) for v in col],
+                        [None if pd.isna(v) else int(v) for v in col],
                         dtype="Int64",
                     )
                 elif t in int_tags:

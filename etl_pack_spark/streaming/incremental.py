@@ -200,7 +200,9 @@ def stream_cdc_apply(
         else:
             target = batch_df.select(*cols).limit(0)
         merged = apply_cdc(target, batch_df, keys, ts_col, op_col=op_col)
-        staged = stage_dir(target_path, prefix=f"cdc_stage_{batch_id}_")
+        # fixed prefix (no batch id): the stage/cleanup pair must use
+        # ONE name family for orphan matching to work across firings
+        staged = stage_dir(target_path, prefix="cdc_stage_")
         # materialize BEFORE touching the target (the merged plan reads
         # it); the swap never leaves a moment where neither target nor
         # backup holds the pre-batch table (plain rmtree-then-rename had
@@ -406,17 +408,24 @@ def stream_url_dedup_ingest(
             fresh = with_url.join(store, "canonical_url", "left_anti")
         else:
             fresh = with_url
-        out = fresh.unionByName(nulls)
-        # output BEFORE store: a crash between the two re-emits the
-        # batch's survivors on replay (at-least-once output) instead
-        # of silently dropping them (store-first would anti-join the
-        # replay away with nothing written)
-        out.write.mode("append").parquet(out_path)
-        fresh.select(
-            "canonical_url", F.col(id_col).alias("winner_id")
-        ).withColumn("__batch", F.lit(batch_id)).write.mode("append").parquet(
-            store_path
-        )
+        # persist: the out-path and store writes below would otherwise
+        # EACH recompute the canonicalize+window lineage and rescan the
+        # persisted store (which grows with every admitted URL)
+        fresh = fresh.persist()
+        try:
+            out = fresh.unionByName(nulls)
+            # output BEFORE store: a crash between the two re-emits the
+            # batch's survivors on replay (at-least-once output) instead
+            # of silently dropping them (store-first would anti-join the
+            # replay away with nothing written)
+            out.write.mode("append").parquet(out_path)
+            fresh.select(
+                "canonical_url", F.col(id_col).alias("winner_id")
+            ).withColumn("__batch", F.lit(batch_id)).write.mode(
+                "append"
+            ).parquet(store_path)
+        finally:
+            fresh.unpersist()
 
     stream = spark.readStream.schema(schema).parquet(source_dir)
     query = (

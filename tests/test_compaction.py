@@ -297,18 +297,29 @@ class TestCompactPartitions:
 
 
 def test_clean_orphan_stages_unit(tmp_path):
-    """clean_orphan_stages removes only hidden dirs under the given
-    prefix — never the target, its backup, or unrelated siblings."""
+    """clean_orphan_stages removes only THIS target's hidden stages —
+    never the target, its backup, unrelated siblings, or a SIBLING
+    TARGET's live staging dir (the names are target-scoped, so two
+    single-writer jobs on sibling tables in one parent can't delete
+    each other's in-flight stage)."""
     import os
 
-    from etl_pack_spark.sinks.atomic import clean_orphan_stages
+    from etl_pack_spark.sinks.atomic import clean_orphan_stages, stage_dir
 
     target = tmp_path / "table"
     target.mkdir()
-    (tmp_path / ".compact_stage_abc").mkdir()
-    (tmp_path / ".compact_stage_def").mkdir()
+    # two orphaned (written, unswapped) stages from crashed prior runs
+    for _ in range(2):
+        os.mkdir(stage_dir(str(target), "compact_stage_"))
+    # one basename is a prefix of the other — the digest field keeps
+    # the name families disjoint even then
+    sibling = tmp_path / "table_x"
+    sibling.mkdir()
+    sib_stage = stage_dir(str(sibling), "compact_stage_")
+    os.mkdir(sib_stage)  # a CONCURRENT sibling job's live stage
     (tmp_path / ".table.bak").mkdir()
     (tmp_path / "other").mkdir()
     clean_orphan_stages(str(target), "compact_stage_")
     left = sorted(os.listdir(tmp_path))
-    assert left == [".table.bak", "other", "table"]
+    assert left == sorted([".table.bak", os.path.basename(sib_stage),
+                           "other", "table", "table_x"])
