@@ -344,10 +344,11 @@ def main() -> None:
 
     factor = int(os.environ.get("SPARK_GRAFT_BENCH_SCALE_FACTOR", "10"))
     if factor > 1:
-        n_docs, t3, _ = probe_at(factor, repeats)
+        n_docs, t3, s3 = probe_at(factor, repeats)
         out["scale_probe_factor"] = factor
         out["scale_probe_docs"] = n_docs
         out["queries_scale_probe"] = t3
+        out["queries_scale_probe_stats"] = s3
 
     # fourth point: a best-of-2 probe at a larger replication so the
     # extrapolation curve is recorded from the artifact itself. A

@@ -35,6 +35,8 @@ tests against a driver-side numpy twin.
 
 from __future__ import annotations
 
+import re
+
 import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame, Window
@@ -293,8 +295,8 @@ def ivf_pq_index(
     (its list) + m code bytes, never the raw floats.
 
     Returns ``(cids, centroids, codebooks, encoded)`` where ``cids``/
-    ``centroids`` are the coarse quantizer (deterministic sample:
-    vectors with ``id < nlist``, the same bit-stable posture as
+    ``centroids`` are the coarse quantizer (deterministic md5-ordered
+    sample, the same bit-stable id-space-agnostic posture as
     ``similarity.ivf_topk``), ``codebooks`` are PQ books trained on a
     bounded hash-sample of residuals, and ``encoded`` is the
     distributed ``(id, cid, codes)`` frame. Residual encoding matters:
@@ -307,14 +309,21 @@ def ivf_pq_index(
     """
     if dims % m:
         raise ValueError(f"dims={dims} not divisible by m={m}")
+    # md5-ordered deterministic sample (r6, was `id < nlist`): id-space
+    # agnostic — snowflake/offset ids work, not just dense 0-based —
+    # while staying append-stable and expressible identically in the
+    # DuckDB oracle. Sorted by cid afterwards so numpy's argmin
+    # first-occurrence tie-break means lowest cid, like the SQL twin's
+    # `ORDER BY dist, cid`.
     cent_pdf = (
-        df.where(F.col(id_col) < nlist)
-        .select(F.col(id_col).alias("cid"), F.col(vec).alias("cv"))
-        .orderBy("cid")
+        df.select(F.col(id_col).alias("cid"), F.col(vec).alias("cv"))
+        .orderBy(F.md5(F.col("cid").cast("string")), "cid")
+        .limit(nlist)
         .toPandas()
+        .sort_values("cid", ignore_index=True)
     )
     if len(cent_pdf) == 0:
-        raise ValueError(f"no coarse centroids: no ids < nlist={nlist}")
+        raise ValueError("no coarse centroids: empty corpus")
     cids = cent_pdf["cid"].to_numpy()
     C = np.stack(cent_pdf["cv"].to_numpy()).astype(np.float64)
 
@@ -325,9 +334,23 @@ def ivf_pq_index(
 
     spark = df.sparkSession
     bc = spark.sparkContext.broadcast((cids, C, codebooks))
+    encoded = df.select(
+        F.col(id_col).alias("id"), F.col(vec).alias("v")
+    ).mapInPandas(
+        _encode_kernel(bc), schema="id long, cid long, codes array<smallint>"
+    )
+    return cids, C, codebooks, encoded
+
+
+def _encode_kernel(bc):
+    """The ONE residual-encode kernel shared by :func:`ivf_pq_index`
+    (build) and :func:`ivf_pq_append` (ingest): appended codes must
+    stay numerically identical to build-time codes (argmin near-ties
+    included), so there is exactly one copy of the arithmetic. ``bc``
+    broadcasts ``(cids, centroids, codebooks)``; returns a
+    ``mapInPandas`` function (nested for by-value pickling)."""
 
     def encode(batches):
-        # NESTED for by-value pickling
         import numpy as np
 
         cids_, C_, books = bc.value
@@ -349,10 +372,7 @@ def ivf_pq_index(
                 {"id": pdf["id"].to_numpy(), "cid": cids_[a], "codes": list(codes)}
             )
 
-    encoded = df.select(
-        F.col(id_col).alias("id"), F.col(vec).alias("v")
-    ).mapInPandas(encode, schema="id long, cid long, codes array<smallint>")
-    return cids, C, codebooks, encoded
+    return encode
 
 
 def ivf_pq_topk(
@@ -485,7 +505,7 @@ def ivf_pq_topk_sql(
 ) -> str:
     """DuckDB oracle twin of the FULL IVF-PQ pipeline
     (:func:`ivf_pq_index` + :func:`ivf_pq_topk`): same md5-ordered
-    bounded training sample, same coarse quantizer (ids < nlist), the
+    bounded training sample, same md5-ordered coarse quantizer, the
     same fixed-``iters`` Lloyd training UNROLLED as one CTE chain per
     iteration (argmin ties to the lowest centroid, empty clusters keep
     their previous centroid), residual encoding, per-(query, probed
@@ -494,6 +514,10 @@ def ivf_pq_topk_sql(
     order); the reported distance is rounded by the caller on both
     sides and ranks are compared on the raw values."""
     dsub = dims // m
+    # whole-identifier rewrite of the query predicate onto the `id`
+    # alias — a naive str.replace would mangle columns that merely
+    # CONTAIN id_col (`alt_vec_id` under id_col='vec_id')
+    q_pred = re.sub(rf"\b{re.escape(id_col)}\b", "id", query_pred)
     dvec = f"list_transform(generate_series(1, {dims}), __i -> CAST(v[__i] AS DOUBLE))"
     cdvec = f"list_transform(generate_series(1, {dims}), __i -> CAST(cv[__i] AS DOUBLE))"
 
@@ -544,7 +568,10 @@ def ivf_pq_topk_sql(
                               __i -> CAST({vec}[__i] AS DOUBLE)) AS v
         FROM {table}
     ),
-    coarse AS MATERIALIZED (SELECT id AS cid, v AS cv FROM emb WHERE id < {nlist}),
+    coarse AS MATERIALIZED (
+        SELECT id AS cid, v AS cv FROM emb
+        ORDER BY md5(CAST(id AS VARCHAR)), id LIMIT {nlist}
+    ),
     samp AS MATERIALIZED (
         SELECT id, v, rn FROM (
             SELECT id, v,
@@ -596,7 +623,7 @@ def ivf_pq_topk_sql(
             FROM epts p JOIN books b USING (j)
         ) WHERE ark = 1
     ),
-    q AS MATERIALIZED (SELECT id AS qid, v FROM emb WHERE ({query_pred.replace(id_col, 'id')})),
+    q AS MATERIALIZED (SELECT id AS qid, v FROM emb WHERE ({q_pred})),
     qprobe AS MATERIALIZED (
         SELECT qid, cid, r FROM (
             SELECT qq.qid, c.cid,
@@ -705,32 +732,10 @@ def ivf_pq_append(
     the same posture as the signature store."""
     cids, C, books, _ = ivf_pq_load(spark, path)
     bc = spark.sparkContext.broadcast((cids, C, books))
-
-    def encode(batches):
-        # NESTED for by-value pickling (mirrors ivf_pq_index's kernel)
-        import numpy as np
-
-        cids_, C_, books_ = bc.value
-        m_, k_, dsub = books_.shape
-        for pdf in batches:
-            if len(pdf) == 0:
-                yield pd.DataFrame({"id": [], "cid": [], "codes": []})
-                continue
-            X_ = np.stack(pdf["v"].to_numpy()).astype(np.float64)
-            d2_ = -2.0 * (X_ @ C_.T) + (C_**2).sum(axis=1)[None, :]
-            a = d2_.argmin(axis=1)
-            Rv = X_ - C_[a]
-            codes = np.empty((len(X_), m_), dtype=np.int16)
-            for j in range(m_):
-                sub = Rv[:, j * dsub : (j + 1) * dsub]
-                dd = -2.0 * (sub @ books_[j].T) + (books_[j] ** 2).sum(axis=1)[None, :]
-                codes[:, j] = dd.argmin(axis=1)
-            yield pd.DataFrame(
-                {"id": pdf["id"].to_numpy(), "cid": cids_[a], "codes": list(codes)}
-            )
-
     new_codes = df.select(
         F.col(id_col).alias("id"), F.col(vec).alias("v")
-    ).mapInPandas(encode, schema="id long, cid long, codes array<smallint>")
+    ).mapInPandas(
+        _encode_kernel(bc), schema="id long, cid long, codes array<smallint>"
+    )
     new_codes.write.mode("append").parquet(f"{path}/codes")
     return spark.read.parquet(f"{path}/codes")

@@ -400,6 +400,28 @@ def cosine_topk_sql(
 # IVF-flat ANN (the other scale path): coarse quantizer + nprobe search
 # ---------------------------------------------------------------------------
 
+def _coarse_sample(base: DataFrame, nlist: int, id_col: str) -> DataFrame:
+    """The deterministic coarse-quantizer sample shared by the IVF
+    family (here, ``assign_centroids`` and ``quantize.ivf_pq_index``):
+    the ``nlist`` rows with the lowest ``md5(id)`` hex, id tie-break.
+    Append-stable, id-space-AGNOSTIC (snowflake/offset ids work, not
+    just dense 0-based — the r5 ``id < nlist`` convention silently
+    required the latter and crashed on anything else), and expressible
+    identically in the DuckDB oracle (``ORDER BY md5(CAST(id AS
+    VARCHAR)), id LIMIT nlist``), so every downstream op stays
+    hash-checkable. nlist rows through TakeOrderedAndProject — no
+    global sort materializes."""
+    return base.orderBy(
+        F.md5(F.col(id_col).cast("string")), F.col(id_col)
+    ).limit(nlist)
+
+
+def _coarse_sql(id_col: str, nlist: int) -> str:
+    """The oracle-side ORDER BY/LIMIT twin of :func:`_coarse_sample`
+    (appended to a SELECT over the normed CTE)."""
+    return f"ORDER BY md5(CAST({id_col} AS VARCHAR)), {id_col} LIMIT {nlist}"
+
+
 def ivf_topk(
     df: DataFrame,
     k: int = 5,
@@ -413,10 +435,12 @@ def ivf_topk(
     """IVF-flat approximate top-k: a coarse quantizer partitions the
     corpus into ``nlist`` inverted lists; each query exactly re-ranks
     only the ``nprobe`` lists whose centroids are nearest. The coarse
-    centroids here are a deterministic sample (ids < ``nlist``) rather
-    than Lloyd-iterated means, which keeps the whole operator
-    expressible in plain SQL — so the oracle hash-checks it bit-exactly
-    (the KMeans-trained variant is ``cluster_embeddings``).
+    centroids here are a deterministic sample (:func:`_coarse_sample`:
+    the ``nlist`` rows with the lowest ``md5(id)``) rather than
+    Lloyd-iterated means, which keeps the whole operator expressible
+    in plain SQL — so the oracle hash-checks it bit-exactly (the
+    KMeans-trained variant is ``cluster_embeddings``) — and works on
+    ANY id space, dense or sparse.
 
     Scale shape: assignment is a broadcast of ``nlist`` centroids
     against the corpus, reduced by a map-side-combinable struct-max
@@ -427,7 +451,7 @@ def ivf_topk(
     ≈ nprobe/nlist of the corpus per query vs 100% for brute force.
     """
     base = with_norm(df, vec)
-    cent = base.where(F.col(id_col) < nlist).select(
+    cent = _coarse_sample(base, nlist, id_col).select(
         F.col(id_col).alias("cid"), F.col(vec).alias("cv"), F.col("norm").alias("cn")
     )
     c_sim = _dot_udf(F.col(vec), F.col("cv")) / (F.col("norm") * F.col("cn"))
@@ -487,14 +511,15 @@ def ivf_topk_sql(
     id_col: str = "vec_id",
     vec: str = "embedding",
 ) -> str:
-    """Oracle twin of :func:`ivf_topk` — same sampled centroids, same
-    argmin assignment, same nprobe lists, left-fold dot products."""
+    """Oracle twin of :func:`ivf_topk` — same md5-sampled centroids,
+    same argmin assignment, same nprobe lists, left-fold dot products."""
     return f"""
     WITH n AS (
         SELECT {id_col}, {vec} AS v, sqrt({_dot_sql(vec, vec)}) AS nrm FROM {table}
     ),
     cent AS (
-        SELECT {id_col} AS cid, v AS cv, nrm AS cn FROM n WHERE {id_col} < {nlist}
+        SELECT {id_col} AS cid, v AS cv, nrm AS cn FROM n
+        {_coarse_sql(id_col, nlist)}
     ),
     crossed AS (
         SELECT n.{id_col} AS vid, n.v, n.nrm, cent.cid,
@@ -612,13 +637,11 @@ def assign_centroids(
     df: DataFrame, nlist: int = 16, id_col: str = "vec_id", vec: str = "embedding"
 ) -> DataFrame:
     """Nearest-centroid assignment against the deterministic sampled
-    quantizer (centroids = vectors with ``id < nlist``, as in
-    :func:`ivf_topk` — SQL-expressible, so oracles hash-check it).
-    Contract: numeric ids with at least one id below ``nlist`` (rows
-    with none produce an empty assignment, same as the SQL twin); a
-    corpus with sparse ids should be renumbered first, or use the
-    KMeans path (``cluster_embeddings``) when oracle-exactness isn't
-    needed.
+    quantizer (:func:`_coarse_sample`: the ``nlist`` lowest-``md5(id)``
+    rows, as in :func:`ivf_topk` — SQL-expressible, so oracles
+    hash-check it, and id-space-agnostic). The KMeans path
+    (``cluster_embeddings``) trades oracle-exactness for trained
+    centroids.
 
     Scale shape: broadcast of ``nlist`` centroid rows against the
     corpus; the argmax is a map-side-combinable struct max, so exactly
@@ -626,7 +649,7 @@ def assign_centroids(
     nlist-times-crossed rows. Returns ``(id, vec, norm, cid)``.
     """
     base = with_norm(df, vec)
-    cent = base.where(F.col(id_col) < nlist).select(
+    cent = _coarse_sample(base, nlist, id_col).select(
         F.col(id_col).alias("cid"), F.col(vec).alias("cv"), F.col("norm").alias("cn")
     )
     c_sim = _dot_udf(F.col(vec), F.col("cv")) / (F.col("norm") * F.col("cn"))
@@ -712,14 +735,16 @@ def semantic_dedup_sql(
     id_col: str = "vec_id",
     vec: str = "embedding",
 ) -> str:
-    """Oracle twin of :func:`semantic_dedup` — same sampled centroids,
-    same argmax tie-break, same left-fold dots, same pair rule."""
+    """Oracle twin of :func:`semantic_dedup` — same md5-sampled
+    centroids, same argmax tie-break, same left-fold dots, same pair
+    rule."""
     return f"""
     WITH n AS (
         SELECT {id_col}, {vec} AS v, sqrt({_dot_sql(vec, vec)}) AS nrm FROM {table}
     ),
     cent AS (
-        SELECT {id_col} AS cid, v AS cv, nrm AS cn FROM n WHERE {id_col} < {nlist}
+        SELECT {id_col} AS cid, v AS cv, nrm AS cn FROM n
+        {_coarse_sql(id_col, nlist)}
     ),
     assigned AS (
         SELECT vid AS {id_col}, cid, v, nrm FROM (

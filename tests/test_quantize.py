@@ -321,6 +321,19 @@ def test_ivf_pq_sql_twin_matches_engine(spark, sf_dir):
     assert got == want and len(got) > 0
 
 
+def test_ivf_pq_sql_query_pred_whole_identifier_rewrite():
+    """The oracle generator rewrites the query predicate onto its `id`
+    alias whole-identifier-wise: a column that merely CONTAINS id_col
+    (`alt_vec_id` under id_col='vec_id') must survive unmangled."""
+    from etl_pack_spark.operators.quantize import ivf_pq_topk_sql
+
+    sql = ivf_pq_topk_sql(
+        "embeddings", 8, query_pred="vec_id < 50 AND alt_vec_id = 0"
+    )
+    line = next(l for l in sql.splitlines() if "SELECT id AS qid" in l)
+    assert "(id < 50 AND alt_vec_id = 0)" in line
+
+
 def test_ivf_pq_append_matches_full_encode(spark, sf_dir, tmp_path):
     """Incremental append: build the index on HALF the corpus, append
     the other half with the frozen quantizers — queries over the

@@ -208,3 +208,43 @@ class TestAnnChooser:
             ann_topk(emb, q, method="lsh")
         with pytest.raises(ValueError, match="method"):
             ann_topk(emb, q, method="hnsw")
+
+    @pytest.mark.parametrize("method", ["ivf_flat", "ivf_pq"])
+    def test_sparse_id_space(self, spark, sf_dir, method):
+        """The IVF-family coarse sample is id-space-AGNOSTIC: a corpus
+        whose ids are snowflake-style offsets (no id below nlist) must
+        index and answer, not crash — the r5 `id < nlist` seeding
+        required dense 0-based ids, which real corpora don't have."""
+        from pyspark.sql import functions as F
+
+        from etl_pack_spark.operators.similarity import ann_topk
+        from etl_pack_spark.sources.reader import read_table
+
+        OFF = 1_000_000_007
+        emb = read_table(spark, sf_dir, "embeddings").withColumn(
+            "vec_id", F.col("vec_id") + F.lit(OFF)
+        )
+        queries = emb.where(f"vec_id < {OFF + 5}")
+        out = ann_topk(emb, queries, k=3, method=method, pq_k=16)
+        rows = out.collect()
+        assert {r["q_id"] for r in rows} == {OFF + i for i in range(5)}
+        per_q = {}
+        for r in rows:
+            assert r["n_id"] != r["q_id"] and r["n_id"] >= OFF
+            per_q.setdefault(r["q_id"], []).append(r["rk"])
+        assert all(sorted(v) == [1, 2, 3] for v in per_q.values())
+
+    def test_semantic_dedup_sparse_id_space(self, spark, sf_dir):
+        """assign_centroids shares the id-agnostic coarse sample."""
+        from pyspark.sql import functions as F
+
+        from etl_pack_spark.operators.similarity import semantic_dedup
+        from etl_pack_spark.sources.reader import read_table
+
+        OFF = 1_000_000_007
+        emb = read_table(spark, sf_dir, "embeddings").withColumn(
+            "vec_id", F.col("vec_id") + F.lit(OFF)
+        )
+        survivors = semantic_dedup(emb, nlist=16, threshold=0.4)
+        n = survivors.count()
+        assert 0 < n <= emb.count()
