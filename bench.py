@@ -126,6 +126,13 @@ def _lib_extra_queries():
     def _spans(spark, sf_dir):
         return repeated_ngram_spans(read_table(spark, sf_dir, "documents"), k=8)
 
+    def _remove_spans(spark, sf_dir):
+        from etl_pack_spark.operators.substrings import remove_repeated_spans
+
+        return remove_repeated_spans(
+            read_table(spark, sf_dir, "documents"), k=8
+        )
+
     def _budget(spark, sf_dir):
         docs = read_table(spark, sf_dir, "documents")
         total = docs.agg(F.sum("n_chars")).collect()[0][0] or 0
@@ -189,6 +196,7 @@ def _lib_extra_queries():
     return {
         "lib_semantic_dedup": _semdedup,
         "lib_repeated_ngram_spans": _spans,
+        "lib_remove_spans": _remove_spans,
         "lib_budget_select": _budget,
         "lib_html_strip": _html,
         "lib_domain_cap": _cap,

@@ -29,7 +29,12 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-from etl_pack_spark.operators.tokenize import shingle_rows, shingles_sql, tokens_sql
+from etl_pack_spark.operators.tokenize import (
+    shingle_rows,
+    shingles_sql,
+    tokens,
+    tokens_sql,
+)
 
 
 def repeated_ngram_spans(
@@ -121,4 +126,173 @@ def repeated_ngram_spans_sql(
                  THEN CAST(p.n_dup_windows AS DOUBLE) / CAST(p.n_windows AS DOUBLE)
                  ELSE 0.0 END) <= {max_dup_fraction} AS keep
     FROM {table} d LEFT JOIN per_doc p ON d.{id_col} = p.{id_col}
+    """
+
+
+def remove_repeated_spans(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 8,
+) -> DataFrame:
+    """ExactSubstr-style span EXCISION (Lee et al. 2022 §3 dedup by
+    removing the duplicated substrings themselves, not whole
+    documents): every ``k``-token window whose text occurs MORE THAN
+    ONCE corpus-wide (all occurrences counted — cross-document AND
+    within-document) is cut from every occurrence except the canonical
+    first (lowest ``(id, pos)``), which survives — each repeated
+    passage appears exactly once in the output corpus. Returns
+    ``(id_col, clean_text, n_tokens, n_removed_tokens)``.
+
+    ``clean_text`` is TOKEN-NORMALIZED (the module's shared lowercase
+    token algebra — the same text the detector and the oracle see;
+    single-space joined). Overlaps resolve token-wise: a token is cut
+    iff ANY non-canonical duplicated window covers it, so the merged
+    cut spans are exactly the union of flagged windows. Documents
+    shorter than ``k`` tokens pass through untouched (normalized).
+
+    Complements :func:`repeated_ngram_spans` (the detect/gate report):
+    the gate DROPS mostly-duplicated documents; this op KEEPS every
+    document and removes the duplicated passages, the choice Lee et
+    al. show trains better than document-level dropping alone.
+
+    Scale shape: occurrences shuffle as 16-byte hashes + positions,
+    never text; duplication counts and the canonical pick are ONE
+    map-side-combinable ``groupBy(h)`` (count + ``min(struct)``);
+    removals join back by hash and roll up per document; the excision
+    itself is pure codegen array algebra (``array_except`` of position
+    sets, O(tokens) per document) — no UDF anywhere.
+    """
+    if k < 2:
+        raise ValueError(f"k must be >= 2, got {k}")
+    toks = df.repartition(F.col(id_col)).select(
+        F.col(id_col), F.posexplode(tokens(text_col)).alias("pos", "tok")
+    )
+    w = Window.partitionBy(id_col).orderBy("pos")
+    leads = [F.lead("tok", j).over(w) for j in range(1, k)]
+    occ = (
+        toks.select(
+            F.col(id_col),
+            F.col("pos"),
+            F.md5(F.concat_ws(" ", F.col("tok"), *leads)).alias("h"),
+            leads[-1].alias("__last"),
+        )
+        .where(F.col("__last").isNotNull())
+        .drop("__last")
+    )
+    agg = occ.groupBy("h").agg(
+        F.count(F.lit(1)).alias("cnt"),
+        F.min(
+            F.struct(F.col(id_col).alias("i"), F.col("pos").alias("p"))
+        ).alias("keep"),
+    )
+    rem = (
+        occ.join(agg.where(F.col("cnt") >= 2), "h")
+        .where(
+            ~(
+                (F.col(id_col) == F.col("keep.i"))
+                & (F.col("pos") == F.col("keep.p"))
+            )
+        )
+        .select(id_col, "pos")
+    )
+    cov = rem.groupBy(id_col).agg(
+        F.array_sort(
+            F.array_distinct(
+                F.flatten(
+                    F.collect_list(
+                        F.sequence(F.col("pos"), F.col("pos") + F.lit(k - 1))
+                    )
+                )
+            )
+        ).alias("__cov")
+    )
+    empty_int = F.array().cast("array<int>")
+    base = df.join(cov, id_col, "left").select(
+        F.col(id_col),
+        # NULL text stays NULL in clean_text (counts read 0) — the
+        # same NULL posture as the detector's report
+        F.col(text_col).isNull().alias("__isnull"),
+        F.coalesce(tokens(text_col), F.array().cast("array<string>")).alias(
+            "__t"
+        ),
+        F.coalesce(F.col("__cov"), empty_int).alias("__cov"),
+    )
+    kept_idx = F.array_sort(
+        F.array_except(
+            F.when(
+                F.size("__t") > 0, F.sequence(F.lit(0), F.size("__t") - 1)
+            ).otherwise(empty_int),
+            F.col("__cov"),
+        )
+    )
+    return base.select(
+        F.col(id_col),
+        F.when(F.col("__isnull"), F.lit(None).cast("string"))
+        .otherwise(
+            F.array_join(
+                F.transform(
+                    kept_idx, lambda j: F.element_at(F.col("__t"), j + 1)
+                ),
+                " ",
+            )
+        )
+        .alias("clean_text"),
+        F.size("__t").cast("long").alias("n_tokens"),
+        F.size("__cov").cast("long").alias("n_removed_tokens"),
+    )
+
+
+def remove_repeated_spans_sql(
+    table: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 8,
+) -> str:
+    """Oracle twin of :func:`remove_repeated_spans` — same tokenization,
+    same every-occurrence counting, same lowest-``(id, pos)`` canonical
+    survivor, same token-wise cut union."""
+    return f"""
+    WITH toks AS (
+        SELECT {id_col}, {text_col} IS NULL AS isnull,
+               COALESCE({tokens_sql(text_col)}, []) AS t
+        FROM {table}
+    ),
+    occ AS (
+        SELECT {id_col}, r['pos'] AS pos, r['h'] AS h FROM (
+            SELECT {id_col}, unnest(
+                CASE WHEN len(t) >= {k} THEN
+                  list_transform(generate_series(1, len(t) - {k} + 1),
+                    i -> {{'pos': i - 1,
+                           'h': md5(array_to_string(t[i:i+{k - 1}], ' '))}})
+                ELSE [] END) AS r
+            FROM toks)
+    ),
+    ranked AS (
+        SELECT {id_col}, pos,
+               COUNT(*) OVER (PARTITION BY h) AS cnt,
+               ROW_NUMBER() OVER (PARTITION BY h ORDER BY {id_col}, pos) AS rk
+        FROM occ
+    ),
+    cov AS (
+        SELECT {id_col},
+               list_sort(list_distinct(flatten(list(sp)))) AS covered
+        FROM (SELECT {id_col}, generate_series(pos, pos + {k - 1}) AS sp
+              FROM ranked WHERE cnt >= 2 AND rk > 1)
+        GROUP BY {id_col}
+    )
+    SELECT d.{id_col},
+           CASE WHEN d.isnull THEN NULL ELSE
+               -- COALESCE: DuckDB's array_to_string([]) is NULL where
+               -- Spark's array_join([]) is '' (fully-excised docs)
+               COALESCE(array_to_string(list_transform(
+                   list_sort(list_filter(
+                       CASE WHEN len(d.t) > 0
+                            THEN generate_series(0, len(d.t) - 1) ELSE [] END,
+                       x -> NOT list_contains(COALESCE(c.covered, []), x))),
+                   j -> d.t[j + 1]), ' '), '')
+           END AS clean_text,
+           CAST(len(d.t) AS BIGINT) AS n_tokens,
+           CAST(COALESCE(len(c.covered), 0) AS BIGINT) AS n_removed_tokens
+    FROM toks d LEFT JOIN cov c ON d.{id_col} = c.{id_col}
     """

@@ -35,6 +35,7 @@ from etl_pack_spark.operators.temporal import rolling_aggregate_sql
 from etl_pack_spark.operators.chunking import chunk_documents_sql as _chunk_documents_sql
 from etl_pack_spark.operators.components import connected_components_sql
 from etl_pack_spark.operators.substrings import (
+    remove_repeated_spans_sql as _remove_repeated_spans_sql,
     repeated_ngram_spans_sql as _repeated_ngram_spans_sql,
 )
 from etl_pack_spark.sinks.sharding import shard_assign_sql as _shard_assign_sql
@@ -1231,7 +1232,24 @@ def q_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_repeated_ngram_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Corpus-level repeated-substring detection (exact-substring dedup
     at fixed window k=5, arXiv:2107.06499 approximation): per doc the
-    duplicated-window fraction + keep gate (operators/substrings.py)."""
+    duplicated-window fraction + keep gate (operators/substrings.py).
+    r6 rider: the EXCISION half — ``remove_repeated_spans`` cuts every
+    non-canonical duplicated window from the text (keep-first
+    semantics), so the slot now value-hashes the full Lee et al. op:
+    detect AND remove."""
+    from etl_pack_spark.operators.substrings import (
+        remove_repeated_spans,
+        repeated_ngram_spans,
+    )
+
+    docs = read_table(spark, sf_dir, "documents")
+    report = repeated_ngram_spans(docs, k=5)
+    cleaned = remove_repeated_spans(docs, k=5)
+    return report.join(cleaned, "doc_id")
+
+
+def q_repeated_ngram_spans_plain(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pre-r6 framing of the slot (detector only) — retired pin."""
     from etl_pack_spark.operators.substrings import repeated_ngram_spans
 
     docs = read_table(spark, sf_dir, "documents")
@@ -1850,7 +1868,12 @@ ORACLES: dict[str, str] = {
     "semantic_dedup": similarity.semantic_dedup_sql(
         "embeddings", nlist=16, threshold=0.4
     ),
-    "repeated_ngram_spans": _repeated_ngram_spans_sql("documents", k=5),
+    "repeated_ngram_spans": f"""
+        SELECT r.*, c.clean_text, c.n_tokens, c.n_removed_tokens
+        FROM ({_repeated_ngram_spans_sql("documents", k=5)}) r
+        JOIN ({_remove_repeated_spans_sql("documents", k=5)}) c
+        USING (doc_id)
+    """,
     "budget_select": sampling.budget_select_sql(
         "(SELECT doc_id, CAST(n_chars AS DOUBLE) AS score, n_chars FROM documents)",
         BUDGET_CHARS, score_col="score", weight_col="n_chars",
@@ -1897,6 +1920,8 @@ RETIRED_QUERIES: dict[str, QueryFn] = {
     "ann_ivf_flat": lambda spark, sf_dir: similarity.ivf_topk(
         read_table(spark, sf_dir, "embeddings")
     ),
+    # r6 rider: the slot gained the excision half (remove_repeated_spans)
+    "repeated_ngram_spans_plain": q_repeated_ngram_spans_plain,
 }
 
 RETIRED_ORACLES: dict[str, str] = {
@@ -1973,4 +1998,5 @@ RETIRED_ORACLES: dict[str, str] = {
     "text_sentiment": textops.lexicon_sentiment_sql("documents", "doc_id", "text"),
     "corpus_curate_plain": curate_corpus_sql("documents"),
     "ann_ivf_flat": similarity.ivf_topk_sql("embeddings"),
+    "repeated_ngram_spans_plain": _repeated_ngram_spans_sql("documents", k=5),
 }

@@ -72,3 +72,104 @@ def test_repartition_stable(spark, sf_dir):
     a = _collect(repeated_ngram_spans(docs, k=5))
     b = _collect(repeated_ngram_spans(docs.repartition(13), k=5))
     assert a == b
+
+
+class TestRemoveRepeatedSpans:
+    """ExactSubstr-style excision: keep-first semantics, within-doc
+    repetition, NULL/short-doc edges, oracle parity, repartition
+    stability."""
+
+    def test_oracle_parity_fixture(self, spark, sf_dir):
+        from etl_pack_spark.operators.substrings import (
+            remove_repeated_spans,
+            remove_repeated_spans_sql,
+        )
+
+        docs = read_table(spark, sf_dir, "documents")
+        cols = ("doc_id", "clean_text", "n_tokens", "n_removed_tokens")
+        got = sorted(
+            tuple(r[c] for c in cols)
+            for r in remove_repeated_spans(docs, k=5).collect()
+        )
+        con = duckdb.connect()
+        con.execute(
+            f"CREATE VIEW documents AS SELECT * FROM "
+            f"read_parquet('{sf_dir}/documents.parquet')"
+        )
+        want = sorted(
+            map(
+                tuple,
+                con.execute(
+                    remove_repeated_spans_sql("documents", k=5)
+                ).fetchall(),
+            )
+        )
+        assert got == want and len(got) == docs.count()
+
+    def test_keep_first_and_edges(self, spark):
+        from etl_pack_spark.operators.substrings import remove_repeated_spans
+
+        shared = "the quick brown fox jumps over the lazy dog tonight"
+        df = spark.createDataFrame(
+            [
+                (1, f"Alpha begins here. {shared} And ends uniquely one."),
+                (2, f"Totally different intro! {shared} plus another tail."),
+                (3, "repeat me repeat me repeat me repeat me repeat me"),
+                (4, None),
+                (5, "short text"),
+            ],
+            "doc_id long, text string",
+        )
+        out = {
+            r["doc_id"]: r
+            for r in remove_repeated_spans(df, k=5).collect()
+        }
+        # canonical first occurrence (lowest (id, pos)) SURVIVES
+        assert shared in out[1]["clean_text"]
+        assert out[1]["n_removed_tokens"] == 0
+        # every later occurrence is cut
+        assert "fox" not in out[2]["clean_text"]
+        assert "different intro" in out[2]["clean_text"]
+        assert "another tail" in out[2]["clean_text"]
+        # WITHIN-doc repetition counts as duplication too (one
+        # canonical window span survives)
+        assert 0 < out[3]["n_removed_tokens"] < out[3]["n_tokens"]
+        # NULL text: NULL out, zero counts; short doc: untouched
+        assert out[4]["clean_text"] is None and out[4]["n_tokens"] == 0
+        assert out[5]["clean_text"] == "short text"
+        assert out[5]["n_removed_tokens"] == 0
+
+    def test_fully_excised_doc_is_empty_string(self, spark):
+        from etl_pack_spark.operators.substrings import remove_repeated_spans
+
+        text = "one two three four five"
+        df = spark.createDataFrame(
+            [(1, text), (2, text)], "doc_id long, text string"
+        )
+        out = {r["doc_id"]: r for r in remove_repeated_spans(df, k=5).collect()}
+        assert out[1]["clean_text"] == "one two three four five"
+        assert out[2]["clean_text"] == ""  # all tokens cut, '' not NULL
+        assert out[2]["n_removed_tokens"] == 5
+
+    def test_repartition_stable(self, spark, sf_dir):
+        from etl_pack_spark.operators.substrings import remove_repeated_spans
+
+        docs = read_table(spark, sf_dir, "documents")
+        a = sorted(
+            (r["doc_id"], r["clean_text"])
+            for r in remove_repeated_spans(docs, k=5).collect()
+        )
+        b = sorted(
+            (r["doc_id"], r["clean_text"])
+            for r in remove_repeated_spans(docs.repartition(13), k=5).collect()
+        )
+        assert a == b
+
+    def test_k_below_two_rejected(self, spark):
+        import pytest
+
+        from etl_pack_spark.operators.substrings import remove_repeated_spans
+
+        df = spark.createDataFrame([(1, "a b c")], "doc_id long, text string")
+        with pytest.raises(ValueError, match="k must be >= 2"):
+            remove_repeated_spans(df, k=1)
