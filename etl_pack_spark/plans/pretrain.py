@@ -3,6 +3,7 @@ operator library as ONE lazy plan per stage:
 
     quality/lang gate + split assign   (plans/curate.py — 1 scan, 1 shuffle)
     → repeated-substring gate [opt]    (duplicated-window fraction ≤ max)
+    → repeated-span excision [opt]     (cut non-canonical duplicated passages)
     → near-dup CLUSTER dedup           (simhash pairs → components → 1 survivor)
     → SemDeDup semantic dedup [opt]    (embedding clusters → cosine prune)
     → eval decontamination             (broadcast semi-join, corpus never shuffles)
@@ -42,6 +43,8 @@ def prepare_pretraining_corpus(
     max_hamming: int = 10,
     ngram: int = 8,
     max_dup_fraction: float | None = None,
+    excise_spans: bool = False,
+    excise_k: int = 8,
     embeddings: DataFrame | None = None,
     emb_id_col: str = "vec_id",
     sem_nlist: int = 16,
@@ -58,6 +61,10 @@ def prepare_pretraining_corpus(
     ``weights`` (optional) reweights domains (absent = keep mixture);
     ``max_dup_fraction`` (optional) gates out documents whose k-token
     windows are mostly duplicated elsewhere in the curated corpus;
+    ``excise_spans`` (optional) then CUTS the remaining duplicated
+    ``excise_k``-token passages from the survivors' text (keep-first
+    canonical occurrence — the ExactSubstr remove variant), so
+    downstream dedup/counting sees the cleaned text;
     ``embeddings`` (optional, keyed by ``emb_id_col`` = doc id) adds a
     SemDeDup semantic-dedup stage after the exact/near-dup one.
     ``extract_html`` / ``normalize_unicode`` (optional) prepend the
@@ -93,6 +100,22 @@ def prepare_pretraining_corpus(
         )
         kept = kept.join(
             spans.where(F.col("keep")).select("doc_id"), "doc_id", "left_semi"
+        )
+
+    if excise_spans:
+        # ExactSubstr REMOVE variant (Lee et al. §3) after the gate:
+        # the gate DROPS mostly-duplicated docs, the excision CLEANS
+        # the survivors — every duplicated k-token passage keeps
+        # exactly one canonical occurrence corpus-wide. Downstream
+        # stages (near-dup, decontamination, token counts) see the
+        # excised, token-normalized text, so boilerplate can no longer
+        # glue distinct documents into one near-dup cluster.
+        from etl_pack_spark.operators.substrings import remove_repeated_spans
+
+        cleaned = remove_repeated_spans(kept, "doc_id", "text", k=excise_k)
+        kept = kept.drop("text").join(
+            cleaned.select("doc_id", F.col("clean_text").alias("text")),
+            "doc_id",
         )
 
     # near-dup cluster dedup over the CURATED corpus: one survivor per

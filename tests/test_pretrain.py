@@ -186,3 +186,25 @@ def test_web_prep_stages_add_no_exchange(spark, sf_dir):
     ).withColumn("text", normalize_text_col("text"))
     withstages = curate_corpus(prepped)._jdf.queryExecution().executedPlan().toString()
     assert withstages.count("Exchange") == base.count("Exchange")
+
+
+def test_pipeline_excision_stage(spark, sf_dir):
+    """excise_spans=True cuts corpus-duplicated passages from the
+    surviving docs' text BEFORE dedup/counting: total train tokens
+    shrink (the fixture plants near-dup copies), no doc gains tokens,
+    and the contract columns survive."""
+    docs = _docs(spark, sf_dir)
+    base = prepare_pretraining_corpus(docs)
+    excised = prepare_pretraining_corpus(docs, excise_spans=True, excise_k=5)
+    b = {r["doc_id"]: r["n_tokens"]
+         for r in base.select("doc_id", "n_tokens").distinct().collect()}
+    e = {r["doc_id"]: r["n_tokens"]
+         for r in excised.select("doc_id", "n_tokens").distinct().collect()}
+    assert e  # pipeline still yields docs
+    common = set(b) & set(e)
+    assert common
+    # excision never ADDS tokens, and cuts at least one doc's
+    assert all(e[d] <= b[d] for d in common)
+    assert any(e[d] < b[d] for d in common)
+    assert {"doc_id", "lang", "split", "source", "copy_n",
+            "n_tokens", "pack_id", "oversize"} <= set(excised.columns)
