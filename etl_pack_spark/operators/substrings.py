@@ -140,9 +140,18 @@ def remove_repeated_spans(
     documents): every ``k``-token window whose text occurs MORE THAN
     ONCE corpus-wide (all occurrences counted — cross-document AND
     within-document) is cut from every occurrence except the canonical
-    first (lowest ``(id, pos)``), which survives — each repeated
-    passage appears exactly once in the output corpus. Returns
+    first (lowest ``(id, pos)``). Returns
     ``(id_col, clean_text, n_tokens, n_removed_tokens)``.
+
+    Guarantee, stated precisely: the canonical occurrence is never
+    itself SELECTED for removal, but its tokens can still be cut by
+    the removal of a DIFFERENT duplicated window that overlaps it
+    (cuts are a token-wise union). So "each repeated passage survives
+    exactly once" holds when flagged windows don't overlap a canonical
+    one; where they do, content may drop entirely — the same
+    over-removal posture as suffix-array ExactSubstr, which also cuts
+    span unions without protecting canonical copies from neighbors.
+    Both engines (this and the SQL twin) implement the identical rule.
 
     ``clean_text`` is TOKEN-NORMALIZED (the module's shared lowercase
     token algebra — the same text the detector and the oracle see;
@@ -157,45 +166,36 @@ def remove_repeated_spans(
     al. show trains better than document-level dropping alone.
 
     Scale shape: occurrences shuffle as 16-byte hashes + positions,
-    never text; duplication counts and the canonical pick are ONE
-    map-side-combinable ``groupBy(h)`` (count + ``min(struct)``);
-    removals join back by hash and roll up per document; the excision
-    itself is pure codegen array algebra (``array_except`` of position
-    sets, O(tokens) per document) — no UDF anywhere.
+    never text; duplication counts and the canonical pick are window
+    aggregates over ONE exchange by hash (``COUNT`` / ``min(struct)``
+    OVER ``PARTITION BY h`` — no groupBy-plus-join-back, so the
+    occurrence stream is built and shuffled exactly once, the same
+    formulation as the detector and the SQL twin); removed positions
+    roll up per document and the excision itself is pure codegen array
+    algebra (``array_except`` of position sets, O(tokens) per
+    document) — no UDF anywhere.
     """
     if k < 2:
         raise ValueError(f"k must be >= 2, got {k}")
-    toks = df.repartition(F.col(id_col)).select(
-        F.col(id_col), F.posexplode(tokens(text_col)).alias("pos", "tok")
-    )
-    w = Window.partitionBy(id_col).orderBy("pos")
-    leads = [F.lead("tok", j).over(w) for j in range(1, k)]
-    occ = (
-        toks.select(
-            F.col(id_col),
-            F.col("pos"),
-            F.md5(F.concat_ws(" ", F.col("tok"), *leads)).alias("h"),
-            leads[-1].alias("__last"),
-        )
-        .where(F.col("__last").isNotNull())
-        .drop("__last")
-    )
-    agg = occ.groupBy("h").agg(
-        F.count(F.lit(1)).alias("cnt"),
+    occ = shingle_rows(
+        df, id_col, text_col, k=k, distinct=False, positions=True
+    ).select(F.col(id_col), F.col("pos"), F.md5(F.col("s")).alias("h"))
+    wh = Window.partitionBy("h")
+    flagged = occ.select(
+        F.col(id_col),
+        F.col("pos"),
+        F.count(F.lit(1)).over(wh).alias("cnt"),
         F.min(
             F.struct(F.col(id_col).alias("i"), F.col("pos").alias("p"))
-        ).alias("keep"),
+        ).over(wh).alias("keep"),
     )
-    rem = (
-        occ.join(agg.where(F.col("cnt") >= 2), "h")
-        .where(
-            ~(
-                (F.col(id_col) == F.col("keep.i"))
-                & (F.col("pos") == F.col("keep.p"))
-            )
+    rem = flagged.where(
+        (F.col("cnt") >= 2)
+        & ~(
+            (F.col(id_col) == F.col("keep.i"))
+            & (F.col("pos") == F.col("keep.p"))
         )
-        .select(id_col, "pos")
-    )
+    ).select(id_col, "pos")
     cov = rem.groupBy(id_col).agg(
         F.array_sort(
             F.array_distinct(

@@ -41,13 +41,23 @@ def shingles_expr(toks_col: str, k: int) -> Column:
 
 
 def shingle_rows(
-    df: DataFrame, id_col: str, text_col: str, k: int = 3, distinct: bool = True
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    k: int = 3,
+    distinct: bool = True,
+    positions: bool = False,
 ) -> DataFrame:
     """k-shingles as ROWS (id, s) — the scale path.
 
     ``distinct=False`` skips the dedup shuffle — correct for consumers
     whose aggregate is multiset-invariant (minhash: min over duplicates
     equals min over the set); Jaccard set arithmetic needs the default.
+
+    ``positions=True`` keeps each window's starting token offset as a
+    ``pos`` column (rows ``(id, pos, s)``) for consumers that excise or
+    locate spans; it requires ``distinct=False`` because a distinct
+    ``(id, s)`` row has no single canonical position.
 
     posexplode + window ``lead`` keeps shingle construction inside
     whole-stage codegen (~10x faster than the interpreted
@@ -57,22 +67,31 @@ def shingle_rows(
     pre-satisfies the window's partitioning, so the window adds a sort
     but no extra shuffle.
     """
+    if positions and distinct:
+        raise ValueError(
+            "positions=True requires distinct=False (a distinct (id, s) "
+            "row has no single canonical pos)"
+        )
     toks = df.repartition(F.col(id_col)).select(
         F.col(id_col), F.posexplode(tokens(text_col)).alias("pos", "tok")
     )
+    keep = [id_col, "pos", "s"] if positions else [id_col, "s"]
     if k == 1:
-        out = toks.select(F.col(id_col), F.col("tok").alias("s"))
+        out = toks.select(F.col(id_col), "pos", F.col("tok").alias("s")).select(
+            *keep
+        )
         return out.dropDuplicates([id_col, "s"]) if distinct else out
     w = Window.partitionBy(id_col).orderBy("pos")
     leads = [F.lead("tok", j).over(w) for j in range(1, k)]
     out = (
         toks.select(
             F.col(id_col),
+            F.col("pos"),
             F.concat_ws(" ", F.col("tok"), *leads).alias("s"),
             leads[-1].alias("__last"),
         )
         .where(F.col("__last").isNotNull())
-        .select(id_col, "s")
+        .select(*keep)
     )
     return out.dropDuplicates([id_col, "s"]) if distinct else out
 

@@ -45,6 +45,7 @@ def prepare_pretraining_corpus(
     max_dup_fraction: float | None = None,
     excise_spans: bool = False,
     excise_k: int = 8,
+    with_text: bool = False,
     embeddings: DataFrame | None = None,
     emb_id_col: str = "vec_id",
     sem_nlist: int = 16,
@@ -56,15 +57,23 @@ def prepare_pretraining_corpus(
     """Documents → packed training sequences.
 
     Returns ``(doc_id, lang, split, source, copy_n, n_tokens, pack_id,
-    oversize)`` — one row per packed copy of every surviving train
-    document. ``eval_df`` (optional) drives decontamination;
+    oversize)`` — plus ``text`` when ``with_text`` — one row per
+    packed copy of every surviving train document. ``eval_df`` (optional) drives decontamination;
     ``weights`` (optional) reweights domains (absent = keep mixture);
     ``max_dup_fraction`` (optional) gates out documents whose k-token
     windows are mostly duplicated elsewhere in the curated corpus;
     ``excise_spans`` (optional) then CUTS the remaining duplicated
     ``excise_k``-token passages from the survivors' text (keep-first
     canonical occurrence — the ExactSubstr remove variant), so
-    downstream dedup/counting sees the cleaned text;
+    downstream dedup/counting sees the cleaned text; documents whose
+    text is ENTIRELY duplicated material (e.g. wholly contained in
+    another doc) excise to empty and are dropped — their content
+    survives in the canonical copies; ``with_text=True`` appends the
+    pipeline-final ``text`` column (post-extraction / normalization /
+    excision) so consumers materialize exactly the text that
+    ``n_tokens`` and the packing describe — without it a consumer
+    joining back to the ORIGINAL corpus text would recover the
+    un-excised passages and overflow the packed budgets;
     ``embeddings`` (optional, keyed by ``emb_id_col`` = doc id) adds a
     SemDeDup semantic-dedup stage after the exact/near-dup one.
     ``extract_html`` / ``normalize_unicode`` (optional) prepend the
@@ -117,6 +126,13 @@ def prepare_pretraining_corpus(
             cleaned.select("doc_id", F.col("clean_text").alias("text")),
             "doc_id",
         )
+        # drop fully-excised husks: a doc whose every window was
+        # duplicated (e.g. wholly contained in another doc) excises to
+        # "" — empty text has no shingles, so simhash can't pair the
+        # husk with its source and it would sail through near-dup
+        # dedup into packing as a zero-token row. Its content is not
+        # lost: the canonical occurrences live in the surviving docs.
+        kept = kept.where(F.length("text") > 0)
 
     # near-dup cluster dedup over the CURATED corpus: one survivor per
     # transitive simhash cluster (pairs are pre-thresholded, so the
@@ -177,6 +193,7 @@ def prepare_pretraining_corpus(
 
     sized = train.select(
         "doc_id", "lang", "split", F.col(domain_col), "copy_n",
+        *(["text"] if with_text else []),
         F.size(tokens("text")).alias("n_tokens"),
         # packing key: distinct per (doc, copy) so upweighted copies
         # pack independently instead of colliding on doc_id. A composite

@@ -188,6 +188,37 @@ def test_web_prep_stages_add_no_exchange(spark, sf_dir):
     assert withstages.count("Exchange") == base.count("Exchange")
 
 
+def test_excision_drops_fully_excised_husks_and_with_text(spark):
+    """A doc wholly CONTAINED in another (exact dedup can't collapse
+    it — the text differs) excises to an empty husk; the pipeline must
+    drop it rather than let a zero-token, shingle-less row sail past
+    simhash dedup into packing. with_text=True returns the
+    pipeline-final (excised, token-normalized) text so n_tokens /
+    packing describe text the consumer can actually materialize."""
+    a = ("the alpha cat and bravo dog is of charlie to delta in echo "
+         "that it for was foxtrot golf hotel india juliet kilo lima "
+         "mike november oscar papa quebec romeo")
+    b = "dog is of charlie to delta in echo that it for was"  # A[5:17]
+    c = ("it was the best of times and the worst of plans that spring "
+         "brought to everyone in town for sure")
+    docs = spark.createDataFrame(
+        [(1, a, "en", "web"), (2, b, "en", "web"), (3, c, "en", "web")],
+        "doc_id long, text string, lang string, source string",
+    )
+    out = prepare_pretraining_corpus(
+        docs, excise_spans=True, excise_k=5, with_text=True
+    )
+    rows = out.collect()
+    ids = {r["doc_id"] for r in rows}
+    assert 2 not in ids          # the husk is gone...
+    assert ids                   # ...but survivors remain
+    assert all(r["n_tokens"] > 0 for r in rows)
+    for r in rows:               # text matches what the counts describe
+        assert r["text"] and r["n_tokens"] == len(r["text"].split(" "))
+    # the default contract is unchanged: no text column
+    assert "text" not in prepare_pretraining_corpus(docs).columns
+
+
 def test_pipeline_excision_stage(spark, sf_dir):
     """excise_spans=True cuts corpus-duplicated passages from the
     surviving docs' text BEFORE dedup/counting: total train tokens

@@ -151,6 +151,48 @@ class TestRemoveRepeatedSpans:
         assert out[2]["clean_text"] == ""  # all tokens cut, '' not NULL
         assert out[2]["n_removed_tokens"] == 5
 
+    def test_overlapping_cuts_can_consume_a_canonical(self, spark):
+        """Pins the documented union-of-cuts posture: a canonical
+        occurrence is never itself SELECTED for removal, but cuts of
+        OTHER duplicated windows overlapping it can still remove its
+        tokens — so a repeated passage may survive zero times, not
+        'exactly once'. Both engines implement the identical rule."""
+        import duckdb
+
+        from etl_pack_spark.operators.substrings import (
+            remove_repeated_spans,
+            remove_repeated_spans_sql,
+        )
+
+        rows = [
+            (0, "p q r s t"),          # canonical home of 'p q r s t'
+            (1, "p q r s t u"),        # canonical home of 'q r s t u'
+            (2, "q r s t u v"),
+        ]
+        df = spark.createDataFrame(rows, "doc_id long, text string")
+        out = {
+            r["doc_id"]: r["clean_text"]
+            for r in remove_repeated_spans(df, k=5).collect()
+        }
+        # doc1's copy of 'p q r s t' is cut (pos 0-4), which also
+        # consumes tokens 1-4 of the canonical 'q r s t u' at (1,1);
+        # doc2's non-canonical copy is cut too -> the passage survives
+        # nowhere.
+        assert out[0] == "p q r s t"
+        assert out[1] == "u" and out[2] == "v"
+        con = duckdb.connect()
+        con.execute(
+            "CREATE VIEW d AS SELECT * FROM (VALUES (0, 'p q r s t'), "
+            "(1, 'p q r s t u'), (2, 'q r s t u v')) t(doc_id, text)"
+        )
+        want = {
+            r[0]: r[1]
+            for r in con.execute(
+                remove_repeated_spans_sql("d", k=5)
+            ).fetchall()
+        }
+        assert want == out
+
     def test_repartition_stable(self, spark, sf_dir):
         from etl_pack_spark.operators.substrings import remove_repeated_spans
 
