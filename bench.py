@@ -73,7 +73,7 @@ def _scaled_docs(spark, sf_dir, factor):
 
 
 def _scale_probe_queries():
-    from etl_pack_spark.operators import neardup, textops
+    from etl_pack_spark.operators import neardup, substrings, textops
     from etl_pack_spark.operators.components import neardup_clusters
 
     return {
@@ -88,6 +88,14 @@ def _scale_probe_queries():
             "doc_id",
         ),
         "text_signals": lambda d: textops.text_signals(d, "doc_id", "text"),
+        # the excision op claims LINEAR-in-occurrences scaling (no pair
+        # semantics, so no heavy-hitter exposure) — replication is its
+        # worst case too (every window duplicated factor×, so ~all
+        # occurrences become removal rows) and the probe records the
+        # evidence in-artifact
+        "remove_spans": lambda d: substrings.remove_repeated_spans(
+            d, "doc_id", "text", k=8
+        ),
     }
 
 

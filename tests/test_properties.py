@@ -323,6 +323,53 @@ def test_repeated_ngram_spans_matches_duckdb_on_random_corpus(spark, docs, k):
         assert (got[c].values == want[c].values).all(), c
 
 
+def _excise_model(rows, k):
+    """remove_repeated_spans in pure Python — an INDEPENDENT third
+    implementation (beside Spark and the DuckDB twin): every k-window
+    occurring >= 2 times corpus-wide is cut at every occurrence except
+    the lowest (id, pos); cuts are a token-wise union."""
+    import re
+
+    toks = {
+        i: [t for t in re.split(r"[^a-z0-9]+", txt.lower()) if t]
+        for i, txt in rows
+    }
+    occ: dict[str, list[tuple[int, int]]] = {}
+    for i, ts in toks.items():
+        for p in range(len(ts) - k + 1):
+            occ.setdefault(" ".join(ts[p:p + k]), []).append((i, p))
+    cov: dict[int, set[int]] = {i: set() for i, _ in rows}
+    for window_occs in occ.values():
+        if len(window_occs) >= 2:
+            canon = min(window_occs)
+            for (i, p) in window_occs:
+                if (i, p) != canon:
+                    cov[i].update(range(p, p + k))
+    return {
+        i: (
+            " ".join(t for j, t in enumerate(toks[i]) if j not in cov[i]),
+            len(toks[i]),
+            len(cov[i]),
+        )
+        for i, _ in rows
+    }
+
+
+@given(docs=corpus, k=st.integers(2, 5))
+@settings(max_examples=10, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+def test_remove_repeated_spans_matches_python_model(spark, docs, k):
+    from etl_pack_spark.operators.substrings import remove_repeated_spans
+
+    rows = list(enumerate(docs))
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        r["doc_id"]: (r["clean_text"], r["n_tokens"], r["n_removed_tokens"])
+        for r in remove_repeated_spans(df, k=k).collect()
+    }
+    assert got == _excise_model(rows, k)
+
+
 @given(
     rows=st.lists(
         st.tuples(st.floats(-100, 100, allow_nan=False), st.integers(0, 50)),
