@@ -138,6 +138,15 @@ NOTES = {
         "hash-partition window that counts docs per window; the per-doc "
         "rollup partial-combines. The exchange carries hashes, not text."
     ),
+    "lib_remove_spans": (
+        "Span EXCISION (the REMOVE variant): one hash exchange total for "
+        "the duplication analysis — occurrence rows (id, pos, 16-byte "
+        "md5) flow into window COUNT + min(struct) OVER (PARTITION BY "
+        "h), no groupBy-plus-join-back and no second occurrence scan; "
+        "removal positions roll up per doc and the cut itself is codegen "
+        "array_except. Text never shuffles except in the final per-doc "
+        "join of covered positions back to the corpus."
+    ),
     "lib_budget_select": (
         "Exact global running sum with no single-partition window: the "
         "plan shows per-range windows partitioned by the quantile bucket "
