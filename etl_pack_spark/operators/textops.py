@@ -13,6 +13,7 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 from etl_pack_spark.operators.tokenize import (
+    shingle_rows,
     shingles_expr,
     shingles_sql,
     tokens,
@@ -636,6 +637,164 @@ def unigram_logprob_sql(table: str, id_col: str, text_col: str, alpha: float = 1
            sum(logp) / count(*) AS mean_logprob
     FROM tk JOIN model USING (tok)
     GROUP BY {id_col}
+    """
+
+
+def bigram_logprob(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    alpha: float = 1.0,
+    lam: float = 0.7,
+) -> DataFrame:
+    """Per-document mean INTERPOLATED-BIGRAM log-probability — one
+    rung up the CCNet ladder from :func:`unigram_logprob` (Wenzek et
+    al. 2020 score with a 5-gram KenLM; the bigram-with-unigram-
+    interpolation variant is the engine-native deterministic analogue
+    and separates fluent text from bag-of-common-words noise the
+    unigram proxy cannot see):
+
+        p(w_i | w_{i-1}) = lam * C(w_{i-1} w_i) / C(w_{i-1} ·)
+                           + (1 - lam) * p_uni(w_i)
+
+    ``C(w1 w2)`` is the corpus bigram count, ``C(w1 ·)`` the count of
+    ``w1`` as a LEFT context (so the conditional sums to 1 over
+    observed followers), ``p_uni`` the add-``alpha`` unigram exactly
+    as in :func:`unigram_logprob`. Each document's FIRST token, having
+    no predecessor, scores as ``p_uni`` alone — so every token scores
+    and ``n_tokens`` matches the unigram op. Self-trained on the
+    scored corpus (the same posture as the unigram op), which also
+    guarantees every scored bigram exists in the model. Returns
+    ``(id_col, n_tokens, mean_logprob)``; zero-token docs are absent
+    (as in the unigram op).
+
+    Scale shape: the bigram model is a map-side-combinable count over
+    the pair stream (bigram-vocab-sized — zipf makes that << corpus);
+    the context totals reduce the MODEL, not the corpus; scoring joins
+    are guarded broadcasts (guards.maybe_broadcast) of model-sized
+    frames onto the token/pair streams; the per-doc mean is one more
+    combinable aggregate. No shuffle ever carries more than
+    vocab/doc-cardinality rows.
+    """
+    from etl_pack_spark.operators.cache import pooled_persist
+    from etl_pack_spark.operators.guards import maybe_broadcast
+
+    toks = df.select(
+        F.col(id_col), F.posexplode(tokens(text_col)).alias("pos", "tok")
+    )
+    counts = pooled_persist(toks.groupBy("tok").agg(F.count("*").alias("cnt")))
+    stats = counts.agg(F.sum("cnt").alias("total"), F.count("*").alias("vocab"))
+    # p_uni is the same double the unigram op takes ln() of: the
+    # division is IEEE-exactly-rounded once, so interpolating with it
+    # here stays bit-identical to the SQL twin's arithmetic
+    model = pooled_persist(
+        counts.crossJoin(F.broadcast(stats)).select(
+            "tok",
+            (
+                (F.col("cnt") + F.lit(alpha))
+                / (F.col("total") + F.lit(alpha) * (F.col("vocab") + 1))
+            ).alias("p_uni"),
+        )
+    )
+    pairs = shingle_rows(
+        df, id_col, text_col, k=2, distinct=False, positions=True
+    )
+    big = pooled_persist(
+        pairs.groupBy("s").agg(F.count(F.lit(1)).alias("c12")).select(
+            F.element_at(F.split("s", " "), 1).alias("w1"),
+            F.element_at(F.split("s", " "), 2).alias("w2"),
+            "s",
+            "c12",
+        )
+    )
+    ctx = big.groupBy("w1").agg(F.sum("c12").alias("c1"))
+    bmodel = (
+        big.join(ctx, "w1")
+        .join(model.select(F.col("tok").alias("w2"), "p_uni"), "w2")
+        .select(
+            "s",
+            F.log(
+                F.lit(lam) * (F.col("c12") / F.col("c1"))
+                + F.lit(1.0 - lam) * F.col("p_uni")
+            ).alias("logp"),
+        )
+    )
+    first = (
+        toks.where(F.col("pos") == 0)
+        .join(maybe_broadcast(model), "tok")
+        .select(F.col(id_col), F.log("p_uni").alias("logp"))
+    )
+    rest = (
+        pairs.select(F.col(id_col), "s")
+        .join(maybe_broadcast(bmodel), "s")
+        .select(F.col(id_col), "logp")
+    )
+    return (
+        first.unionByName(rest)
+        .groupBy(id_col)
+        .agg(
+            F.count("*").alias("n_tokens"),
+            (F.sum("logp") / F.count("*")).alias("mean_logprob"),
+        )
+    )
+
+
+def bigram_logprob_sql(
+    table: str,
+    id_col: str,
+    text_col: str,
+    alpha: float = 1.0,
+    lam: float = 0.7,
+) -> str:
+    """DuckDB twin of :func:`bigram_logprob` — identical counting,
+    identical interpolation arithmetic (integer divisions surface as
+    exactly-rounded doubles in both engines); ln() is libm-dependent
+    so tests compare at tight relative tolerance, and gated slots
+    round before hashing."""
+    return f"""
+    WITH toks AS (
+        SELECT {id_col}, {tokens_sql(text_col)} AS t FROM {table}
+    ),
+    tk AS (
+        SELECT {id_col}, r['pos'] AS pos, r['tok'] AS tok FROM (
+            SELECT {id_col}, unnest(
+                list_transform(generate_series(1, len(t)),
+                               i -> {{'pos': i - 1, 'tok': t[i]}})) AS r
+            FROM toks)
+    ),
+    counts AS (SELECT tok, count(*) AS cnt FROM tk GROUP BY tok),
+    stats AS (SELECT sum(cnt) AS total, count(*) AS vocab FROM counts),
+    model AS (
+        SELECT tok,
+               (cnt + {alpha}) / (total + {alpha} * (vocab + 1)) AS p_uni
+        FROM counts, stats
+    ),
+    pairs AS (
+        SELECT {id_col}, r['w1'] AS w1, r['w2'] AS w2 FROM (
+            SELECT {id_col}, unnest(
+                CASE WHEN len(t) >= 2 THEN
+                    list_transform(generate_series(1, len(t) - 1),
+                                   i -> {{'w1': t[i], 'w2': t[i + 1]}})
+                ELSE [] END) AS r
+            FROM toks)
+    ),
+    big AS (SELECT w1, w2, count(*) AS c12 FROM pairs GROUP BY w1, w2),
+    ctx AS (SELECT w1, sum(c12) AS c1 FROM big GROUP BY w1),
+    bmodel AS (
+        SELECT b.w1, b.w2,
+               ln({lam} * (b.c12 / c.c1) + {1.0 - lam} * m.p_uni) AS logp
+        FROM big b JOIN ctx c USING (w1) JOIN model m ON m.tok = b.w2
+    ),
+    scored AS (
+        SELECT {id_col}, ln(p_uni) AS logp
+        FROM tk JOIN model USING (tok) WHERE pos = 0
+        UNION ALL
+        SELECT {id_col}, bm.logp
+        FROM pairs p JOIN bmodel bm ON p.w1 = bm.w1 AND p.w2 = bm.w2
+    )
+    SELECT {id_col}, count(*) AS n_tokens,
+           sum(logp) / count(*) AS mean_logprob
+    FROM scored GROUP BY {id_col}
     """
 
 

@@ -1141,9 +1141,20 @@ def q_lib_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
     round-4 merge: ppl_bucket_split rides the same scoring pipeline
     (same grain, +1 column), so this slot gates both. Scores rounded
     to 6 dp on BOTH engines BEFORE the cutoffs — ln() is libm-
-    dependent (±1 ulp), everything else is exact."""
+    dependent (±1 ulp), everything else is exact.
+
+    r6 rider (same grain, +1 column): ``mean_logprob_bi`` — the
+    interpolated-BIGRAM score (``textops.bigram_logprob``, the CCNet
+    rung above the unigram proxy), rounded to 6 dp; LEFT join because
+    zero-token docs have no LM row (their unigram columns are already
+    NULL/0 here)."""
     docs = read_table(spark, sf_dir, "documents")
-    return textops.ppl_bucket_split(docs, "doc_id", "text")
+    bi = textops.bigram_logprob(docs, "doc_id", "text").select(
+        "doc_id", F.round("mean_logprob", 6).alias("mean_logprob_bi")
+    )
+    return textops.ppl_bucket_split(docs, "doc_id", "text").join(
+        bi, "doc_id", "left"
+    )
 
 
 def q_lib_nb_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1849,8 +1860,16 @@ ORACLES: dict[str, str] = {
     """,
     # round-6 on both engines BEFORE the percentile cutoffs: ln() is
     # libm-dependent (±1 ulp); counts and everything integer-derived
-    # are exact (r4 merge: ppl bucketing rides the scoring pass)
-    "lib_unigram_logprob": textops.ppl_bucket_split_sql("documents", "doc_id", "text"),
+    # are exact (r4 merge: ppl bucketing rides the scoring pass;
+    # r6 rider: the interpolated-bigram score, rounded like the rest)
+    "lib_unigram_logprob": f"""
+        WITH uni AS ({textops.ppl_bucket_split_sql("documents", "doc_id", "text")}),
+        bi AS (
+            SELECT doc_id, round(mean_logprob, 6) AS mean_logprob_bi
+            FROM ({textops.bigram_logprob_sql("documents", "doc_id", "text")})
+        )
+        SELECT u.*, b.mean_logprob_bi FROM uni u LEFT JOIN bi b USING (doc_id)
+    """,
     "lib_nb_classifier": f"""
         SELECT id, round(score, 6) AS score, pred
         FROM ({nb_train_score_sql("documents", "doc_id", "text", "n_chars > 250")})

@@ -157,6 +157,88 @@ def test_unigram_logprob_oracle_parity(spark, sf_dir):
     assert np.allclose(a, b, rtol=1e-12, atol=0)
 
 
+def test_bigram_logprob_hand_model(spark):
+    """Interpolated-bigram scores against a by-hand model: corpus
+    'a b a b c' + 'a' -> p_uni=(c+1)/10; bigrams ab=2, ba=1, bc=1;
+    contexts a->2, b->2; first tokens score unigram-only; empty docs
+    are absent."""
+    import math
+
+    rows = [(1, "a b a b c"), (2, "a"), (3, "")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r["doc_id"]: (r["n_tokens"], r["mean_logprob"])
+           for r in textops.bigram_logprob(df, "doc_id", "text").collect()}
+    pu = {"a": 0.4, "b": 0.3, "c": 0.2}
+
+    def pb(w2, c12, c1):
+        return 0.7 * (c12 / c1) + 0.3 * pu[w2]
+
+    d1 = [math.log(pu["a"]), math.log(pb("b", 2, 2)), math.log(pb("a", 1, 2)),
+          math.log(pb("b", 2, 2)), math.log(pb("c", 1, 2))]
+    assert got[1][0] == 5 and abs(got[1][1] - sum(d1) / 5) < 1e-12
+    assert got[2] == (1, math.log(pu["a"]))
+    assert 3 not in got
+
+
+def test_bigram_logprob_oracle_parity(spark, sf_dir):
+    import duckdb
+    import numpy as np
+
+    from etl_pack_spark.sources.reader import read_table
+
+    docs = read_table(spark, sf_dir, "documents")
+    got = (
+        textops.bigram_logprob(docs, "doc_id", "text")
+        .toPandas().sort_values("doc_id").reset_index(drop=True)
+    )
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM read_parquet('{sf_dir}/documents.parquet')"
+    )
+    want = (
+        con.execute(textops.bigram_logprob_sql("documents", "doc_id", "text"))
+        .fetchdf().sort_values("doc_id").reset_index(drop=True)
+    )
+    assert len(got) == len(want) > 0
+    assert (got["n_tokens"].values == want["n_tokens"].values).all()
+    a = got["mean_logprob"].to_numpy()
+    b = want["mean_logprob"].to_numpy()
+    assert np.allclose(a, b, rtol=1e-12, atol=0)
+
+
+def test_bigram_logprob_repartition_stable(spark, sf_dir):
+    from etl_pack_spark.sources.reader import read_table
+
+    docs = read_table(spark, sf_dir, "documents")
+
+    def rounded(d):
+        return sorted(
+            (r["doc_id"], r["n_tokens"], round(r["mean_logprob"], 6))
+            for r in textops.bigram_logprob(d, "doc_id", "text").collect()
+        )
+
+    assert rounded(docs) == rounded(docs.repartition(13))
+
+
+def test_bigram_ranks_fluent_above_shuffled(spark):
+    """The point of the bigram rung: a doc reusing common words in
+    UNSEEN orders scores below docs whose word ORDER matches the
+    corpus — invisible to the unigram proxy. Corpus: many copies of a
+    fluent sentence plus one doc of the same-frequency words
+    scrambled; interpolation gives its unseen-order bigrams only the
+    (1-lam) unigram mass."""
+    fluent = "the cat sat on the mat"
+    scrambled = "mat the on sat cat the"
+    rows = [(i, fluent) for i in range(5)] + [(99, scrambled)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r["doc_id"]: r["mean_logprob"]
+           for r in textops.bigram_logprob(df, "doc_id", "text").collect()}
+    assert got[99] < got[0]
+    uni = {r["doc_id"]: r["mean_logprob"]
+           for r in textops.unigram_logprob(df, "doc_id", "text").collect()}
+    assert abs(uni[99] - uni[0]) < 1e-12  # unigram can't tell them apart
+
+
 def test_unigram_guard_fallback_matches_broadcast_path(spark):
     """Past MAX_BROADCAST_MODEL_ROWS the model join must drop the
     forced broadcast hint (AQE picks the strategy) and still produce
