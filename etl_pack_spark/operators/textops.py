@@ -679,9 +679,11 @@ def bigram_logprob(
     from etl_pack_spark.operators.cache import pooled_persist
     from etl_pack_spark.operators.guards import maybe_broadcast
 
-    toks = df.select(
-        F.col(id_col), F.posexplode(tokens(text_col)).alias("pos", "tok")
-    )
+    # the SAME counts plan as unigram_logprob (explode, not
+    # posexplode), so when both ops run in one session — the gated
+    # slot does — the pooled persist is shared instead of the corpus
+    # being count-aggregated twice
+    toks = df.select(F.col(id_col), F.explode(tokens(text_col)).alias("tok"))
     counts = pooled_persist(toks.groupBy("tok").agg(F.count("*").alias("cnt")))
     stats = counts.agg(F.sum("cnt").alias("total"), F.count("*").alias("vocab"))
     # p_uni is the same double the unigram op takes ln() of: the
@@ -719,8 +721,11 @@ def bigram_logprob(
             ).alias("logp"),
         )
     )
+    # first token per doc is a map-only projection (F.get is
+    # NULL-out-of-bounds even under ANSI mode), no positional explode
     first = (
-        toks.where(F.col("pos") == 0)
+        df.select(F.col(id_col), F.get(tokens(text_col), 0).alias("tok"))
+        .where(F.col("tok").isNotNull())
         .join(maybe_broadcast(model), "tok")
         .select(F.col(id_col), F.log("p_uni").alias("logp"))
     )
