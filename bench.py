@@ -73,6 +73,8 @@ def _scaled_docs(spark, sf_dir, factor):
 
 
 def _scale_probe_queries():
+    from pyspark.sql import functions as F
+
     from etl_pack_spark.operators import neardup, substrings, textops
     from etl_pack_spark.operators.components import neardup_clusters
 
@@ -96,7 +98,40 @@ def _scale_probe_queries():
         "remove_spans": lambda d: substrings.remove_repeated_spans(
             d, "doc_id", "text", k=8
         ),
+        # planted-hot-k-gram variant (r7): ONE boilerplate sentence
+        # prefixed onto every document, so a single hash's occurrence
+        # count equals the corpus size — the license-header shape that
+        # a PARTITION BY h window would funnel into one task. Bounded
+        # growth here is the evidence the combinable-aggregate + AQE-
+        # splittable-join formulation holds under maximal key skew.
+        "remove_spans_hot": lambda d: substrings.remove_repeated_spans(
+            d.select(
+                "doc_id",
+                F.concat(
+                    F.lit(
+                        "all rights reserved contact the webmaster "
+                        "for further details "
+                    ),
+                    F.coalesce(F.col("text"), F.lit("")),
+                ).alias("text"),
+            ),
+            "doc_id",
+            "text",
+            k=8,
+        ),
+        # the composed end-to-end curation plan (curate -> near-dup ->
+        # excision -> pack -> splits): single ops scaling well does not
+        # prove their COMPOSITION does (shared pooled persists, caps
+        # engaging mid-pipeline, excision->simhash husk interaction) —
+        # this point records the composed growth in-artifact.
+        "pretrain_e2e": _pretrain_probe,
     }
+
+
+def _pretrain_probe(d):
+    from etl_pack_spark.plans.pretrain import prepare_pretraining_corpus
+
+    return prepare_pretraining_corpus(d, leakage_safe_split=True)
 
 
 # round-3 library operators — driver-gated registry entries since r4,
@@ -218,11 +253,39 @@ def _lib_extra_queries():
 LIB_QUERIES.update(_lib_extra_queries())
 
 
+def _calibrate() -> dict:
+    """Fixed-work ambient-load marker (r7, VERDICT #3): the r6 driver
+    snapshot and the builder's same-day best-of-3 disagreed by ~15% —
+    more than the documented ±10% ambient band — with no way to tell
+    code regression from machine load FROM THE ARTIFACT. This runs two
+    deterministic microbenchmarks whose cost is independent of the
+    repo's code: a BLAS matmul (contends on all cores, like local[32]
+    stages) and a pure-Python loop (single-core contention). Recorded
+    before AND after the suite; compare across rounds — a slower suite
+    WITH slower calibration is machine load, not code."""
+    import numpy as np
+
+    a = np.random.default_rng(0).random((1024, 1024))
+    t0 = time.perf_counter()
+    for _ in range(8):
+        a = a @ a
+        a /= np.abs(a).max()
+    matmul = time.perf_counter() - t0
+    t0 = time.perf_counter()
+    s = 0
+    for i in range(4_000_000):
+        s += i & 7
+    pyloop = time.perf_counter() - t0
+    return {"matmul_sec": round(matmul, 3), "pyloop_sec": round(pyloop, 3)}
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     m = re.search(r"sf([0-9.]+)", sf_dir)
     sf = float(m.group(1)) if m else -1.0
     warmup = os.environ.get("SPARK_GRAFT_BENCH_WARMUP", "1") == "1"
+
+    calib_pre = _calibrate()
 
     spark = get_spark("etl_pack_spark_bench")
 
@@ -298,6 +361,7 @@ def main() -> None:
         "queries_lib": lib_timings,
         "queries_lib_stats": lib_stats,
         "sf": sf,
+        "calibration_pre": calib_pre,
     }
 
     # scaling curve: the same suite at a second (smaller) scale factor,
@@ -393,6 +457,7 @@ def main() -> None:
     # LAST stdout line is a compact JSON record capped at what a tail
     # capture always retains — metric/value/unit + the headline
     # per-query mins + one-number summaries of every other section.
+    out["calibration_post"] = _calibrate()
     full_path = Path(__file__).resolve().parent / "BENCH_FULL.json"
     try:
         full_path.write_text(json.dumps(out, indent=1) + "\n")
@@ -412,6 +477,7 @@ def main() -> None:
         "scale_probe_factor", "scale_probe_docs", "queries_scale_probe",
         "scale_probe2_factor", "scale_probe2_docs",
         "queries_scale_probe2", "queries_scale_probe2_stats",
+        "calibration_pre", "calibration_post",
     ):
         if key in out:
             compact[key] = out[key]

@@ -18,23 +18,62 @@ long shared PASSAGES buried inside otherwise-distinct documents
 
 Scale shape: windows are the posexplode+lead shingle stream (codegen,
 no per-doc arrays), hashed to 16-byte md5 before any shuffle so the
-exchange carries hashes, not text. Corpus-wide duplication is a COUNT
-OVER (PARTITION BY hash) window — ONE shuffle by hash, no self-join —
-and the per-doc rollup is a map-side-combinable aggregate. Nothing
+exchange carries hashes, not text. Corpus-wide duplication statistics
+are map-side-COMBINABLE ``groupBy(h)`` aggregates (count / min), never
+``... OVER (PARTITION BY h)`` windows: a window aggregate funnels every
+occurrence of one hash into a single task, so a corpus-hot k-gram (a
+license header in 10^8 documents of a 100 TB crawl) becomes a straggler
+or a spill-crawl. With partial aggregation the hot hash costs one
+partial row per map partition, and the only place occurrences meet
+their hash's statistics is an equi-join — which AQE's skew-join
+splitting can divide across tasks, unlike a window partition. Nothing
 collects; the duplicated-window set is never materialized driver-side.
+:func:`overfull_hashes` reports corpus-hot k-grams (the analogue of
+``neardup.overfull_buckets``) — purely diagnostic here, because unlike
+the candidate-pair joins there is no quadratic blowup to cap: work is
+linear in occurrences under every formulation in this module.
 """
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, Window
+from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from etl_pack_spark.operators.cache import pooled_persist
 from etl_pack_spark.operators.tokenize import (
     shingle_rows,
     shingles_sql,
     tokens,
     tokens_sql,
 )
+
+
+def overfull_hashes(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 8,
+    threshold: int = 100_000,
+    distinct: bool = False,
+) -> DataFrame:
+    """The k-gram window hashes occurring more than ``threshold`` times
+    corpus-wide, with their counts and one sample text — the skew
+    VISIBILITY surface for this module (mirror of
+    ``neardup.overfull_buckets``). One map-side-combinable aggregate.
+
+    Unlike the near-dup candidate joins there is nothing to CAP here:
+    both operators below are linear in occurrences and keep hot hashes
+    off single tasks by construction (combinable aggregates + AQE-
+    splittable equi-joins), so a hot k-gram is a cost observation, not
+    a correctness/stability hazard. ``distinct=True`` counts distinct
+    documents per window (the detector's grain) instead of raw
+    occurrences (the excision op's grain)."""
+    rows = shingle_rows(df, id_col, text_col, k=k, distinct=distinct)
+    return (
+        rows.groupBy(F.md5(F.col("s")).alias("h"))
+        .agg(F.count(F.lit(1)).alias("count"), F.min("s").alias("sample"))
+        .where(F.col("count") > threshold)
+    )
 
 
 def repeated_ngram_spans(
@@ -58,25 +97,51 @@ def repeated_ngram_spans(
       filter gate (Lee et al. REMOVE the spans; at corpus-curation
       level the practical gate is dropping documents that are mostly
       duplicated material, the posture RefinedWeb/FineWeb take)
+
+    Hot-key posture (r7): duplication used to be ``COUNT OVER
+    (PARTITION BY h)``, which lands every occurrence of one hash on a
+    single task — a corpus-hot boilerplate k-gram makes that task the
+    job. It is now the arithmetic identity ``n_dup_windows =
+    n_windows − n_unique_windows``: a window is UNIQUE iff its hash
+    has corpus count 1, and a count-1 hash names its sole document via
+    ``min(id)``, so everything reduces to map-side-combinable
+    ``groupBy`` aggregates (count/min) — a hash seen 10^8 times costs
+    one partial row per map partition. Bit-identical to the window
+    form (and to the SQL twin, which keeps the window formulation —
+    DuckDB is the oracle, not the scale path). The two branches share
+    the pooled-persisted distinct-(id, window) stream, so the corpus
+    is scanned and tokenized once (filter-pushdown asymmetry between
+    the branches defeats plan-level exchange reuse; the persist is the
+    reliable sharing mechanism, disk-backed at scale and exactly the
+    volume the old window form shuffled anyway).
     """
-    wins = shingle_rows(df, id_col, text_col, k=k, distinct=True).select(
-        F.col(id_col), F.md5(F.col("s")).alias("h")
+    wins = pooled_persist(
+        shingle_rows(df, id_col, text_col, k=k, distinct=True).select(
+            F.col(id_col), F.md5(F.col("s")).alias("h")
+        )
     )
-    # distinct (doc, window) rows → per-hash partition count == number
-    # of distinct docs containing the window
-    n_docs = F.count(F.lit(1)).over(Window.partitionBy("h"))
-    flagged = wins.select(F.col(id_col), (n_docs >= 2).alias("is_dup"))
-    per_doc = flagged.groupBy(id_col).agg(
-        F.count(F.lit(1)).alias("n_windows"),
-        F.sum(F.col("is_dup").cast("long")).alias("n_dup_windows"),
+    # distinct (doc, window) rows → per-hash count == number of
+    # distinct docs containing the window; min(id) names the sole doc
+    # when that count is 1 (combinable: count + min)
+    uniq_per_doc = (
+        wins.groupBy("h")
+        .agg(F.count(F.lit(1)).alias("cnt"), F.min(id_col).alias("solo"))
+        .where(F.col("cnt") == 1)
+        .groupBy(F.col("solo").alias(id_col))
+        .agg(F.count(F.lit(1)).alias("n_uniq"))
     )
+    per_doc = wins.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_windows"))
     out = (
         df.select(id_col)
         .join(per_doc, id_col, "left")
+        .join(uniq_per_doc, id_col, "left")
         .select(
             F.col(id_col),
             F.coalesce("n_windows", F.lit(0)).alias("n_windows"),
-            F.coalesce("n_dup_windows", F.lit(0)).alias("n_dup_windows"),
+            (
+                F.coalesce("n_windows", F.lit(0))
+                - F.coalesce("n_uniq", F.lit(0))
+            ).alias("n_dup_windows"),
         )
     )
     frac = F.when(
@@ -165,37 +230,61 @@ def remove_repeated_spans(
     document and removes the duplicated passages, the choice Lee et
     al. show trains better than document-level dropping alone.
 
-    Scale shape: occurrences shuffle as 16-byte hashes + positions,
-    never text; duplication counts and the canonical pick are window
-    aggregates over ONE exchange by hash (``COUNT`` / ``min(struct)``
-    OVER ``PARTITION BY h`` — no groupBy-plus-join-back, so the
-    occurrence stream is built and shuffled exactly once, the same
-    formulation as the detector and the SQL twin); removed positions
-    roll up per document and the excision itself is pure codegen array
-    algebra (``array_except`` of position sets, O(tokens) per
+    Scale shape (r7 hot-key posture): occurrences shuffle as 16-byte
+    hashes + positions, never text. Duplication counts and the
+    canonical pick used to be ``COUNT`` / ``min(struct)`` OVER
+    ``PARTITION BY h`` — one exchange, but every occurrence of one
+    hash funneled into a single task's window partition, so a
+    boilerplate k-gram repeated 10^8 times in a real crawl made that
+    task the job (window aggregates are not map-side combinable and
+    AQE cannot split a window partition). They are now a
+    map-side-COMBINABLE ``groupBy("h")`` aggregate (count +
+    min(struct) — a hot hash costs one partial row per map partition)
+    kept only where ``cnt >= 2``, equi-joined back onto the occurrence
+    stream to pick the non-canonical occurrences. The join is the one
+    place occurrences meet their hash's statistics, and an equi-join
+    IS skew-splittable: AQE divides an oversized hash partition across
+    tasks, replicating the single matching stats row — and at small
+    scale AQE broadcasts the stats side outright, so the occurrence
+    stream is never re-shuffled at all. Bit-identical to the window
+    form and to the SQL twin (which keeps the window formulation —
+    DuckDB is the oracle, not the scale path). Downstream, removed
+    positions roll up per document (partition key = doc id, fan-in
+    bounded by doc length) and the excision itself is pure codegen
+    array algebra (``array_except`` of position sets, O(tokens) per
     document) — no UDF anywhere.
     """
     if k < 2:
         raise ValueError(f"k must be >= 2, got {k}")
-    occ = shingle_rows(
-        df, id_col, text_col, k=k, distinct=False, positions=True
-    ).select(F.col(id_col), F.col("pos"), F.md5(F.col("s")).alias("h"))
-    wh = Window.partitionBy("h")
-    flagged = occ.select(
-        F.col(id_col),
-        F.col("pos"),
-        F.count(F.lit(1)).over(wh).alias("cnt"),
-        F.min(
-            F.struct(F.col(id_col).alias("i"), F.col("pos").alias("p"))
-        ).over(wh).alias("keep"),
+    # pooled persist: the stats build and the join probe both consume
+    # the occurrence stream; persisting it (disk-backed at scale — the
+    # same volume the old window form shuffled) keeps the corpus scan
+    # + tokenize single-pass
+    occ = pooled_persist(
+        shingle_rows(
+            df, id_col, text_col, k=k, distinct=False, positions=True
+        ).select(F.col(id_col), F.col("pos"), F.md5(F.col("s")).alias("h"))
     )
-    rem = flagged.where(
-        (F.col("cnt") >= 2)
-        & ~(
-            (F.col(id_col) == F.col("keep.i"))
-            & (F.col("pos") == F.col("keep.p"))
+    dup_stats = (
+        occ.groupBy("h")
+        .agg(
+            F.count(F.lit(1)).alias("cnt"),
+            F.min(
+                F.struct(F.col(id_col).alias("i"), F.col("pos").alias("p"))
+            ).alias("keep"),
         )
-    ).select(id_col, "pos")
+        .where(F.col("cnt") >= 2)
+    )
+    rem = (
+        occ.join(dup_stats, "h")
+        .where(
+            ~(
+                (F.col(id_col) == F.col("keep.i"))
+                & (F.col("pos") == F.col("keep.p"))
+            )
+        )
+        .select(id_col, "pos")
+    )
     cov = rem.groupBy(id_col).agg(
         F.array_sort(
             F.array_distinct(

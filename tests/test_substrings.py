@@ -215,3 +215,93 @@ class TestRemoveRepeatedSpans:
         df = spark.createDataFrame([(1, "a b c")], "doc_id long, text string")
         with pytest.raises(ValueError, match="k must be >= 2"):
             remove_repeated_spans(df, k=1)
+
+
+class TestHotHashPosture:
+    """r7 heavy-hitter posture: corpus-wide duplication statistics must
+    be map-side-combinable aggregates, never ``... OVER (PARTITION BY
+    h)`` windows (which funnel every occurrence of a corpus-hot k-gram
+    into one task). Pins the plan shape, oracle parity under a planted
+    hot k-gram, and the ``overfull_hashes`` visibility surface."""
+
+    HOT = "all rights reserved contact the webmaster for further details"
+
+    def _hot_corpus(self, spark, n=120):
+        # every doc carries the same boilerplate sentence (the license-
+        # header shape) plus unique content — the planted hot k-gram
+        rows = [
+            (i, f"{self.HOT} unique body u{i} v{i} w{i} x{i} y{i} z{i}")
+            for i in range(n)
+        ]
+        return spark.createDataFrame(rows, "doc_id long, text string")
+
+    def test_no_window_partitioned_by_hash(self, spark, sf_dir):
+        from etl_pack_spark.operators.substrings import (
+            remove_repeated_spans,
+            repeated_ngram_spans,
+        )
+
+        docs = read_table(spark, sf_dir, "documents")
+        for df in (
+            repeated_ngram_spans(docs, k=8),
+            remove_repeated_spans(docs, k=8),
+        ):
+            plan = df._jdf.queryExecution().executedPlan().toString()
+            # the only windows allowed are shingling's per-doc lead()s
+            for line in plan.splitlines():
+                if "windowspecdefinition" not in line:
+                    continue
+                assert "windowspecdefinition(h#" not in line, line
+                assert "windowspecdefinition(doc_id#" in line, line
+
+    def test_planted_hot_kgram_oracle_parity(self, spark):
+        import duckdb
+
+        from etl_pack_spark.operators.substrings import (
+            remove_repeated_spans,
+            remove_repeated_spans_sql,
+            repeated_ngram_spans,
+            repeated_ngram_spans_sql,
+        )
+
+        df = self._hot_corpus(spark)
+        pdf = df.toPandas()  # noqa: F841  (registered below)
+        con = duckdb.connect()
+        con.execute("CREATE VIEW d AS SELECT * FROM pdf")
+
+        got = sorted(
+            tuple(r) for r in repeated_ngram_spans(df, k=5).collect()
+        )
+        want = sorted(
+            map(tuple, con.execute(repeated_ngram_spans_sql("d", k=5)).fetchall())
+        )
+        assert got == want
+        # the boilerplate is duplicated everywhere; each doc's unique
+        # tail is not
+        assert all(r[2] >= 1 for r in got)  # n_dup_windows
+
+        got2 = sorted(
+            tuple(r) for r in remove_repeated_spans(df, k=5).collect()
+        )
+        want2 = sorted(
+            map(tuple, con.execute(remove_repeated_spans_sql("d", k=5)).fetchall())
+        )
+        assert got2 == want2
+        by_id = {r[0]: r[1] for r in got2}
+        # canonical doc 0 keeps the boilerplate; every other doc loses it
+        assert self.HOT in by_id[0]
+        assert all("webmaster" not in by_id[i] for i in range(1, 120))
+        assert all(f"u{i}" in by_id[i] for i in range(120))
+
+    def test_overfull_hashes_surface(self, spark):
+        from etl_pack_spark.operators.substrings import overfull_hashes
+
+        df = self._hot_corpus(spark)
+        hot = overfull_hashes(df, k=5, threshold=100).collect()
+        # the planted sentence yields hot 5-gram windows (120 > 100
+        # occurrences each); the unique tails stay below threshold
+        assert len(hot) >= 1
+        assert all(r["count"] == 120 for r in hot)
+        assert any("webmaster" in r["sample"] for r in hot)
+        none = overfull_hashes(df, k=5, threshold=1000).collect()
+        assert none == []
