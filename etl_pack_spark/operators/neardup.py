@@ -24,10 +24,14 @@ canonicalize-then-hash idea.)
 
 from __future__ import annotations
 
+import logging
+
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from etl_pack_spark.operators.cache import pooled_persist as _pooled_persist
+
+_log = logging.getLogger(__name__)
 
 from etl_pack_spark.operators.tokenize import (
     shingle_rows,
@@ -156,8 +160,30 @@ def _drop_hot_buckets(rows: DataFrame, keys: list[str], cap: int) -> DataFrame:
     (boilerplate pages, empty docs, adversarial duplication) can
     dominate the whole job; capping trades recall ONLY among pairs
     whose every shared bucket is overfull — which at cap≫1 means
-    near-identical floods that exact dedup upstream should own."""
-    over = overfull_buckets(rows, keys, cap).drop("count")
+    near-identical floods that exact dedup upstream should own.
+
+    Adaptive since r7: the overfull-key frame is materialized ONCE
+    (pooled persist — tiny by construction, and its lineage reads the
+    caller's already-persisted signature frame) and probed with a
+    bounded ``limit(1).count()``. When NO bucket is overfull — every
+    healthy corpus — the anti-join never enters the plan, so the
+    default-on cap costs one cheap aggregate over cached signatures
+    instead of an extra count + broadcast + probe pass per candidate
+    join (most of the r6 +48%/+22% minhash/simhash headline cost).
+    When buckets ARE overfull, the engagement is no longer silent:
+    the count of dropped bucket keys is logged at WARNING, because a
+    cap engaging means near-identical floods larger than ``cap`` are
+    escaping near-dup dedup (exact dedup upstream owns them)."""
+    over = _pooled_persist(overfull_buckets(rows, keys, cap).drop("count"))
+    if over.limit(1).count() == 0:
+        return rows
+    _log.warning(
+        "heavy-hitter cap engaged: %d bucket key(s) on %s exceed %d "
+        "members and are excluded from candidate generation "
+        "(near-identical floods above the cap escape near-dup dedup; "
+        "inspect them with overfull_buckets())",
+        over.count(), keys, cap,
+    )
     return rows.join(F.broadcast(over), keys, "left_anti")
 
 
