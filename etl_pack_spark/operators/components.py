@@ -47,16 +47,23 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 # Above this many edges the driver union-find gives way to the
-# distributed loop. 2M edges ≈ 32 MB of longs — trivially collectable;
-# graphs past that are real graph workloads, not near-dup clumps.
+# distributed loop. The collect is Arrow-batched (toPandas): 2M long
+# edges land as two numpy int64 columns ≈ 32 MB; the union-find's
+# parent dict then holds Python objects only for nodes that are NOT
+# their own root (near-dup graphs are mostly tiny clumps, so that
+# is a fraction of the nodes). A row-at-a-time collect() of the same
+# edges would build ~2M pyspark Row objects — hundreds of MB of
+# Python heap — which is why this path must stay on Arrow.
 MAX_DRIVER_PAIRS = 2_000_000
 
 
 def _driver_union_find(edges: DataFrame, src: str, dst: str) -> DataFrame:
     """Exact union-find over a bounded edge list (roots = min id)."""
-    parent: dict[int, int] = {}
+    import pandas as pd
 
-    def find(x: int) -> int:
+    parent: dict = {}
+
+    def find(x):
         root = x
         while parent.get(root, root) != root:
             root = parent[root]
@@ -64,18 +71,20 @@ def _driver_union_find(edges: DataFrame, src: str, dst: str) -> DataFrame:
             parent[x], x = root, parent[x]
         return root
 
-    rows = edges.select(src, dst).collect()
-    for r in rows:
-        a, b = find(r[0]), find(r[1])
+    # Arrow collect: two columnar arrays, not per-row Row objects
+    pdf = edges.select(src, dst).toPandas()
+    src_arr, dst_arr = pdf[src].to_numpy(), pdf[dst].to_numpy()
+    for a0, b0 in zip(src_arr, dst_arr):
+        a, b = find(a0), find(b0)
         if a != b:
             # min id becomes the root → labels match the min-label loop
             lo, hi = (a, b) if a < b else (b, a)
             parent[hi] = lo
-    nodes = {x for r in rows for x in (r[0], r[1])}
-    out = [(n, find(n)) for n in sorted(nodes)]
+    nodes = sorted(set(src_arr) | set(dst_arr))
     # id dtype follows the edge columns (string/UUID graphs work the
     # same as longs — min-root comparisons match F.least's ordering)
     id_type = edges.schema[src].dataType.simpleString()
+    out = pd.DataFrame({"id": nodes, "cluster_id": [find(n) for n in nodes]})
     return edges.sparkSession.createDataFrame(
         out, f"id {id_type}, cluster_id {id_type}"
     )

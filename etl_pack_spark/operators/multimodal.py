@@ -11,9 +11,10 @@ upsampling; within the T.81-permitted ±2 LSB of the JVM ImageIO
 decoder on both scan layouts), GIF incl. interlace (LZW, bit-exact vs
 ImageIO — palette formats are lossless), BMP, and PPM. Audio decodes
 too (:func:`wav_decode`), and :func:`mp4_meta` parses video container
-metadata. Only arithmetic-coded/12-bit/lossless JPEG, compressed
-audio, and video FRAME extraction stay gated behind
-``NotImplementedError``, each with a deterministic fake for
+metadata, and :func:`video_frames` extracts real frames from MJPEG
+streams. Only arithmetic-coded/12-bit/lossless JPEG, compressed audio
+(MP3/AAC), and compressed-video codecs (H.264/HEVC/AV1) stay gated
+behind ``NotImplementedError``, each with a deterministic fake for
 exercising the pipeline shape. Everything Spark-side is real
 and tested: schema, binary handling, partitioning, the mapInPandas
 batch contract, and a genuine Arrow-vectorized feature extractor

@@ -689,7 +689,38 @@ def ivf_pq_save(
         ],
         "j int, c int, cvec array<double>",
     ).coalesce(1).write.mode("overwrite").parquet(f"{path}/books")
-    encoded.write.mode("overwrite").parquet(f"{path}/codes")
+    # __batch stamp (same posture as the minhash signature store): the
+    # build is batch 0, appends stamp epoch-millis batch ids, and every
+    # read resolves id -> highest-batch row, so a crashed-and-retried
+    # append cannot surface duplicate neighbors
+    encoded.withColumn(
+        "__batch", F.lit(0).cast("long")
+    ).write.mode("overwrite").parquet(f"{path}/codes")
+
+
+def _read_codes(spark, path: str) -> DataFrame:
+    """Latest-wins read of the codes store: mergeSchema absorbs
+    pre-__batch legacy files (their rows read as batch -1), and each id
+    resolves to its highest-batch ``(cid, codes)`` via a combinable
+    ``max_by`` — so replayed/crashed appends collapse to one row per
+    id, the identical recovery rule as the signature store reads."""
+    codes = spark.read.option("mergeSchema", "true").parquet(f"{path}/codes")
+    if "__batch" not in codes.columns:
+        codes = codes.withColumn("__batch", F.lit(-1).cast("long"))
+    else:
+        codes = codes.withColumn(
+            "__batch",
+            F.coalesce(F.col("__batch").cast("long"), F.lit(-1).cast("long")),
+        )
+    return (
+        codes.groupBy("id")
+        .agg(
+            F.max_by(
+                F.struct(F.col("cid"), F.col("codes")), F.col("__batch")
+            ).alias("__s")
+        )
+        .select("id", "__s.cid", "__s.codes")
+    )
 
 
 def ivf_pq_load(spark, path: str):
@@ -709,7 +740,7 @@ def ivf_pq_load(spark, path: str):
     books = np.empty((m, kcent, dsub), dtype=np.float64)
     for r in rows:
         books[r["j"], r["c"]] = r["cvec"]
-    return cids, C, books, spark.read.parquet(f"{path}/codes")
+    return cids, C, books, _read_codes(spark, path)
 
 
 def ivf_pq_append(
@@ -727,9 +758,19 @@ def ivf_pq_append(
     decision (compare recall on a holdout), never an implicit side
     effect of ingest. Returns the reloaded encoded frame (old + new).
 
-    Caller contract: ids must be new (the index does not dedup; run
-    the dedup family first) and single-writer per index directory —
-    the same posture as the signature store."""
+    Caller contract: ids must be new (appending an EXISTING id is an
+    update — latest-wins on read — not a duplicate) and single-writer
+    per index directory — the same posture as the signature store.
+
+    Crash recovery: each append stamps its rows with an epoch-millis
+    ``__batch`` id and every read resolves each id to its
+    highest-batch row (:func:`_read_codes`), so an orchestrator
+    retrying a crashed append re-writes rows that collapse on read —
+    no duplicate neighbors, no manual cleanup. Dead superseded rows
+    accumulate like the signature store's; rewrite the resolved frame
+    via :func:`ivf_pq_save` to compact."""
+    import time as _time
+
     cids, C, books, _ = ivf_pq_load(spark, path)
     bc = spark.sparkContext.broadcast((cids, C, books))
     new_codes = df.select(
@@ -737,5 +778,7 @@ def ivf_pq_append(
     ).mapInPandas(
         _encode_kernel(bc), schema="id long, cid long, codes array<smallint>"
     )
-    new_codes.write.mode("append").parquet(f"{path}/codes")
-    return spark.read.parquet(f"{path}/codes")
+    new_codes.withColumn(
+        "__batch", F.lit(int(_time.time() * 1000)).cast("long")
+    ).write.mode("append").parquet(f"{path}/codes")
+    return _read_codes(spark, path)

@@ -278,8 +278,23 @@ def clickhouse_fetch_pages(
     The page queries themselves typically come from
     ``sources.jdbc.page_query`` (the reference generator's exact
     strings); at scale prefer partitioned range reads
-    (``sources/jdbc.py``) — this is the wire-parity path."""
+    (``sources/jdbc.py``) — this is the wire-parity path.
+
+    Every query must be one the transport treats as a READ (trimmed,
+    ``SELECT``-prefixed, case-sensitive — the reference's exact rule,
+    ``clickhouse.go:44-46``): anything else returns no body, which
+    would surface here as NULL ``body`` rows that break the downstream
+    JSON decode with no indication of the cause — so it is rejected
+    up front instead."""
     import pandas as pd
+
+    for q in queries:
+        if not q.strip().startswith("SELECT"):
+            raise ValueError(
+                "clickhouse_fetch_pages requires SELECT-prefixed read "
+                "queries (the transport's case-sensitive reference rule "
+                f"treats anything else as a write, returning no body): {q!r}"
+            )
 
     http_query = _build_http_query()  # nested fn: pickled by value
 

@@ -374,3 +374,53 @@ def test_ivf_pq_append_matches_full_encode(spark, sf_dir, tmp_path):
     # and the loaded metadata still round-trips after the append
     cids2, C2, books2, enc2 = ivf_pq_load(spark, path)
     assert enc2.count() == emb.count()
+
+
+def test_ivf_pq_append_retry_is_idempotent(spark, sf_dir, tmp_path):
+    """Crash recovery: an orchestrator retrying a crashed append
+    re-appends rows for ids already committed — the __batch stamp +
+    latest-wins read must collapse them to one row per id with
+    identical query results (no duplicate neighbors, the ADVICE r6
+    failure mode). Also covers legacy pre-__batch stores via the
+    mergeSchema read."""
+    from etl_pack_spark.operators.quantize import (
+        ivf_pq_append,
+        ivf_pq_index,
+        ivf_pq_load,
+        ivf_pq_save,
+        ivf_pq_topk,
+    )
+    from etl_pack_spark.sources.reader import read_table
+
+    emb = read_table(spark, sf_dir, "embeddings")
+    dims = len(emb.select("embedding").first()[0])
+    half_a = emb.where("vec_id % 2 = 0")
+    half_b = emb.where("vec_id % 2 = 1")
+    cids, C, books, enc_a = ivf_pq_index(half_a, dims, nlist=8, m=8, k=16)
+    path = str(tmp_path / "idx")
+    ivf_pq_save(path, cids, C, books, enc_a)
+    once = ivf_pq_append(spark, path, half_b)
+    n_once = once.count()
+    rows_once = sorted(
+        (r["q_id"], r["rk"], r["n_id"], r["adc_dist"])
+        for r in ivf_pq_topk(
+            once, emb.where("vec_id < 10"), cids, C, books, k=5, nprobe=3
+        ).collect()
+    )
+    # the retry: same batch appended again (duplicate ids on disk)
+    twice = ivf_pq_append(spark, path, half_b)
+    assert twice.count() == n_once  # collapsed, not doubled
+    rows_twice = sorted(
+        (r["q_id"], r["rk"], r["n_id"], r["adc_dist"])
+        for r in ivf_pq_topk(
+            twice, emb.where("vec_id < 10"), cids, C, books, k=5, nprobe=3
+        ).collect()
+    )
+    assert rows_once == rows_twice
+    # legacy store: codes written WITHOUT __batch still load (batch -1)
+    legacy = str(tmp_path / "legacy")
+    ivf_pq_save(legacy, cids, C, books, enc_a)
+    enc_a.write.mode("overwrite").parquet(f"{legacy}/codes")  # strip stamp
+    _, _, _, enc_legacy = ivf_pq_load(spark, legacy)
+    assert enc_legacy.count() == enc_a.count()
+    assert sorted(enc_legacy.columns) == ["cid", "codes", "id"]

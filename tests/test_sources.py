@@ -498,3 +498,21 @@ class TestClickhouseLoopbackTransport:
         )
         assert out is None
         assert seen[-1] == "INSERT INTO db.t VALUES (9, 'z')"  # no suffix
+
+    def test_fetch_pages_rejects_non_read_queries(self, spark, server):
+        """A non-SELECT-prefixed query (lowercase select, WITH...SELECT,
+        SHOW) gets no FORMAT JSON suffix and no body from the transport
+        — routed through fetch_pages it would surface as NULL body rows
+        that break the decode with no cause. Rejected up front."""
+        from etl_pack_spark.sources.clickhouse_json import (
+            clickhouse_fetch_pages,
+        )
+
+        address, _ = server
+        for bad in (
+            "select lowercase",
+            "WITH x AS (SELECT 1) SELECT * FROM x",
+            "SHOW TABLES",
+        ):
+            with pytest.raises(ValueError, match="SELECT-prefixed"):
+                clickhouse_fetch_pages(spark, address, ["SELECT ok", bad])
