@@ -234,6 +234,44 @@ class TestAnnChooser:
             per_q.setdefault(r["q_id"], []).append(r["rk"])
         assert all(sorted(v) == [1, 2, 3] for v in per_q.values())
 
+    def test_index_path_build_once_query_many(self, spark, sf_dir, tmp_path):
+        """r7: the ivf_pq arm amortizes training through index_path —
+        first call trains + saves, later calls load the frozen index;
+        fresh-vs-loaded top-k must be bit-identical (doubles round-trip
+        parquet exactly). A second call must NOT retrain: the loaded
+        quantizers are frozen, so answers stay stable even if the
+        corpus frame is re-derived."""
+        from etl_pack_spark.operators.similarity import ann_topk
+        from etl_pack_spark.sources.reader import read_table
+
+        emb = read_table(spark, sf_dir, "embeddings")
+        queries = emb.where("vec_id < 5")
+        path = str(tmp_path / "annidx")
+
+        def rows(out):
+            return sorted(
+                (r["q_id"], r["rk"], r["n_id"], r["score"]) for r in out.collect()
+            )
+
+        fresh = rows(
+            ann_topk(emb, queries, k=3, method="ivf_pq", pq_k=16)
+        )
+        built = rows(
+            ann_topk(
+                emb, queries, k=3, method="ivf_pq", pq_k=16, index_path=path
+            )
+        )
+        loaded = rows(
+            ann_topk(
+                emb, queries, k=3, method="ivf_pq", pq_k=16, index_path=path
+            )
+        )
+        assert fresh == built == loaded
+        # the saved index is really there (coarse/books/codes)
+        import os
+
+        assert {"coarse", "books", "codes"} <= set(os.listdir(path))
+
     def test_semantic_dedup_sparse_id_space(self, spark, sf_dir):
         """assign_centroids shares the id-agnostic coarse sample."""
         from pyspark.sql import functions as F
