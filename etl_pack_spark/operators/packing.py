@@ -14,9 +14,14 @@ Scale design — shard-local greedy packing:
     universal trade in distributed packing (training shards are
     independent anyway). Per-task memory is one shard's (id, tokens)
     pairs, and shards can be sized arbitrarily fine.
-  * Deterministic: shard assignment is a hash of the id, packing order
-    is sorted by id within the shard, pack ids are (shard, seq) pairs —
-    independent of partitioning, task order, and cluster size.
+  * Deterministic AND cross-engine: shard assignment is an md5-derived
+    hash of the id (the module family's seedless hash — NOT
+    xxhash64, which no other engine reproduces), packing order is
+    sorted by id within the shard, pack ids are (shard, seq) pairs —
+    independent of partitioning, task order, cluster size, and engine.
+    :func:`pack_sequences_sql` replays the identical greedy fold in
+    DuckDB (recursive CTE), so the packing is oracle-checkable
+    bit-for-bit.
   * The only shuffle is the hash-partition by shard; the packer is an
     Arrow-batched applyInPandas (a per-row running fill cannot be a
     Catalyst expression; window prefix-sums cannot express "reset the
@@ -60,9 +65,14 @@ def pack_sequences(
     if shards is None:
         shards = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
 
+    # md5-h7 shard hash (seedless, engine-agnostic — same family as
+    # minhash/sharding): pmod of the first 7 md5 hex chars of the id
+    shard_h = F.conv(
+        F.substring(F.md5(F.col(id_col).cast("string")), 1, 7), 16, 10
+    ).cast("long")
     keyed = df.select(
         F.col(id_col), F.col(token_col).cast("long").alias(token_col),
-        F.pmod(F.xxhash64(F.col(id_col)), F.lit(shards)).cast("int").alias("__shard"),
+        F.pmod(shard_h, F.lit(shards)).cast("int").alias("__shard"),
     )
 
     # NESTED so cloudpickle ships it by value (executors need not
@@ -97,6 +107,75 @@ def pack_sequences(
     id_type = dict(df.dtypes)[id_col]
     schema = f"{id_col} {id_type}, {token_col} long, pack_id long, oversize boolean"
     return keyed.groupBy("__shard").applyInPandas(pack, schema=schema)
+
+
+def pack_sequences_sql(
+    table: str,
+    id_col: str = "doc_id",
+    token_col: str = "n_tokens",
+    budget: int = 2048,
+    shards: int = 32,
+) -> str:
+    """DuckDB oracle twin of :func:`pack_sequences` — same md5-h7 shard
+    hash, same sorted-by-id order, same greedy first-fit transition,
+    same ``shard * 2^40 + seq`` pack ids.
+
+    Greedy packing is a sequential fold, which SQL expresses as a
+    recursive CTE stepping one row per shard per iteration (all shards
+    advance in parallel; recursion depth = the largest shard's row
+    count — an oracle-scale formulation, not a 100 TB plan; the ENGINE
+    side is the distributed applyInPandas). Carried state per shard is
+    ``(seq_state, acc_state)`` exactly as the Python fold carries
+    ``(seq, acc)``; the emitted ``pack_seq``/``oversize`` per row are
+    pure functions of the previous state, so the two engines agree
+    bit-for-bit — including the oversize-doc-gets-its-own-pack branch.
+    """
+    span = _SHARD_SPAN
+    return f"""
+    WITH RECURSIVE base AS (
+        SELECT {id_col} AS id, CAST({token_col} AS BIGINT) AS t,
+               CAST('0x' || substr(md5(CAST({id_col} AS VARCHAR)), 1, 7)
+                    AS BIGINT) % {shards} AS shard
+        FROM {table}
+    ),
+    ordered AS (
+        SELECT id, t, shard,
+               ROW_NUMBER() OVER (PARTITION BY shard ORDER BY id) AS rn
+        FROM base
+    ),
+    greedy AS (
+        SELECT shard, rn, id, t,
+               (t > {budget}) AS oversize,
+               CAST(0 AS BIGINT) AS pack_seq,
+               CAST(CASE WHEN t > {budget} THEN 1 ELSE 0 END AS BIGINT)
+                   AS seq_state,
+               CAST(CASE WHEN t > {budget} THEN 0 ELSE t END AS BIGINT)
+                   AS acc_state
+        FROM ordered WHERE rn = 1
+        UNION ALL
+        SELECT o.shard, o.rn, o.id, o.t,
+               (o.t > {budget}) AS oversize,
+               CASE WHEN o.t > {budget}
+                        THEN g.seq_state
+                             + (CASE WHEN g.acc_state > 0 THEN 1 ELSE 0 END)
+                    WHEN g.acc_state + o.t > {budget} THEN g.seq_state + 1
+                    ELSE g.seq_state END AS pack_seq,
+               CASE WHEN o.t > {budget}
+                        THEN g.seq_state
+                             + (CASE WHEN g.acc_state > 0 THEN 1 ELSE 0 END)
+                             + 1
+                    WHEN g.acc_state + o.t > {budget} THEN g.seq_state + 1
+                    ELSE g.seq_state END AS seq_state,
+               CASE WHEN o.t > {budget} THEN 0
+                    WHEN g.acc_state + o.t > {budget} THEN o.t
+                    ELSE g.acc_state + o.t END AS acc_state
+        FROM greedy g JOIN ordered o
+          ON o.shard = g.shard AND o.rn = g.rn + 1
+    )
+    SELECT id AS {id_col}, t AS {token_col},
+           shard * CAST({span} AS BIGINT) + pack_seq AS pack_id, oversize
+    FROM greedy
+    """
 
 
 def pack_stats(packed: DataFrame, token_col: str = "n_tokens", budget: int = 2048) -> DataFrame:

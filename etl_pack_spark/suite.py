@@ -33,6 +33,7 @@ from etl_pack_spark.operators.cleaning import (
 from etl_pack_spark.operators.textops import normalize_text_expr_sql
 from etl_pack_spark.operators.temporal import rolling_aggregate_sql
 from etl_pack_spark.operators.chunking import chunk_documents_sql as _chunk_documents_sql
+from etl_pack_spark.operators.packing import pack_sequences_sql as _pack_sequences_sql
 from etl_pack_spark.operators.components import connected_components_sql
 from etl_pack_spark.operators.substrings import (
     remove_repeated_spans_sql as _remove_repeated_spans_sql,
@@ -1283,14 +1284,48 @@ def q_budget_select(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def q_chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Document chunking: 64-token windows with 16-token overlap, one
-    row per window (operators/chunking.py) — RAG / long-doc
-    pretraining prep; complements sequence packing."""
+def q_chunk_documents_plain(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The r6 chunk-only framing, retired r7 when the slot gained the
+    packing stage (kept DuckDB-pinned in tests/test_registry_merges.py)."""
     from etl_pack_spark.operators.chunking import chunk_documents
 
     docs = read_table(spark, sf_dir, "documents")
     return chunk_documents(docs, "doc_id", "text", chunk_tokens=64, overlap=16)
+
+
+# chunk_uid = doc_id * 2^20 + chunk_idx — single packable key per chunk
+_CHUNK_SPAN = 1 << 20
+PACK_BUDGET, PACK_SHARDS = 150, 8
+
+
+def q_chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chunk -> PACK pipeline (r7: the slot gained sequence packing —
+    operators/packing.py's greedy shard-local first-fit, driver-gated
+    here because chunking and packing are one pipeline at the same
+    chunk grain): 64-token windows with 16-token overlap, then each
+    chunk assigned to a <=150-token training pack. Deterministic and
+    engine-agnostic throughout (md5-h7 shard hash, sorted greedy fold),
+    so the DuckDB twin replays the identical packing bit-for-bit."""
+    from etl_pack_spark.operators.chunking import chunk_documents
+    from etl_pack_spark.operators.packing import pack_sequences
+
+    docs = read_table(spark, sf_dir, "documents")
+    chunks = chunk_documents(
+        docs, "doc_id", "text", chunk_tokens=64, overlap=16
+    ).select(
+        (F.col("doc_id") * _CHUNK_SPAN + F.col("chunk_idx")).alias("chunk_uid"),
+        "n_chunk_tokens",
+    )
+    packed = pack_sequences(
+        chunks, "chunk_uid", "n_chunk_tokens",
+        budget=PACK_BUDGET, shards=PACK_SHARDS,
+    )
+    return packed.select(
+        "chunk_uid",
+        F.expr(f"chunk_uid DIV {_CHUNK_SPAN}").alias("doc_id"),
+        F.expr(f"chunk_uid % {_CHUNK_SPAN}").alias("chunk_idx"),
+        "n_chunk_tokens", "pack_id", "oversize",
+    )
 
 
 def q_shard_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1897,9 +1932,21 @@ ORACLES: dict[str, str] = {
         "(SELECT doc_id, CAST(n_chars AS DOUBLE) AS score, n_chars FROM documents)",
         BUDGET_CHARS, score_col="score", weight_col="n_chars",
     ),
-    "chunk_documents": _chunk_documents_sql(
-        "documents", "doc_id", "text", chunk_tokens=64, overlap=16
-    ),
+    # r7: the slot is the chunk -> pack pipeline; the packing twin
+    # replays the greedy shard-local fold as a recursive CTE
+    "chunk_documents": f"""
+        SELECT chunk_uid, chunk_uid // {_CHUNK_SPAN} AS doc_id,
+               chunk_uid % {_CHUNK_SPAN} AS chunk_idx,
+               n_chunk_tokens, pack_id, oversize
+        FROM ({_pack_sequences_sql(
+            f'''(SELECT doc_id * {_CHUNK_SPAN} + chunk_idx AS chunk_uid,
+                        n_chunk_tokens
+                 FROM ({_chunk_documents_sql(
+                     "documents", "doc_id", "text",
+                     chunk_tokens=64, overlap=16)}))''',
+            "chunk_uid", "n_chunk_tokens",
+            budget=PACK_BUDGET, shards=PACK_SHARDS)})
+    """,
     "shard_assign": f"""
         SELECT doc_id, shard, pos
         FROM ({_shard_assign_sql("documents", N_SHARDS)})
@@ -1941,6 +1988,8 @@ RETIRED_QUERIES: dict[str, QueryFn] = {
     ),
     # r6 rider: the slot gained the excision half (remove_repeated_spans)
     "repeated_ngram_spans_plain": q_repeated_ngram_spans_plain,
+    # r7 rider: the slot gained the sequence-packing stage
+    "chunk_documents_plain": q_chunk_documents_plain,
 }
 
 RETIRED_ORACLES: dict[str, str] = {
@@ -2018,4 +2067,7 @@ RETIRED_ORACLES: dict[str, str] = {
     "corpus_curate_plain": curate_corpus_sql("documents"),
     "ann_ivf_flat": similarity.ivf_topk_sql("embeddings"),
     "repeated_ngram_spans_plain": _repeated_ngram_spans_sql("documents", k=5),
+    "chunk_documents_plain": _chunk_documents_sql(
+        "documents", "doc_id", "text", chunk_tokens=64, overlap=16
+    ),
 }

@@ -73,3 +73,43 @@ def test_fill_beats_one_doc_per_pack(spark, counted):
 def test_bad_budget_raises(spark, counted):
     with pytest.raises(ValueError, match="budget"):
         pack_sequences(counted, budget=0)
+
+
+def test_duckdb_twin_bit_exact_including_oversize(spark):
+    """r7 driver-gating: pack_sequences_sql replays the greedy fold as
+    a recursive CTE — identical md5-h7 shards, sorted order, first-fit
+    transitions, and the oversize-own-pack branch, bit-for-bit."""
+    import duckdb
+
+    from etl_pack_spark.operators.packing import pack_sequences_sql
+
+    rows = [(i, (i * 37) % 300 + 1) for i in range(400)]  # some > budget
+    df = spark.createDataFrame(rows, "doc_id long, n_tokens long")
+    got = sorted(map(tuple, pack_sequences(df, budget=128, shards=8).collect()))
+    con = duckdb.connect()
+    con.execute("CREATE TABLE t(doc_id BIGINT, n_tokens BIGINT)")
+    con.executemany("INSERT INTO t VALUES (?, ?)", rows)
+    want = sorted(
+        map(tuple, con.execute(pack_sequences_sql("t", budget=128, shards=8)).fetchall())
+    )
+    assert got == want
+    assert any(r[3] for r in got) and any(not r[3] for r in got)
+
+
+def test_string_ids_pack_cross_engine(spark):
+    """The md5-h7 shard hash and sorted fold work identically for
+    string ids (UUID-keyed corpora)."""
+    import duckdb
+
+    from etl_pack_spark.operators.packing import pack_sequences_sql
+
+    rows = [(f"doc-{i:04d}", 40 + (i % 50)) for i in range(200)]
+    df = spark.createDataFrame(rows, "doc_id string, n_tokens long")
+    got = sorted(map(tuple, pack_sequences(df, budget=100, shards=4).collect()))
+    con = duckdb.connect()
+    con.execute("CREATE TABLE t(doc_id VARCHAR, n_tokens BIGINT)")
+    con.executemany("INSERT INTO t VALUES (?, ?)", rows)
+    want = sorted(
+        map(tuple, con.execute(pack_sequences_sql("t", budget=100, shards=4)).fetchall())
+    )
+    assert got == want
