@@ -293,6 +293,7 @@ def minhash_match_incremental(
     num_hashes: int = 16,
     bands: int = 8,
     min_est: float = 0.5,
+    max_bucket: int | None = DEFAULT_MAX_BUCKET,
 ) -> DataFrame:
     """Incremental near-dup: match a NEW batch against a persisted
     signature store WITHOUT touching the existing corpus's text — the
@@ -316,6 +317,17 @@ def minhash_match_incremental(
     and the join shuffles ONLY signatures, never documents. Appending
     the new signatures to the store afterwards keeps the next batch
     incremental (same posture as the exact-hash snapshot).
+
+    ``max_bucket`` (r7, same adaptive heavy-hitter guard as the
+    self-joins): a store accumulating a mass-duplicated signature —
+    boilerplate pages ingested for months — makes one (band, key)
+    bucket emit every new matching doc × the whole flood. Bucket
+    occupancy is measured on the UNION banding (old + new — total
+    membership is what drives pair volume) and overfull keys are
+    dropped from the store side of the join, which removes every pair
+    that bucket would emit while leaving other shared buckets intact —
+    the identical recall trade, mirrored in the SQL twin. Adaptive: no
+    overfull buckets (every healthy store) ⇒ no anti-join in the plan.
     """
     rows = shingle_rows(new_docs, id_col, text_col, k, distinct=False)
     sig_new = _pooled_persist(minhash_signature(rows, id_col, num_hashes))
@@ -324,6 +336,8 @@ def minhash_match_incremental(
     )
     banded_all = _banded(allsig, id_col, num_hashes, bands, extra_cols=["__new"])
     banded_new = _banded(sig_new, id_col, num_hashes, bands)
+    if max_bucket is not None:
+        banded_all = _drop_hot_buckets(banded_all, ["band", "bk"], max_bucket)
     a, b = banded_new.alias("a"), banded_all.alias("b")
     cand = (
         a.join(
@@ -442,13 +456,16 @@ def minhash_match_incremental_sql(
     num_hashes: int = 16,
     bands: int = 8,
     min_est: float = 0.5,
+    max_bucket: int | None = DEFAULT_MAX_BUCKET,
 ) -> str:
     """DuckDB oracle twin of :func:`minhash_match_incremental`: the
     old side's signatures recomputed from text here (the engine reads
     them from the store — the arithmetic is identical either way, as
     the store itself is a :func:`minhash_signature` output), same
     banding, same new-vs-all candidate rule, same matching-fraction
-    estimator (int/int double — bit-identical cross-engine)."""
+    estimator (int/int double — bit-identical cross-engine), same
+    union-measured heavy-hitter bucket cap on the store side (shared
+    default, so parity holds even when the cap engages)."""
     rows_per_band = num_hashes // bands
     mh_cols = ",\n               ".join(
         f"list_aggregate(list_transform(shingles, s -> "
@@ -493,7 +510,8 @@ def minhash_match_incremental_sql(
     ),
     cand AS (
         SELECT DISTINCT a.{id_col} AS id_a, b.{id_col} AS id_b
-        FROM banded_new a JOIN banded_all b
+        FROM banded_new a
+        JOIN {_hot_filter_sql('banded_all', ['band', 'bk'], max_bucket)} b
           ON a.band = b.band AND a.bk = b.bk
          AND ((NOT b.is_new) OR a.{id_col} < b.{id_col})
     )

@@ -339,3 +339,63 @@ class TestHeavyHitterCap:
         )
         assert got_mh == want_mh
         assert all(100 <= a for a, _, _ in got_mh) and len(got_mh) >= 1
+
+
+class TestIncrementalCap:
+    """r7: the incremental new-vs-store match carries the same adaptive
+    heavy-hitter cap as the self-joins — occupancy measured on the
+    union banding, overfull keys dropped from the store side, mirrored
+    in the SQL twin."""
+
+    def _corpus(self, spark, tmp_path):
+        import duckdb
+
+        flood_text = ("the same flooded boilerplate page text repeated "
+                      "everywhere across the crawl again and again")
+        base = ("a genuinely unique document about distributed query "
+                "engines their shuffle strategies broadcast joins "
+                "partition pruning and adaptive execution at scale")
+        old = [(i, flood_text) for i in range(40)] + [(100, base)]
+        new = [(200, flood_text), (201, base + " with one extra clause")]
+        old_df = spark.createDataFrame(old, "doc_id long, text string")
+        new_df = spark.createDataFrame(new, "doc_id long, text string")
+        con = duckdb.connect()
+        for name, df in (("old_docs", old_df), ("new_docs", new_df)):
+            p = str(tmp_path / f"{name}.parquet")
+            df.coalesce(1).write.parquet(p)
+            con.execute(
+                f"CREATE VIEW {name} AS SELECT * FROM read_parquet('{p}/*.parquet')"
+            )
+        return old_df, new_df, con
+
+    def test_engaged_cap_matches_oracle(self, spark, tmp_path):
+        from etl_pack_spark.operators import neardup
+
+        old_df, new_df, con = self._corpus(spark, tmp_path)
+        store = neardup.minhash_signature(
+            neardup.shingle_rows(old_df, "doc_id", "text", 3, distinct=False),
+            "doc_id",
+        )
+        for cap in (10, None):
+            got = sorted(
+                (r["id_a"], r["id_b"], round(r["est_jaccard"], 9))
+                for r in neardup.minhash_match_incremental(
+                    new_df, store, "doc_id", "text", max_bucket=cap
+                ).collect()
+            )
+            want = sorted(
+                (a, b, round(j, 9)) for a, b, j in con.execute(
+                    neardup.minhash_match_incremental_sql(
+                        "old_docs", "new_docs", "doc_id", "text",
+                        max_bucket=cap,
+                    )
+                ).fetchall()
+            )
+            assert got == want, f"cap={cap}"
+            if cap is None:
+                # uncapped: new flood doc matches the whole old flood
+                assert sum(1 for a, _, _ in got if a == 200) >= 40
+            else:
+                # capped: flood bucket dropped, genuine near-dup kept
+                assert all(a != 200 for a, _, _ in got)
+                assert any(a == 201 and b == 100 for a, b, _ in got)
