@@ -276,7 +276,29 @@ def _calibrate() -> dict:
     for i in range(4_000_000):
         s += i & 7
     pyloop = time.perf_counter() - t0
-    return {"matmul_sec": round(matmul, 3), "pyloop_sec": round(pyloop, 3)}
+    # disk health: shuffle spills crawl when the scratch volume is
+    # near-full or slow, and a CPU-only marker cannot see it (learned
+    # the hard way: 74 GB of stale oracle spill files once took the
+    # machine to 94% full and tripled the 30x probes). Free space +
+    # a small fsync'd write throughput sample attribute that directly.
+    import shutil as _shutil
+    import tempfile
+
+    free_gb = _shutil.disk_usage(tempfile.gettempdir()).free / 1e9
+    blob = b"\xab" * (8 << 20)
+    t0 = time.perf_counter()
+    with tempfile.NamedTemporaryFile(dir=tempfile.gettempdir()) as f:
+        for _ in range(8):  # 64 MB
+            f.write(blob)
+        f.flush()
+        os.fsync(f.fileno())
+    wsec = time.perf_counter() - t0
+    return {
+        "matmul_sec": round(matmul, 3),
+        "pyloop_sec": round(pyloop, 3),
+        "disk_free_gb": round(free_gb, 1),
+        "disk_write_mbps": round(64 / wsec, 0),
+    }
 
 
 def main() -> None:

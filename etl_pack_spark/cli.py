@@ -56,6 +56,10 @@ def build_parser() -> argparse.ArgumentParser:
                         "matching-behavior change) instead of a transfer")
     p.add_argument("--id-col", default="doc_id",
                    help="compact-sigstore: the store's id column")
+    p.add_argument("--compact-codes", default=None, metavar="INDEX",
+                   help="compact an IVF-PQ index's codes store to one "
+                        "latest row per id (crash-safe swap; no query-"
+                        "behavior change) instead of a transfer")
     p.add_argument("--cluster-by", default="",
                    help="compact: range-cluster by these columns")
     p.add_argument("--zorder-by", default="",
@@ -91,10 +95,30 @@ def main(argv: list[str] | None = None) -> int:
     # of seconds of JVM startup
     zorder_cols = [c for c in args.zorder_by.split(",") if c]
     if sum(map(bool, (args.compact, args.compact_partitions,
-                      args.compact_sigstore))) > 1:
-        print("error: --compact, --compact-partitions and "
-              "--compact-sigstore are exclusive", file=sys.stderr)
+                      args.compact_sigstore, args.compact_codes))) > 1:
+        print("error: --compact, --compact-partitions, "
+              "--compact-sigstore and --compact-codes are exclusive",
+              file=sys.stderr)
         return 2
+    if args.compact_codes:
+        foreign = [
+            name for name, val in [
+                ("--target", args.target), ("--zorder-by", args.zorder_by),
+                ("--cluster-by", args.cluster_by),
+                ("--in-place", args.in_place),
+                ("--source-dir", args.source_dir), ("--table", args.table),
+                ("--fields", args.fields), ("--window", args.window),
+                ("--order", args.order), ("--increment", args.increment),
+                ("--partition-by", args.partition_by),
+                ("--streaming", args.streaming),
+                ("--checkpoint", args.checkpoint),
+            ] if val
+        ]
+        if foreign:
+            print(f"error: {', '.join(foreign)} do not apply to "
+                  "--compact-codes (it takes only the index path)",
+                  file=sys.stderr)
+            return 2
     if args.compact_sigstore:
         foreign = [
             name for name, val in [
@@ -184,7 +208,7 @@ def main(argv: list[str] | None = None) -> int:
             print(f"error: {', '.join(ignored)} do not apply to --compact",
                   file=sys.stderr)
             return 2
-    elif not args.compact_sigstore and (
+    elif not args.compact_sigstore and not args.compact_codes and (
         not args.source_dir or not args.table or not args.target
     ):
         print("error: --source-dir, --table and --target are required "
@@ -194,6 +218,14 @@ def main(argv: list[str] | None = None) -> int:
     from etl_pack_spark.session import get_spark
 
     spark = get_spark("etl_pack_spark_cli")
+
+    if args.compact_codes:
+        from etl_pack_spark.operators.quantize import ivf_pq_compact
+
+        n = ivf_pq_compact(spark, args.compact_codes)
+        print(json.dumps({"mode": "compact_codes",
+                          "index": args.compact_codes, "rows": n}))
+        return 0
 
     if args.compact_sigstore:
         from etl_pack_spark.streaming.incremental import compact_signature_store

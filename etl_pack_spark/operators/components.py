@@ -222,18 +222,53 @@ def cluster_dedup(
     pairs: DataFrame,
     id_col: str = "doc_id",
     clusters: DataFrame | None = None,
+    survivor_by: str | None = None,
 ) -> DataFrame:
-    """Keep ONE survivor per near-dup cluster (the min-id doc), pass
-    through every doc not in any pair.
+    """Keep ONE survivor per near-dup cluster, pass through every doc
+    not in any pair.
+
+    Survivor rule: the min-id doc by default; with ``survivor_by`` (a
+    numeric column of ``df`` — a quality score, a length, a recency
+    stamp) the HIGHEST-scoring member survives instead, min-id
+    tie-break — the curation posture real pipelines take (keep the
+    best copy of a near-duplicated page, not an arbitrary one; NULL
+    scores sort lowest, and an all-NULL cluster falls back to min-id).
 
     The clusters frame is tiny relative to the corpus (only docs that
-    near-dup something), so the anti-join's build side broadcasts; the
-    corpus itself is never shuffled. Pass ``clusters`` (a prior
+    near-dup something), so every join here keeps the corpus
+    unshuffled: member scores come from a broadcast-clusters semi
+    lookup, the best-score and winner picks are map-side-combinable
+    aggregates over the member-sized frame, and the final anti-join
+    broadcasts the loser ids. Pass ``clusters`` (a prior
     :func:`neardup_clusters` output, ideally persisted) when the
     caller already labeled the graph — the components computation is
     the one iterative stage and must not silently run twice.
     """
     if clusters is None:
         clusters = neardup_clusters(pairs, id_col)
-    losers = clusters.where(F.col(id_col) != F.col("cluster_id")).select(id_col)
+    if survivor_by is None:
+        losers = clusters.where(F.col(id_col) != F.col("cluster_id")).select(
+            id_col
+        )
+    else:
+        score = F.coalesce(
+            F.col(survivor_by).cast("double"), F.lit(float("-inf"))
+        )
+        members = df.join(F.broadcast(clusters), id_col).select(
+            F.col(id_col), F.col("cluster_id"), score.alias("__score")
+        )
+        best = members.groupBy("cluster_id").agg(
+            F.max("__score").alias("__best")
+        )
+        winners = (
+            members.join(F.broadcast(best), "cluster_id")
+            .where(F.col("__score") == F.col("__best"))
+            .groupBy("cluster_id")
+            .agg(F.min(id_col).alias("__win"))
+        )
+        losers = (
+            members.join(F.broadcast(winners), "cluster_id")
+            .where(F.col(id_col) != F.col("__win"))
+            .select(id_col)
+        )
     return df.join(F.broadcast(losers), id_col, "left_anti")

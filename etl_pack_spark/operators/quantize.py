@@ -767,8 +767,8 @@ def ivf_pq_append(
     highest-batch row (:func:`_read_codes`), so an orchestrator
     retrying a crashed append re-writes rows that collapse on read —
     no duplicate neighbors, no manual cleanup. Dead superseded rows
-    accumulate like the signature store's; rewrite the resolved frame
-    via :func:`ivf_pq_save` to compact."""
+    accumulate like the signature store's; :func:`ivf_pq_compact`
+    rewrites the store to its resolved content (crash-safe swap)."""
     import time as _time
 
     cids, C, books, _ = ivf_pq_load(spark, path)
@@ -782,3 +782,46 @@ def ivf_pq_append(
         "__batch", F.lit(int(_time.time() * 1000)).cast("long")
     ).write.mode("append").parquet(f"{path}/codes")
     return _read_codes(spark, path)
+
+
+def ivf_pq_compact(spark, path: str) -> int:
+    """Compact the codes store to its RESOLVED content — one row per id
+    at its latest batch (the same ``max_by(__batch)`` rule every read
+    applies, so query behavior is provably unchanged) — published via
+    the crash-safe staged/backup/rename swap. Returns the compacted
+    row count. The IVF-PQ analogue of
+    ``streaming.incremental.compact_signature_store``: appends and
+    retried appends accumulate superseded rows that every read filters
+    through; compaction makes store size proportional to live ids
+    again, and migrates legacy unstamped files to the stamped layout.
+    Single-writer per index directory, like the appends."""
+    from etl_pack_spark.sinks.atomic import (
+        clean_orphan_stages,
+        publish_swap,
+        recover_swap,
+        stage_dir,
+    )
+
+    codes_path = f"{path}/codes"
+    recover_swap(codes_path)
+    clean_orphan_stages(codes_path, "codes_stage_")
+    codes = spark.read.option("mergeSchema", "true").parquet(codes_path)
+    if "__batch" not in codes.columns:
+        codes = codes.withColumn("__batch", F.lit(-1).cast("long"))
+    else:
+        codes = codes.withColumn(
+            "__batch",
+            F.coalesce(F.col("__batch").cast("long"), F.lit(-1).cast("long")),
+        )
+    resolved = (
+        codes.groupBy("id")
+        .agg(
+            F.max_by(F.struct("cid", "codes"), "__batch").alias("__s"),
+            F.max("__batch").alias("__batch"),
+        )
+        .select("id", "__s.cid", "__s.codes", "__batch")
+    )
+    staged = stage_dir(codes_path, prefix="codes_stage_")
+    resolved.write.mode("overwrite").parquet(staged)
+    publish_swap(staged, codes_path)
+    return spark.read.parquet(codes_path).count()

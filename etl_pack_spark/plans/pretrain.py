@@ -53,6 +53,7 @@ def prepare_pretraining_corpus(
     leakage_safe_split: bool = False,
     extract_html: bool = False,
     normalize_unicode: bool = False,
+    survivor_by: str | None = None,
 ) -> DataFrame:
     """Documents → packed training sequences.
 
@@ -62,6 +63,10 @@ def prepare_pretraining_corpus(
     ``weights`` (optional) reweights domains (absent = keep mixture);
     ``max_dup_fraction`` (optional) gates out documents whose k-token
     windows are mostly duplicated elsewhere in the curated corpus;
+    ``survivor_by`` (optional) names a numeric column of ``docs``
+    (must survive curation's projection — e.g. ``n_chars``) used to
+    pick each near-dup cluster's survivor: highest score wins, min-id
+    tie-break, instead of the default arbitrary min-id doc;
     ``excise_spans`` (optional) then CUTS the remaining duplicated
     ``excise_k``-token passages from the survivors' text (keep-first
     canonical occurrence — the ExactSubstr remove variant), so
@@ -95,8 +100,15 @@ def prepare_pretraining_corpus(
         docs = docs.withColumn("text", normalize_text_col("text"))
 
     curated = curate_corpus(docs)  # (doc_id, lang, split)
+    base_cols = ["doc_id", "text", "lang", "split", domain_col]
+    # carry the survivor-score column through to the dedup stage
+    extra = (
+        [survivor_by]
+        if survivor_by is not None and survivor_by not in base_cols
+        else []
+    )
     kept = docs.join(curated.select("doc_id", "split"), "doc_id").select(
-        "doc_id", "text", "lang", "split", F.col(domain_col)
+        *base_cols, *extra
     )
 
     if max_dup_fraction is not None:
@@ -162,7 +174,11 @@ def prepare_pretraining_corpus(
             kept.drop("split"), None, "doc_id", clusters=clusters
         ).drop("cluster_id")
 
-    unique = cluster_dedup(kept, pairs, "doc_id", clusters=clusters)
+    # survivor_by: keep the highest-scoring cluster member (quality /
+    # length / recency) instead of the arbitrary min-id one
+    unique = cluster_dedup(
+        kept, pairs, "doc_id", clusters=clusters, survivor_by=survivor_by
+    )
 
     if embeddings is not None:
         # SemDeDup: lexical dedup above can't see paraphrases; the

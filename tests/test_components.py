@@ -141,3 +141,93 @@ def test_distributed_loop_reuses_edge_exchange(spark):
             bi.unpersist()
     finally:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+
+
+class TestSurvivorBy:
+    """r7 quality-aware survivor selection: cluster_dedup(survivor_by=)
+    keeps the highest-scoring member per near-dup cluster (min-id
+    tie-break; NULL scores lowest; all-NULL cluster falls back to
+    min-id), pinned against a DuckDB twin of the same rule."""
+
+    def _frames(self, spark):
+        # clusters: {1,2,3} (scores 5, 9, 9 -> winner 2: max score, min
+        # id tie-break), {10,11} (scores NULL, 4 -> winner 11),
+        # {20,21} (both NULL -> min id 20); 30 untouched (no pair)
+        docs = spark.createDataFrame(
+            [(1, 5.0), (2, 9.0), (3, 9.0), (10, None), (11, 4.0),
+             (20, None), (21, None), (30, 7.0)],
+            "doc_id long, quality double",
+        )
+        pairs = spark.createDataFrame(
+            [(1, 2), (2, 3), (10, 11), (20, 21)], "id_a long, id_b long"
+        )
+        return docs, pairs
+
+    def test_best_quality_survives(self, spark):
+        from etl_pack_spark.operators.components import cluster_dedup
+
+        docs, pairs = self._frames(spark)
+        kept = {r["doc_id"] for r in
+                cluster_dedup(docs, pairs, survivor_by="quality").collect()}
+        assert kept == {2, 11, 20, 30}
+        # default rule unchanged: min id survives
+        kept_min = {r["doc_id"] for r in cluster_dedup(docs, pairs).collect()}
+        assert kept_min == {1, 10, 20, 30}
+
+    def test_duckdb_twin_same_rule(self, spark):
+        """The survivor rule is plain SQL over the components labels —
+        pin Spark against DuckDB computing winners the same way."""
+        import duckdb
+
+        from etl_pack_spark.operators.components import (
+            cluster_dedup,
+            connected_components_sql,
+        )
+
+        docs, pairs = self._frames(spark)
+        got = sorted(
+            r["doc_id"]
+            for r in cluster_dedup(docs, pairs, survivor_by="quality").collect()
+        )
+        con = duckdb.connect()
+        con.execute(
+            "CREATE TABLE docs(doc_id BIGINT, quality DOUBLE);"
+            "INSERT INTO docs VALUES (1,5.0),(2,9.0),(3,9.0),(10,NULL),"
+            "(11,4.0),(20,NULL),(21,NULL),(30,7.0);"
+            "CREATE TABLE pairs(id_a BIGINT, id_b BIGINT);"
+            "INSERT INTO pairs VALUES (1,2),(2,3),(10,11),(20,21);"
+        )
+        comp = connected_components_sql("SELECT id_a, id_b FROM pairs")
+        want = sorted(
+            r[0] for r in con.execute(f"""
+            WITH comp AS ({comp}),
+            members AS (
+                SELECT d.doc_id, c.cluster_id,
+                       COALESCE(d.quality, CAST('-inf' AS DOUBLE)) AS s
+                FROM docs d JOIN comp c ON d.doc_id = c.id
+            ),
+            winners AS (
+                SELECT cluster_id, MIN(doc_id) AS win FROM members m
+                WHERE s = (SELECT MAX(s) FROM members b
+                           WHERE b.cluster_id = m.cluster_id)
+                GROUP BY cluster_id
+            )
+            SELECT doc_id FROM docs
+            WHERE doc_id NOT IN (
+                SELECT m.doc_id FROM members m JOIN winners w
+                  ON m.cluster_id = w.cluster_id AND m.doc_id != w.win)
+            """).fetchall()
+        )
+        assert got == want
+
+    def test_pretrain_plan_passes_survivor_by(self, spark, sf_dir):
+        """The composed plan honors survivor_by (n_chars: keep the
+        longest copy) and still satisfies its output contract."""
+        from etl_pack_spark.plans.pretrain import prepare_pretraining_corpus
+        from etl_pack_spark.sources.reader import read_table
+
+        docs = read_table(spark, sf_dir, "documents")
+        out = prepare_pretraining_corpus(docs, survivor_by="n_chars")
+        rows = out.limit(5).collect()
+        assert len(rows) > 0
+        assert {"doc_id", "pack_id", "oversize"} <= set(out.columns)

@@ -424,3 +424,52 @@ def test_ivf_pq_append_retry_is_idempotent(spark, sf_dir, tmp_path):
     _, _, _, enc_legacy = ivf_pq_load(spark, legacy)
     assert enc_legacy.count() == enc_a.count()
     assert sorted(enc_legacy.columns) == ["cid", "codes", "id"]
+
+
+def test_ivf_pq_compact_shrinks_store_same_answers(spark, sf_dir, tmp_path):
+    """r7: compaction resolves the codes store to one latest row per id
+    (crash-safe swap) — physical rows shrink to live ids, query answers
+    are identical, and a later append still works."""
+    import glob
+
+    from etl_pack_spark.operators.quantize import (
+        ivf_pq_append,
+        ivf_pq_compact,
+        ivf_pq_index,
+        ivf_pq_load,
+        ivf_pq_save,
+        ivf_pq_topk,
+    )
+    from etl_pack_spark.sources.reader import read_table
+
+    emb = read_table(spark, sf_dir, "embeddings")
+    dims = len(emb.select("embedding").first()[0])
+    half_a = emb.where("vec_id % 2 = 0")
+    half_b = emb.where("vec_id % 2 = 1")
+    cids, C, books, enc_a = ivf_pq_index(half_a, dims, nlist=8, m=8, k=16)
+    path = str(tmp_path / "idx")
+    ivf_pq_save(path, cids, C, books, enc_a)
+    ivf_pq_append(spark, path, half_b)
+    ivf_pq_append(spark, path, half_b)  # retry: superseded rows on disk
+    raw_before = spark.read.parquet(f"{path}/codes").count()
+    assert raw_before == emb.count() + half_b.count()  # dead rows present
+
+    queries = emb.where("vec_id < 10")
+
+    def rows():
+        _, _, _, enc = ivf_pq_load(spark, path)
+        return sorted(
+            (r["q_id"], r["rk"], r["n_id"], r["adc_dist"])
+            for r in ivf_pq_topk(enc, queries, cids, C, books, k=5, nprobe=3).collect()
+        )
+
+    before = rows()
+    n = ivf_pq_compact(spark, path)
+    assert n == emb.count()
+    assert spark.read.parquet(f"{path}/codes").count() == emb.count()
+    assert rows() == before
+    # no leftover stage/backup dirs
+    assert not glob.glob(f"{path}/.codes*")
+    # the compacted store still accepts appends (batch ids preserved)
+    ivf_pq_append(spark, path, half_b)
+    assert rows() == before
