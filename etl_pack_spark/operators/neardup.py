@@ -162,21 +162,25 @@ def _drop_hot_buckets(rows: DataFrame, keys: list[str], cap: int) -> DataFrame:
     whose every shared bucket is overfull — which at cap≫1 means
     near-identical floods that exact dedup upstream should own.
 
-    Adaptive since r7: callers pool-persist the bucketed rows FIRST
-    (the probe's pass then doubles as the materialization the
-    candidate self-join consumes twice — not pure overhead), the
-    overfull-key frame is materialized once (pooled persist — tiny by
-    construction) and probed with a bounded ``limit(1).count()``.
-    When NO bucket is overfull — every healthy corpus — the anti-join
-    never enters the plan, so the default-on cap costs one combinable
-    count over cached rows instead of an extra count + broadcast +
-    probe pass per candidate join (most of the r6 +48%/+22%
-    minhash/simhash headline cost). When buckets ARE overfull, the
-    engagement is no longer silent: the count of dropped bucket keys
-    is logged at WARNING, because a cap engaging means near-identical
-    floods larger than ``cap`` are escaping near-dup dedup (exact
-    dedup upstream owns them); the filtered frame is persisted too,
-    since the self-join reads it from both sides."""
+    Adaptive since r7: the overfull-key frame is materialized once
+    (pooled persist — tiny by construction: heavy hitters are few)
+    and probed with a bounded ``limit(1).count()``. When NO bucket is
+    overfull — every healthy corpus — the anti-join never enters the
+    plan, so the default-on cap costs one combinable count over the
+    bucketed rows (whose upstream signature frame the callers persist)
+    instead of an extra count + broadcast + probe pass per candidate
+    join (most of the r6 +48%/+22% minhash/simhash headline cost).
+    When buckets ARE overfull, the engagement is no longer silent: the
+    count of dropped bucket keys is logged at WARNING, because a cap
+    engaging means near-identical floods larger than ``cap`` are
+    escaping near-dup dedup (exact dedup upstream owns them). The
+    bucketed rows and the filtered output stay LAZY on purpose: the
+    candidate self-join's two sides are identical subplans, so Spark's
+    exchange reuse already computes the banding once — an r7 interim
+    that cached both frames measured ~1.7× SLOWER on the engaged-cap
+    30× replication probe (interleaved A/B, SCALE.md round-7) than
+    recomputing the cheap banding expressions from the cached
+    signatures."""
     over = _pooled_persist(overfull_buckets(rows, keys, cap).drop("count"))
     if over.limit(1).count() == 0:
         return rows
@@ -187,7 +191,7 @@ def _drop_hot_buckets(rows: DataFrame, keys: list[str], cap: int) -> DataFrame:
         "inspect them with overfull_buckets())",
         over.count(), keys, cap,
     )
-    return _pooled_persist(rows.join(F.broadcast(over), keys, "left_anti"))
+    return rows.join(F.broadcast(over), keys, "left_anti")
 
 
 def lsh_candidate_pairs(
@@ -206,11 +210,9 @@ def lsh_candidate_pairs(
     banding reports what a given cap would drop."""
     banded = _banded(sig, id_col, num_hashes, bands)
     if max_bucket is not None:
-        # persist the banding BEFORE the probe: the probe's aggregate
-        # pass materializes it, and the self-join below then reads it
-        # from cache twice instead of recomputing 8 md5 band keys per
-        # signature per side — the probe pays for itself
-        banded = _pooled_persist(banded)
+        # the banding stays lazy: exchange reuse computes it once for
+        # both self-join sides, and the probe's extra pass recomputes
+        # only cheap md5 band keys from the persisted signatures
         banded = _drop_hot_buckets(banded, ["band", "bk"], max_bucket)
     a, b = banded.alias("a"), banded.alias("b")
     return (
@@ -345,7 +347,6 @@ def minhash_match_incremental(
     banded_all = _banded(allsig, id_col, num_hashes, bands, extra_cols=["__new"])
     banded_new = _banded(sig_new, id_col, num_hashes, bands)
     if max_bucket is not None:
-        banded_all = _pooled_persist(banded_all)
         banded_all = _drop_hot_buckets(banded_all, ["band", "bk"], max_bucket)
     a, b = banded_new.alias("a"), banded_all.alias("b")
     cand = (
@@ -714,8 +715,9 @@ def hamming_neardup_pairs(
         # one block dominate the join (the 30x replication probe's
         # superlinear point). Pairs whose EVERY shared block is capped
         # are lost; at sane caps those are identical-signature floods.
-        # Persist-before-probe: see lsh_candidate_pairs.
-        blocks = _pooled_persist(blocks)
+        # blocks stays lazy (substring over cached sig — see
+        # lsh_candidate_pairs / _drop_hot_buckets on why caching it
+        # regressed the engaged-cap path).
         blocks = _drop_hot_buckets(blocks, ["blk_idx", "blk"], max_block_freq)
     a, b = blocks.alias("a"), blocks.alias("b")
     cand = (
