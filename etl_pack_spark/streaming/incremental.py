@@ -303,30 +303,9 @@ def stream_neardup_ingest(
             num_hashes,
         )
         if os.path.exists(store_path):
-            # mergeSchema: after the FIRST stamped append to a legacy
-            # store the directory mixes files with and without __batch;
-            # default schema inference reads ONE footer, which either
-            # loses the stamp column (all rows -> batch -1, ties between
-            # old and new signatures) or exists only in some files. With
-            # merged schemas legacy rows surface as __batch NULL, which
-            # max_by would IGNORE (silently dropping legacy signatures)
-            # — hence the coalesce to -1 (any stamped rewrite wins).
-            store = sess.read.option("mergeSchema", "true").parquet(store_path)
-            if "__batch" not in store.columns:
-                # migration shim: store written entirely before the
-                # batch stamp existed
-                store = store.withColumn("__batch", F.lit(-1))
-            else:
-                store = store.withColumn(
-                    "__batch", F.coalesce(F.col("__batch"), F.lit(-1))
-                )
-            sig_cols = [c for c in store.columns if c not in (id_col, "__batch")]
             sig_old = (
-                store.groupBy(id_col)
-                # latest-wins, deterministically: an updated doc's new
-                # signature replaces the old one for future matching
-                .agg(F.max_by(F.struct(*sig_cols), "__batch").alias("__s"))
-                .select(id_col, *[F.col(f"__s.{c}").alias(c) for c in sig_cols])
+                resolve_signature_store(sess, store_path, id_col)
+                .drop("__batch")
                 # replay absorber: a batch whose signatures already
                 # landed must not self-match against them
                 .join(batch.select(id_col), id_col, "left_anti")
@@ -438,6 +417,103 @@ def stream_url_dedup_ingest(
     n = len(query.recentProgress)
     query.stop()
     return n
+
+
+# Compaction watermark marker, written INSIDE the store directory.
+# Underscore-prefixed files are invisible to Spark's parquet listing
+# (the _SUCCESS convention), and the marker rides the staged-swap
+# rename so store content and watermark publish atomically together.
+COMPACTION_MARKER = "_compacted_through.json"
+
+
+def compaction_watermark(store_path: str) -> int | None:
+    """The store's compaction watermark: every row stamped ``__batch <=
+    watermark`` is part of the last compaction's output — one row per
+    id, superseded rows removed — and rows above it are the uncompacted
+    append TAIL. ``None`` for stores never compacted by the leveled
+    code (including legacy pre-marker compactions: they must keep the
+    full resolve path, so the marker is deliberately not inferred)."""
+    import json
+    import os
+
+    p = os.path.join(store_path, COMPACTION_MARKER)
+    if not os.path.exists(p):
+        return None
+    with open(p) as fh:
+        return int(json.load(fh)["compacted_through_batch"])
+
+
+def _write_compaction_marker(staged: str, watermark: int) -> None:
+    import json
+    import os
+
+    with open(os.path.join(staged, COMPACTION_MARKER), "w") as fh:
+        json.dump({"compacted_through_batch": int(watermark)}, fh)
+
+
+def resolve_signature_store(
+    spark: SparkSession, store_path: str, id_col: str = "doc_id"
+) -> DataFrame:
+    """The store's RESOLVED content — one row per id, latest ``__batch``
+    wins — as a lazy frame carrying ``__batch``.
+
+    Merge-on-read over compaction levels: an append-only store is a
+    compacted BASE (one row per id by construction of
+    :func:`compact_signature_store`) plus a small append TAIL, split
+    exactly at the compaction watermark the compactor published
+    atomically with its output. Resolving with one global
+    ``groupBy(id).max_by(__batch)`` — the pre-r7 shape — shuffles the
+    ENTIRE store once per evaluation, and the incremental match plan
+    evaluates the store three times per micro-batch (occupancy probe,
+    candidate join, estimator join): at corpus scale that is three
+    full-store shuffles per batch for a store that is ~99% immutable.
+    With the watermark, the base segment bypasses aggregation entirely
+    (its ids are unique; a broadcast anti-join against the tail's few
+    ids handles overrides) and only the TAIL — bounded by ingest since
+    the last maintenance firing — is shuffled. Never-compacted and
+    legacy stores (no marker) keep the full-resolve path.
+
+    mergeSchema + ``coalesce(__batch, -1)``: a store appended to both
+    before and after the batch stamp existed mixes files with and
+    without the column; single-footer inference would either drop the
+    stamp or NULL legacy rows, and ``max_by`` IGNORES null keys —
+    which would silently drop legacy signatures instead of letting
+    any stamped rewrite win."""
+    store = spark.read.option("mergeSchema", "true").parquet(store_path)
+    if "__batch" not in store.columns:
+        store = store.withColumn("__batch", F.lit(-1))
+    else:
+        store = store.withColumn(
+            "__batch", F.coalesce(F.col("__batch"), F.lit(-1))
+        )
+    payload = [c for c in store.columns if c not in (id_col, "__batch")]
+
+    def _resolve(rows: DataFrame) -> DataFrame:
+        return (
+            rows.groupBy(id_col)
+            .agg(
+                F.max_by(F.struct(*payload), "__batch").alias("__s"),
+                F.max("__batch").alias("__batch"),
+            )
+            .select(
+                id_col,
+                *[F.col(f"__s.{c}").alias(c) for c in payload],
+                "__batch",
+            )
+        )
+
+    wm = compaction_watermark(store_path)
+    if wm is None:
+        return _resolve(store)
+    base = store.where(F.col("__batch") <= wm)
+    tail = store.where(F.col("__batch") > wm)
+    tail_res = _resolve(tail)
+    # tail always outranks base (its stamps exceed the watermark), so
+    # override = drop base rows whose id reappears in the tail; the
+    # tail id set is small -> broadcast anti-join, base never shuffles
+    return base.join(
+        F.broadcast(tail_res.select(id_col)), id_col, "left_anti"
+    ).unionByName(tail_res)
 
 
 def compact_signature_store(
