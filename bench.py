@@ -119,6 +119,27 @@ def _scale_probe_queries():
             "text",
             k=8,
         ),
+        # planted-hot-bucket simhash variant (r8, round-7 VERDICT #6):
+        # the same boilerplate prefix on every document drags short
+        # docs toward near-identical signatures, so single block values
+        # reach corpus-scale occupancy and the heavy-hitter cap ENGAGES
+        # — the standing in-artifact probe of the engaged-cap path
+        # (r7's evidence lived only in SCALE.md prose; a regression in
+        # the engaged path now shows up by artifact diffing).
+        "dedup_simhash_hot": lambda d: neardup.simhash_neardup_pairs(
+            d.select(
+                "doc_id",
+                F.concat(
+                    F.lit(
+                        "all rights reserved contact the webmaster "
+                        "for further details "
+                    ),
+                    F.coalesce(F.col("text"), F.lit("")),
+                ).alias("text"),
+            ),
+            "doc_id",
+            "text",
+        ),
         # the composed end-to-end curation plan (curate -> near-dup ->
         # excision -> pack -> splits): single ops scaling well does not
         # prove their COMPOSITION does (shared pooled persists, caps
@@ -301,12 +322,56 @@ def _calibrate() -> dict:
     }
 
 
+def _sweep_scratch() -> dict:
+    """Pre-bench scratch hygiene (r8, round-7 VERDICT #7): stale Spark
+    scratch dirs from dead JVMs (``spark-*``, ``blockmgr-*``) accumulate
+    on the shared volume — 74 GB of stale spills once took the machine
+    to 94% full and tripled the 30× probes, and r7's calibration showed
+    write throughput collapsing 539→147 MB/s across the suite. Deletes
+    only trees whose NEWEST mtime (checked recursively — a live
+    session's top-level dir can look old while its shuffle subdirs are
+    hot) is over an hour old, so a concurrent live session is never
+    touched. Returns counts for the artifact."""
+    import glob
+    import shutil as _shutil
+    import tempfile
+
+    root = tempfile.gettempdir()
+    cutoff = time.time() - 3600
+    freed, n = 0, 0
+    for pat in ("spark-*", "blockmgr-*"):
+        for p in glob.glob(os.path.join(root, pat)):
+            if not os.path.isdir(p):
+                continue
+            try:
+                newest, nbytes = os.path.getmtime(p), 0
+                for r, _dirs, files in os.walk(p):
+                    newest = max(newest, os.path.getmtime(r))
+                    for f in files:
+                        fp = os.path.join(r, f)
+                        try:
+                            st = os.stat(fp)
+                        except OSError:
+                            continue
+                        newest = max(newest, st.st_mtime)
+                        nbytes += st.st_size
+                if newest >= cutoff:
+                    continue
+                _shutil.rmtree(p, ignore_errors=True)
+                freed += nbytes
+                n += 1
+            except OSError:
+                continue
+    return {"dirs_removed": n, "freed_gb": round(freed / 1e9, 2)}
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     m = re.search(r"sf([0-9.]+)", sf_dir)
     sf = float(m.group(1)) if m else -1.0
     warmup = os.environ.get("SPARK_GRAFT_BENCH_WARMUP", "1") == "1"
 
+    sweep = _sweep_scratch()
     calib_pre = _calibrate()
 
     spark = get_spark("etl_pack_spark_bench")
@@ -384,7 +449,12 @@ def main() -> None:
         "queries_lib_stats": lib_stats,
         "sf": sf,
         "calibration_pre": calib_pre,
+        "scratch_sweep": sweep,
     }
+    # mid-suite calibration (r8, round-7 VERDICT #7): the headline and
+    # lib suites themselves degrade the scratch volume; the probe-stage
+    # numbers need their OWN ambient marker, not just the endpoints
+    out["calibration_mid"] = _calibrate()
 
     # scaling curve: the same suite at a second (smaller) scale factor,
     # so per-round records show how each query scales with data size
@@ -466,7 +536,13 @@ def main() -> None:
         # the evidence the cap bounds it
         n_docs2, t4, s4 = probe_at(
             factor2, reps2,
-            only={"dedup_minhash_lsh", "dedup_simhash_pairs", "text_signals"},
+            only={
+                "dedup_minhash_lsh", "dedup_simhash_pairs", "text_signals",
+                # r8: the planted-hot-bucket variant joins the 30x
+                # subset — this is the replication level where the cap
+                # engages, so the engaged path gets a standing number
+                "dedup_simhash_hot",
+            },
         )
         out["scale_probe2_factor"] = factor2
         out["scale_probe2_docs"] = n_docs2
@@ -499,7 +575,8 @@ def main() -> None:
         "scale_probe_factor", "scale_probe_docs", "queries_scale_probe",
         "scale_probe2_factor", "scale_probe2_docs",
         "queries_scale_probe2", "queries_scale_probe2_stats",
-        "calibration_pre", "calibration_post",
+        "calibration_pre", "calibration_mid", "calibration_post",
+        "scratch_sweep",
     ):
         if key in out:
             compact[key] = out[key]

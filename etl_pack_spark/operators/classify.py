@@ -62,6 +62,7 @@ def nb_train(
         F.sum("c_neg").alias("t_neg"),
         F.count("*").alias("vocab"),
     )
+    # bounded by construction: stats is a ONE-ROW global aggregate
     tok_llr = counts.crossJoin(F.broadcast(stats)).select(
         "tok",
         (
@@ -105,6 +106,7 @@ def nb_score(
         toks.join(maybe_broadcast(tok_model), "tok", "left")
         .groupBy("id")
         .agg(F.coalesce(F.sum("llr"), F.lit(0.0)).alias("__tok_llr"))
+        # bounded by construction: prior is a ONE-ROW aggregate
         .crossJoin(F.broadcast(prior))
     )
     return scored.select(

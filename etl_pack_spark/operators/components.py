@@ -234,18 +234,36 @@ def cluster_dedup(
     best copy of a near-duplicated page, not an arbitrary one; NULL
     scores sort lowest, and an all-NULL cluster falls back to min-id).
 
-    The clusters frame is tiny relative to the corpus (only docs that
-    near-dup something), so every join here keeps the corpus
-    unshuffled: member scores come from a broadcast-clusters semi
-    lookup, the best-score and winner picks are map-side-combinable
-    aggregates over the member-sized frame, and the final anti-join
-    broadcasts the loser ids. Pass ``clusters`` (a prior
-    :func:`neardup_clusters` output, ideally persisted) when the
-    caller already labeled the graph — the components computation is
-    the one iterative stage and must not silently run twice.
+    Join strategy (r8): the clusters frame is NOT assumed small — on
+    the web-crawl corpora this engine targets, 30-50% of documents
+    near-dup something, so clusters/members/losers are corpus-fraction
+    scale. ONE bounded ``limit(n+1).count()`` probe (the
+    :mod:`~.guards` posture) decides the strategy for every join here:
+    members, best, winners, and losers are all row-bounded by the
+    clusters frame (one row per clustered doc, or one per cluster), so
+    proving clusters small proves them all broadcastable; past the
+    bound NOTHING is hinted and AQE picks the join from real runtime
+    sizes (a shuffled hash join — the correct plan for a
+    billion-loser anti-join). The best/winner picks stay map-side-
+    combinable aggregates either way. Pass ``clusters`` (a prior
+    :func:`neardup_clusters` output, ideally persisted — the probe
+    and the joins re-execute an unpersisted lineage) when the caller
+    already labeled the graph — the components computation is the one
+    iterative stage and must not silently run twice.
     """
+    from etl_pack_spark.operators import guards
+
     if clusters is None:
+        # connected_components returns its labels frame persisted (the
+        # distributed loop) or driver-local (the union-find path), so
+        # the size probe below never re-runs the iterative stage
         clusters = neardup_clusters(pairs, id_col)
+    bound = guards.MAX_BROADCAST_MODEL_ROWS
+    small = clusters.limit(bound + 1).count() <= bound
+
+    def hint(frame: DataFrame) -> DataFrame:
+        return F.broadcast(frame) if small else frame
+
     if survivor_by is None:
         losers = clusters.where(F.col(id_col) != F.col("cluster_id")).select(
             id_col
@@ -254,21 +272,21 @@ def cluster_dedup(
         score = F.coalesce(
             F.col(survivor_by).cast("double"), F.lit(float("-inf"))
         )
-        members = df.join(F.broadcast(clusters), id_col).select(
+        members = df.join(hint(clusters), id_col).select(
             F.col(id_col), F.col("cluster_id"), score.alias("__score")
         )
         best = members.groupBy("cluster_id").agg(
             F.max("__score").alias("__best")
         )
         winners = (
-            members.join(F.broadcast(best), "cluster_id")
+            members.join(hint(best), "cluster_id")
             .where(F.col("__score") == F.col("__best"))
             .groupBy("cluster_id")
             .agg(F.min(id_col).alias("__win"))
         )
         losers = (
-            members.join(F.broadcast(winners), "cluster_id")
+            members.join(hint(winners), "cluster_id")
             .where(F.col(id_col) != F.col("__win"))
             .select(id_col)
         )
-    return df.join(F.broadcast(losers), id_col, "left_anti")
+    return df.join(hint(losers), id_col, "left_anti")

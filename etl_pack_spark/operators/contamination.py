@@ -58,6 +58,9 @@ def contamination_report(
         id_col, F.xxhash64("s").alias("gh")
     )
     return (
+        # bounded by construction: evset is the distinct n-gram hashes
+        # of the EVAL set — benchmarks are fixed-size by contract
+        # (thousands of questions), independent of corpus scale
         train_grams.join(F.broadcast(evset), "gh", "left_semi")
         .groupBy(id_col)
         .agg(F.count_distinct("gh").alias("hits"))
@@ -73,14 +76,27 @@ def decontaminate(
     max_hits: int = 0,
 ) -> DataFrame:
     """Drop train docs with more than ``max_hits`` distinct shared
-    n-grams (default: any overlap). The flagged-id set is small, so the
-    anti-join broadcasts; the corpus is never shuffled."""
-    flagged = (
+    n-grams (default: any overlap).
+
+    The flagged-id set is USUALLY small (clean corpus, fixed eval set)
+    — but it grows with corpus size for a fixed eval set, and a
+    heavily contaminated mirror-crawl can flag a large corpus fraction,
+    so the anti-join build side is NOT bounded by construction. The
+    flagged frame is persisted (its lineage is a full train-shingle
+    scan — the probe and the join must not run it twice) and routed
+    through :func:`~etl_pack_spark.operators.guards.maybe_broadcast`:
+    broadcast when a bounded probe proves it small, AQE's shuffled
+    join otherwise. The corpus side is never shuffled in the broadcast
+    case."""
+    from etl_pack_spark.operators.cache import pooled_persist
+    from etl_pack_spark.operators.guards import maybe_broadcast
+
+    flagged = pooled_persist(
         contamination_report(train, eval_df, id_col, text_col, n)
         .where(F.col("hits") > max_hits)
         .select(id_col)
     )
-    return train.join(F.broadcast(flagged), id_col, "left_anti")
+    return train.join(maybe_broadcast(flagged), id_col, "left_anti")
 
 
 def contamination_report_sql(

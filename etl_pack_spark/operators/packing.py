@@ -42,6 +42,17 @@ from pyspark.sql import functions as F
 # as one shard packs fewer than a trillion packs
 _SHARD_SPAN = 1 << 40
 
+# Per-task memory bound for the default shard count (r8): the packer
+# is applyInPandas, which materializes ONE ENTIRE SHARD as a pandas
+# frame in one task — so the default must size shards by DATA, not by
+# `spark.sql.shuffle.partitions` (a fixed-200 default config at 100 TB
+# would put corpus/200 rows in one task: a memory cliff). 4M (id,
+# tokens) rows ≈ tens-of-MB pandas frames — comfortably inside any
+# executor sized for this engine, and fine-grained enough that the
+# tail-waste cost (one partially-filled final pack per shard) stays
+# negligible against corpus-scale pack counts.
+TARGET_ROWS_PER_SHARD = 4_000_000
+
 
 def pack_sequences(
     df: DataFrame,
@@ -54,16 +65,24 @@ def pack_sequences(
     oversize)`` with sum(token_col) ≤ budget per pack (oversize docs
     alone in their pack).
 
-    ``shards``: number of independent packing groups (default: the
-    session's shuffle parallelism). More shards = more parallelism,
-    marginally more tail waste (one partially-filled final pack per
-    shard).
+    ``shards``: number of independent packing groups. More shards =
+    more parallelism, marginally more tail waste (one partially-filled
+    final pack per shard). Default (r8): derived from the DATA —
+    ``max(parallelism, ceil(n_rows / TARGET_ROWS_PER_SHARD))`` via one
+    map-side-combinable count — so one applyInPandas task never
+    materializes an unbounded pandas frame regardless of the session's
+    ``shuffle.partitions`` config (the pre-r8 default, which tied
+    per-task memory to a config knob instead of the corpus). Pass an
+    explicit ``shards`` for reproducible pack ids across differently
+    sized inputs (the registry query and the oracle twin pin it).
     """
     if budget <= 0:
         raise ValueError(f"budget must be positive, got {budget}")
     spark = df.sparkSession
     if shards is None:
-        shards = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
+        parallelism = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
+        n_rows = df.count()
+        shards = max(parallelism, -(-n_rows // TARGET_ROWS_PER_SHARD))
 
     # md5-h7 shard hash (seedless, engine-agnostic — same family as
     # minhash/sharding): pmod of the first 7 md5 hex chars of the id

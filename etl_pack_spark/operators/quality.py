@@ -125,6 +125,7 @@ def mad_outliers(
         # never match NULLs) while the DuckDB twin's PARTITION BY
         # keeps them as their own group
         if not group_cols:
+            # bounded by construction: ungrouped agg_df is ONE row
             return left.crossJoin(F.broadcast(agg_df))
         renamed = agg_df.select(
             *[F.col(c).alias(f"__g_{c}") for c in group_cols], payload

@@ -660,6 +660,15 @@ def ivf_pq_topk_sql(
     """
 
 
+# sidecar manifest: the index's defining parameters, written with the
+# build (underscore-prefixed — invisible to Spark's parquet listing).
+# ann_topk validates it against the caller's nlist/m/pq_k/dims before
+# answering queries from a loaded index, so a path holding an index
+# built under DIFFERENT parameters (or for a different-dimension
+# corpus) raises instead of silently returning mismatched neighbors.
+IVF_PQ_MANIFEST = "_ivf_pq_manifest.json"
+
+
 def ivf_pq_save(
     path: str,
     cids: np.ndarray,
@@ -674,13 +683,33 @@ def ivf_pq_save(
     ``codes`` is the distributed encoded frame (1 list id + m code
     shorts per vector — the only corpus-sized artifact). Doubles
     round-trip parquet bit-exactly, so a loaded index answers queries
-    bit-identically to the in-memory build (pinned in tests)."""
+    bit-identically to the in-memory build (pinned in tests).
+
+    Crash safety (r8): all three subdirs plus the params manifest are
+    written into ONE staged directory and published by the atomic
+    staged/backup/rename swap (mirroring :func:`ivf_pq_compact`) —
+    three independent overwrite writes left a kill window where new
+    coarse/books landed over old codes, a mixed-generation index that
+    loads without error and answers silently wrong."""
+    import json
+
+    from etl_pack_spark.sinks.atomic import (
+        clean_orphan_stages,
+        publish_swap,
+        recover_swap,
+        stage_dir,
+    )
+    from etl_pack_spark.sinks.fsio import write_text
+
     spark = encoded.sparkSession
     m, kcent, dsub = codebooks.shape
+    recover_swap(path)
+    clean_orphan_stages(path, "ivfpq_stage_")
+    staged = stage_dir(path, prefix="ivfpq_stage_")
     spark.createDataFrame(
         [(int(c), [float(x) for x in cv]) for c, cv in zip(cids, centroids)],
         "cid long, cv array<double>",
-    ).coalesce(1).write.mode("overwrite").parquet(f"{path}/coarse")
+    ).coalesce(1).write.mode("overwrite").parquet(f"{staged}/coarse")
     spark.createDataFrame(
         [
             (j, c, [float(x) for x in codebooks[j, c]])
@@ -688,14 +717,34 @@ def ivf_pq_save(
             for c in range(kcent)
         ],
         "j int, c int, cvec array<double>",
-    ).coalesce(1).write.mode("overwrite").parquet(f"{path}/books")
+    ).coalesce(1).write.mode("overwrite").parquet(f"{staged}/books")
     # __batch stamp (same posture as the minhash signature store): the
     # build is batch 0, appends stamp epoch-millis batch ids, and every
     # read resolves id -> highest-batch row, so a crashed-and-retried
     # append cannot surface duplicate neighbors
     encoded.withColumn(
         "__batch", F.lit(0).cast("long")
-    ).write.mode("overwrite").parquet(f"{path}/codes")
+    ).write.mode("overwrite").parquet(f"{staged}/codes")
+    write_text(
+        spark,
+        f"{staged}/{IVF_PQ_MANIFEST}",
+        json.dumps(
+            {"nlist": len(cids), "m": m, "pq_k": kcent, "dims": m * dsub}
+        ),
+    )
+    publish_swap(staged, path)
+
+
+def ivf_pq_manifest(spark, path: str) -> dict | None:
+    """The saved index's parameter manifest, or ``None`` for a
+    pre-manifest (legacy) index — callers then validate against the
+    loaded arrays' own shapes, which carry the same information."""
+    import json
+
+    from etl_pack_spark.sinks.fsio import read_text
+
+    raw = read_text(spark, f"{path.rstrip('/')}/{IVF_PQ_MANIFEST}")
+    return None if raw is None else json.loads(raw)
 
 
 def _read_codes(spark, path: str) -> DataFrame:
@@ -727,7 +776,11 @@ def ivf_pq_load(spark, path: str):
     """Load a persisted IVF-PQ index: ``(cids, centroids, codebooks,
     encoded)`` exactly as :func:`ivf_pq_index` returned them. Only the
     kilobyte-scale coarse/books metadata is collected; codes stay a
-    distributed frame."""
+    distributed frame. Recovers an interrupted :func:`ivf_pq_save`
+    swap first (restores the pre-save index from its backup)."""
+    from etl_pack_spark.sinks.atomic import recover_swap
+
+    recover_swap(path)
     coarse = sorted(
         (r["cid"], r["cv"]) for r in spark.read.parquet(f"{path}/coarse").collect()
     )
@@ -741,6 +794,35 @@ def ivf_pq_load(spark, path: str):
     for r in rows:
         books[r["j"], r["c"]] = r["cvec"]
     return cids, C, books, _read_codes(spark, path)
+
+
+def validate_ivf_pq_index(
+    built, nlist: int, m: int, pq_k: int, dims: int, path: str = "<index>"
+) -> None:
+    """Raise ``ValueError`` when a loaded index's actual parameters —
+    read from the loaded arrays themselves (len(cids), books.shape),
+    so legacy pre-manifest indexes are covered too — differ from what
+    the caller asked for. Without this, a path holding an index built
+    under different nlist/m/pq_k (or over a different-dimension
+    corpus) silently answers queries with mismatched state."""
+    cids, C, books, _ = built
+    got = {
+        "nlist": len(cids),
+        "m": int(books.shape[0]),
+        "pq_k": int(books.shape[1]),
+        "dims": int(books.shape[0] * books.shape[2]),
+    }
+    want = {"nlist": nlist, "m": m, "pq_k": pq_k, "dims": dims}
+    bad = {k: (got[k], want[k]) for k in want if got[k] != want[k]}
+    if bad:
+        detail = ", ".join(
+            f"{k}: index has {g}, call asked for {w}" for k, (g, w) in bad.items()
+        )
+        raise ValueError(
+            f"persisted IVF-PQ index at {path} does not match the "
+            f"requested parameters ({detail}) — rebuild the index or "
+            f"match the call's nlist/m/pq_k/dims to the saved build"
+        )
 
 
 def ivf_pq_append(

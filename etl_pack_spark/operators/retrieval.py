@@ -138,6 +138,7 @@ def bm25_topk(
     stats = term_stats(postings.where(F.col("term").isin(q_terms)), n_docs)
     contrib = (
         postings.where(F.col("term").isin(q_terms))
+        # bounded by construction: stats has one row per QUERY term
         .join(F.broadcast(stats), "term")
         .select(
             "id",

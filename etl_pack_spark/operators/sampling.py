@@ -138,16 +138,26 @@ def mixture_resample(
     :func:`stratified_sample`).
 
     Scale shape: per-domain counts are a map-side-combinable aggregate
-    over a handful of groups, broadcast back (rows = #domains); the
+    computed ONLY for the listed domains, so the broadcast build side
+    is bounded by ``len(weights)`` BY CONSTRUCTION (r8 — a raw crawl
+    keyed by site domain has tens of millions of DISTINCT domains, but
+    only the listed ones ever join back; unlisted rows are dropped by
+    the inner join exactly as the NULL-rate filter dropped them). The
     resample itself is a map-only expression + explode. No corpus-wide
     shuffle, no driver collect.
     """
     wmap = F.create_map(
         *[x for d, w in sorted(weights.items()) for x in (F.lit(d), F.lit(float(w)))]
     )
-    counts = df.groupBy(domain_col).agg(F.count("*").alias("__dn"))
+    counts = (
+        df.where(F.col(domain_col).isin(*sorted(weights)))
+        .groupBy(domain_col)
+        .agg(F.count("*").alias("__dn"))
+    )
     if target_total is None:
-        total = counts.agg(F.sum("__dn").alias("__tot"))
+        # the default target is the FULL corpus size (all domains, as
+        # before) — only the broadcast counts frame is domain-filtered
+        total = df.agg(F.count("*").alias("__tot"))
     else:
         total = df.sparkSession.range(1).select(
             F.lit(int(target_total)).cast("long").alias("__tot")
@@ -163,6 +173,7 @@ def mixture_resample(
     ).cast("int")
     out_cols = df.columns
     return (
+        # bounded by construction: counts ≤ len(weights) rows, total = 1
         df.join(F.broadcast(counts), domain_col)
         .crossJoin(F.broadcast(total))
         .withColumn("__copies", copies)

@@ -247,6 +247,8 @@ def cosine_neardup_pairs(
             F.col(id_col).alias("id"), F.col(vec).alias("v"),
             F.pmod(F.xxhash64(F.col(id_col)), F.lit(nblocks)).cast("int").alias("b"),
         )
+        # bounded by construction: grid = the block-pair list,
+        # O((n/BLOCK_ROWS)²) tiny int rows
         grid = spark.createDataFrame(grid_rows, "bi int, bj int")
         return base.join(F.broadcast(grid), base["b"] == grid[grid_col]).drop("b")
 
@@ -330,6 +332,9 @@ def cosine_topk(
     blocks = spark.createDataFrame([(i,) for i in range(nblocks)], "b int")
     qrep = queries.select(
         F.col(id_col).alias("qid"), F.col(vec).alias("qv")
+        # bounded by construction: blocks = nblocks int rows; the query
+        # side itself is a query BATCH (bounded by the caller contract,
+        # same posture as quantize.MAX_QUERY_VECTORS)
     ).crossJoin(F.broadcast(blocks))
 
     tiled_dots = _make_tiled_dots()
@@ -455,6 +460,7 @@ def ivf_topk(
         F.col(id_col).alias("cid"), F.col(vec).alias("cv"), F.col("norm").alias("cn")
     )
     c_sim = _dot_udf(F.col(vec), F.col("cv")) / (F.col("norm") * F.col("cn"))
+    # bounded by construction: cent = nlist centroid rows
     crossed = base.crossJoin(F.broadcast(cent)).select(
         F.col(id_col), F.col(vec), F.col("norm"), F.col("cid"), c_sim.alias("c_sim")
     )
@@ -473,6 +479,8 @@ def ivf_topk(
     # query rows: an explicit id frame (broadcast semi-join — queries
     # are corpus members) or the default ids-below-threshold framing
     if queries is not None:
+        # bounded by caller contract: a query BATCH id set (same
+        # posture as quantize.MAX_QUERY_VECTORS on the PQ paths)
         q_rows = crossed.join(
             F.broadcast(queries.select(id_col)), id_col, "left_semi"
         )
@@ -491,6 +499,7 @@ def ivf_topk(
     )
     cos = _dot_udf(F.col("qv"), F.col("nv")) / (F.col("qn") * F.col("nn"))
     scored = (
+        # bounded: probes = query batch × nprobe rows
         assigned.join(F.broadcast(probes), "cid")
         .where(F.col("n_id") != F.col("q_id"))
         .select("q_id", "n_id", cos.alias("cos_sim"))
@@ -653,6 +662,7 @@ def assign_centroids(
         F.col(id_col).alias("cid"), F.col(vec).alias("cv"), F.col("norm").alias("cn")
     )
     c_sim = _dot_udf(F.col(vec), F.col("cv")) / (F.col("norm") * F.col("cn"))
+    # bounded by construction: cent = nlist centroid rows
     crossed = base.crossJoin(F.broadcast(cent)).select(
         F.col(id_col), F.col(vec), F.col("norm"), F.col("cid"), c_sim.alias("c_sim")
     )
@@ -909,6 +919,7 @@ def ann_topk(
 
         if dims is None:
             dims = len(df.select(vec).first()[0])
+        # bounded by caller contract: a query BATCH id set
         q_full = df.join(F.broadcast(queries.select(id_col)), id_col, "left_semi")
         if method == "pq":
             books = quantize.pq_train(df, dims, m=m, k=pq_k, id_col=id_col, vec=vec)
@@ -923,6 +934,14 @@ def ann_topk(
                     built = quantize.ivf_pq_load(df.sparkSession, index_path)
                 except AnalysisException:
                     built = None  # no index there yet: build and save
+                if built is not None:
+                    # a loaded index must match the CALL's parameters —
+                    # a path holding a different build (other nlist/m/
+                    # pq_k, other corpus dims) must raise, not silently
+                    # answer with mismatched state
+                    quantize.validate_ivf_pq_index(
+                        built, nlist, m, pq_k, dims, path=index_path
+                    )
             if built is None:
                 built = quantize.ivf_pq_index(
                     df, dims, nlist=nlist, m=m, k=pq_k, id_col=id_col, vec=vec

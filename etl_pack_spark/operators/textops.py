@@ -422,6 +422,7 @@ def lexicon_sentiment(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
         F.col(id_col), F.explode_outer(tokens(text_col)).alias("tok")
     )
     return (
+        # bounded by construction: lex is the fixed in-module lexicon
         exploded.join(F.broadcast(lex), "tok", "left")
         .groupBy(id_col)
         .agg(
@@ -498,6 +499,7 @@ def unigram_logprob(
     stats = counts.agg(
         F.sum("cnt").alias("total"), F.count("*").alias("vocab")
     )
+    # bounded by construction: stats is a ONE-ROW global aggregate
     model = counts.crossJoin(F.broadcast(stats)).select(
         "tok",
         F.log(
@@ -576,6 +578,7 @@ def ppl_bucket_split(
         .when(F.col("mean_logprob") <= F.col("__lo"), "tail")
         .otherwise("middle")
     )
+    # bounded by construction: cuts is a ONE-ROW percentile aggregate
     return full.crossJoin(F.broadcast(cuts)).select(
         id_col, "n_tokens", "mean_logprob", bucket.alias("bucket")
     )
@@ -689,6 +692,7 @@ def bigram_logprob(
     # p_uni is the same double the unigram op takes ln() of: the
     # division is IEEE-exactly-rounded once, so interpolating with it
     # here stays bit-identical to the SQL twin's arithmetic
+    # bounded by construction: stats is a ONE-ROW global aggregate
     model = pooled_persist(
         counts.crossJoin(F.broadcast(stats)).select(
             "tok",

@@ -1,0 +1,54 @@
+"""Scheme-aware small-file text IO through the Hadoop FileSystem API.
+
+Sidecar metadata (compaction watermarks, index parameter manifests)
+must live WITH the table directory it describes — on whatever
+filesystem that directory is on. ``open``/``os.path`` only see
+driver-local POSIX paths: on an object-store-backed store (``s3a:``,
+``abfs:``) a local-FS marker read silently returns "absent" and the
+reader quietly pays the slow path forever — a performance regression
+that looks like correct behavior. These helpers route through
+``Path.getFileSystem`` exactly like :mod:`~.compaction`'s file
+inventory (the r5 posture), so ``file:``/``hdfs:``/``s3a:`` paths all
+behave identically.
+
+Scope: kilobyte-scale sidecars only (one JVM round-trip per call, the
+whole payload in memory) — never data files.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import SparkSession
+
+
+def _fs_path(spark: SparkSession, path: str):
+    jvm = spark._jvm
+    hpath = jvm.org.apache.hadoop.fs.Path(path)
+    fs = hpath.getFileSystem(spark._jsc.hadoopConfiguration())
+    return fs, hpath
+
+
+def write_text(spark: SparkSession, path: str, text: str) -> None:
+    """Create/overwrite ``path`` with UTF-8 ``text`` on whatever
+    filesystem the path's scheme names."""
+    fs, hpath = _fs_path(spark, path)
+    out = fs.create(hpath, True)
+    try:
+        out.write(bytearray(text.encode("utf-8")))
+    finally:
+        out.close()
+
+
+def read_text(spark: SparkSession, path: str) -> str | None:
+    """UTF-8 content of ``path``, or ``None`` when it does not exist
+    (the sidecar-absent case is a normal state, not an error)."""
+    fs, hpath = _fs_path(spark, path)
+    if not fs.exists(hpath):
+        return None
+    stream = fs.open(hpath)
+    try:
+        # commons-io ships on every Spark classpath (Hadoop dependency)
+        return spark._jvm.org.apache.commons.io.IOUtils.toString(
+            stream, "UTF-8"
+        )
+    finally:
+        stream.close()

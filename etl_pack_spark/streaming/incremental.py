@@ -276,15 +276,22 @@ def stream_neardup_ingest(
 
     Updated-document semantics: re-ingesting an existing ``id`` with
     changed text REPLACES its stored signature for all later matching
-    — the store carries the appending batch id and reads resolve each
-    id to its highest-batch signature (``max_by``, deterministic; a
-    replayed batch rewrites identical rows so ties are value-equal).
-    The id's own old-vs-new signatures are never emitted as a match
-    pair (same document, not a duplicate). Ids must be unique WITHIN
-    one micro-batch — two texts under one id in the same batch have no
-    defined winner.
+    — the store carries an append stamp and reads resolve each id to
+    its highest-stamp signature (``max_by``; a replayed batch rewrites
+    value-identical rows, so whichever stamp wins the content is the
+    same). The stamp is EPOCH MILLIS, not the streaming micro-batch id
+    (r8): micro-batch ids restart at 0 under a fresh checkpoint, so a
+    post-compaction append could land BELOW the store's compaction
+    watermark and be misclassified as compacted base — epoch millis
+    are monotone across checkpoints and restarts (the same posture as
+    ``ivf_pq_append``), which is exactly what both the latest-wins
+    rule and the watermark split need. The id's own old-vs-new
+    signatures are never emitted as a match pair (same document, not a
+    duplicate). Ids must be unique WITHIN one micro-batch — two texts
+    under one id in the same batch have no defined winner.
     """
     import os
+    import time as _time
 
     from etl_pack_spark.operators.neardup import (
         minhash_match_incremental,
@@ -318,9 +325,9 @@ def stream_neardup_ingest(
         )
         matches.write.mode("append").parquet(matches_path)
         # append AFTER the match (the match plan reads the pre-batch store)
-        sig_batch.withColumn("__batch", F.lit(batch_id)).write.mode(
-            "append"
-        ).parquet(store_path)
+        sig_batch.withColumn(
+            "__batch", F.lit(int(_time.time() * 1000)).cast("long")
+        ).write.mode("append").parquet(store_path)
 
     stream = spark.readStream.schema(schema).parquet(source_dir)
     query = (
@@ -369,9 +376,12 @@ def stream_url_dedup_ingest(
     DISTINCT, which is total because the row content is
     deterministic); the store is append-only and replays converge —
     re-appended URL rows carry the same winner, and the anti-join
-    makes extra copies harmless.
+    makes extra copies harmless. Append stamps are epoch millis (r8,
+    same rationale as :func:`stream_neardup_ingest`: checkpoint-reset
+    micro-batch ids would fall below a compaction watermark).
     """
     import os
+    import time as _time
 
     from etl_pack_spark.operators.urls import dedup_by_url
 
@@ -400,7 +410,9 @@ def stream_url_dedup_ingest(
             out.write.mode("append").parquet(out_path)
             fresh.select(
                 "canonical_url", F.col(id_col).alias("winner_id")
-            ).withColumn("__batch", F.lit(batch_id)).write.mode(
+            ).withColumn(
+                "__batch", F.lit(int(_time.time() * 1000)).cast("long")
+            ).write.mode(
                 "append"
             ).parquet(store_path)
         finally:
@@ -426,29 +438,45 @@ def stream_url_dedup_ingest(
 COMPACTION_MARKER = "_compacted_through.json"
 
 
-def compaction_watermark(store_path: str) -> int | None:
+def compaction_watermark(spark: SparkSession, store_path: str) -> int | None:
     """The store's compaction watermark: every row stamped ``__batch <=
     watermark`` is part of the last compaction's output — one row per
     id, superseded rows removed — and rows above it are the uncompacted
     append TAIL. ``None`` for stores never compacted by the leveled
     code (including legacy pre-marker compactions: they must keep the
-    full resolve path, so the marker is deliberately not inferred)."""
-    import json
-    import os
+    full resolve path, so the marker is deliberately not inferred).
 
-    p = os.path.join(store_path, COMPACTION_MARKER)
-    if not os.path.exists(p):
+    Marker IO goes through the Hadoop FileSystem API (r8 —
+    :mod:`~etl_pack_spark.sinks.fsio`): on an object-store-backed
+    store a local ``os.path`` read would silently report "never
+    compacted" and every read would pay the full-resolve shuffle —
+    a perf regression indistinguishable from correct behavior."""
+    import json
+
+    from etl_pack_spark.sinks.fsio import read_text
+
+    raw = read_text(spark, f"{store_path.rstrip('/')}/{COMPACTION_MARKER}")
+    if raw is None:
         return None
-    with open(p) as fh:
-        return int(json.load(fh)["compacted_through_batch"])
+    return int(json.loads(raw)["compacted_through_batch"])
 
 
-def _write_compaction_marker(staged: str, watermark: int) -> None:
+def _write_compaction_marker(
+    spark: SparkSession, staged: str, watermark: int
+) -> None:
+    """Write the marker INTO the staged directory, pre-swap: the
+    publish rename makes store content and watermark visible
+    atomically together (a marker claiming batches the visible store
+    does not yet contain would corrupt every read)."""
     import json
-    import os
 
-    with open(os.path.join(staged, COMPACTION_MARKER), "w") as fh:
-        json.dump({"compacted_through_batch": int(watermark)}, fh)
+    from etl_pack_spark.sinks.fsio import write_text
+
+    write_text(
+        spark,
+        f"{staged.rstrip('/')}/{COMPACTION_MARKER}",
+        json.dumps({"compacted_through_batch": int(watermark)}),
+    )
 
 
 def resolve_signature_store(
@@ -502,17 +530,27 @@ def resolve_signature_store(
             )
         )
 
-    wm = compaction_watermark(store_path)
+    wm = compaction_watermark(spark, store_path)
     if wm is None:
         return _resolve(store)
+    from etl_pack_spark.operators.cache import pooled_persist
+    from etl_pack_spark.operators.guards import maybe_broadcast
+
     base = store.where(F.col("__batch") <= wm)
     tail = store.where(F.col("__batch") > wm)
-    tail_res = _resolve(tail)
+    # persisted: the resolved tail feeds BOTH the anti-join build side
+    # and the union, and the guard's size probe must not re-run the
+    # tail aggregation a third time
+    tail_res = pooled_persist(_resolve(tail))
     # tail always outranks base (its stamps exceed the watermark), so
-    # override = drop base rows whose id reappears in the tail; the
-    # tail id set is small -> broadcast anti-join, base never shuffles
+    # override = drop base rows whose id reappears in the tail. The
+    # tail is bounded by compaction CADENCE, not by construction — a
+    # store never compacted since the marker was written has a
+    # corpus-sized tail — so the anti-join broadcasts only when the
+    # bounded probe proves the tail small; past the bound AQE picks a
+    # shuffled join (and the right fix is running the compactor)
     return base.join(
-        F.broadcast(tail_res.select(id_col)), id_col, "left_anti"
+        maybe_broadcast(tail_res.select(id_col)), id_col, "left_anti"
     ).unionByName(tail_res)
 
 
@@ -566,5 +604,18 @@ def compact_signature_store(
     )
     staged = stage_dir(store_path, prefix="sigstore_stage_")
     resolved.write.mode("overwrite").parquet(staged)
+    # publish the compaction watermark WITH the output (r8 — closes the
+    # round-7 gap where the marker writer existed but was never
+    # called, leaving resolve_signature_store's merge-on-read fast
+    # path unreachable): the max resolved __batch is read back from
+    # the staged files (a footer-cheap scan of the already-written
+    # output — recomputing it from `resolved` would re-run the full
+    # store aggregation), written into the staged dir, and made
+    # visible atomically by the same rename that publishes the rows.
+    # An empty store has no watermark to claim — no marker, and reads
+    # keep the (trivial) full-resolve path.
+    wm = spark.read.parquet(staged).agg(F.max("__batch")).first()[0]
+    if wm is not None:
+        _write_compaction_marker(spark, staged, wm)
     publish_swap(staged, store_path)
     return spark.read.parquet(store_path).count()

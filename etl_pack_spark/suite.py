@@ -1124,7 +1124,39 @@ def q_mixture_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_neardup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Near-dup pairs → transitive duplicate CLUSTERS: simhash
     block-match pairs fed through iterative min-label propagation
-    (operators/components.py); cluster_id = min doc id in the group."""
+    (operators/components.py); cluster_id = min doc id in the group.
+
+    r8 rider (same grain, +1 column): ``survived`` — the quality-aware
+    survivor pick (``cluster_dedup(survivor_by="n_chars")``: keep the
+    LONGEST copy per cluster, min-id tie-break), putting the r7
+    curation-posture operator under the driver's value hash. The
+    cluster-only framing stays pinned as retired
+    ``neardup_components_plain``."""
+    from etl_pack_spark.operators.components import (
+        cluster_dedup,
+        neardup_clusters,
+    )
+
+    docs = read_table(spark, sf_dir, "documents")
+    pairs = neardup.simhash_neardup_pairs(docs, "doc_id", "text").select(
+        "id_a", "id_b"
+    )
+    clusters = neardup_clusters(pairs, "doc_id")
+    kept = cluster_dedup(
+        docs.select("doc_id", "n_chars"), pairs, "doc_id",
+        clusters=clusters, survivor_by="n_chars",
+    )
+    return clusters.join(
+        kept.select("doc_id", F.lit(True).alias("survived")), "doc_id", "left"
+    ).select(
+        "doc_id", "cluster_id",
+        F.coalesce("survived", F.lit(False)).alias("survived"),
+    )
+
+
+def q_neardup_components_plain(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The pre-r8 framing (retired pin): clusters without the survivor
+    rider."""
     from etl_pack_spark.operators.components import neardup_clusters
 
     docs = read_table(spark, sf_dir, "documents")
@@ -1887,11 +1919,30 @@ ORACLES: dict[str, str] = {
         "documents", "doc_id", "source", MIXTURE_WEIGHTS,
         select="doc_id, source, lang",
     ),
+    # r8 rider: the quality-aware survivor pick (keep the longest copy
+    # per cluster, min-id tie-break — cluster_dedup's survivor_by rule:
+    # score = coalesce(cast double, -inf), winners = min id among
+    # max-score members) rides the cluster labeling, same grain +1 col
     "neardup_components": f"""
-        SELECT id AS doc_id, cluster_id
-        FROM ({connected_components_sql(
+        WITH cc AS ({connected_components_sql(
             neardup.simhash_neardup_pairs_sql("documents", "doc_id", "text")
-        )})
+        )}),
+        m AS (
+            SELECT cc.id, cc.cluster_id,
+                   COALESCE(CAST(d.n_chars AS DOUBLE),
+                            CAST('-inf' AS DOUBLE)) AS s
+            FROM cc JOIN documents d ON d.doc_id = cc.id
+        ),
+        best AS (
+            SELECT cluster_id, max(s) AS b FROM m GROUP BY cluster_id
+        ),
+        win AS (
+            SELECT m.cluster_id, min(m.id) AS win_id
+            FROM m JOIN best ON m.cluster_id = best.cluster_id AND m.s = best.b
+            GROUP BY m.cluster_id
+        )
+        SELECT m.id AS doc_id, m.cluster_id, (m.id = w.win_id) AS survived
+        FROM m JOIN win w ON m.cluster_id = w.cluster_id
     """,
     # round-6 on both engines BEFORE the percentile cutoffs: ln() is
     # libm-dependent (±1 ulp); counts and everything integer-derived
@@ -1990,6 +2041,8 @@ RETIRED_QUERIES: dict[str, QueryFn] = {
     "repeated_ngram_spans_plain": q_repeated_ngram_spans_plain,
     # r7 rider: the slot gained the sequence-packing stage
     "chunk_documents_plain": q_chunk_documents_plain,
+    # r8 rider: the slot gained the quality-aware survivor column
+    "neardup_components_plain": q_neardup_components_plain,
 }
 
 RETIRED_ORACLES: dict[str, str] = {
@@ -2070,4 +2123,10 @@ RETIRED_ORACLES: dict[str, str] = {
     "chunk_documents_plain": _chunk_documents_sql(
         "documents", "doc_id", "text", chunk_tokens=64, overlap=16
     ),
+    "neardup_components_plain": f"""
+        SELECT id AS doc_id, cluster_id
+        FROM ({connected_components_sql(
+            neardup.simhash_neardup_pairs_sql("documents", "doc_id", "text")
+        )})
+    """,
 }

@@ -75,3 +75,43 @@ def test_oracle_parity_on_fixture(spark, sf_dir):
     ).fetchall()))
     assert got == want
     assert len(got) >= 20  # at minimum the eval docs themselves
+
+
+def test_decontaminate_broadcast_guarded(spark, monkeypatch):
+    """r8 broadcast sweep: the flagged-id anti-join build side grows
+    with corpus size for a fixed eval set (a contaminated mirror-crawl
+    flags a large corpus fraction), so it routes through
+    guards.maybe_broadcast — hinted below the bound, unhinted (AQE
+    decides) past it, identical survivors either way."""
+    from etl_pack_spark.operators import guards
+    from etl_pack_spark.operators.contamination import decontaminate
+
+    train = _df(
+        spark,
+        [(i, "alpha beta gamma delta epsilon zeta eta theta iota") for i in range(6)]
+        + [(100 + i, f"unique text {i} with no overlap at all here ok") for i in range(4)],
+    )
+    evald = _df(spark, [(999, "alpha beta gamma delta epsilon zeta eta theta iota")])
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        def anti_is_broadcast(df) -> bool:
+            # the eval-set SEMI join stays broadcast by construction in
+            # both cases; the guarded join is the flagged-id LeftAnti
+            plan = df._jdf.queryExecution().executedPlan().toString()
+            return any(
+                "BroadcastHashJoin" in line and "LeftAnti" in line
+                for line in plan.splitlines()
+            )
+
+        small = decontaminate(train, evald, n=8)
+        assert anti_is_broadcast(small)
+
+        monkeypatch.setattr(guards, "MAX_BROADCAST_MODEL_ROWS", 0)
+        big = decontaminate(train, evald, n=8)
+        assert not anti_is_broadcast(big)
+        assert sorted(r["doc_id"] for r in small.collect()) == sorted(
+            r["doc_id"] for r in big.collect()
+        ) == [100, 101, 102, 103]
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)

@@ -113,3 +113,38 @@ def test_string_ids_pack_cross_engine(spark):
         map(tuple, con.execute(pack_sequences_sql("t", budget=100, shards=4)).fetchall())
     )
     assert got == want
+
+
+def test_default_shards_scale_with_data(spark, monkeypatch):
+    """r8 (round-7 VERDICT #4): the default shard count derives from
+    the DATA (ceil(n_rows / TARGET_ROWS_PER_SHARD), floored at the
+    session parallelism), not from `shuffle.partitions` — one
+    applyInPandas task must never materialize an unbounded pandas
+    frame. Pinned by shrinking the target so the data-derived term
+    wins, and by equality with the explicit-shards call."""
+    from pyspark.sql import functions as F
+
+    from etl_pack_spark.operators import packing
+    from etl_pack_spark.operators.packing import _SHARD_SPAN, pack_sequences
+
+    df = spark.range(1000).select(
+        F.col("id").alias("doc_id"), (F.col("id") % 50 + 1).alias("n_tokens")
+    )
+    parallelism = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    monkeypatch.setattr(packing, "TARGET_ROWS_PER_SHARD", 10)
+    derived = pack_sequences(df, budget=128)  # 1000/10 = 100 shards
+    n_shards = derived.select(
+        (F.col("pack_id") / F.lit(_SHARD_SPAN)).cast("long")
+    ).distinct().count()
+    assert parallelism < n_shards <= 100
+    explicit = pack_sequences(df, budget=128, shards=100)
+    assert sorted(map(tuple, derived.collect())) == sorted(
+        map(tuple, explicit.collect())
+    )
+    # big target: the parallelism floor wins (never fewer shards than
+    # the session can run in parallel)
+    monkeypatch.setattr(packing, "TARGET_ROWS_PER_SHARD", 4_000_000)
+    floor = pack_sequences(df, budget=128)
+    assert sorted(map(tuple, floor.collect())) == sorted(
+        map(tuple, pack_sequences(df, budget=128, shards=parallelism).collect())
+    )

@@ -473,3 +473,84 @@ def test_ivf_pq_compact_shrinks_store_same_answers(spark, sf_dir, tmp_path):
     # the compacted store still accepts appends (batch ids preserved)
     ivf_pq_append(spark, path, half_b)
     assert rows() == before
+
+
+def test_ivf_pq_save_is_staged_and_manifested(spark, sf_dir, tmp_path):
+    """r8 (ADVICE low): ivf_pq_save publishes coarse/books/codes plus
+    the params manifest via ONE staged/backup/rename swap — a re-save
+    over an existing index can never leave mixed generations visible,
+    and an interrupted swap recovers to the previous complete index."""
+    import os
+
+    from etl_pack_spark.operators.quantize import (
+        IVF_PQ_MANIFEST,
+        ivf_pq_index,
+        ivf_pq_load,
+        ivf_pq_manifest,
+        ivf_pq_save,
+    )
+    from etl_pack_spark.sinks.atomic import backup_path
+    from etl_pack_spark.sources.reader import read_table
+
+    emb = read_table(spark, sf_dir, "embeddings")
+    dims = len(emb.select("embedding").first()[0])
+    path = str(tmp_path / "idx")
+    cids, C, books, enc = ivf_pq_index(emb, dims, nlist=8, m=8, k=16)
+    ivf_pq_save(path, cids, C, books, enc)
+    # everything landed in the published dir, nothing half-staged
+    assert sorted(d for d in os.listdir(path) if not d.startswith(".")) == [
+        IVF_PQ_MANIFEST, "books", "coarse", "codes",
+    ]
+    assert ivf_pq_manifest(spark, path) == {
+        "nlist": 8, "m": 8, "pq_k": 16, "dims": dims,
+    }
+    n = ivf_pq_load(spark, path)[3].count()
+    # interrupted RE-save: the old index survives as the backup and the
+    # next load recovers it whole (no mixed-generation state possible)
+    os.replace(path, backup_path(path))
+    assert ivf_pq_load(spark, path)[3].count() == n
+    assert ivf_pq_manifest(spark, path) is not None
+
+
+def test_ann_topk_index_path_param_mismatch_raises(spark, sf_dir, tmp_path):
+    """r8 (ADVICE low): ann_topk(index_path=) must refuse an index
+    built under different nlist/m/pq_k instead of silently answering
+    queries with mismatched state (covers legacy manifest-less indexes
+    too — validation reads the loaded arrays' own shapes)."""
+    import pytest as _pytest
+
+    from etl_pack_spark.operators.quantize import (
+        ivf_pq_index,
+        ivf_pq_save,
+        validate_ivf_pq_index,
+    )
+    from etl_pack_spark.operators.similarity import ann_topk
+    from etl_pack_spark.sources.reader import read_table
+
+    emb = read_table(spark, sf_dir, "embeddings").withColumnRenamed(
+        "vec_id", "id"
+    )
+    dims = len(emb.select("embedding").first()[0])
+    path = str(tmp_path / "idx")
+    cids, C, books, enc = ivf_pq_index(
+        emb, dims, nlist=8, m=8, k=16, id_col="id"
+    )
+    ivf_pq_save(path, cids, C, books, enc)
+    queries = emb.where("id < 5")
+    # matching params: loads and answers
+    ok = ann_topk(
+        emb, queries, k=3, id_col="id", method="ivf_pq",
+        nlist=8, m=8, pq_k=16, nprobe=3, index_path=path,
+    )
+    assert ok.count() > 0
+    # mismatched nlist: must raise, not answer
+    with _pytest.raises(ValueError, match="does not match"):
+        ann_topk(
+            emb, queries, k=3, id_col="id", method="ivf_pq",
+            nlist=16, m=8, pq_k=16, nprobe=3, index_path=path,
+        )
+    # mismatched m changes dims-per-subvector too — still loud
+    with _pytest.raises(ValueError, match="nlist|m:"):
+        validate_ivf_pq_index(
+            (cids, C, books, enc), nlist=8, m=4, pq_k=16, dims=dims
+        )

@@ -638,3 +638,108 @@ def test_compact_signature_store_preserves_matching(spark, tmp_path):
     # the next compaction recovers it first
     os.replace(store, backup_path(store))
     assert compact_signature_store(spark, store) == 4  # +2 new ids
+
+
+def test_compactor_publishes_watermark_and_resolve_agrees(spark, tmp_path):
+    """r8 (ADVICE medium): compact_signature_store PUBLISHES the
+    compaction watermark atomically with its output, the marker reads
+    through the Hadoop FS API (plain path and file: URI alike), and
+    resolve_signature_store returns IDENTICAL content with the marker
+    (merge-on-read fast path: base bypasses aggregation, tail anti-
+    joins it) and without it (legacy full-resolve path)."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from etl_pack_spark.streaming.incremental import (
+        COMPACTION_MARKER,
+        compact_signature_store,
+        compaction_watermark,
+        resolve_signature_store,
+    )
+
+    store = str(tmp_path / "store")
+    # two stamped generations of id 1, plus id 2
+    spark.createDataFrame(
+        [(1, 11, 0), (2, 22, 0), (1, 99, 5)],
+        "doc_id long, mh_0 long, __batch long",
+    ).write.parquet(store)
+    n = compact_signature_store(spark, store)
+    assert n == 2
+    assert compaction_watermark(spark, store) == 5
+    # scheme-aware marker IO: the same marker resolves via a file: URI
+    assert compaction_watermark(spark, "file://" + store) == 5
+
+    # append a TAIL above the watermark: id 2 rewritten + new id 3
+    spark.createDataFrame(
+        [(2, 77, 7), (3, 33, 7)], "doc_id long, mh_0 long, __batch long"
+    ).write.mode("append").parquet(store)
+
+    def resolved():
+        return sorted(
+            (r["doc_id"], r["mh_0"])
+            for r in resolve_signature_store(spark, store).collect()
+        )
+
+    fast = resolve_signature_store(spark, store)
+    plan = fast._jdf.queryExecution().executedPlan().toString()
+    assert "LeftAnti" in plan  # the marker path's tail-override join
+    with_marker = resolved()
+    os.remove(os.path.join(store, COMPACTION_MARKER))
+    assert compaction_watermark(spark, store) is None
+    assert with_marker == resolved() == [(1, 99), (2, 77), (3, 33)]
+
+    # re-compacting advances the watermark past the tail
+    compact_signature_store(spark, store)
+    assert compaction_watermark(spark, store) == 7
+    assert resolved() == [(1, 99), (2, 77), (3, 33)]
+
+
+def test_post_compaction_ingest_lands_above_watermark(spark, tmp_path):
+    """r8: append stamps are epoch millis, so a FRESH checkpoint's
+    micro-batches (ids restarting at 0) still land ABOVE any prior
+    compaction watermark — a rewrite ingested after compaction must
+    win the resolve, not be misread as compacted base."""
+    from etl_pack_spark.operators import neardup
+    from etl_pack_spark.operators.tokenize import shingle_rows
+    from etl_pack_spark.streaming.incremental import (
+        compact_signature_store,
+        compaction_watermark,
+        resolve_signature_store,
+        stream_neardup_ingest,
+    )
+
+    src, store = str(tmp_path / "src"), str(tmp_path / "store")
+    t_a = "alpha beta gamma delta epsilon zeta eta theta running words"
+    t_b = "storage engines compact sorted runs into larger immutable files"
+
+    def sig_of(rows):
+        return neardup.minhash_signature(
+            shingle_rows(
+                spark.createDataFrame(rows, "doc_id long, text string"),
+                "doc_id", "text", 3, distinct=False,
+            ),
+            "doc_id",
+        )
+
+    spark.createDataFrame([(1, t_a), (5, t_b)], "doc_id long, text string") \
+        .write.mode("append").parquet(src)
+    stream_neardup_ingest(spark, src, store, str(tmp_path / "m0"),
+                          str(tmp_path / "ck0"))
+    compact_signature_store(spark, store)
+    wm = compaction_watermark(spark, store)
+    assert wm is not None and wm > 0  # epoch-millis stamp
+
+    # NEW source dir + NEW checkpoint (micro-batch ids restart at 0):
+    # rewrite doc 1 (a fresh checkpoint on the OLD dir would replay the
+    # original file into the same micro-batch — two texts per id)
+    src2 = str(tmp_path / "src2")
+    spark.createDataFrame([(1, t_b)], "doc_id long, text string") \
+        .write.mode("append").parquet(src2)
+    stream_neardup_ingest(spark, src2, store, str(tmp_path / "m1"),
+                          str(tmp_path / "ck1"))
+    res = resolve_signature_store(spark, store)
+    assert res.count() == 2  # one row per id — no duplicate id 1
+    got = res.where("doc_id = 1").drop("doc_id", "__batch").collect()[0]
+    want = sig_of([(1, t_b)]).drop("doc_id").collect()[0]
+    assert tuple(got) == tuple(want)  # the post-compaction rewrite won
