@@ -284,8 +284,15 @@ def minhash_lsh_dedup_pairs(
     # sh_cand through two references' worth of lineage, and re-running
     # the operator (bench repeats, notebook) skips the interpreted
     # shingling HOFs entirely. Candidates-only keeps the persist small
-    # at scale (the corpus-wide shingles are never cached).
-    cand_docs = df.join(F.broadcast(cand_ids), id_col, "left_semi")
+    # at scale (the corpus-wide shingles are never cached). The semi-
+    # join build side is deliberately UNHINTED (r8): the candidate id
+    # set is usually tiny but NOT bounded by construction (at a 30-50%
+    # dup-rate crawl it is corpus-fraction scale), and an interleaved
+    # ABBA A/B showed AQE converts this join to broadcast at runtime
+    # when the set is actually small at ZERO extra cost (1.73s vs
+    # 1.80s forced at sf0.1), while a maybe_broadcast probe job cost
+    # ~14% — so AQE gets the decision, not a hint and not a probe.
+    cand_docs = df.join(cand_ids, id_col, "left_semi")
     sh_cand = _pooled_persist(
         shingle_rows(cand_docs, id_col, text_col, k)
         .groupBy(id_col)

@@ -1142,9 +1142,16 @@ def q_neardup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
         "id_a", "id_b"
     )
     clusters = neardup_clusters(pairs, "doc_id")
+    # the operator input is restricted to CLUSTERED docs (broadcast
+    # semi) so every frame in this slot stays cluster-sized — the
+    # survived flags are identical (pass-through docs never affect
+    # winner selection) and the operator's full-corpus anti-join shape
+    # is benched separately via pretrain_e2e / lib_pretrain_e2e
+    docs_c = docs.select("doc_id", "n_chars").join(
+        clusters.select("doc_id"), "doc_id", "left_semi"
+    )
     kept = cluster_dedup(
-        docs.select("doc_id", "n_chars"), pairs, "doc_id",
-        clusters=clusters, survivor_by="n_chars",
+        docs_c, pairs, "doc_id", clusters=clusters, survivor_by="n_chars"
     )
     return clusters.join(
         kept.select("doc_id", F.lit(True).alias("survived")), "doc_id", "left"

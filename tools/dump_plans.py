@@ -192,6 +192,17 @@ NOTES = {
         "for the NFC composition (no Spark expression exists) — "
         "map-only, no BatchEvalPython, no shuffle."
     ),
+    "neardup_components": (
+        "Simhash pairs → min-label components → the r8 survivor rider "
+        "(`cluster_dedup(survivor_by=)`). The components loop persists "
+        "the bidirectional edge frame repartitioned on the join key, "
+        "so each iteration shuffles only the labels; the survivor "
+        "joins are hinted ONLY after a bounded probe proves the "
+        "clusters frame small (guards posture) — past the bound AQE "
+        "plans shuffled joins, so a 30-50%%-dup crawl can never OOM a "
+        "forced corpus-fraction broadcast. No CartesianProduct, no "
+        "row-at-a-time Python."
+    ),
 }
 
 
