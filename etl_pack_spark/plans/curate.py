@@ -121,16 +121,25 @@ def curate_pack_corpus(
     from etl_pack_spark.operators.packing import pack_sequences
     from etl_pack_spark.operators.textops import token_counts
 
+    from etl_pack_spark.operators.cache import pooled_persist
+
     curated = curate_corpus(docs)
     clean = docs.select("doc_id", "text")
     if eval_df is not None:
         clean = decontaminate(clean, eval_df, "doc_id", "text")
     kept = curated.join(clean.select("doc_id"), "doc_id", "left_semi")
-    counted = kept.join(
-        token_counts(docs, "doc_id", "text").select(
-            "doc_id", F.col("n_pieces").alias("n_tokens")
-        ),
-        "doc_id",
+    # persisted (r8): counted feeds the train/rest split branches, the
+    # packer's data-derived shard count, and the pack-result join —
+    # consumers that shuffle on different keys, so without the persist
+    # the curate + decontaminate + token-count lineage re-executes once
+    # per consumer
+    counted = pooled_persist(
+        kept.join(
+            token_counts(docs, "doc_id", "text").select(
+                "doc_id", F.col("n_pieces").alias("n_tokens")
+            ),
+            "doc_id",
+        )
     )
     train = counted.where(F.col("split") == "train")
     rest = counted.where(F.col("split") != "train").select(

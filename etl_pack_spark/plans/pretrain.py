@@ -219,6 +219,14 @@ def prepare_pretraining_corpus(
         # join back).
         F.concat_ws(":", F.col("doc_id"), F.col("copy_n")).alias("__pack_key"),
     )
+    # persisted (r8): sized is consumed by THREE jobs — the packer's
+    # data-derived shard count, the pack shuffle, and the join back —
+    # and the two shuffles key differently (__shard vs __pack_key), so
+    # exchange reuse cannot share them: without the persist the ENTIRE
+    # upstream pipeline (curate → gates → near-dup dedup → decontam →
+    # resample) re-executes once per consumer. The persisted frame is
+    # the post-dedup TRAIN slice at its narrowest projection.
+    sized = pooled_persist(sized)
     packed = pack_sequences(sized, "__pack_key", "n_tokens", budget=budget)
     return (
         sized.join(packed.select("__pack_key", "pack_id", "oversize"), "__pack_key")
