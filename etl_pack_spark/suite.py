@@ -956,11 +956,18 @@ def q_corpus_curate(spark: SparkSession, sf_dir: str) -> DataFrame:
     returned ``canonical_url`` column puts the canonicalizer's output
     itself under the driver's value hash. The pre-URL framing stays
     pinned as retired ``corpus_curate_plain``."""
+    from etl_pack_spark.operators.cache import pooled_persist
     from etl_pack_spark.operators.urls import dedup_by_url
     from etl_pack_spark.plans.curate import curate_corpus
 
     docs = read_table(spark, sf_dir, "documents")
-    kept = dedup_by_url(docs.withColumn("url", _crawl_url_col()), "url", "doc_id")
+    # persisted (r8): kept feeds the curation branch AND the final
+    # canonical_url join — differently-keyed consumers (text-hash dedup
+    # vs doc_id join), so without the persist the URL canonicalize +
+    # keep-first window executes once per consumer
+    kept = pooled_persist(
+        dedup_by_url(docs.withColumn("url", _crawl_url_col()), "url", "doc_id")
+    )
     curated = curate_corpus(kept.select("doc_id", "text", "lang"))
     return curated.join(kept.select("doc_id", "canonical_url"), "doc_id")
 
