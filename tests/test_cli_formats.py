@@ -276,6 +276,11 @@ def test_cli_compact_sigstore(spark, tmp_path):
     assert rc == 0
     rows = {r["doc_id"]: r["mh_0"] for r in spark.read.parquet(store).collect()}
     assert rows == {0: 0, 1: 10, 2: 20, 3: 999, 4: 40}
+    # r8: the maintenance firing publishes the compaction watermark, so
+    # subsequent reads take the merge-on-read fast path
+    from etl_pack_spark.streaming.incremental import compaction_watermark
+
+    assert compaction_watermark(spark, store) == 1
     # exclusive with the other maintenance modes; foreign flags rejected
     assert main(["--compact-sigstore", store, "--compact", store,
                  "--target", store]) == 2
