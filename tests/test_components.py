@@ -274,3 +274,66 @@ class TestSurvivorBy:
         rows = out.limit(5).collect()
         assert len(rows) > 0
         assert {"doc_id", "pack_id", "oversize"} <= set(out.columns)
+
+
+class TestUpdateClusters:
+    """r8 incremental cluster maintenance: folding new pairs into an
+    existing labeling must equal relabeling the full pair history —
+    including merges of previously separate clusters — while touching
+    only label-edges + the new batch."""
+
+    def test_matches_full_history(self, spark):
+        from etl_pack_spark.operators.components import (
+            connected_components,
+            update_clusters,
+        )
+
+        hist = _edges(spark, [(1, 2), (2, 3), (10, 11), (20, 21)])
+        labels = connected_components(hist)
+        # the new batch extends {1,2,3}, MERGES {10,11} with {20,21},
+        # and opens a brand-new cluster {30,31}
+        new = _edges(spark, [(3, 4), (11, 20), (30, 31)])
+        got = sorted(map(tuple, update_clusters(labels, new).collect()))
+        want = sorted(map(tuple, connected_components(
+            _edges(spark, [(1, 2), (2, 3), (10, 11), (20, 21),
+                           (3, 4), (11, 20), (30, 31)])
+        ).collect()))
+        assert got == want
+        # untouched components keep their canonical labels bit-for-bit
+        d = dict(got)
+        assert d[20] == d[21] == d[10] == d[11] == 10  # merged -> min id
+        assert d[1] == d[4] == 1
+        assert d[30] == d[31] == 30
+
+    def test_iterated_batches_equal_batch_labeling(self, spark, sf_dir):
+        """Streaming posture over the real fixture: split the simhash
+        pair set into three arbitrary batches, fold them in one at a
+        time — the final labeling equals the all-at-once one (and the
+        DuckDB recursive-CTE oracle agrees via the existing parity
+        machinery)."""
+        from pyspark.sql import functions as F
+
+        from etl_pack_spark.operators import neardup
+        from etl_pack_spark.operators.components import (
+            connected_components,
+            update_clusters,
+        )
+        from etl_pack_spark.sources.reader import read_table
+
+        docs = read_table(spark, sf_dir, "documents")
+        pairs = neardup.simhash_neardup_pairs(docs, "doc_id", "text") \
+            .select("id_a", "id_b").persist()
+        try:
+            full = sorted(map(tuple, connected_components(pairs).collect()))
+            labels = None
+            for i in range(3):
+                batch = pairs.where(F.pmod(F.col("id_a"), F.lit(3)) == i)
+                labels = (
+                    connected_components(batch)
+                    if labels is None
+                    else update_clusters(labels, batch)
+                )
+            got = sorted(map(tuple, labels.collect()))
+            assert got == full and len(got) > 0
+        finally:
+            pairs.unpersist()
