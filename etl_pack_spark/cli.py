@@ -60,6 +60,14 @@ def build_parser() -> argparse.ArgumentParser:
                    help="compact an IVF-PQ index's codes store to one "
                         "latest row per id (crash-safe swap; no query-"
                         "behavior change) instead of a transfer")
+    p.add_argument("--update-clusters", default=None, metavar="STORE",
+                   help="fold not-yet-processed match pairs from "
+                        "--matches into the persisted near-dup clusters "
+                        "store at STORE (exact incremental relabeling, "
+                        "crash-safe swap) instead of a transfer")
+    p.add_argument("--matches", default=None, metavar="PATH",
+                   help="update-clusters: the append-only matches sink "
+                        "written by the near-dup ingest firings")
     p.add_argument("--cluster-by", default="",
                    help="compact: range-cluster by these columns")
     p.add_argument("--zorder-by", default="",
@@ -95,9 +103,19 @@ def main(argv: list[str] | None = None) -> int:
     # of seconds of JVM startup
     zorder_cols = [c for c in args.zorder_by.split(",") if c]
     if sum(map(bool, (args.compact, args.compact_partitions,
-                      args.compact_sigstore, args.compact_codes))) > 1:
+                      args.compact_sigstore, args.compact_codes,
+                      args.update_clusters))) > 1:
         print("error: --compact, --compact-partitions, "
-              "--compact-sigstore and --compact-codes are exclusive",
+              "--compact-sigstore, --compact-codes and "
+              "--update-clusters are exclusive",
+              file=sys.stderr)
+        return 2
+    if args.update_clusters and not args.matches:
+        print("error: --update-clusters requires --matches",
+              file=sys.stderr)
+        return 2
+    if args.matches and not args.update_clusters:
+        print("error: --matches only applies to --update-clusters",
               file=sys.stderr)
         return 2
     if args.compact_codes:
@@ -208,8 +226,10 @@ def main(argv: list[str] | None = None) -> int:
             print(f"error: {', '.join(ignored)} do not apply to --compact",
                   file=sys.stderr)
             return 2
-    elif not args.compact_sigstore and not args.compact_codes and (
-        not args.source_dir or not args.table or not args.target
+    elif (
+        not args.compact_sigstore and not args.compact_codes
+        and not args.update_clusters
+        and (not args.source_dir or not args.table or not args.target)
     ):
         print("error: --source-dir, --table and --target are required "
               "for transfers", file=sys.stderr)
@@ -218,6 +238,14 @@ def main(argv: list[str] | None = None) -> int:
     from etl_pack_spark.session import get_spark
 
     spark = get_spark("etl_pack_spark_cli")
+
+    if args.update_clusters:
+        from etl_pack_spark.streaming.incremental import update_cluster_store
+
+        n = update_cluster_store(spark, args.update_clusters, args.matches)
+        print(json.dumps({"mode": "update_clusters",
+                          "store": args.update_clusters, "rows": n}))
+        return 0
 
     if args.compact_codes:
         from etl_pack_spark.operators.quantize import ivf_pq_compact

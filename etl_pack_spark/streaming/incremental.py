@@ -323,10 +323,17 @@ def stream_neardup_ingest(
             batch, sig_old, id_col, text_col,
             k=k, num_hashes=num_hashes, bands=bands, min_est=min_est,
         )
-        matches.write.mode("append").parquet(matches_path)
+        # matches carry the same epoch-millis stamp (r8) so downstream
+        # incremental consumers (update_cluster_store) can fold only
+        # the not-yet-processed tail; pair-reading code keeps taking
+        # DISTINCT over the deterministic (id_a, id_b, est) columns
+        stamp = int(_time.time() * 1000)
+        matches.withColumn(
+            "__batch", F.lit(stamp).cast("long")
+        ).write.mode("append").parquet(matches_path)
         # append AFTER the match (the match plan reads the pre-batch store)
         sig_batch.withColumn(
-            "__batch", F.lit(int(_time.time() * 1000)).cast("long")
+            "__batch", F.lit(stamp).cast("long")
         ).write.mode("append").parquet(store_path)
 
     stream = spark.readStream.schema(schema).parquet(source_dir)
@@ -552,6 +559,100 @@ def resolve_signature_store(
     return base.join(
         maybe_broadcast(tail_res.select(id_col)), id_col, "left_anti"
     ).unionByName(tail_res)
+
+
+# fold watermark for the maintained clusters store: matches stamped
+# <= this have been folded into the labeling (same sidecar posture as
+# the compaction marker; Hadoop-FS IO, swap-published)
+CLUSTERS_MARKER = "_clusters_through.json"
+
+
+def update_cluster_store(
+    spark: SparkSession,
+    clusters_path: str,
+    matches_path: str,
+) -> int:
+    """Maintain a persisted near-dup CLUSTERS store ``(id,
+    cluster_id)`` from the append-only matches sink — the maintenance
+    firing that completes the incremental pipeline: ingest appends
+    match pairs (:func:`stream_neardup_ingest`), this folds the
+    not-yet-processed tail into the labeling via
+    :func:`~etl_pack_spark.operators.components.update_clusters`
+    (label-edges ∪ new pairs — exact, O(clustered nodes + batch)
+    instead of O(pair history); see that docstring for the argument).
+    Publishes the updated labels AND the fold watermark (max matches
+    ``__batch`` seen) atomically via the staged swap. Returns the
+    labeled-node count (unchanged store if no new matches).
+
+    Idempotent under replays twice over: a re-run folds pairs whose
+    endpoints are already connected (labels unchanged), and the
+    at-least-once matches sink's duplicate rows are DISTINCT'd before
+    the fold. Legacy unstamped matches read as batch -1 and fold on
+    the first firing. Single-writer per clusters store, like every
+    sink here."""
+    import json
+
+    from etl_pack_spark.operators.components import (
+        connected_components,
+        update_clusters,
+    )
+    from etl_pack_spark.sinks.atomic import (
+        clean_orphan_stages,
+        publish_swap,
+        recover_swap,
+        stage_dir,
+    )
+    from etl_pack_spark.sinks.fsio import read_text, write_text
+
+    recover_swap(clusters_path)
+    clean_orphan_stages(clusters_path, "clusters_stage_")
+    matches = spark.read.option("mergeSchema", "true").parquet(matches_path)
+    if "__batch" not in matches.columns:
+        matches = matches.withColumn("__batch", F.lit(-1).cast("long"))
+    else:
+        matches = matches.withColumn(
+            "__batch", F.coalesce(F.col("__batch"), F.lit(-1).cast("long"))
+        )
+    import os
+
+    raw = read_text(
+        spark, f"{clusters_path.rstrip('/')}/{CLUSTERS_MARKER}"
+    ) if os.path.exists(clusters_path) else None
+    folded_through = (
+        int(json.loads(raw)["folded_through_batch"]) if raw is not None else None
+    )
+    tail = matches if folded_through is None else matches.where(
+        F.col("__batch") > folded_through
+    )
+    # persist: the fold consumes the pairs through several jobs (the
+    # components probe + loop) and the watermark needs their max stamp
+    tail = tail.select("id_a", "id_b", "__batch").persist()
+    try:
+        agg = tail.agg(
+            F.max("__batch").alias("wm"), F.count(F.lit(1)).alias("n")
+        ).first()
+        if agg["n"] == 0:
+            # nothing new: the store (possibly absent) is untouched
+            if os.path.exists(clusters_path):
+                return spark.read.parquet(clusters_path).count()
+            return 0
+        pairs = tail.select("id_a", "id_b").distinct()
+        if os.path.exists(clusters_path):
+            labels = spark.read.parquet(clusters_path)
+            updated = update_clusters(labels, pairs)
+        else:
+            updated = connected_components(pairs)
+        staged = stage_dir(clusters_path, prefix="clusters_stage_")
+        updated.write.mode("overwrite").parquet(staged)
+        write_text(
+            spark,
+            f"{staged}/{CLUSTERS_MARKER}",
+            json.dumps({"folded_through_batch": int(agg["wm"])}),
+        )
+        publish_swap(staged, clusters_path)
+    finally:
+        tail.unpersist(False)
+    return spark.read.parquet(clusters_path).count()
 
 
 def compact_signature_store(

@@ -743,3 +743,59 @@ def test_post_compaction_ingest_lands_above_watermark(spark, tmp_path):
     got = res.where("doc_id = 1").drop("doc_id", "__batch").collect()[0]
     want = sig_of([(1, t_b)]).drop("doc_id").collect()[0]
     assert tuple(got) == tuple(want)  # the post-compaction rewrite won
+
+
+def test_update_cluster_store_incremental_fold(spark, tmp_path):
+    """r8 incremental clusters maintenance, end-to-end with the ingest:
+    two near-dup ingest firings append stamped matches; each
+    update_cluster_store firing folds only the new tail (marker-
+    watermarked), the final labeling equals a full relabel of ALL
+    matches, a replayed maintenance firing is a no-op, and the CLI
+    mode drives the same path."""
+    from etl_pack_spark.cli import main
+    from etl_pack_spark.operators.components import connected_components
+    from etl_pack_spark.streaming.incremental import (
+        stream_neardup_ingest,
+        update_cluster_store,
+    )
+
+    store = str(tmp_path / "sig")
+    matches = str(tmp_path / "m")
+    clusters = str(tmp_path / "clusters")
+    t_a = "alpha beta gamma delta epsilon zeta eta theta running words"
+    t_b = "storage engines compact sorted runs into larger immutable files"
+
+    # firing 1: docs 1/2 near-dup t_a, doc 5 is t_b (no pair yet)
+    src1 = str(tmp_path / "src1")
+    spark.createDataFrame(
+        [(1, t_a), (2, t_a + " tail"), (5, t_b)], "doc_id long, text string"
+    ).write.parquet(src1)
+    stream_neardup_ingest(spark, src1, store, matches, str(tmp_path / "ck1"))
+    n1 = update_cluster_store(spark, clusters, matches)
+    got1 = {(r["id"], r["cluster_id"])
+            for r in spark.read.parquet(clusters).collect()}
+    assert got1 == {(1, 1), (2, 1)} and n1 == 2
+
+    # maintenance replay with no new matches: store untouched
+    assert update_cluster_store(spark, clusters, matches) == 2
+
+    # firing 2: doc 6 near-dups t_b (new cluster) and doc 3 near-dups
+    # t_a (extends the existing cluster)
+    src2 = str(tmp_path / "src2")
+    spark.createDataFrame(
+        [(3, t_a + " more"), (6, t_b + " tail")], "doc_id long, text string"
+    ).write.parquet(src2)
+    stream_neardup_ingest(spark, src2, store, matches, str(tmp_path / "ck2"))
+    # CLI drives the second fold
+    assert main(["--update-clusters", clusters, "--matches", matches]) == 0
+    got2 = sorted(map(tuple, spark.read.parquet(clusters).collect()))
+    all_pairs = spark.read.parquet(matches).select("id_a", "id_b").distinct()
+    want = sorted(map(tuple, connected_components(all_pairs).collect()))
+    assert got2 == want
+    d = dict(got2)
+    assert d[1] == d[2] == d[3] == 1 and d[5] == d[6] == 5
+    # flag validation: --matches is required, and exclusive with others
+    assert main(["--update-clusters", clusters]) == 2
+    assert main(["--matches", matches]) == 2
+    assert main(["--update-clusters", clusters, "--matches", matches,
+                 "--compact-sigstore", store]) == 2
