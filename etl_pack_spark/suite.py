@@ -303,6 +303,7 @@ def q_join_revenue_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
     nation = read_table(spark, sf_dir, "nation")
     return (
         orders.join(customer, orders.o_custkey == customer.c_custkey)
+        # bounded by construction: nation is a 25-row TPC-H dimension
         .join(F.broadcast(nation), customer.c_nationkey == nation.n_nationkey)
         .groupBy("n_name")
         .agg(
@@ -365,6 +366,7 @@ def q_tpch_q5_like(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(supplier,
               (lineitem.l_suppkey == supplier.s_suppkey)
               & (customer.c_nationkey == supplier.s_nationkey))
+        # bounded by construction: nation (25) / region (5) dims
         .join(F.broadcast(nation), supplier.s_nationkey == nation.n_nationkey)
         .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
         .where(F.col("o_orderdate").between("1996-01-01 00:00:00", "1996-12-31 23:59:59"))
@@ -477,6 +479,7 @@ def q_kmv_distinct_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
     exact = hashed.groupBy("event_type").agg(
         F.countDistinct("h").alias("exact_distinct")
     )
+    # bounded by construction: exact has one row per event_type group
     grouped = merged.join(F.broadcast(exact), "event_type")
     kth = F.element_at("mins", KMV_K)
     frac = (
@@ -871,6 +874,7 @@ def q_dq_profile_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     pii = pii_profile(
         read_table(spark, sf_dir, "documents"), PII_PROFILE_COLS
     ).withColumnRenamed("n_rows", "pii_n_docs")
+    # bounded by construction: prof and pii are ONE-ROW profiles
     return summ.crossJoin(F.broadcast(prof)).crossJoin(F.broadcast(pii))
 
 
