@@ -532,3 +532,58 @@ def test_binary_parsers_never_raise_on_arbitrary_bytes(blob):
     mp4_meta(b"\x00\x00\x00\x10ftypisom\x00\x00\x02\x00" + blob)
     jpeg_decode(b"\xff\xd8" + blob)
     png_decode(b"\x89PNG\r\n\x1a\n" + blob)
+
+
+# random small graphs: node ids from a tight range so merges/cliques
+# are common, batches split arbitrarily
+_edge = st.tuples(st.integers(0, 24), st.integers(0, 24)).filter(
+    lambda e: e[0] != e[1]
+)
+_edges = st.lists(_edge, min_size=1, max_size=30)
+
+
+def _uf_model(edges):
+    """Pure-Python union-find: the independent model."""
+    parent = {}
+
+    def find(x):
+        while parent.get(x, x) != x:
+            parent[x] = parent.get(parent[x], parent[x])
+            x = parent[x]
+        return x
+
+    nodes = set()
+    for a, b in edges:
+        nodes.update((a, b))
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            lo, hi = (ra, rb) if ra < rb else (rb, ra)
+            parent[hi] = lo
+    return sorted((n, find(n)) for n in nodes)
+
+
+@given(edges=_edges, cut=st.integers(0, 30))
+@settings(**SETTINGS)
+def test_update_clusters_equals_full_history(spark, edges, cut):
+    """LAW (r8 incremental cluster maintenance): for ANY pair history
+    and ANY split point, folding the second batch into the first
+    batch's labeling equals labeling the whole history at once — and
+    both equal a pure-Python union-find model."""
+    from etl_pack_spark.operators.components import (
+        connected_components,
+        update_clusters,
+    )
+
+    cut = min(cut, len(edges))
+    first, second = edges[:cut], edges[cut:]
+
+    def df_of(rows):
+        return spark.createDataFrame(rows, "id_a long, id_b long")
+
+    if first and second:
+        labels = connected_components(df_of(first))
+        out = update_clusters(labels, df_of(second))
+    else:
+        out = connected_components(df_of(edges))
+    got = sorted(map(tuple, out.collect()))
+    assert got == _uf_model(edges)
