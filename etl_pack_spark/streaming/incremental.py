@@ -561,10 +561,25 @@ def resolve_signature_store(
     ).unionByName(tail_res)
 
 
-# fold watermark for the maintained clusters store: matches stamped
-# <= this have been folded into the labeling (same sidecar posture as
-# the compaction marker; Hadoop-FS IO, swap-published)
-CLUSTERS_MARKER = "_clusters_through.json"
+def _clusters_fold_marker(clusters_path: str) -> str:
+    """Fold-watermark sidecar for the clusters store — a SIBLING file
+    (not inside the data dir): the clusters store is a latest-wins
+    delta store compacted by :func:`compact_signature_store`, whose
+    staged swap would drop an in-dir sidecar; the sibling survives
+    compactions unconditionally."""
+    return clusters_path.rstrip("/") + ".clusters_through.json"
+
+
+def read_cluster_store(
+    spark: SparkSession, clusters_path: str
+) -> DataFrame:
+    """The clusters store's RESOLVED labeling ``(id, cluster_id)`` —
+    latest ``__batch`` wins per id, exactly the signature-store read
+    rule (and the same merge-on-read fast path once the store has been
+    compacted)."""
+    return resolve_signature_store(spark, clusters_path, "id").select(
+        "id", "cluster_id"
+    )
 
 
 def update_cluster_store(
@@ -572,40 +587,46 @@ def update_cluster_store(
     clusters_path: str,
     matches_path: str,
 ) -> int:
-    """Maintain a persisted near-dup CLUSTERS store ``(id,
-    cluster_id)`` from the append-only matches sink — the maintenance
-    firing that completes the incremental pipeline: ingest appends
-    match pairs (:func:`stream_neardup_ingest`), this folds the
+    """Maintain a persisted near-dup CLUSTERS store from the
+    append-only matches sink — the maintenance firing that completes
+    the incremental pipeline: ingest appends match pairs
+    (:func:`stream_neardup_ingest`), this folds the
     not-yet-processed tail into the labeling via
     :func:`~etl_pack_spark.operators.components.update_clusters`
     (label-edges ∪ new pairs — exact, O(clustered nodes + batch)
     instead of O(pair history); see that docstring for the argument).
-    Publishes the updated labels AND the fold watermark (max matches
-    ``__batch`` seen) atomically via the staged swap. Returns the
-    labeled-node count (unchanged store if no new matches).
+    Returns the resolved labeled-node count.
 
-    Idempotent under replays twice over: a re-run folds pairs whose
-    endpoints are already connected (labels unchanged), and the
-    at-least-once matches sink's duplicate rows are DISTINCT'd before
-    the fold. Legacy unstamped matches read as batch -1 and fold on
-    the first firing. Single-writer per clusters store, like every
-    sink here."""
+    Store layout = the signature-store recipe, reused wholesale: the
+    firing appends only the DELTA — ids whose label is new or changed
+    — stamped with an epoch-millis ``__batch``; reads resolve latest-
+    wins per id (:func:`read_cluster_store`); the shared
+    :func:`compact_signature_store` (``id_col="id"``) bounds the store
+    and unlocks the merge-on-read fast path. So a firing's WRITE is
+    O(affected ids), not O(all clustered ids) — at corpus scale most
+    components are untouched by a given batch, and rewriting billions
+    of stable labels per cron firing would dwarf the fold itself. The
+    fold watermark (max matches ``__batch`` folded) lives in a sibling
+    sidecar so compaction swaps cannot drop it.
+
+    Crash-safe without a swap: the marker is written AFTER the delta
+    append, so a crash between them leaves a stale marker and the next
+    firing re-folds the same matches — the re-fold computes an EMPTY
+    delta against the already-updated labels (connectivity is
+    idempotent) and appends nothing. The at-least-once matches sink's
+    duplicate rows are DISTINCT'd before the fold; legacy unstamped
+    matches read as batch -1 and fold on the first firing.
+    Single-writer per clusters store, like every sink here."""
     import json
+    import os
+    import time as _time
 
     from etl_pack_spark.operators.components import (
         connected_components,
         update_clusters,
     )
-    from etl_pack_spark.sinks.atomic import (
-        clean_orphan_stages,
-        publish_swap,
-        recover_swap,
-        stage_dir,
-    )
     from etl_pack_spark.sinks.fsio import read_text, write_text
 
-    recover_swap(clusters_path)
-    clean_orphan_stages(clusters_path, "clusters_stage_")
     matches = spark.read.option("mergeSchema", "true").parquet(matches_path)
     if "__batch" not in matches.columns:
         matches = matches.withColumn("__batch", F.lit(-1).cast("long"))
@@ -613,11 +634,7 @@ def update_cluster_store(
         matches = matches.withColumn(
             "__batch", F.coalesce(F.col("__batch"), F.lit(-1).cast("long"))
         )
-    import os
-
-    raw = read_text(
-        spark, f"{clusters_path.rstrip('/')}/{CLUSTERS_MARKER}"
-    ) if os.path.exists(clusters_path) else None
+    raw = read_text(spark, _clusters_fold_marker(clusters_path))
     folded_through = (
         int(json.loads(raw)["folded_through_batch"]) if raw is not None else None
     )
@@ -631,28 +648,45 @@ def update_cluster_store(
         agg = tail.agg(
             F.max("__batch").alias("wm"), F.count(F.lit(1)).alias("n")
         ).first()
+        exists = os.path.exists(clusters_path)
         if agg["n"] == 0:
             # nothing new: the store (possibly absent) is untouched
-            if os.path.exists(clusters_path):
-                return spark.read.parquet(clusters_path).count()
-            return 0
+            return read_cluster_store(spark, clusters_path).count() if exists else 0
         pairs = tail.select("id_a", "id_b").distinct()
-        if os.path.exists(clusters_path):
-            labels = spark.read.parquet(clusters_path)
+        if exists:
+            labels = read_cluster_store(spark, clusters_path)
             updated = update_clusters(labels, pairs)
+            delta = (
+                updated.join(
+                    labels.withColumnRenamed("cluster_id", "__old"), "id", "left"
+                )
+                .where(
+                    F.col("__old").isNull()
+                    | (F.col("__old") != F.col("cluster_id"))
+                )
+                .select("id", "cluster_id")
+            )
         else:
-            updated = connected_components(pairs)
-        staged = stage_dir(clusters_path, prefix="clusters_stage_")
-        updated.write.mode("overwrite").parquet(staged)
+            delta = connected_components(pairs).select("id", "cluster_id")
+        # materialize the delta BEFORE appending: its plan reads the
+        # store being appended to (self-append hazard otherwise)
+        delta = delta.persist()
+        try:
+            delta.count()
+            delta.withColumn(
+                "__batch", F.lit(int(_time.time() * 1000)).cast("long")
+            ).write.mode("append").parquet(clusters_path)
+        finally:
+            delta.unpersist(False)
+        # marker AFTER the append (see crash-safety note above)
         write_text(
             spark,
-            f"{staged}/{CLUSTERS_MARKER}",
+            _clusters_fold_marker(clusters_path),
             json.dumps({"folded_through_batch": int(agg["wm"])}),
         )
-        publish_swap(staged, clusters_path)
     finally:
         tail.unpersist(False)
-    return spark.read.parquet(clusters_path).count()
+    return read_cluster_store(spark, clusters_path).count()
 
 
 def compact_signature_store(

@@ -755,6 +755,8 @@ def test_update_cluster_store_incremental_fold(spark, tmp_path):
     from etl_pack_spark.cli import main
     from etl_pack_spark.operators.components import connected_components
     from etl_pack_spark.streaming.incremental import (
+        compact_signature_store,
+        read_cluster_store,
         stream_neardup_ingest,
         update_cluster_store,
     )
@@ -773,7 +775,7 @@ def test_update_cluster_store_incremental_fold(spark, tmp_path):
     stream_neardup_ingest(spark, src1, store, matches, str(tmp_path / "ck1"))
     n1 = update_cluster_store(spark, clusters, matches)
     got1 = {(r["id"], r["cluster_id"])
-            for r in spark.read.parquet(clusters).collect()}
+            for r in read_cluster_store(spark, clusters).collect()}
     assert got1 == {(1, 1), (2, 1)} and n1 == 2
 
     # maintenance replay with no new matches: store untouched
@@ -788,12 +790,20 @@ def test_update_cluster_store_incremental_fold(spark, tmp_path):
     stream_neardup_ingest(spark, src2, store, matches, str(tmp_path / "ck2"))
     # CLI drives the second fold
     assert main(["--update-clusters", clusters, "--matches", matches]) == 0
-    got2 = sorted(map(tuple, spark.read.parquet(clusters).collect()))
+    got2 = sorted(map(tuple, read_cluster_store(spark, clusters).collect()))
     all_pairs = spark.read.parquet(matches).select("id_a", "id_b").distinct()
     want = sorted(map(tuple, connected_components(all_pairs).collect()))
     assert got2 == want
     d = dict(got2)
     assert d[1] == d[2] == d[3] == 1 and d[5] == d[6] == 5
+    # the clusters store IS a signature store: the shared compactor
+    # bounds it (delta rows collapse) without changing the labeling,
+    # and the fold marker (a sibling sidecar) survives the swap
+    n_physical = spark.read.parquet(clusters).count()
+    compact_signature_store(spark, clusters, "id")
+    assert spark.read.parquet(clusters).count() <= n_physical
+    assert sorted(map(tuple, read_cluster_store(spark, clusters).collect())) == want
+    assert update_cluster_store(spark, clusters, matches) == len(want)  # no-op fold
     # flag validation: --matches is required, and exclusive with others
     assert main(["--update-clusters", clusters]) == 2
     assert main(["--matches", matches]) == 2
