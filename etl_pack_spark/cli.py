@@ -68,6 +68,16 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--matches", default=None, metavar="PATH",
                    help="update-clusters: the append-only matches sink "
                         "written by the near-dup ingest firings")
+    p.add_argument("--fold-safety-lag-ms", type=int, default=0,
+                   help="update-clusters: leave match stamps younger "
+                        "than this for the next firing — required when "
+                        "ingest may commit CONCURRENTLY with the fold "
+                        "(set above the worst batch-commit duration); "
+                        "0 = quiesced-scheduler posture")
+    p.add_argument("--total", action="store_true",
+                   help="update-clusters: also report the resolved "
+                        "labeled-node total (prices one extra full-"
+                        "store read; default output is the delta only)")
     p.add_argument("--cluster-by", default="",
                    help="compact: range-cluster by these columns")
     p.add_argument("--zorder-by", default="",
@@ -117,6 +127,10 @@ def main(argv: list[str] | None = None) -> int:
     if args.matches and not args.update_clusters:
         print("error: --matches only applies to --update-clusters",
               file=sys.stderr)
+        return 2
+    if (args.fold_safety_lag_ms or args.total) and not args.update_clusters:
+        print("error: --fold-safety-lag-ms/--total only apply to "
+              "--update-clusters", file=sys.stderr)
         return 2
     if args.compact_codes:
         foreign = [
@@ -240,11 +254,25 @@ def main(argv: list[str] | None = None) -> int:
     spark = get_spark("etl_pack_spark_cli")
 
     if args.update_clusters:
-        from etl_pack_spark.streaming.incremental import update_cluster_store
+        from etl_pack_spark.streaming.incremental import (
+            read_cluster_store,
+            update_cluster_store,
+        )
 
-        n = update_cluster_store(spark, args.update_clusters, args.matches)
-        print(json.dumps({"mode": "update_clusters",
-                          "store": args.update_clusters, "rows": n}))
+        n = update_cluster_store(
+            spark, args.update_clusters, args.matches,
+            safety_lag_ms=args.fold_safety_lag_ms,
+        )
+        out = {"mode": "update_clusters",
+               "store": args.update_clusters, "delta_rows": n}
+        if args.total:
+            from etl_pack_spark.sinks.fsio import exists as fs_exists
+
+            out["total_rows"] = (
+                read_cluster_store(spark, args.update_clusters).count()
+                if fs_exists(spark, args.update_clusters) else 0
+            )
+        print(json.dumps(out))
         return 0
 
     if args.compact_codes:

@@ -60,9 +60,19 @@ def refresh_rollup(
     Write is overwrite-into-temp-then-swap-free: Spark's overwrite mode
     handles atomicity per run; concurrent refreshes of the same rollup
     need external locking (same as the reference's cron runs).
+
+    Scope: the swap below is an ``os.replace`` rename, so the rollup
+    path is POSIX-only by design (``sinks.atomic``'s documented scope);
+    ``posix_path`` normalizes ``file:`` URIs and raises loudly on
+    object-store schemes (r9) instead of letting ``os.path`` silently
+    read an existing rollup as absent and drop its history on the swap.
+    An object-store deployment swaps in a transactional table format.
     """
     import shutil
 
+    from etl_pack_spark.sinks.atomic import posix_path
+
+    rollup_path = posix_path(rollup_path)
     new_partials = partial_aggregate(src_window, spec)
     if os.path.exists(rollup_path):
         old = spark.read.parquet(rollup_path)

@@ -17,7 +17,6 @@ streaming variant lives in :mod:`etl_pack_spark.streaming.incremental`.
 
 from __future__ import annotations
 
-import os
 from dataclasses import dataclass, field
 
 from pyspark.sql import SparkSession
@@ -57,7 +56,7 @@ def run_transfer(spark: SparkSession, cfg: TransferConfig) -> WriteResult:
     src = windowed_read(spark, cfg.source_dir, spec)
 
     snapshot = None
-    if cfg.increment and _target_exists(cfg.target_path):
+    if cfg.increment and _target_exists(spark, cfg.target_path):
         tgt = spark.read.parquet(cfg.target_path)
         if cfg.window is not None and cfg.window[0] in tgt.columns:
             tgt = windowed_read(spark, "", ReadSpec(table="", window=cfg.window), df=tgt)
@@ -69,7 +68,11 @@ def run_transfer(spark: SparkSession, cfg: TransferConfig) -> WriteResult:
     return append_table(new_rows, cfg.target_path, partition_by=cfg.partition_by or None)
 
 
-def _target_exists(path: str) -> bool:
-    if path.startswith("file:"):
-        path = path[len("file:"):]
-    return os.path.exists(path)
+def _target_exists(spark: SparkSession, path: str) -> bool:
+    """Scheme-aware (r9): the load target is read and appended through
+    Spark, so existence must be answered by the path's OWN filesystem —
+    a driver-local os.path miss on an object-store target would skip
+    the H2/H3 dedup and re-append every firing's rows."""
+    from etl_pack_spark.sinks.fsio import exists
+
+    return exists(spark, path)

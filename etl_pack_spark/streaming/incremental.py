@@ -59,6 +59,9 @@ def _events_stream(spark: SparkSession, source_dir: str) -> DataFrame:
     import tempfile
 
     batch_schema = spark.read.parquet(source_dir).schema
+    # deliberately driver-local os.path: this mirror exists only for
+    # single-FILE local fixtures; a remote/directory source answers
+    # False here and streams directly (the normal path at scale)
     if os.path.isfile(source_dir):
         # The streaming file source requires a directory (its basePath is
         # forced to the given path). Mirror a single-file fixture into a
@@ -120,13 +123,15 @@ def stream_incremental_transfer(
     at-least-once delivery, the hash anti-join makes it effectively
     exactly-once on content (the same idempotence argument as the
     reference's re-runs, provider.go:218)."""
-    import os
+    from etl_pack_spark.sinks.fsio import exists as fs_exists
 
     stream = _events_stream(spark, source_dir)
 
     def upsert(batch_df: DataFrame, batch_id: int) -> None:
         snap = None
-        if os.path.exists(target_path):
+        # scheme-aware (r9): a missed probe on an object-store target
+        # would skip the snapshot anti-join and re-append every batch
+        if fs_exists(batch_df.sparkSession, target_path):
             snap = snapshot_hashes(batch_df.sparkSession.read.parquet(target_path))
         new_rows = incremental_filter(batch_df, snap)
         new_rows.write.mode("append").parquet(target_path)
@@ -180,10 +185,16 @@ def stream_cdc_apply(
 
     from etl_pack_spark.sinks.atomic import (
         clean_orphan_stages,
+        posix_path,
         publish_swap,
         recover_swap,
         stage_dir,
     )
+
+    # the target is RENAME-SWAPPED, so it is POSIX-scoped by design:
+    # normalize file: URIs and fail loudly on object-store schemes up
+    # front (r9) — there a transactional format replaces the swap
+    target_path = posix_path(target_path)
 
     schema = spark.read.parquet(source_dir).schema
 
@@ -282,24 +293,28 @@ def stream_neardup_ingest(
     same). The stamp is EPOCH MILLIS, not the streaming micro-batch id
     (r8): micro-batch ids restart at 0 under a fresh checkpoint, so a
     post-compaction append could land BELOW the store's compaction
-    watermark and be misclassified as compacted base — epoch millis
-    are monotone across checkpoints and restarts (the same posture as
-    ``ivf_pq_append``), which is exactly what both the latest-wins
-    rule and the watermark split need. The id's own old-vs-new
+    watermark and be misclassified as compacted base. Stamps are made
+    MONOTONE BY CONSTRUCTION (r9): ``max(last_emitted + 1, now_ms)``
+    seeded from a sidecar recording the previous firing's highest
+    stamp — ``time.time()`` alone is not monotone (backwards NTP step,
+    two micro-batches in one millisecond), and both the latest-wins
+    rule and the watermark split need strict progression
+    (:class:`_MonotoneStamps`). The id's own old-vs-new
     signatures are never emitted as a match pair (same document, not a
     duplicate). Ids must be unique WITHIN one micro-batch — two texts
     under one id in the same batch have no defined winner.
     """
-    import os
-    import time as _time
-
     from etl_pack_spark.operators.neardup import (
         minhash_match_incremental,
         minhash_signature,
     )
     from etl_pack_spark.operators.tokenize import shingle_rows
+    from etl_pack_spark.sinks.fsio import exists as fs_exists
 
     schema = spark.read.parquet(source_dir).schema
+    # one stamper per firing, seeded from the store's sidecar (r9):
+    # stamps are monotone by construction, not by trusting the clock
+    stamps = _MonotoneStamps(spark, store_path)
 
     def fold(batch_df: DataFrame, batch_id: int) -> None:
         sess = batch_df.sparkSession
@@ -309,7 +324,9 @@ def stream_neardup_ingest(
             id_col,
             num_hashes,
         )
-        if os.path.exists(store_path):
+        # scheme-aware probe (r9): os.path here read an s3a: store as
+        # absent — EXISTING history silently skipped, missed dedup
+        if fs_exists(sess, store_path):
             sig_old = (
                 resolve_signature_store(sess, store_path, id_col)
                 .drop("__batch")
@@ -323,11 +340,11 @@ def stream_neardup_ingest(
             batch, sig_old, id_col, text_col,
             k=k, num_hashes=num_hashes, bands=bands, min_est=min_est,
         )
-        # matches carry the same epoch-millis stamp (r8) so downstream
-        # incremental consumers (update_cluster_store) can fold only
-        # the not-yet-processed tail; pair-reading code keeps taking
-        # DISTINCT over the deterministic (id_a, id_b, est) columns
-        stamp = int(_time.time() * 1000)
+        # matches carry the same monotone epoch-millis stamp (r8/r9) so
+        # downstream incremental consumers (update_cluster_store) can
+        # fold only the not-yet-processed tail; pair-reading code keeps
+        # taking DISTINCT over the deterministic (id_a, id_b, est) cols
+        stamp = stamps.next()
         matches.withColumn(
             "__batch", F.lit(stamp).cast("long")
         ).write.mode("append").parquet(matches_path)
@@ -346,6 +363,7 @@ def stream_neardup_ingest(
     query.awaitTermination()
     n = len(query.recentProgress)
     query.stop()
+    stamps.publish(spark, store_path)
     return n
 
 
@@ -383,23 +401,26 @@ def stream_url_dedup_ingest(
     DISTINCT, which is total because the row content is
     deterministic); the store is append-only and replays converge —
     re-appended URL rows carry the same winner, and the anti-join
-    makes extra copies harmless. Append stamps are epoch millis (r8,
-    same rationale as :func:`stream_neardup_ingest`: checkpoint-reset
-    micro-batch ids would fall below a compaction watermark).
+    makes extra copies harmless. Append stamps are monotone epoch
+    millis (r8/r9, same rationale and construction as
+    :func:`stream_neardup_ingest`: checkpoint-reset micro-batch ids
+    would fall below a compaction watermark, and a bare clock is not
+    monotone — :class:`_MonotoneStamps`).
     """
-    import os
-    import time as _time
-
     from etl_pack_spark.operators.urls import dedup_by_url
+    from etl_pack_spark.sinks.fsio import exists as fs_exists
 
     schema = spark.read.parquet(source_dir).schema
+    stamps = _MonotoneStamps(spark, store_path)
 
     def fold(batch_df: DataFrame, batch_id: int) -> None:
         sess = batch_df.sparkSession
         batch = dedup_by_url(batch_df, url_col, id_col)
         with_url = batch.where(F.col("canonical_url").isNotNull())
         nulls = batch.where(F.col("canonical_url").isNull())
-        if os.path.exists(store_path):
+        # scheme-aware probe (r9): an os.path miss on an object-store
+        # path would re-admit every previously-seen URL
+        if fs_exists(sess, store_path):
             store = sess.read.parquet(store_path).select("canonical_url")
             fresh = with_url.join(store, "canonical_url", "left_anti")
         else:
@@ -418,7 +439,7 @@ def stream_url_dedup_ingest(
             fresh.select(
                 "canonical_url", F.col(id_col).alias("winner_id")
             ).withColumn(
-                "__batch", F.lit(int(_time.time() * 1000)).cast("long")
+                "__batch", F.lit(stamps.next()).cast("long")
             ).write.mode(
                 "append"
             ).parquet(store_path)
@@ -435,7 +456,67 @@ def stream_url_dedup_ingest(
     query.awaitTermination()
     n = len(query.recentProgress)
     query.stop()
+    stamps.publish(spark, store_path)
     return n
+
+
+def _stamp_sidecar(store_path: str) -> str:
+    """Last-emitted-stamp sidecar, a SIBLING of the store directory
+    (compaction's staged swap replaces the dir, so an in-dir sidecar
+    would be dropped — same placement rule as the clusters fold
+    marker)."""
+    return store_path.rstrip("/") + ".last_stamp.json"
+
+
+def _stamp_floor(spark: SparkSession, store_path: str) -> int:
+    """The highest ``__batch`` stamp any previous firing emitted for
+    this store (0 when never recorded — legacy stores fall back to the
+    clock alone, which is the pre-r9 behavior)."""
+    import json
+
+    from etl_pack_spark.sinks.fsio import read_text
+
+    raw = read_text(spark, _stamp_sidecar(store_path))
+    return int(json.loads(raw)["last_stamp"]) if raw is not None else 0
+
+
+def _publish_stamp(spark: SparkSession, store_path: str, stamp: int) -> None:
+    import json
+
+    from etl_pack_spark.sinks.fsio import write_text
+
+    write_text(
+        spark, _stamp_sidecar(store_path), json.dumps({"last_stamp": int(stamp)})
+    )
+
+
+class _MonotoneStamps:
+    """Epoch-millis ``__batch`` stamps made monotone BY CONSTRUCTION
+    (r9, ADVICE): ``next() = max(last_emitted + 1, now_ms)``, seeded
+    from the store's stamp sidecar. ``time.time()`` alone is NOT
+    monotone — a backwards NTP step (or two micro-batches inside one
+    millisecond) would let an old signature tie or outrank a newer
+    rewrite in the latest-wins ``max_by``, and a matches stamp could
+    land at or below an already-published fold watermark and never be
+    clustered. With the sidecar seed, monotonicity holds across
+    restarts too; a crash between a data append and the sidecar
+    publish degrades only to the clock (the pre-r9 guarantee), never
+    below the last sidecar value."""
+
+    def __init__(self, spark: SparkSession, store_path: str) -> None:
+        self._last = _stamp_floor(spark, store_path)
+        self._floor = self._last
+
+    def next(self) -> int:
+        import time as _time
+
+        self._last = max(self._last + 1, int(_time.time() * 1000))
+        return self._last
+
+    def publish(self, spark: SparkSession, store_path: str) -> None:
+        """Record the highest emitted stamp (no-op if none emitted)."""
+        if self._last > self._floor:
+            _publish_stamp(spark, store_path, self._last)
 
 
 # Compaction watermark marker, written INSIDE the store directory.
@@ -586,6 +667,8 @@ def update_cluster_store(
     spark: SparkSession,
     clusters_path: str,
     matches_path: str,
+    safety_lag_ms: int = 0,
+    return_total: bool = False,
 ) -> int:
     """Maintain a persisted near-dup CLUSTERS store from the
     append-only matches sink — the maintenance firing that completes
@@ -595,12 +678,17 @@ def update_cluster_store(
     :func:`~etl_pack_spark.operators.components.update_clusters`
     (label-edges ∪ new pairs — exact, O(clustered nodes + batch)
     instead of O(pair history); see that docstring for the argument).
-    Returns the resolved labeled-node count.
+    Returns the DELTA count — labels newly written or changed by this
+    firing (r9: the natural O(blast-radius) number; the pre-r9 full
+    resolve+count per firing read the ENTIRE live store just for the
+    return value). ``return_total=True`` opts back into the full
+    resolved-store count, priced as one extra full-store read.
 
     Store layout = the signature-store recipe, reused wholesale: the
     firing appends only the DELTA — ids whose label is new or changed
-    — stamped with an epoch-millis ``__batch``; reads resolve latest-
-    wins per id (:func:`read_cluster_store`); the shared
+    — stamped with a monotone epoch-millis ``__batch``
+    (:class:`_MonotoneStamps`); reads resolve latest-wins per id
+    (:func:`read_cluster_store`); the shared
     :func:`compact_signature_store` (``id_col="id"``) bounds the store
     and unlocks the merge-on-read fast path. So a firing's WRITE is
     O(affected ids), not O(all clustered ids) — at corpus scale most
@@ -609,22 +697,34 @@ def update_cluster_store(
     fold watermark (max matches ``__batch`` folded) lives in a sibling
     sidecar so compaction swaps cannot drop it.
 
+    Concurrency: single-writer per clusters store, like every sink
+    here — and the matches SINK must be quiet while the fold lists it,
+    OR ``safety_lag_ms`` must exceed the ingest's worst batch-commit
+    duration. A parquet job/task commit is not atomic to a directory
+    listing: a fold racing an in-flight ingest batch can see a SUBSET
+    of that batch's files, watermark at its stamp, and permanently
+    skip the files that become visible later with stamp ==
+    folded_through (r9, ADVICE). With a lag, stamps younger than
+    ``now - safety_lag_ms`` are left for the next firing, so an
+    in-flight batch's stamp can never become the watermark. The
+    default 0 is the quiesced-scheduler posture (the CLI cron shape:
+    ingest firings and maintenance firings share one scheduler).
+
     Crash-safe without a swap: the marker is written AFTER the delta
     append, so a crash between them leaves a stale marker and the next
     firing re-folds the same matches — the re-fold computes an EMPTY
     delta against the already-updated labels (connectivity is
     idempotent) and appends nothing. The at-least-once matches sink's
     duplicate rows are DISTINCT'd before the fold; legacy unstamped
-    matches read as batch -1 and fold on the first firing.
-    Single-writer per clusters store, like every sink here."""
+    matches read as batch -1 and fold on the first firing."""
     import json
-    import os
     import time as _time
 
     from etl_pack_spark.operators.components import (
         connected_components,
         update_clusters,
     )
+    from etl_pack_spark.sinks.fsio import exists as fs_exists
     from etl_pack_spark.sinks.fsio import read_text, write_text
 
     matches = spark.read.option("mergeSchema", "true").parquet(matches_path)
@@ -641,6 +741,11 @@ def update_cluster_store(
     tail = matches if folded_through is None else matches.where(
         F.col("__batch") > folded_through
     )
+    if safety_lag_ms > 0:
+        # concurrent-ingest guard (see docstring): stamps too young to
+        # be provably fully-listed stay in the tail of the NEXT firing
+        cutoff = int(_time.time() * 1000) - int(safety_lag_ms)
+        tail = tail.where(F.col("__batch") <= cutoff)
     # persist: the fold consumes the pairs through several jobs (the
     # components probe + loop) and the watermark needs their max stamp
     tail = tail.select("id_a", "id_b", "__batch").persist()
@@ -648,10 +753,16 @@ def update_cluster_store(
         agg = tail.agg(
             F.max("__batch").alias("wm"), F.count(F.lit(1)).alias("n")
         ).first()
-        exists = os.path.exists(clusters_path)
+        # scheme-aware probe (r9 — the r8 weak): os.path here read an
+        # s3a: clusters store as absent, so every firing relabeled from
+        # ONLY the new tail and the history-blind labels won latest-wins
+        exists = fs_exists(spark, clusters_path)
         if agg["n"] == 0:
-            # nothing new: the store (possibly absent) is untouched
-            return read_cluster_store(spark, clusters_path).count() if exists else 0
+            # nothing new: the store (possibly absent) is untouched —
+            # and the default return does NOT resolve it (delta = 0)
+            if return_total:
+                return read_cluster_store(spark, clusters_path).count() if exists else 0
+            return 0
         pairs = tail.select("id_a", "id_b").distinct()
         if exists:
             labels = read_cluster_store(spark, clusters_path)
@@ -672,10 +783,12 @@ def update_cluster_store(
         # store being appended to (self-append hazard otherwise)
         delta = delta.persist()
         try:
-            delta.count()
+            n_delta = delta.count()
+            stamps = _MonotoneStamps(spark, clusters_path)
             delta.withColumn(
-                "__batch", F.lit(int(_time.time() * 1000)).cast("long")
+                "__batch", F.lit(stamps.next()).cast("long")
             ).write.mode("append").parquet(clusters_path)
+            stamps.publish(spark, clusters_path)
         finally:
             delta.unpersist(False)
         # marker AFTER the append (see crash-safety note above)
@@ -686,7 +799,9 @@ def update_cluster_store(
         )
     finally:
         tail.unpersist(False)
-    return read_cluster_store(spark, clusters_path).count()
+    if return_total:
+        return read_cluster_store(spark, clusters_path).count()
+    return n_delta
 
 
 def compact_signature_store(

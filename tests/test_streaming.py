@@ -776,10 +776,14 @@ def test_update_cluster_store_incremental_fold(spark, tmp_path):
     n1 = update_cluster_store(spark, clusters, matches)
     got1 = {(r["id"], r["cluster_id"])
             for r in read_cluster_store(spark, clusters).collect()}
-    assert got1 == {(1, 1), (2, 1)} and n1 == 2
+    assert got1 == {(1, 1), (2, 1)} and n1 == 2  # delta = 2 new labels
 
-    # maintenance replay with no new matches: store untouched
-    assert update_cluster_store(spark, clusters, matches) == 2
+    # maintenance replay with no new matches: store untouched, delta 0
+    # (r9: the default return is the delta — the full total is opt-in
+    # and is the only path that re-reads the live store)
+    assert update_cluster_store(spark, clusters, matches) == 0
+    assert update_cluster_store(spark, clusters, matches,
+                                return_total=True) == 2
 
     # firing 2: doc 6 near-dups t_b (new cluster) and doc 3 near-dups
     # t_a (extends the existing cluster)
@@ -803,7 +807,7 @@ def test_update_cluster_store_incremental_fold(spark, tmp_path):
     compact_signature_store(spark, clusters, "id")
     assert spark.read.parquet(clusters).count() <= n_physical
     assert sorted(map(tuple, read_cluster_store(spark, clusters).collect())) == want
-    assert update_cluster_store(spark, clusters, matches) == len(want)  # no-op fold
+    assert update_cluster_store(spark, clusters, matches) == 0  # no-op fold
     # flag validation: --matches is required, and exclusive with others
     assert main(["--update-clusters", clusters]) == 2
     assert main(["--matches", matches]) == 2
