@@ -330,12 +330,21 @@ def _sweep_scratch() -> dict:
     write throughput collapsing 539→147 MB/s across the suite. Deletes
     only trees whose NEWEST mtime (checked recursively — a live
     session's top-level dir can look old while its shuffle subdirs are
-    hot) is over an hour old, so a concurrent live session is never
-    touched. Returns counts for the artifact."""
+    hot) is over an hour old AND that the current user owns (r9,
+    ADVICE: the mtime rule alone could rmtree a concurrent OTHER
+    user's live-but-idle session's block-manager dirs and fail its
+    tasks mid-run; same-uid dirs idle >1h on this bench box are our
+    own dead sessions — a live bench run touches its scratch far more
+    often). Opt out entirely with SPARK_GRAFT_SWEEP_SCRATCH=0 when a
+    same-user long-idle session must survive. Returns counts for the
+    artifact."""
     import glob
     import shutil as _shutil
     import tempfile
 
+    if os.environ.get("SPARK_GRAFT_SWEEP_SCRATCH", "1") == "0":
+        return {"dirs_removed": 0, "freed_gb": 0.0, "disabled": True}
+    uid = os.getuid()
     root = tempfile.gettempdir()
     cutoff = time.time() - 3600
     freed, n = 0, 0
@@ -344,6 +353,8 @@ def _sweep_scratch() -> dict:
             if not os.path.isdir(p):
                 continue
             try:
+                if os.stat(p).st_uid != uid:
+                    continue  # never touch another user's scratch
                 newest, nbytes = os.path.getmtime(p), 0
                 for r, _dirs, files in os.walk(p):
                     newest = max(newest, os.path.getmtime(r))

@@ -662,10 +662,13 @@ def ivf_pq_topk_sql(
 
 # sidecar manifest: the index's defining parameters, written with the
 # build (underscore-prefixed — invisible to Spark's parquet listing).
-# ann_topk validates it against the caller's nlist/m/pq_k/dims before
-# answering queries from a loaded index, so a path holding an index
-# built under DIFFERENT parameters (or for a different-dimension
-# corpus) raises instead of silently returning mismatched neighbors.
+# validate_ivf_pq_index derives its primary check from the LOADED
+# arrays' own shapes (covering legacy manifest-less indexes), and
+# cross-checks the manifest against those shapes when one is present
+# (r9) — a disagreement means a mixed-generation or hand-edited index
+# directory, which must raise rather than answer queries. The manifest
+# also serves external tooling that wants the parameters without
+# loading the index.
 IVF_PQ_MANIFEST = "_ivf_pq_manifest.json"
 
 
@@ -797,14 +800,22 @@ def ivf_pq_load(spark, path: str):
 
 
 def validate_ivf_pq_index(
-    built, nlist: int, m: int, pq_k: int, dims: int, path: str = "<index>"
+    built, nlist: int, m: int, pq_k: int, dims: int, path: str = "<index>",
+    spark=None,
 ) -> None:
     """Raise ``ValueError`` when a loaded index's actual parameters —
     read from the loaded arrays themselves (len(cids), books.shape),
     so legacy pre-manifest indexes are covered too — differ from what
     the caller asked for. Without this, a path holding an index built
     under different nlist/m/pq_k (or over a different-dimension
-    corpus) silently answers queries with mismatched state."""
+    corpus) silently answers queries with mismatched state.
+
+    With ``spark`` (r9), the sidecar manifest is ALSO cross-checked
+    against the loaded arrays when present: the arrays are the ground
+    truth, but a manifest that disagrees with them means the directory
+    holds pieces of two different builds (a mixed-generation index —
+    e.g. a manual copy that took codes from one build and coarse/books
+    from another), which loads cleanly and answers silently wrong."""
     cids, C, books, _ = built
     got = {
         "nlist": len(cids),
@@ -823,6 +834,24 @@ def validate_ivf_pq_index(
             f"requested parameters ({detail}) — rebuild the index or "
             f"match the call's nlist/m/pq_k/dims to the saved build"
         )
+    if spark is not None and path != "<index>":
+        manifest = ivf_pq_manifest(spark, path)
+        if manifest is not None:
+            drift = {
+                k: (manifest.get(k), got[k])
+                for k in got if manifest.get(k) != got[k]
+            }
+            if drift:
+                detail = ", ".join(
+                    f"{k}: manifest says {mv}, loaded arrays say {av}"
+                    for k, (mv, av) in drift.items()
+                )
+                raise ValueError(
+                    f"persisted IVF-PQ index at {path} is internally "
+                    f"inconsistent ({detail}) — the manifest and the "
+                    f"loaded coarse/books disagree, so the directory "
+                    f"mixes pieces of different builds; rebuild it"
+                )
 
 
 def ivf_pq_append(

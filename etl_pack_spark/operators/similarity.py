@@ -938,9 +938,12 @@ def ann_topk(
                     # a loaded index must match the CALL's parameters —
                     # a path holding a different build (other nlist/m/
                     # pq_k, other corpus dims) must raise, not silently
-                    # answer with mismatched state
+                    # answer with mismatched state; spark= also cross-
+                    # checks the manifest vs the loaded arrays (r9:
+                    # catches a mixed-generation index directory)
                     quantize.validate_ivf_pq_index(
-                        built, nlist, m, pq_k, dims, path=index_path
+                        built, nlist, m, pq_k, dims, path=index_path,
+                        spark=df.sparkSession,
                     )
             if built is None:
                 built = quantize.ivf_pq_index(

@@ -337,3 +337,36 @@ class TestUpdateClusters:
             assert got == full and len(got) > 0
         finally:
             pairs.unpersist()
+
+    def test_registry_slot_split_exercises_cross_batch_merges(
+        self, spark, sf_dir
+    ):
+        """r9: the live ``neardup_components`` slot computes its
+        labeling through the fold (batch1 components, then
+        update_clusters with batch2, split on (id_a+id_b) parity).
+        That gate is only as strong as the split — pin that at the
+        fixture sf the second batch BRIDGES distinct batch-1
+        components (a genuine cross-batch cluster merge, not just
+        appends), so the driver's oracle hash exercises the merge
+        path every round."""
+        from pyspark.sql import functions as F
+
+        from etl_pack_spark.operators import neardup
+        from etl_pack_spark.operators.components import connected_components
+        from etl_pack_spark.sources.reader import read_table
+
+        docs = read_table(spark, sf_dir, "documents")
+        pairs = neardup.simhash_neardup_pairs(docs, "doc_id", "text") \
+            .select("id_a", "id_b").persist()
+        try:
+            b1 = pairs.where((F.col("id_a") + F.col("id_b")) % 2 == 0)
+            b2 = pairs.where((F.col("id_a") + F.col("id_b")) % 2 == 1)
+            l1 = connected_components(b1)
+            la = l1.select(F.col("id").alias("id_a"), F.col("cluster_id").alias("ca"))
+            lb = l1.select(F.col("id").alias("id_b"), F.col("cluster_id").alias("cb"))
+            bridges = b2.join(la, "id_a").join(lb, "id_b").where("ca <> cb")
+            # measured 144 at sf0.001 / 159 at sf0.01; any regression
+            # to zero would silently weaken the slot's gate
+            assert bridges.count() > 0
+        finally:
+            pairs.unpersist()

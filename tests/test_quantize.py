@@ -554,3 +554,54 @@ def test_ann_topk_index_path_param_mismatch_raises(spark, sf_dir, tmp_path):
         validate_ivf_pq_index(
             (cids, C, books, enc), nlist=8, m=4, pq_k=16, dims=dims
         )
+
+
+def test_validate_ivf_pq_index_cross_checks_manifest(spark, sf_dir, tmp_path):
+    """r9 (ADVICE low): when a manifest is present, validation also
+    cross-checks it against the LOADED arrays — a disagreement means
+    the directory mixes pieces of two builds (coarse/books from one,
+    manifest from another), which loads cleanly and answers silently
+    wrong. Legacy manifest-less indexes keep validating from array
+    shapes alone."""
+    import json
+    import os
+
+    import pytest as _pytest
+
+    from etl_pack_spark.operators.quantize import (
+        IVF_PQ_MANIFEST,
+        ivf_pq_index,
+        ivf_pq_load,
+        ivf_pq_save,
+        validate_ivf_pq_index,
+    )
+    from etl_pack_spark.sources.reader import read_table
+
+    emb = read_table(spark, sf_dir, "embeddings")
+    dims = len(emb.select("embedding").first()[0])
+    path = str(tmp_path / "idx")
+    built = ivf_pq_index(emb, dims, nlist=8, m=8, k=16)
+    ivf_pq_save(path, *built)
+    loaded = ivf_pq_load(spark, path)
+    # consistent manifest: passes with the cross-check engaged
+    validate_ivf_pq_index(
+        loaded, nlist=8, m=8, pq_k=16, dims=dims, path=path, spark=spark
+    )
+    # corrupt the manifest to claim a different build (through fsio —
+    # the local Hadoop FS is checksummed, so a raw open() rewrite
+    # would trip the crc, not the cross-check)
+    from etl_pack_spark.sinks.fsio import write_text
+
+    write_text(
+        spark, os.path.join(path, IVF_PQ_MANIFEST),
+        json.dumps({"nlist": 32, "m": 8, "pq_k": 16, "dims": dims}),
+    )
+    with _pytest.raises(ValueError, match="internally inconsistent"):
+        validate_ivf_pq_index(
+            loaded, nlist=8, m=8, pq_k=16, dims=dims, path=path, spark=spark
+        )
+    # manifest-less legacy index: array-shape validation only, no raise
+    os.remove(os.path.join(path, IVF_PQ_MANIFEST))
+    validate_ivf_pq_index(
+        loaded, nlist=8, m=8, pq_k=16, dims=dims, path=path, spark=spark
+    )
