@@ -155,6 +155,125 @@ def _pretrain_probe(d):
     return prepare_pretraining_corpus(d, leakage_safe_split=True)
 
 
+def _scaled_events(spark, sf_dir, factor):
+    """The events table replicated ``factor``× with a PLANTED HOT USER
+    (r9, round-8 VERDICT #8): copy 0 keeps original user ids; copies
+    ≥1 remap each user into a fresh id space EXCEPT the lowest user
+    id, which keeps its id in EVERY copy — so one user owns factor×
+    any other user's events while the corpus grows factor×. That is
+    the realistic skewed-key case for PARTITION BY user window
+    functions (one power user / bot account): a naive single-task hot
+    partition shows up as superlinear growth here. Timestamps are
+    jittered per copy so replicated rows are not byte-identical."""
+    from pyspark.sql import functions as F
+
+    from etl_pack_spark.sources.reader import read_table
+
+    events = read_table(spark, sf_dir, "events")
+    hot = events.agg(F.min("user_id")).first()[0]
+    copies = F.explode(F.sequence(F.lit(0), F.lit(factor - 1))).alias("__copy")
+    rep = events.select("*", copies)
+    return rep.select(
+        F.when(
+            (F.col("__copy") == 0) | (F.col("user_id") == F.lit(hot)),
+            F.col("user_id"),
+        ).otherwise(
+            F.col("user_id") + F.col("__copy") * F.lit(10_000_000)
+        ).alias("user_id"),
+        F.timestamp_add("SECOND", F.col("__copy"), F.col("ts")).alias("ts"),
+        "value",
+        "event_type",
+    )
+
+
+def _events_probe_queries():
+    """The two window-function shapes over the hot-user scaled events
+    (r9): session windows and per-user top-k — the same PARTITION BY
+    user plans as the headline sessionize / window_topk_orders
+    queries, measured where a single key owns factor× the rows."""
+    from pyspark.sql import functions as F
+    from pyspark.sql.window import Window
+
+    def _sessionize(d):
+        return (
+            d.groupBy(F.session_window("ts", "30 minutes").alias("w"), "user_id")
+            .agg(
+                F.count(F.lit(1)).alias("n_events"),
+                F.sum(F.col("value").cast("decimal(18,2)"))
+                .cast("double").alias("sum_value"),
+            )
+            .select("user_id", F.col("w.start").alias("sess_start"), "n_events")
+        )
+
+    def _topk(d):
+        w = Window.partitionBy("user_id").orderBy(
+            F.col("value").desc(), F.col("ts")
+        )
+        return (
+            d.withColumn("rk", F.row_number().over(w))
+            .where(F.col("rk") <= 3)
+            .select("user_id", "ts", "value", "rk")
+        )
+
+    return {"sessionize_hotuser": _sessionize, "window_topk_hotuser": _topk}
+
+
+def _maintenance_probe(spark, sf_dir, factor, n_reps):
+    """Ingest→fold→compact cycle cost over a GROWING clusters store
+    (r9, round-8 VERDICT #3): three maintenance firings fold three
+    equal-size stamped match batches into one persisted clusters
+    store, then the shared compactor rewrites it. Flat-ish fold times
+    across b1→b3 are the standing in-artifact evidence that the
+    fold's input is O(labeled nodes + batch), not O(pair history);
+    the compact point prices the store rewrite. Fresh store per rep
+    (min over reps is the estimator, like every probe)."""
+    import shutil
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from etl_pack_spark.operators import neardup
+    from etl_pack_spark.streaming.incremental import (
+        compact_signature_store,
+        update_cluster_store,
+    )
+
+    docs = _scaled_docs(spark, sf_dir, factor).persist()
+    pairs = neardup.simhash_neardup_pairs(docs, "doc_id", "text") \
+        .select("id_a", "id_b").persist()
+    n_pairs = pairs.count()
+    docs.unpersist()
+    samples: dict[str, list[float]] = {
+        "cluster_fold_b1": [], "cluster_fold_b2": [], "cluster_fold_b3": [],
+        "cluster_store_compact": [],
+    }
+    for _ in range(n_reps):
+        root = tempfile.mkdtemp(prefix="bench_maint_")
+        try:
+            clusters = os.path.join(root, "clusters")
+            matches = os.path.join(root, "m")
+            for i in range(3):
+                pairs.where(
+                    F.pmod(F.col("id_a") + F.col("id_b"), F.lit(3)) == i
+                ).withColumn(
+                    "__batch", F.lit(i + 1).cast("long")
+                ).write.mode("append").parquet(matches)
+                t0 = time.perf_counter()
+                update_cluster_store(spark, clusters, matches)
+                samples[f"cluster_fold_b{i + 1}"].append(
+                    time.perf_counter() - t0
+                )
+            t0 = time.perf_counter()
+            compact_signature_store(spark, clusters, "id")
+            samples["cluster_store_compact"].append(time.perf_counter() - t0)
+        finally:
+            shutil.rmtree(root, ignore_errors=True)
+    pairs.unpersist()
+    t = {k: round(min(xs), 3) for k, xs in samples.items()}
+    s = {k: {"min": round(min(xs), 3), "n": len(xs)} for k, xs in samples.items()}
+    return n_pairs, t, s
+
+
 # round-3 library operators — driver-gated registry entries since r4,
 # timed separately so the headline total stays comparable across rounds
 LIB_QUERIES = {
@@ -527,9 +646,48 @@ def main() -> None:
 
     factor = int(os.environ.get("SPARK_GRAFT_BENCH_SCALE_FACTOR", "10"))
     if factor > 1:
+        # per-probe-family ambient markers (r9, round-8 VERDICT #4):
+        # the probe stage runs late enough that the suite itself has
+        # degraded the scratch volume; each family gets its own stamp
+        # so cross-round diffs can attribute a probe move to ambient
+        # without a manual A/B. Policy (SCALE.md): judge probe-stage
+        # regressions by the ENGAGED-CAP probes (dedup_simhash_hot,
+        # remove_spans_hot) against their own family marker — the
+        # unplanted numbers swing with co-tenant load by design.
+        out["calibration_probe_text"] = _calibrate()
         n_docs, t3, s3 = probe_at(factor, repeats)
         out["scale_probe_factor"] = factor
         out["scale_probe_docs"] = n_docs
+
+        # window-function probes over hot-user scaled events (r9,
+        # round-8 VERDICT #8): PARTITION BY user with one user owning
+        # factor× everyone else's rows
+        out["calibration_probe_events"] = _calibrate()
+        ev = _scaled_events(spark, sf_dir, factor).persist()
+        out["scale_probe_events_rows"] = ev.count()
+
+        def run_ev(fn) -> float:
+            t0 = time.perf_counter()
+            fn(ev).write.format("noop").mode("overwrite").save()
+            return time.perf_counter() - t0
+
+        for name, fn in _events_probe_queries().items():
+            xs = [run_ev(fn) for _ in range(repeats)]
+            t3[name] = round(min(xs), 3)
+            s3[name] = {"min": round(min(xs), 3), "n": repeats}
+        ev.unpersist()
+
+        # maintenance-cycle probe (r9, round-8 VERDICT #3): fold cost
+        # across three firings over a growing store + compact cost
+        out["calibration_probe_maintenance"] = _calibrate()
+        maint_reps = int(os.environ.get("SPARK_GRAFT_BENCH_MAINT_REPEATS", "2"))
+        n_pairs, tm, sm = _maintenance_probe(spark, sf_dir, factor, maint_reps)
+        out["maintenance_probe_pairs"] = n_pairs
+        t3.update(tm)
+        s3.update(sm)
+        for (_, d) in list(_pool_items()):
+            d.unpersist(False)
+
         out["queries_scale_probe"] = t3
         out["queries_scale_probe_stats"] = s3
 
@@ -541,6 +699,7 @@ def main() -> None:
     factor2 = int(os.environ.get("SPARK_GRAFT_BENCH_SCALE_FACTOR2", "30"))
     reps2 = int(os.environ.get("SPARK_GRAFT_BENCH_SCALE2_REPEATS", "2"))
     if factor > 1 and factor2 > factor:  # factor<=1 disables ALL probes
+        out["calibration_probe30x"] = _calibrate()
         # simhash joined the subset in r6: it held the one superlinear
         # point (hot-block fan-out), and the now-default heavy-hitter
         # cap engages exactly at this replication level — the probe is
@@ -584,9 +743,13 @@ def main() -> None:
     for key in (
         "sf_secondary", "value_secondary",
         "scale_probe_factor", "scale_probe_docs", "queries_scale_probe",
+        "queries_scale_probe_stats",
+        "scale_probe_events_rows", "maintenance_probe_pairs",
         "scale_probe2_factor", "scale_probe2_docs",
         "queries_scale_probe2", "queries_scale_probe2_stats",
         "calibration_pre", "calibration_mid", "calibration_post",
+        "calibration_probe_text", "calibration_probe_events",
+        "calibration_probe_maintenance", "calibration_probe30x",
         "scratch_sweep",
     ):
         if key in out:

@@ -200,3 +200,223 @@ def _tokenize_py(text: str) -> list[str]:
     import re
 
     return [t for t in re.split("[^a-z0-9]+", text.lower()) if t]
+
+
+def bm25_topk_batch(
+    df: DataFrame,
+    queries: DataFrame,
+    id_col: str,
+    text_col: str,
+    q_id_col: str = "q_id",
+    q_text_col: str = "text",
+    k: int = 10,
+    k1: float = 1.2,
+    b: float = 0.75,
+    exclude_self: bool = False,
+) -> DataFrame:
+    """Top-k documents PER QUERY ROW under BM25 — the query-by-example
+    batch form of :func:`bm25_topk`: ``queries`` is a DataFrame of
+    ``(q_id, text)`` rows (e.g. seed documents for "more like this"
+    retrieval, eval prompts for contamination probes), tokenized
+    IN-ENGINE (no driver round-trip per query, unlike the single-query
+    form's argument string). Returns ``(q_id, id, score, rk)`` with
+    the identical scoring, idf, and (round(score,6) DESC, id) ranking
+    as the single-query operator. ``exclude_self=True`` drops the
+    query's own document before ranking (ids shared between queries
+    and corpus — the query-by-example posture).
+
+    Scale: postings are semi-joined down to the union of all query
+    terms BEFORE any scoring join; the query-term frame and the
+    restricted idf stats are both bounded by the QUERY BATCH (rows ×
+    tokens), not the corpus, so they ride :func:`~.guards
+    .maybe_broadcast`. The per-query ranking window partitions on
+    ``q_id`` — thousands of concurrent queries spread across tasks;
+    one query's candidate set is bounded by its term postings.
+    """
+    from etl_pack_spark.operators.guards import maybe_broadcast
+
+    q_terms = (
+        queries.select(
+            F.col(q_id_col).alias("q_id"),
+            F.explode(tokens(q_text_col)).alias("term"),
+        )
+        .distinct()
+    )
+    postings = build_postings(df, id_col, text_col)
+    n_docs, avgdl = (
+        df.select(F.size(tokens(text_col)).alias("__dl"))
+        .agg(F.count("*"), F.avg("__dl"))
+        .first()
+    )
+    # persisted through the pool: used twice (postings semi-join +
+    # stats restriction) and the contribution join reads it again
+    from etl_pack_spark.operators.cache import pooled_persist
+
+    q_terms = pooled_persist(q_terms)
+    used = q_terms.select("term").distinct()
+    hits = postings.join(maybe_broadcast(used), "term", "left_semi")
+    stats = term_stats(hits, n_docs)
+    contrib = (
+        hits.join(maybe_broadcast(q_terms), "term")
+        .join(maybe_broadcast(stats), "term")
+        .select(
+            "q_id",
+            "id",
+            (
+                F.col("idf")
+                * (F.col("tf") * (k1 + 1.0))
+                / (F.col("tf") + k1 * (1.0 - b + b * F.col("dl") / float(avgdl)))
+            ).alias("c"),
+        )
+    )
+    if exclude_self:
+        contrib = contrib.where(F.col("q_id") != F.col("id"))
+    from pyspark.sql.window import Window
+
+    scored = contrib.groupBy("q_id", "id").agg(F.sum("c").alias("score"))
+    w = Window.partitionBy("q_id").orderBy(
+        F.round("score", 6).desc(), F.col("id")
+    )
+    return scored.withColumn("rk", F.row_number().over(w)).where(
+        F.col("rk") <= k
+    )
+
+
+def bm25_topk_batch_sql(
+    table: str,
+    queries_sql: str,
+    id_col: str,
+    text_col: str,
+    q_id_col: str = "q_id",
+    q_text_col: str = "text",
+    k: int = 10,
+    k1: float = 1.2,
+    b: float = 0.75,
+    exclude_self: bool = False,
+) -> str:
+    """DuckDB oracle twin of :func:`bm25_topk_batch` (same idf, same
+    damping, same per-query round-then-id ranking)."""
+    idf = _IDF_SQL.format(n="(SELECT CAST(count(*) AS DOUBLE) FROM t)", df="df")
+    self_pred = f"AND q.q_id != p.id" if exclude_self else ""
+    return f"""
+    WITH t AS (SELECT {id_col} AS id, {tokens_sql(text_col)} AS toks FROM {table}),
+    q AS (
+        SELECT DISTINCT {q_id_col} AS q_id, unnest({tokens_sql(q_text_col)}) AS term
+        FROM ({queries_sql})
+    ),
+    p AS (
+        SELECT id, term, CAST(count(*) AS INT) AS tf, any_value(dl) AS dl
+        FROM (SELECT id, unnest(toks) AS term, len(toks) AS dl FROM t)
+        WHERE term IN (SELECT term FROM q)
+        GROUP BY id, term
+    ),
+    s AS (
+        SELECT term, CAST(count(*) AS INT) AS df, {idf} AS idf
+        FROM (SELECT DISTINCT id, term FROM p) GROUP BY term
+    ),
+    avg_l AS (SELECT avg(len(toks)) AS avgdl FROM t),
+    scored AS (
+        SELECT q.q_id, p.id,
+               sum(s.idf * (p.tf * ({k1} + 1.0))
+                   / (p.tf + {k1} * (1.0 - {b} + {b} * p.dl / avgdl))) AS score
+        FROM p JOIN q USING (term) JOIN s USING (term), avg_l
+        WHERE TRUE {self_pred}
+        GROUP BY q.q_id, p.id
+    )
+    SELECT q_id, id, score, rk FROM (
+        SELECT q_id, id, score,
+               ROW_NUMBER() OVER (PARTITION BY q_id
+                                  ORDER BY round(score, 6) DESC, id) AS rk
+        FROM scored
+    ) WHERE rk <= {k}
+    """
+
+
+def rrf_fuse(
+    arms: dict[str, DataFrame],
+    k: int = 10,
+    rrf_k: int = 60,
+    q_col: str = "q_id",
+    id_col: str = "doc_id",
+    rank_col: str = "rk",
+) -> DataFrame:
+    """Reciprocal-rank fusion (Cormack/Clarke/Buettcher 2009) of named
+    ranked lists: each arm is a ``(q_id, doc_id, rk)`` frame (a BM25
+    ranking, a dense-cosine ranking, ...); the fused score per
+    (query, doc) is ``Σ_arms 1/(rrf_k + rk)``, docs absent from an arm
+    simply contribute nothing — rank-only fusion needs NO score
+    calibration between arms, which is exactly why it is the standard
+    hybrid-retrieval combiner. Returns ``(q_id, doc_id, <arm>_rk ...,
+    rrf_score, rk)`` — one nullable rank column per arm (NULL = the
+    arm didn't surface that doc), rrf_score rounded to 9 dp, ranked
+    (rrf DESC, doc_id) per query, top-k.
+
+    Scale: a union + ONE combinable groupBy on (q, doc) + the
+    per-query ranking window — no join at all between arms, so adding
+    an arm adds a scan, not a shuffle stage.
+    """
+    from pyspark.sql.window import Window
+
+    tagged = None
+    for name, arm in arms.items():
+        part = arm.select(
+            F.col(q_col).alias("q_id"),
+            F.col(id_col).alias("doc_id"),
+            F.col(rank_col).cast("int").alias("rk"),
+            F.lit(name).alias("__arm"),
+        )
+        tagged = part if tagged is None else tagged.unionByName(part)
+    fused = tagged.groupBy("q_id", "doc_id").agg(
+        F.round(
+            F.sum(1.0 / (F.lit(float(rrf_k)) + F.col("rk"))), 9
+        ).alias("rrf_score"),
+        *[
+            F.min(F.when(F.col("__arm") == name, F.col("rk"))).alias(
+                f"{name}_rk"
+            )
+            for name in arms
+        ],
+    )
+    w = Window.partitionBy("q_id").orderBy(
+        F.col("rrf_score").desc(), F.col("doc_id")
+    )
+    return (
+        fused.withColumn("rk", F.row_number().over(w))
+        .where(F.col("rk") <= k)
+        .select(
+            "q_id", "doc_id", *[f"{n}_rk" for n in arms], "rrf_score", "rk"
+        )
+    )
+
+
+def rrf_fuse_sql(
+    arms: dict[str, tuple[str, str, str, str]],
+    k: int = 10,
+    rrf_k: int = 60,
+) -> str:
+    """DuckDB twin of :func:`rrf_fuse`. ``arms`` maps arm name →
+    ``(subquery_sql, q_col, id_col, rank_col)``."""
+    unions = "\nUNION ALL\n".join(
+        f"SELECT {q} AS q_id, {i} AS doc_id, CAST({r} AS INT) AS rk, "
+        f"'{name}' AS arm FROM ({sql})"
+        for name, (sql, q, i, r) in arms.items()
+    )
+    arm_cols = ", ".join(
+        f"min(CASE WHEN arm = '{name}' THEN rk END) AS {name}_rk"
+        for name in arms
+    )
+    out_cols = ", ".join(f"{name}_rk" for name in arms)
+    return f"""
+    WITH u AS ({unions}),
+    fused AS (
+        SELECT q_id, doc_id,
+               round(sum(1.0 / ({float(rrf_k)} + rk)), 9) AS rrf_score,
+               {arm_cols}
+        FROM u GROUP BY q_id, doc_id
+    )
+    SELECT q_id, doc_id, {out_cols}, rrf_score, rk FROM (
+        SELECT *, ROW_NUMBER() OVER (PARTITION BY q_id
+                                     ORDER BY rrf_score DESC, doc_id) AS rk
+        FROM fused
+    ) WHERE rk <= {k}
+    """

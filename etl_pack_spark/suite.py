@@ -46,7 +46,11 @@ from etl_pack_spark.operators.quality import (
     pii_profile_sql,
     profile_sql,
 )
+from etl_pack_spark.operators.retrieval import (
+    bm25_topk_batch_sql as retrieval_bm25_batch_sql,
+)
 from etl_pack_spark.operators.retrieval import bm25_topk_sql
+from etl_pack_spark.operators.retrieval import rrf_fuse_sql as retrieval_rrf_fuse_sql
 from etl_pack_spark.plans.merge import scd2_build_sql, snapshot_diff_sql
 from etl_pack_spark.operators.tokenize import tokens_sql
 from etl_pack_spark.operators.dedup import (
@@ -1000,16 +1004,41 @@ def q_text_signals(spark: SparkSession, sf_dir: str) -> DataFrame:
     return textops.text_signals(docs, "doc_id", "text")
 
 
-def q_bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """BM25 ranked search over the documents corpus: inverted-index
-    postings → query-term-filtered broadcast idf join → top-k. Scores
-    rounded to 6 dp on BOTH engines so the hash compare is immune to
-    float summation order."""
+def q_bm25_search_plain(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The pre-r9 framing (retired pin): single-query BM25 top-20."""
     from etl_pack_spark.operators.retrieval import bm25_topk
 
     docs = read_table(spark, sf_dir, "documents")
     out = bm25_topk(docs, "doc_id", "text", BM25_QUERY, k=20)
     return out.select("id", F.round("score", 6).alias("score"))
+
+
+def q_bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HYBRID retrieval (r9: the slot grew from single-query BM25 to
+    the full sparse⊕dense pipeline; the old framing stays pinned as
+    retired ``bm25_search_plain``): query-by-example over seed docs
+    (doc_id < 3) — batch BM25 over their text (inverted index, same
+    idf/damping as the single-query op) ⊕ exact cosine top-k over
+    their embeddings — fused by reciprocal-rank (RRF, the standard
+    calibration-free hybrid combiner). Every stage is oracle-twinned;
+    rrf_score rounded to 9 dp on both engines."""
+    from etl_pack_spark.operators.retrieval import bm25_topk_batch, rrf_fuse
+
+    docs = read_table(spark, sf_dir, "documents")
+    emb = read_table(spark, sf_dir, "embeddings")
+    q_text = docs.where(F.col("doc_id") < 3).select(
+        F.col("doc_id").alias("q_id"), "text"
+    )
+    q_vec = emb.where(F.col("vec_id") < 3)
+    sparse = bm25_topk_batch(
+        docs, q_text, "doc_id", "text", k=HYBRID_K_EACH, exclude_self=True
+    )
+    dense = similarity.cosine_topk(emb, q_vec, k=HYBRID_K_EACH)
+    return rrf_fuse(
+        {"bm25": sparse.withColumnRenamed("id", "doc_id"),
+         "dense": dense.withColumnRenamed("n_id", "doc_id")},
+        k=HYBRID_K,
+    )
 
 
 SNAP_CUT = "2024-01-20 00:00:00"   # old snapshot: events up to here
@@ -1320,6 +1349,10 @@ def q_gopher_signals(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # fixed framing constants shared by the Spark query and its oracle
 BM25_QUERY = "spark hash table merge"
+# hybrid retrieval framing (r9): 3 seed docs, 20 candidates per arm,
+# fused top-10 per query
+HYBRID_K = 10
+HYBRID_K_EACH = 20
 MIXTURE_WEIGHTS = {
     # upweight src1, keep src2, thin src3, drop everything else
     "src1": 0.5,
@@ -1932,12 +1965,29 @@ ORACLES: dict[str, str] = {
         )
     """,
     # round-6 on BOTH engines: per-term contributions are bit-identical
-    # (integer-derived idf/avgdl), only the final few-term summation
-    # order differs — rounding removes that last-ulp nondeterminism
-    "bm25_search": f"""
-        SELECT id, round(score, 6) AS score
-        FROM ({bm25_topk_sql("documents", "doc_id", "text", BM25_QUERY, k=20)})
-    """,
+    # r9: the slot is the HYBRID pipeline — batch BM25 (per-query
+    # ranking by round(score,6) so the few-term ln-sum's last ulp can't
+    # flip a rank) ⊕ cosine top-k, fused by RRF (two-term double sum,
+    # rounded to 9 dp on both engines)
+    "bm25_search": retrieval_rrf_fuse_sql(
+        {
+            "bm25": (
+                retrieval_bm25_batch_sql(
+                    "documents",
+                    "(SELECT doc_id AS q_id, text FROM documents WHERE doc_id < 3)",
+                    "doc_id", "text", k=HYBRID_K_EACH, exclude_self=True,
+                ),
+                "q_id", "id", "rk",
+            ),
+            "dense": (
+                similarity.cosine_topk_sql(
+                    "embeddings", "vec_id < 3", k=HYBRID_K_EACH
+                ),
+                "q_id", "n_id", "rk",
+            ),
+        },
+        k=HYBRID_K,
+    ),
     # r5 merge: each SCD-2 history row annotated with its key's I/U/D
     # from the snapshot reconciliation (snapshot_diff's oracle twin is
     # deliberately the full-outer-join formulation)
@@ -2118,6 +2168,9 @@ RETIRED_QUERIES: dict[str, QueryFn] = {
     # r9: the slot's labeling moved to the incremental update_clusters
     # fold; the one-shot labeling + survivor framing stays pinned
     "neardup_components_oneshot": q_neardup_components_oneshot,
+    # r9: the slot grew to the hybrid sparse⊕dense pipeline; the
+    # single-query BM25 framing stays pinned
+    "bm25_search_plain": q_bm25_search_plain,
 }
 
 RETIRED_ORACLES: dict[str, str] = {
@@ -2226,5 +2279,9 @@ RETIRED_ORACLES: dict[str, str] = {
         )
         SELECT m.id AS doc_id, m.cluster_id, (m.id = w.win_id) AS survived
         FROM m JOIN win w ON m.cluster_id = w.cluster_id
+    """,
+    "bm25_search_plain": f"""
+        SELECT id, round(score, 6) AS score
+        FROM ({bm25_topk_sql("documents", "doc_id", "text", BM25_QUERY, k=20)})
     """,
 }

@@ -587,3 +587,69 @@ def test_update_clusters_equals_full_history(spark, edges, cut):
         out = connected_components(df_of(edges))
     got = sorted(map(tuple, out.collect()))
     assert got == _uf_model(edges)
+
+
+def _survivor_model(edges, scores):
+    """Pure-Python survivor rule: per transitive cluster keep the
+    max-score member (NULL counts as -inf), min-id tie-break; docs in
+    no pair always pass through. The independent model of
+    cluster_dedup(survivor_by=)."""
+    comp = dict(_uf_model(edges))
+    clusters: dict = {}
+    for n, r in comp.items():
+        clusters.setdefault(r, []).append(n)
+    kept = {n for n in scores if n not in comp}  # pass-through docs
+
+    def rank(n):
+        s = scores[n]
+        return (-(float("-inf") if s is None else float(s)), n)
+
+    for members in clusters.values():
+        kept.add(min(members, key=rank))
+    return sorted(kept)
+
+
+@given(
+    edges=_edges,
+    raw_scores=st.lists(
+        st.one_of(st.none(), st.integers(-3, 3)), min_size=36, max_size=36
+    ),
+    parts=st.integers(1, 5),
+)
+@settings(**SETTINGS)
+def test_cluster_dedup_survivor_matches_model(spark, edges, raw_scores, parts):
+    """LAW (r8 verdict #7): for ANY pair graph and ANY score column —
+    including NULLs, ties, and all-NULL clusters — cluster_dedup's
+    quality-aware survivor pick equals the pure per-cluster argmax
+    model (max score, NULL = -inf, min-id tie-break; pass-through for
+    unclustered docs), and the kept set is invariant under
+    repartitioning."""
+    from pyspark.sql import functions as F
+
+    from etl_pack_spark.operators.components import cluster_dedup
+
+    nodes = sorted({n for e in edges for n in e})
+    # every clustered node gets a score slot; ids 31-35 are extra
+    # never-paired docs that must pass through untouched
+    scores = {n: raw_scores[n] for n in nodes}
+    for extra in (31, 32, 33):
+        scores[extra] = raw_scores[extra]
+    df = spark.createDataFrame(
+        [(n, None if s is None else float(s)) for n, s in scores.items()],
+        "doc_id long, score double",
+    ).repartition(parts)
+    pairs = spark.createDataFrame(edges, "id_a long, id_b long")
+    kept = sorted(
+        r["doc_id"]
+        for r in cluster_dedup(df, pairs, "doc_id", survivor_by="score")
+        .select("doc_id").collect()
+    )
+    assert kept == _survivor_model(edges, scores)
+    # score column untouched by the operator: kept rows keep their rows
+    out = cluster_dedup(df, pairs, "doc_id", survivor_by="score")
+    got_rows = {(r["doc_id"], r["score"]) for r in out.collect()}
+    want_rows = {
+        (n, None if scores[n] is None else float(scores[n]))
+        for n in _survivor_model(edges, scores)
+    }
+    assert got_rows == want_rows

@@ -133,3 +133,101 @@ def test_bm25_plan_broadcasts_stats(tiny):
 def test_bm25_empty_query_raises(tiny):
     with pytest.raises(ValueError):
         bm25_topk(tiny, "doc_id", "text", "!!!")
+
+
+def test_bm25_batch_matches_single_query(tiny, spark):
+    """A one-row query batch must score and rank exactly like the
+    single-query operator (same idf, damping, tie-break)."""
+    from etl_pack_spark.operators.retrieval import bm25_topk_batch
+
+    single = bm25_topk(tiny, "doc_id", "text", "cat sat", k=10).collect()
+    q = spark.createDataFrame([(99, "cat sat")], "q_id long, text string")
+    batch = (
+        bm25_topk_batch(tiny, q, "doc_id", "text", k=10)
+        .orderBy("rk").collect()
+    )
+    assert [r["id"] for r in batch] == [r["id"] for r in single]
+    for b, s in zip(batch, single):
+        assert b["score"] == pytest.approx(s["score"], rel=1e-12)
+        assert b["q_id"] == 99
+
+
+def test_bm25_batch_per_query_isolation_and_self_exclusion(tiny, spark):
+    """Each query ranks independently; exclude_self drops the query's
+    own document (query-by-example) without shifting others' scores."""
+    from etl_pack_spark.operators.retrieval import bm25_topk_batch
+
+    q = spark.createDataFrame(
+        [(1, "cat"), (2, "dog sat")], "q_id long, text string"
+    )
+    out = bm25_topk_batch(tiny, q, "doc_id", "text", k=10).collect()
+    by_q = {}
+    for r in out:
+        by_q.setdefault(r["q_id"], []).append(r)
+    # query 1 ("cat"): docs 3 (tf 3) and 1 (tf 1); query 2 ("dog
+    # sat") hits docs 1 (sat) and 2 (dog + sat)
+    assert [r["id"] for r in sorted(by_q[1], key=lambda r: r["rk"])] == [3, 1]
+    assert {r["id"] for r in by_q[2]} == {1, 2}
+    excl = bm25_topk_batch(
+        tiny, q, "doc_id", "text", k=10, exclude_self=True
+    ).collect()
+    assert all(r["q_id"] != r["id"] for r in excl)
+    # q 1's own doc (id 1) gone, the other member keeps its score
+    kept = [r for r in excl if r["q_id"] == 1]
+    assert [r["id"] for r in kept] == [3]
+    assert kept[0]["score"] == pytest.approx(
+        [r for r in by_q[1] if r["id"] == 3][0]["score"], rel=1e-12
+    )
+
+
+def test_bm25_batch_oracle_parity(spark, sf_dir):
+    from etl_pack_spark.operators.retrieval import (
+        bm25_topk_batch,
+        bm25_topk_batch_sql,
+    )
+
+    docs = read_table(spark, sf_dir, "documents")
+    q = docs.where("doc_id < 4").select(
+        F.col("doc_id").alias("q_id"), "text"
+    )
+    got = sorted(
+        map(tuple, bm25_topk_batch(
+            docs, q, "doc_id", "text", k=15, exclude_self=True
+        ).select("q_id", "id", "rk").collect())
+    )
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM read_parquet('{sf_dir}/documents.parquet')"
+    )
+    want = sorted(map(tuple, con.execute(
+        "SELECT q_id, id, rk FROM (" + bm25_topk_batch_sql(
+            "documents",
+            "(SELECT doc_id AS q_id, text FROM documents WHERE doc_id < 4)",
+            "doc_id", "text", k=15, exclude_self=True,
+        ) + ")"
+    ).fetchall()))
+    assert got == want and len(got) > 0
+
+
+def test_rrf_fuse_hand_computed(spark):
+    """RRF on a tiny fixture vs hand arithmetic: doc in both arms
+    outranks a better single-arm doc; absent-arm rank is NULL."""
+    from etl_pack_spark.operators.retrieval import rrf_fuse
+
+    sparse = spark.createDataFrame(
+        [(1, 10, 1), (1, 11, 2)], "q_id long, doc_id long, rk int"
+    )
+    dense = spark.createDataFrame(
+        [(1, 11, 1), (1, 12, 2)], "q_id long, doc_id long, rk int"
+    )
+    out = {
+        r["doc_id"]: r
+        for r in rrf_fuse({"bm25": sparse, "dense": dense}, k=10).collect()
+    }
+    # doc 11: 1/62 + 1/61; doc 10: 1/61; doc 12: 1/62
+    assert out[11]["rrf_score"] == pytest.approx(
+        round(1 / 62 + 1 / 61, 9), abs=1e-12
+    )
+    assert out[11]["rk"] == 1 and out[10]["rk"] == 2 and out[12]["rk"] == 3
+    assert out[10]["dense_rk"] is None and out[10]["bm25_rk"] == 1
+    assert out[12]["bm25_rk"] is None and out[12]["dense_rk"] == 2
