@@ -226,14 +226,19 @@ def bm25_topk_batch(
     and corpus — the query-by-example posture).
 
     Scale: postings are semi-joined down to the union of all query
-    terms BEFORE any scoring join; the query-term frame and the
-    restricted idf stats are both bounded by the QUERY BATCH (rows ×
-    tokens), not the corpus, so they ride :func:`~.guards
-    .maybe_broadcast`. The per-query ranking window partitions on
-    ``q_id`` — thousands of concurrent queries spread across tasks;
-    one query's candidate set is bounded by its term postings.
+    terms BEFORE any scoring join. Join strategy is the one-bounded-
+    probe pattern (cluster_dedup's r8 posture): the persisted
+    query-term frame gets ONE ``limit(n+1).count()`` probe, and its
+    verdict hints every join here — ``used`` (distinct terms) and the
+    restricted idf ``stats`` are row-bounded by ``q_terms`` by
+    construction, so proving it small proves them all, with no
+    separate probe re-executing the postings aggregation. Past the
+    bound nothing is hinted and AQE plans from runtime sizes (the r8
+    candidate-verify lesson). The per-query ranking window partitions
+    on ``q_id`` — thousands of concurrent queries spread across
+    tasks; one query's candidate set is bounded by its term postings.
     """
-    from etl_pack_spark.operators.guards import maybe_broadcast
+    from etl_pack_spark.operators import guards
 
     q_terms = (
         queries.select(
@@ -248,17 +253,23 @@ def bm25_topk_batch(
         .agg(F.count("*"), F.avg("__dl"))
         .first()
     )
-    # persisted through the pool: used twice (postings semi-join +
-    # stats restriction) and the contribution join reads it again
+    # persisted through the pool: the probe, the semi-join build side,
+    # and the contribution join all read it
     from etl_pack_spark.operators.cache import pooled_persist
 
     q_terms = pooled_persist(q_terms)
+    bound = guards.MAX_BROADCAST_MODEL_ROWS
+    small = q_terms.limit(bound + 1).count() <= bound
+
+    def hint(frame: DataFrame) -> DataFrame:
+        return F.broadcast(frame) if small else frame
+
     used = q_terms.select("term").distinct()
-    hits = postings.join(maybe_broadcast(used), "term", "left_semi")
+    hits = postings.join(hint(used), "term", "left_semi")
     stats = term_stats(hits, n_docs)
     contrib = (
-        hits.join(maybe_broadcast(q_terms), "term")
-        .join(maybe_broadcast(stats), "term")
+        hits.join(hint(q_terms), "term")
+        .join(hint(stats), "term")
         .select(
             "q_id",
             "id",

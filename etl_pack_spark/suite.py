@@ -1539,6 +1539,11 @@ def q_minhash_match_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
 # (reconcile_op annotation, I/U/D all live), and image_dhash +
 # generic hamming_neardup_pairs ride dedup_simhash_pairs (binary
 # modality union over a corpus-with-reingested-copies media table).
+# Round 9: neardup_components' labeling is computed THROUGH the
+# incremental update_clusters fold (one-shot framing retired as
+# neardup_components_oneshot); bm25_search becomes the hybrid
+# sparse⊕dense pipeline — batch BM25 + cosine top-k fused by RRF
+# (single-query framing retired as bm25_search_plain).
 QUERIES: dict[str, QueryFn] = {
     "p2_window": q_p2_window,
     "p4_page": q_p4_page,

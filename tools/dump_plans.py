@@ -61,9 +61,14 @@ NOTES = {
         "self-join of the event stream."
     ),
     "bm25_search": (
-        "Postings are filtered to the query's terms BEFORE the idf join, "
-        "and the stats side (≤ |query| rows) broadcasts — the corpus-sized "
-        "side never shuffles on a non-query term."
+        "r9: the HYBRID pipeline. Sparse arm: postings semi-join down to "
+        "the query batch's term union BEFORE any scoring join, and the "
+        "query-term/idf sides (bounded by the batch) ride maybe_broadcast; "
+        "per-query ranking is a q_id-partitioned window. Dense arm: the "
+        "cosine block kernel (Arrow mapInPandas — MapInPandas/cogroup "
+        "nodes, never BatchEvalPython). Fusion: union + ONE combinable "
+        "groupBy on (q_id, doc_id) — no join between arms, so an added "
+        "arm costs a scan, not a shuffle stage."
     ),
     "contamination_eval": (
         "The eval-set gram hashes broadcast into a left-semi join: the "
@@ -194,7 +199,10 @@ NOTES = {
     ),
     "neardup_components": (
         "Simhash pairs → min-label components → the r8 survivor rider "
-        "(`cluster_dedup(survivor_by=)`). The components loop persists "
+        "(`cluster_dedup(survivor_by=)`); r9: the labeling is computed "
+        "THROUGH the incremental update_clusters fold (batch-1 "
+        "components, batch 2 folded over label-edges ∪ pairs), so the "
+        "slot's oracle hash gates the fold. The components loop persists "
         "the bidirectional edge frame repartitioned on the join key, "
         "so each iteration shuffles only the labels; the survivor "
         "joins are hinted ONLY after a bounded probe proves the "
