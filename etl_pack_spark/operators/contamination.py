@@ -99,6 +99,93 @@ def decontaminate(
     return train.join(maybe_broadcast(flagged), id_col, "left_anti")
 
 
+def eval_contamination(
+    train: DataFrame,
+    eval_df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 8,
+) -> DataFrame:
+    """Per-EVAL-ITEM contamination: ``(id_col, n_grams, n_hit,
+    contaminated_frac)`` — for each eval doc with ≥ 1 word ``n``-gram,
+    the fraction of its DISTINCT n-grams that appear anywhere in the
+    training corpus. The reverse direction of
+    :func:`contamination_report`: that one decides which TRAIN docs to
+    drop; this one measures how compromised each EVAL item (benchmark
+    question) is — the number a benchmark contamination appendix
+    reports ("X% of test items are ≥ 50% contaminated") and the basis
+    for flagging/removing eval items rather than training text.
+    Zero-hit eval items appear with frac 0 (a report that silently
+    omits clean items can't state a contamination RATE).
+
+    Scale: the corpus-sized side does map-only shingling + ONE
+    semi-join against the (broadcast, benchmark-sized) eval gram set;
+    what comes back — the distinct TRAIN-∩-EVAL gram hashes — is
+    bounded by the eval set again, so the final per-item join
+    broadcasts too. Nothing corpus-sized ever shuffles.
+    """
+    ev_grams = (
+        shingle_rows(eval_df, id_col, text_col, n)
+        .select(id_col, F.xxhash64("s").alias("gh"))
+        .distinct()
+    )
+    # bounded by construction: benchmarks are fixed-size by contract
+    ev_gram_set = ev_grams.select("gh").distinct()
+    train_grams = shingle_rows(train, id_col, text_col, n).select(
+        F.xxhash64("s").alias("gh")
+    )
+    # bounded by construction: a subset of the eval gram set
+    hit_set = (
+        train_grams.join(F.broadcast(ev_gram_set), "gh", "left_semi")
+        .distinct()
+        .withColumn("__hit", F.lit(1))
+    )
+    per = ev_grams.join(F.broadcast(hit_set), "gh", "left")
+    return per.groupBy(id_col).agg(
+        F.count(F.lit(1)).alias("n_grams"),
+        F.count("__hit").alias("n_hit"),
+    ).select(
+        id_col,
+        "n_grams",
+        "n_hit",
+        F.round(
+            F.col("n_hit").cast("double") / F.col("n_grams").cast("double"), 9
+        ).alias("contaminated_frac"),
+    )
+
+
+def eval_contamination_sql(
+    train_table: str,
+    eval_table: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 8,
+) -> str:
+    """DuckDB oracle twin of :func:`eval_contamination` (string
+    shingles — same hashing caveat as :func:`contamination_report_sql`)."""
+    return f"""
+    WITH __ev AS (
+        SELECT DISTINCT {id_col}, unnest({shingles_sql('toks', n)}) AS s
+        FROM (SELECT {id_col}, {tokens_sql(text_col)} AS toks FROM {eval_table})
+    ),
+    __hits AS (
+        SELECT DISTINCT s
+        FROM (
+            SELECT unnest({shingles_sql('toks', n)}) AS s
+            FROM (SELECT {tokens_sql(text_col)} AS toks FROM {train_table})
+        )
+        WHERE s IN (SELECT s FROM __ev)
+    )
+    SELECT {id_col},
+           count(*) AS n_grams,
+           count(h.s) AS n_hit,
+           round(CAST(count(h.s) AS DOUBLE) / CAST(count(*) AS DOUBLE), 9)
+               AS contaminated_frac
+    FROM __ev LEFT JOIN __hits h USING (s)
+    GROUP BY {id_col}
+    """
+
+
 def contamination_report_sql(
     train_table: str,
     eval_table: str,

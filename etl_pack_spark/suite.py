@@ -40,7 +40,10 @@ from etl_pack_spark.operators.substrings import (
     repeated_ngram_spans_sql as _repeated_ngram_spans_sql,
 )
 from etl_pack_spark.sinks.sharding import shard_assign_sql as _shard_assign_sql
-from etl_pack_spark.operators.contamination import contamination_report_sql
+from etl_pack_spark.operators.contamination import (
+    contamination_report_sql,
+    eval_contamination_sql,
+)
 from etl_pack_spark.operators.quality import (
     mad_outliers_sql,
     pii_profile_sql,
@@ -1137,9 +1140,23 @@ def q_c4_clean(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_contamination_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Train/eval contamination report: distinct 8-gram overlap between
-    a held-out eval slice (doc_id % 10 == 7) and the rest of the
-    corpus, via a broadcast semi-join on gram hashes."""
+    """Train/eval contamination, EVAL-ITEM grain (r9: the slot flipped
+    direction — per-eval-item contaminated-fraction report, one row
+    per held-out doc incl. clean ones at frac 0; the train-doc-grain
+    report stays pinned as retired ``contamination_eval_trainside``
+    and live inside ``decontaminate``/the pretrain plan): distinct
+    8-gram overlap of each eval doc (doc_id % 10 == 7) against the
+    rest of the corpus, broadcast-bounded both directions."""
+    from etl_pack_spark.operators.contamination import eval_contamination
+
+    docs = read_table(spark, sf_dir, "documents")
+    train = docs.where(F.col("doc_id") % 10 != 7)
+    evald = docs.where(F.col("doc_id") % 10 == 7)
+    return eval_contamination(train, evald, "doc_id", "text", n=8)
+
+
+def q_contamination_eval_trainside(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The pre-r9 framing (retired pin): per-TRAIN-doc hit counts."""
     from etl_pack_spark.operators.contamination import contamination_report
 
     docs = read_table(spark, sf_dir, "documents")
@@ -2037,7 +2054,8 @@ ORACLES: dict[str, str] = {
                {normalize_text_expr_sql("text_clean")} AS text_norm
         FROM base
     """,
-    "contamination_eval": contamination_report_sql(
+    # r9: eval-item grain (per-eval-doc contaminated fraction)
+    "contamination_eval": eval_contamination_sql(
         "(SELECT * FROM documents WHERE doc_id % 10 <> 7)",
         "(SELECT * FROM documents WHERE doc_id % 10 = 7)",
         n=8,
@@ -2176,6 +2194,9 @@ RETIRED_QUERIES: dict[str, QueryFn] = {
     # r9: the slot grew to the hybrid sparse⊕dense pipeline; the
     # single-query BM25 framing stays pinned
     "bm25_search_plain": q_bm25_search_plain,
+    # r9: the slot flipped to eval-item grain; the train-doc-grain
+    # report stays pinned (and live inside decontaminate/pretrain)
+    "contamination_eval_trainside": q_contamination_eval_trainside,
 }
 
 RETIRED_ORACLES: dict[str, str] = {
@@ -2289,4 +2310,9 @@ RETIRED_ORACLES: dict[str, str] = {
         SELECT id, round(score, 6) AS score
         FROM ({bm25_topk_sql("documents", "doc_id", "text", BM25_QUERY, k=20)})
     """,
+    "contamination_eval_trainside": contamination_report_sql(
+        "(SELECT * FROM documents WHERE doc_id % 10 <> 7)",
+        "(SELECT * FROM documents WHERE doc_id % 10 = 7)",
+        n=8,
+    ),
 }

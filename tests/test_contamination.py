@@ -115,3 +115,61 @@ def test_decontaminate_broadcast_guarded(spark, monkeypatch):
         ) == [100, 101, 102, 103]
     finally:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+
+
+def test_eval_contamination_per_item(spark):
+    """Eval-item grain (r9): a fully-leaked eval item approaches frac 1,
+    a clean item reports frac 0 (PRESENT — a rate needs clean rows),
+    and n_hit counts distinct grams shared with ANY train doc."""
+    from etl_pack_spark.operators.contamination import eval_contamination
+
+    train = _df(spark, [
+        (1, f"intro text {LEAK} and more filler words here"),
+        (2, "completely unrelated content about spark partitions and shuffles"),
+    ])
+    evald = _df(spark, [
+        (100, LEAK),  # 10 tokens -> 3 distinct 8-grams, all in train doc 1
+        (101, "pristine benchmark item with nine unusual zebra xylophone tokens"),
+    ])
+    rows = {r["doc_id"]: r for r in
+            eval_contamination(train, evald, n=8).collect()}
+    assert rows[100]["n_grams"] == 3 and rows[100]["n_hit"] == 3
+    assert rows[100]["contaminated_frac"] == 1.0
+    assert rows[101]["n_hit"] == 0 and rows[101]["contaminated_frac"] == 0.0
+    # partial leak: only the grams covering the leaked span hit
+    evald2 = _df(spark, [(200, f"{LEAK} with an uncontaminated trailing clause here")])
+    r = eval_contamination(train, evald2, n=8).collect()[0]
+    assert 0 < r["n_hit"] < r["n_grams"]
+    assert 0 < r["contaminated_frac"] < 1
+
+
+def test_eval_contamination_oracle_parity(spark, sf_dir):
+    from etl_pack_spark.operators.contamination import (
+        eval_contamination,
+        eval_contamination_sql,
+    )
+
+    docs = read_table(spark, sf_dir, "documents")
+    train = docs.where(F.col("doc_id") % 10 != 7)
+    evald = docs.where(F.col("doc_id") % 10 == 7)
+    got = sorted(map(tuple,
+        eval_contamination(train, evald, n=8)
+        .select("doc_id", "n_grams", "n_hit", "contaminated_frac").collect()))
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM read_parquet('{sf_dir}/documents.parquet')"
+    )
+    want = sorted(map(tuple, con.execute(
+        "SELECT doc_id, n_grams, n_hit, contaminated_frac FROM ("
+        + eval_contamination_sql(
+            "(SELECT * FROM documents WHERE doc_id % 10 <> 7)",
+            "(SELECT * FROM documents WHERE doc_id % 10 = 7)",
+            n=8,
+        ) + ")"
+    ).fetchall()))
+    assert got == want and len(got) > 0
+    # every eval doc with >= 1 gram is present (clean ones at frac 0)
+    n_eval_with_grams = evald.where(
+        F.size(F.split(F.lower("text"), "[^a-z0-9]+")) >= 8
+    ).count()
+    assert len(got) >= n_eval_with_grams // 2  # loose lower bound

@@ -653,3 +653,110 @@ def test_cluster_dedup_survivor_matches_model(spark, edges, raw_scores, parts):
         for n in _survivor_model(edges, scores)
     }
     assert got_rows == want_rows
+
+
+# ---------------------------------------------------------------------------
+# r9: hybrid retrieval laws
+# ---------------------------------------------------------------------------
+
+_WORDS = ["cat", "dog", "fox", "mat", "sat", "run", "big", "sky"]
+_doc_text = st.lists(
+    st.sampled_from(_WORDS), min_size=1, max_size=10
+).map(" ".join)
+_corpus = st.lists(_doc_text, min_size=2, max_size=6)
+_query_words = st.lists(
+    st.sampled_from(_WORDS), min_size=1, max_size=4
+).map(" ".join)
+
+
+@given(texts=_corpus, q1=_query_words, q2=_query_words)
+@settings(max_examples=8, deadline=None,
+          suppress_health_check=[HealthCheck.too_slow])
+def test_bm25_batch_equals_single_query_law(spark, texts, q1, q2):
+    """LAW: for ANY corpus and ANY two queries, the batch operator's
+    per-query slice equals the single-query operator (same scores,
+    same ranking) — batching is a plan transformation, never a
+    semantics change."""
+    from etl_pack_spark.operators.retrieval import bm25_topk, bm25_topk_batch
+
+    df = spark.createDataFrame(
+        list(enumerate(texts)), "doc_id long, text string"
+    )
+    qdf = spark.createDataFrame(
+        [(0, q1), (1, q2)], "q_id long, text string"
+    )
+    batch = bm25_topk_batch(df, qdf, "doc_id", "text", k=10).collect()
+    for qid, q in ((0, q1), (1, q2)):
+        single = bm25_topk(df, "doc_id", "text", q, k=10).collect()
+        mine = sorted(
+            (r for r in batch if r["q_id"] == qid), key=lambda r: r["rk"]
+        )
+        assert [r["id"] for r in mine] == [r["id"] for r in single]
+        for m, s in zip(mine, single):
+            assert abs(m["score"] - s["score"]) <= 1e-12 * max(
+                1.0, abs(s["score"])
+            )
+
+
+def _rrf_model(arms, k, rrf_k=60):
+    """Pure-Python RRF: the independent model."""
+    from collections import defaultdict
+
+    score = defaultdict(float)
+    per_arm = defaultdict(dict)
+    for name, rows in arms.items():
+        for q, d, rk in rows:
+            score[(q, d)] += 1.0 / (rrf_k + rk)
+            per_arm[(q, d)][name] = rk
+    out = defaultdict(list)
+    for (q, d), s in score.items():
+        out[q].append((round(s, 9), d))
+    result = []
+    for q, items in out.items():
+        items.sort(key=lambda t: (-t[0], t[1]))
+        for rk, (s, d) in enumerate(items[:k], start=1):
+            result.append((
+                q, d,
+                per_arm[(q, d)].get("a"),
+                per_arm[(q, d)].get("b"),
+                s, rk,
+            ))
+    return sorted(result, key=lambda t: (t[0], t[5]))
+
+
+_arm = st.lists(
+    st.tuples(st.integers(0, 1), st.integers(0, 5)), min_size=0, max_size=8,
+    unique=True,
+).map(lambda pairs: [
+    (q, d, rk)
+    for q in (0, 1)
+    for rk, (qq, d) in enumerate(
+        [p for p in pairs if p[0] == q], start=1
+    )
+])
+
+
+@given(a=_arm, b=_arm, k=st.integers(1, 6))
+@settings(max_examples=10, deadline=None,
+          suppress_health_check=[HealthCheck.too_slow])
+def test_rrf_fuse_matches_model(spark, a, b, k):
+    """LAW: rrf_fuse over ANY two ranked arms equals the pure-Python
+    fusion model — scores, per-arm rank columns (NULL when absent),
+    membership, and the (rrf DESC, doc) ranking."""
+    from etl_pack_spark.operators.retrieval import rrf_fuse
+
+    if not a and not b:
+        return
+    def df_of(rows):
+        return spark.createDataFrame(
+            rows, "q_id long, doc_id long, rk int"
+        ) if rows else spark.createDataFrame([], "q_id long, doc_id long, rk int")
+
+    got = sorted(
+        map(tuple, rrf_fuse({"a": df_of(a), "b": df_of(b)}, k=k).collect()),
+        key=lambda t: (t[0], t[5]),
+    )
+    want = _rrf_model({"a": a, "b": b}, k)
+    assert [
+        (q, d, ra, rb, s, rk) for q, d, ra, rb, s, rk in got
+    ] == want
