@@ -68,6 +68,12 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--matches", default=None, metavar="PATH",
                    help="update-clusters: the append-only matches sink "
                         "written by the near-dup ingest firings")
+    p.add_argument("--store-stats", default=None, metavar="STORE",
+                   help="print maintenance stats for an append-only "
+                        "latest-wins store (physical vs live rows, "
+                        "compaction watermark, tail size, dead fraction "
+                        "— the compact-now signal) instead of a transfer; "
+                        "uses --id-col")
     p.add_argument("--fold-safety-lag-ms", type=int, default=0,
                    help="update-clusters: leave match stamps younger "
                         "than this for the next firing — required when "
@@ -114,10 +120,10 @@ def main(argv: list[str] | None = None) -> int:
     zorder_cols = [c for c in args.zorder_by.split(",") if c]
     if sum(map(bool, (args.compact, args.compact_partitions,
                       args.compact_sigstore, args.compact_codes,
-                      args.update_clusters))) > 1:
+                      args.update_clusters, args.store_stats))) > 1:
         print("error: --compact, --compact-partitions, "
-              "--compact-sigstore, --compact-codes and "
-              "--update-clusters are exclusive",
+              "--compact-sigstore, --compact-codes, "
+              "--update-clusters and --store-stats are exclusive",
               file=sys.stderr)
         return 2
     if args.update_clusters and not args.matches:
@@ -242,7 +248,7 @@ def main(argv: list[str] | None = None) -> int:
             return 2
     elif (
         not args.compact_sigstore and not args.compact_codes
-        and not args.update_clusters
+        and not args.update_clusters and not args.store_stats
         and (not args.source_dir or not args.table or not args.target)
     ):
         print("error: --source-dir, --table and --target are required "
@@ -252,6 +258,14 @@ def main(argv: list[str] | None = None) -> int:
     from etl_pack_spark.session import get_spark
 
     spark = get_spark("etl_pack_spark_cli")
+
+    if args.store_stats:
+        from etl_pack_spark.streaming.incremental import store_stats
+
+        stats = store_stats(spark, args.store_stats, args.id_col)
+        print(json.dumps({"mode": "store_stats",
+                          "store": args.store_stats, **stats}))
+        return 0
 
     if args.update_clusters:
         from etl_pack_spark.streaming.incremental import (

@@ -959,3 +959,68 @@ def ann_topk(
     return out.select(
         "q_id", "n_id", score.alias("score"), "rk", F.lit(method).alias("method")
     )
+
+
+# ---------------------------------------------------------------------------
+# Recall evaluation: the number the ann_topk decision table's rows are
+# chosen by — measure it on YOUR corpus instead of trusting the floor
+# ---------------------------------------------------------------------------
+
+def ann_recall(
+    approx: DataFrame,
+    exact: DataFrame,
+    q_col: str = "q_id",
+    id_col: str = "n_id",
+) -> DataFrame:
+    """Per-query recall of an approximate ANN result against the exact
+    one: ``(q_id, n_exact, n_hit, recall)`` where ``recall`` =
+    |approx ∩ exact| / |exact| for that query (9 dp). Queries absent
+    from ``approx`` entirely (e.g. an empty nprobe sweep) report
+    recall 0, never disappear — a tuning report that drops its worst
+    queries overstates the index.
+
+    The operational companion to :func:`ann_topk`'s decision table
+    (its recall column is the near-iid fixture's FLOOR): run the
+    approximate method and ``method="brute"`` on a query holdout, feed
+    both here, and tune nlist/nprobe/m against measured recall on the
+    actual corpus. Scale: both inputs are top-k results — q·k rows —
+    so the equi-join on (query, neighbor) is result-sized, never
+    corpus-sized; AQE broadcasts the smaller side at runtime.
+    """
+    ex = exact.select(
+        F.col(q_col).alias("q_id"), F.col(id_col).alias("__nid")
+    )
+    ap = approx.select(
+        F.col(q_col).alias("q_id"), F.col(id_col).alias("__nid")
+    ).withColumn("__hit", F.lit(1))
+    per = ex.join(ap, ["q_id", "__nid"], "left")
+    return per.groupBy("q_id").agg(
+        F.count(F.lit(1)).alias("n_exact"),
+        F.count("__hit").alias("n_hit"),
+    ).select(
+        "q_id",
+        "n_exact",
+        "n_hit",
+        F.round(
+            F.col("n_hit").cast("double") / F.col("n_exact").cast("double"), 9
+        ).alias("recall"),
+    )
+
+
+def ann_recall_sql(
+    approx_sql: str,
+    exact_sql: str,
+    q_col: str = "q_id",
+    id_col: str = "n_id",
+) -> str:
+    """DuckDB twin of :func:`ann_recall` (same grain, same rounding)."""
+    return f"""
+    WITH __ex AS (SELECT {q_col} AS q_id, {id_col} AS nid FROM ({exact_sql})),
+    __ap AS (SELECT {q_col} AS q_id, {id_col} AS nid, 1 AS hit
+             FROM ({approx_sql}))
+    SELECT q_id, count(*) AS n_exact, count(a.hit) AS n_hit,
+           round(CAST(count(a.hit) AS DOUBLE) / CAST(count(*) AS DOUBLE), 9)
+               AS recall
+    FROM __ex LEFT JOIN __ap a USING (q_id, nid)
+    GROUP BY q_id
+    """

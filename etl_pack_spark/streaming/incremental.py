@@ -869,3 +869,49 @@ def compact_signature_store(
         _write_compaction_marker(spark, staged, wm)
     publish_swap(staged, store_path)
     return spark.read.parquet(store_path).count()
+
+
+def store_stats(
+    spark: SparkSession, store_path: str, id_col: str = "doc_id"
+) -> dict:
+    """Operational introspection for an append-only latest-wins store
+    (signature / URL / clusters / IVF-PQ-codes layout): the numbers a
+    maintenance scheduler decides compaction cadence from, in one
+    call. Returns::
+
+        {"physical_rows":   rows on disk incl. superseded versions,
+         "live_ids":        resolved one-row-per-id count,
+         "compaction_watermark": marker value or None (never compacted),
+         "tail_rows":       rows stamped above the watermark (what every
+                            merge-on-read has to aggregate; None when
+                            there is no watermark — then EVERY read pays
+                            the full resolve and compaction is overdue),
+         "last_stamp":      the monotone-stamp sidecar (None = legacy),
+         "dead_fraction":   1 - live/physical (what compaction reclaims)}
+
+    Pure reads — no state is touched, safe alongside a writer. Costs
+    two scans (physical count + resolve) plus a tail count when a
+    watermark exists: it is a STATS op for cron decisions ("compact
+    when dead_fraction > 0.3 or tail_rows > X"), not a read path.
+    """
+    physical = spark.read.option("mergeSchema", "true").parquet(store_path)
+    n_phys = physical.count()
+    live = resolve_signature_store(spark, store_path, id_col).count()
+    wm = compaction_watermark(spark, store_path)
+    tail = None
+    if wm is not None:
+        col = (
+            F.coalesce(F.col("__batch"), F.lit(-1))
+            if "__batch" in physical.columns else F.lit(-1)
+        )
+        tail = physical.where(col > wm).count()
+    return {
+        "physical_rows": n_phys,
+        "live_ids": live,
+        "compaction_watermark": wm,
+        "tail_rows": tail,
+        "last_stamp": (
+            _stamp_floor(spark, store_path) or None
+        ),
+        "dead_fraction": round(1.0 - live / n_phys, 4) if n_phys else 0.0,
+    }

@@ -286,3 +286,63 @@ class TestAnnChooser:
         survivors = semantic_dedup(emb, nlist=16, threshold=0.4)
         n = survivors.count()
         assert 0 < n <= emb.count()
+
+
+def test_ann_recall_semantics_and_oracle(spark):
+    """r9 recall evaluation: hand-built approx/exact — hits counted per
+    query, absent queries report 0 (never dropped), DuckDB twin
+    agrees."""
+    import duckdb
+
+    from etl_pack_spark.operators.similarity import ann_recall, ann_recall_sql
+
+    exact = spark.createDataFrame(
+        [(1, 10), (1, 11), (1, 12), (2, 20), (2, 21), (3, 30)],
+        "q_id long, n_id long",
+    )
+    approx = spark.createDataFrame(
+        # q1: 2/3 right (13 is a miss); q2: exact; q3: absent entirely
+        [(1, 10), (1, 11), (1, 13), (2, 20), (2, 21)],
+        "q_id long, n_id long",
+    )
+    got = {r["q_id"]: r for r in ann_recall(approx, exact).collect()}
+    assert got[1]["n_exact"] == 3 and got[1]["n_hit"] == 2
+    assert abs(got[1]["recall"] - round(2 / 3, 9)) < 1e-12
+    assert got[2]["recall"] == 1.0
+    assert got[3]["n_hit"] == 0 and got[3]["recall"] == 0.0
+    con = duckdb.connect()
+    con.register("ex", exact.toPandas())
+    con.register("ap", approx.toPandas())
+    want = {q: (ne, nh, rc) for q, ne, nh, rc in con.execute(
+        ann_recall_sql("SELECT * FROM ap", "SELECT * FROM ex")
+    ).fetchall()}
+    assert want == {
+        q: (r["n_exact"], r["n_hit"], r["recall"]) for q, r in got.items()
+    }
+
+
+def test_ann_recall_measures_ivf_against_brute(spark, sf_dir):
+    """End-to-end: IVF-flat recall vs brute force on the fixture is in
+    (0, 1]; brute vs itself is exactly 1 for every query."""
+    from pyspark.sql import functions as F
+
+    from etl_pack_spark.operators.similarity import (
+        ann_recall,
+        cosine_topk,
+        ivf_topk,
+    )
+    from etl_pack_spark.sources.reader import read_table
+
+    emb = read_table(spark, sf_dir, "embeddings")
+    queries = emb.where(F.col("vec_id") < 10)
+    exact = cosine_topk(emb, queries, k=5).persist()
+    self_recall = ann_recall(exact, exact)
+    assert all(r["recall"] == 1.0 for r in self_recall.collect())
+    approx = ivf_topk(emb, nlist=16, nprobe=4, k=5).where(
+        F.col("q_id") < 10
+    )
+    rec = ann_recall(approx, exact).collect()
+    exact.unpersist()
+    assert len(rec) == 10
+    mean = sum(r["recall"] for r in rec) / len(rec)
+    assert 0.0 < mean <= 1.0

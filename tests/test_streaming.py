@@ -813,3 +813,45 @@ def test_update_cluster_store_incremental_fold(spark, tmp_path):
     assert main(["--matches", matches]) == 2
     assert main(["--update-clusters", clusters, "--matches", matches,
                  "--compact-sigstore", store]) == 2
+
+
+def test_store_stats_reports_maintenance_signals(spark, tmp_path):
+    """r9 store introspection: physical vs live rows, watermark/tail,
+    monotone-stamp sidecar, dead fraction — before and after
+    compaction, plus the CLI mode."""
+    import json as _json
+
+    from etl_pack_spark.cli import main
+    from etl_pack_spark.streaming.incremental import (
+        compact_signature_store,
+        stream_neardup_ingest,
+        store_stats,
+    )
+
+    store = str(tmp_path / "sig")
+    t_a = "alpha beta gamma delta epsilon zeta eta theta running words"
+    src1 = str(tmp_path / "src1")
+    spark.createDataFrame([(1, t_a), (2, t_a + " x")],
+                          "doc_id long, text string").write.parquet(src1)
+    stream_neardup_ingest(spark, src1, store, str(tmp_path / "m"),
+                          str(tmp_path / "ck1"))
+    # rewrite doc 1 (fresh source+checkpoint): superseded row appears
+    src2 = str(tmp_path / "src2")
+    spark.createDataFrame([(1, t_a + " rewritten tail")],
+                          "doc_id long, text string").write.parquet(src2)
+    stream_neardup_ingest(spark, src2, store, str(tmp_path / "m"),
+                          str(tmp_path / "ck2"))
+    s = store_stats(spark, store)
+    assert s["physical_rows"] == 3 and s["live_ids"] == 2
+    assert s["compaction_watermark"] is None and s["tail_rows"] is None
+    assert s["dead_fraction"] > 0 and s["last_stamp"] is not None
+    compact_signature_store(spark, store)
+    s2 = store_stats(spark, store)
+    assert s2["physical_rows"] == s2["live_ids"] == 2
+    assert s2["compaction_watermark"] is not None and s2["tail_rows"] == 0
+    assert s2["dead_fraction"] == 0.0
+    # the sidecar survives the compaction swap (sibling placement)
+    assert s2["last_stamp"] == s["last_stamp"]
+    # CLI mode + exclusivity validation
+    assert main(["--store-stats", store]) == 0
+    assert main(["--store-stats", store, "--compact-sigstore", store]) == 2
