@@ -45,7 +45,7 @@ BENCH_QUERIES = [
     "text_sentiment",          # broadcast-lexicon sentiment join
     "text_signals",            # ALL per-doc text signals, one scan (was text_quality + text_fingerprint)
     "corpus_curate",           # composed curation pipeline (1 scan, 1 shuffle)
-    "bm25_search",             # inverted index + BM25 ranked top-k
+    "bm25_search",             # hybrid retrieval: batch BM25 ⊕ cosine, RRF-fused (r9)
     "cdc_scd2",                # SCD-2 history build (window shuffle)
     "c4_clean",                # C4-recipe cleaning, map-only
     "neardup_components",      # simhash pairs -> transitive clusters (iterative)
@@ -712,6 +712,9 @@ def main() -> None:
                 # subset — this is the replication level where the cap
                 # engages, so the engaged path gets a standing number
                 "dedup_simhash_hot",
+                # r9: the OTHER judged engaged-cap signal (SCALE.md
+                # probe policy) gets its 30x point too
+                "remove_spans_hot",
             },
         )
         out["scale_probe2_factor"] = factor2

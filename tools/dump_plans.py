@@ -71,8 +71,11 @@ NOTES = {
         "arm costs a scan, not a shuffle stage."
     ),
     "contamination_eval": (
-        "The eval-set gram hashes broadcast into a left-semi join: the "
-        "train corpus is scanned once and never shuffled."
+        "r9: eval-item grain. The eval-set gram hashes broadcast into "
+        "the corpus-side semi-join (train scanned once, never "
+        "shuffled); what returns — the train∩eval gram set — is "
+        "bounded by the eval set and broadcasts back onto the "
+        "per-item left join, so both directions stay benchmark-sized."
     ),
     "text_signals": (
         "Every per-doc text signal in one scan and one WholeStageCodegen "
