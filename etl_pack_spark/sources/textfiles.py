@@ -1,0 +1,113 @@
+"""File-shaped corpus sources beyond parquet: JSONL and CSV with
+corrupt-line QUARANTINE.
+
+Training corpora arrive as JSONL dumps (one document per line — the
+common crawl-derivative interchange format) and CSVs far more often
+than parquet, and a 100 TB dump ALWAYS contains malformed lines. The
+two modes Spark offers by default are both wrong for curation:
+``FAILFAST`` kills a ten-hour job on line nine billion, and
+``DROPMALFORMED`` silently deletes data. These readers take the same
+strict+quarantine posture as the T1 type layer
+(:func:`etl_pack_spark.schema.quarantine_invalid`): parse
+``PERMISSIVE`` with the raw corrupt line captured, split the frame,
+and return ``(clean_typed_rows, corrupt_raw_lines)`` so the caller
+can count/inspect/repair the bad side instead of choosing between a
+crash and silent loss.
+
+Scale notes: the parse IS the scan (one pass, the corrupt column is
+populated by the parser itself — no validation re-read); the split is
+two filters over one cached parse, and the cache is required
+semantics, not an optimization — Spark refuses to filter on the
+internal corrupt-record column of an uncached parsed frame
+(SPARK-21610). Callers stream the clean side onward and typically
+append the corrupt side to a quarantine sink; schema is REQUIRED
+(schema inference is a second full read of the dataset and
+nondeterministic under corruption — never acceptable at scale).
+
+(The reference has no file sources at all — its inputs are MySQL/
+ClickHouse tables, mysql/mysql.go:36 — this is SURVEY §7.3 extension
+surface, same family as the parquet fixtures path.)
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+CORRUPT_COL = "_corrupt_record"
+
+
+def _split_corrupt(parsed: DataFrame, schema: T.StructType):
+    """(clean typed rows, corrupt raw lines) from a PERMISSIVE parse.
+    The parse is cached BEFORE filtering: Spark disallows filtering on
+    the internal corrupt-record column of a raw parsed frame
+    (SPARK-21610), and the cache also makes the two filters share one
+    physical parse."""
+    parsed = parsed.cache()
+    clean = parsed.where(F.col(CORRUPT_COL).isNull()).select(
+        *[f.name for f in schema.fields]
+    )
+    corrupt = parsed.where(F.col(CORRUPT_COL).isNotNull()).select(
+        F.col(CORRUPT_COL).alias("raw_line")
+    )
+    return clean, corrupt
+
+
+def _with_corrupt(schema: T.StructType) -> T.StructType:
+    if CORRUPT_COL in [f.name for f in schema.fields]:
+        raise ValueError(f"schema must not define {CORRUPT_COL!r}")
+    return T.StructType(
+        list(schema.fields) + [T.StructField(CORRUPT_COL, T.StringType())]
+    )
+
+
+def read_jsonl(
+    spark: SparkSession,
+    path: str,
+    schema: T.StructType | str,
+) -> tuple[DataFrame, DataFrame]:
+    """One-document-per-line JSON under strict+quarantine: returns
+    ``(clean, corrupt)`` where ``clean`` has exactly ``schema``'s
+    typed columns and ``corrupt`` is ``(raw_line string)`` — every
+    line that failed to parse OR failed the schema's types, verbatim.
+
+    A type mismatch (string where a long is declared) quarantines the
+    line rather than silently nulling the field — the parser runs in
+    PERMISSIVE mode but the corrupt capture makes it auditable.
+    Multi-line JSON is deliberately unsupported (``multiLine`` forces
+    whole-file parsing — one task per FILE, no intra-file parallelism;
+    JSONL exists precisely so a 100 TB dump splits by line)."""
+    if isinstance(schema, str):
+        schema = T.StructType.fromDDL(schema)
+    parsed = (
+        spark.read.schema(_with_corrupt(schema))
+        .option("mode", "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", CORRUPT_COL)
+        .json(path)
+    )
+    return _split_corrupt(parsed, schema)
+
+
+def read_csv(
+    spark: SparkSession,
+    path: str,
+    schema: T.StructType | str,
+    header: bool = True,
+    sep: str = ",",
+) -> tuple[DataFrame, DataFrame]:
+    """CSV under the same strict+quarantine contract as
+    :func:`read_jsonl`: malformed lines (wrong column count, unparsable
+    types, broken quoting) land in the corrupt frame verbatim instead
+    of crashing the job or silently vanishing."""
+    if isinstance(schema, str):
+        schema = T.StructType.fromDDL(schema)
+    parsed = (
+        spark.read.schema(_with_corrupt(schema))
+        .option("mode", "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", CORRUPT_COL)
+        .option("header", str(header).lower())
+        .option("sep", sep)
+        .csv(path)
+    )
+    return _split_corrupt(parsed, schema)
