@@ -368,6 +368,8 @@ def rrf_fuse(
     """
     from pyspark.sql.window import Window
 
+    if not arms:
+        raise ValueError("rrf_fuse needs at least one ranked arm")
     tagged = None
     for name, arm in arms.items():
         part = arm.select(

@@ -231,3 +231,12 @@ def test_rrf_fuse_hand_computed(spark):
     assert out[11]["rk"] == 1 and out[10]["rk"] == 2 and out[12]["rk"] == 3
     assert out[10]["dense_rk"] is None and out[10]["bm25_rk"] == 1
     assert out[12]["bm25_rk"] is None and out[12]["dense_rk"] == 2
+
+
+def test_rrf_fuse_rejects_empty_arms(spark):
+    import pytest as _pytest
+
+    from etl_pack_spark.operators.retrieval import rrf_fuse
+
+    with _pytest.raises(ValueError, match="at least one"):
+        rrf_fuse({})
