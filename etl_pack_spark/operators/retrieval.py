@@ -135,6 +135,11 @@ def bm25_topk(
         .agg(F.count("*"), F.avg("__dl"))
         .first()
     )
+    # empty corpus: avg() is NULL and float(None) would raise an
+    # obscure TypeError — postings are empty so the result is empty
+    # under ANY finite damping denominator; 1.0 keeps the plan buildable
+    if avgdl is None:
+        avgdl = 1.0
     stats = term_stats(postings.where(F.col("term").isin(q_terms)), n_docs)
     contrib = (
         postings.where(F.col("term").isin(q_terms))
@@ -237,6 +242,14 @@ def bm25_topk_batch(
     candidate-verify lesson). The per-query ranking window partitions
     on ``q_id`` — thousands of concurrent queries spread across
     tasks; one query's candidate set is bounded by its term postings.
+
+    Degenerate inputs (one deliberate divergence from the single-query
+    form, r9 ADVICE): a query ROW whose text tokenizes to nothing
+    yields no output rows — in a thousand-query batch one degenerate
+    row must not kill the job the way ``bm25_topk``'s ValueError
+    does; callers wanting the strict behavior pre-assert
+    ``size(tokens(text)) > 0`` on the queries frame. An EMPTY corpus
+    returns an empty result (same as the single-query form).
     """
     from etl_pack_spark.operators import guards
 
@@ -253,6 +266,11 @@ def bm25_topk_batch(
         .agg(F.count("*"), F.avg("__dl"))
         .first()
     )
+    # empty corpus: avg() is NULL — stand in 1.0; postings are empty
+    # so the result is empty for any finite denominator (r9 ADVICE:
+    # the bare float(None) here raised an opaque TypeError)
+    if avgdl is None:
+        avgdl = 1.0
     # persisted through the pool: the probe, the semi-join build side,
     # and the contribution join all read it
     from etl_pack_spark.operators.cache import pooled_persist
@@ -343,6 +361,31 @@ def bm25_topk_batch_sql(
     """
 
 
+# rrf output columns an arm name must not shadow: <name>_rk is the
+# per-arm rank column, so a name of "q_id"/"doc_id"/... would make the
+# arm column collide with (or be mistaken for) a core output column,
+# and rrf_fuse_sql interpolates names into SQL identifiers and string
+# literals — identifier-shaped names only (r9 ADVICE).
+_RESERVED_ARM_NAMES = frozenset({"q_id", "doc_id", "rk", "rrf_score", "arm"})
+
+
+def _check_arm_names(names) -> None:
+    import re
+
+    for name in names:
+        if not re.fullmatch(r"[A-Za-z][A-Za-z0-9_]*", name or ""):
+            raise ValueError(
+                f"rrf arm name {name!r} is not a plain identifier "
+                "([A-Za-z][A-Za-z0-9_]*) — it is interpolated into "
+                "output column names and oracle SQL"
+            )
+        if name in _RESERVED_ARM_NAMES:
+            raise ValueError(
+                f"rrf arm name {name!r} collides with a fused output "
+                f"column (reserved: {sorted(_RESERVED_ARM_NAMES)})"
+            )
+
+
 def rrf_fuse(
     arms: dict[str, DataFrame],
     k: int = 10,
@@ -370,6 +413,7 @@ def rrf_fuse(
 
     if not arms:
         raise ValueError("rrf_fuse needs at least one ranked arm")
+    _check_arm_names(arms)
     tagged = None
     for name, arm in arms.items():
         part = arm.select(
@@ -409,6 +453,9 @@ def rrf_fuse_sql(
 ) -> str:
     """DuckDB twin of :func:`rrf_fuse`. ``arms`` maps arm name →
     ``(subquery_sql, q_col, id_col, rank_col)``."""
+    if not arms:
+        raise ValueError("rrf_fuse_sql needs at least one ranked arm")
+    _check_arm_names(arms)
     unions = "\nUNION ALL\n".join(
         f"SELECT {q} AS q_id, {i} AS doc_id, CAST({r} AS INT) AS rk, "
         f"'{name}' AS arm FROM ({sql})"

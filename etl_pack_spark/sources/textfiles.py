@@ -43,7 +43,13 @@ def _split_corrupt(parsed: DataFrame, schema: T.StructType):
     The parse is cached BEFORE filtering: Spark disallows filtering on
     the internal corrupt-record column of a raw parsed frame
     (SPARK-21610), and the cache also makes the two filters share one
-    physical parse."""
+    physical parse.
+
+    Caching contract (r9 ADVICE): the cache is pinned for the LIFETIME
+    of the returned frames — both carry the parsed frame as
+    ``._quarantine_parse`` so :func:`release` can unpersist it once
+    the caller has consumed both sides; without that, repeated reads
+    in a long-lived session accumulate pinned storage."""
     parsed = parsed.cache()
     clean = parsed.where(F.col(CORRUPT_COL).isNull()).select(
         *[f.name for f in schema.fields]
@@ -51,7 +57,23 @@ def _split_corrupt(parsed: DataFrame, schema: T.StructType):
     corrupt = parsed.where(F.col(CORRUPT_COL).isNotNull()).select(
         F.col(CORRUPT_COL).alias("raw_line")
     )
+    clean._quarantine_parse = parsed
+    corrupt._quarantine_parse = parsed
     return clean, corrupt
+
+
+def release(frame: DataFrame) -> None:
+    """Unpersist the shared cached parse behind a frame returned by
+    :func:`read_jsonl` / :func:`read_csv` (either side releases both —
+    they pin ONE parse). Call ONLY after both sides are fully
+    consumed: the cache is load-bearing (SPARK-21610 — Spark refuses
+    corrupt-record-column filters over an uncached parse), so actions
+    on either frame after release raise AnalysisException rather than
+    silently re-reading. No-op for frames this module didn't
+    produce."""
+    parsed = getattr(frame, "_quarantine_parse", None)
+    if parsed is not None:
+        parsed.unpersist()
 
 
 def _with_corrupt(schema: T.StructType) -> T.StructType:
@@ -77,7 +99,10 @@ def read_jsonl(
     PERMISSIVE mode but the corrupt capture makes it auditable.
     Multi-line JSON is deliberately unsupported (``multiLine`` forces
     whole-file parsing — one task per FILE, no intra-file parallelism;
-    JSONL exists precisely so a 100 TB dump splits by line)."""
+    JSONL exists precisely so a 100 TB dump splits by line).
+
+    Both frames share ONE cached parse, pinned until :func:`release`
+    is called on either (see :func:`_split_corrupt`)."""
     if isinstance(schema, str):
         schema = T.StructType.fromDDL(schema)
     parsed = (
@@ -99,7 +124,8 @@ def read_csv(
     """CSV under the same strict+quarantine contract as
     :func:`read_jsonl`: malformed lines (wrong column count, unparsable
     types, broken quoting) land in the corrupt frame verbatim instead
-    of crashing the job or silently vanishing."""
+    of crashing the job or silently vanishing. Same shared-cache
+    contract: call :func:`release` when done with both sides."""
     if isinstance(schema, str):
         schema = T.StructType.fromDDL(schema)
     parsed = (

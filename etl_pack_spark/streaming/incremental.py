@@ -364,6 +364,12 @@ def stream_neardup_ingest(
     n = len(query.recentProgress)
     query.stop()
     stamps.publish(spark, store_path)
+    # the matches sink gets the same sidecar (r9 ADVICE): published
+    # only AFTER every micro-batch committed, so the fold's safety-lag
+    # cutoff can treat stamps <= this floor as provably fully listed —
+    # closing the starvation window where a backwards NTP step leaves
+    # monotone stamps ahead of wall-clock until the clock catches up
+    stamps.publish(spark, matches_path)
     return n
 
 
@@ -705,8 +711,12 @@ def update_cluster_store(
     of that batch's files, watermark at its stamp, and permanently
     skip the files that become visible later with stamp ==
     folded_through (r9, ADVICE). With a lag, stamps younger than
-    ``now - safety_lag_ms`` are left for the next firing, so an
-    in-flight batch's stamp can never become the watermark. The
+    ``max(now - safety_lag_ms, matches sidecar floor)`` are left for
+    the next firing, so an in-flight batch's stamp can never become
+    the watermark; the sidecar floor (published by the ingest only
+    after all its micro-batches committed) keeps stamps that a
+    backwards NTP step left ahead of wall-clock from starving until
+    the clock catches up — below the floor means the firing finished. The
     default 0 is the quiesced-scheduler posture (the CLI cron shape:
     ingest firings and maintenance firings share one scheduler).
 
@@ -743,8 +753,15 @@ def update_cluster_store(
     )
     if safety_lag_ms > 0:
         # concurrent-ingest guard (see docstring): stamps too young to
-        # be provably fully-listed stay in the tail of the NEXT firing
-        cutoff = int(_time.time() * 1000) - int(safety_lag_ms)
+        # be provably fully-listed stay in the tail of the NEXT firing.
+        # The cutoff is lower-bounded by the matches sidecar floor
+        # (published by the ingest only after every micro-batch
+        # committed), so stamps a backwards NTP step left ahead of
+        # wall-clock still fold once their firing finished — without
+        # the floor they would starve until the clock caught up
+        # (r9 ADVICE).
+        floor = _stamp_floor(spark, matches_path)
+        cutoff = max(int(_time.time() * 1000) - int(safety_lag_ms), floor)
         tail = tail.where(F.col("__batch") <= cutoff)
     # persist: the fold consumes the pairs through several jobs (the
     # components probe + loop) and the watermark needs their max stamp

@@ -40,9 +40,20 @@ def test_posix_path_normalizes_and_guards():
     assert posix_path("file:/tmp/x") == "/tmp/x"
     assert posix_path("file:///tmp/x") == "/tmp/x"
     for bad in ("s3a://bucket/t", "hdfs://nn/t", "abfs://c@a/t",
-                "file://host/t"):
+                "file://host/t", "gs://b/t", "s3a:/bucket/t"):
         with pytest.raises(NotImplementedError):
             posix_path(bad)
+
+
+def test_posix_path_colon_and_uri_metachars_are_plain_path_chars():
+    """r9 ADVICE: a RELATIVE path whose first segment contains a colon
+    is a legal POSIX name, not a URI scheme; '?' and '#' are legal
+    POSIX filename characters and must survive (urlsplit truncated
+    them as query/fragment)."""
+    assert posix_path("data:2024/x") == "data:2024/x"
+    assert posix_path("/tmp/report?v=2") == "/tmp/report?v=2"
+    assert posix_path("/tmp/a#b") == "/tmp/a#b"
+    assert posix_path("file:/tmp/report?v=2#frag") == "/tmp/report?v=2#frag"
 
 
 def test_neardup_ingest_store_probe_is_scheme_aware(spark, tmp_path):
@@ -66,6 +77,14 @@ def test_neardup_ingest_store_probe_is_scheme_aware(spark, tmp_path):
     got = {(r["id_a"], r["id_b"])
            for r in spark.read.parquet(matches).select("id_a", "id_b").collect()}
     assert (2, 1) in got or (1, 2) in got
+    # the ingest publishes the stamp sidecar on the MATCHES path too
+    # (r9 ADVICE follow-up): the fold's safety-lag cutoff uses it as a
+    # "this firing finished" floor
+    from etl_pack_spark.streaming import incremental as inc
+
+    m_floor = inc._stamp_floor(spark, matches)
+    assert m_floor > 0
+    assert m_floor == inc._stamp_floor(spark, store)
 
 
 def test_url_ingest_store_probe_is_scheme_aware(spark, tmp_path):
@@ -223,6 +242,35 @@ def test_update_cluster_store_safety_lag_defers_young_stamps(spark, tmp_path):
     got = {(r["id"], r["cluster_id"])
            for r in read_cluster_store(spark, clusters).collect()}
     assert got == {(1, 1), (2, 1)}
+
+
+def test_update_cluster_store_safety_lag_floor_prevents_starvation(
+    spark, tmp_path
+):
+    """r9 ADVICE: stamps a backwards NTP step left AHEAD of wall-clock
+    would defer forever under a bare now-lag cutoff. Once the ingest's
+    matches-sidecar floor covers them (= that firing finished), the
+    fold takes them despite the lag."""
+    import time as _time
+
+    from etl_pack_spark.streaming import incremental as inc
+
+    clusters = str(tmp_path / "clusters")
+    matches = str(tmp_path / "m")
+    # a stamp 10h in the future: _MonotoneStamps after a clock step-back
+    future = int(_time.time() * 1000) + 10 * 3_600_000
+    spark.createDataFrame(
+        [(1, 2, future)], "id_a long, id_b long, __batch long"
+    ).write.mode("append").parquet(matches)
+    # no sidecar yet (firing may still be in flight): deferred
+    assert inc.update_cluster_store(
+        spark, clusters, matches, safety_lag_ms=3_600_000
+    ) == 0
+    # ingest finished and published the floor at that stamp: folds now
+    inc._publish_stamp(spark, matches, future)
+    assert inc.update_cluster_store(
+        spark, clusters, matches, safety_lag_ms=3_600_000
+    ) == 2
 
 
 def test_update_cluster_store_default_return_never_resolves_store(

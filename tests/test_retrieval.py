@@ -240,3 +240,48 @@ def test_rrf_fuse_rejects_empty_arms(spark):
 
     with _pytest.raises(ValueError, match="at least one"):
         rrf_fuse({})
+
+
+def test_bm25_empty_corpus_returns_empty(tiny, spark):
+    """r9 ADVICE: an empty corpus made avg(dl) NULL and float(None)
+    raised an opaque TypeError — both forms now return empty."""
+    from etl_pack_spark.operators.retrieval import bm25_topk_batch
+
+    empty = tiny.limit(0)
+    assert bm25_topk(empty, "doc_id", "text", "cat").count() == 0
+    q = spark.createDataFrame([(1, "cat")], "q_id long, text string")
+    assert bm25_topk_batch(empty, q, "doc_id", "text").count() == 0
+
+
+def test_bm25_batch_tokenless_query_row_yields_no_rows(tiny, spark):
+    """Documented divergence from the single-query ValueError: a query
+    ROW with no tokens contributes nothing; other rows are unaffected."""
+    from etl_pack_spark.operators.retrieval import bm25_topk_batch
+
+    q = spark.createDataFrame(
+        [(1, "cat"), (2, "!!!")], "q_id long, text string"
+    )
+    out = bm25_topk_batch(tiny, q, "doc_id", "text", k=5).collect()
+    q_ids = {r["q_id"] for r in out}
+    assert 1 in q_ids and 2 not in q_ids
+
+
+def test_rrf_fuse_rejects_bad_arm_names(spark):
+    """r9 ADVICE: arm names become output columns (<name>_rk) and SQL
+    identifiers/literals — reject non-identifier and reserved names in
+    BOTH the DataFrame op and its SQL twin."""
+    from etl_pack_spark.operators.retrieval import rrf_fuse, rrf_fuse_sql
+
+    arm = spark.createDataFrame(
+        [(1, 10, 1)], "q_id long, doc_id long, rk int"
+    )
+    for bad in ("rk", "q_id", "doc_id", "rrf_score", "arm",
+                "has space", "d-ash", "1num", "", "x'; --"):
+        with pytest.raises(ValueError):
+            rrf_fuse({bad: arm})
+        with pytest.raises(ValueError):
+            rrf_fuse_sql({bad: ("SELECT 1", "q", "d", "r")})
+    with pytest.raises(ValueError, match="at least one"):
+        rrf_fuse_sql({})
+    # sane names still pass validation (plan builds lazily)
+    rrf_fuse({"bm25": arm, "dense_v2": arm})

@@ -81,3 +81,33 @@ def test_clean_side_feeds_operators(spark, tmp_path):
     clean, corrupt = read_jsonl(spark, str(p), "doc_id long, text string")
     sig = text_signals(clean, "doc_id", "text")
     assert sig.count() == 2 and corrupt.count() == 1
+
+
+def test_release_unpins_the_shared_parse(spark, tmp_path):
+    """r9 ADVICE: the quarantine split pins one cached parse per read
+    with no release handle. Either returned side now carries it;
+    release() unpersists exactly that parse and is a no-op on foreign
+    frames."""
+    from etl_pack_spark.sources import textfiles
+
+    p = tmp_path / "docs.jsonl"
+    p.write_text('{"doc_id": 1, "text": "ok"}\nnot json\n')
+    clean, corrupt = textfiles.read_jsonl(
+        spark, str(p), "doc_id long, text string"
+    )
+    assert clean.count() == 1 and corrupt.count() == 1
+    parse = clean._quarantine_parse
+    assert parse is corrupt._quarantine_parse
+    assert parse.storageLevel.useMemory  # pinned
+    textfiles.release(corrupt)
+    assert not parse.storageLevel.useMemory  # released
+    # the cache is LOAD-BEARING (SPARK-21610): actions after release
+    # fail loudly instead of silently re-reading
+    import pytest as _pytest
+    from pyspark.errors.exceptions.captured import AnalysisException
+
+    with _pytest.raises(AnalysisException):
+        clean.count()
+    textfiles.release(clean)  # idempotent
+    # no-op on a frame this module didn't produce
+    textfiles.release(spark.range(1))
