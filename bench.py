@@ -140,6 +140,14 @@ def _scale_probe_queries():
             "doc_id",
             "text",
         ),
+        # batch BM25 query-by-example (r10: the retrieval family had
+        # never joined a replication probe). Fixed 8-query batch over
+        # the scaled corpus: postings build grows linearly with the
+        # corpus while per-query candidate sets grow with term
+        # frequency — replication is the worst case (every query term's
+        # postings list gains factor-1 copies). The persisted `hits`
+        # frame (r10) keeps the corpus tokenize+explode single-pass.
+        "bm25_batch": _bm25_probe,
         # the composed end-to-end curation plan (curate -> near-dup ->
         # excision -> pack -> splits): single ops scaling well does not
         # prove their COMPOSITION does (shared pooled persists, caps
@@ -153,6 +161,19 @@ def _pretrain_probe(d):
     from etl_pack_spark.plans.pretrain import prepare_pretraining_corpus
 
     return prepare_pretraining_corpus(d, leakage_safe_split=True)
+
+
+def _bm25_probe(d):
+    from pyspark.sql import functions as F
+
+    from etl_pack_spark.operators.retrieval import bm25_topk_batch
+
+    # a constant 8-query batch regardless of replication factor
+    # (TakeOrdered — no shuffle), so growth isolates the corpus side
+    q = d.orderBy("doc_id").limit(8).select(
+        F.col("doc_id").alias("q_id"), "text"
+    )
+    return bm25_topk_batch(d, q, "doc_id", "text", k=10, exclude_self=True)
 
 
 def _scaled_events(spark, sf_dir, factor):

@@ -69,6 +69,76 @@ def _line_keep_pred_duck(var: str, min_words: int, require_terminal: bool = True
     )
 
 
+# Disposition stage labels, in decision order (the document blocklist
+# fires first — a blocked doc is dropped regardless of line survivors).
+STAGE_DOC_BLOCKLIST = "doc_blocklist"
+STAGE_MIN_LINES = "min_lines"
+
+
+def _doc_blocked_pred(text_col: str, badwords: list[str]) -> str:
+    pred = " OR ".join(
+        f"contains(lower({text_col}), '{s}')" for s in DOC_BLOCKLIST
+    )
+    if badwords:
+        toks = ", ".join(f"'{w}'" for w in badwords)
+        pred += (
+            f" OR exists(split(lower({text_col}), '[^a-z0-9]+'), "
+            f"t -> array_contains(array({toks}), t))"
+        )
+    return pred
+
+
+def c4_disposition(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    min_words: int = 5,
+    min_lines: int = 3,
+    badwords: list[str] | None = None,
+    require_terminal: bool = True,
+) -> DataFrame:
+    """Per-document C4 cleaning DISPOSITION over ALL documents (r10):
+    ``(id, drop_stage, text_clean, n_lines, n_kept)`` where
+    ``drop_stage`` names the first gate that dropped the doc
+    (``doc_blocklist`` | ``min_lines``) and is NULL for survivors —
+    whose ``text_clean`` matches :func:`c4_clean` exactly (dropped
+    docs carry NULL ``text_clean``).
+
+    Production corpus pipelines always report their FUNNEL — how many
+    documents each gate removed — and an auditor needs the per-doc
+    attribution, not just the survivor set. Same single map-only
+    projection as :func:`c4_clean` (which is now the
+    ``drop_stage IS NULL`` slice of this op): the audit costs no extra
+    scan, no shuffle, no Python. Aggregate with
+    :func:`curation_funnel` for the report.
+    """
+    badwords = badwords if badwords is not None else []
+    # NULL text is an EMPTY document (no line can survive -> the
+    # min_lines gate names the drop); without the coalesce the
+    # three-valued predicates leave NULL-text docs unclassified
+    txt = f"coalesce({text_col}, '')"
+    lines = f"split({txt}, '\\n')"
+    kept = f"filter({lines}, l -> {_line_keep_pred('l', min_words, require_terminal)})"
+    doc_blocked = _doc_blocked_pred(txt, badwords)
+    return df.select(
+        F.col(id_col).alias("id"),
+        F.expr(f"size({lines})").alias("n_lines"),
+        F.expr(kept).alias("__kept"),
+        F.expr(f"({doc_blocked})").alias("__blocked"),
+    ).select(
+        "id",
+        F.when(F.col("__blocked"), F.lit(STAGE_DOC_BLOCKLIST))
+        .when(F.size("__kept") < min_lines, F.lit(STAGE_MIN_LINES))
+        .alias("drop_stage"),
+        F.when(
+            ~F.col("__blocked") & (F.size("__kept") >= min_lines),
+            F.array_join("__kept", "\n"),
+        ).alias("text_clean"),
+        "n_lines",
+        F.size("__kept").alias("n_kept"),
+    )
+
+
 def c4_clean(
     df: DataFrame,
     id_col: str,
@@ -83,34 +153,75 @@ def c4_clean(
     Returns ``(id, text_clean, n_lines, n_kept)`` for the documents
     that survive the document-level gates; ``text_clean`` is the
     surviving lines re-joined with newlines. Map-only — no shuffle.
+    (The survivor slice of :func:`c4_disposition` — one shared
+    implementation, r10.)
     """
-    badwords = badwords if badwords is not None else []
-    lines = f"split({text_col}, '\\n')"
-    kept = f"filter({lines}, l -> {_line_keep_pred('l', min_words, require_terminal)})"
-    doc_blocked = " OR ".join(
+    return (
+        c4_disposition(
+            df, id_col, text_col, min_words, min_lines, badwords,
+            require_terminal,
+        )
+        .where(F.col("drop_stage").isNull())
+        .select("id", "text_clean", "n_lines", "n_kept")
+    )
+
+
+def curation_funnel(disposition: DataFrame) -> DataFrame:
+    """The funnel report over a :func:`c4_disposition` frame:
+    ``(stage, n_docs)`` with survivors under stage ``'kept'``. One
+    combinable groupBy over a handful of stage values — report-sized
+    output at any corpus size."""
+    return disposition.groupBy(
+        F.coalesce(F.col("drop_stage"), F.lit("kept")).alias("stage")
+    ).agg(F.count(F.lit(1)).alias("n_docs"))
+
+
+def _doc_blocked_pred_duck(text_col: str, badwords: list[str]) -> str:
+    pred = " OR ".join(
         f"contains(lower({text_col}), '{s}')" for s in DOC_BLOCKLIST
     )
     if badwords:
         toks = ", ".join(f"'{w}'" for w in badwords)
-        doc_blocked += (
-            f" OR exists(split(lower({text_col}), '[^a-z0-9]+'), "
-            f"t -> array_contains(array({toks}), t))"
+        pred += (
+            f" OR len(list_filter(list_filter(string_split_regex(lower({text_col}), "
+            f"'[^a-z0-9]+'), t -> t != ''), t -> list_contains([{toks}], t))) > 0"
         )
-    return (
-        df.select(
-            F.col(id_col).alias("id"),
-            F.expr(f"size({lines})").alias("n_lines"),
-            F.expr(kept).alias("__kept"),
-            F.expr(f"({doc_blocked})").alias("__blocked"),
-        )
-        .where(~F.col("__blocked") & (F.size("__kept") >= min_lines))
-        .select(
-            "id",
-            F.array_join("__kept", "\n").alias("text_clean"),
-            "n_lines",
-            F.size("__kept").alias("n_kept"),
-        )
+    return pred
+
+
+def c4_disposition_sql(
+    table: str,
+    id_col: str,
+    text_col: str,
+    min_words: int = 5,
+    min_lines: int = 3,
+    badwords: list[str] | None = None,
+    require_terminal: bool = True,
+) -> str:
+    """DuckDB oracle twin of :func:`c4_disposition` (exact semantics)."""
+    badwords = badwords if badwords is not None else []
+    txt = f"coalesce({text_col}, '')"
+    lines = f"string_split({txt}, chr(10))"
+    kept = f"list_filter({lines}, l -> {_line_keep_pred_duck('l', min_words, require_terminal)})"
+    doc_blocked = _doc_blocked_pred_duck(txt, badwords)
+    return f"""
+    WITH c AS (
+        SELECT {id_col} AS id,
+               len({lines}) AS n_lines,
+               {kept} AS kept,
+               ({doc_blocked}) AS blocked
+        FROM {table}
     )
+    SELECT id,
+           CASE WHEN blocked THEN '{STAGE_DOC_BLOCKLIST}'
+                WHEN len(kept) < {min_lines} THEN '{STAGE_MIN_LINES}'
+           END AS drop_stage,
+           CASE WHEN NOT blocked AND len(kept) >= {min_lines}
+                THEN array_to_string(kept, chr(10))
+           END AS text_clean,
+           n_lines, len(kept) AS n_kept
+    FROM c
+    """
 
 
 def c4_clean_sql(
@@ -122,30 +233,24 @@ def c4_clean_sql(
     badwords: list[str] | None = None,
     require_terminal: bool = True,
 ) -> str:
-    """DuckDB oracle twin of :func:`c4_clean` (exact semantics)."""
-    badwords = badwords if badwords is not None else []
-    lines = f"string_split({text_col}, chr(10))"
-    kept = f"list_filter({lines}, l -> {_line_keep_pred_duck('l', min_words, require_terminal)})"
-    doc_blocked = " OR ".join(
-        f"contains(lower({text_col}), '{s}')" for s in DOC_BLOCKLIST
+    """DuckDB oracle twin of :func:`c4_clean` (exact semantics; the
+    survivor slice of :func:`c4_disposition_sql`)."""
+    dispo = c4_disposition_sql(
+        table, id_col, text_col, min_words, min_lines, badwords,
+        require_terminal,
     )
-    if badwords:
-        toks = ", ".join(f"'{w}'" for w in badwords)
-        doc_blocked += (
-            f" OR len(list_filter(list_filter(string_split_regex(lower({text_col}), "
-            f"'[^a-z0-9]+'), t -> t != ''), t -> list_contains([{toks}], t))) > 0"
-        )
     return f"""
-    WITH c AS (
-        SELECT {id_col} AS id,
-               len({lines}) AS n_lines,
-               {kept} AS kept,
-               ({doc_blocked}) AS blocked
-        FROM {table}
-    )
-    SELECT id, array_to_string(kept, chr(10)) AS text_clean,
-           n_lines, len(kept) AS n_kept
-    FROM c WHERE NOT blocked AND len(kept) >= {min_lines}
+    SELECT id, text_clean, n_lines, n_kept FROM ({dispo})
+    WHERE drop_stage IS NULL
+    """
+
+
+def curation_funnel_sql(disposition_sql: str) -> str:
+    """DuckDB twin of :func:`curation_funnel`."""
+    return f"""
+    SELECT COALESCE(drop_stage, 'kept') AS stage,
+           count(*) AS n_docs
+    FROM ({disposition_sql}) GROUP BY 1
     """
 
 

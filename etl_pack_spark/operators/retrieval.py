@@ -283,7 +283,13 @@ def bm25_topk_batch(
         return F.broadcast(frame) if small else frame
 
     used = q_terms.select("term").distinct()
-    hits = postings.join(hint(used), "term", "left_semi")
+    # hits feeds TWO consumers (the idf stats agg and the scoring
+    # join); unpersisted, each re-executes the full postings build —
+    # a second corpus-wide tokenize+explode+shuffle (the recurring
+    # multi-consumer lineage trap; executed-plan check r10 showed two
+    # full document scans and zero ReusedExchange). hits itself is
+    # bounded by the query terms' postings, not corpus-sized.
+    hits = pooled_persist(postings.join(hint(used), "term", "left_semi"))
     stats = term_stats(hits, n_docs)
     contrib = (
         hits.join(hint(q_terms), "term")

@@ -26,6 +26,7 @@ from etl_pack_spark.operators import quantize as _quantize
 from etl_pack_spark.operators.classify import nb_train_score_sql
 from etl_pack_spark.operators.cleaning import (
     c4_clean_sql,
+    c4_disposition_sql,
     dedup_lines_sql,
     gopher_signals_sql,
     html_clean_lines_sql,
@@ -1109,20 +1110,8 @@ def q_cdc_scd2(spark: SparkSession, sf_dir: str) -> DataFrame:
     return hist.join(diff, ["user_id", "event_type"], "left")
 
 
-def q_c4_clean(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """C4-recipe corpus cleaning: line-level filters + document-level
-    gates as one map-only projection (operators/cleaning.py). The
-    fixture corpus is keyword text (no sentence punctuation), so the
-    framing disables the terminal-punctuation rule and discriminates on
-    word count + a badword gate instead.
-
-    Round-5 merge: the two downstream canonicalization stages ride the
-    same map-only projection over the survivors — HTML extraction
-    (``html_clean_lines`` → ``text_stripped``) and Unicode NFC
-    normalization (``normalize_text_col`` → ``text_norm``, the one
-    Arrow-batched UDF in the cleaning family; Spark has no NFC
-    expression). Still zero Exchanges; the standalone operators stay
-    pinned by tests/test_cleaning.py and tests/test_textops.py."""
+def q_c4_clean_plain(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The pre-r10 framing (retired pin): survivors only."""
     from etl_pack_spark.operators.cleaning import c4_clean, html_clean_lines
 
     docs = read_table(spark, sf_dir, "documents")
@@ -1136,6 +1125,52 @@ def q_c4_clean(spark: SparkSession, sf_dir: str) -> DataFrame:
             "text_stripped"
         ),
         textops.normalize_text_col(F.col("text_clean")).alias("text_norm"),
+    )
+
+
+def q_c4_clean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C4-recipe corpus cleaning: line-level filters + document-level
+    gates as one map-only projection (operators/cleaning.py). The
+    fixture corpus is keyword text (no sentence punctuation), so the
+    framing disables the terminal-punctuation rule and discriminates on
+    word count + a badword gate instead.
+
+    Round-5 merge: the two downstream canonicalization stages ride the
+    same map-only projection over the survivors — HTML extraction
+    (``html_clean_lines`` → ``text_stripped``) and Unicode NFC
+    normalization (``normalize_text_col`` → ``text_norm``, the one
+    Arrow-batched UDF in the cleaning family; Spark has no NFC
+    expression). Still zero Exchanges; the standalone operators stay
+    pinned by tests/test_cleaning.py and tests/test_textops.py.
+
+    r10 rider: the slot flipped from the SURVIVOR slice to the full
+    per-document DISPOSITION (``c4_disposition`` — every doc, with
+    ``drop_stage`` naming the first gate that dropped it, NULL for
+    keeps), putting the curation-audit semantics under the driver's
+    value hash; survivors carry the canonicalization columns exactly
+    as before, dropped docs carry NULLs. The survivor-only framing
+    stays pinned as retired ``c4_clean_plain``. A user aggregates the
+    funnel report with ``cleaning.curation_funnel`` (pytest-pinned)."""
+    from etl_pack_spark.operators.cleaning import (
+        c4_disposition,
+        html_clean_lines,
+    )
+
+    docs = read_table(spark, sf_dir, "documents")
+    dispo = c4_disposition(
+        docs, "doc_id", "text",
+        min_words=30, min_lines=1, badwords=["slow"], require_terminal=False,
+    )
+    kept = F.col("drop_stage").isNull()
+    return dispo.select(
+        "id", "drop_stage", "text_clean", "n_lines", "n_kept",
+        F.when(
+            kept,
+            F.array_join(html_clean_lines(F.col("text_clean")), "\n"),
+        ).alias("text_stripped"),
+        F.when(
+            kept, textops.normalize_text_col(F.col("text_clean"))
+        ).alias("text_norm"),
     )
 
 
@@ -2042,16 +2077,21 @@ ORACLES: dict[str, str] = {
         FROM hist LEFT JOIN d
           ON hist.user_id = d.user_id AND hist.event_type = d.event_type
     """,
-    # r5 merge: HTML extraction + NFC normalization ride the survivors
+    # r5 merge: HTML extraction + NFC normalization ride the survivors;
+    # r10 rider: full per-doc disposition grain (drop_stage, all docs)
     "c4_clean": f"""
-        WITH base AS ({c4_clean_sql(
+        WITH base AS ({c4_disposition_sql(
             "documents", "doc_id", "text",
             min_words=30, min_lines=1, badwords=["slow"], require_terminal=False,
         )})
-        SELECT id, text_clean, n_lines, n_kept,
-               COALESCE(array_to_string({html_clean_lines_sql("text_clean")},
-                                        chr(10)), '') AS text_stripped,
-               {normalize_text_expr_sql("text_clean")} AS text_norm
+        SELECT id, drop_stage, text_clean, n_lines, n_kept,
+               CASE WHEN drop_stage IS NULL THEN
+                 COALESCE(array_to_string({html_clean_lines_sql("text_clean")},
+                                          chr(10)), '')
+               END AS text_stripped,
+               CASE WHEN drop_stage IS NULL THEN
+                 {normalize_text_expr_sql("text_clean")}
+               END AS text_norm
         FROM base
     """,
     # r9: eval-item grain (per-eval-doc contaminated fraction)
@@ -2197,6 +2237,9 @@ RETIRED_QUERIES: dict[str, QueryFn] = {
     # r9: the slot flipped to eval-item grain; the train-doc-grain
     # report stays pinned (and live inside decontaminate/pretrain)
     "contamination_eval_trainside": q_contamination_eval_trainside,
+    # r10: the slot flipped to the full per-doc disposition grain
+    # (drop_stage audit); the survivor-only framing stays pinned
+    "c4_clean_plain": q_c4_clean_plain,
 }
 
 RETIRED_ORACLES: dict[str, str] = {
@@ -2315,4 +2358,15 @@ RETIRED_ORACLES: dict[str, str] = {
         "(SELECT * FROM documents WHERE doc_id % 10 = 7)",
         n=8,
     ),
+    "c4_clean_plain": f"""
+        WITH base AS ({c4_clean_sql(
+            "documents", "doc_id", "text",
+            min_words=30, min_lines=1, badwords=["slow"], require_terminal=False,
+        )})
+        SELECT id, text_clean, n_lines, n_kept,
+               COALESCE(array_to_string({html_clean_lines_sql("text_clean")},
+                                        chr(10)), '') AS text_stripped,
+               {normalize_text_expr_sql("text_clean")} AS text_norm
+        FROM base
+    """,
 }

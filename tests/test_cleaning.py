@@ -348,3 +348,103 @@ def test_normalize_strips_c1_mojibake(spark):
     out = dict(got)
     assert out[1] == "abc"          # C1 strays removed
     assert out[2] == "café"         # multi-byte text untouched
+
+
+class TestDisposition:
+    """r10: per-doc disposition + funnel (the curation-audit grain)."""
+
+    _DOCS = [
+        (1, "good line with many words here\nanother fine line of text"),
+        (2, "lorem ipsum filler page"),            # doc blocklist
+        (3, "short"),                              # every line fails -> min_lines
+        (4, "code page { body }"),                 # curly brace -> blocklist
+        (5, None),                                 # NULL text
+    ]
+
+    def _dispo(self, spark):
+        from etl_pack_spark.operators.cleaning import c4_disposition
+
+        df = spark.createDataFrame(self._DOCS, "doc_id long, text string")
+        return c4_disposition(
+            df, "doc_id", "text", min_words=3, min_lines=1,
+            require_terminal=False,
+        )
+
+    def test_stages_and_survivor_slice(self, spark):
+        from etl_pack_spark.operators.cleaning import c4_clean
+
+        got = {r["id"]: r for r in self._dispo(spark).collect()}
+        assert got[1]["drop_stage"] is None and got[1]["n_kept"] == 2
+        assert got[2]["drop_stage"] == "doc_blocklist"
+        assert got[3]["drop_stage"] == "min_lines"
+        assert got[4]["drop_stage"] == "doc_blocklist"  # blocklist wins
+        # dropped docs carry NULL text_clean; kept matches c4_clean
+        assert got[2]["text_clean"] is None
+        df = spark.createDataFrame(self._DOCS, "doc_id long, text string")
+        survivors = {
+            r["id"]: r["text_clean"]
+            for r in c4_clean(
+                df, "doc_id", "text", min_words=3, min_lines=1,
+                require_terminal=False,
+            ).collect()
+        }
+        assert survivors == {
+            r["id"]: r["text_clean"]
+            for r in self._dispo(spark).where(
+                F.col("drop_stage").isNull()
+            ).collect()
+        }
+
+    def test_funnel_counts(self, spark):
+        from etl_pack_spark.operators.cleaning import curation_funnel
+
+        got = {
+            r["stage"]: r["n_docs"]
+            for r in curation_funnel(self._dispo(spark)).collect()
+        }
+        assert got == {"kept": 1, "doc_blocklist": 2, "min_lines": 2}
+        assert sum(got.values()) == len(self._DOCS)
+
+    def test_disposition_oracle_parity(self, spark, sf_dir):
+        from etl_pack_spark.operators.cleaning import (
+            c4_disposition,
+            c4_disposition_sql,
+            curation_funnel,
+            curation_funnel_sql,
+        )
+
+        docs = read_table(spark, sf_dir, "documents")
+        got = (
+            c4_disposition(docs, "doc_id", "text", min_words=10,
+                           min_lines=1, require_terminal=False)
+            .orderBy("id").collect()
+        )
+        con = duckdb.connect()
+        con.execute(
+            f"CREATE VIEW documents AS SELECT * FROM "
+            f"read_parquet('{sf_dir}/documents.parquet')"
+        )
+        dsql = c4_disposition_sql(
+            "documents", "doc_id", "text", min_words=10, min_lines=1,
+            require_terminal=False,
+        )
+        want = con.sql(dsql + " ORDER BY id").fetchall()
+        assert [tuple(r) for r in got] == want
+        got_f = {
+            (r["stage"], r["n_docs"])
+            for r in curation_funnel(
+                c4_disposition(docs, "doc_id", "text", min_words=10,
+                               min_lines=1, require_terminal=False)
+            ).collect()
+        }
+        assert got_f == set(con.sql(curation_funnel_sql(dsql)).fetchall())
+
+    def test_disposition_map_only_plan(self, spark, sf_dir):
+        from etl_pack_spark.operators.cleaning import c4_disposition
+
+        docs = read_table(spark, sf_dir, "documents")
+        plan = (
+            c4_disposition(docs, "doc_id", "text")
+            ._jdf.queryExecution().executedPlan().toString()
+        )
+        assert "Exchange" not in plan and "BatchEvalPython" not in plan
