@@ -321,7 +321,36 @@ def gopher_signals(
         & (F.col("alpha_word_ratio") > min_alpha_word_ratio)
         & (F.col("stop_hits") >= min_stop_hits)
     )
-    return out.withColumn("keep", F.coalesce(keep, F.lit(False)))
+    # Audit rider (r10, same posture as c4_disposition): the FIRST
+    # failing rule, in the keep conjunction's order; NULL = kept. A
+    # NULL metric fails its rule (keep's coalesce-false semantics), so
+    # keep == (drop_reason IS NULL) holds for every row by construction.
+    def fails(cond):
+        return ~F.coalesce(cond, F.lit(False))
+
+    reason = (
+        F.when(
+            fails(F.col("n_words").between(min_words, max_words)),
+            F.lit("word_count"),
+        )
+        .when(
+            fails(
+                F.col("mean_word_len").between(
+                    min_mean_word_len, max_mean_word_len
+                )
+            ),
+            F.lit("word_length"),
+        )
+        .when(fails(F.col("symbol_ratio") < max_symbol_ratio),
+              F.lit("symbol_ratio"))
+        .when(fails(F.col("alpha_word_ratio") > min_alpha_word_ratio),
+              F.lit("alpha_ratio"))
+        .when(fails(F.col("stop_hits") >= min_stop_hits),
+              F.lit("stopwords"))
+    )
+    return out.withColumn("keep", F.coalesce(keep, F.lit(False))).withColumn(
+        "drop_reason", reason
+    )
 
 
 def gopher_signals_sql(
@@ -370,7 +399,20 @@ def gopher_signals_sql(
                AND mean_word_len BETWEEN {min_mean_word_len} AND {max_mean_word_len}
                AND symbol_ratio < {max_symbol_ratio}
                AND alpha_word_ratio > {min_alpha_word_ratio}
-               AND stop_hits >= {min_stop_hits}, false) AS keep
+               AND stop_hits >= {min_stop_hits}, false) AS keep,
+           CASE
+             WHEN NOT coalesce(n_words BETWEEN {min_words} AND {max_words}, false)
+               THEN 'word_count'
+             WHEN NOT coalesce(mean_word_len BETWEEN {min_mean_word_len}
+                               AND {max_mean_word_len}, false)
+               THEN 'word_length'
+             WHEN NOT coalesce(symbol_ratio < {max_symbol_ratio}, false)
+               THEN 'symbol_ratio'
+             WHEN NOT coalesce(alpha_word_ratio > {min_alpha_word_ratio}, false)
+               THEN 'alpha_ratio'
+             WHEN NOT coalesce(stop_hits >= {min_stop_hits}, false)
+               THEN 'stopwords'
+           END AS drop_reason
     FROM m
     """
 

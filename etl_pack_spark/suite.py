@@ -1385,10 +1385,20 @@ def q_lib_rolling_aggregate(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_gopher_signals_plain(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The pre-r10 framing (retired pin): signals + keep, no reason."""
+    return q_gopher_signals(spark, sf_dir).drop("drop_reason")
+
+
 def q_gopher_signals(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gopher document-quality gates (Rae et al. 2021 A1.1): per-doc
     metrics + composed keep flag, map-only (operators/cleaning.py).
-    All ratios are int/int doubles — bit-identical cross-engine."""
+    All ratios are int/int doubles — bit-identical cross-engine.
+
+    r10 rider (same grain, +1 column): ``drop_reason`` — the FIRST
+    failing gate in the keep conjunction's order (NULL = kept; keep ==
+    drop_reason IS NULL by construction), completing the curation-audit
+    posture alongside the c4 disposition."""
     from etl_pack_spark.operators.cleaning import gopher_signals
 
     docs = read_table(spark, sf_dir, "documents")
@@ -2240,6 +2250,8 @@ RETIRED_QUERIES: dict[str, QueryFn] = {
     # r10: the slot flipped to the full per-doc disposition grain
     # (drop_stage audit); the survivor-only framing stays pinned
     "c4_clean_plain": q_c4_clean_plain,
+    # r10 rider: the slot gained the drop_reason audit column
+    "gopher_signals_plain": q_gopher_signals_plain,
 }
 
 RETIRED_ORACLES: dict[str, str] = {
@@ -2358,6 +2370,10 @@ RETIRED_ORACLES: dict[str, str] = {
         "(SELECT * FROM documents WHERE doc_id % 10 = 7)",
         n=8,
     ),
+    "gopher_signals_plain": f"""
+        SELECT * EXCLUDE (drop_reason)
+        FROM ({gopher_signals_sql("documents", "doc_id", "text")})
+    """,
     "c4_clean_plain": f"""
         WITH base AS ({c4_clean_sql(
             "documents", "doc_id", "text",

@@ -448,3 +448,53 @@ class TestDisposition:
             ._jdf.queryExecution().executedPlan().toString()
         )
         assert "Exchange" not in plan and "BatchEvalPython" not in plan
+
+
+class TestGopherDropReason:
+    """r10 rider: drop_reason = first failing gate; keep == NULL reason."""
+
+    def test_reasons_and_invariant(self, spark):
+        from etl_pack_spark.operators.cleaning import gopher_signals
+
+        docs = spark.createDataFrame(
+            [
+                (1, " ".join(["the", "and", "that"] * 20)),  # kept-ish
+                (2, "too short"),                            # word_count
+                (3, " ".join(["a"] * 60)),                   # word_length (mean 1)
+                (4, " ".join(["####why", "#", "#"] * 20)),   # symbols
+                (5, None),                                   # empty -> word_count
+            ],
+            "doc_id long, text string",
+        )
+        got = {r["doc_id"]: r for r in gopher_signals(docs, "doc_id", "text").collect()}
+        assert got[2]["drop_reason"] == "word_count"
+        assert got[3]["drop_reason"] == "word_length"
+        assert got[5]["drop_reason"] == "word_count"
+        for r in got.values():
+            assert r["keep"] == (r["drop_reason"] is None)
+
+    def test_reason_oracle_parity(self, spark, sf_dir):
+        from etl_pack_spark.operators.cleaning import (
+            gopher_signals,
+            gopher_signals_sql,
+        )
+
+        docs = read_table(spark, sf_dir, "documents")
+        got = sorted(
+            (r["doc_id"], r["keep"], r["drop_reason"])
+            for r in gopher_signals(docs, "doc_id", "text").collect()
+        )
+        con = duckdb.connect()
+        con.execute(
+            f"CREATE VIEW documents AS SELECT * FROM "
+            f"read_parquet('{sf_dir}/documents.parquet')"
+        )
+        want = sorted(
+            (r[0], r[1], r[2])
+            for r in con.sql(
+                "SELECT doc_id, keep, drop_reason FROM ("
+                + gopher_signals_sql("documents", "doc_id", "text")
+                + ")"
+            ).fetchall()
+        )
+        assert got == want

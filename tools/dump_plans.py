@@ -62,13 +62,24 @@ NOTES = {
     ),
     "bm25_search": (
         "r9: the HYBRID pipeline. Sparse arm: postings semi-join down to "
-        "the query batch's term union BEFORE any scoring join, and the "
+        "the query batch's term union BEFORE any scoring join (r10: the "
+        "semi-joined postings persist once — unpersisted, the idf agg "
+        "and the scoring join each re-executed the full corpus "
+        "tokenize+explode+shuffle), and the "
         "query-term/idf sides (bounded by the batch) ride maybe_broadcast; "
         "per-query ranking is a q_id-partitioned window. Dense arm: the "
         "cosine block kernel (Arrow mapInPandas — MapInPandas/cogroup "
         "nodes, never BatchEvalPython). Fusion: union + ONE combinable "
         "groupBy on (q_id, doc_id) — no join between arms, so an added "
         "arm costs a scan, not a shuffle stage."
+    ),
+    "c4_clean": (
+        "r10: the slot carries the full per-doc DISPOSITION (drop_stage "
+        "names the first gate that dropped each doc; c4_clean is the "
+        "NULL-stage slice of the same projection). Still one map-only "
+        "pass — the audit grain costs no extra scan and no Exchange; "
+        "the only non-codegen node is the NFC normalize Arrow UDF "
+        "riding the survivors."
     ),
     "contamination_eval": (
         "r9: eval-item grain. The eval-set gram hashes broadcast into "
