@@ -68,6 +68,18 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--matches", default=None, metavar="PATH",
                    help="update-clusters: the append-only matches sink "
                         "written by the near-dup ingest firings")
+    p.add_argument("--funnel", default=None, metavar="DOCS",
+                   help="curation-audit firing: run the C4 disposition "
+                        "over a parquet docs path and print the per-gate "
+                        "funnel (stage -> doc count) as JSON; --min-words/"
+                        "--min-lines tune the gates, --text-col names the "
+                        "text column")
+    p.add_argument("--text-col", default="text",
+                   help="text column for --funnel (default: text)")
+    p.add_argument("--min-words", type=int, default=5,
+                   help="--funnel: min words per surviving line")
+    p.add_argument("--min-lines", type=int, default=3,
+                   help="--funnel: min surviving lines per kept doc")
     p.add_argument("--store-stats", default=None, metavar="STORE",
                    help="print maintenance stats for an append-only "
                         "latest-wins store (physical vs live rows, "
@@ -120,11 +132,12 @@ def main(argv: list[str] | None = None) -> int:
     zorder_cols = [c for c in args.zorder_by.split(",") if c]
     if sum(map(bool, (args.compact, args.compact_partitions,
                       args.compact_sigstore, args.compact_codes,
-                      args.update_clusters, args.store_stats))) > 1:
+                      args.update_clusters, args.store_stats,
+                      args.funnel))) > 1:
         print("error: --compact, --compact-partitions, "
               "--compact-sigstore, --compact-codes, "
-              "--update-clusters and --store-stats are exclusive",
-              file=sys.stderr)
+              "--update-clusters, --store-stats and --funnel are "
+              "exclusive", file=sys.stderr)
         return 2
     if args.update_clusters and not args.matches:
         print("error: --update-clusters requires --matches",
@@ -249,6 +262,7 @@ def main(argv: list[str] | None = None) -> int:
     elif (
         not args.compact_sigstore and not args.compact_codes
         and not args.update_clusters and not args.store_stats
+        and not args.funnel
         and (not args.source_dir or not args.table or not args.target)
     ):
         print("error: --source-dir, --table and --target are required "
@@ -258,6 +272,27 @@ def main(argv: list[str] | None = None) -> int:
     from etl_pack_spark.session import get_spark
 
     spark = get_spark("etl_pack_spark_cli")
+
+    if args.funnel:
+        from etl_pack_spark.operators.cleaning import (
+            c4_disposition,
+            curation_funnel,
+        )
+
+        docs = spark.read.parquet(args.funnel)
+        dispo = c4_disposition(
+            docs, args.id_col, args.text_col,
+            min_words=args.min_words, min_lines=args.min_lines,
+            require_terminal=False,
+        )
+        stages = {
+            r["stage"]: r["n_docs"]
+            for r in curation_funnel(dispo).collect()
+        }
+        print(json.dumps({"mode": "funnel", "docs": args.funnel,
+                          "stages": stages,
+                          "total": sum(stages.values())}))
+        return 0
 
     if args.store_stats:
         from etl_pack_spark.streaming.incremental import store_stats

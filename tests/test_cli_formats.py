@@ -285,3 +285,28 @@ def test_cli_compact_sigstore(spark, tmp_path):
     assert main(["--compact-sigstore", store, "--compact", store,
                  "--target", store]) == 2
     assert main(["--compact-sigstore", store, "--streaming"]) == 2
+
+
+def test_cli_funnel_report(sf_dir):
+    """r10: the curation-audit firing — per-gate funnel JSON over a
+    parquet docs path, stages summing to the corpus size."""
+    res = subprocess.run(
+        [sys.executable, "-m", "etl_pack_spark.cli",
+         "--funnel", f"{sf_dir}/documents.parquet",
+         "--min-words", "10", "--min-lines", "1"],
+        capture_output=True, text=True, cwd="/root/repo", check=True,
+    )
+    out = json.loads(res.stdout.strip().splitlines()[-1])
+    assert out["mode"] == "funnel"
+    assert out["total"] == sum(out["stages"].values()) > 0
+    assert set(out["stages"]) <= {"kept", "doc_blocklist", "min_lines"}
+
+
+def test_cli_funnel_is_exclusive_and_fast(tmp_path):
+    res = subprocess.run(
+        [sys.executable, "-m", "etl_pack_spark.cli",
+         "--funnel", "/x", "--store-stats", "/y"],
+        capture_output=True, text=True, cwd="/root/repo",
+    )
+    assert res.returncode == 2
+    assert "exclusive" in res.stderr

@@ -215,10 +215,12 @@ def test_gopher_matches_duckdb_on_random_corpus(spark, docs):
     )
     assert len(got) == len(want)
     for c in ["n_words", "stop_hits", "keep", "mean_word_len",
-              "symbol_ratio", "alpha_word_ratio"]:
+              "symbol_ratio", "alpha_word_ratio", "drop_reason"]:
         a, b = got[c], want[c]
         same = (a == b) | (a.isna() & b.isna())
         assert same.all(), c
+    # the r10 audit invariant: keep == (drop_reason IS NULL), per row
+    assert (got["keep"] == got["drop_reason"].isna()).all()
 
 
 @given(
@@ -760,3 +762,75 @@ def test_rrf_fuse_matches_model(spark, a, b, k):
     assert [
         (q, d, ra, rb, s, rk) for q, d, ra, rb, s, rk in got
     ] == want
+
+
+def _c4_model(text, min_words, min_lines, badwords):
+    """Pure-Python model of the C4 disposition (require_terminal=False):
+    the independent re-derivation the Spark expressions must equal."""
+    import re
+
+    from etl_pack_spark.operators.cleaning import (
+        DOC_BLOCKLIST,
+        LINE_BLOCKLIST,
+        STAGE_DOC_BLOCKLIST,
+        STAGE_MIN_LINES,
+    )
+
+    t = text if text is not None else ""
+    lower = t.lower()
+    blocked = any(s in lower for s in DOC_BLOCKLIST) or any(
+        w in [x for x in re.split("[^a-z0-9]+", lower) if x] for w in badwords
+    )
+    lines = t.split("\n")
+    kept = [
+        l for l in lines
+        if len([w for w in re.split(r"\s+", l.strip()) if w]) >= min_words
+        and not any(s in l.lower() for s in LINE_BLOCKLIST)
+    ]
+    if blocked:
+        return STAGE_DOC_BLOCKLIST, None, len(lines), len(kept)
+    if len(kept) < min_lines:
+        return STAGE_MIN_LINES, None, len(lines), len(kept)
+    return None, "\n".join(kept), len(lines), len(kept)
+
+
+@given(
+    docs=st.lists(
+        st.one_of(
+            st.none(),
+            st.text(alphabet="ab cookie{policy\nlorem ipsum.", max_size=60),
+        ),
+        min_size=1, max_size=8,
+    ),
+    min_words=st.integers(0, 4),
+    min_lines=st.integers(0, 3),
+)
+@settings(max_examples=15, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+def test_c4_disposition_matches_python_model(spark, docs, min_words, min_lines):
+    """r10: disposition over arbitrary text (incl. NULLs, blocklist
+    fragments, newlines) equals an independent pure-Python model, and
+    c4_clean is exactly its kept slice."""
+    from pyspark.sql import functions as F
+
+    from etl_pack_spark.operators.cleaning import c4_clean, c4_disposition
+
+    rows = list(enumerate(docs))
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    kw = dict(min_words=min_words, min_lines=min_lines,
+              badwords=["lorem"], require_terminal=False)
+    got = {
+        r["id"]: (r["drop_stage"], r["text_clean"], r["n_lines"], r["n_kept"])
+        for r in c4_disposition(df, "doc_id", "text", **kw).collect()
+    }
+    want = {
+        i: _c4_model(t, min_words, min_lines, ["lorem"]) for i, t in rows
+    }
+    assert got == want
+    survivors = {
+        r["id"]: r["text_clean"]
+        for r in c4_clean(df, "doc_id", "text", **kw).collect()
+    }
+    assert survivors == {
+        i: tc for i, (stage, tc, _, _) in want.items() if stage is None
+    }
