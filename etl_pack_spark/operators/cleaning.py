@@ -75,6 +75,23 @@ STAGE_DOC_BLOCKLIST = "doc_blocklist"
 STAGE_MIN_LINES = "min_lines"
 
 
+def _check_badwords(badwords: list[str]) -> None:
+    """Badwords are matched against tokens split on ``[^a-z0-9]+`` AND
+    interpolated into generated Spark/DuckDB expressions — a word with
+    any other character (uppercase, space, quote) can never match a
+    token and a quote breaks the expression, so reject loudly instead
+    of silently filtering nothing (r10, same posture as the rrf
+    arm-name validation)."""
+    import re
+
+    for w in badwords:
+        if not re.fullmatch(r"[a-z0-9]+", w or ""):
+            raise ValueError(
+                f"badword {w!r} can never match: tokens are lowercase "
+                "[a-z0-9]+ runs — pass lowercase alphanumeric words"
+            )
+
+
 def _doc_blocked_pred(text_col: str, badwords: list[str]) -> str:
     pred = " OR ".join(
         f"contains(lower({text_col}), '{s}')" for s in DOC_BLOCKLIST
@@ -113,6 +130,7 @@ def c4_disposition(
     :func:`curation_funnel` for the report.
     """
     badwords = badwords if badwords is not None else []
+    _check_badwords(badwords)
     # NULL text is an EMPTY document (no line can survive -> the
     # min_lines gate names the drop); without the coalesce the
     # three-valued predicates leave NULL-text docs unclassified
@@ -200,6 +218,7 @@ def c4_disposition_sql(
 ) -> str:
     """DuckDB oracle twin of :func:`c4_disposition` (exact semantics)."""
     badwords = badwords if badwords is not None else []
+    _check_badwords(badwords)
     txt = f"coalesce({text_col}, '')"
     lines = f"string_split({txt}, chr(10))"
     kept = f"list_filter({lines}, l -> {_line_keep_pred_duck('l', min_words, require_terminal)})"

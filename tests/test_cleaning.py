@@ -498,3 +498,24 @@ class TestGopherDropReason:
             ).fetchall()
         )
         assert got == want
+
+
+def test_badwords_that_cannot_match_are_rejected(spark):
+    """r10: tokens are lowercase [a-z0-9]+ runs, and badwords are
+    interpolated into generated expressions — a word that can never
+    match (or would break the expression) fails loudly in BOTH the
+    DataFrame op and the SQL twin."""
+    import pytest as _pytest
+
+    from etl_pack_spark.operators.cleaning import (
+        c4_clean,
+        c4_disposition_sql,
+    )
+
+    df = spark.createDataFrame([(1, "x")], "doc_id long, text string")
+    for bad in ["Upper", "two words", "don't", "", "naïve"]:
+        with _pytest.raises(ValueError, match="never match"):
+            c4_clean(df, "doc_id", "text", badwords=[bad])
+        with _pytest.raises(ValueError, match="never match"):
+            c4_disposition_sql("t", "doc_id", "text", badwords=[bad])
+    c4_clean(df, "doc_id", "text", badwords=["slow", "x99"])  # fine
