@@ -74,6 +74,12 @@ def build_parser() -> argparse.ArgumentParser:
                         "funnel (stage -> doc count) as JSON; --min-words/"
                         "--min-lines tune the gates, --text-col names the "
                         "text column")
+    p.add_argument("--funnel-gates", choices=["c4", "curate"], default="c4",
+                   help="--funnel: which gate family to audit — the C4 "
+                        "cleaning recipe (per-doc drop_stage from "
+                        "c4_disposition) or the curation pipeline "
+                        "(token/avg-len/lang gates + exact-dup from "
+                        "curate_disposition; needs doc_id/text/lang)")
     p.add_argument("--text-col", default="text",
                    help="text column for --funnel (default: text)")
     p.add_argument("--min-words", type=int, default=5,
@@ -280,17 +286,22 @@ def main(argv: list[str] | None = None) -> int:
         )
 
         docs = spark.read.parquet(args.funnel)
-        dispo = c4_disposition(
-            docs, args.id_col, args.text_col,
-            min_words=args.min_words, min_lines=args.min_lines,
-            require_terminal=False,
-        )
+        if args.funnel_gates == "curate":
+            from etl_pack_spark.plans.curate import curate_disposition
+
+            dispo = curate_disposition(docs)
+        else:
+            dispo = c4_disposition(
+                docs, args.id_col, args.text_col,
+                min_words=args.min_words, min_lines=args.min_lines,
+                require_terminal=False,
+            )
         stages = {
             r["stage"]: r["n_docs"]
             for r in curation_funnel(dispo).collect()
         }
-        print(json.dumps({"mode": "funnel", "docs": args.funnel,
-                          "stages": stages,
+        print(json.dumps({"mode": "funnel", "gates": args.funnel_gates,
+                          "docs": args.funnel, "stages": stages,
                           "total": sum(stages.values())}))
         return 0
 

@@ -100,6 +100,142 @@ def curate_corpus_sql(table: str) -> str:
     """
 
 
+def curate_disposition(docs: DataFrame) -> DataFrame:
+    """The audit grain of :func:`curate_corpus` (r10, same posture as
+    ``cleaning.c4_disposition``): every document gets a verdict —
+    ``(doc_id, lang, drop_stage, split)`` where ``drop_stage`` names
+    the FIRST failing gate in the pipeline's order (``token_count`` |
+    ``avg_token_len`` | ``lang_mismatch`` | ``exact_dup``), NULL means
+    kept, and kept rows carry exactly :func:`curate_corpus`'s split —
+    its output is the ``drop_stage IS NULL`` slice of this frame.
+    Aggregate with ``cleaning.curation_funnel`` for the run report.
+
+    Cost shape is identical to the survivor-only query: the gate
+    verdicts ride the SAME single signal projection, and the exact-dup
+    attribution reuses the one dedup hash exchange (min doc_id per
+    canonical text hash — the same winner rule as ``exact_dedup``'s
+    ``keep_order_col``). NULL text counts as zero tokens so every doc
+    is classified (three-valued predicates silently drop them from the
+    survivor query; an audit row must never go missing)."""
+    from etl_pack_spark.operators.hashing import row_hash
+
+    t = docs.select("doc_id", "text", "lang", tokens("text").alias("__toks"))
+    n_toks = F.coalesce(F.size("__toks"), F.lit(0))
+    avg_len = F.when(
+        n_toks > 0,
+        F.expr("aggregate(transform(__toks, x -> length(x)), 0, (a, v) -> a + v)")
+        .cast("double") / n_toks.cast("double"),
+    )
+    s = {lang: _marker_count("__toks", lang) for lang in MARKERS}
+    lang_pred = (
+        F.when(s["de"].isNull(), None)
+        .when((s["de"] >= s["en"]) & (s["de"] >= s["es"]) & (s["de"] >= s["fr"]), "de")
+        .when((s["en"] >= s["es"]) & (s["en"] >= s["fr"]), "en")
+        .when(s["es"] >= s["fr"], "es")
+        .otherwise("fr")
+    )
+
+    # a NULL verdict (e.g. NULL lang column) fails its gate, exactly
+    # like the survivor query's three-valued where() drops the row
+    def fails(cond):
+        return ~F.coalesce(cond, F.lit(False))
+
+    staged = t.select(
+        "doc_id",
+        "text",
+        "lang",
+        F.when(fails(n_toks >= MIN_TOKENS), F.lit("token_count"))
+        .when(
+            fails(avg_len.between(MIN_AVG_LEN, MAX_AVG_LEN)),
+            F.lit("avg_token_len"),
+        )
+        .when(fails(lang_pred == F.col("lang")), F.lit("lang_mismatch"))
+        .alias("__s0"),
+    )
+    dropped = staged.where(F.col("__s0").isNotNull()).select(
+        "doc_id", "lang",
+        F.col("__s0").alias("drop_stage"),
+        F.lit(None).cast("string").alias("split"),
+    )
+    keyed = staged.where(F.col("__s0").isNull()).withColumn(
+        "__h", row_hash(["text"])
+    )
+    winners = keyed.groupBy("__h").agg(F.min("doc_id").alias("__win"))
+    surv = split_assign(
+        keyed.join(winners, "__h"), "doc_id"
+    ).select(
+        "doc_id", "lang",
+        F.when(F.col("doc_id") != F.col("__win"), F.lit("exact_dup")).alias(
+            "drop_stage"
+        ),
+        F.when(F.col("doc_id") == F.col("__win"), F.col("split")).alias(
+            "split"
+        ),
+    )
+    return dropped.unionByName(surv)
+
+
+def curate_disposition_sql(table: str) -> str:
+    """DuckDB twin of :func:`curate_disposition` (exact semantics)."""
+    scores = ",\n                   ".join(
+        f"{_marker_count_sql('toks', lang)} AS score_{lang}" for lang in MARKERS
+    )
+    cum_train = int(0.90 * SPACE)
+    cum_val = cum_train + int(0.05 * SPACE)
+    h = _h28_sql("doc_id", "split")
+    split_case = (
+        f"CASE WHEN {h} < {cum_train} THEN 'train' "
+        f"WHEN {h} < {cum_val} THEN 'val' ELSE 'test' END"
+    )
+    return f"""
+    WITH t AS (
+        SELECT doc_id, text, lang, {tokens_sql('text')} AS toks FROM {table}
+    ),
+    sig AS (
+        SELECT doc_id, text, lang,
+               coalesce(len(toks), 0) AS n_tokens,
+               CASE WHEN coalesce(len(toks), 0) > 0 THEN
+                   CAST(list_reduce(list_prepend(0, list_transform(toks, x -> length(x))),
+                                    (a, v) -> a + v) AS DOUBLE)
+                       / CAST(len(toks) AS DOUBLE) END AS avg_token_len,
+                   {scores}
+        FROM t
+    ),
+    staged AS (
+        SELECT doc_id, text, lang,
+               CASE WHEN NOT coalesce(n_tokens >= {MIN_TOKENS}, false)
+                      THEN 'token_count'
+                    WHEN NOT coalesce(avg_token_len BETWEEN {MIN_AVG_LEN}
+                                      AND {MAX_AVG_LEN}, false)
+                      THEN 'avg_token_len'
+                    WHEN NOT coalesce((CASE WHEN score_de IS NULL THEN NULL
+                         WHEN score_de >= score_en AND score_de >= score_es
+                              AND score_de >= score_fr THEN 'de'
+                         WHEN score_en >= score_es AND score_en >= score_fr THEN 'en'
+                         WHEN score_es >= score_fr THEN 'es'
+                         ELSE 'fr' END) = lang, false)
+                      THEN 'lang_mismatch'
+               END AS s0
+        FROM sig
+    ),
+    surv AS (
+        SELECT doc_id, lang,
+               min(doc_id) OVER (
+                   PARTITION BY md5(lower(coalesce(text, '')))
+               ) AS win,
+               {split_case} AS sp
+        FROM staged WHERE s0 IS NULL
+    )
+    SELECT doc_id, lang, s0 AS drop_stage, CAST(NULL AS VARCHAR) AS split
+    FROM staged WHERE s0 IS NOT NULL
+    UNION ALL
+    SELECT doc_id, lang,
+           CASE WHEN doc_id <> win THEN 'exact_dup' END AS drop_stage,
+           CASE WHEN doc_id = win THEN sp END AS split
+    FROM surv
+    """
+
+
 def curate_pack_corpus(
     docs: DataFrame,
     eval_df: DataFrame | None = None,

@@ -302,6 +302,21 @@ def test_cli_funnel_report(sf_dir):
     assert set(out["stages"]) <= {"kept", "doc_blocklist", "min_lines"}
 
 
+def test_cli_funnel_curate_gates(sf_dir):
+    res = subprocess.run(
+        [sys.executable, "-m", "etl_pack_spark.cli",
+         "--funnel", f"{sf_dir}/documents.parquet",
+         "--funnel-gates", "curate"],
+        capture_output=True, text=True, cwd="/root/repo", check=True,
+    )
+    out = json.loads(res.stdout.strip().splitlines()[-1])
+    assert out["gates"] == "curate"
+    assert out["total"] == sum(out["stages"].values()) > 0
+    assert set(out["stages"]) <= {
+        "kept", "token_count", "avg_token_len", "lang_mismatch", "exact_dup"
+    }
+
+
 def test_cli_funnel_is_exclusive_and_fast(tmp_path):
     res = subprocess.run(
         [sys.executable, "-m", "etl_pack_spark.cli",

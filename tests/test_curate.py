@@ -54,3 +54,80 @@ def test_curate_pack_composition(spark, sf_dir):
     # the planted eval docs were decontaminated away
     got_ids = {r["doc_id"] for r in rows}
     assert got_ids.isdisjoint({0, 1, 2, 3, 4})
+
+
+def test_curate_disposition_audit_grain(spark, sf_dir):
+    """r10: every document classified; the kept slice IS curate_corpus;
+    exact-dup attribution names the non-winning copies; the funnel
+    aggregator composes; DuckDB twin is hash-exact."""
+    import duckdb
+    from pyspark.sql import functions as F
+
+    from etl_pack_spark.operators.cleaning import curation_funnel
+    from etl_pack_spark.plans.curate import (
+        curate_disposition,
+        curate_disposition_sql,
+    )
+
+    docs = read_table(spark, sf_dir, "documents")
+    dispo = curate_disposition(docs).persist()
+    try:
+        assert dispo.count() == docs.count()  # no silent drops, ever
+        kept = {
+            (r["doc_id"], r["lang"], r["split"])
+            for r in dispo.where(F.col("drop_stage").isNull()).collect()
+        }
+        want = {
+            (r["doc_id"], r["lang"], r["split"])
+            for r in curate_corpus(docs).collect()
+        }
+        assert kept == want
+        funnel = {
+            r["stage"]: r["n_docs"] for r in curation_funnel(dispo).collect()
+        }
+        assert sum(funnel.values()) == docs.count()
+        assert funnel.get("kept", 0) == len(want)
+        # oracle parity, full grain
+        got = sorted(
+            (r["doc_id"], r["lang"], r["drop_stage"], r["split"])
+            for r in dispo.collect()
+        )
+        con = duckdb.connect()
+        con.execute(
+            f"CREATE VIEW documents AS SELECT * FROM "
+            f"read_parquet('{sf_dir}/documents.parquet')"
+        )
+        oracle = sorted(
+            tuple(r)
+            for r in con.sql(curate_disposition_sql("documents")).fetchall()
+        )
+        assert got == oracle
+    finally:
+        dispo.unpersist()
+
+
+def test_curate_disposition_classifies_degenerate_docs(spark):
+    """NULL text and duplicate texts get explicit verdicts (the
+    survivor query's three-valued where() silently drops them)."""
+    from pyspark.sql import functions as F
+
+    from etl_pack_spark.plans.curate import curate_disposition
+
+    text_en = " ".join(["the", "and", "with", "have"] * 5)  # 20 en tokens
+    docs = spark.createDataFrame(
+        [
+            (1, text_en, "en"),
+            (2, text_en, "en"),          # exact dup of 1
+            (3, None, "en"),             # NULL text
+            (4, text_en, "fr"),          # lang mismatch... but dup text
+            (5, "tiny", "en"),           # token_count
+        ],
+        "doc_id long, text string, lang string",
+    )
+    got = {r["doc_id"]: r for r in curate_disposition(docs).collect()}
+    assert len(got) == 5
+    assert got[1]["drop_stage"] is None and got[1]["split"] is not None
+    assert got[2]["drop_stage"] == "exact_dup" and got[2]["split"] is None
+    assert got[3]["drop_stage"] == "token_count"
+    assert got[4]["drop_stage"] == "lang_mismatch"
+    assert got[5]["drop_stage"] == "token_count"
