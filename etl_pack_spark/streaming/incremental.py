@@ -737,6 +737,16 @@ def update_cluster_store(
     from etl_pack_spark.sinks.fsio import exists as fs_exists
     from etl_pack_spark.sinks.fsio import read_text, write_text
 
+    # the sidecar floor MUST be read BEFORE the matches listing (the
+    # parquet read builds its file index eagerly right here): a floor
+    # visible before the listing began proves that firing's files were
+    # all committed before the listing, so stamps <= floor are fully
+    # listed. Read in the other order, a firing finishing in between
+    # raises the floor over a PARTIALLY-listed stamp and the fold would
+    # watermark past its unseen files (r10 self-review).
+    matches_floor = (
+        _stamp_floor(spark, matches_path) if safety_lag_ms > 0 else 0
+    )
     matches = spark.read.option("mergeSchema", "true").parquet(matches_path)
     if "__batch" not in matches.columns:
         matches = matches.withColumn("__batch", F.lit(-1).cast("long"))
@@ -759,9 +769,9 @@ def update_cluster_store(
         # committed), so stamps a backwards NTP step left ahead of
         # wall-clock still fold once their firing finished — without
         # the floor they would starve until the clock caught up
-        # (r9 ADVICE).
-        floor = _stamp_floor(spark, matches_path)
-        cutoff = max(int(_time.time() * 1000) - int(safety_lag_ms), floor)
+        # (r9 ADVICE). The floor was read before the listing (above).
+        cutoff = max(int(_time.time() * 1000) - int(safety_lag_ms),
+                     matches_floor)
         tail = tail.where(F.col("__batch") <= cutoff)
     # persist: the fold consumes the pairs through several jobs (the
     # components probe + loop) and the watermark needs their max stamp
