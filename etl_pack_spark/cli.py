@@ -54,8 +54,9 @@ def build_parser() -> argparse.ArgumentParser:
                    help="compact an append-only signature/URL store to "
                         "one latest row per id (crash-safe swap; no "
                         "matching-behavior change) instead of a transfer")
-    p.add_argument("--id-col", default="doc_id",
-                   help="compact-sigstore: the store's id column")
+    p.add_argument("--id-col", default=None,
+                   help="compact-sigstore / store-stats / --funnel "
+                        "(c4 gates): the id column (default: doc_id)")
     p.add_argument("--compact-codes", default=None, metavar="INDEX",
                    help="compact an IVF-PQ index's codes store to one "
                         "latest row per id (crash-safe swap; no query-"
@@ -80,12 +81,15 @@ def build_parser() -> argparse.ArgumentParser:
                         "c4_disposition) or the curation pipeline "
                         "(token/avg-len/lang gates + exact-dup from "
                         "curate_disposition; needs doc_id/text/lang)")
-    p.add_argument("--text-col", default="text",
-                   help="text column for --funnel (default: text)")
-    p.add_argument("--min-words", type=int, default=5,
-                   help="--funnel: min words per surviving line")
-    p.add_argument("--min-lines", type=int, default=3,
-                   help="--funnel: min surviving lines per kept doc")
+    p.add_argument("--text-col", default=None,
+                   help="text column for --funnel with c4 gates "
+                        "(default: text)")
+    p.add_argument("--min-words", type=int, default=None,
+                   help="--funnel with c4 gates: min words per "
+                        "surviving line (default: 5)")
+    p.add_argument("--min-lines", type=int, default=None,
+                   help="--funnel with c4 gates: min surviving lines "
+                        "per kept doc (default: 3)")
     p.add_argument("--store-stats", default=None, metavar="STORE",
                    help="print maintenance stats for an append-only "
                         "latest-wins store (physical vs live rows, "
@@ -145,6 +149,25 @@ def main(argv: list[str] | None = None) -> int:
               "--update-clusters, --store-stats and --funnel are "
               "exclusive", file=sys.stderr)
         return 2
+    if args.funnel and args.funnel_gates == "curate":
+        # r10 ADVICE: curate_disposition hardcodes doc_id/text/lang and
+        # its own thresholds — silently accepting gate-tuning flags
+        # would print a report computed with DIFFERENT gates than the
+        # user asked for. Mirror the other mutual-exclusion checks.
+        foreign = [
+            name for name, val in [
+                ("--min-words", args.min_words),
+                ("--min-lines", args.min_lines),
+                ("--text-col", args.text_col),
+                ("--id-col", args.id_col),
+            ] if val is not None
+        ]
+        if foreign:
+            print(f"error: {', '.join(foreign)} do not apply to "
+                  "--funnel-gates curate (the curation gates are fixed: "
+                  "doc_id/text/lang columns and the curate pipeline's "
+                  "own thresholds)", file=sys.stderr)
+            return 2
     if args.update_clusters and not args.matches:
         print("error: --update-clusters requires --matches",
               file=sys.stderr)
@@ -292,8 +315,9 @@ def main(argv: list[str] | None = None) -> int:
             dispo = curate_disposition(docs)
         else:
             dispo = c4_disposition(
-                docs, args.id_col, args.text_col,
-                min_words=args.min_words, min_lines=args.min_lines,
+                docs, args.id_col or "doc_id", args.text_col or "text",
+                min_words=5 if args.min_words is None else args.min_words,
+                min_lines=3 if args.min_lines is None else args.min_lines,
                 require_terminal=False,
             )
         stages = {
@@ -308,7 +332,7 @@ def main(argv: list[str] | None = None) -> int:
     if args.store_stats:
         from etl_pack_spark.streaming.incremental import store_stats
 
-        stats = store_stats(spark, args.store_stats, args.id_col)
+        stats = store_stats(spark, args.store_stats, args.id_col or "doc_id")
         print(json.dumps({"mode": "store_stats",
                           "store": args.store_stats, **stats}))
         return 0
@@ -346,7 +370,8 @@ def main(argv: list[str] | None = None) -> int:
     if args.compact_sigstore:
         from etl_pack_spark.streaming.incremental import compact_signature_store
 
-        n = compact_signature_store(spark, args.compact_sigstore, args.id_col)
+        n = compact_signature_store(spark, args.compact_sigstore,
+                                    args.id_col or "doc_id")
         print(json.dumps({"mode": "compact_sigstore",
                           "store": args.compact_sigstore, "rows": n}))
         return 0

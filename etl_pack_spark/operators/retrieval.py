@@ -140,9 +140,18 @@ def bm25_topk(
     # under ANY finite damping denominator; 1.0 keeps the plan buildable
     if avgdl is None:
         avgdl = 1.0
-    stats = term_stats(postings.where(F.col("term").isin(q_terms)), n_docs)
+    # the term-filtered postings feed TWO consumers (the idf stats agg
+    # and the contribution join); unpersisted, each re-executes the
+    # full corpus-wide tokenize+explode+groupBy postings build — the
+    # same double-scan lineage the batch form closed in r10 (executed
+    # plans there showed two full document scans, zero ReusedExchange).
+    # hits is bounded by the query terms' postings, not corpus-sized.
+    from etl_pack_spark.operators.cache import pooled_persist
+
+    hits = pooled_persist(postings.where(F.col("term").isin(q_terms)))
+    stats = term_stats(hits, n_docs)
     contrib = (
-        postings.where(F.col("term").isin(q_terms))
+        hits
         # bounded by construction: stats has one row per QUERY term
         .join(F.broadcast(stats), "term")
         .select(

@@ -37,8 +37,20 @@ import tempfile
 _REMOTE_SCHEMES = (
     "s3:", "s3a:", "s3n:", "hdfs:", "abfs:", "abfss:", "gs:",
     "wasb:", "wasbs:", "oss:", "viewfs:",
+    # r10 ADVICE: common Hadoop/Databricks schemes that appear in
+    # SINGLE-slash form (dbfs:/mnt/x) which the generic scheme://
+    # catch-all missed
+    "dbfs:", "o3fs:", "cosn:", "adl:", "swift:",
 )
 _GENERIC_URI = re.compile(r"^[A-Za-z][A-Za-z0-9+.-]*://")
+# r10 ADVICE: a colon immediately followed by a slash never occurs in
+# the relative-path-with-colon case this guard protects ("data:2024/x"
+# has a digit after the colon), but it is exactly how Hadoop renders
+# single-slash remote URIs (dbfs:/mnt/x, o3fs:/vol/b) — so ANY
+# "scheme:/..." form is treated as remote, not just the known-scheme
+# list. (Windows drive letters would false-positive here, but this
+# module is POSIX-rename-only by contract — see module docstring.)
+_GENERIC_SCHEME_SLASH = re.compile(r"^[A-Za-z][A-Za-z0-9+.-]*:/")
 
 
 def posix_path(path: str) -> str:
@@ -67,7 +79,8 @@ def posix_path(path: str) -> str:
                 "filesystem path"
             )
         return rest  # file:/p -> /p (no authority; '?'/'#' kept verbatim)
-    if path.lower().startswith(_REMOTE_SCHEMES) or _GENERIC_URI.match(path):
+    if (path.lower().startswith(_REMOTE_SCHEMES) or _GENERIC_URI.match(path)
+            or _GENERIC_SCHEME_SLASH.match(path)):
         scheme = path.split(":", 1)[0]
         raise NotImplementedError(
             f"staged-rename swap requires a local (POSIX-rename) path, got "

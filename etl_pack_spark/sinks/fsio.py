@@ -53,6 +53,40 @@ def exists(spark: SparkSession, path: str) -> bool:
     return bool(fs.exists(hpath))
 
 
+def create_exclusive(spark: SparkSession, path: str, text: str) -> bool:
+    """Create ``path`` with UTF-8 ``text`` ONLY if it does not already
+    exist; returns False when it does (the lost-the-race answer).
+    Backed by ``FileSystem.create(path, overwrite=false)``, which is
+    atomic on POSIX-rename filesystems (local, HDFS) — the primitive
+    the ingest lease needs. On S3-family stores create-if-absent is
+    best-effort (the check and the create are not one operation);
+    there the lease degrades from a guarantee to a high-probability
+    guard, which is still strictly better than the implicit
+    assumption it replaces (r10 ADVICE)."""
+    from py4j.protocol import Py4JJavaError
+
+    fs, hpath = _fs_path(spark, path)
+    try:
+        out = fs.create(hpath, False)
+    except Py4JJavaError as e:
+        name = e.java_exception.getClass().getName()
+        if "ExistsException" in name or "AlreadyExists" in name:
+            return False
+        raise
+    try:
+        out.write(bytearray(text.encode("utf-8")))
+    finally:
+        out.close()
+    return True
+
+
+def delete(spark: SparkSession, path: str) -> bool:
+    """Delete ``path`` (non-recursive) on whatever filesystem its
+    scheme names; returns False when it did not exist."""
+    fs, hpath = _fs_path(spark, path)
+    return bool(fs.delete(hpath, False))
+
+
 def read_text(spark: SparkSession, path: str) -> str | None:
     """UTF-8 content of ``path``, or ``None`` when it does not exist
     (the sidecar-absent case is a normal state, not an error)."""

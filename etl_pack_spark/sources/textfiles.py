@@ -38,18 +38,60 @@ from pyspark.sql import types as T
 CORRUPT_COL = "_corrupt_record"
 
 
-def _split_corrupt(parsed: DataFrame, schema: T.StructType):
-    """(clean typed rows, corrupt raw lines) from a PERMISSIVE parse.
-    The parse is cached BEFORE filtering: Spark disallows filtering on
-    the internal corrupt-record column of a raw parsed frame
-    (SPARK-21610), and the cache also makes the two filters share one
-    physical parse.
+class QuarantinedRead:
+    """Handle for one strict+quarantine read: carries ``clean``,
+    ``corrupt``, and the :meth:`release` that unpins their shared
+    cached parse. Unpacks as ``(clean, corrupt)`` so existing
+    two-tuple callers keep working, and is a context manager
+    (``with read_jsonl(...) as (clean, corrupt): ...`` releases on
+    exit).
 
-    Caching contract (r9 ADVICE): the cache is pinned for the LIFETIME
-    of the returned frames — both carry the parsed frame as
-    ``._quarantine_parse`` so :func:`release` can unpersist it once
-    the caller has consumed both sides; without that, repeated reads
-    in a long-lived session accumulate pinned storage."""
+    Why a handle (r10 ADVICE): the r9 fix hung the parse off the
+    returned DataFrames as a monkey-patched attribute, but any
+    TRANSFORMATION (``clean.select(...)``) returns a new DataFrame
+    without it, so ``release()`` on a derived frame was a silent
+    no-op and the cached parse leaked — the exact accumulation the
+    function was added to fix. State now lives on this object, whose
+    identity survives however the frames are transformed."""
+
+    def __init__(self, clean: DataFrame, corrupt: DataFrame,
+                 parsed: DataFrame):
+        self.clean = clean
+        self.corrupt = corrupt
+        self._parsed = parsed
+        self.released = False
+
+    def __iter__(self):
+        return iter((self.clean, self.corrupt))
+
+    def release(self) -> None:
+        """Unpersist the shared cached parse. Call ONLY after both
+        sides are fully consumed: the cache is load-bearing
+        (SPARK-21610 — Spark refuses corrupt-record-column filters
+        over an uncached parse), so actions on either frame after
+        release raise AnalysisException rather than silently
+        re-reading. Idempotent."""
+        if not self.released:
+            self._parsed.unpersist()
+            self.released = True
+
+    def __enter__(self) -> "QuarantinedRead":
+        return self
+
+    def __exit__(self, *exc) -> bool:
+        self.release()
+        return False
+
+
+def _split_corrupt(parsed: DataFrame, schema: T.StructType) -> QuarantinedRead:
+    """Split a PERMISSIVE parse into a :class:`QuarantinedRead` of
+    (clean typed rows, corrupt raw lines). The parse is cached BEFORE
+    filtering: Spark disallows filtering on the internal corrupt-record
+    column of a raw parsed frame (SPARK-21610), and the cache also
+    makes the two filters share one physical parse. The cache is
+    pinned for the lifetime of the handle — call
+    :meth:`QuarantinedRead.release` (or use the handle as a context
+    manager) once both sides are consumed."""
     parsed = parsed.cache()
     clean = parsed.where(F.col(CORRUPT_COL).isNull()).select(
         *[f.name for f in schema.fields]
@@ -57,23 +99,26 @@ def _split_corrupt(parsed: DataFrame, schema: T.StructType):
     corrupt = parsed.where(F.col(CORRUPT_COL).isNotNull()).select(
         F.col(CORRUPT_COL).alias("raw_line")
     )
-    clean._quarantine_parse = parsed
-    corrupt._quarantine_parse = parsed
-    return clean, corrupt
+    return QuarantinedRead(clean, corrupt, parsed)
 
 
-def release(frame: DataFrame) -> None:
-    """Unpersist the shared cached parse behind a frame returned by
-    :func:`read_jsonl` / :func:`read_csv` (either side releases both —
-    they pin ONE parse). Call ONLY after both sides are fully
-    consumed: the cache is load-bearing (SPARK-21610 — Spark refuses
-    corrupt-record-column filters over an uncached parse), so actions
-    on either frame after release raise AnalysisException rather than
-    silently re-reading. No-op for frames this module didn't
-    produce."""
-    parsed = getattr(frame, "_quarantine_parse", None)
-    if parsed is not None:
-        parsed.unpersist()
+def release(handle: "QuarantinedRead | DataFrame") -> None:
+    """Release the cached parse behind a :class:`QuarantinedRead`.
+    Kept as a module-level function for callers of the r9 API shape;
+    passing anything that is not a handle RAISES instead of silently
+    doing nothing (r10 ADVICE: the r9 version keyed off an attribute
+    monkey-patched onto the returned DataFrames, so release() on any
+    DERIVED frame — ``clean.select(...)`` — was a silent no-op and
+    the parse leaked)."""
+    if isinstance(handle, QuarantinedRead):
+        handle.release()
+        return
+    raise TypeError(
+        "textfiles.release() takes the QuarantinedRead handle returned "
+        "by read_jsonl/read_csv, not a DataFrame: cache state lives on "
+        "the handle (a derived/foreign frame carries none, and treating "
+        "it as releasable would silently leak the pinned parse)"
+    )
 
 
 def _with_corrupt(schema: T.StructType) -> T.StructType:
@@ -88,7 +133,7 @@ def read_jsonl(
     spark: SparkSession,
     path: str,
     schema: T.StructType | str,
-) -> tuple[DataFrame, DataFrame]:
+) -> QuarantinedRead:
     """One-document-per-line JSON under strict+quarantine: returns
     ``(clean, corrupt)`` where ``clean`` has exactly ``schema``'s
     typed columns and ``corrupt`` is ``(raw_line string)`` — every
@@ -101,8 +146,9 @@ def read_jsonl(
     whole-file parsing — one task per FILE, no intra-file parallelism;
     JSONL exists precisely so a 100 TB dump splits by line).
 
-    Both frames share ONE cached parse, pinned until :func:`release`
-    is called on either (see :func:`_split_corrupt`)."""
+    Both frames share ONE cached parse, pinned until the returned
+    handle's :meth:`QuarantinedRead.release` is called (see
+    :func:`_split_corrupt`)."""
     if isinstance(schema, str):
         schema = T.StructType.fromDDL(schema)
     parsed = (
@@ -120,7 +166,7 @@ def read_csv(
     schema: T.StructType | str,
     header: bool = True,
     sep: str = ",",
-) -> tuple[DataFrame, DataFrame]:
+) -> QuarantinedRead:
     """CSV under the same strict+quarantine contract as
     :func:`read_jsonl`: malformed lines (wrong column count, unparsable
     types, broken quoting) land in the corrupt frame verbatim instead

@@ -17,6 +17,8 @@ execution modes, which is exactly the Catalyst promise.
 
 from __future__ import annotations
 
+from contextlib import contextmanager as _contextmanager
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -303,7 +305,32 @@ def stream_neardup_ingest(
     signatures are never emitted as a match pair (same document, not a
     duplicate). Ids must be unique WITHIN one micro-batch — two texts
     under one id in the same batch have no defined winner.
+
+    Concurrency (r10 ADVICE — ENFORCED): one ingest firing at a time
+    per store. The whole firing runs under an exclusive lease file
+    next to the stamp sidecar (:func:`_stamp_lease`); a second
+    concurrent firing raises instead of racing the sidecar seed —
+    overlapping firings could publish a floor above a still-running
+    firing's uncommitted stamps, and the fold's "below the floor means
+    fully committed" invariant would silently break.
     """
+    schema = spark.read.parquet(source_dir).schema
+    # ONE FIRING AT A TIME per store (r10 ADVICE — now enforced, not
+    # assumed): the lease covers the whole firing, from the sidecar
+    # seed to the post-commit publishes, so no concurrent firing can
+    # seed from the same sidecar and publish a floor above this
+    # firing's still-uncommitted stamps
+    with _stamp_lease(spark, store_path):
+        return _neardup_ingest_leased(
+            spark, source_dir, store_path, matches_path, checkpoint,
+            id_col, text_col, k, num_hashes, bands, min_est, schema,
+        )
+
+
+def _neardup_ingest_leased(
+    spark, source_dir, store_path, matches_path, checkpoint,
+    id_col, text_col, k, num_hashes, bands, min_est, schema,
+) -> int:
     from etl_pack_spark.operators.neardup import (
         minhash_match_incremental,
         minhash_signature,
@@ -311,7 +338,6 @@ def stream_neardup_ingest(
     from etl_pack_spark.operators.tokenize import shingle_rows
     from etl_pack_spark.sinks.fsio import exists as fs_exists
 
-    schema = spark.read.parquet(source_dir).schema
     # one stamper per firing, seeded from the store's sidecar (r9):
     # stamps are monotone by construction, not by trusting the clock
     stamps = _MonotoneStamps(spark, store_path)
@@ -411,12 +437,28 @@ def stream_url_dedup_ingest(
     millis (r8/r9, same rationale and construction as
     :func:`stream_neardup_ingest`: checkpoint-reset micro-batch ids
     would fall below a compaction watermark, and a bare clock is not
-    monotone — :class:`_MonotoneStamps`).
+    monotone — :class:`_MonotoneStamps`). One firing at a time per
+    store, enforced by the same lease as
+    :func:`stream_neardup_ingest` (r10 ADVICE).
     """
     from etl_pack_spark.operators.urls import dedup_by_url
     from etl_pack_spark.sinks.fsio import exists as fs_exists
 
     schema = spark.read.parquet(source_dir).schema
+    with _stamp_lease(spark, store_path):
+        return _url_dedup_ingest_leased(
+            spark, source_dir, store_path, out_path, checkpoint,
+            url_col, id_col, schema,
+        )
+
+
+def _url_dedup_ingest_leased(
+    spark, source_dir, store_path, out_path, checkpoint,
+    url_col, id_col, schema,
+) -> int:
+    from etl_pack_spark.operators.urls import dedup_by_url
+    from etl_pack_spark.sinks.fsio import exists as fs_exists
+
     stamps = _MonotoneStamps(spark, store_path)
 
     def fold(batch_df: DataFrame, batch_id: int) -> None:
@@ -494,6 +536,74 @@ def _publish_stamp(spark: SparkSession, store_path: str, stamp: int) -> None:
     write_text(
         spark, _stamp_sidecar(store_path), json.dumps({"last_stamp": int(stamp)})
     )
+
+
+def _lease_path(store_path: str) -> str:
+    """Ingest-lease sidecar, a SIBLING of the store directory next to
+    the stamp sidecar (same placement rule: compaction's staged swap
+    must not drop it)."""
+    return store_path.rstrip("/") + ".ingest_lease.json"
+
+
+DEFAULT_LEASE_TTL_MS = 3_600_000  # a crashed holder blocks at most 1h
+
+
+@_contextmanager
+def _stamp_lease(spark: SparkSession, store_path: str,
+                 ttl_ms: int = DEFAULT_LEASE_TTL_MS):
+    """Enforce the ONE-FIRING-AT-A-TIME contract on a stamped store
+    (r10 ADVICE): the matches-sidecar floor means "every stamp at or
+    below this is fully committed", which is only true if ingest
+    firings never overlap — two concurrent firings seed
+    :class:`_MonotoneStamps` from the same sidecar, so firing A
+    finishing can publish a floor above firing B's still-uncommitted
+    stamps and the fold would watermark past B's unseen files. That
+    requirement was an implicit docstring assumption; this lease makes
+    it an enforced contract: a lease file is created EXCLUSIVELY next
+    to the stamp sidecar for the duration of the firing, and a second
+    firing fails loudly instead of corrupting the floor.
+
+    A lease older than ``ttl_ms`` is treated as a crashed holder and
+    overtaken (the crash-recovery escape — a kill between acquire and
+    release must not deadlock the store forever). On POSIX/HDFS the
+    exclusive create is atomic; on S3-family stores it is best-effort
+    (see :func:`~etl_pack_spark.sinks.fsio.create_exclusive`)."""
+    import json
+    import os as _os
+    import time as _time
+
+    from etl_pack_spark.sinks.fsio import create_exclusive, read_text
+    from etl_pack_spark.sinks.fsio import delete as fs_delete
+
+    lease = _lease_path(store_path)
+    now_ms = int(_time.time() * 1000)
+    payload = json.dumps({"pid": _os.getpid(), "acquired_at_ms": now_ms})
+    if not create_exclusive(spark, lease, payload):
+        raw = read_text(spark, lease)
+        try:
+            age = now_ms - int(json.loads(raw)["acquired_at_ms"])
+        except (TypeError, ValueError, KeyError):
+            age = ttl_ms + 1  # unreadable lease: treat as stale
+        if age <= ttl_ms:
+            raise RuntimeError(
+                f"another firing holds the ingest lease on {store_path!r} "
+                f"({lease!r}, age {age} ms): concurrent firings on one "
+                "stamped store would race the monotone-stamp sidecar and "
+                "break the fold's 'below the floor means fully committed' "
+                "invariant — run one ingest at a time per store, or "
+                "remove the lease file if the holder is known dead"
+            )
+        # stale: the holder crashed without releasing — overtake
+        fs_delete(spark, lease)
+        if not create_exclusive(spark, lease, payload):
+            raise RuntimeError(
+                f"lost the race re-acquiring a stale ingest lease on "
+                f"{store_path!r} — another firing took it first"
+            )
+    try:
+        yield
+    finally:
+        fs_delete(spark, lease)
 
 
 class _MonotoneStamps:
@@ -726,7 +836,30 @@ def update_cluster_store(
     delta against the already-updated labels (connectivity is
     idempotent) and appends nothing. The at-least-once matches sink's
     duplicate rows are DISTINCT'd before the fold; legacy unstamped
-    matches read as batch -1 and fold on the first firing."""
+    matches read as batch -1 and fold on the first firing.
+
+    The single-writer-per-clusters-store contract is ENFORCED (r10
+    ADVICE): the firing runs under the same exclusive lease as the
+    ingest (:func:`_stamp_lease`, here keyed to the clusters store),
+    so two concurrent folds fail loudly instead of racing the stamp
+    sidecar and fold marker. Note the lease is per STORE: an ingest
+    firing (leased on the signature store) and this fold (leased on
+    the clusters store) may legitimately overlap — that overlap is
+    exactly what ``safety_lag_ms`` + the matches sidecar floor
+    handle."""
+    with _stamp_lease(spark, clusters_path):
+        return _update_cluster_store_leased(
+            spark, clusters_path, matches_path, safety_lag_ms, return_total
+        )
+
+
+def _update_cluster_store_leased(
+    spark: SparkSession,
+    clusters_path: str,
+    matches_path: str,
+    safety_lag_ms: int,
+    return_total: bool,
+) -> int:
     import json
     import time as _time
 

@@ -317,6 +317,22 @@ def test_cli_funnel_curate_gates(sf_dir):
     }
 
 
+def test_cli_funnel_curate_gates_reject_tuning_flags():
+    """r10 ADVICE: curate_disposition hardcodes doc_id/text/lang and
+    its own thresholds, so gate-tuning flags combined with
+    --funnel-gates curate must error out (return 2) instead of
+    printing a report computed with different gates than requested."""
+    for flags in (["--min-words", "10"], ["--min-lines", "1"],
+                  ["--text-col", "body"], ["--id-col", "id"]):
+        res = subprocess.run(
+            [sys.executable, "-m", "etl_pack_spark.cli",
+             "--funnel", "/x", "--funnel-gates", "curate", *flags],
+            capture_output=True, text=True, cwd="/root/repo",
+        )
+        assert res.returncode == 2, flags
+        assert "do not apply to --funnel-gates curate" in res.stderr
+
+
 def test_cli_funnel_is_exclusive_and_fast(tmp_path):
     res = subprocess.run(
         [sys.executable, "-m", "etl_pack_spark.cli",

@@ -45,6 +45,26 @@ def test_posix_path_normalizes_and_guards():
             posix_path(bad)
 
 
+def test_posix_path_rejects_unknown_single_slash_schemes():
+    """r10 ADVICE (medium): an UNKNOWN remote scheme in single-slash
+    form (dbfs:/mnt/x, o3fs:/a — common Hadoop/Databricks URIs not in
+    the literal prefix list) slipped past both the prefix list and the
+    scheme:// regex, so os.path silently answered 'absent' — the
+    corrupt-by-omission swap failure the guard exists to prevent.
+    Fixed: any scheme:/ form (colon immediately followed by slash,
+    which never occurs in the protected relative-path-with-colon case)
+    is rejected, and the named schemes join the prefix list for their
+    no-slash forms too."""
+    for bad in ("dbfs:/mnt/x", "o3fs:/a/b", "cosn:/bucket/t",
+                "adl:/store/t", "swift:/container/t",
+                "madeupfs:/x/y", "dbfs:mnt/x"):
+        with pytest.raises(NotImplementedError):
+            posix_path(bad)
+    # the protected relative-with-colon case still passes (digit after
+    # the colon, no slash adjacency)
+    assert posix_path("data:2024/x") == "data:2024/x"
+
+
 def test_posix_path_colon_and_uri_metachars_are_plain_path_chars():
     """r9 ADVICE: a RELATIVE path whose first segment contains a colon
     is a legal POSIX name, not a URI scheme; '?' and '#' are legal

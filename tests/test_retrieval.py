@@ -135,6 +135,39 @@ def test_bm25_empty_query_raises(tiny):
         bm25_topk(tiny, "doc_id", "text", "!!!")
 
 
+def test_bm25_single_query_postings_built_once(tiny):
+    """r10 VERDICT #1 / r11: the single-query form carried the same
+    double-postings-build lineage its batch sibling fixed in r10 —
+    the term-filtered postings feed both term_stats and the
+    contribution join, and unpersisted each consumer re-executed the
+    full corpus tokenize+explode+groupBy (executed plans showed two
+    document scans, zero ReusedExchange). Now the filtered postings
+    are pooled_persist'ed: the executed plan must contain at most ONE
+    tokenize+explode (Generate) subtree, with the second consumer
+    reading the in-memory relation."""
+    plan = (
+        bm25_topk(tiny, "doc_id", "text", "cat sat")
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    # BOTH consumers must read the cache (the pre-fix plan had zero
+    # InMemoryTableScans — each consumer re-derived the postings from
+    # the raw scan). toString expands the cached-relation definition
+    # under each scan, so counting Generate lines would double-count
+    # display text; the two cache scans ARE the one-subtree proof.
+    assert plan.count("InMemoryTableScan") == 2, plan
+    # and nothing tokenizes outside the cached definition: every
+    # Generate line sits below the first InMemoryRelation marker
+    lines = plan.splitlines()
+    first_cached = next(
+        i for i, l in enumerate(lines) if "InMemoryRelation" in l
+    )
+    assert all(
+        i > first_cached for i, l in enumerate(lines) if "Generate" in l
+    ), plan
+
+
 def test_bm25_batch_matches_single_query(tiny, spark):
     """A one-row query batch must score and rank exactly like the
     single-query operator (same idf, damping, tie-break)."""
@@ -264,6 +297,53 @@ def test_bm25_batch_tokenless_query_row_yields_no_rows(tiny, spark):
     out = bm25_topk_batch(tiny, q, "doc_id", "text", k=5).collect()
     q_ids = {r["q_id"] for r in out}
     assert 1 in q_ids and 2 not in q_ids
+
+
+def test_bm25_batch_degenerate_row_agrees_with_oracle(spark, sf_dir):
+    """r10 VERDICT #8: the degenerate-query divergence (a tokenless
+    query row is silently absent from the batch output, vs the
+    single-query ValueError) was pinned only in prose — this DuckDB
+    twin over a batch CONTAINING one degenerate row pins it in the
+    oracle path, so the behavior can't drift in either engine: both
+    must produce identical rows, with the degenerate q_id absent and
+    every other query's ranking unaffected."""
+    import duckdb as _duckdb
+
+    from etl_pack_spark.operators.retrieval import (
+        bm25_topk_batch,
+        bm25_topk_batch_sql,
+    )
+
+    docs = read_table(spark, sf_dir, "documents")
+    # two real seed docs + one degenerate row that tokenizes to nothing
+    q = docs.where("doc_id < 3").select(
+        F.col("doc_id").alias("q_id"), "text"
+    ).unionByName(
+        docs.sparkSession.createDataFrame(
+            [(999, "!!! ??? ...")], "q_id long, text string"
+        )
+    )
+    got = sorted(
+        map(tuple, bm25_topk_batch(
+            docs, q, "doc_id", "text", k=8
+        ).select("q_id", "id", "rk").collect())
+    )
+    assert got and all(r[0] != 999 for r in got)  # degenerate absent
+    assert {r[0] for r in got} == {0, 1, 2}  # real queries unaffected
+    con = _duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM read_parquet('{sf_dir}/documents.parquet')"
+    )
+    queries_sql = (
+        "SELECT doc_id AS q_id, text FROM documents WHERE doc_id < 3 "
+        "UNION ALL SELECT 999 AS q_id, '!!! ??? ...' AS text"
+    )
+    want = sorted(map(tuple, con.execute(
+        "SELECT q_id, id, rk FROM (" + bm25_topk_batch_sql(
+            "documents", queries_sql, "doc_id", "text", k=8,
+        ) + ")"
+    ).fetchall()))
+    assert got == want
 
 
 def test_rrf_fuse_rejects_bad_arm_names(spark):

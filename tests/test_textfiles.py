@@ -84,22 +84,25 @@ def test_clean_side_feeds_operators(spark, tmp_path):
 
 
 def test_release_unpins_the_shared_parse(spark, tmp_path):
-    """r9 ADVICE: the quarantine split pins one cached parse per read
-    with no release handle. Either returned side now carries it;
-    release() unpersists exactly that parse and is a no-op on foreign
-    frames."""
+    """r9 ADVICE introduced release(); r10 ADVICE: the r9 version
+    keyed off an attribute monkey-patched onto the returned frames, so
+    release() on a DERIVED frame (clean.select(...)) was a silent
+    no-op and the parse leaked. Now the read returns a
+    QuarantinedRead handle carrying (clean, corrupt, release); the
+    module-level release() takes the handle and RAISES on anything
+    else — no silent path remains."""
     from etl_pack_spark.sources import textfiles
 
     p = tmp_path / "docs.jsonl"
     p.write_text('{"doc_id": 1, "text": "ok"}\nnot json\n')
-    clean, corrupt = textfiles.read_jsonl(
-        spark, str(p), "doc_id long, text string"
-    )
+    handle = textfiles.read_jsonl(spark, str(p), "doc_id long, text string")
+    clean, corrupt = handle  # tuple-unpack compatibility
+    assert clean is handle.clean and corrupt is handle.corrupt
     assert clean.count() == 1 and corrupt.count() == 1
-    parse = clean._quarantine_parse
-    assert parse is corrupt._quarantine_parse
+    parse = handle._parsed
     assert parse.storageLevel.useMemory  # pinned
-    textfiles.release(corrupt)
+    textfiles.release(handle)
+    assert handle.released
     assert not parse.storageLevel.useMemory  # released
     # the cache is LOAD-BEARING (SPARK-21610): actions after release
     # fail loudly instead of silently re-reading
@@ -108,6 +111,29 @@ def test_release_unpins_the_shared_parse(spark, tmp_path):
 
     with _pytest.raises(AnalysisException):
         clean.count()
-    textfiles.release(clean)  # idempotent
-    # no-op on a frame this module didn't produce
-    textfiles.release(spark.range(1))
+    textfiles.release(handle)  # idempotent
+    # r10 ADVICE: a frame (derived or foreign) is NOT a valid release
+    # target — raising here is the fix for the silent-no-op leak
+    with _pytest.raises(TypeError, match="QuarantinedRead"):
+        textfiles.release(clean.select("doc_id"))
+    with _pytest.raises(TypeError, match="QuarantinedRead"):
+        textfiles.release(spark.range(1))
+
+
+def test_quarantined_read_context_manager(spark, tmp_path):
+    """The handle is a context manager: the pinned parse is released
+    on exit even when the body raises."""
+    from etl_pack_spark.sources import textfiles
+
+    p = tmp_path / "docs.csv"
+    p.write_text("doc_id,text\n1,alpha\nbad-row-here\n")
+    with textfiles.read_csv(spark, str(p), "doc_id long, text string") as (
+        clean, corrupt,
+    ):
+        assert clean.count() == 1 and corrupt.count() == 1
+    # released on exit
+    import pytest as _pytest
+    from pyspark.errors.exceptions.captured import AnalysisException
+
+    with _pytest.raises(AnalysisException):
+        clean.count()
