@@ -397,9 +397,43 @@ def _lib_extra_queries():
             enc, emb.where("vec_id < 50"), cids, C, books, k=5, nprobe=4
         )
 
+    def _bm25_sparse_only(spark, sf_dir):
+        # stage decomposition of the hybrid bm25_search slot (r10
+        # VERDICT #3): the headline's costliest query fuses three
+        # stages (batch BM25, dense cosine, RRF); a regression there
+        # is unattributable without per-stage numbers. SAME framing as
+        # q_bm25_search's sparse arm — seed docs doc_id < 3, k=20,
+        # exclude_self.
+        from pyspark.sql import functions as F
+
+        from etl_pack_spark.operators.retrieval import bm25_topk_batch
+        from etl_pack_spark.suite import HYBRID_K_EACH
+
+        docs = read_table(spark, sf_dir, "documents")
+        q_text = docs.where(F.col("doc_id") < 3).select(
+            F.col("doc_id").alias("q_id"), "text"
+        )
+        return bm25_topk_batch(
+            docs, q_text, "doc_id", "text",
+            k=HYBRID_K_EACH, exclude_self=True,
+        )
+
+    def _dense_only(spark, sf_dir):
+        # the hybrid slot's dense arm, same framing as q_bm25_search
+        from pyspark.sql import functions as F
+
+        from etl_pack_spark.operators import similarity
+        from etl_pack_spark.suite import HYBRID_K_EACH
+
+        emb = read_table(spark, sf_dir, "embeddings")
+        q_vec = emb.where(F.col("vec_id") < 3)
+        return similarity.cosine_topk(emb, q_vec, k=HYBRID_K_EACH)
+
     return {
         "lib_semantic_dedup": _semdedup,
         "lib_repeated_ngram_spans": _spans,
+        "lib_bm25_sparse_only": _bm25_sparse_only,
+        "lib_dense_only": _dense_only,
         "lib_remove_spans": _remove_spans,
         "lib_budget_select": _budget,
         "lib_html_strip": _html,

@@ -75,12 +75,17 @@ def build_parser() -> argparse.ArgumentParser:
                         "funnel (stage -> doc count) as JSON; --min-words/"
                         "--min-lines tune the gates, --text-col names the "
                         "text column")
-    p.add_argument("--funnel-gates", choices=["c4", "curate"], default="c4",
+    p.add_argument("--funnel-gates", choices=["c4", "curate", "pretrain"],
+                   default="c4",
                    help="--funnel: which gate family to audit — the C4 "
                         "cleaning recipe (per-doc drop_stage from "
-                        "c4_disposition) or the curation pipeline "
+                        "c4_disposition), the curation pipeline "
                         "(token/avg-len/lang gates + exact-dup from "
-                        "curate_disposition; needs doc_id/text/lang)")
+                        "curate_disposition; needs doc_id/text/lang), or "
+                        "the WHOLE pretraining pipeline (curate gates + "
+                        "near-dup cluster dedup + split routing, from "
+                        "pretrain_disposition; needs doc_id/text/lang/"
+                        "source — stage counts sum to the corpus size)")
     p.add_argument("--text-col", default=None,
                    help="text column for --funnel with c4 gates "
                         "(default: text)")
@@ -149,11 +154,12 @@ def main(argv: list[str] | None = None) -> int:
               "--update-clusters, --store-stats and --funnel are "
               "exclusive", file=sys.stderr)
         return 2
-    if args.funnel and args.funnel_gates == "curate":
-        # r10 ADVICE: curate_disposition hardcodes doc_id/text/lang and
-        # its own thresholds — silently accepting gate-tuning flags
-        # would print a report computed with DIFFERENT gates than the
-        # user asked for. Mirror the other mutual-exclusion checks.
+    if args.funnel and args.funnel_gates in ("curate", "pretrain"):
+        # r10 ADVICE: curate_disposition (and pretrain_disposition)
+        # hardcode doc_id/text/lang and their own thresholds —
+        # silently accepting gate-tuning flags would print a report
+        # computed with DIFFERENT gates than the user asked for.
+        # Mirror the other mutual-exclusion checks.
         foreign = [
             name for name, val in [
                 ("--min-words", args.min_words),
@@ -164,8 +170,8 @@ def main(argv: list[str] | None = None) -> int:
         ]
         if foreign:
             print(f"error: {', '.join(foreign)} do not apply to "
-                  "--funnel-gates curate (the curation gates are fixed: "
-                  "doc_id/text/lang columns and the curate pipeline's "
+                  f"--funnel-gates {args.funnel_gates} (its gates are "
+                  "fixed: doc_id/text/lang columns and the pipeline's "
                   "own thresholds)", file=sys.stderr)
             return 2
     if args.update_clusters and not args.matches:
@@ -309,21 +315,24 @@ def main(argv: list[str] | None = None) -> int:
         )
 
         docs = spark.read.parquet(args.funnel)
-        if args.funnel_gates == "curate":
+        if args.funnel_gates == "pretrain":
+            # the WHOLE-pipeline funnel (r11): curate gates + near-dup
+            # cluster dedup + split routing, conservation-law checked
+            from etl_pack_spark.plans.pretrain import pretrain_funnel
+
+            fun = pretrain_funnel(docs)
+        elif args.funnel_gates == "curate":
             from etl_pack_spark.plans.curate import curate_disposition
 
-            dispo = curate_disposition(docs)
+            fun = curation_funnel(curate_disposition(docs))
         else:
-            dispo = c4_disposition(
+            fun = curation_funnel(c4_disposition(
                 docs, args.id_col or "doc_id", args.text_col or "text",
                 min_words=5 if args.min_words is None else args.min_words,
                 min_lines=3 if args.min_lines is None else args.min_lines,
                 require_terminal=False,
-            )
-        stages = {
-            r["stage"]: r["n_docs"]
-            for r in curation_funnel(dispo).collect()
-        }
+            ))
+        stages = {r["stage"]: r["n_docs"] for r in fun.collect()}
         print(json.dumps({"mode": "funnel", "gates": args.funnel_gates,
                           "docs": args.funnel, "stages": stages,
                           "total": sum(stages.values())}))

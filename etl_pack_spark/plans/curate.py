@@ -116,7 +116,18 @@ def curate_disposition(docs: DataFrame) -> DataFrame:
     canonical text hash — the same winner rule as ``exact_dedup``'s
     ``keep_order_col``). NULL text counts as zero tokens so every doc
     is classified (three-valued predicates silently drop them from the
-    survivor query; an audit row must never go missing)."""
+    survivor query; an audit row must never go missing).
+
+    r11 (driver-gating this grain): the signal projection emits the
+    dedup hash UP FRONT and drops ``text``, and the resulting SLIM
+    frame (id, lang, verdict, hash — tens of bytes/row) is
+    pooled-persisted: it feeds three differently-keyed consumers (the
+    dropped-rows filter, the dedup groupBy, the winner join), which
+    unpersisted would re-run the corpus scan + tokenize once each —
+    the standing multi-consumer lineage trap. Persisting the slim
+    projection instead of the text-bearing frame is what makes the
+    cache 100 TB-viable."""
+    from etl_pack_spark.operators.cache import pooled_persist
     from etl_pack_spark.operators.hashing import row_hash
 
     t = docs.select("doc_id", "text", "lang", tokens("text").alias("__toks"))
@@ -140,26 +151,26 @@ def curate_disposition(docs: DataFrame) -> DataFrame:
     def fails(cond):
         return ~F.coalesce(cond, F.lit(False))
 
-    staged = t.select(
-        "doc_id",
-        "text",
-        "lang",
-        F.when(fails(n_toks >= MIN_TOKENS), F.lit("token_count"))
-        .when(
-            fails(avg_len.between(MIN_AVG_LEN, MAX_AVG_LEN)),
-            F.lit("avg_token_len"),
+    staged = pooled_persist(
+        t.select(
+            "doc_id",
+            "lang",
+            F.when(fails(n_toks >= MIN_TOKENS), F.lit("token_count"))
+            .when(
+                fails(avg_len.between(MIN_AVG_LEN, MAX_AVG_LEN)),
+                F.lit("avg_token_len"),
+            )
+            .when(fails(lang_pred == F.col("lang")), F.lit("lang_mismatch"))
+            .alias("__s0"),
+            row_hash(["text"]).alias("__h"),
         )
-        .when(fails(lang_pred == F.col("lang")), F.lit("lang_mismatch"))
-        .alias("__s0"),
     )
     dropped = staged.where(F.col("__s0").isNotNull()).select(
         "doc_id", "lang",
         F.col("__s0").alias("drop_stage"),
         F.lit(None).cast("string").alias("split"),
     )
-    keyed = staged.where(F.col("__s0").isNull()).withColumn(
-        "__h", row_hash(["text"])
-    )
+    keyed = staged.where(F.col("__s0").isNull())
     winners = keyed.groupBy("__h").agg(F.min("doc_id").alias("__win"))
     surv = split_assign(
         keyed.join(winners, "__h"), "doc_id"

@@ -232,3 +232,195 @@ def prepare_pretraining_corpus(
         sized.join(packed.select("__pack_key", "pack_id", "oversize"), "__pack_key")
         .drop("__pack_key")
     )
+
+
+def pretrain_disposition(
+    docs: DataFrame,
+    eval_df: DataFrame | None = None,
+    weights: dict[str, float] | None = None,
+    domain_col: str = "source",
+    max_hamming: int = 10,
+    ngram: int = 8,
+    max_dup_fraction: float | None = None,
+    excise_spans: bool = False,
+    excise_k: int = 8,
+    embeddings: DataFrame | None = None,
+    emb_id_col: str = "vec_id",
+    sem_nlist: int = 16,
+    sem_threshold: float = 0.95,
+    leakage_safe_split: bool = False,
+    extract_html: bool = False,
+    normalize_unicode: bool = False,
+    survivor_by: str | None = None,
+) -> DataFrame:
+    """Per-document WHOLE-PIPELINE disposition for
+    :func:`prepare_pretraining_corpus`: every input document gets
+    exactly one ``(doc_id, stage)`` verdict naming the FIRST pipeline
+    stage that removed it — in pipeline order ``token_count`` |
+    ``avg_token_len`` | ``lang_mismatch`` | ``exact_dup`` (the curate
+    gates) | ``dup_window_gate`` | ``excised_empty`` | ``neardup_dup``
+    | ``semantic_dup`` | ``val`` / ``test`` (held out of training) |
+    ``contaminated`` | ``resample_dropped`` — or ``packed`` for the
+    documents that reach the training batch. Aggregate with
+    :func:`pretrain_funnel` for the ``(stage, n_docs)`` run report.
+
+    At 100 TB "where did my documents go" across the WHOLE pipeline is
+    the first question every run answers; the r10 negative result
+    (Spark ``Observation`` latches at the first completed action, so
+    pipeline-stage observers record partial counts under build-time
+    probes — SCALE.md r10) means counters cannot ride the training
+    run itself. This is the honest replacement: a SEPARATE audit plan
+    that recomputes each stage's survivor set with the SAME operator
+    calls and parameters, so its verdicts are exact by construction
+    rather than instrumented. Conservation law (pinned in
+    tests/test_pretrain.py): stage counts sum to the input count.
+
+    Cost shape: the curate gates ride ``curate_disposition``'s slim
+    persisted projection; every stage boundary after that is an
+    anti/semi-join between slim id frames (the text-bearing ``kept``
+    frame is built once, exactly as the pipeline builds it); nothing
+    corpus-sized is collected or broadcast.
+    """
+    from etl_pack_spark.operators.cache import pooled_persist
+    from etl_pack_spark.operators.components import neardup_clusters
+    from etl_pack_spark.plans.curate import curate_disposition
+
+    if extract_html:
+        from etl_pack_spark.operators.cleaning import html_clean_lines
+
+        docs = docs.withColumn(
+            "text", F.array_join(html_clean_lines("text"), "\n")
+        )
+    if normalize_unicode:
+        from etl_pack_spark.operators.textops import normalize_text_col
+
+        docs = docs.withColumn("text", normalize_text_col("text"))
+
+    def verdict(ids: DataFrame, stage: str) -> DataFrame:
+        return ids.select("doc_id", F.lit(stage).alias("stage"))
+
+    # curate gates: the disposition IS the audit grain of curate_corpus
+    # (its drop_stage IS NULL slice equals the survivor query)
+    cd = pooled_persist(curate_disposition(docs))
+    out = cd.where(F.col("drop_stage").isNotNull()).select(
+        "doc_id", F.col("drop_stage").alias("stage")
+    )
+    base_cols = ["doc_id", "text", "lang", "split", domain_col]
+    extra = (
+        [survivor_by]
+        if survivor_by is not None and survivor_by not in base_cols
+        else []
+    )
+    kept = docs.join(
+        cd.where(F.col("drop_stage").isNull()).select("doc_id", "split"),
+        "doc_id",
+    ).select(*base_cols, *extra)
+
+    if max_dup_fraction is not None:
+        spans = repeated_ngram_spans(
+            kept, "doc_id", "text", max_dup_fraction=max_dup_fraction
+        )
+        gate_keep = spans.where(F.col("keep")).select("doc_id")
+        out = out.unionByName(verdict(
+            kept.join(gate_keep, "doc_id", "left_anti"), "dup_window_gate"
+        ))
+        kept = kept.join(gate_keep, "doc_id", "left_semi")
+
+    if excise_spans:
+        from etl_pack_spark.operators.substrings import remove_repeated_spans
+
+        cleaned = remove_repeated_spans(kept, "doc_id", "text", k=excise_k)
+        kept = kept.drop("text").join(
+            cleaned.select("doc_id", F.col("clean_text").alias("text")),
+            "doc_id",
+        )
+        out = out.unionByName(verdict(
+            kept.where(F.length("text") == 0), "excised_empty"
+        ))
+        kept = kept.where(F.length("text") > 0)
+
+    pairs = neardup.simhash_neardup_pairs(
+        kept, "doc_id", "text", max_hamming=max_hamming
+    ).select("id_a", "id_b")
+    clusters = pooled_persist(neardup_clusters(pairs, "doc_id"))
+    if leakage_safe_split:
+        from etl_pack_spark.operators.sampling import grouped_split_assign
+
+        kept = grouped_split_assign(
+            kept.drop("split"), None, "doc_id", clusters=clusters
+        ).drop("cluster_id")
+    unique = cluster_dedup(
+        kept, pairs, "doc_id", clusters=clusters, survivor_by=survivor_by
+    )
+    # slim multi-consumer frame: the neardup anti-join, the holdout
+    # slice, and the train slice all read it
+    unique_ids = pooled_persist(unique.select("doc_id", "split"))
+    out = out.unionByName(verdict(
+        kept.select("doc_id").join(unique_ids, "doc_id", "left_anti"),
+        "neardup_dup",
+    ))
+
+    if embeddings is not None:
+        alive = embeddings.join(
+            unique_ids.select(F.col("doc_id").alias(emb_id_col)),
+            emb_id_col, "left_semi",
+        )
+        surv = semantic_dedup(
+            alive, nlist=sem_nlist, threshold=sem_threshold,
+            id_col=emb_id_col,
+        ).select(F.col(emb_id_col).alias("doc_id"))
+        sem_dropped = alive.select(
+            F.col(emb_id_col).alias("doc_id")
+        ).join(surv, "doc_id", "left_anti")
+        out = out.unionByName(verdict(sem_dropped, "semantic_dup"))
+        unique_ids = pooled_persist(
+            unique_ids.join(sem_dropped, "doc_id", "left_anti")
+        )
+
+    # held out of training: kept, but never packed — the split name is
+    # the stage (the funnel reader wants "routed to val" as an answer
+    # to "where did it go", not a drop reason)
+    out = out.unionByName(
+        unique_ids.where(F.col("split") != "train").select(
+            "doc_id", F.col("split").alias("stage")
+        )
+    )
+    train = unique.join(
+        unique_ids.where(F.col("split") == "train").select("doc_id"),
+        "doc_id", "left_semi",
+    )
+    if eval_df is not None:
+        decon_ids = pooled_persist(
+            decontaminate(train, eval_df, "doc_id", "text", n=ngram)
+            .select("doc_id")
+        )
+        out = out.unionByName(verdict(
+            train.select("doc_id").join(decon_ids, "doc_id", "left_anti"),
+            "contaminated",
+        ))
+        train = train.join(decon_ids, "doc_id", "left_semi")
+    if weights is not None:
+        surv_ids = pooled_persist(
+            mixture_resample(train, "doc_id", domain_col, weights)
+            .select("doc_id").distinct()
+        )
+        out = out.unionByName(verdict(
+            train.select("doc_id").join(surv_ids, "doc_id", "left_anti"),
+            "resample_dropped",
+        ))
+        train = train.join(surv_ids, "doc_id", "left_semi")
+    # packing assigns pack ids and flags oversize rows; it drops
+    # nothing — the remaining train docs ARE the training batch
+    return out.unionByName(verdict(train.select("doc_id"), "packed"))
+
+
+def pretrain_funnel(docs: DataFrame, **kwargs) -> DataFrame:
+    """The pipeline-level funnel report: ``(stage, n_docs)`` over
+    :func:`pretrain_disposition` — same shape as
+    ``cleaning.curation_funnel``, one combinable groupBy over a dozen
+    stage values, report-sized at any corpus scale. Stage counts sum
+    to the input document count (the conservation law every run
+    report should be checkable against)."""
+    return pretrain_disposition(docs, **kwargs).groupBy("stage").agg(
+        F.count(F.lit(1)).alias("n_docs")
+    )

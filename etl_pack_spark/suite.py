@@ -63,7 +63,7 @@ from etl_pack_spark.operators.dedup import (
     snapshot_hashes,
 )
 from etl_pack_spark.operators.hashing import row_hash, row_hash_sql, with_row_hash
-from etl_pack_spark.plans.curate import curate_corpus_sql
+from etl_pack_spark.plans.curate import curate_corpus_sql, curate_disposition_sql
 from etl_pack_spark.sinks.writers import append_table
 from etl_pack_spark.sources.reader import ReadSpec, read_table, windowed_read
 
@@ -956,27 +956,80 @@ def _crawl_url_col() -> F.Column:
 
 
 def q_corpus_curate(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """The composed training-data pipeline: URL-keyed crawl dedup →
-    quality gate → language verification → exact content dedup → split
-    assignment, as one plan. See plans/curate.py and operators/urls.py.
+    """The composed training-data pipeline at the full per-document
+    DISPOSITION grain: URL-keyed crawl dedup → quality gate → language
+    verification → exact content dedup → split assignment, with EVERY
+    document getting a verdict row ``(doc_id, lang, drop_stage, split,
+    canonical_url)`` — ``drop_stage`` names the first gate that
+    dropped it (``url_dup`` | ``token_count`` | ``avg_token_len`` |
+    ``lang_mismatch`` | ``exact_dup``), NULL means kept-for-training
+    with its split assigned. See plans/curate.py and operators/urls.py.
 
     Round-4 merge: exact dedup (formerly the standalone
     dedup_exact_docs entry) is a stage of this plan, so this slot gates
     it; q_dedup_exact_docs stays pytest-pinned standalone.
-    Round-6 merge: ``dedup_by_url`` is the pipeline's FIRST stage (the
-    crawl-level dedup that runs before any content hashing); the
-    returned ``canonical_url`` column puts the canonicalizer's output
-    itself under the driver's value hash. The pre-URL framing stays
-    pinned as retired ``corpus_curate_plain``."""
+    Round-6 merge: ``dedup_by_url`` is the pipeline's FIRST stage; the
+    ``canonical_url`` column puts the canonicalizer's output under the
+    driver's value hash. The pre-URL framing stays pinned as retired
+    ``corpus_curate_plain``.
+    Round-11 merge (r10 VERDICT #2): the slot flips from survivors to
+    the audit grain — ``curate_disposition`` was the one r10 audit
+    family without a CORRECTNESS row. The driver's hash now covers
+    ``drop_stage`` for every document in the corpus; the survivor
+    framing (exactly the ``drop_stage IS NULL`` slice) is pinned as
+    retired ``corpus_curate_kept``.
+
+    Scale shape: the URL-winner marking is one groupBy exchange +
+    join (same keys as the r6 keep-first window); ``marked`` is
+    pooled-persisted because the loser slice, the keeper slice, and
+    the canonical_url join are three consumers of one canonicalize
+    lineage; the curate stages then add their single slim persisted
+    projection + one dedup exchange (see ``curate_disposition``)."""
+    from etl_pack_spark.operators.cache import pooled_persist
+    from etl_pack_spark.operators.urls import canonical_url_col
+    from etl_pack_spark.plans.curate import curate_disposition
+
+    docs = read_table(spark, sf_dir, "documents")
+    flagged = docs.withColumn(
+        "canonical_url", canonical_url_col(_crawl_url_col())
+    )
+    winners = (
+        flagged.where(F.col("canonical_url").isNotNull())
+        .groupBy("canonical_url")
+        .agg(F.min("doc_id").alias("__uwin"))
+    )
+    # LEFT join: NULL-canonical rows (unparseable URLs) pass through to
+    # the content gates — they are never URL-duplicates of each other
+    marked = pooled_persist(flagged.join(winners, "canonical_url", "left"))
+    losers = marked.where(
+        F.col("canonical_url").isNotNull()
+        & (F.col("doc_id") != F.col("__uwin"))
+    ).select(
+        "doc_id", "lang",
+        F.lit("url_dup").alias("drop_stage"),
+        F.lit(None).cast("string").alias("split"),
+        "canonical_url",
+    )
+    kept = marked.where(
+        F.col("canonical_url").isNull()
+        | (F.col("doc_id") == F.col("__uwin"))
+    )
+    dispo = curate_disposition(kept.select("doc_id", "text", "lang"))
+    with_url = dispo.join(
+        kept.select("doc_id", "canonical_url"), "doc_id"
+    ).select("doc_id", "lang", "drop_stage", "split", "canonical_url")
+    return losers.unionByName(with_url)
+
+
+def q_corpus_curate_kept(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The r6-r10 framing (retired pin, displaced by the r11
+    disposition grain): URL dedup → curate, SURVIVORS only —
+    ``(doc_id, lang, split, canonical_url)``."""
     from etl_pack_spark.operators.cache import pooled_persist
     from etl_pack_spark.operators.urls import dedup_by_url
     from etl_pack_spark.plans.curate import curate_corpus
 
     docs = read_table(spark, sf_dir, "documents")
-    # persisted (r8): kept feeds the curation branch AND the final
-    # canonical_url join — differently-keyed consumers (text-hash dedup
-    # vs doc_id join), so without the persist the URL canonicalize +
-    # keep-first window executes once per consumer
     kept = pooled_persist(
         dedup_by_url(docs.withColumn("url", _crawl_url_col()), "url", "doc_id")
     )
@@ -1908,10 +1961,13 @@ ORACLES: dict[str, str] = {
     # the oracle recomputes the EXPECTED canonical form of the
     # synthesized URLs directly (scheme→https, www/port/slash/tracking
     # noise gone, params sorted) — golden canonicalization at corpus
-    # scale — and keeps the min-doc_id winner per canonical URL
+    # scale — and keeps the min-doc_id winner per canonical URL.
+    # r11 merge: disposition grain — URL-dedup losers get
+    # drop_stage='url_dup', winners flow through the curate
+    # disposition twin; every document gets exactly one verdict row
     "corpus_curate": f"""
         WITH uu AS (
-            SELECT doc_id,
+            SELECT doc_id, lang,
                    'https://' || source || '.example.com/p/'
                    || CAST(doc_id % 200 AS VARCHAR)
                    || '?id=' || CAST(doc_id % 2 AS VARCHAR) AS canonical_url
@@ -1925,9 +1981,14 @@ ORACLES: dict[str, str] = {
             SELECT d.doc_id, d.text, d.lang
             FROM keep k JOIN documents d USING (doc_id)
         )
-        SELECT c.doc_id, c.lang, c.split, k2.canonical_url
-        FROM ({curate_corpus_sql('base')}) c
-        JOIN keep k2 USING (doc_id)
+        SELECT u.doc_id, u.lang, 'url_dup' AS drop_stage,
+               CAST(NULL AS VARCHAR) AS split, u.canonical_url
+        FROM uu u JOIN keep k USING (canonical_url)
+        WHERE u.doc_id <> k.doc_id
+        UNION ALL
+        SELECT c.doc_id, c.lang, c.drop_stage, c.split, u2.canonical_url
+        FROM ({curate_disposition_sql('base')}) c
+        JOIN uu u2 USING (doc_id)
     """,
     # r5 merge: MAD outlier summary (exact-percentile variant) × the
     # one-row profile; r6 merge: × the one-row column-level PII
@@ -2252,6 +2313,11 @@ RETIRED_QUERIES: dict[str, QueryFn] = {
     "c4_clean_plain": q_c4_clean_plain,
     # r10 rider: the slot gained the drop_reason audit column
     "gopher_signals_plain": q_gopher_signals_plain,
+    # r11: the slot flipped to the full per-doc disposition grain
+    # (url_dup/token_count/avg_token_len/lang_mismatch/exact_dup
+    # drop_stage audit, r10 VERDICT #2); the survivor-only URL+curate
+    # framing stays pinned
+    "corpus_curate_kept": q_corpus_curate_kept,
 }
 
 RETIRED_ORACLES: dict[str, str] = {
@@ -2384,5 +2450,25 @@ RETIRED_ORACLES: dict[str, str] = {
                                         chr(10)), '') AS text_stripped,
                {normalize_text_expr_sql("text_clean")} AS text_norm
         FROM base
+    """,
+    "corpus_curate_kept": f"""
+        WITH uu AS (
+            SELECT doc_id,
+                   'https://' || source || '.example.com/p/'
+                   || CAST(doc_id % 200 AS VARCHAR)
+                   || '?id=' || CAST(doc_id % 2 AS VARCHAR) AS canonical_url
+            FROM documents
+        ),
+        keep AS (
+            SELECT canonical_url, min(doc_id) AS doc_id
+            FROM uu GROUP BY canonical_url
+        ),
+        base AS (
+            SELECT d.doc_id, d.text, d.lang
+            FROM keep k JOIN documents d USING (doc_id)
+        )
+        SELECT c.doc_id, c.lang, c.split, k2.canonical_url
+        FROM ({curate_corpus_sql('base')}) c
+        JOIN keep k2 USING (doc_id)
     """,
 }

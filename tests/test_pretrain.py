@@ -239,3 +239,76 @@ def test_pipeline_excision_stage(spark, sf_dir):
     assert any(e[d] < b[d] for d in common)
     assert {"doc_id", "lang", "split", "source", "copy_n",
             "n_tokens", "pack_id", "oversize"} <= set(excised.columns)
+
+
+def test_pretrain_disposition_conservation_and_agreement(spark, sf_dir):
+    """r11 (r10 VERDICT #6): the whole-pipeline funnel. Every input
+    document gets exactly one (doc_id, stage) verdict; stage counts
+    sum to the corpus size (the conservation law); and the 'packed'
+    slice is EXACTLY the set of documents the real pipeline emits
+    under the same parameters — the audit plan recomputes stages with
+    the same operator calls, so agreement is by construction and this
+    pins it."""
+    from etl_pack_spark.plans.pretrain import (
+        pretrain_disposition,
+        pretrain_funnel,
+    )
+
+    docs = _docs(spark, sf_dir)
+    evald = docs.where(F.col("doc_id") % 10 == 7).select("doc_id", "text")
+    kwargs = dict(eval_df=evald, weights=WEIGHTS)
+    dispo = pretrain_disposition(docs, **kwargs).cache()
+    try:
+        n_docs = docs.count()
+        # one verdict per doc, conservation
+        assert dispo.count() == n_docs
+        assert dispo.select("doc_id").distinct().count() == n_docs
+        fun = {r["stage"]: r["n_docs"]
+               for r in pretrain_funnel(docs, **kwargs).collect()}
+        assert sum(fun.values()) == n_docs
+        # the pipeline's verdict stages all fire on this fixture
+        assert fun.get("packed", 0) > 0
+        assert {"val", "test"} <= set(fun)
+        assert fun.get("contaminated", 0) > 0
+        # 'packed' slice == the real pipeline's surviving doc set
+        packed_ids = {
+            r["doc_id"]
+            for r in dispo.where(F.col("stage") == "packed").collect()
+        }
+        out_ids = {
+            r["doc_id"]
+            for r in prepare_pretraining_corpus(docs, **kwargs)
+            .select("doc_id").distinct().collect()
+        }
+        assert packed_ids == out_ids
+    finally:
+        dispo.unpersist()
+
+
+def test_pretrain_funnel_cli(sf_dir):
+    """--funnel-gates pretrain: the whole-pipeline funnel as a cron
+    firing; stage counts sum to the corpus size, gate-tuning flags
+    rejected."""
+    import json as _json
+    import subprocess
+    import sys as _sys
+
+    res = subprocess.run(
+        [_sys.executable, "-m", "etl_pack_spark.cli",
+         "--funnel", f"{sf_dir}/documents.parquet",
+         "--funnel-gates", "pretrain"],
+        capture_output=True, text=True, cwd="/root/repo", check=True,
+    )
+    out = _json.loads(res.stdout.strip().splitlines()[-1])
+    assert out["gates"] == "pretrain"
+    assert out["total"] == sum(out["stages"].values()) > 0
+    assert out["stages"].get("packed", 0) > 0
+    # fixed gates: tuning flags are rejected exactly like curate
+    res2 = subprocess.run(
+        [_sys.executable, "-m", "etl_pack_spark.cli",
+         "--funnel", f"{sf_dir}/documents.parquet",
+         "--funnel-gates", "pretrain", "--min-words", "9"],
+        capture_output=True, text=True, cwd="/root/repo",
+    )
+    assert res2.returncode == 2
+    assert "do not apply to --funnel-gates pretrain" in res2.stderr

@@ -98,9 +98,12 @@ NOTES = {
         "of sequence(1, copies). The corpus itself never shuffles."
     ),
     "corpus_curate": (
-        "The composed curation pipeline keeps one scan and one shuffle "
-        "(the exact-dedup aggregate); quality/language gates fold into the "
-        "scan projection."
+        "r11: the slot is the full per-document disposition grain. One "
+        "URL-winner exchange (groupBy min + join over the persisted "
+        "canonicalize lineage), then the curate gates fold into one slim "
+        "persisted projection (id/lang/verdict/hash — text dropped before "
+        "the fan-out) feeding the dropped slice, the exact-dedup "
+        "aggregate, and the winner join; every doc exits exactly once."
     ),
     "dedup_simhash_pairs": (
         "Term-frequency weighting runs count-then-weight: md5 and the 64 "
