@@ -91,8 +91,20 @@ def tfidf_weights(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     Row-sparse output composes with any downstream join/agg without a
     dense vocabulary-width materialization (at 100 TB the vocabulary is
     millions wide — dense vectors are not an option).
+
+    The postings feed TWO consumers (the vocabulary-sized idf
+    aggregation and the weight join), so they are pooled-persisted:
+    unpersisted, each consumer re-executes the corpus-wide
+    tokenize+explode+groupBy build — the identical double-scan lineage
+    the BM25 forms closed in r10/r11 (exchange reuse does not kick in:
+    the executed plans there showed two full document scans and zero
+    ReusedExchange). Here the persisted frame is corpus-sized but slim
+    (term, id, tf, dl — no text), the narrowest thing that cuts the
+    second scan.
     """
-    postings = build_postings(df, id_col, text_col)
+    from etl_pack_spark.operators.cache import pooled_persist
+
+    postings = pooled_persist(build_postings(df, id_col, text_col))
     n_docs = df.count()
     stats = term_stats(postings, n_docs)
     return (

@@ -135,6 +135,33 @@ def test_bm25_empty_query_raises(tiny):
         bm25_topk(tiny, "doc_id", "text", "!!!")
 
 
+def _clear_cache_pool(spark):
+    """Plan-shape tests need a clean slate: Spark's CacheManager
+    substitutes ANY matching cached subplan (a prior test's pooled
+    postings build), which changes the InMemoryTableScan count in
+    both directions."""
+    from etl_pack_spark.operators.cache import _POOL
+
+    for k in list(_POOL):
+        _POOL.pop(k).unpersist(False)
+    spark.catalog.clearCache()
+
+
+def test_tfidf_postings_built_once(tiny):
+    """r11 sweep of the multi-consumer lineage trap: tfidf_weights'
+    postings feed the idf aggregation AND the weight join — the same
+    double-corpus-scan shape the BM25 forms carried. Pinned exactly
+    like the bm25 plan checks: both consumers must read the cache."""
+    _clear_cache_pool(tiny.sparkSession)
+    plan = (
+        tfidf_weights(tiny, "doc_id", "text")
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert plan.count("InMemoryTableScan") == 2, plan
+
+
 def test_bm25_single_query_postings_built_once(tiny):
     """r10 VERDICT #1 / r11: the single-query form carried the same
     double-postings-build lineage its batch sibling fixed in r10 —
@@ -145,6 +172,7 @@ def test_bm25_single_query_postings_built_once(tiny):
     are pooled_persist'ed: the executed plan must contain at most ONE
     tokenize+explode (Generate) subtree, with the second consumer
     reading the in-memory relation."""
+    _clear_cache_pool(tiny.sparkSession)
     plan = (
         bm25_topk(tiny, "doc_id", "text", "cat sat")
         ._jdf.queryExecution()
