@@ -103,12 +103,17 @@ def curate_corpus_sql(table: str) -> str:
 def curate_disposition(docs: DataFrame) -> DataFrame:
     """The audit grain of :func:`curate_corpus` (r10, same posture as
     ``cleaning.c4_disposition``): every document gets a verdict —
-    ``(doc_id, lang, drop_stage, split)`` where ``drop_stage`` names
-    the FIRST failing gate in the pipeline's order (``token_count`` |
-    ``avg_token_len`` | ``lang_mismatch`` | ``exact_dup``), NULL means
-    kept, and kept rows carry exactly :func:`curate_corpus`'s split —
-    its output is the ``drop_stage IS NULL`` slice of this frame.
-    Aggregate with ``cleaning.curation_funnel`` for the run report.
+    ``(doc_id, lang, drop_stage, split, dup_of)`` where ``drop_stage``
+    names the FIRST failing gate in the pipeline's order
+    (``token_count`` | ``avg_token_len`` | ``lang_mismatch`` |
+    ``exact_dup``), NULL means kept, and kept rows carry exactly
+    :func:`curate_corpus`'s split — its output is the ``drop_stage IS
+    NULL`` slice of this frame. ``dup_of`` (r11 rider) is the KEPT
+    winner's id on ``exact_dup`` rows and NULL everywhere else — the
+    "my document disappeared, where is its surviving twin" pointer an
+    audit consumer needs, and it is free: the winner id is the value
+    the dedup exchange already computes to decide the drop. Aggregate
+    with ``cleaning.curation_funnel`` for the run report.
 
     Cost shape is identical to the survivor-only query: the gate
     verdicts ride the SAME single signal projection, and the exact-dup
@@ -169,6 +174,7 @@ def curate_disposition(docs: DataFrame) -> DataFrame:
         "doc_id", "lang",
         F.col("__s0").alias("drop_stage"),
         F.lit(None).cast("string").alias("split"),
+        F.lit(None).cast("long").alias("dup_of"),
     )
     keyed = staged.where(F.col("__s0").isNull())
     winners = keyed.groupBy("__h").agg(F.min("doc_id").alias("__win"))
@@ -181,6 +187,9 @@ def curate_disposition(docs: DataFrame) -> DataFrame:
         ),
         F.when(F.col("doc_id") == F.col("__win"), F.col("split")).alias(
             "split"
+        ),
+        F.when(F.col("doc_id") != F.col("__win"), F.col("__win")).alias(
+            "dup_of"
         ),
     )
     return dropped.unionByName(surv)
@@ -237,12 +246,14 @@ def curate_disposition_sql(table: str) -> str:
                {split_case} AS sp
         FROM staged WHERE s0 IS NULL
     )
-    SELECT doc_id, lang, s0 AS drop_stage, CAST(NULL AS VARCHAR) AS split
+    SELECT doc_id, lang, s0 AS drop_stage, CAST(NULL AS VARCHAR) AS split,
+           CAST(NULL AS BIGINT) AS dup_of
     FROM staged WHERE s0 IS NOT NULL
     UNION ALL
     SELECT doc_id, lang,
            CASE WHEN doc_id <> win THEN 'exact_dup' END AS drop_stage,
-           CASE WHEN doc_id = win THEN sp END AS split
+           CASE WHEN doc_id = win THEN sp END AS split,
+           CASE WHEN doc_id <> win THEN win END AS dup_of
     FROM surv
     """
 

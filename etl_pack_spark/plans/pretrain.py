@@ -255,14 +255,18 @@ def pretrain_disposition(
 ) -> DataFrame:
     """Per-document WHOLE-PIPELINE disposition for
     :func:`prepare_pretraining_corpus`: every input document gets
-    exactly one ``(doc_id, stage)`` verdict naming the FIRST pipeline
-    stage that removed it — in pipeline order ``token_count`` |
+    exactly one ``(doc_id, stage, dup_of)`` verdict naming the FIRST
+    pipeline stage that removed it — in pipeline order ``token_count`` |
     ``avg_token_len`` | ``lang_mismatch`` | ``exact_dup`` (the curate
     gates) | ``dup_window_gate`` | ``excised_empty`` | ``neardup_dup``
     | ``semantic_dup`` | ``val`` / ``test`` (held out of training) |
     ``contaminated`` | ``resample_dropped`` — or ``packed`` for the
-    documents that reach the training batch. Aggregate with
-    :func:`pretrain_funnel` for the ``(stage, n_docs)`` run report.
+    documents that reach the training batch. ``dup_of`` (r11 rider)
+    points duplicate-dropped docs at their kept twin: the content-hash
+    winner on ``exact_dup`` rows, the cluster SURVIVOR on
+    ``neardup_dup`` rows (regardless of the survivor's own later
+    fate), NULL elsewhere. Aggregate with :func:`pretrain_funnel` for
+    the ``(stage, n_docs)`` run report.
 
     At 100 TB "where did my documents go" across the WHOLE pipeline is
     the first question every run answers; the r10 negative result
@@ -297,13 +301,18 @@ def pretrain_disposition(
         docs = docs.withColumn("text", normalize_text_col("text"))
 
     def verdict(ids: DataFrame, stage: str) -> DataFrame:
-        return ids.select("doc_id", F.lit(stage).alias("stage"))
+        return ids.select(
+            "doc_id",
+            F.lit(stage).alias("stage"),
+            F.lit(None).cast("long").alias("dup_of"),
+        )
 
     # curate gates: the disposition IS the audit grain of curate_corpus
-    # (its drop_stage IS NULL slice equals the survivor query)
+    # (its drop_stage IS NULL slice equals the survivor query).
+    # dup_of rides through: exact_dup rows carry their kept twin's id
     cd = pooled_persist(curate_disposition(docs))
     out = cd.where(F.col("drop_stage").isNotNull()).select(
-        "doc_id", F.col("drop_stage").alias("stage")
+        "doc_id", F.col("drop_stage").alias("stage"), "dup_of"
     )
     base_cols = ["doc_id", "text", "lang", "split", domain_col]
     extra = (
@@ -355,9 +364,25 @@ def pretrain_disposition(
     # slim multi-consumer frame: the neardup anti-join, the holdout
     # slice, and the train slice all read it
     unique_ids = pooled_persist(unique.select("doc_id", "split"))
-    out = out.unionByName(verdict(
-        kept.select("doc_id").join(unique_ids, "doc_id", "left_anti"),
-        "neardup_dup",
+    # dup_of for near-dup losers = their cluster's SURVIVOR (which kept
+    # doc shadowed mine): two cluster-sized joins over the persisted
+    # labels — the loser's cluster_id, then the cluster's one surviving
+    # member. The survivor's own LATER fate (contaminated, resampled
+    # away) is its own row's verdict; the pointer names the doc that
+    # won the dedup, not a guarantee it reached packing.
+    survivors_by_cluster = clusters.join(
+        unique_ids.select("doc_id"), "doc_id", "left_semi"
+    ).select("cluster_id", F.col("doc_id").alias("__surv"))
+    neardup_losers = (
+        kept.select("doc_id")
+        .join(unique_ids, "doc_id", "left_anti")
+        .join(clusters, "doc_id")
+        .join(survivors_by_cluster, "cluster_id")
+    )
+    out = out.unionByName(neardup_losers.select(
+        "doc_id",
+        F.lit("neardup_dup").alias("stage"),
+        F.col("__surv").cast("long").alias("dup_of"),
     ))
 
     if embeddings is not None:
@@ -382,7 +407,9 @@ def pretrain_disposition(
     # to "where did it go", not a drop reason)
     out = out.unionByName(
         unique_ids.where(F.col("split") != "train").select(
-            "doc_id", F.col("split").alias("stage")
+            "doc_id",
+            F.col("split").alias("stage"),
+            F.lit(None).cast("long").alias("dup_of"),
         )
     )
     train = unique.join(

@@ -977,7 +977,11 @@ def q_corpus_curate(spark: SparkSession, sf_dir: str) -> DataFrame:
     family without a CORRECTNESS row. The driver's hash now covers
     ``drop_stage`` for every document in the corpus; the survivor
     framing (exactly the ``drop_stage IS NULL`` slice) is pinned as
-    retired ``corpus_curate_kept``.
+    retired ``corpus_curate_kept``. The r11 ``dup_of`` rider points
+    every duplicate at its KEPT twin (``url_dup`` → the URL winner,
+    ``exact_dup`` → the content-hash winner; NULL elsewhere) — both
+    winner ids are values the dedup exchanges already compute, so the
+    audit pointer is free.
 
     Scale shape: the URL-winner marking is one groupBy exchange +
     join (same keys as the r6 keep-first window); ``marked`` is
@@ -1009,6 +1013,7 @@ def q_corpus_curate(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit("url_dup").alias("drop_stage"),
         F.lit(None).cast("string").alias("split"),
         "canonical_url",
+        F.col("__uwin").alias("dup_of"),
     )
     kept = marked.where(
         F.col("canonical_url").isNull()
@@ -1017,7 +1022,8 @@ def q_corpus_curate(spark: SparkSession, sf_dir: str) -> DataFrame:
     dispo = curate_disposition(kept.select("doc_id", "text", "lang"))
     with_url = dispo.join(
         kept.select("doc_id", "canonical_url"), "doc_id"
-    ).select("doc_id", "lang", "drop_stage", "split", "canonical_url")
+    ).select("doc_id", "lang", "drop_stage", "split", "canonical_url",
+             "dup_of")
     return losers.unionByName(with_url)
 
 
@@ -1982,11 +1988,13 @@ ORACLES: dict[str, str] = {
             FROM keep k JOIN documents d USING (doc_id)
         )
         SELECT u.doc_id, u.lang, 'url_dup' AS drop_stage,
-               CAST(NULL AS VARCHAR) AS split, u.canonical_url
+               CAST(NULL AS VARCHAR) AS split, u.canonical_url,
+               k.doc_id AS dup_of
         FROM uu u JOIN keep k USING (canonical_url)
         WHERE u.doc_id <> k.doc_id
         UNION ALL
-        SELECT c.doc_id, c.lang, c.drop_stage, c.split, u2.canonical_url
+        SELECT c.doc_id, c.lang, c.drop_stage, c.split, u2.canonical_url,
+               c.dup_of
         FROM ({curate_disposition_sql('base')}) c
         JOIN uu u2 USING (doc_id)
     """,

@@ -87,9 +87,18 @@ def test_curate_disposition_audit_grain(spark, sf_dir):
         }
         assert sum(funnel.values()) == docs.count()
         assert funnel.get("kept", 0) == len(want)
+        # dup_of rider (r11): exactly the exact_dup rows carry it, and
+        # each points at a KEPT doc (its content-hash winner)
+        kept_ids = {k[0] for k in kept}
+        for r in dispo.collect():
+            if r["drop_stage"] == "exact_dup":
+                assert r["dup_of"] in kept_ids and r["dup_of"] < r["doc_id"]
+            else:
+                assert r["dup_of"] is None
         # oracle parity, full grain
         got = sorted(
-            (r["doc_id"], r["lang"], r["drop_stage"], r["split"])
+            (r["doc_id"], r["lang"], r["drop_stage"], r["split"],
+             r["dup_of"])
             for r in dispo.collect()
         )
         con = duckdb.connect()
@@ -128,6 +137,8 @@ def test_curate_disposition_classifies_degenerate_docs(spark):
     assert len(got) == 5
     assert got[1]["drop_stage"] is None and got[1]["split"] is not None
     assert got[2]["drop_stage"] == "exact_dup" and got[2]["split"] is None
+    assert got[2]["dup_of"] == 1  # the kept twin, by name
     assert got[3]["drop_stage"] == "token_count"
     assert got[4]["drop_stage"] == "lang_mismatch"
+    assert got[4]["dup_of"] is None  # gate drops carry no twin pointer
     assert got[5]["drop_stage"] == "token_count"

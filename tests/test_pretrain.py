@@ -281,6 +281,24 @@ def test_pretrain_disposition_conservation_and_agreement(spark, sf_dir):
             .select("doc_id").distinct().collect()
         }
         assert packed_ids == out_ids
+        # dup_of rider (r11): exactly the duplicate stages carry the
+        # kept-twin pointer; near-dup losers point at their cluster's
+        # survivor, which is a doc that passed dedup (any later stage)
+        rows = dispo.collect()
+        post_dedup = {
+            r["doc_id"] for r in rows
+            if r["stage"] in ("packed", "val", "test", "contaminated",
+                              "resample_dropped", "semantic_dup")
+        }
+        nd = [r for r in rows if r["stage"] == "neardup_dup"]
+        assert nd and all(r["dup_of"] in post_dedup for r in nd)
+        # the fixture has no exact-text dups at this sf (the synthetic
+        # case is pinned in test_curate); when rows exist they carry it
+        ed = [r for r in rows if r["stage"] == "exact_dup"]
+        assert all(r["dup_of"] is not None for r in ed)
+        for r in rows:
+            if r["stage"] not in ("neardup_dup", "exact_dup"):
+                assert r["dup_of"] is None, r
     finally:
         dispo.unpersist()
 
