@@ -95,6 +95,14 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--min-lines", type=int, default=None,
                    help="--funnel with c4 gates: min surviving lines "
                         "per kept doc (default: 3)")
+    p.add_argument("--drift", default=None, metavar="BASELINE",
+                   help="quality-drift firing: PSI per text-quality "
+                        "signal between the BASELINE parquet docs and "
+                        "--drift-batch, printed as JSON (signal -> psi "
+                        "+ stable/moderate/major verdict); uses "
+                        "--id-col/--text-col (defaults doc_id/text)")
+    p.add_argument("--drift-batch", default=None, metavar="BATCH",
+                   help="--drift: the ingest-batch parquet docs path")
     p.add_argument("--store-stats", default=None, metavar="STORE",
                    help="print maintenance stats for an append-only "
                         "latest-wins store (physical vs live rows, "
@@ -148,11 +156,15 @@ def main(argv: list[str] | None = None) -> int:
     if sum(map(bool, (args.compact, args.compact_partitions,
                       args.compact_sigstore, args.compact_codes,
                       args.update_clusters, args.store_stats,
-                      args.funnel))) > 1:
+                      args.funnel, args.drift))) > 1:
         print("error: --compact, --compact-partitions, "
               "--compact-sigstore, --compact-codes, "
-              "--update-clusters, --store-stats and --funnel are "
-              "exclusive", file=sys.stderr)
+              "--update-clusters, --store-stats, --funnel and "
+              "--drift are exclusive", file=sys.stderr)
+        return 2
+    if bool(args.drift) != bool(args.drift_batch):
+        print("error: --drift and --drift-batch go together",
+              file=sys.stderr)
         return 2
     if args.funnel and args.funnel_gates in ("curate", "pretrain"):
         # r10 ADVICE: curate_disposition (and pretrain_disposition)
@@ -297,7 +309,7 @@ def main(argv: list[str] | None = None) -> int:
     elif (
         not args.compact_sigstore and not args.compact_codes
         and not args.update_clusters and not args.store_stats
-        and not args.funnel
+        and not args.funnel and not args.drift
         and (not args.source_dir or not args.table or not args.target)
     ):
         print("error: --source-dir, --table and --target are required "
@@ -336,6 +348,24 @@ def main(argv: list[str] | None = None) -> int:
         print(json.dumps({"mode": "funnel", "gates": args.funnel_gates,
                           "docs": args.funnel, "stages": stages,
                           "total": sum(stages.values())}))
+        return 0
+
+    if args.drift:
+        from etl_pack_spark.operators.quality import quality_drift
+
+        report = {
+            r["signal"]: {"psi": r["psi"], "verdict": r["verdict"]}
+            for r in quality_drift(
+                spark.read.parquet(args.drift),
+                spark.read.parquet(args.drift_batch),
+                args.id_col or "doc_id",
+                args.text_col or "text",
+            ).collect()
+        }
+        worst = max((v["psi"] for v in report.values()), default=0.0)
+        print(json.dumps({"mode": "drift", "baseline": args.drift,
+                          "batch": args.drift_batch, "signals": report,
+                          "max_psi": worst}))
         return 0
 
     if args.store_stats:

@@ -226,3 +226,212 @@ def pii_profile_sql(table: str, cols: list[str]) -> str:
                 f"round(CAST({hit} AS DOUBLE) / COUNT(*), 6) AS pii_{name}_frac_{c}"
             )
     return f"SELECT {', '.join(parts)} FROM {table}"
+
+
+# ---------------------------------------------------------------------------
+# Ingest quality-drift monitoring (r11): PSI over text-signal histograms
+# ---------------------------------------------------------------------------
+
+# Fixed bucket edges per drift signal (value -> bucket = count of edges
+# <= value; NULL -> bucket -1). FIXED edges, not baseline quantiles, on
+# purpose: the bucketing is then a pure function of the row — append-
+# stable, engine-reproducible (an approx-quantile baseline would make
+# the report depend on sampling internals and differ between engines),
+# and comparable ACROSS baselines (the same bucket always means the
+# same value range). Edges chosen to resolve the operating range of
+# web-corpus documents; pass custom edges for other domains.
+DRIFT_EDGES: dict[str, tuple[float, ...]] = {
+    "n_tokens": (10, 20, 50, 100, 200, 400, 800),
+    "avg_token_len": (3.0, 4.0, 4.5, 5.0, 5.5, 6.5),
+    "stopword_ratio": (0.05, 0.10, 0.15, 0.20, 0.30),
+    "repetition": (0.01, 0.05, 0.15, 0.30, 0.60),
+}
+
+# industry-standard PSI reading: <0.1 stable, <0.25 moderate shift,
+# else major shift (population stability index, the scorecard-
+# monitoring statistic; see e.g. Siddiqi, "Credit Risk Scorecards")
+PSI_MODERATE = 0.1
+PSI_MAJOR = 0.25
+
+
+def _bucket_expr(col: str, edges: tuple[float, ...]):
+    """bucket(value) = number of edges <= value, NULL -> -1. One
+    codegen aggregate over a literal array — no join, no UDF."""
+    lits = ", ".join(repr(float(e)) for e in edges)
+    return F.when(
+        F.col(col).isNull(), F.lit(-1)
+    ).otherwise(
+        F.expr(
+            f"aggregate(array({lits}), 0, "
+            f"(acc, e) -> acc + IF({col} >= e, 1, 0))"
+        )
+    )
+
+
+def signal_histogram(
+    sig: DataFrame, edges: dict[str, tuple[float, ...]] | None = None
+) -> DataFrame:
+    """Per-signal bucket histogram over a ``textops.text_signals``
+    frame: ``(signal, bucket, n, p)`` with ``p = n / corpus_size``.
+    One map-only bucket projection + explode + ONE combinable groupBy;
+    the per-signal totals are a broadcast-sized second aggregate over
+    the histogram itself (bucket-count rows, not corpus rows). NULL
+    signals land in bucket -1 — classified, never dropped (a drifting
+    NULL rate IS drift)."""
+    edges = DRIFT_EDGES if edges is None else edges
+    pairs = sig.select(
+        F.explode(
+            F.array(*[
+                F.struct(
+                    F.lit(name).alias("signal"),
+                    _bucket_expr(name, e).alias("bucket"),
+                )
+                for name, e in sorted(edges.items())
+            ])
+        ).alias("sb")
+    ).select("sb.signal", "sb.bucket")
+    hist = pairs.groupBy("signal", "bucket").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    totals = hist.groupBy("signal").agg(F.sum("n").alias("__tot"))
+    return hist.join(F.broadcast(totals), "signal").select(
+        "signal", "bucket", "n",
+        (F.col("n").cast("double") / F.col("__tot")).alias("p"),
+    )
+
+
+def signal_histogram_sql(
+    signals_sql: str, edges: dict[str, tuple[float, ...]] | None = None
+) -> str:
+    """DuckDB twin of :func:`signal_histogram` over a
+    ``textops.text_signals_sql`` subquery."""
+    edges = DRIFT_EDGES if edges is None else edges
+    arms = "\nUNION ALL\n".join(
+        f"SELECT '{name}' AS signal, "
+        f"CASE WHEN {name} IS NULL THEN -1 ELSE "
+        f"len(list_filter([{', '.join(repr(float(x)) for x in e)}], "
+        f"e -> {name} >= e)) END AS bucket FROM s"
+        for name, e in sorted(edges.items())
+    )
+    return f"""
+    WITH s AS ({signals_sql}),
+    pairs AS ({arms}),
+    hist AS (SELECT signal, bucket, count(*) AS n
+             FROM pairs GROUP BY signal, bucket)
+    SELECT signal, bucket, n,
+           CAST(n AS DOUBLE) / sum(n) OVER (PARTITION BY signal) AS p
+    FROM hist
+    """
+
+
+def psi_report(
+    baseline_hist: DataFrame,
+    current_hist: DataFrame,
+    eps: float = 1e-6,
+) -> DataFrame:
+    """Population Stability Index per signal between two
+    :func:`signal_histogram` frames: ``(signal, psi, verdict)`` with
+    ``psi = Σ_buckets (p_cur − p_base) · ln(p_cur / p_base)`` under
+    ``eps``-clamping (a bucket empty on one side contributes a large
+    but FINITE term instead of ±inf), rounded to 9 dp so both engines
+    agree bit-for-bit. Verdict: ``stable`` (< 0.1), ``moderate``
+    (< 0.25), ``major`` — the standard scorecard-monitoring reading.
+
+    Scale shape: both inputs are bucket-count-sized (a few dozen rows
+    per signal regardless of corpus size), so the outer join and the
+    final aggregate are report-sized — the corpus-scale work happened
+    in the two histogram passes."""
+    b = baseline_hist.select(
+        "signal", "bucket", F.col("p").alias("__pb")
+    )
+    c = current_hist.select(
+        "signal", "bucket", F.col("p").alias("__pc")
+    )
+    joined = b.join(c, ["signal", "bucket"], "full_outer").select(
+        "signal",
+        F.greatest(F.coalesce(F.col("__pb"), F.lit(0.0)), F.lit(eps)).alias("pb"),
+        F.greatest(F.coalesce(F.col("__pc"), F.lit(0.0)), F.lit(eps)).alias("pc"),
+    )
+    psi = joined.groupBy("signal").agg(
+        F.round(
+            F.sum((F.col("pc") - F.col("pb")) * F.log(F.col("pc") / F.col("pb"))),
+            9,
+        ).alias("psi")
+    )
+    return psi.select(
+        "signal", "psi",
+        F.when(F.col("psi") < PSI_MODERATE, F.lit("stable"))
+        .when(F.col("psi") < PSI_MAJOR, F.lit("moderate"))
+        .otherwise(F.lit("major"))
+        .alias("verdict"),
+    )
+
+
+def psi_report_sql(
+    baseline_hist_sql: str, current_hist_sql: str, eps: float = 1e-6
+) -> str:
+    """DuckDB twin of :func:`psi_report`."""
+    return f"""
+    WITH b AS ({baseline_hist_sql}), c AS ({current_hist_sql}),
+    j AS (
+        SELECT coalesce(b.signal, c.signal) AS signal,
+               greatest(coalesce(b.p, 0.0), {eps!r}) AS pb,
+               greatest(coalesce(c.p, 0.0), {eps!r}) AS pc
+        FROM b FULL OUTER JOIN c
+          ON b.signal = c.signal AND b.bucket = c.bucket
+    )
+    SELECT signal,
+           round(sum((pc - pb) * ln(pc / pb)), 9) AS psi,
+           CASE WHEN round(sum((pc - pb) * ln(pc / pb)), 9) < {PSI_MODERATE}
+                  THEN 'stable'
+                WHEN round(sum((pc - pb) * ln(pc / pb)), 9) < {PSI_MAJOR}
+                  THEN 'moderate'
+                ELSE 'major' END AS verdict
+    FROM j GROUP BY signal
+    """
+
+
+def quality_drift(
+    baseline: DataFrame,
+    batch: DataFrame,
+    id_col: str,
+    text_col: str,
+    edges: dict[str, tuple[float, ...]] | None = None,
+) -> DataFrame:
+    """Ingest drift monitor: PSI per text-quality signal between a
+    BASELINE corpus and an ingest BATCH — ``(signal, psi, verdict)``.
+    The "did today's crawl slice look like the corpus I calibrated my
+    gates on" check a 100 TB pipeline runs every firing: a major shift
+    on ``n_tokens`` means truncation upstream, on ``stopword_ratio``
+    language/boilerplate mix change, on ``repetition`` a template
+    flood — each caught BEFORE the gates silently change their drop
+    rates. Each side is one ``text_signals`` scan (the same single
+    projection the signal slot uses) + one bucket groupBy; the PSI
+    join is report-sized. Deterministic end-to-end (fixed edges, no
+    sampling), so the DuckDB twin hash-checks it."""
+    from etl_pack_spark.operators.textops import text_signals
+
+    return psi_report(
+        signal_histogram(text_signals(baseline, id_col, text_col), edges),
+        signal_histogram(text_signals(batch, id_col, text_col), edges),
+    )
+
+
+def quality_drift_sql(
+    baseline_table: str,
+    batch_table: str,
+    id_col: str,
+    text_col: str,
+    edges: dict[str, tuple[float, ...]] | None = None,
+) -> str:
+    """DuckDB twin of :func:`quality_drift`."""
+    from etl_pack_spark.operators.textops import text_signals_sql
+
+    return psi_report_sql(
+        signal_histogram_sql(
+            text_signals_sql(baseline_table, id_col, text_col), edges
+        ),
+        signal_histogram_sql(
+            text_signals_sql(batch_table, id_col, text_col), edges
+        ),
+    )

@@ -341,3 +341,29 @@ def test_cli_funnel_is_exclusive_and_fast(tmp_path):
     )
     assert res.returncode == 2
     assert "exclusive" in res.stderr
+
+
+def test_cli_drift_report(sf_dir, tmp_path):
+    """r11: the quality-drift firing — PSI JSON between a baseline and
+    an ingest batch; identical corpora read stable."""
+    res = subprocess.run(
+        [sys.executable, "-m", "etl_pack_spark.cli",
+         "--drift", f"{sf_dir}/documents.parquet",
+         "--drift-batch", f"{sf_dir}/documents.parquet"],
+        capture_output=True, text=True, cwd="/root/repo", check=True,
+    )
+    out = json.loads(res.stdout.strip().splitlines()[-1])
+    assert out["mode"] == "drift" and out["max_psi"] == 0.0
+    assert all(v["verdict"] == "stable" for v in out["signals"].values())
+    # exclusivity + pairing validation (fast, pre-Spark)
+    r2 = subprocess.run(
+        [sys.executable, "-m", "etl_pack_spark.cli", "--drift", "/x"],
+        capture_output=True, text=True, cwd="/root/repo",
+    )
+    assert r2.returncode == 2 and "go together" in r2.stderr
+    r3 = subprocess.run(
+        [sys.executable, "-m", "etl_pack_spark.cli",
+         "--drift", "/x", "--drift-batch", "/y", "--funnel", "/z"],
+        capture_output=True, text=True, cwd="/root/repo",
+    )
+    assert r3.returncode == 2 and "exclusive" in r3.stderr

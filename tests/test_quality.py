@@ -186,3 +186,112 @@ def test_pii_profile_counts_and_oracle_twin(spark):
         con.execute(pii_profile_sql("t", ["notes", "extra"])).fetchone(),
     ))
     assert {k: got[k] for k in want} == want
+
+
+class TestQualityDrift:
+    """r11: PSI-based ingest drift monitoring (quality_drift) — fixed
+    deterministic bucket edges, DuckDB-twinned, NULLs classified."""
+
+    def test_identical_corpora_have_zero_psi(self, spark, sf_dir):
+        from etl_pack_spark.operators.quality import quality_drift
+        from etl_pack_spark.sources.reader import read_table
+
+        docs = read_table(spark, sf_dir, "documents")
+        out = {r["signal"]: r for r in
+               quality_drift(docs, docs, "doc_id", "text").collect()}
+        assert set(out) == {"n_tokens", "avg_token_len",
+                            "stopword_ratio", "repetition"}
+        for r in out.values():
+            assert r["psi"] == 0.0 and r["verdict"] == "stable"
+
+    def test_planted_shift_flags_only_the_moved_signal(self, spark, sf_dir):
+        """Truncating every document moves the n_tokens distribution
+        (major) while a genuinely unrelated signal stays calmer — and
+        the verdict thresholds fire in severity order."""
+        from pyspark.sql import functions as F
+
+        from etl_pack_spark.operators.quality import quality_drift
+        from etl_pack_spark.sources.reader import read_table
+
+        docs = read_table(spark, sf_dir, "documents")
+        truncated = docs.withColumn("text", F.substring("text", 1, 40))
+        out = {r["signal"]: r for r in
+               quality_drift(docs, truncated, "doc_id", "text").collect()}
+        assert out["n_tokens"]["verdict"] == "major"
+        assert out["n_tokens"]["psi"] > out["stopword_ratio"]["psi"]
+
+    def test_null_text_lands_in_its_own_bucket(self, spark):
+        """A drifting NULL rate IS drift: NULLs bucket to -1 and a
+        batch full of them must flag, not vanish through three-valued
+        predicates."""
+        from etl_pack_spark.operators.quality import quality_drift
+
+        base = spark.createDataFrame(
+            [(i, "the quick brown fox jumps over the lazy dog " * 5)
+             for i in range(50)],
+            "doc_id long, text string",
+        )
+        broken = spark.createDataFrame(
+            [(i, None) for i in range(50)], "doc_id long, text string"
+        )
+        out = {r["signal"]: r for r in
+               quality_drift(base, broken, "doc_id", "text").collect()}
+        assert all(r["verdict"] == "major" for r in out.values())
+
+    def test_histogram_conservation_and_oracle_parity(self, spark, sf_dir):
+        """Per-signal bucket counts sum to the corpus size, and the
+        whole drift report hash-matches the DuckDB twin (PSI rounded
+        to 9 dp on both engines)."""
+        import duckdb
+        from pyspark.sql import functions as F
+
+        from etl_pack_spark.operators.quality import (
+            quality_drift,
+            quality_drift_sql,
+            signal_histogram,
+        )
+        from etl_pack_spark.operators.textops import text_signals
+        from etl_pack_spark.sources.reader import read_table
+
+        docs = read_table(spark, sf_dir, "documents")
+        n = docs.count()
+        hist = signal_histogram(text_signals(docs, "doc_id", "text"))
+        sums = {r["signal"]: r["s"] for r in
+                hist.groupBy("signal").agg(F.sum("n").alias("s")).collect()}
+        assert all(v == n for v in sums.values())
+        # oracle parity: baseline = full corpus, batch = a slice with a
+        # real distribution difference (short docs only)
+        batch = docs.where("n_chars < 500")
+        got = sorted(
+            (r["signal"], r["psi"], r["verdict"])
+            for r in quality_drift(docs, batch, "doc_id", "text").collect()
+        )
+        con = duckdb.connect()
+        con.execute(
+            f"CREATE VIEW documents AS SELECT * FROM "
+            f"read_parquet('{sf_dir}/documents.parquet')"
+        )
+        con.execute(
+            "CREATE VIEW batch AS SELECT * FROM documents WHERE n_chars < 500"
+        )
+        want = sorted(
+            tuple(r) for r in con.sql(
+                quality_drift_sql("documents", "batch", "doc_id", "text")
+            ).fetchall()
+        )
+        assert got == want
+
+    def test_drift_is_two_scans_map_side(self, spark, sf_dir):
+        """Plan shape: no corpus-sized join — the signal projection +
+        bucket explode is map-only per side, one combinable groupBy
+        each, and the PSI stage joins report-sized frames."""
+        from etl_pack_spark.operators.quality import quality_drift
+        from etl_pack_spark.sources.reader import read_table
+
+        docs = read_table(spark, sf_dir, "documents")
+        plan = (
+            quality_drift(docs, docs.limit(500), "doc_id", "text")
+            ._jdf.queryExecution().executedPlan().toString()
+        )
+        assert "CartesianProduct" not in plan
+        assert "BatchEvalPython" not in plan

@@ -925,22 +925,27 @@ class TestIngestLease:
             pass
 
     def test_lease_released_on_firing_failure(self, spark, tmp_path):
-        """The lease is released even when the firing raises — a
-        failed firing must not require manual lease cleanup."""
+        """The lease is released even when the firing fails INSIDE the
+        leased section — a crashed firing must not require manual
+        lease cleanup (modulo the TTL escape, which exists for
+        process-kill crashes that skip the finally)."""
         from etl_pack_spark.sinks import fsio
         from etl_pack_spark.streaming.incremental import (
             _lease_path,
             stream_neardup_ingest,
         )
 
+        src = str(tmp_path / "src")
+        spark.createDataFrame(
+            [(1, "alpha beta gamma")], "doc_id long, text string"
+        ).write.parquet(src)
         store = str(tmp_path / "store")
         with pytest.raises(Exception):
-            # nonexistent source dir: fails during schema inference
-            # INSIDE... actually schema inference happens before the
-            # lease; force a failure inside by pointing checkpoint at
-            # an unwritable scheme
+            # wrong id column: schema inference (pre-lease) succeeds,
+            # the micro-batch fold fails inside the leased streaming
+            # query and propagates through awaitTermination
             stream_neardup_ingest(
-                spark, str(tmp_path / "nope"), store,
-                str(tmp_path / "m"), str(tmp_path / "ck"),
+                spark, src, store, str(tmp_path / "m"),
+                str(tmp_path / "ck"), id_col="no_such_col",
             )
         assert not fsio.exists(spark, _lease_path(store))
