@@ -49,6 +49,8 @@ from etl_pack_spark.operators.quality import (
     mad_outliers_sql,
     pii_profile_sql,
     profile_sql,
+    psi_report_sql,
+    signal_histogram_sql,
 )
 from etl_pack_spark.operators.retrieval import (
     bm25_topk_batch_sql as retrieval_bm25_batch_sql,
@@ -864,8 +866,64 @@ def q_dq_profile_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     ``percentile_approx`` sketch) PLUS the column-level PII exposure
     profile over the documents corpus (round-6 merge: ``pii_profile``
     — WHICH columns leak, the DQ question before the per-row
-    ``text_redact_pii`` scrub). Both one-row profiles broadcast onto
-    the 5-row summary — no extra shuffle."""
+    ``text_redact_pii`` scrub) PLUS — round-11 merge — the ingest
+    QUALITY-DRIFT summary (``quality.quality_drift``: PSI per text
+    signal between the corpus and a deterministic short-docs slice,
+    max PSI + count of major-shift signals), putting the whole PSI
+    arithmetic under the driver's value hash. All one-row profiles
+    broadcast onto the 5-row summary — no extra shuffle; the drift
+    side computes the signals ONCE (both histograms read one persisted
+    slim frame — baseline = the corpus, batch = its filtered slice).
+    The pre-drift framing is pinned as retired
+    ``dq_profile_orders_plain``."""
+    from etl_pack_spark.operators.cache import pooled_persist
+    from etl_pack_spark.operators.quality import (
+        mad_outliers,
+        pii_profile,
+        profile,
+        psi_report,
+        signal_histogram,
+    )
+    from etl_pack_spark.operators.textops import text_signals
+
+    orders = read_table(spark, sf_dir, "orders")
+    prof = profile(orders, DQ_COLS, DQ_NUM)
+    priced = orders.select(
+        "o_orderpriority", F.col("o_totalprice").cast("double").alias("price")
+    )
+    out = mad_outliers(priced, "price", ["o_orderpriority"], accuracy=None)
+    summ = out.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n_vals"),
+        F.sum(F.col("is_outlier").cast("int")).cast("long").alias("n_outliers"),
+        F.round(F.max("robust_z"), 6).alias("max_robust_z"),
+    )
+    docs = read_table(spark, sf_dir, "documents")
+    pii = pii_profile(docs, PII_PROFILE_COLS).withColumnRenamed(
+        "n_rows", "pii_n_docs"
+    )
+    # drift: ONE signals scan for both histogram sides (batch ⊆ corpus
+    # here, so the filtered histogram reads the persisted slim frame)
+    sig = pooled_persist(text_signals(docs, "doc_id", "text"))
+    drift = psi_report(
+        signal_histogram(sig),
+        signal_histogram(sig.where(F.col("n_chars") < 500)),
+    ).agg(
+        F.round(F.max("psi"), 9).alias("drift_max_psi"),
+        F.sum((F.col("verdict") == "major").cast("int"))
+        .cast("long")
+        .alias("drift_n_major"),
+    )
+    # bounded by construction: prof, pii, and drift are ONE-ROW profiles
+    return (
+        summ.crossJoin(F.broadcast(prof))
+        .crossJoin(F.broadcast(pii))
+        .crossJoin(F.broadcast(drift))
+    )
+
+
+def q_dq_profile_orders_plain(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The r6-r10 framing (retired pin): profile × outliers × PII,
+    without the drift summary."""
     from etl_pack_spark.operators.quality import mad_outliers, pii_profile, profile
 
     orders = read_table(spark, sf_dir, "orders")
@@ -882,7 +940,6 @@ def q_dq_profile_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     pii = pii_profile(
         read_table(spark, sf_dir, "documents"), PII_PROFILE_COLS
     ).withColumnRenamed("n_rows", "pii_n_docs")
-    # bounded by construction: prof and pii are ONE-ROW profiles
     return summ.crossJoin(F.broadcast(prof)).crossJoin(F.broadcast(pii))
 
 
@@ -2002,7 +2059,7 @@ ORACLES: dict[str, str] = {
     # one-row profile; r6 merge: × the one-row column-level PII
     # exposure profile over documents (cross join all three)
     "dq_profile_orders": f"""
-        SELECT s.*, p.*, pp.* FROM (
+        SELECT s.*, p.*, pp.*, dd.* FROM (
             SELECT o_orderpriority, COUNT(*) AS n_vals,
                    CAST(SUM(CASE WHEN is_outlier THEN 1 ELSE 0 END) AS BIGINT)
                        AS n_outliers,
@@ -2016,6 +2073,19 @@ ORACLES: dict[str, str] = {
             SELECT * EXCLUDE (n_rows), n_rows AS pii_n_docs
             FROM ({pii_profile_sql("documents", PII_PROFILE_COLS)})
         ) pp
+        CROSS JOIN (
+            SELECT round(max(psi), 9) AS drift_max_psi,
+                   CAST(SUM(CASE WHEN verdict = 'major' THEN 1 ELSE 0 END)
+                        AS BIGINT) AS drift_n_major
+            FROM ({psi_report_sql(
+                signal_histogram_sql(
+                    textops.text_signals_sql("documents", "doc_id", "text")),
+                signal_histogram_sql(
+                    textops.text_signals_sql(
+                        "(SELECT * FROM documents WHERE n_chars < 500)",
+                        "doc_id", "text")),
+            )})
+        ) dd
     """,
     # mm_features: the Arrow featurizer's fake path is a deterministic
     # function of the UTF-8 payload, so the DuckDB twin recomputes the
@@ -2326,6 +2396,8 @@ RETIRED_QUERIES: dict[str, QueryFn] = {
     # drop_stage audit, r10 VERDICT #2); the survivor-only URL+curate
     # framing stays pinned
     "corpus_curate_kept": q_corpus_curate_kept,
+    # r11 rider: the slot gained the quality-drift PSI summary
+    "dq_profile_orders_plain": q_dq_profile_orders_plain,
 }
 
 RETIRED_ORACLES: dict[str, str] = {
@@ -2458,6 +2530,22 @@ RETIRED_ORACLES: dict[str, str] = {
                                         chr(10)), '') AS text_stripped,
                {normalize_text_expr_sql("text_clean")} AS text_norm
         FROM base
+    """,
+    "dq_profile_orders_plain": f"""
+        SELECT s.*, p.*, pp.* FROM (
+            SELECT o_orderpriority, COUNT(*) AS n_vals,
+                   CAST(SUM(CASE WHEN is_outlier THEN 1 ELSE 0 END) AS BIGINT)
+                       AS n_outliers,
+                   round(max(robust_z), 6) AS max_robust_z
+            FROM ({mad_outliers_sql(
+                "(SELECT o_orderpriority, CAST(o_totalprice AS DOUBLE) AS price FROM orders)",
+                "price", ["o_orderpriority"])})
+            GROUP BY 1
+        ) s CROSS JOIN ({profile_sql("orders", DQ_COLS, DQ_NUM)}) p
+        CROSS JOIN (
+            SELECT * EXCLUDE (n_rows), n_rows AS pii_n_docs
+            FROM ({pii_profile_sql("documents", PII_PROFILE_COLS)})
+        ) pp
     """,
     "corpus_curate_kept": f"""
         WITH uu AS (
