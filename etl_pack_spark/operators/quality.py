@@ -247,6 +247,15 @@ DRIFT_EDGES: dict[str, tuple[float, ...]] = {
     "repetition": (0.01, 0.05, 0.15, 0.30, 0.60),
 }
 
+# Categorical drift signals: value -> bucket = position in the
+# declared category list (unknown value -> -2, NULL -> -1; both are
+# buckets, not drops — an unknown-category flood IS drift). lang_pred
+# covers the language-MIX shift, the defining drift case for a
+# multilingual corpus.
+DRIFT_CATEGORIES: dict[str, tuple[str, ...]] = {
+    "lang_pred": ("de", "en", "es", "fr"),
+}
+
 # industry-standard PSI reading: <0.1 stable, <0.25 moderate shift,
 # else major shift (population stability index, the scorecard-
 # monitoring statistic; see e.g. Siddiqi, "Credit Risk Scorecards")
@@ -268,8 +277,19 @@ def _bucket_expr(col: str, edges: tuple[float, ...]):
     )
 
 
+def _cat_bucket_expr(col: str, categories: tuple[str, ...]):
+    """bucket(value) = position of value in the declared category list
+    (0-based), unknown -> -2, NULL -> -1."""
+    expr = F.when(F.col(col).isNull(), F.lit(-1))
+    for i, v in enumerate(categories):
+        expr = expr.when(F.col(col) == v, F.lit(i))
+    return expr.otherwise(F.lit(-2))
+
+
 def signal_histogram(
-    sig: DataFrame, edges: dict[str, tuple[float, ...]] | None = None
+    sig: DataFrame,
+    edges: dict[str, tuple[float, ...]] | None = None,
+    categories: dict[str, tuple[str, ...]] | None = None,
 ) -> DataFrame:
     """Per-signal bucket histogram over a ``textops.text_signals``
     frame: ``(signal, bucket, n, p)`` with ``p = n / corpus_size``.
@@ -277,18 +297,27 @@ def signal_histogram(
     the per-signal totals are a broadcast-sized second aggregate over
     the histogram itself (bucket-count rows, not corpus rows). NULL
     signals land in bucket -1 — classified, never dropped (a drifting
-    NULL rate IS drift)."""
+    NULL rate IS drift); unknown categorical values land in -2 for the
+    same reason. Numeric signals bucket by the fixed ``edges``,
+    categorical ones (r11: ``lang_pred`` by default) by list
+    position."""
     edges = DRIFT_EDGES if edges is None else edges
+    categories = DRIFT_CATEGORIES if categories is None else categories
+    arms = [
+        F.struct(
+            F.lit(name).alias("signal"),
+            _bucket_expr(name, e).alias("bucket"),
+        )
+        for name, e in sorted(edges.items())
+    ] + [
+        F.struct(
+            F.lit(name).alias("signal"),
+            _cat_bucket_expr(name, cats).alias("bucket"),
+        )
+        for name, cats in sorted(categories.items())
+    ]
     pairs = sig.select(
-        F.explode(
-            F.array(*[
-                F.struct(
-                    F.lit(name).alias("signal"),
-                    _bucket_expr(name, e).alias("bucket"),
-                )
-                for name, e in sorted(edges.items())
-            ])
-        ).alias("sb")
+        F.explode(F.array(*arms)).alias("sb")
     ).select("sb.signal", "sb.bucket")
     hist = pairs.groupBy("signal", "bucket").agg(
         F.count(F.lit(1)).alias("n")
@@ -301,18 +330,31 @@ def signal_histogram(
 
 
 def signal_histogram_sql(
-    signals_sql: str, edges: dict[str, tuple[float, ...]] | None = None
+    signals_sql: str,
+    edges: dict[str, tuple[float, ...]] | None = None,
+    categories: dict[str, tuple[str, ...]] | None = None,
 ) -> str:
     """DuckDB twin of :func:`signal_histogram` over a
     ``textops.text_signals_sql`` subquery."""
     edges = DRIFT_EDGES if edges is None else edges
-    arms = "\nUNION ALL\n".join(
+    categories = DRIFT_CATEGORIES if categories is None else categories
+    num_arms = [
         f"SELECT '{name}' AS signal, "
         f"CASE WHEN {name} IS NULL THEN -1 ELSE "
         f"len(list_filter([{', '.join(repr(float(x)) for x in e)}], "
         f"e -> {name} >= e)) END AS bucket FROM s"
         for name, e in sorted(edges.items())
-    )
+    ]
+    cat_arms = [
+        f"SELECT '{name}' AS signal, "
+        f"CASE WHEN {name} IS NULL THEN -1 "
+        + " ".join(
+            f"WHEN {name} = '{v}' THEN {i}" for i, v in enumerate(cats)
+        )
+        + " ELSE -2 END AS bucket FROM s"
+        for name, cats in sorted(categories.items())
+    ]
+    arms = "\nUNION ALL\n".join(num_arms + cat_arms)
     return f"""
     WITH s AS ({signals_sql}),
     pairs AS ({arms}),
@@ -397,6 +439,7 @@ def quality_drift(
     id_col: str,
     text_col: str,
     edges: dict[str, tuple[float, ...]] | None = None,
+    categories: dict[str, tuple[str, ...]] | None = None,
 ) -> DataFrame:
     """Ingest drift monitor: PSI per text-quality signal between a
     BASELINE corpus and an ingest BATCH — ``(signal, psi, verdict)``.
@@ -404,7 +447,8 @@ def quality_drift(
     gates on" check a 100 TB pipeline runs every firing: a major shift
     on ``n_tokens`` means truncation upstream, on ``stopword_ratio``
     language/boilerplate mix change, on ``repetition`` a template
-    flood — each caught BEFORE the gates silently change their drop
+    flood, on ``lang_pred`` (categorical, r11) a language-mix shift —
+    each caught BEFORE the gates silently change their drop
     rates. Each side is one ``text_signals`` scan (the same single
     projection the signal slot uses) + one bucket groupBy; the PSI
     join is report-sized. Deterministic end-to-end (fixed edges, no
@@ -412,8 +456,12 @@ def quality_drift(
     from etl_pack_spark.operators.textops import text_signals
 
     return psi_report(
-        signal_histogram(text_signals(baseline, id_col, text_col), edges),
-        signal_histogram(text_signals(batch, id_col, text_col), edges),
+        signal_histogram(
+            text_signals(baseline, id_col, text_col), edges, categories
+        ),
+        signal_histogram(
+            text_signals(batch, id_col, text_col), edges, categories
+        ),
     )
 
 
@@ -423,15 +471,18 @@ def quality_drift_sql(
     id_col: str,
     text_col: str,
     edges: dict[str, tuple[float, ...]] | None = None,
+    categories: dict[str, tuple[str, ...]] | None = None,
 ) -> str:
     """DuckDB twin of :func:`quality_drift`."""
     from etl_pack_spark.operators.textops import text_signals_sql
 
     return psi_report_sql(
         signal_histogram_sql(
-            text_signals_sql(baseline_table, id_col, text_col), edges
+            text_signals_sql(baseline_table, id_col, text_col),
+            edges, categories,
         ),
         signal_histogram_sql(
-            text_signals_sql(batch_table, id_col, text_col), edges
+            text_signals_sql(batch_table, id_col, text_col),
+            edges, categories,
         ),
     )

@@ -200,7 +200,7 @@ class TestQualityDrift:
         out = {r["signal"]: r for r in
                quality_drift(docs, docs, "doc_id", "text").collect()}
         assert set(out) == {"n_tokens", "avg_token_len",
-                            "stopword_ratio", "repetition"}
+                            "stopword_ratio", "repetition", "lang_pred"}
         for r in out.values():
             assert r["psi"] == 0.0 and r["verdict"] == "stable"
 
@@ -219,6 +219,27 @@ class TestQualityDrift:
                quality_drift(docs, truncated, "doc_id", "text").collect()}
         assert out["n_tokens"]["verdict"] == "major"
         assert out["n_tokens"]["psi"] > out["stopword_ratio"]["psi"]
+
+    def test_language_mix_shift_is_categorical_drift(self, spark, sf_dir):
+        """r11: lang_pred is a categorical drift signal — a batch
+        restricted to one predicted language flags a major language-mix
+        shift even when the numeric signals barely move."""
+        from pyspark.sql import functions as F
+
+        from etl_pack_spark.operators.quality import quality_drift
+        from etl_pack_spark.operators.textops import text_signals
+        from etl_pack_spark.sources.reader import read_table
+
+        docs = read_table(spark, sf_dir, "documents")
+        # batch = only the docs the language-ID calls German
+        de_ids = text_signals(docs, "doc_id", "text").where(
+            F.col("lang_pred") == "de"
+        ).select("doc_id")
+        batch = docs.join(de_ids, "doc_id", "left_semi")
+        assert batch.count() > 0
+        out = {r["signal"]: r for r in
+               quality_drift(docs, batch, "doc_id", "text").collect()}
+        assert out["lang_pred"]["verdict"] == "major"
 
     def test_null_text_lands_in_its_own_bucket(self, spark):
         """A drifting NULL rate IS drift: NULLs bucket to -1 and a
