@@ -103,6 +103,13 @@ def build_parser() -> argparse.ArgumentParser:
                         "--id-col/--text-col (defaults doc_id/text)")
     p.add_argument("--drift-batch", default=None, metavar="BATCH",
                    help="--drift: the ingest-batch parquet docs path")
+    p.add_argument("--report-out", default=None, metavar="STORE",
+                   help="--funnel/--drift: also APPEND this firing's "
+                        "report rows (fired_at_ms, mode, subject, "
+                        "detail, metric, value, verdict) to the parquet "
+                        "history store at STORE — the cron-trend "
+                        "surface; at-least-once, group by fired_at_ms "
+                        "to read")
     p.add_argument("--store-stats", default=None, metavar="STORE",
                    help="print maintenance stats for an append-only "
                         "latest-wins store (physical vs live rows, "
@@ -146,6 +153,32 @@ def build_parser() -> argparse.ArgumentParser:
     return p
 
 
+def _append_report(spark, path: str, rows: list[dict], mode: str,
+                   subject: str, detail: str | None) -> None:
+    """Append one firing's report rows to the history store at
+    ``path`` — the cron-trend surface ("is my drop rate creeping up",
+    "when did lang drift start"): one parquet append of report-sized
+    rows per firing, stamped with the firing's epoch millis. Shared
+    schema across report modes so one store can hold a pipeline's
+    whole audit trail: ``(fired_at_ms, mode, subject, detail, metric,
+    value, verdict)``. At-least-once (a retried firing appends its
+    rows again); trend readers group by fired_at_ms."""
+    import time as _time
+
+    fired = int(_time.time() * 1000)
+    df = spark.createDataFrame(
+        [
+            (fired, mode, subject, detail,
+             r["metric"], float(r["value"]),
+             r["verdict"])
+            for r in rows
+        ],
+        "fired_at_ms long, mode string, subject string, detail string, "
+        "metric string, value double, verdict string",
+    )
+    df.coalesce(1).write.mode("append").parquet(path)
+
+
 def main(argv: list[str] | None = None) -> int:
     args = build_parser().parse_args(argv)
 
@@ -165,6 +198,10 @@ def main(argv: list[str] | None = None) -> int:
     if bool(args.drift) != bool(args.drift_batch):
         print("error: --drift and --drift-batch go together",
               file=sys.stderr)
+        return 2
+    if args.report_out and not (args.funnel or args.drift):
+        print("error: --report-out only applies to --funnel/--drift "
+              "firings", file=sys.stderr)
         return 2
     if args.funnel and args.funnel_gates in ("curate", "pretrain"):
         # r10 ADVICE: curate_disposition (and pretrain_disposition)
@@ -345,6 +382,12 @@ def main(argv: list[str] | None = None) -> int:
                 require_terminal=False,
             ))
         stages = {r["stage"]: r["n_docs"] for r in fun.collect()}
+        if args.report_out:
+            _append_report(spark, args.report_out, [
+                {"metric": stage, "value": float(n), "verdict": None}
+                for stage, n in sorted(stages.items())
+            ], mode="funnel", subject=args.funnel,
+                detail=args.funnel_gates)
         print(json.dumps({"mode": "funnel", "gates": args.funnel_gates,
                           "docs": args.funnel, "stages": stages,
                           "total": sum(stages.values())}))
@@ -363,6 +406,11 @@ def main(argv: list[str] | None = None) -> int:
             ).collect()
         }
         worst = max((v["psi"] for v in report.values()), default=0.0)
+        if args.report_out:
+            _append_report(spark, args.report_out, [
+                {"metric": sig, "value": v["psi"], "verdict": v["verdict"]}
+                for sig, v in sorted(report.items())
+            ], mode="drift", subject=args.drift, detail=args.drift_batch)
         print(json.dumps({"mode": "drift", "baseline": args.drift,
                           "batch": args.drift_batch, "signals": report,
                           "max_psi": worst}))

@@ -367,3 +367,41 @@ def test_cli_drift_report(sf_dir, tmp_path):
         capture_output=True, text=True, cwd="/root/repo",
     )
     assert r3.returncode == 2 and "exclusive" in r3.stderr
+
+
+def test_cli_report_history_store(spark, sf_dir, tmp_path):
+    """r11: --report-out appends each --funnel/--drift firing's rows
+    to one shared-schema parquet history store — two firings, two
+    fired_at_ms groups, trend-queryable."""
+    store = str(tmp_path / "reports")
+    docs = f"{sf_dir}/documents.parquet"
+    for args in (
+        ["--funnel", docs, "--report-out", store],
+        ["--drift", docs, "--drift-batch", docs, "--report-out", store],
+    ):
+        subprocess.run(
+            [sys.executable, "-m", "etl_pack_spark.cli", *args],
+            capture_output=True, text=True, cwd="/root/repo", check=True,
+        )
+    hist = spark.read.parquet(store)
+    assert set(hist.columns) == {"fired_at_ms", "mode", "subject",
+                                 "detail", "metric", "value", "verdict"}
+    firings = hist.select("fired_at_ms", "mode").distinct().collect()
+    assert len(firings) == 2
+    assert {r["mode"] for r in firings} == {"funnel", "drift"}
+    # funnel rows conserve the corpus; drift rows carry verdicts
+    from pyspark.sql import functions as F
+
+    n_docs = spark.read.parquet(docs).count()
+    fun_sum = hist.where("mode = 'funnel'").agg(F.sum("value")).first()[0]
+    assert int(fun_sum) == n_docs
+    assert hist.where(
+        "mode = 'drift' AND verdict IS NULL"
+    ).count() == 0
+    # rejected outside funnel/drift firings
+    r = subprocess.run(
+        [sys.executable, "-m", "etl_pack_spark.cli",
+         "--store-stats", "/x", "--report-out", store],
+        capture_output=True, text=True, cwd="/root/repo",
+    )
+    assert r.returncode == 2 and "--report-out" in r.stderr
