@@ -154,7 +154,19 @@ def _scale_probe_queries():
         # engaging mid-pipeline, excision->simhash husk interaction) —
         # this point records the composed growth in-artifact.
         "pretrain_e2e": _pretrain_probe,
+        # the whole-pipeline audit funnel (r11): recomputes each
+        # stage's survivor set, so its scaling rides the same near-dup
+        # pair graph as the pipeline itself — replication is its worst
+        # case too (every doc gains factor-1 near-dups; the disposition
+        # must still emit exactly one verdict per doc)
+        "pretrain_funnel": _funnel_probe,
     }
+
+
+def _funnel_probe(d):
+    from etl_pack_spark.plans.pretrain import pretrain_funnel
+
+    return pretrain_funnel(d)
 
 
 def _pretrain_probe(d):
