@@ -54,6 +54,7 @@ def prepare_pretraining_corpus(
     extract_html: bool = False,
     normalize_unicode: bool = False,
     survivor_by: str | None = None,
+    checkpoint_stages: bool = False,
 ) -> DataFrame:
     """Documents → packed training sequences.
 
@@ -87,7 +88,28 @@ def prepare_pretraining_corpus(
     canonical text (both are map-only projections that fuse into the
     curation scan; no extra shuffle). Deterministic end-to-end: every
     stage is hash-based, no RNG.
+
+    ``checkpoint_stages=True`` (r11, opt-in) materializes and
+    plan-TRUNCATES each stage boundary (``localCheckpoint``). Turn it
+    on when composing MANY optional stages: every stage references the
+    previous frame several times, so the lazy plan's size — and
+    Catalyst's re-analysis cost on the driver — grows multiplicatively
+    with stage count; with gate+excision+SemDeDup+decontamination+
+    resample all enabled the lazy build spent ~2 min of driver-side
+    analysis and stage re-execution at sf0.001 where the checkpointed
+    one takes seconds (the audit twin ``pretrain_disposition``
+    checkpoints unconditionally for the same reason). Default OFF: the
+    common 1-3-option pipeline stays one lazy Catalyst plan (whole-plan
+    optimization, no forced materialization), and output plans stay
+    inspectable end-to-end.
     """
+    # stage-boundary truncation, opt-in (see docstring)
+    cp = (
+        (lambda df: df.localCheckpoint(eager=True))
+        if checkpoint_stages
+        else (lambda df: df)
+    )
+
     if extract_html:
         from etl_pack_spark.operators.cleaning import html_clean_lines
 
@@ -149,6 +171,7 @@ def prepare_pretraining_corpus(
     # near-dup cluster dedup over the CURATED corpus: one survivor per
     # transitive simhash cluster (pairs are pre-thresholded, so the
     # component graph is tiny relative to the corpus)
+    kept = cp(kept)
     pairs = neardup.simhash_neardup_pairs(
         kept, "doc_id", "text", max_hamming=max_hamming
     ).select("id_a", "id_b")
@@ -176,9 +199,9 @@ def prepare_pretraining_corpus(
 
     # survivor_by: keep the highest-scoring cluster member (quality /
     # length / recency) instead of the arbitrary min-id one
-    unique = cluster_dedup(
+    unique = cp(cluster_dedup(
         kept, pairs, "doc_id", clusters=clusters, survivor_by=survivor_by
-    )
+    ))
 
     if embeddings is not None:
         # SemDeDup: lexical dedup above can't see paraphrases; the
@@ -281,11 +304,18 @@ def pretrain_disposition(
 
     Cost shape: the curate gates ride ``curate_disposition``'s slim
     persisted projection; every stage boundary after that is an
-    anti/semi-join between slim id frames (the text-bearing ``kept``
-    frame is built once, exactly as the pipeline builds it); nothing
-    corpus-sized is collected or broadcast.
+    anti/semi-join between frames persisted ONCE at their boundary
+    (the text-bearing ``kept``/``unique`` frames are built once,
+    exactly as the pipeline builds them); nothing corpus-sized is
+    collected or broadcast. Stage boundaries are
+    MATERIALIZED and plan-TRUNCATED (``localCheckpoint``): each stage
+    references earlier frames several times, so a lazy composition's
+    logical plan grows multiplicatively and Catalyst re-analysis alone
+    took minutes before any job ran; the checkpoint keeps analysis
+    flat and every probe/union branch at cached-read cost. The
+    returned frame is likewise materialized — one slim row per
+    document.
     """
-    from etl_pack_spark.operators.cache import pooled_persist
     from etl_pack_spark.operators.components import neardup_clusters
     from etl_pack_spark.plans.curate import curate_disposition
 
@@ -307,10 +337,27 @@ def pretrain_disposition(
             F.lit(None).cast("long").alias("dup_of"),
         )
 
+    def eager(df: DataFrame) -> DataFrame:
+        # materialize AND truncate the plan at the stage boundary
+        # (localCheckpoint, not persist): this audit composes a dozen
+        # stages that each reference earlier frames SEVERAL times
+        # (verdict anti-join + survivor semi-join per stage), so the
+        # LOGICAL plan grows multiplicatively with depth — a persist
+        # caches execution but Catalyst still re-ANALYZES the whole
+        # tower on every downstream call, which turned the all-options
+        # build into minutes of driver-side analysis before any job
+        # ran (measured at sf0.001; the fix took it to seconds). The
+        # checkpoint also caps the operators' build-time probe actions
+        # (simhash caps, cluster_dedup's bounded probe, semantic
+        # centroid sampling) at cached-read cost. Checkpointed blocks
+        # are released by Spark's ContextCleaner when the frames are
+        # garbage-collected after the audit returns.
+        return df.localCheckpoint(eager=True)
+
     # curate gates: the disposition IS the audit grain of curate_corpus
     # (its drop_stage IS NULL slice equals the survivor query).
     # dup_of rides through: exact_dup rows carry their kept twin's id
-    cd = pooled_persist(curate_disposition(docs))
+    cd = eager(curate_disposition(docs))
     out = cd.where(F.col("drop_stage").isNotNull()).select(
         "doc_id", F.col("drop_stage").alias("stage"), "dup_of"
     )
@@ -329,7 +376,12 @@ def pretrain_disposition(
         spans = repeated_ngram_spans(
             kept, "doc_id", "text", max_dup_fraction=max_dup_fraction
         )
-        gate_keep = spans.where(F.col("keep")).select("doc_id")
+        # slim persist: the gate's keep set feeds the loser anti-join
+        # AND the survivor semi-join — unpersisted, the one-hash-
+        # exchange duplication analysis runs once per consumer
+        gate_keep = eager(
+            spans.where(F.col("keep")).select("doc_id")
+        )
         out = out.unionByName(verdict(
             kept.join(gate_keep, "doc_id", "left_anti"), "dup_window_gate"
         ))
@@ -339,31 +391,47 @@ def pretrain_disposition(
         from etl_pack_spark.operators.substrings import remove_repeated_spans
 
         cleaned = remove_repeated_spans(kept, "doc_id", "text", k=excise_k)
-        kept = kept.drop("text").join(
-            cleaned.select("doc_id", F.col("clean_text").alias("text")),
-            "doc_id",
+        # persist at the stage boundary: the excision is the single
+        # most expensive lineage in the plan, and below this point the
+        # husk verdict, the husk filter, the pair build, the dedup,
+        # and the train slice ALL consume the excised frame
+        kept = eager(
+            kept.drop("text").join(
+                cleaned.select("doc_id", F.col("clean_text").alias("text")),
+                "doc_id",
+            )
         )
         out = out.unionByName(verdict(
             kept.where(F.length("text") == 0), "excised_empty"
         ))
         kept = kept.where(F.length("text") > 0)
 
+    # kept is consumed by the pair build, the (optional) split
+    # regrouping, cluster_dedup, the neardup anti-join, and the train
+    # slice — persist the post-gates frame once so the curate join +
+    # gate lineage does not re-execute per consumer. (This is the
+    # audit plan; its job is exactness at one-pass-per-stage cost.)
+    kept = eager(kept)
     pairs = neardup.simhash_neardup_pairs(
         kept, "doc_id", "text", max_hamming=max_hamming
     ).select("id_a", "id_b")
-    clusters = pooled_persist(neardup_clusters(pairs, "doc_id"))
+    clusters = eager(neardup_clusters(pairs, "doc_id"))
     if leakage_safe_split:
         from etl_pack_spark.operators.sampling import grouped_split_assign
 
         kept = grouped_split_assign(
             kept.drop("split"), None, "doc_id", clusters=clusters
         ).drop("cluster_id")
-    unique = cluster_dedup(
+    # unique is text-bearing (decontamination needs it) and feeds the
+    # id projection, the train slice, and (via train) every later
+    # stage — one boundary persist caps the cluster_dedup join pyramid
+    # at a single execution
+    unique = eager(cluster_dedup(
         kept, pairs, "doc_id", clusters=clusters, survivor_by=survivor_by
-    )
+    ))
     # slim multi-consumer frame: the neardup anti-join, the holdout
     # slice, and the train slice all read it
-    unique_ids = pooled_persist(unique.select("doc_id", "split"))
+    unique_ids = eager(unique.select("doc_id", "split"))
     # dup_of for near-dup losers = their cluster's SURVIVOR (which kept
     # doc shadowed mine): two cluster-sized joins over the persisted
     # labels — the loser's cluster_id, then the cluster's one surviving
@@ -394,11 +462,13 @@ def pretrain_disposition(
             alive, nlist=sem_nlist, threshold=sem_threshold,
             id_col=emb_id_col,
         ).select(F.col(emb_id_col).alias("doc_id"))
-        sem_dropped = alive.select(
+        # slim boundary: consumed by the verdict AND the id anti-join;
+        # unpersisted, each re-runs the within-cluster cosine scan
+        sem_dropped = eager(alive.select(
             F.col(emb_id_col).alias("doc_id")
-        ).join(surv, "doc_id", "left_anti")
+        ).join(surv, "doc_id", "left_anti"))
         out = out.unionByName(verdict(sem_dropped, "semantic_dup"))
-        unique_ids = pooled_persist(
+        unique_ids = eager(
             unique_ids.join(sem_dropped, "doc_id", "left_anti")
         )
 
@@ -417,7 +487,7 @@ def pretrain_disposition(
         "doc_id", "left_semi",
     )
     if eval_df is not None:
-        decon_ids = pooled_persist(
+        decon_ids = eager(
             decontaminate(train, eval_df, "doc_id", "text", n=ngram)
             .select("doc_id")
         )
@@ -427,7 +497,7 @@ def pretrain_disposition(
         ))
         train = train.join(decon_ids, "doc_id", "left_semi")
     if weights is not None:
-        surv_ids = pooled_persist(
+        surv_ids = eager(
             mixture_resample(train, "doc_id", domain_col, weights)
             .select("doc_id").distinct()
         )
@@ -438,7 +508,11 @@ def pretrain_disposition(
         train = train.join(surv_ids, "doc_id", "left_semi")
     # packing assigns pack ids and flags oversize rows; it drops
     # nothing — the remaining train docs ARE the training batch
-    return out.unionByName(verdict(train.select("doc_id"), "packed"))
+    out = out.unionByName(verdict(train.select("doc_id"), "packed"))
+    # materialize the audit result (one slim row per doc); the stage
+    # boundaries' checkpointed blocks become collectible once this
+    # function's frames go out of scope
+    return out.localCheckpoint(eager=True)
 
 
 def pretrain_funnel(docs: DataFrame, **kwargs) -> DataFrame:

@@ -330,3 +330,68 @@ def test_pretrain_funnel_cli(sf_dir):
     )
     assert res2.returncode == 2
     assert "do not apply to --funnel-gates pretrain" in res2.stderr
+
+
+def test_pretrain_disposition_conservation_all_options(spark, sf_dir):
+    """The conservation law must hold under EVERY optional stage the
+    pipeline offers (dup-window gate, excision, SemDeDup, leakage-safe
+    splits, survivor_by), and the packed set must still agree with the
+    pipeline's output under the same parameters — the option matrix is
+    where a disposition branch silently double-counts or loses docs.
+    (The pipeline side runs checkpoint_stages=True — the all-options
+    lazy plan pays minutes of Catalyst re-analysis; equality of the
+    two modes is pinned separately below.)"""
+    from etl_pack_spark.plans.pretrain import pretrain_disposition
+    from etl_pack_spark.sources.reader import read_table
+
+    docs = _docs(spark, sf_dir)
+    emb = read_table(spark, sf_dir, "embeddings")
+    evald = docs.where(F.col("doc_id") % 10 == 7).select("doc_id", "text")
+    kwargs = dict(
+        eval_df=evald,
+        weights=WEIGHTS,
+        max_dup_fraction=0.8,
+        excise_spans=True,
+        embeddings=emb,
+        leakage_safe_split=True,
+        survivor_by="n_chars",
+    )
+    dispo = pretrain_disposition(docs, **kwargs).cache()
+    try:
+        n = docs.count()
+        assert dispo.count() == n
+        assert dispo.select("doc_id").distinct().count() == n
+        packed_ids = {
+            r["doc_id"]
+            for r in dispo.where(F.col("stage") == "packed").collect()
+        }
+        out_ids = {
+            r["doc_id"]
+            for r in prepare_pretraining_corpus(
+                docs, checkpoint_stages=True, **kwargs
+            ).select("doc_id").distinct().collect()
+        }
+        assert packed_ids == out_ids and packed_ids
+        # every optional stage actually fired on this fixture
+        stages = {r["stage"] for r in dispo.select("stage").distinct().collect()}
+        assert {"dup_window_gate", "neardup_dup", "contaminated",
+                "packed"} <= stages
+    finally:
+        dispo.unpersist()
+
+
+def test_pretrain_checkpoint_stages_is_pure_acceleration(spark, sf_dir):
+    """checkpoint_stages=True must be bit-identical to the lazy plan —
+    it truncates Catalyst analysis, never semantics. Pinned on a
+    two-option run (the all-options case is covered above via the
+    disposition agreement; the LAZY all-options build is the measured
+    ~2.5-minute pathology this flag exists for)."""
+    docs = _docs(spark, sf_dir)
+    kwargs = dict(weights=WEIGHTS, leakage_safe_split=True)
+    lazy = sorted(map(tuple, prepare_pretraining_corpus(
+        docs, **kwargs
+    ).select("doc_id", "copy_n", "n_tokens", "pack_id", "oversize").collect()))
+    fast = sorted(map(tuple, prepare_pretraining_corpus(
+        docs, checkpoint_stages=True, **kwargs
+    ).select("doc_id", "copy_n", "n_tokens", "pack_id", "oversize").collect()))
+    assert lazy == fast and lazy

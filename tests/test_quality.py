@@ -316,3 +316,22 @@ class TestQualityDrift:
         )
         assert "CartesianProduct" not in plan
         assert "BatchEvalPython" not in plan
+
+
+def test_psi_is_symmetric_and_nonnegative(spark, sf_dir):
+    """PSI laws: each term (p−q)·ln(p/q) is symmetric under swapping
+    the two distributions and non-negative, so the report must be too
+    — for any pair of corpus slices, in either direction."""
+    from etl_pack_spark.operators.quality import quality_drift
+    from etl_pack_spark.sources.reader import read_table
+
+    docs = read_table(spark, sf_dir, "documents")
+    slices = [docs.where(f"doc_id % 3 = {k}") for k in range(3)]
+    for i in range(3):
+        j = (i + 1) % 3
+        ab = {r["signal"]: r["psi"] for r in quality_drift(
+            slices[i], slices[j], "doc_id", "text").collect()}
+        ba = {r["signal"]: r["psi"] for r in quality_drift(
+            slices[j], slices[i], "doc_id", "text").collect()}
+        assert ab == ba
+        assert all(v >= 0.0 for v in ab.values())
