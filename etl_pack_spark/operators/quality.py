@@ -263,6 +263,38 @@ PSI_MODERATE = 0.1
 PSI_MAJOR = 0.25
 
 
+def _check_drift_signal_names(*name_maps) -> None:
+    """Signal names are interpolated into generated expressions and
+    oracle SQL (identifiers AND string literals) — reject anything
+    that is not a plain identifier LOUDLY at call time instead of
+    producing a broken expression (the r10 ``badwords`` posture).
+    Categorical category values are interpolated as SQL string
+    literals; a quote would break the twin, so they are checked too."""
+    import re
+
+    for names in name_maps:
+        for name in names:
+            if not re.fullmatch(r"[A-Za-z_][A-Za-z0-9_]*", name or ""):
+                raise ValueError(
+                    f"drift signal name {name!r} is not a plain "
+                    "identifier — it is interpolated into bucket "
+                    "expressions and oracle SQL"
+                )
+
+
+def _check_drift_categories(categories: dict) -> None:
+    import re
+
+    for name, cats in categories.items():
+        for v in cats:
+            if not re.fullmatch(r"[A-Za-z0-9_.\-]+", v or ""):
+                raise ValueError(
+                    f"drift category value {v!r} (signal {name!r}) "
+                    "must be a plain token — it is interpolated as a "
+                    "SQL string literal in the oracle twin"
+                )
+
+
 def _bucket_expr(col: str, edges: tuple[float, ...]):
     """bucket(value) = number of edges <= value, NULL -> -1. One
     codegen aggregate over a literal array — no join, no UDF."""
@@ -303,6 +335,8 @@ def signal_histogram(
     position."""
     edges = DRIFT_EDGES if edges is None else edges
     categories = DRIFT_CATEGORIES if categories is None else categories
+    _check_drift_signal_names(edges, categories)
+    _check_drift_categories(categories)
     arms = [
         F.struct(
             F.lit(name).alias("signal"),
@@ -338,6 +372,8 @@ def signal_histogram_sql(
     ``textops.text_signals_sql`` subquery."""
     edges = DRIFT_EDGES if edges is None else edges
     categories = DRIFT_CATEGORIES if categories is None else categories
+    _check_drift_signal_names(edges, categories)
+    _check_drift_categories(categories)
     num_arms = [
         f"SELECT '{name}' AS signal, "
         f"CASE WHEN {name} IS NULL THEN -1 ELSE "

@@ -335,3 +335,23 @@ def test_psi_is_symmetric_and_nonnegative(spark, sf_dir):
             slices[j], slices[i], "doc_id", "text").collect()}
         assert ab == ba
         assert all(v >= 0.0 for v in ab.values())
+
+
+def test_drift_signal_names_validated(spark):
+    """Signal names and category values are interpolated into
+    generated expressions / oracle SQL — non-identifier inputs raise
+    at call time (the r10 badwords posture), in BOTH engines' builders."""
+    import pytest as _pytest
+
+    from etl_pack_spark.operators.quality import (
+        signal_histogram,
+        signal_histogram_sql,
+    )
+
+    df = spark.createDataFrame([(1.0,)], "x double")
+    with _pytest.raises(ValueError, match="plain identifier"):
+        signal_histogram(df, edges={"x; drop": (1.0,)})
+    with _pytest.raises(ValueError, match="plain identifier"):
+        signal_histogram_sql("SELECT 1", edges={"a b": (1.0,)})
+    with _pytest.raises(ValueError, match="string literal"):
+        signal_histogram(df, edges={}, categories={"x": ("a'b",)})
