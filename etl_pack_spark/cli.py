@@ -76,7 +76,7 @@ def build_parser() -> argparse.ArgumentParser:
                         "--min-lines tune the gates, --text-col names the "
                         "text column")
     p.add_argument("--funnel-gates", choices=["c4", "curate", "pretrain"],
-                   default="c4",
+                   default=None,
                    help="--funnel: which gate family to audit — the C4 "
                         "cleaning recipe (per-doc drop_stage from "
                         "c4_disposition), the curation pipeline "
@@ -203,7 +203,28 @@ def main(argv: list[str] | None = None) -> int:
         print("error: --report-out only applies to --funnel/--drift "
               "firings", file=sys.stderr)
         return 2
-    if args.funnel and args.funnel_gates in ("curate", "pretrain"):
+    if args.drift:
+        # r11 self-review: --drift uses --id-col/--text-col but none of
+        # the funnel gate flags — silently accepting them would print a
+        # report the user thinks those flags shaped (the same class the
+        # --funnel-gates curate check closed)
+        foreign = [
+            name for name, val in [
+                ("--min-words", args.min_words),
+                ("--min-lines", args.min_lines),
+                ("--funnel-gates", args.funnel_gates),
+            ] if val is not None
+        ]
+        if foreign:
+            print(f"error: {', '.join(foreign)} do not apply to --drift "
+                  "(it takes only --drift-batch, --id-col, --text-col "
+                  "and --report-out)", file=sys.stderr)
+            return 2
+    if args.funnel_gates is not None and not args.funnel:
+        print("error: --funnel-gates only applies to --funnel",
+              file=sys.stderr)
+        return 2
+    if args.funnel and (args.funnel_gates or "c4") in ("curate", "pretrain"):
         # r10 ADVICE: curate_disposition (and pretrain_disposition)
         # hardcode doc_id/text/lang and their own thresholds —
         # silently accepting gate-tuning flags would print a report
@@ -364,13 +385,14 @@ def main(argv: list[str] | None = None) -> int:
         )
 
         docs = spark.read.parquet(args.funnel)
-        if args.funnel_gates == "pretrain":
+        gates = args.funnel_gates or "c4"
+        if gates == "pretrain":
             # the WHOLE-pipeline funnel (r11): curate gates + near-dup
             # cluster dedup + split routing, conservation-law checked
             from etl_pack_spark.plans.pretrain import pretrain_funnel
 
             fun = pretrain_funnel(docs)
-        elif args.funnel_gates == "curate":
+        elif gates == "curate":
             from etl_pack_spark.plans.curate import curate_disposition
 
             fun = curation_funnel(curate_disposition(docs))
@@ -387,8 +409,8 @@ def main(argv: list[str] | None = None) -> int:
                 {"metric": stage, "value": float(n), "verdict": None}
                 for stage, n in sorted(stages.items())
             ], mode="funnel", subject=args.funnel,
-                detail=args.funnel_gates)
-        print(json.dumps({"mode": "funnel", "gates": args.funnel_gates,
+                detail=gates)
+        print(json.dumps({"mode": "funnel", "gates": gates,
                           "docs": args.funnel, "stages": stages,
                           "total": sum(stages.values())}))
         return 0

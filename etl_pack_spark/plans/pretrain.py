@@ -90,18 +90,25 @@ def prepare_pretraining_corpus(
     stage is hash-based, no RNG.
 
     ``checkpoint_stages=True`` (r11, opt-in) materializes and
-    plan-TRUNCATES each stage boundary (``localCheckpoint``). Turn it
-    on when composing MANY optional stages: every stage references the
-    previous frame several times, so the lazy plan's size — and
-    Catalyst's re-analysis cost on the driver — grows multiplicatively
-    with stage count; with gate+excision+SemDeDup+decontamination+
-    resample all enabled the lazy build spent ~2 min of driver-side
-    analysis and stage re-execution at sf0.001 where the checkpointed
-    one takes seconds (the audit twin ``pretrain_disposition``
-    checkpoints unconditionally for the same reason). Default OFF: the
-    common 1-3-option pipeline stays one lazy Catalyst plan (whole-plan
-    optimization, no forced materialization), and output plans stay
-    inspectable end-to-end.
+    plan-TRUNCATES the two heaviest reference points — the post-gates
+    ``kept`` corpus and the post-dedup ``unique`` corpus — with
+    ``localCheckpoint``. Turn it on when composing MANY optional
+    stages: every stage references the previous frame several times,
+    so the lazy plan's size — and Catalyst's re-analysis cost on the
+    driver — grows multiplicatively with stage count; with gate+
+    excision+SemDeDup+decontamination+resample all enabled the lazy
+    build spent ~2 min of driver-side analysis and stage re-execution
+    at sf0.001 where the checkpointed one takes seconds (the audit
+    twin ``pretrain_disposition`` checkpoints unconditionally for the
+    same reason). Default OFF for two reasons: the common 1-3-option
+    pipeline stays one lazy Catalyst plan (whole-plan optimization,
+    inspectable end-to-end plans), and ``localCheckpoint`` TRADES
+    LINEAGE AWAY — blocks live on executors only, so an executor lost
+    mid-job (spot kill, decommission) fails the run unrecoverably
+    instead of recomputing. On a preemptible cluster prefer a reliable
+    checkpoint (``spark.sparkContext.setCheckpointDir`` +
+    ``DataFrame.checkpoint``) at the same two points, which buys the
+    identical plan truncation at the cost of a distributed-FS write.
     """
     # stage-boundary truncation, opt-in (see docstring)
     cp = (
@@ -351,7 +358,12 @@ def pretrain_disposition(
         # (simhash caps, cluster_dedup's bounded probe, semantic
         # centroid sampling) at cached-read cost. Checkpointed blocks
         # are released by Spark's ContextCleaner when the frames are
-        # garbage-collected after the audit returns.
+        # garbage-collected after the audit returns. Fault-tolerance
+        # trade-off: localCheckpoint truncates lineage, so a lost
+        # executor mid-audit fails the run instead of recomputing —
+        # acceptable for a re-runnable report job; a preemptible-
+        # cluster deployment would swap in a reliable checkpoint
+        # (setCheckpointDir + DataFrame.checkpoint) at the same spots.
         return df.localCheckpoint(eager=True)
 
     # curate gates: the disposition IS the audit grain of curate_corpus

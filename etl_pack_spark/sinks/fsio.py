@@ -55,16 +55,42 @@ def exists(spark: SparkSession, path: str) -> bool:
 
 def create_exclusive(spark: SparkSession, path: str, text: str) -> bool:
     """Create ``path`` with UTF-8 ``text`` ONLY if it does not already
-    exist; returns False when it does (the lost-the-race answer).
-    Backed by ``FileSystem.create(path, overwrite=false)``, which is
-    atomic on POSIX-rename filesystems (local, HDFS) — the primitive
-    the ingest lease needs. On S3-family stores create-if-absent is
+    exist; returns False when it does (the lost-the-race answer) —
+    the primitive the ingest lease needs.
+
+    LOCAL paths (no scheme, or ``file:``) take a direct
+    ``os.open(O_CREAT|O_EXCL)``, which POSIX guarantees atomic —
+    Hadoop's ``RawLocalFileSystem.create(path, overwrite=false)`` is
+    NOT (it is an exists() probe followed by a plain open, so two
+    near-simultaneous callers can both win). The payload is written
+    and fsynced before the function returns, so a reader never
+    observes the file existing with a partial payload on the local
+    path. HDFS keeps the Hadoop route (its create-if-absent IS atomic
+    at the NameNode). On S3-family stores create-if-absent is
     best-effort (the check and the create are not one operation);
     there the lease degrades from a guarantee to a high-probability
     guard, which is still strictly better than the implicit
     assumption it replaces (r10 ADVICE)."""
+    import errno
+    import os
+
     from py4j.protocol import Py4JJavaError
 
+    local = _local_path(path)
+    if local is not None:
+        os.makedirs(os.path.dirname(local) or ".", exist_ok=True)
+        try:
+            fd = os.open(local, os.O_CREAT | os.O_EXCL | os.O_WRONLY, 0o644)
+        except OSError as e:
+            if e.errno == errno.EEXIST:
+                return False
+            raise
+        try:
+            os.write(fd, text.encode("utf-8"))
+            os.fsync(fd)
+        finally:
+            os.close(fd)
+        return True
     fs, hpath = _fs_path(spark, path)
     try:
         out = fs.create(hpath, False)
@@ -78,6 +104,36 @@ def create_exclusive(spark: SparkSession, path: str, text: str) -> bool:
     finally:
         out.close()
     return True
+
+
+def _local_path(path: str) -> str | None:
+    """The driver-local POSIX path behind ``path``, or None when the
+    path names a non-local filesystem. ``file:`` URIs strip to their
+    path; anything with another scheme (scheme:// or scheme:/) is
+    non-local; everything else is a plain local path."""
+    import re
+
+    if path.startswith("file:"):
+        rest = path[len("file:"):]
+        if rest.startswith("//"):
+            tail = rest[2:]
+            return tail if tail.startswith("/") else None  # remote authority
+        return rest
+    if re.match(r"^[A-Za-z][A-Za-z0-9+.-]*:/", path):
+        return None
+    return path
+
+
+def mtime_ms(spark: SparkSession, path: str) -> int | None:
+    """Modification time of ``path`` in epoch millis, or None when it
+    does not exist — the payload-independent age signal the lease's
+    stale check needs (a lease file can exist with a not-yet-readable
+    payload during the holder's create-to-write window on non-local
+    filesystems)."""
+    fs, hpath = _fs_path(spark, path)
+    if not fs.exists(hpath):
+        return None
+    return int(fs.getFileStatus(hpath).getModificationTime())
 
 
 def delete(spark: SparkSession, path: str) -> bool:

@@ -25,6 +25,10 @@ from pyspark.sql import functions as F
 from etl_pack_spark.operators.dedup import incremental_filter, snapshot_hashes
 from etl_pack_spark.plans.merge import apply_cdc
 
+# a crashed ingest-lease holder blocks its store for at most this long
+# (see _stamp_lease); must exceed the longest legitimate firing
+DEFAULT_LEASE_TTL_MS = 3_600_000
+
 
 def windowed_event_counts(
     events: DataFrame,
@@ -263,6 +267,7 @@ def stream_neardup_ingest(
     num_hashes: int = 16,
     bands: int = 8,
     min_est: float = 0.5,
+    lease_ttl_ms: int = DEFAULT_LEASE_TTL_MS,
 ) -> int:
     """Near-dup-on-ingest under ``availableNow``: each micro-batch of
     new documents is matched against the persisted minhash signature
@@ -320,7 +325,7 @@ def stream_neardup_ingest(
     # seed to the post-commit publishes, so no concurrent firing can
     # seed from the same sidecar and publish a floor above this
     # firing's still-uncommitted stamps
-    with _stamp_lease(spark, store_path):
+    with _stamp_lease(spark, store_path, ttl_ms=lease_ttl_ms):
         return _neardup_ingest_leased(
             spark, source_dir, store_path, matches_path, checkpoint,
             id_col, text_col, k, num_hashes, bands, min_est, schema,
@@ -407,6 +412,7 @@ def stream_url_dedup_ingest(
     checkpoint: str,
     url_col: str = "url",
     id_col: str = "doc_id",
+    lease_ttl_ms: int = DEFAULT_LEASE_TTL_MS,
 ) -> int:
     """URL-keyed crawl dedup ON INGEST under ``availableNow`` — the
     crawl-frontier posture: each micro-batch canonicalizes its URLs
@@ -441,11 +447,8 @@ def stream_url_dedup_ingest(
     store, enforced by the same lease as
     :func:`stream_neardup_ingest` (r10 ADVICE).
     """
-    from etl_pack_spark.operators.urls import dedup_by_url
-    from etl_pack_spark.sinks.fsio import exists as fs_exists
-
     schema = spark.read.parquet(source_dir).schema
-    with _stamp_lease(spark, store_path):
+    with _stamp_lease(spark, store_path, ttl_ms=lease_ttl_ms):
         return _url_dedup_ingest_leased(
             spark, source_dir, store_path, out_path, checkpoint,
             url_col, id_col, schema,
@@ -545,7 +548,6 @@ def _lease_path(store_path: str) -> str:
     return store_path.rstrip("/") + ".ingest_lease.json"
 
 
-DEFAULT_LEASE_TTL_MS = 3_600_000  # a crashed holder blocks at most 1h
 
 
 @_contextmanager
@@ -563,39 +565,79 @@ def _stamp_lease(spark: SparkSession, store_path: str,
     to the stamp sidecar for the duration of the firing, and a second
     firing fails loudly instead of corrupting the floor.
 
-    A lease older than ``ttl_ms`` is treated as a crashed holder and
-    overtaken (the crash-recovery escape — a kill between acquire and
-    release must not deadlock the store forever). On POSIX/HDFS the
-    exclusive create is atomic; on S3-family stores it is best-effort
-    (see :func:`~etl_pack_spark.sinks.fsio.create_exclusive`)."""
+    Protocol details (r11 self-review hardening):
+
+    * The payload carries a unique OWNER TOKEN. Release deletes the
+      file only if the token still matches — a firing that was
+      (wrongly or rightly) overtaken must not delete the new holder's
+      lease on exit.
+    * A lease older than ``ttl_ms`` is a crashed holder and is
+      overtaken (a kill between acquire and release must not deadlock
+      the store forever) — so ``ttl_ms`` MUST exceed the longest
+      legitimate firing; a firing that outlives it can be overtaken
+      while alive, which re-opens the concurrency hazard the lease
+      exists to close. Raise it for backfill-sized firings.
+    * A lease whose payload is UNREADABLE is judged by the file's
+      modification time, not treated as stale — an empty/partial
+      payload is exactly what a concurrent holder's create-to-write
+      window looks like on non-local filesystems.
+    * After an overtake (delete + re-create), the payload is read
+      back and must carry OUR token — two contenders overtaking the
+      same stale lease both "succeed" at create on stores without
+      atomic create-if-absent, and the read-back demotes that race to
+      a loud error.
+
+    Exclusive create is atomic on local paths (O_EXCL) and HDFS; on
+    S3-family stores the whole protocol is best-effort (see
+    :func:`~etl_pack_spark.sinks.fsio.create_exclusive`)."""
     import json
     import os as _os
     import time as _time
+    import uuid as _uuid
 
-    from etl_pack_spark.sinks.fsio import create_exclusive, read_text
+    from etl_pack_spark.sinks.fsio import create_exclusive, mtime_ms, read_text
     from etl_pack_spark.sinks.fsio import delete as fs_delete
 
     lease = _lease_path(store_path)
+    token = _uuid.uuid4().hex
     now_ms = int(_time.time() * 1000)
-    payload = json.dumps({"pid": _os.getpid(), "acquired_at_ms": now_ms})
+    payload = json.dumps(
+        {"token": token, "pid": _os.getpid(), "acquired_at_ms": now_ms}
+    )
+
+    def held_error(age) -> RuntimeError:
+        return RuntimeError(
+            f"another firing holds the ingest lease on {store_path!r} "
+            f"({lease!r}, age {age} ms): concurrent firings on one "
+            "stamped store would race the monotone-stamp sidecar and "
+            "break the fold's 'below the floor means fully committed' "
+            "invariant — run one ingest at a time per store, or "
+            "remove the lease file if the holder is known dead"
+        )
+
     if not create_exclusive(spark, lease, payload):
         raw = read_text(spark, lease)
         try:
             age = now_ms - int(json.loads(raw)["acquired_at_ms"])
         except (TypeError, ValueError, KeyError):
-            age = ttl_ms + 1  # unreadable lease: treat as stale
+            # unreadable payload: NOT stale-by-default — judge by the
+            # file's own age (a zero-byte lease is a live holder's
+            # create-to-write window until proven old)
+            mt = mtime_ms(spark, lease)
+            age = (now_ms - mt) if mt is not None else ttl_ms + 1
         if age <= ttl_ms:
-            raise RuntimeError(
-                f"another firing holds the ingest lease on {store_path!r} "
-                f"({lease!r}, age {age} ms): concurrent firings on one "
-                "stamped store would race the monotone-stamp sidecar and "
-                "break the fold's 'below the floor means fully committed' "
-                "invariant — run one ingest at a time per store, or "
-                "remove the lease file if the holder is known dead"
-            )
-        # stale: the holder crashed without releasing — overtake
+            raise held_error(age)
+        # stale: the holder crashed without releasing — overtake, then
+        # VERIFY we are the holder (two overtakers can both pass the
+        # create on stores without atomic create-if-absent)
         fs_delete(spark, lease)
-        if not create_exclusive(spark, lease, payload):
+        create_exclusive(spark, lease, payload)
+        back = read_text(spark, lease)
+        try:
+            winner = json.loads(back)["token"]
+        except (TypeError, ValueError, KeyError):
+            winner = None
+        if winner != token:
             raise RuntimeError(
                 f"lost the race re-acquiring a stale ingest lease on "
                 f"{store_path!r} — another firing took it first"
@@ -603,7 +645,16 @@ def _stamp_lease(spark: SparkSession, store_path: str,
     try:
         yield
     finally:
-        fs_delete(spark, lease)
+        # release ONLY if still ours: if this firing overran ttl_ms
+        # and was overtaken, deleting unconditionally would free the
+        # NEW holder's lease for a third firing
+        raw = read_text(spark, lease)
+        try:
+            owner = json.loads(raw)["token"]
+        except (TypeError, ValueError, KeyError):
+            owner = None
+        if owner == token:
+            fs_delete(spark, lease)
 
 
 class _MonotoneStamps:
@@ -785,6 +836,7 @@ def update_cluster_store(
     matches_path: str,
     safety_lag_ms: int = 0,
     return_total: bool = False,
+    lease_ttl_ms: int = DEFAULT_LEASE_TTL_MS,
 ) -> int:
     """Maintain a persisted near-dup CLUSTERS store from the
     append-only matches sink — the maintenance firing that completes
@@ -847,7 +899,7 @@ def update_cluster_store(
     the clusters store) may legitimately overlap — that overlap is
     exactly what ``safety_lag_ms`` + the matches sidecar floor
     handle."""
-    with _stamp_lease(spark, clusters_path):
+    with _stamp_lease(spark, clusters_path, ttl_ms=lease_ttl_ms):
         return _update_cluster_store_leased(
             spark, clusters_path, matches_path, safety_lag_ms, return_total
         )

@@ -405,3 +405,24 @@ def test_cli_report_history_store(spark, sf_dir, tmp_path):
         capture_output=True, text=True, cwd="/root/repo",
     )
     assert r.returncode == 2 and "--report-out" in r.stderr
+
+
+def test_cli_drift_rejects_funnel_flags():
+    """r11 self-review: --min-words/--min-lines/--funnel-gates with
+    --drift are meaningless and must exit 2, not be silently ignored;
+    --funnel-gates outside --funnel likewise."""
+    for flags in (["--min-words", "10"], ["--min-lines", "2"],
+                  ["--funnel-gates", "curate"]):
+        r = subprocess.run(
+            [sys.executable, "-m", "etl_pack_spark.cli",
+             "--drift", "/x", "--drift-batch", "/y", *flags],
+            capture_output=True, text=True, cwd="/root/repo",
+        )
+        assert r.returncode == 2, flags
+        assert "do not apply to --drift" in r.stderr
+    r = subprocess.run(
+        [sys.executable, "-m", "etl_pack_spark.cli",
+         "--store-stats", "/x", "--funnel-gates", "c4"],
+        capture_output=True, text=True, cwd="/root/repo",
+    )
+    assert r.returncode == 2 and "--funnel-gates" in r.stderr

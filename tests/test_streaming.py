@@ -902,8 +902,13 @@ class TestIngestLease:
     def test_stale_lease_is_overtaken(self, spark, tmp_path):
         """A kill between acquire and release must not deadlock the
         store: a lease older than the TTL is treated as a crashed
-        holder and overtaken."""
+        holder and overtaken. An UNREADABLE payload is judged by the
+        file's own age (r11 self-review): a FRESH zero-byte/garbage
+        lease is exactly what a live holder's create-to-write window
+        looks like, so it must be treated as HELD, while an old one is
+        a crashed holder."""
         import json
+        import os
 
         from etl_pack_spark.sinks import fsio
         from etl_pack_spark.streaming.incremental import (
@@ -919,10 +924,41 @@ class TestIngestLease:
         with _stamp_lease(spark, store):
             pass  # acquired despite the stale file
         assert not fsio.exists(spark, _lease_path(store))
-        # unreadable lease content is treated as stale, not fatal
+        # FRESH unreadable lease = a live holder mid-write: held
         fsio.write_text(spark, _lease_path(store), "not json")
+        with pytest.raises(RuntimeError, match="ingest lease"):
+            with _stamp_lease(spark, store):
+                pass
+        # the same garbage payload with an OLD mtime = crashed holder
+        os.utime(_lease_path(store), (1, 1))
         with _stamp_lease(spark, store):
             pass
+        assert not fsio.exists(spark, _lease_path(store))
+
+    def test_release_only_if_still_owner(self, spark, tmp_path):
+        """r11 self-review: a firing that was overtaken (TTL overrun)
+        must NOT delete the new holder's lease on exit — release
+        compares the owner token first."""
+        import json
+
+        from etl_pack_spark.sinks import fsio
+        from etl_pack_spark.streaming.incremental import (
+            _lease_path,
+            _stamp_lease,
+        )
+
+        store = str(tmp_path / "store")
+        lease = _lease_path(store)
+        with _stamp_lease(spark, store):
+            # simulate an overtake while the firing is still running:
+            # a new holder replaced the lease with its own token
+            fsio.delete(spark, lease)
+            fsio.write_text(spark, lease, json.dumps(
+                {"token": "other", "pid": 2, "acquired_at_ms": 1}
+            ))
+        # exit must have LEFT the new holder's lease in place
+        assert fsio.exists(spark, lease)
+        assert json.loads(fsio.read_text(spark, lease))["token"] == "other"
 
     def test_lease_released_on_firing_failure(self, spark, tmp_path):
         """The lease is released even when the firing fails INSIDE the
