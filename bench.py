@@ -802,29 +802,51 @@ def main() -> None:
     except OSError:
         pass  # read-only checkout: the early stdout line still has it
     print(json.dumps(out))
-    compact = {
-        "metric": out["metric"],
-        "value": out["value"],
-        "unit": out["unit"],
-        "sf": out["sf"],
-        "queries": out["queries"],
-        "full_record": full_path.name,
-    }
-    for key in (
-        "sf_secondary", "value_secondary",
-        "scale_probe_factor", "scale_probe_docs", "queries_scale_probe",
-        "queries_scale_probe_stats",
-        "scale_probe_events_rows", "maintenance_probe_pairs",
-        "scale_probe2_factor", "scale_probe2_docs",
-        "queries_scale_probe2", "queries_scale_probe2_stats",
-        "calibration_pre", "calibration_mid", "calibration_post",
-        "calibration_probe_text", "calibration_probe_events",
-        "calibration_probe_maintenance", "calibration_probe30x",
-        "scratch_sweep",
-    ):
-        if key in out:
-            compact[key] = out[key]
-    print(json.dumps(compact))
+    print(json.dumps(compact_record(out, full_path.name)))
+
+
+# The driver's artifact keeps only a bounded TAIL of bench stdout; r9-r11
+# shipped a compact line that had silently regrown past that capture (the
+# r5 failure mode all over again), so three rounds of BENCH_r*.json carried
+# parsed:null. Guarantees, enforced by tests/test_bench_record.py:
+#   * serialized size stays under COMPACT_BUDGET bytes, by construction:
+#     optional sections are admitted smallest-first until the budget is hit
+#   * metric/value/queries serialize LAST, so even a mid-JSON tail cut
+#     leaves the headline readable by a human (and greppable)
+#   * everything dropped here is duplicated in BENCH_FULL.json and in the
+#     full-record stdout line printed just above
+COMPACT_BUDGET = 1500  # bytes; driver tail capture is 2000
+
+# never dropped: the headline contract (metric/value/unit/sf/queries)
+_COMPACT_TAIL_KEYS = ("metric", "value", "queries")
+# dropped as needed, largest-first, to stay under budget
+_COMPACT_OPTIONAL_KEYS = (
+    "sf_secondary", "value_secondary",
+    "scale_probe_factor", "scale_probe_docs",
+    "scale_probe_events_rows", "maintenance_probe_pairs",
+    "scale_probe2_factor", "scale_probe2_docs",
+    "queries_scale_probe2",
+)
+
+
+def compact_record(out: dict, full_name: str) -> dict:
+    """The LAST-stdout-line record: headline contract + one-number probe
+    summaries, sized under COMPACT_BUDGET with the contract keys last."""
+    head = {"unit": out["unit"], "sf": out["sf"], "full_record": full_name}
+    tail = {k: out[k] for k in _COMPACT_TAIL_KEYS}
+    base_len = len(json.dumps({**head, **tail}))
+    budget = COMPACT_BUDGET - base_len
+    opts: dict = {}
+    # admit optional keys smallest-first so scalars survive even if a
+    # future probe table balloons
+    present = [(len(json.dumps({k: out[k]})), k)
+               for k in _COMPACT_OPTIONAL_KEYS if k in out]
+    for size, key in sorted(present):
+        # +1 for the joining comma
+        if size + 1 <= budget:
+            opts[key] = out[key]
+            budget -= size + 1
+    return {**head, **opts, **tail}
 
 
 if __name__ == "__main__":

@@ -1,0 +1,77 @@
+"""The bench stdout contract: the LAST line must survive the driver's
+2,000-byte tail capture. BENCH_r09/r10/r11.json all carried parsed:null
+because the compact line silently regrew to 3.4 KB (round-11 VERDICT #1);
+these tests pin the fix so it cannot regress a third time.
+"""
+
+import json
+import sys
+from pathlib import Path
+
+REPO = Path(__file__).resolve().parents[1]
+sys.path.insert(0, str(REPO))
+
+import bench  # noqa: E402
+
+
+def _representative_out():
+    """The real artifact when present (the strongest pin: the exact dict
+    the last driver run produced), else a synthetic one at headline scale."""
+    full = REPO / "BENCH_FULL.json"
+    if full.exists():
+        return json.loads(full.read_text())
+    out = {
+        "metric": "bench_total", "value": 12.345, "unit": "sec", "sf": 0.1,
+        "queries": {q: 1.234 for q in bench.BENCH_QUERIES},
+        "sf_secondary": 0.01, "value_secondary": 9.876,
+        "scale_probe_factor": 10, "scale_probe_docs": 50000,
+        "scale_probe_events_rows": 1000000, "maintenance_probe_pairs": 4943600,
+        "scale_probe2_factor": 30, "scale_probe2_docs": 150000,
+        "queries_scale_probe2": {f"q{i}": 12.345 for i in range(5)},
+    }
+    return out
+
+
+def test_compact_record_fits_tail_capture():
+    line = json.dumps(bench.compact_record(_representative_out(), "BENCH_FULL.json"))
+    assert len(line) < bench.COMPACT_BUDGET, (
+        f"compact bench line is {len(line)} bytes; the driver tail capture "
+        f"keeps 2000 — trim _COMPACT_OPTIONAL_KEYS or the headline set"
+    )
+
+
+def test_compact_record_headline_serializes_last():
+    rec = bench.compact_record(_representative_out(), "BENCH_FULL.json")
+    # json.dumps preserves dict insertion order: a tail cut eats the FRONT
+    # of the line, so the contract keys must be the last three
+    assert list(rec)[-3:] == ["metric", "value", "queries"]
+    for key in ("metric", "value", "unit", "sf", "queries"):
+        assert key in rec
+
+
+def test_compact_record_sheds_oversized_sections():
+    out = _representative_out()
+    out = dict(out)
+    # a future probe table ballooning must not push the line past budget
+    out["queries_scale_probe2"] = {f"very_long_query_name_{i}": 123.456
+                                   for i in range(200)}
+    rec = bench.compact_record(out, "BENCH_FULL.json")
+    line = json.dumps(rec)
+    assert len(line) < bench.COMPACT_BUDGET
+    assert "queries_scale_probe2" not in rec  # shed, not truncated
+    # scalars still admitted (smallest-first admission)
+    assert "scale_probe_factor" not in out or "scale_probe_factor" in rec
+    assert rec["metric"] == out["metric"] and rec["value"] == out["value"]
+
+
+def test_headline_contract_alone_fits_budget():
+    """If the mandatory head+tail ever outgrow the budget on their own,
+    no shedding can save the line — fail loudly here first."""
+    out = _representative_out()
+    base = {"unit": out["unit"], "sf": out["sf"],
+            "full_record": "BENCH_FULL.json",
+            **{k: out[k] for k in ("metric", "value", "queries")}}
+    assert len(json.dumps(base)) < bench.COMPACT_BUDGET - 200, (
+        "headline per-query table leaves <200 bytes of slack; prune "
+        "BENCH_QUERIES or raise the driver-side capture"
+    )
