@@ -174,7 +174,10 @@ def curate_disposition(docs: DataFrame) -> DataFrame:
         "doc_id", "lang",
         F.col("__s0").alias("drop_stage"),
         F.lit(None).cast("string").alias("split"),
-        F.lit(None).cast("long").alias("dup_of"),
+        # dup_of is an id-typed column (the exact_dup branch carries the
+        # winner's doc_id); derive its NULL's type from the id column so
+        # string-id corpora union cleanly instead of failing on long
+        F.lit(None).cast(docs.schema["doc_id"].dataType).alias("dup_of"),
     )
     keyed = staged.where(F.col("__s0").isNull())
     winners = keyed.groupBy("__h").agg(F.min("doc_id").alias("__win"))

@@ -337,11 +337,17 @@ def pretrain_disposition(
 
         docs = docs.withColumn("text", normalize_text_col("text"))
 
+    # dup_of carries a doc id, so it must be TYPED as one: a hard-coded
+    # long silently NULLs the kept-twin pointer on string-id corpora
+    # (snowflake/UUID ids — the same id-space class the IVF seeding fix
+    # was about) and makes the union fail confusingly on other types
+    id_type = docs.schema["doc_id"].dataType
+
     def verdict(ids: DataFrame, stage: str) -> DataFrame:
         return ids.select(
             "doc_id",
             F.lit(stage).alias("stage"),
-            F.lit(None).cast("long").alias("dup_of"),
+            F.lit(None).cast(id_type).alias("dup_of"),
         )
 
     def eager(df: DataFrame) -> DataFrame:
@@ -462,7 +468,7 @@ def pretrain_disposition(
     out = out.unionByName(neardup_losers.select(
         "doc_id",
         F.lit("neardup_dup").alias("stage"),
-        F.col("__surv").cast("long").alias("dup_of"),
+        F.col("__surv").cast(id_type).alias("dup_of"),
     ))
 
     if embeddings is not None:
@@ -491,7 +497,7 @@ def pretrain_disposition(
         unique_ids.where(F.col("split") != "train").select(
             "doc_id",
             F.col("split").alias("stage"),
-            F.lit(None).cast("long").alias("dup_of"),
+            F.lit(None).cast(id_type).alias("dup_of"),
         )
     )
     train = unique.join(

@@ -142,3 +142,28 @@ def test_curate_disposition_classifies_degenerate_docs(spark):
     assert got[4]["drop_stage"] == "lang_mismatch"
     assert got[4]["dup_of"] is None  # gate drops carry no twin pointer
     assert got[5]["drop_stage"] == "token_count"
+
+
+def test_curate_disposition_string_ids_carry_dup_of(spark):
+    """r12 (r11 VERDICT #3 / ADVICE): dup_of is id-TYPED, derived from
+    the corpus's own id column — on a string-id corpus (snowflake/UUID
+    ids) the exact_dup rows must carry the winner's STRING id, not a
+    silently-NULLed long."""
+    from etl_pack_spark.plans.curate import curate_disposition
+
+    text_en = " ".join(["the", "and", "with", "have"] * 5)
+    docs = spark.createDataFrame(
+        [
+            ("doc-b", text_en, "en"),
+            ("doc-a", text_en, "en"),   # min(doc_id) -> 'doc-a' wins
+            ("doc-c", "tiny", "en"),
+        ],
+        "doc_id string, text string, lang string",
+    )
+    dispo = curate_disposition(docs)
+    assert dispo.schema["dup_of"].dataType.simpleString() == "string"
+    got = {r["doc_id"]: r for r in dispo.collect()}
+    assert got["doc-a"]["drop_stage"] is None
+    assert got["doc-b"]["drop_stage"] == "exact_dup"
+    assert got["doc-b"]["dup_of"] == "doc-a"
+    assert got["doc-c"]["dup_of"] is None

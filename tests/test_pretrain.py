@@ -395,3 +395,38 @@ def test_pretrain_checkpoint_stages_is_pure_acceleration(spark, sf_dir):
         docs, checkpoint_stages=True, **kwargs
     ).select("doc_id", "copy_n", "n_tokens", "pack_id", "oversize").collect()))
     assert lazy == fast and lazy
+
+
+def test_pretrain_disposition_string_ids(spark):
+    """r12 (r11 VERDICT #3 / ADVICE medium): dup_of on a STRING-id
+    corpus — the exact_dup pointer, the neardup_dup survivor pointer,
+    and every NULL branch must all carry the id column's own type; the
+    old hard-coded long cast silently NULLed the pointer."""
+    from etl_pack_spark.plans.pretrain import pretrain_disposition
+
+    base = " ".join(
+        ["the", "and", "with", "have", "for", "was", "that", "it"] * 8
+    )
+    rows = [
+        ("id-a1", base + " alpha", "en", "web"),       # near-dup group A
+        ("id-a2", base + " omega", "en", "web"),       # near-dup of a1
+        ("id-b1", base + " unique beta words", "en", "web"),
+        ("id-c1", base + " gamma", "en", "web"),
+        ("id-c2", base + " gamma", "en", "web"),       # exact dup of c1
+        ("id-d1", "tiny", "en", "web"),                # gate drop
+    ]
+    docs = spark.createDataFrame(
+        rows, "doc_id string, text string, lang string, source string"
+    )
+    dispo = pretrain_disposition(docs, max_hamming=10)
+    assert dispo.schema["dup_of"].dataType.simpleString() == "string"
+    got = {r["doc_id"]: r for r in dispo.collect()}
+    assert len(got) == len(rows)  # conservation
+    assert got["id-c2"]["stage"] == "exact_dup"
+    assert got["id-c2"]["dup_of"] == "id-c1"
+    nd = [r for r in got.values() if r["stage"] == "neardup_dup"]
+    assert nd, "near-dup pair a1/a2 should land within hamming 10"
+    for r in nd:
+        assert isinstance(r["dup_of"], str) and r["dup_of"] in got
+    assert got["id-d1"]["stage"] == "token_count"
+    assert got["id-d1"]["dup_of"] is None
