@@ -550,6 +550,68 @@ def _lease_path(store_path: str) -> str:
 
 
 
+def _reclaim_stale(spark: SparkSession, store_path: str, lease: str,
+                   judged_raw: str | None, payload: str,
+                   token: str) -> None:
+    """Overtake a lease already judged stale by the caller: guarded
+    delete + re-create + read-back.
+
+    r12 (r11 ADVICE): the delete is GUARDED — the lease is re-read
+    immediately before it, and the overtake aborts unless the payload
+    is still the exact bytes that were judged stale. Without the
+    guard, two contenders that both judged the same stale lease each
+    ran an unconditional delete+create: contender B could pass its
+    read-back, then the slower contender C would delete B's FRESH
+    lease and create its own, leaving BOTH holding — the read-back
+    closes the create race but not the delete race. With the guard, C
+    re-reads after B's create and sees B's payload (not the judged
+    stale bytes), so it aborts without touching B's lease.
+
+    The remaining window is [guarded re-read → delete]: for it to
+    misfire, B's delete+create must BOTH land inside C's
+    microsecond-scale gap between re-reading the stale bytes and
+    issuing the delete — two filesystem round-trips inside one —
+    versus the old protocol's window of B's entire create-to-read-back
+    span sitting anywhere inside C's judge-to-delete span (seconds,
+    since judging includes a read and JSON parse of a file both
+    contenders raced to). A zero-window takeover needs an atomic
+    compare-and-swap, which the Hadoop FileSystem contract does not
+    offer (rename-based takeover moves the race to the rename target
+    instead of closing it: renaming the lease away cannot distinguish
+    the judged stale file from a successor's fresh lease either).
+
+    A vanished lease (``judged_raw`` observed but the re-read returns
+    None) means the holder released or another reclaimer won the
+    delete — fall through to the create, which then either wins
+    cleanly or loses loudly at the read-back."""
+    import json
+
+    from etl_pack_spark.sinks.fsio import create_exclusive, read_text
+    from etl_pack_spark.sinks.fsio import delete as fs_delete
+
+    current = read_text(spark, lease)
+    if current is not None and current != judged_raw:
+        raise RuntimeError(
+            f"lost the race re-acquiring a stale ingest lease on "
+            f"{store_path!r} — another firing already replaced it"
+        )
+    if current is not None:
+        fs_delete(spark, lease)
+    create_exclusive(spark, lease, payload)
+    # VERIFY we are the holder (two overtakers can both pass the
+    # create on stores without atomic create-if-absent)
+    back = read_text(spark, lease)
+    try:
+        winner = json.loads(back)["token"]
+    except (TypeError, ValueError, KeyError):
+        winner = None
+    if winner != token:
+        raise RuntimeError(
+            f"lost the race re-acquiring a stale ingest lease on "
+            f"{store_path!r} — another firing took it first"
+        )
+
+
 @_contextmanager
 def _stamp_lease(spark: SparkSession, store_path: str,
                  ttl_ms: int = DEFAULT_LEASE_TTL_MS):
@@ -586,6 +648,13 @@ def _stamp_lease(spark: SparkSession, store_path: str,
       same stale lease both "succeed" at create on stores without
       atomic create-if-absent, and the read-back demotes that race to
       a loud error.
+    * The overtake's delete is GUARDED (r12): the lease is re-read
+      immediately before the delete and the overtake aborts unless
+      the payload is still the judged stale bytes — otherwise a slow
+      contender could delete the fast contender's freshly re-created
+      lease AFTER its read-back passed, leaving both holding (the
+      read-back closes the create race, not the delete race). See
+      :func:`_reclaim_stale` for the residual window.
 
     Exclusive create is atomic on local paths (O_EXCL) and HDFS; on
     S3-family stores the whole protocol is best-effort (see
@@ -627,21 +696,8 @@ def _stamp_lease(spark: SparkSession, store_path: str,
             age = (now_ms - mt) if mt is not None else ttl_ms + 1
         if age <= ttl_ms:
             raise held_error(age)
-        # stale: the holder crashed without releasing — overtake, then
-        # VERIFY we are the holder (two overtakers can both pass the
-        # create on stores without atomic create-if-absent)
-        fs_delete(spark, lease)
-        create_exclusive(spark, lease, payload)
-        back = read_text(spark, lease)
-        try:
-            winner = json.loads(back)["token"]
-        except (TypeError, ValueError, KeyError):
-            winner = None
-        if winner != token:
-            raise RuntimeError(
-                f"lost the race re-acquiring a stale ingest lease on "
-                f"{store_path!r} — another firing took it first"
-            )
+        # stale: the holder crashed without releasing — overtake
+        _reclaim_stale(spark, store_path, lease, raw, payload, token)
     try:
         yield
     finally:

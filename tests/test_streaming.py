@@ -985,3 +985,43 @@ class TestIngestLease:
                 str(tmp_path / "ck"), id_col="no_such_col",
             )
         assert not fsio.exists(spark, _lease_path(store))
+
+    def test_stale_reclaim_guarded_delete(self, spark, tmp_path):
+        """r12 (r11 ADVICE medium): two contenders that both judged
+        the same stale lease must not BOTH end up holding — the slow
+        one re-reads immediately before its delete and aborts when
+        the payload is no longer the judged stale bytes (i.e. the
+        fast contender already re-created a fresh lease)."""
+        import json
+
+        import pytest
+
+        from etl_pack_spark.sinks import fsio
+        from etl_pack_spark.streaming.incremental import (
+            _lease_path,
+            _reclaim_stale,
+        )
+
+        store = str(tmp_path / "store")
+        lease = _lease_path(store)
+        stale = json.dumps({"token": "dead", "pid": 1, "acquired_at_ms": 1})
+        fresh = json.dumps(
+            {"token": "fast", "pid": 2, "acquired_at_ms": 9_999_999_999_999}
+        )
+        # the fast contender already overtook: lease payload is FRESH
+        fsio.write_text(spark, lease, fresh)
+        with pytest.raises(RuntimeError, match="already replaced"):
+            _reclaim_stale(spark, store, lease, stale, '{"token":"slow"}',
+                           "slow")
+        # the fresh holder's lease survived the losing contender
+        assert json.loads(fsio.read_text(spark, lease))["token"] == "fast"
+        # unchanged stale payload: the overtake proceeds and holds
+        fsio.write_text(spark, lease, stale)
+        mine = json.dumps({"token": "slow", "pid": 3, "acquired_at_ms": 5})
+        _reclaim_stale(spark, store, lease, stale, mine, "slow")
+        assert json.loads(fsio.read_text(spark, lease))["token"] == "slow"
+        # vanished lease (holder released between judge and reclaim):
+        # fall through to a clean create
+        fsio.delete(spark, lease)
+        _reclaim_stale(spark, store, lease, stale, mine, "slow")
+        assert json.loads(fsio.read_text(spark, lease))["token"] == "slow"
