@@ -2057,7 +2057,12 @@ ORACLES: dict[str, str] = {
     """,
     # r5 merge: MAD outlier summary (exact-percentile variant) × the
     # one-row profile; r6 merge: × the one-row column-level PII
-    # exposure profile over documents (cross join all three)
+    # exposure profile over documents (cross join all three).
+    # r12: the drift batch slice filters on the RECOMPUTED n_chars
+    # (signals subquery), exactly like the Spark side's
+    # sig.where(n_chars < 500) — the stored documents.n_chars column
+    # only coincidentally equals length(text) on this fixture
+    # (r11 VERDICT #4)
     "dq_profile_orders": f"""
         SELECT s.*, p.*, pp.*, dd.* FROM (
             SELECT o_orderpriority, COUNT(*) AS n_vals,
@@ -2081,9 +2086,9 @@ ORACLES: dict[str, str] = {
                 signal_histogram_sql(
                     textops.text_signals_sql("documents", "doc_id", "text")),
                 signal_histogram_sql(
-                    textops.text_signals_sql(
-                        "(SELECT * FROM documents WHERE n_chars < 500)",
-                        "doc_id", "text")),
+                    "SELECT * FROM ("
+                    + textops.text_signals_sql("documents", "doc_id", "text")
+                    + ") WHERE n_chars < 500"),
             )})
         ) dd
     """,
