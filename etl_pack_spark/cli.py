@@ -103,6 +103,29 @@ def build_parser() -> argparse.ArgumentParser:
                         "--id-col/--text-col (defaults doc_id/text)")
     p.add_argument("--drift-batch", default=None, metavar="BATCH",
                    help="--drift: the ingest-batch parquet docs path")
+    p.add_argument("--drift-save-baseline", default=None, metavar="HIST",
+                   help="--drift: instead of a firing, compute the "
+                        "baseline signal histogram over the --drift docs "
+                        "ONCE and save it to HIST (atomic swap; a few-"
+                        "dozen-row parquet) — later firings pass HIST as "
+                        "the --drift baseline and cost one batch scan "
+                        "instead of rescanning the baseline corpus")
+    p.add_argument("--drift-config", default=None, metavar="JSON",
+                   help="--drift: custom bucket config as a JSON file "
+                        '{"edges": {signal: [cut, ...]}, "categories": '
+                        "{signal: [value, ...]}}; REPLACES the built-in "
+                        "web-corpus spec (an omitted section disables "
+                        "that signal family). A saved baseline histogram "
+                        "remembers its config: firings against it reuse "
+                        "the stored config automatically and reject a "
+                        "contradictory --drift-config")
+    p.add_argument("--report-trend", default=None, metavar="STORE",
+                   help="trend read over a --report-out history store: "
+                        "per (mode, metric) the firing count, last "
+                        "value/verdict, and first major-shift timestamp, "
+                        "as JSON, instead of a transfer; compact the "
+                        "store with --compact STORE --target STORE "
+                        "--in-place when firings accumulate")
     p.add_argument("--report-out", default=None, metavar="STORE",
                    help="--funnel/--drift: also APPEND this firing's "
                         "report rows (fired_at_ms, mode, subject, "
@@ -153,6 +176,67 @@ def build_parser() -> argparse.ArgumentParser:
     return p
 
 
+def _drift_config_from_json(text: str) -> tuple[dict, dict]:
+    """Parse and validate a ``--drift-config`` payload into the
+    ``(edges, categories)`` pair :func:`~.quality.signal_histogram`
+    takes. The config REPLACES the built-in spec (an omitted section
+    means that signal family is disabled), so the result is exactly
+    what the user wrote — validated LOUDLY here (the drift-name
+    posture) because every name and value is interpolated into
+    generated expressions."""
+    from etl_pack_spark.operators.quality import (
+        _check_drift_categories,
+        _check_drift_signal_names,
+    )
+
+    cfg = json.loads(text)
+    if not isinstance(cfg, dict) or not cfg or not set(cfg) <= {
+        "edges", "categories"
+    }:
+        raise ValueError(
+            "drift config must be a JSON object with 'edges' and/or "
+            "'categories' keys"
+        )
+    edges: dict[str, tuple[float, ...]] = {}
+    for name, cuts in (cfg.get("edges") or {}).items():
+        if not isinstance(cuts, list) or not cuts:
+            raise ValueError(
+                f"drift config edges[{name!r}] must be a non-empty list"
+            )
+        vals = tuple(float(x) for x in cuts)
+        if any(b <= a for a, b in zip(vals, vals[1:])):
+            raise ValueError(
+                f"drift config edges[{name!r}] must be strictly "
+                f"increasing (got {list(vals)})"
+            )
+        edges[str(name)] = vals
+    categories: dict[str, tuple[str, ...]] = {}
+    for name, cats in (cfg.get("categories") or {}).items():
+        if not isinstance(cats, list) or not cats:
+            raise ValueError(
+                f"drift config categories[{name!r}] must be a non-empty "
+                "list"
+            )
+        categories[str(name)] = tuple(str(v) for v in cats)
+    if not edges and not categories:
+        raise ValueError("drift config declares no signals")
+    _check_drift_signal_names(edges, categories)
+    _check_drift_categories(categories)
+    return edges, categories
+
+
+def _canonical_drift_config(edges: dict, categories: dict) -> str:
+    """The stored/compared rendering of a drift bucket config: sorted
+    keys, lists — byte-identical iff the configs bucket identically."""
+    return json.dumps(
+        {
+            "edges": {k: [float(x) for x in v] for k, v in edges.items()},
+            "categories": {k: list(v) for k, v in categories.items()},
+        },
+        sort_keys=True,
+    )
+
+
 def _append_report(spark, path: str, rows: list[dict], mode: str,
                    subject: str, detail: str | None) -> None:
     """Append one firing's report rows to the history store at
@@ -189,17 +273,37 @@ def main(argv: list[str] | None = None) -> int:
     if sum(map(bool, (args.compact, args.compact_partitions,
                       args.compact_sigstore, args.compact_codes,
                       args.update_clusters, args.store_stats,
-                      args.funnel, args.drift))) > 1:
+                      args.funnel, args.drift, args.report_trend))) > 1:
         print("error: --compact, --compact-partitions, "
               "--compact-sigstore, --compact-codes, "
-              "--update-clusters, --store-stats, --funnel and "
-              "--drift are exclusive", file=sys.stderr)
+              "--update-clusters, --store-stats, --funnel, "
+              "--drift and --report-trend are exclusive", file=sys.stderr)
         return 2
-    if bool(args.drift) != bool(args.drift_batch):
-        print("error: --drift and --drift-batch go together",
-              file=sys.stderr)
+    if args.drift:
+        if bool(args.drift_batch) == bool(args.drift_save_baseline):
+            print("error: --drift takes exactly one of --drift-batch "
+                  "(a PSI firing) or --drift-save-baseline (persist the "
+                  "baseline histogram)", file=sys.stderr)
+            return 2
+    elif args.drift_batch or args.drift_save_baseline or args.drift_config:
+        print("error: --drift-batch/--drift-save-baseline/--drift-config "
+              "only apply to --drift", file=sys.stderr)
         return 2
-    if args.report_out and not (args.funnel or args.drift):
+    drift_edges = drift_categories = None
+    if args.drift_config:
+        # parse + validate BEFORE the JVM: every name/value lands in
+        # generated expressions, and a cron misconfiguration should
+        # fail in milliseconds with the offending value named
+        try:
+            with open(args.drift_config, encoding="utf-8") as fh:
+                drift_edges, drift_categories = _drift_config_from_json(
+                    fh.read()
+                )
+        except (OSError, ValueError) as e:
+            print(f"error: --drift-config {args.drift_config}: {e}",
+                  file=sys.stderr)
+            return 2
+    if args.report_out and not (args.funnel or args.drift_batch):
         print("error: --report-out only applies to --funnel/--drift "
               "firings", file=sys.stderr)
         return 2
@@ -217,8 +321,9 @@ def main(argv: list[str] | None = None) -> int:
         ]
         if foreign:
             print(f"error: {', '.join(foreign)} do not apply to --drift "
-                  "(it takes only --drift-batch, --id-col, --text-col "
-                  "and --report-out)", file=sys.stderr)
+                  "(it takes only --drift-batch/--drift-save-baseline, "
+                  "--drift-config, --id-col, --text-col and --report-out)",
+                  file=sys.stderr)
             return 2
     if args.funnel_gates is not None and not args.funnel:
         print("error: --funnel-gates only applies to --funnel",
@@ -367,7 +472,7 @@ def main(argv: list[str] | None = None) -> int:
     elif (
         not args.compact_sigstore and not args.compact_codes
         and not args.update_clusters and not args.store_stats
-        and not args.funnel and not args.drift
+        and not args.funnel and not args.drift and not args.report_trend
         and (not args.source_dir or not args.table or not args.target)
     ):
         print("error: --source-dir, --table and --target are required "
@@ -416,16 +521,101 @@ def main(argv: list[str] | None = None) -> int:
         return 0
 
     if args.drift:
-        from etl_pack_spark.operators.quality import quality_drift
+        from etl_pack_spark.operators.quality import (
+            DRIFT_CATEGORIES,
+            DRIFT_EDGES,
+            psi_report,
+            signal_histogram,
+        )
+        from etl_pack_spark.operators.textops import text_signals
+        from etl_pack_spark.sinks.fsio import read_text, write_text
 
+        id_col = args.id_col or "doc_id"
+        text_col = args.text_col or "text"
+        if drift_edges is None and drift_categories is None:
+            cfg_edges, cfg_categories = dict(DRIFT_EDGES), dict(DRIFT_CATEGORIES)
+            cfg_explicit = False
+        else:
+            cfg_edges, cfg_categories = drift_edges, drift_categories
+            cfg_explicit = True
+
+        def hist_over_docs(path: str):
+            return signal_histogram(
+                text_signals(spark.read.parquet(path), id_col, text_col),
+                cfg_edges, cfg_categories,
+            )
+
+        if args.drift_save_baseline:
+            # persist the baseline histogram ONCE (r11 VERDICT #2): the
+            # fixed-edge design makes it a reusable few-dozen-row
+            # artifact, so every later firing costs one BATCH scan
+            # instead of a full baseline-corpus rescan. Atomic swap
+            # (same posture as the other maintenance artifacts) + the
+            # bucket config stored INSIDE the directory (underscore
+            # name: invisible to parquet readers), so firings can
+            # verify they bucket the batch the same way.
+            from etl_pack_spark.sinks.atomic import (
+                clean_orphan_stages,
+                publish_swap,
+                recover_swap,
+                stage_dir,
+            )
+
+            target = args.drift_save_baseline
+            recover_swap(target)
+            clean_orphan_stages(target, "drift_stage_")
+            staged = stage_dir(target, "drift_stage_")
+            hist_over_docs(args.drift).coalesce(1).write.mode(
+                "overwrite"
+            ).parquet(staged)
+            write_text(
+                spark, staged.rstrip("/") + "/_drift_config.json",
+                _canonical_drift_config(cfg_edges, cfg_categories),
+            )
+            publish_swap(staged, target)
+            n = spark.read.parquet(target).count()
+            print(json.dumps({
+                "mode": "drift_save_baseline", "docs": args.drift,
+                "histogram": target, "buckets": n,
+                "signals": sorted([*cfg_edges, *cfg_categories]),
+            }))
+            return 0
+
+        # firing: the baseline is either a saved histogram (exactly the
+        # signal_histogram schema) or a docs corpus to scan
+        base_df = spark.read.parquet(args.drift)
+        if set(base_df.columns) == {"signal", "bucket", "n", "p"}:
+            stored = read_text(
+                spark, args.drift.rstrip("/") + "/_drift_config.json"
+            )
+            if stored is not None and not cfg_explicit:
+                # reuse the config the baseline was bucketed with
+                try:
+                    cfg_edges, cfg_categories = _drift_config_from_json(
+                        stored
+                    )
+                except ValueError as e:
+                    print(f"error: stored drift config in {args.drift} "
+                          f"is invalid: {e}", file=sys.stderr)
+                    return 2
+            elif stored is not None and cfg_explicit and \
+                    _canonical_drift_config(cfg_edges, cfg_categories) != \
+                    json.dumps(json.loads(stored), sort_keys=True):
+                print("error: --drift-config contradicts the config the "
+                      f"baseline histogram {args.drift} was saved with — "
+                      "PSI between differently-bucketed histograms is "
+                      "meaningless; re-save the baseline or drop the flag",
+                      file=sys.stderr)
+                return 2
+            report_df = psi_report(base_df, hist_over_docs(args.drift_batch))
+        else:
+            report_df = psi_report(
+                hist_over_docs(args.drift),
+                hist_over_docs(args.drift_batch),
+            )
         report = {
             r["signal"]: {"psi": r["psi"], "verdict": r["verdict"]}
-            for r in quality_drift(
-                spark.read.parquet(args.drift),
-                spark.read.parquet(args.drift_batch),
-                args.id_col or "doc_id",
-                args.text_col or "text",
-            ).collect()
+            for r in report_df.collect()
         }
         worst = max((v["psi"] for v in report.values()), default=0.0)
         if args.report_out:
@@ -436,6 +626,29 @@ def main(argv: list[str] | None = None) -> int:
         print(json.dumps({"mode": "drift", "baseline": args.drift,
                           "batch": args.drift_batch, "signals": report,
                           "max_psi": worst}))
+        return 0
+
+    if args.report_trend:
+        from pyspark.sql import functions as F
+
+        trend = (
+            spark.read.parquet(args.report_trend)
+            .groupBy("mode", "metric")
+            .agg(
+                F.countDistinct("fired_at_ms").alias("n_firings"),
+                F.max("fired_at_ms").alias("last_fired_at_ms"),
+                F.expr("max_by(value, fired_at_ms)").alias("last_value"),
+                F.expr("max_by(verdict, fired_at_ms)").alias("last_verdict"),
+                F.min(
+                    F.when(F.col("verdict") == "major", F.col("fired_at_ms"))
+                ).alias("first_major_ms"),
+            )
+        )
+        # report-sized by construction: one row per (mode, metric)
+        rows = [r.asDict() for r in trend.collect()]
+        rows.sort(key=lambda r: (r["mode"], r["metric"]))
+        print(json.dumps({"mode": "report_trend",
+                          "store": args.report_trend, "metrics": rows}))
         return 0
 
     if args.store_stats:

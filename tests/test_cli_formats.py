@@ -360,7 +360,7 @@ def test_cli_drift_report(sf_dir, tmp_path):
         [sys.executable, "-m", "etl_pack_spark.cli", "--drift", "/x"],
         capture_output=True, text=True, cwd="/root/repo",
     )
-    assert r2.returncode == 2 and "go together" in r2.stderr
+    assert r2.returncode == 2 and "exactly one of" in r2.stderr
     r3 = subprocess.run(
         [sys.executable, "-m", "etl_pack_spark.cli",
          "--drift", "/x", "--drift-batch", "/y", "--funnel", "/z"],
@@ -426,3 +426,157 @@ def test_cli_drift_rejects_funnel_flags():
         capture_output=True, text=True, cwd="/root/repo",
     )
     assert r.returncode == 2 and "--funnel-gates" in r.stderr
+
+def test_cli_drift_saved_baseline_roundtrip(spark, sf_dir, tmp_path):
+    """r12 (r11 VERDICT #2 / ADVICE): --drift-save-baseline persists
+    the baseline histogram once; a later firing passes the HISTOGRAM
+    as --drift and never touches the baseline docs — proven black-box
+    by DELETING the docs copy between save and firing."""
+    import os
+    import shutil
+
+    src = f"{sf_dir}/documents.parquet"
+    docs = str(tmp_path / "docs.parquet")
+    (shutil.copytree if os.path.isdir(src) else shutil.copy)(src, docs)
+    hist = str(tmp_path / "baseline_hist")
+    res = subprocess.run(
+        [sys.executable, "-m", "etl_pack_spark.cli",
+         "--drift", docs, "--drift-save-baseline", hist],
+        capture_output=True, text=True, cwd="/root/repo", check=True,
+    )
+    out = json.loads(res.stdout.strip().splitlines()[-1])
+    assert out["mode"] == "drift_save_baseline" and out["buckets"] > 0
+    assert "lang_pred" in out["signals"] and "n_tokens" in out["signals"]
+    # the saved artifact IS a signal_histogram frame + its config
+    hdf = spark.read.parquet(hist)
+    assert set(hdf.columns) == {"signal", "bucket", "n", "p"}
+    assert os.path.exists(f"{hist}/_drift_config.json")
+    # the firing must not need the baseline docs at all
+    (shutil.rmtree if os.path.isdir(docs) else os.remove)(docs)
+    batch = f"{sf_dir}/documents.parquet"
+    res2 = subprocess.run(
+        [sys.executable, "-m", "etl_pack_spark.cli",
+         "--drift", hist, "--drift-batch", batch],
+        capture_output=True, text=True, cwd="/root/repo", check=True,
+    )
+    out2 = json.loads(res2.stdout.strip().splitlines()[-1])
+    # saved-vs-recomputed over the same corpus: identical histograms
+    assert out2["mode"] == "drift" and out2["max_psi"] == 0.0
+    assert all(v["verdict"] == "stable" for v in out2["signals"].values())
+    # pairing validation: both targets at once is a config error
+    r3 = subprocess.run(
+        [sys.executable, "-m", "etl_pack_spark.cli",
+         "--drift", hist, "--drift-batch", batch,
+         "--drift-save-baseline", str(tmp_path / "h2")],
+        capture_output=True, text=True, cwd="/root/repo",
+    )
+    assert r3.returncode == 2 and "exactly one of" in r3.stderr
+
+
+def test_cli_drift_config_knobs(sf_dir, tmp_path):
+    """r12 (r11 VERDICT #8): --drift-config replaces the bucket spec;
+    invalid configs fail pre-JVM with the offending value named; a
+    firing against a saved baseline rejects a contradictory config."""
+    docs = f"{sf_dir}/documents.parquet"
+    cfg = tmp_path / "cfg.json"
+    cfg.write_text(json.dumps(
+        {"edges": {"n_tokens": [50, 200]},
+         "categories": {"lang_pred": ["en", "de"]}}
+    ))
+    hist = str(tmp_path / "hist")
+    subprocess.run(
+        [sys.executable, "-m", "etl_pack_spark.cli",
+         "--drift", docs, "--drift-save-baseline", hist,
+         "--drift-config", str(cfg)],
+        capture_output=True, text=True, cwd="/root/repo", check=True,
+    )
+    # firing WITHOUT the flag reuses the stored config (only the two
+    # configured signals appear)
+    res = subprocess.run(
+        [sys.executable, "-m", "etl_pack_spark.cli",
+         "--drift", hist, "--drift-batch", docs],
+        capture_output=True, text=True, cwd="/root/repo", check=True,
+    )
+    out = json.loads(res.stdout.strip().splitlines()[-1])
+    assert set(out["signals"]) == {"n_tokens", "lang_pred"}
+    assert out["max_psi"] == 0.0
+    # a contradictory explicit config is rejected loudly
+    cfg2 = tmp_path / "cfg2.json"
+    cfg2.write_text(json.dumps({"edges": {"n_tokens": [10, 99]}}))
+    r2 = subprocess.run(
+        [sys.executable, "-m", "etl_pack_spark.cli",
+         "--drift", hist, "--drift-batch", docs,
+         "--drift-config", str(cfg2)],
+        capture_output=True, text=True, cwd="/root/repo",
+    )
+    assert r2.returncode == 2 and "contradicts" in r2.stderr
+    # validation failures are fast (no Spark) and name the problem
+    for payload, msg in [
+        ('{"edges": {"n_tokens": [200, 50]}}', "strictly increasing"),
+        ('{"edges": {"bad name": [1, 2]}}', "plain identifier"),
+        ('{"categories": {"lang_pred": ["o\'brien"]}}', "plain token"),
+        ('{"edges": {}}', "no signals"),
+        ('{"unknown": 1}', "edges"),
+        ("not json", "--drift-config"),
+    ]:
+        bad = tmp_path / "bad.json"
+        bad.write_text(payload)
+        r = subprocess.run(
+            [sys.executable, "-m", "etl_pack_spark.cli",
+             "--drift", docs, "--drift-batch", docs,
+             "--drift-config", str(bad)],
+            capture_output=True, text=True, cwd="/root/repo",
+        )
+        assert r.returncode == 2 and msg in r.stderr, (payload, r.stderr)
+    # scoped to --drift
+    r3 = subprocess.run(
+        [sys.executable, "-m", "etl_pack_spark.cli",
+         "--funnel", docs, "--drift-config", str(cfg)],
+        capture_output=True, text=True, cwd="/root/repo",
+    )
+    assert r3.returncode == 2 and "only apply to --drift" in r3.stderr
+
+
+def test_cli_report_trend(spark, sf_dir, tmp_path):
+    """r12 (r11 VERDICT #6): --report-trend answers "when did drift
+    start" over a multi-firing --report-out store without hand-written
+    SQL: per (mode, metric) the firing count, last value/verdict, and
+    first major-shift timestamp."""
+    store = str(tmp_path / "reports")
+    docs = f"{sf_dir}/documents.parquet"
+    # firing 1: stable (identical corpora); firing 2: planted major
+    # shift (truncated batch)
+    trunc = str(tmp_path / "trunc.parquet")
+    spark.read.parquet(docs).selectExpr(
+        "doc_id", "substr(text, 1, 40) AS text"
+    ).write.parquet(trunc)
+    for batch in (docs, trunc):
+        subprocess.run(
+            [sys.executable, "-m", "etl_pack_spark.cli",
+             "--drift", docs, "--drift-batch", batch,
+             "--report-out", store],
+            capture_output=True, text=True, cwd="/root/repo", check=True,
+        )
+    res = subprocess.run(
+        [sys.executable, "-m", "etl_pack_spark.cli",
+         "--report-trend", store],
+        capture_output=True, text=True, cwd="/root/repo", check=True,
+    )
+    out = json.loads(res.stdout.strip().splitlines()[-1])
+    assert out["mode"] == "report_trend"
+    rows = {r["metric"]: r for r in out["metrics"]}
+    assert rows and all(r["n_firings"] == 2 for r in rows.values())
+    nt = rows["n_tokens"]
+    assert nt["last_verdict"] == "major" and nt["last_value"] > 0.25
+    # the major shift started at the SECOND firing, and its timestamp
+    # is the latest one
+    assert nt["first_major_ms"] == nt["last_fired_at_ms"]
+    assert all(r["last_verdict"] in ("stable", "moderate", "major")
+               for r in rows.values())
+    # exclusive with other modes
+    r2 = subprocess.run(
+        [sys.executable, "-m", "etl_pack_spark.cli",
+         "--report-trend", store, "--funnel", docs],
+        capture_output=True, text=True, cwd="/root/repo",
+    )
+    assert r2.returncode == 2 and "exclusive" in r2.stderr
