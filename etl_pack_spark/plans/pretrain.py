@@ -34,6 +34,47 @@ from etl_pack_spark.operators.tokenize import tokens
 from etl_pack_spark.plans.curate import curate_corpus
 
 
+def _stage_checkpointer(mode, spark=None):
+    """The stage-boundary materializer behind ``checkpoint_stages`` /
+    ``checkpoint`` (r12, r11 VERDICT #4): both truncate the logical
+    plan identically; they differ only in where the blocks live.
+
+    * ``False``/``None`` — no truncation (one lazy Catalyst plan).
+    * ``True``/``"local"`` — ``localCheckpoint``: executor-local
+      blocks, no distributed-FS write, but lineage is GONE — an
+      executor lost mid-job (spot kill, decommission) fails the run
+      unrecoverably. The right default for re-runnable report jobs on
+      stable executors.
+    * ``"reliable"`` — ``DataFrame.checkpoint``: blocks written to
+      the SparkContext's checkpoint directory (must be fault-tolerant
+      storage — HDFS/object store), so a lost executor recovers from
+      the checkpoint instead of failing the job. The right mode on
+      preemptible clusters; costs one distributed write per stage
+      boundary. Requires ``spark.sparkContext.setCheckpointDir`` —
+      validated HERE, at entry, so a misconfigured run fails before
+      any stage executes. Checkpoint files are reclaimed by Spark
+      only with ``spark.cleaner.referenceTracking.cleanCheckpoints``
+      enabled; otherwise clean the directory between runs.
+    """
+    if mode is False or mode is None:
+        return lambda df: df
+    if mode is True or mode == "local":
+        return lambda df: df.localCheckpoint(eager=True)
+    if mode == "reliable":
+        if spark is not None and spark.sparkContext.getCheckpointDir() is None:
+            raise ValueError(
+                "checkpoint='reliable' needs a checkpoint directory on "
+                "fault-tolerant storage: call spark.sparkContext."
+                "setCheckpointDir(<hdfs/s3a path>) before building the "
+                "pipeline"
+            )
+        return lambda df: df.checkpoint(eager=True)
+    raise ValueError(
+        "checkpoint mode must be False, True, 'local' or 'reliable' "
+        f"(got {mode!r})"
+    )
+
+
 def prepare_pretraining_corpus(
     docs: DataFrame,
     eval_df: DataFrame | None = None,
@@ -54,7 +95,7 @@ def prepare_pretraining_corpus(
     extract_html: bool = False,
     normalize_unicode: bool = False,
     survivor_by: str | None = None,
-    checkpoint_stages: bool = False,
+    checkpoint_stages: bool | str = False,
 ) -> DataFrame:
     """Documents → packed training sequences.
 
@@ -89,10 +130,11 @@ def prepare_pretraining_corpus(
     curation scan; no extra shuffle). Deterministic end-to-end: every
     stage is hash-based, no RNG.
 
-    ``checkpoint_stages=True`` (r11, opt-in) materializes and
+    ``checkpoint_stages`` (r11, opt-in; ``True``/``"local"`` or
+    ``"reliable"`` — see :func:`_stage_checkpointer`) materializes and
     plan-TRUNCATES the two heaviest reference points — the post-gates
-    ``kept`` corpus and the post-dedup ``unique`` corpus — with
-    ``localCheckpoint``. Turn it on when composing MANY optional
+    ``kept`` corpus and the post-dedup ``unique`` corpus. Turn it on
+    when composing MANY optional
     stages: every stage references the previous frame several times,
     so the lazy plan's size — and Catalyst's re-analysis cost on the
     driver — grows multiplicatively with stage count; with gate+
@@ -105,17 +147,16 @@ def prepare_pretraining_corpus(
     inspectable end-to-end plans), and ``localCheckpoint`` TRADES
     LINEAGE AWAY — blocks live on executors only, so an executor lost
     mid-job (spot kill, decommission) fails the run unrecoverably
-    instead of recomputing. On a preemptible cluster prefer a reliable
-    checkpoint (``spark.sparkContext.setCheckpointDir`` +
-    ``DataFrame.checkpoint``) at the same two points, which buys the
-    identical plan truncation at the cost of a distributed-FS write.
+    instead of recomputing. On a preemptible cluster pass
+    ``checkpoint_stages="reliable"`` (r12): the same two truncation
+    points via ``DataFrame.checkpoint`` into the SparkContext's
+    checkpoint directory — identical output (parity-pinned), plan
+    truncation kept, executor loss recoverable, at the cost of one
+    distributed-FS write per boundary.
     """
-    # stage-boundary truncation, opt-in (see docstring)
-    cp = (
-        (lambda df: df.localCheckpoint(eager=True))
-        if checkpoint_stages
-        else (lambda df: df)
-    )
+    # stage-boundary truncation, opt-in (see docstring); validates the
+    # mode — and, for "reliable", the checkpoint dir — BEFORE any work
+    cp = _stage_checkpointer(checkpoint_stages, docs.sparkSession)
 
     if extract_html:
         from etl_pack_spark.operators.cleaning import html_clean_lines
@@ -282,6 +323,7 @@ def pretrain_disposition(
     extract_html: bool = False,
     normalize_unicode: bool = False,
     survivor_by: str | None = None,
+    checkpoint: str = "local",
 ) -> DataFrame:
     """Per-document WHOLE-PIPELINE disposition for
     :func:`prepare_pretraining_corpus`: every input document gets
@@ -350,9 +392,24 @@ def pretrain_disposition(
             F.lit(None).cast(id_type).alias("dup_of"),
         )
 
+    # the audit plan ALWAYS truncates at stage boundaries (see eager);
+    # ``checkpoint`` picks where the blocks live: "local" (executor
+    # blocks, lineage gone — re-runnable report jobs) or "reliable"
+    # (DataFrame.checkpoint into the SparkContext checkpoint dir —
+    # preemptible clusters; r12, parity-pinned). Validated at entry.
+    if checkpoint not in ("local", "reliable"):
+        # False is not an option here: without truncation the audit's
+        # multiplicative plan growth makes Catalyst analysis alone
+        # take minutes (the r11 finding this design exists to fix)
+        raise ValueError(
+            "pretrain_disposition checkpoint must be 'local' or "
+            f"'reliable' (got {checkpoint!r})"
+        )
+    eager_cp = _stage_checkpointer(checkpoint, docs.sparkSession)
+
     def eager(df: DataFrame) -> DataFrame:
         # materialize AND truncate the plan at the stage boundary
-        # (localCheckpoint, not persist): this audit composes a dozen
+        # (checkpoint, not persist): this audit composes a dozen
         # stages that each reference earlier frames SEVERAL times
         # (verdict anti-join + survivor semi-join per stage), so the
         # LOGICAL plan grows multiplicatively with depth — a persist
@@ -368,9 +425,9 @@ def pretrain_disposition(
         # trade-off: localCheckpoint truncates lineage, so a lost
         # executor mid-audit fails the run instead of recomputing —
         # acceptable for a re-runnable report job; a preemptible-
-        # cluster deployment would swap in a reliable checkpoint
-        # (setCheckpointDir + DataFrame.checkpoint) at the same spots.
-        return df.localCheckpoint(eager=True)
+        # cluster deployment passes checkpoint="reliable" (r12) for
+        # the same spots via DataFrame.checkpoint.
+        return eager_cp(df)
 
     # curate gates: the disposition IS the audit grain of curate_corpus
     # (its drop_stage IS NULL slice equals the survivor query).
@@ -530,7 +587,7 @@ def pretrain_disposition(
     # materialize the audit result (one slim row per doc); the stage
     # boundaries' checkpointed blocks become collectible once this
     # function's frames go out of scope
-    return out.localCheckpoint(eager=True)
+    return eager_cp(out)
 
 
 def pretrain_funnel(docs: DataFrame, **kwargs) -> DataFrame:

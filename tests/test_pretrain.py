@@ -430,3 +430,43 @@ def test_pretrain_disposition_string_ids(spark):
         assert isinstance(r["dup_of"], str) and r["dup_of"] in got
     assert got["id-d1"]["stage"] == "token_count"
     assert got["id-d1"]["dup_of"] is None
+
+
+def test_pretrain_reliable_checkpoint_parity(spark, sf_dir, tmp_path):
+    """r12 (r11 VERDICT #4): checkpoint_stages='reliable'
+    (DataFrame.checkpoint into the context checkpoint dir — the
+    preemptible-cluster mode) must produce output identical to the
+    lazy plan, and must fail LOUDLY at entry when no checkpoint dir
+    is set. Same contract for pretrain_disposition(checkpoint=...)."""
+    import pytest as _pytest
+
+    from etl_pack_spark.plans.pretrain import pretrain_disposition
+
+    docs = _docs(spark, sf_dir)
+    kwargs = dict(weights=WEIGHTS, leakage_safe_split=True)
+    # mode validation is loud
+    with _pytest.raises(ValueError, match="'local' or 'reliable'"):
+        prepare_pretraining_corpus(docs, checkpoint_stages="fast", **kwargs)
+    with _pytest.raises(ValueError, match="'local' or 'reliable'"):
+        pretrain_disposition(docs, checkpoint=False)
+    # no checkpoint dir set yet: entry-time error, before any stage runs
+    assert spark.sparkContext.getCheckpointDir() is None
+    with _pytest.raises(ValueError, match="setCheckpointDir"):
+        prepare_pretraining_corpus(
+            docs, checkpoint_stages="reliable", **kwargs
+        )
+    spark.sparkContext.setCheckpointDir(str(tmp_path / "ckpt"))
+    cols = ["doc_id", "copy_n", "n_tokens", "pack_id", "oversize"]
+    lazy = sorted(map(tuple, prepare_pretraining_corpus(
+        docs, **kwargs
+    ).select(*cols).collect()))
+    reliable = sorted(map(tuple, prepare_pretraining_corpus(
+        docs, checkpoint_stages="reliable", **kwargs
+    ).select(*cols).collect()))
+    assert lazy == reliable and lazy
+    # the audit twin: reliable == local, row for row
+    local_d = sorted(map(tuple, pretrain_disposition(docs).collect()))
+    rel_d = sorted(map(tuple, pretrain_disposition(
+        docs, checkpoint="reliable"
+    ).collect()))
+    assert local_d == rel_d and local_d
