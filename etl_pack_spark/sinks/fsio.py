@@ -70,7 +70,18 @@ def create_exclusive(spark: SparkSession, path: str, text: str) -> bool:
     best-effort (the check and the create are not one operation);
     there the lease degrades from a guarantee to a high-probability
     guard, which is still strictly better than the implicit
-    assumption it replaces (r10 ADVICE)."""
+    assumption it replaces (r10 ADVICE).
+
+    Upgrade path for s3a (r12 probe, SCALE.md round-12): S3 supports
+    ``If-None-Match: *`` on PUT, and Hadoop >= 3.4.1 (HADOOP-19256)
+    exposes it via the ``createFile`` builder option
+    ``fs.option.create.conditional.overwrite`` — atomic create-if-
+    absent checked server-side at close(). Not wired here because
+    PySpark's classpath carries no ``hadoop-aws`` (the option keys
+    exist in ``hadoop-client-api-3.4.2`` but there is no
+    ``S3AFileSystem`` to execute or test against); a deployment that
+    needs the guarantee should pass the option with ``.must`` so an
+    incapable store refuses loudly."""
     import errno
     import os
 
