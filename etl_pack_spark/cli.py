@@ -119,6 +119,22 @@ def build_parser() -> argparse.ArgumentParser:
                         "remembers its config: firings against it reuse "
                         "the stored config automatically and reject a "
                         "contradictory --drift-config")
+    p.add_argument("--register-eval", default=None, metavar="DOCS",
+                   help="eval-registry firing: fingerprint the parquet "
+                        "eval docs at DOCS (distinct word n-gram hashes) "
+                        "into the registry at --eval-store under the name "
+                        "--eval-set, instead of a transfer; idempotent "
+                        "(a retried firing appends 0); later "
+                        "decontamination runs check ALL registered sets "
+                        "in one corpus scan")
+    p.add_argument("--eval-store", default=None, metavar="STORE",
+                   help="--register-eval: the registry parquet store")
+    p.add_argument("--eval-set", default=None, metavar="NAME",
+                   help="--register-eval: the benchmark's name")
+    p.add_argument("--eval-ngram", type=int, default=None, metavar="N",
+                   help="--register-eval: shingle width; pinned at first "
+                        "registration (default 8), later firings must "
+                        "omit or match")
     p.add_argument("--report-trend", default=None, metavar="STORE",
                    help="trend read over a --report-out history store: "
                         "per (mode, metric) the firing count, last "
@@ -273,11 +289,22 @@ def main(argv: list[str] | None = None) -> int:
     if sum(map(bool, (args.compact, args.compact_partitions,
                       args.compact_sigstore, args.compact_codes,
                       args.update_clusters, args.store_stats,
-                      args.funnel, args.drift, args.report_trend))) > 1:
+                      args.funnel, args.drift, args.report_trend,
+                      args.register_eval))) > 1:
         print("error: --compact, --compact-partitions, "
               "--compact-sigstore, --compact-codes, "
               "--update-clusters, --store-stats, --funnel, "
-              "--drift and --report-trend are exclusive", file=sys.stderr)
+              "--drift, --report-trend and --register-eval are "
+              "exclusive", file=sys.stderr)
+        return 2
+    if args.register_eval:
+        if not args.eval_store or not args.eval_set:
+            print("error: --register-eval requires --eval-store and "
+                  "--eval-set", file=sys.stderr)
+            return 2
+    elif args.eval_store or args.eval_set or args.eval_ngram is not None:
+        print("error: --eval-store/--eval-set/--eval-ngram only apply "
+              "to --register-eval", file=sys.stderr)
         return 2
     if args.drift:
         if bool(args.drift_batch) == bool(args.drift_save_baseline):
@@ -473,6 +500,7 @@ def main(argv: list[str] | None = None) -> int:
         not args.compact_sigstore and not args.compact_codes
         and not args.update_clusters and not args.store_stats
         and not args.funnel and not args.drift and not args.report_trend
+        and not args.register_eval
         and (not args.source_dir or not args.table or not args.target)
     ):
         print("error: --source-dir, --table and --target are required "
@@ -626,6 +654,32 @@ def main(argv: list[str] | None = None) -> int:
         print(json.dumps({"mode": "drift", "baseline": args.drift,
                           "batch": args.drift_batch, "signals": report,
                           "max_psi": worst}))
+        return 0
+
+    if args.register_eval:
+        from etl_pack_spark.operators.contamination import (
+            register_eval_set,
+            registered_eval_sets,
+        )
+
+        try:
+            appended = register_eval_set(
+                spark, spark.read.parquet(args.register_eval),
+                args.eval_store, args.eval_set,
+                text_col=args.text_col or "text",
+                n=args.eval_ngram,
+            )
+        except ValueError as e:
+            print(f"error: {e}", file=sys.stderr)
+            return 2
+        inv = {r["eval_set"]: r["n_grams"]
+               for r in registered_eval_sets(spark, args.eval_store)
+               .collect()}
+        print(json.dumps({"mode": "register_eval",
+                          "store": args.eval_store,
+                          "eval_set": args.eval_set,
+                          "appended": appended,
+                          "registered_sets": inv}))
         return 0
 
     if args.report_trend:

@@ -209,3 +209,217 @@ def contamination_report_sql(
     FROM __train_grams JOIN __ev_grams USING (s)
     GROUP BY {id_col}
     """
+
+
+# ---------------------------------------------------------------------------
+# Eval-fingerprint registry (r12): cross-run decontamination store
+# ---------------------------------------------------------------------------
+#
+# decontaminate() takes an eval frame per call; a real training-data
+# platform accumulates eval sets over time (new benchmarks, new held-out
+# splits) and every ingest/refresh must decontaminate against ALL of
+# them. The registry persists each eval set's distinct n-gram hashes
+# ONCE — (gh, eval_set, registered_at_ms) rows, benchmark-sized, so the
+# store stays broadcast-sized by contract — and later runs join against
+# the store without ever re-reading eval text. Same operational posture
+# as the other incremental stores: exclusive ingest lease around the
+# append, append-only parquet, a manifest (underscore name, invisible
+# to parquet readers) pinning the shingle width so every consumer
+# fingerprints identically.
+
+_REGISTRY_META = "_eval_registry.json"
+
+
+def _registry_meta_path(store_path: str) -> str:
+    return store_path.rstrip("/") + "/" + _REGISTRY_META
+
+
+def _registry_n(spark, store_path: str, n: int | None) -> int:
+    """The registry's pinned shingle width. A mismatched ``n`` silently
+    produces zero matches (different fingerprint space), so consumers
+    must take the stored value — an explicit contradicting ``n`` is a
+    loud error, not a preference."""
+    import json as _json
+
+    from etl_pack_spark.sinks.fsio import read_text
+
+    raw = read_text(spark, _registry_meta_path(store_path))
+    if raw is None:
+        raise ValueError(
+            f"{store_path!r} has no eval-registry manifest "
+            f"({_REGISTRY_META}) — register an eval set first, or point "
+            "at the right store"
+        )
+    stored = int(_json.loads(raw)["n"])
+    if n is not None and n != stored:
+        raise ValueError(
+            f"registry {store_path!r} fingerprints {stored}-gram "
+            f"shingles; n={n} would silently match nothing — omit n or "
+            "re-register into a new store"
+        )
+    return stored
+
+
+def register_eval_set(
+    spark,
+    eval_df: DataFrame,
+    store_path: str,
+    eval_set: str,
+    text_col: str = "text",
+    n: int | None = None,
+) -> int:
+    """Fingerprint one eval set into the registry at ``store_path``:
+    distinct 64-bit word-``n``-gram hashes, appended as
+    ``(gh, eval_set, registered_at_ms)``. Returns the number of NEW
+    hashes appended — re-registering the same set (same name) is
+    idempotent by anti-join, so a retried cron firing appends 0.
+
+    The append runs under the store's exclusive ingest lease (one
+    registration at a time per store, like every other incremental
+    store); the manifest pins ``n`` at first registration (default 8
+    when omitted) and later calls must omit it or agree. The store stays benchmark-sized: eval sets are
+    thousands of items by contract, so registration is a small job and
+    every consumer can broadcast the whole registry."""
+    import json as _json
+    import time as _time
+
+    from etl_pack_spark.sinks.fsio import exists, read_text, write_text
+    from etl_pack_spark.streaming.incremental import _stamp_lease
+
+    if not eval_set or "/" in eval_set:
+        raise ValueError(
+            f"eval_set must be a non-empty name without '/' "
+            f"(got {eval_set!r})"
+        )
+    with _stamp_lease(spark, store_path):
+        meta_path = _registry_meta_path(store_path)
+        raw = read_text(spark, meta_path)
+        if raw is None:
+            n_stored = 8 if n is None else int(n)
+        else:
+            n_stored = int(_json.loads(raw)["n"])
+            if n is not None and int(n) != n_stored:
+                raise ValueError(
+                    f"registry {store_path!r} fingerprints {n_stored}-"
+                    f"gram shingles; cannot register {eval_set!r} with "
+                    f"n={n}"
+                )
+        grams = eval_ngram_set(eval_df, text_col, n_stored)
+        if exists(spark, store_path):
+            seen = (
+                spark.read.parquet(store_path)
+                .where(F.col("eval_set") == eval_set)
+                .select("gh")
+            )
+            grams = grams.join(seen, "gh", "left_anti")
+        stamped = grams.select(
+            "gh",
+            F.lit(eval_set).alias("eval_set"),
+            F.lit(int(_time.time() * 1000)).alias("registered_at_ms"),
+        )
+        # manifest BEFORE data: a crash in between leaves an empty-but-
+        # described store (harmless); data-without-manifest would make
+        # every later consumer raise
+        if raw is None:
+            write_text(spark, meta_path, _json.dumps({"n": n_stored}))
+        appended = stamped.count()
+        if appended:
+            stamped.coalesce(1).write.mode("append").parquet(store_path)
+        return appended
+
+
+def registered_eval_sets(spark, store_path: str) -> DataFrame:
+    """Registry inventory: ``(eval_set, n_grams, registered_at_ms)``
+    (first registration time per set) — the audit view."""
+    _registry_n(spark, store_path, None)
+    return (
+        spark.read.parquet(store_path)
+        .groupBy("eval_set")
+        .agg(
+            F.count(F.lit(1)).alias("n_grams"),
+            F.min("registered_at_ms").alias("registered_at_ms"),
+        )
+    )
+
+
+def registry_contamination_report(
+    spark,
+    train: DataFrame,
+    store_path: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Per-train-doc, per-eval-set contamination against the WHOLE
+    registry in one pass: ``(id_col, eval_set, hits)`` with ``hits`` =
+    distinct shared n-grams, one row per (doc, set) with any overlap.
+    The shingle width comes from the registry manifest, so the train
+    side fingerprints exactly like every registered set.
+
+    Scale: ONE corpus shingle scan regardless of how many eval sets
+    are registered (the per-call decontaminate would rescan per set);
+    the registry is broadcast (benchmark-sized by contract), and the
+    groupBy carries only matching (doc, set, gh) rows."""
+    n = _registry_n(spark, store_path, None)
+    reg = spark.read.parquet(store_path).select("gh", "eval_set")
+    train_grams = shingle_rows(train, id_col, text_col, n).select(
+        id_col, F.xxhash64("s").alias("gh")
+    )
+    return (
+        train_grams.join(F.broadcast(reg), "gh")
+        .groupBy(id_col, "eval_set")
+        .agg(F.count_distinct("gh").alias("hits"))
+    )
+
+
+def decontaminate_registered(
+    spark,
+    train: DataFrame,
+    store_path: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    max_hits: int = 0,
+) -> DataFrame:
+    """Drop train docs sharing more than ``max_hits`` distinct n-grams
+    with ANY registered eval set — :func:`decontaminate` lifted to the
+    registry: one corpus scan against every benchmark ever registered.
+    Same bounded-or-AQE anti-join posture as the per-call variant."""
+    from etl_pack_spark.operators.cache import pooled_persist
+    from etl_pack_spark.operators.guards import maybe_broadcast
+
+    flagged = pooled_persist(
+        registry_contamination_report(spark, train, store_path, id_col, text_col)
+        .groupBy(id_col)
+        .agg(F.max("hits").alias("__worst"))
+        .where(F.col("__worst") > max_hits)
+        .select(id_col)
+    )
+    return train.join(maybe_broadcast(flagged), id_col, "left_anti")
+
+
+def registry_contamination_report_sql(
+    train_table: str,
+    eval_tables: dict[str, str],
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 8,
+) -> str:
+    """DuckDB oracle twin of :func:`registry_contamination_report`
+    over named eval tables (string shingles — hashing is an engine-
+    side join-width optimization that cannot change distinct-match
+    counts)."""
+    regs = "\nUNION ALL\n".join(
+        f"SELECT DISTINCT '{name}' AS eval_set, "
+        f"unnest({shingles_sql('toks', n)}) AS s "
+        f"FROM (SELECT {tokens_sql(text_col)} AS toks FROM {table})"
+        for name, table in sorted(eval_tables.items())
+    )
+    return f"""
+    WITH __reg AS ({regs}),
+    __train_grams AS (
+        SELECT {id_col}, unnest({shingles_sql('toks', n)}) AS s
+        FROM (SELECT {id_col}, {tokens_sql(text_col)} AS toks FROM {train_table})
+    )
+    SELECT {id_col}, eval_set, count(DISTINCT s) AS hits
+    FROM __train_grams JOIN __reg USING (s)
+    GROUP BY {id_col}, eval_set
+    """

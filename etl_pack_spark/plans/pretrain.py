@@ -78,6 +78,7 @@ def _stage_checkpointer(mode, spark=None):
 def prepare_pretraining_corpus(
     docs: DataFrame,
     eval_df: DataFrame | None = None,
+    eval_store: str | None = None,
     weights: dict[str, float] | None = None,
     domain_col: str = "source",
     budget: int = 2048,
@@ -101,7 +102,13 @@ def prepare_pretraining_corpus(
 
     Returns ``(doc_id, lang, split, source, copy_n, n_tokens, pack_id,
     oversize)`` — plus ``text`` when ``with_text`` — one row per
-    packed copy of every surviving train document. ``eval_df`` (optional) drives decontamination;
+    packed copy of every surviving train document. ``eval_df``
+    (optional) drives decontamination; ``eval_store`` (optional,
+    exclusive with ``eval_df``; r12) decontaminates against EVERY
+    benchmark in a persisted eval-fingerprint registry
+    (:func:`~etl_pack_spark.operators.contamination.register_eval_set`)
+    in one corpus scan — the registry's pinned shingle width applies,
+    not ``ngram``;
     ``weights`` (optional) reweights domains (absent = keep mixture);
     ``max_dup_fraction`` (optional) gates out documents whose k-token
     windows are mostly duplicated elsewhere in the curated corpus;
@@ -154,6 +161,11 @@ def prepare_pretraining_corpus(
     truncation kept, executor loss recoverable, at the cost of one
     distributed-FS write per boundary.
     """
+    if eval_df is not None and eval_store is not None:
+        raise ValueError(
+            "pass eval_df OR eval_store, not both — the registry "
+            "already holds every registered benchmark"
+        )
     # stage-boundary truncation, opt-in (see docstring); validates the
     # mode — and, for "reliable", the checkpoint dir — BEFORE any work
     cp = _stage_checkpointer(checkpoint_stages, docs.sparkSession)
@@ -272,6 +284,14 @@ def prepare_pretraining_corpus(
     train = unique.where(F.col("split") == "train")
     if eval_df is not None:
         train = decontaminate(train, eval_df, "doc_id", "text", n=ngram)
+    elif eval_store is not None:
+        from etl_pack_spark.operators.contamination import (
+            decontaminate_registered,
+        )
+
+        train = decontaminate_registered(
+            docs.sparkSession, train, eval_store, "doc_id", "text"
+        )
 
     if weights is not None:
         train = mixture_resample(train, "doc_id", domain_col, weights)
@@ -308,6 +328,7 @@ def prepare_pretraining_corpus(
 def pretrain_disposition(
     docs: DataFrame,
     eval_df: DataFrame | None = None,
+    eval_store: str | None = None,
     weights: dict[str, float] | None = None,
     domain_col: str = "source",
     max_hamming: int = 10,
@@ -397,6 +418,11 @@ def pretrain_disposition(
     # blocks, lineage gone — re-runnable report jobs) or "reliable"
     # (DataFrame.checkpoint into the SparkContext checkpoint dir —
     # preemptible clusters; r12, parity-pinned). Validated at entry.
+    if eval_df is not None and eval_store is not None:
+        raise ValueError(
+            "pass eval_df OR eval_store, not both — the registry "
+            "already holds every registered benchmark"
+        )
     if checkpoint not in ("local", "reliable"):
         # False is not an option here: without truncation the audit's
         # multiplicative plan growth makes Catalyst analysis alone
@@ -561,11 +587,18 @@ def pretrain_disposition(
         unique_ids.where(F.col("split") == "train").select("doc_id"),
         "doc_id", "left_semi",
     )
-    if eval_df is not None:
-        decon_ids = eager(
-            decontaminate(train, eval_df, "doc_id", "text", n=ngram)
-            .select("doc_id")
-        )
+    if eval_df is not None or eval_store is not None:
+        if eval_df is not None:
+            decon = decontaminate(train, eval_df, "doc_id", "text", n=ngram)
+        else:
+            from etl_pack_spark.operators.contamination import (
+                decontaminate_registered,
+            )
+
+            decon = decontaminate_registered(
+                docs.sparkSession, train, eval_store, "doc_id", "text"
+            )
+        decon_ids = eager(decon.select("doc_id"))
         out = out.unionByName(verdict(
             train.select("doc_id").join(decon_ids, "doc_id", "left_anti"),
             "contaminated",

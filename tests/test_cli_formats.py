@@ -580,3 +580,43 @@ def test_cli_report_trend(spark, sf_dir, tmp_path):
         capture_output=True, text=True, cwd="/root/repo",
     )
     assert r2.returncode == 2 and "exclusive" in r2.stderr
+
+
+def test_cli_register_eval(sf_dir, tmp_path):
+    """r12: the eval-registry firing — register two benchmarks, retry
+    idempotently, width contradiction is a loud config error, flags
+    scoped."""
+    docs = f"{sf_dir}/documents.parquet"
+    store = str(tmp_path / "evalreg")
+    cmd = [sys.executable, "-m", "etl_pack_spark.cli",
+           "--register-eval", docs, "--eval-store", store,
+           "--eval-set", "bench_a"]
+    out = json.loads(subprocess.run(
+        cmd, capture_output=True, text=True, cwd="/root/repo", check=True,
+    ).stdout.strip().splitlines()[-1])
+    assert out["mode"] == "register_eval" and out["appended"] > 0
+    assert out["registered_sets"] == {"bench_a": out["appended"]}
+    # retried firing appends nothing
+    out2 = json.loads(subprocess.run(
+        cmd, capture_output=True, text=True, cwd="/root/repo", check=True,
+    ).stdout.strip().splitlines()[-1])
+    assert out2["appended"] == 0
+    # contradicting shingle width: loud exit-2, store untouched
+    r = subprocess.run(
+        [*cmd[:-1], "bench_b", "--eval-ngram", "5"],
+        capture_output=True, text=True, cwd="/root/repo",
+    )
+    assert r.returncode == 2 and "8-gram" in r.stderr
+    # flag scoping
+    r2 = subprocess.run(
+        [sys.executable, "-m", "etl_pack_spark.cli",
+         "--eval-store", store],
+        capture_output=True, text=True, cwd="/root/repo",
+    )
+    assert r2.returncode == 2 and "--register-eval" in r2.stderr
+    r3 = subprocess.run(
+        [sys.executable, "-m", "etl_pack_spark.cli",
+         "--register-eval", docs],
+        capture_output=True, text=True, cwd="/root/repo",
+    )
+    assert r3.returncode == 2 and "--eval-store" in r3.stderr

@@ -173,3 +173,125 @@ def test_eval_contamination_oracle_parity(spark, sf_dir):
         F.size(F.split(F.lower("text"), "[^a-z0-9]+")) >= 8
     ).count()
     assert len(got) >= n_eval_with_grams // 2  # loose lower bound
+
+
+class TestEvalRegistry:
+    """r12: the persisted eval-fingerprint registry — cross-run
+    decontamination against every benchmark ever registered, one
+    corpus scan, no eval text ever re-read."""
+
+    def test_register_report_decontaminate_roundtrip(self, spark, tmp_path):
+        from etl_pack_spark.operators.contamination import (
+            decontaminate_registered,
+            register_eval_set,
+            registered_eval_sets,
+            registry_contamination_report,
+        )
+
+        store = str(tmp_path / "evalreg")
+        bench_a = _df(spark, [(1, LEAK + " question one"),
+                              (2, LEAK + " question two")])
+        bench_b = _df(spark, [(3, "completely different held out "
+                                  "benchmark text with eight plus words "
+                                  "of content here")])
+        n_a = register_eval_set(spark, bench_a, store, "bench_a")
+        n_b = register_eval_set(spark, bench_b, store, "bench_b")
+        assert n_a > 0 and n_b > 0
+        # idempotent: a retried firing appends nothing
+        assert register_eval_set(spark, bench_a, store, "bench_a") == 0
+        inv = {r["eval_set"]: r["n_grams"]
+               for r in registered_eval_sets(spark, store).collect()}
+        assert inv == {"bench_a": n_a, "bench_b": n_b}
+        train = _df(spark, [
+            (10, "clean document with the usual entirely original "
+                 "wording that overlaps no benchmark in the registry"),
+            (11, LEAK + " some trailing context"),          # hits bench_a
+            (12, "completely different held out benchmark text with "
+                 "eight plus words of content here padded"),  # hits bench_b
+        ])
+        rep = {(r["doc_id"], r["eval_set"]): r["hits"]
+               for r in registry_contamination_report(
+                   spark, train, store).collect()}
+        assert any(k == (11, "bench_a") for k in rep)
+        assert any(k == (12, "bench_b") for k in rep)
+        assert not any(d == 10 for d, _ in rep)
+        kept = {r["doc_id"] for r in decontaminate_registered(
+            spark, train, store).collect()}
+        assert kept == {10}
+
+    def test_manifest_pins_shingle_width(self, spark, tmp_path):
+        import pytest as _pytest
+
+        from etl_pack_spark.operators.contamination import (
+            register_eval_set,
+            registry_contamination_report,
+        )
+
+        store = str(tmp_path / "evalreg5")
+        bench = _df(spark, [(1, LEAK)])
+        register_eval_set(spark, bench, store, "b", n=5)
+        # contradicting n is loud, not a silent zero-match space
+        with _pytest.raises(ValueError, match="5-gram"):
+            register_eval_set(spark, bench, store, "c", n=8)
+        # omitted n takes the stored width
+        assert register_eval_set(spark, bench, store, "b") == 0
+        # a missing manifest (not a registry) is loud too
+        with _pytest.raises(ValueError, match="manifest"):
+            registry_contamination_report(
+                spark, _df(spark, [(1, LEAK)]), str(tmp_path / "nostore"))
+        # bad set names rejected before any work
+        with _pytest.raises(ValueError, match="eval_set"):
+            register_eval_set(spark, bench, store, "a/b")
+
+    def test_registration_holds_the_ingest_lease(self, spark, tmp_path):
+        import pytest as _pytest
+
+        from etl_pack_spark.operators.contamination import register_eval_set
+        from etl_pack_spark.streaming.incremental import _stamp_lease
+
+        store = str(tmp_path / "evalreg_leased")
+        with _stamp_lease(spark, store):
+            with _pytest.raises(RuntimeError, match="ingest lease"):
+                register_eval_set(spark, _df(spark, [(1, LEAK)]), store, "b")
+        assert register_eval_set(
+            spark, _df(spark, [(1, LEAK)]), store, "b") > 0
+
+    def test_registry_report_oracle_parity(self, spark, sf_dir):
+        """The (doc, eval_set, hits) grain against DuckDB: two eval
+        slices of the documents fixture registered, whole fixture as
+        train — row-for-row with the string-shingle twin."""
+        import duckdb as _duckdb
+
+        import tempfile
+
+        from etl_pack_spark.operators.contamination import (
+            register_eval_set,
+            registry_contamination_report,
+            registry_contamination_report_sql,
+        )
+
+        docs = read_table(spark, sf_dir, "documents")
+        store = tempfile.mkdtemp(prefix="evalreg_parity_") + "/reg"
+        register_eval_set(
+            spark, docs.where("doc_id % 10 = 7"), store, "slice7")
+        register_eval_set(
+            spark, docs.where("doc_id % 10 = 3"), store, "slice3")
+        got = sorted(
+            (r["doc_id"], r["eval_set"], r["hits"])
+            for r in registry_contamination_report(spark, docs, store)
+            .collect()
+        )
+        con = _duckdb.connect()
+        con.execute(
+            f"CREATE VIEW documents AS SELECT * "
+            f"FROM read_parquet('{sf_dir}/documents.parquet')"
+        )
+        con.execute("CREATE VIEW s7 AS SELECT * FROM documents "
+                    "WHERE doc_id % 10 = 7")
+        con.execute("CREATE VIEW s3 AS SELECT * FROM documents "
+                    "WHERE doc_id % 10 = 3")
+        want = sorted(map(tuple, con.execute(
+            registry_contamination_report_sql(
+                "documents", {"slice7": "s7", "slice3": "s3"}, n=8)
+        ).fetchall()))
+        assert got == want and len(got) > 0

@@ -470,3 +470,35 @@ def test_pretrain_reliable_checkpoint_parity(spark, sf_dir, tmp_path):
         docs, checkpoint="reliable"
     ).collect()))
     assert local_d == rel_d and local_d
+
+
+def test_pretrain_eval_store_decontamination(spark, sf_dir, tmp_path):
+    """r12: eval_store decontaminates the pipeline against the
+    persisted eval-fingerprint registry — with exactly one registered
+    set the output is identical to passing that set as eval_df, and
+    the disposition audit agrees stage for stage."""
+    import pytest as _pytest
+
+    from etl_pack_spark.operators.contamination import register_eval_set
+    from etl_pack_spark.plans.pretrain import pretrain_funnel
+
+    docs = _docs(spark, sf_dir)
+    evald = docs.where(F.col("doc_id") % 10 == 7).select("doc_id", "text")
+    store = str(tmp_path / "evalreg")
+    register_eval_set(spark, evald, store, "heldout", n=8)
+    cols = ["doc_id", "copy_n", "n_tokens", "pack_id", "oversize"]
+    via_df = sorted(map(tuple, prepare_pretraining_corpus(
+        docs, eval_df=evald, weights=WEIGHTS
+    ).select(*cols).collect()))
+    via_store = sorted(map(tuple, prepare_pretraining_corpus(
+        docs, eval_store=store, weights=WEIGHTS
+    ).select(*cols).collect()))
+    assert via_df == via_store and via_df
+    fun_df = {r["stage"]: r["n_docs"] for r in pretrain_funnel(
+        docs, eval_df=evald, weights=WEIGHTS).collect()}
+    fun_store = {r["stage"]: r["n_docs"] for r in pretrain_funnel(
+        docs, eval_store=store, weights=WEIGHTS).collect()}
+    assert fun_df == fun_store
+    assert fun_store.get("contaminated", 0) > 0
+    with _pytest.raises(ValueError, match="not both"):
+        prepare_pretraining_corpus(docs, eval_df=evald, eval_store=store)
