@@ -522,3 +522,137 @@ def quality_drift_sql(
             edges, categories,
         ),
     )
+
+
+# ---------------------------------------------------------------------------
+# Corpus datacard (r12): the one-pass dataset summary report
+# ---------------------------------------------------------------------------
+
+def corpus_datacard(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    group_cols: tuple[str, ...] = ("lang",),
+    lang_col: str | None = "lang",
+    accuracy: int | None = 10_000,
+) -> DataFrame:
+    """The dataset-card table every training run publishes, in ONE
+    corpus scan: per ``group_cols`` slice AND a grand-total row
+    (GROUPING SETS — per-group plus total only, no intermediate
+    rollups), the volume, token-length distribution, and quality mix:
+
+    ``(*group_cols, is_total, n_docs, n_null_text, n_tokens_total,
+    n_chars_total, tokens_p50, tokens_p90, tokens_p99,
+    avg_stopword_ratio, avg_repetition[, lang_match_frac])``
+
+    ``lang_match_frac`` (when ``lang_col`` names a column) is the
+    fraction of docs whose n-gram language prediction agrees with the
+    declared language — the corpus-level labeling-quality number.
+    Docs where agreement is undecidable (NULL text → no prediction,
+    or NULL label) are excluded from its denominator, not counted as
+    mismatches (their volume is visible in ``n_null_text``).
+    ``is_total`` (0/1) disambiguates the grand-total row from a
+    genuine NULL group value.
+
+    Scale shape: the signals projection carries the group keys through
+    (``text_signals(carry_cols=...)``, map-only), so the whole card is
+    scan → map → ONE combinable grouped aggregate; nothing joins back
+    to the corpus. ``accuracy`` picks the token-length quantile
+    implementation exactly like :func:`mad_outliers`:
+    ``percentile_approx`` (bounded sketch state — the 100 TB default)
+    or exact ``percentile`` with ``None`` (the DuckDB-twin variant;
+    n_tokens is a small-integer domain, so the exact buffer is bounded
+    by the token-count range, not the corpus)."""
+    from etl_pack_spark.operators.textops import text_signals
+
+    carry = tuple(group_cols) + (
+        (lang_col,) if lang_col is not None and lang_col not in group_cols
+        else ()
+    )
+    sig = text_signals(docs, id_col, text_col, carry_cols=carry)
+    pct = (
+        "percentile(n_tokens, {q})"
+        if accuracy is None
+        else f"percentile_approx(n_tokens, {{q}}, {int(accuracy)})"
+    )
+    aggs = [
+        F.count(F.lit(1)).alias("n_docs"),
+        F.count(F.when(F.col("n_chars").isNull(), 1)).alias("n_null_text"),
+        F.sum(F.coalesce("n_tokens", F.lit(0))).alias("n_tokens_total"),
+        F.sum(F.coalesce("n_chars", F.lit(0))).alias("n_chars_total"),
+        F.expr(pct.format(q=0.5)).alias("tokens_p50"),
+        F.expr(pct.format(q=0.9)).alias("tokens_p90"),
+        F.expr(pct.format(q=0.99)).alias("tokens_p99"),
+        F.round(F.avg("stopword_ratio"), 9).alias("avg_stopword_ratio"),
+        F.round(F.avg("repetition"), 9).alias("avg_repetition"),
+    ]
+    if lang_col is not None:
+        aggs.append(
+            F.round(
+                F.avg((F.col("lang_pred") == F.col(lang_col)).cast("double")),
+                9,
+            ).alias("lang_match_frac")
+        )
+    gcols = [F.col(c) for c in group_cols]
+    return (
+        sig.groupingSets([gcols, []], *gcols)
+        .agg(F.grouping_id().alias("__gid"), *aggs)
+        .select(
+            *group_cols,
+            (F.col("__gid") != 0).cast("int").alias("is_total"),
+            *[a_name for a_name in (
+                "n_docs", "n_null_text", "n_tokens_total", "n_chars_total",
+                "tokens_p50", "tokens_p90", "tokens_p99",
+                "avg_stopword_ratio", "avg_repetition",
+            )],
+            *(["lang_match_frac"] if lang_col is not None else []),
+        )
+    )
+
+
+def corpus_datacard_sql(
+    table: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    group_cols: tuple[str, ...] = ("lang",),
+    lang_col: str | None = "lang",
+) -> str:
+    """DuckDB twin of :func:`corpus_datacard` (exact-percentile
+    variant — pair with ``accuracy=None``)."""
+    from etl_pack_spark.operators.textops import text_signals_sql
+
+    gl = ", ".join(group_cols)
+    lang_sel = (
+        f",\n           round(avg(CASE WHEN lang_pred IS NULL "
+        f"OR {lang_col} IS NULL THEN NULL "
+        f"WHEN lang_pred = {lang_col} "
+        "THEN 1.0 ELSE 0.0 END), 9) AS lang_match_frac"
+        if lang_col is not None else ""
+    )
+    carry = ", ".join(
+        f"d.{c}" for c in dict.fromkeys(
+            tuple(group_cols)
+            + ((lang_col,) if lang_col is not None else ())
+        )
+    )
+    return f"""
+    WITH s AS (
+        SELECT sig.*, {carry}
+        FROM ({text_signals_sql(table, id_col, text_col)}) sig
+        JOIN {table} d USING ({id_col})
+    )
+    SELECT {gl},
+           CAST(CASE WHEN GROUPING({group_cols[0]}) = 1 THEN 1 ELSE 0 END
+                AS INTEGER) AS is_total,
+           count(*) AS n_docs,
+           count(CASE WHEN n_chars IS NULL THEN 1 END) AS n_null_text,
+           sum(coalesce(n_tokens, 0)) AS n_tokens_total,
+           sum(coalesce(n_chars, 0)) AS n_chars_total,
+           quantile_cont(n_tokens, 0.5) AS tokens_p50,
+           quantile_cont(n_tokens, 0.9) AS tokens_p90,
+           quantile_cont(n_tokens, 0.99) AS tokens_p99,
+           round(avg(stopword_ratio), 9) AS avg_stopword_ratio,
+           round(avg(repetition), 9) AS avg_repetition{lang_sel}
+    FROM s
+    GROUP BY GROUPING SETS (({gl}), ())
+    """

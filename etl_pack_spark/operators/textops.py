@@ -307,11 +307,21 @@ def fingerprint_sql(table: str, id_col: str, text_col: str, k: int = 3) -> str:
     """
 
 
-def text_signals(df: DataFrame, id_col: str, text_col: str, k: int = 3) -> DataFrame:
+def text_signals(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    k: int = 3,
+    carry_cols: tuple[str, ...] = (),
+) -> DataFrame:
     """EVERY per-document text signal in ONE scan and one projection
     chain — no joins, no shuffle: language-ID marker scores + argmax
     prediction, length/punct/stopword quality metrics, k-gram
     repetition, the BPE-ish piece count, and the winnowing fingerprint.
+    ``carry_cols`` (r12) selects extra input columns through the
+    projection chain unchanged — free (map-only), and what keeps a
+    grouped consumer (``quality.corpus_datacard``) at ONE scan instead
+    of a corpus-sized join back to the source for its group keys.
 
     Same expressions as :func:`language_id` / :func:`quality_signals` /
     :func:`token_counts` / :func:`fingerprint`, sharing a single
@@ -334,14 +344,23 @@ def text_signals(df: DataFrame, id_col: str, text_col: str, k: int = 3) -> DataF
         " h -> substring(h, 1, 1) = '0'))"
     )
     scores = {lang: _marker_count("__toks", lang) for lang in MARKERS}
+    reserved = {id_col, text_col, "__t", "__toks", "__sh"}
+    clash = [c for c in carry_cols if c in reserved]
+    if clash:
+        raise ValueError(
+            f"carry_cols {clash} collide with the signal projection's "
+            "own columns"
+        )
+    carried = [F.col(c) for c in carry_cols]
     wide = (
-        df.select(F.col(id_col), F.col(text_col).alias("__t"), tokens(text_col).alias("__toks"))
+        df.select(F.col(id_col), F.col(text_col).alias("__t"),
+                  tokens(text_col).alias("__toks"), *carried)
         .select(
             F.col(id_col), F.col("__t"), F.col("__toks"),
-            shingles_expr("__toks", k).alias("__sh"),
+            shingles_expr("__toks", k).alias("__sh"), *carried,
         )
         .select(
-            F.col(id_col),
+            F.col(id_col), *carried,
             *[scores[lang].alias(f"score_{lang}") for lang in MARKERS],
             F.length("__t").alias("n_chars"),
             n_toks.alias("n_tokens"),

@@ -355,3 +355,90 @@ def test_drift_signal_names_validated(spark):
         signal_histogram_sql("SELECT 1", edges={"a b": (1.0,)})
     with _pytest.raises(ValueError, match="string literal"):
         signal_histogram(df, edges={}, categories={"x": ("a'b",)})
+
+
+class TestCorpusDatacard:
+    """r12: the one-pass dataset-card report — per-group + grand-total
+    volume, token-length quantiles, quality mix, label agreement."""
+
+    def test_oracle_parity_and_shape(self, spark, sf_dir):
+        import duckdb as _duckdb
+
+        from etl_pack_spark.operators.quality import (
+            corpus_datacard,
+            corpus_datacard_sql,
+        )
+        from etl_pack_spark.sources.reader import read_table
+
+        docs = read_table(spark, sf_dir, "documents")
+        card = corpus_datacard(docs, accuracy=None)
+
+        def norm(rec):
+            return tuple(
+                "∅" if v is None
+                else (round(float(v), 9) if isinstance(v, float) else v)
+                for v in rec
+            )
+
+        got = sorted((norm(tuple(r)) for r in card.collect()), key=str)
+        con = _duckdb.connect()
+        con.execute(
+            f"CREATE VIEW documents AS SELECT * "
+            f"FROM read_parquet('{sf_dir}/documents.parquet')"
+        )
+        want = sorted(
+            (norm(r) for r in con.execute(
+                corpus_datacard_sql("documents")).fetchall()),
+            key=str,
+        )
+        assert got == want and len(got) >= 2
+        # exactly one grand-total row; its n_docs is the corpus size
+        totals = [r for r in card.collect() if r["is_total"] == 1]
+        assert len(totals) == 1
+        assert totals[0]["n_docs"] == docs.count()
+        # per-group rows conserve the total
+        assert sum(r["n_docs"] for r in card.collect()
+                   if r["is_total"] == 0) == totals[0]["n_docs"]
+
+    def test_one_scan_no_join_back(self, spark, sf_dir):
+        """The group keys ride the signals projection (carry_cols), so
+        the card is scan -> map -> one grouped aggregate — a corpus-
+        sized join back for group keys would double the scan."""
+        from etl_pack_spark.operators.quality import corpus_datacard
+        from etl_pack_spark.sources.reader import read_table
+
+        docs = read_table(spark, sf_dir, "documents")
+        plan = (
+            corpus_datacard(docs)
+            ._jdf.queryExecution().executedPlan().toString()
+        )
+        assert "Join" not in plan
+        assert "BatchEvalPython" not in plan
+
+    def test_lang_match_counts_planted_mislabels(self, spark):
+        from etl_pack_spark.operators.quality import corpus_datacard
+
+        en = " ".join(["the", "and", "is", "of", "to"] * 8)
+        docs = spark.createDataFrame(
+            [(1, en, "en"), (2, en, "en"), (3, en, "fr"), (4, None, "en")],
+            "doc_id long, text string, lang string",
+        )
+        card = {(r["lang"], r["is_total"]): r
+                for r in corpus_datacard(docs).collect()}
+        assert card[("en", 0)]["n_null_text"] == 1
+        # NULL text: lang_pred NULL -> undecidable, excluded from the
+        # agreement denominator (both engines; its volume shows in
+        # n_null_text)
+        assert card[("en", 0)]["lang_match_frac"] == 1.0
+        assert card[("fr", 0)]["lang_match_frac"] == 0.0
+        assert card[(None, 1)]["n_docs"] == 4
+
+    def test_carry_cols_collision_is_loud(self, spark):
+        import pytest as _pytest
+
+        from etl_pack_spark.operators.textops import text_signals
+
+        docs = spark.createDataFrame(
+            [(1, "a b c")], "doc_id long, text string")
+        with _pytest.raises(ValueError, match="carry_cols"):
+            text_signals(docs, "doc_id", "text", carry_cols=("text",))
