@@ -441,6 +441,30 @@ def _lib_extra_queries():
         q_vec = emb.where(F.col("vec_id") < 3)
         return similarity.cosine_topk(emb, q_vec, k=HYBRID_K_EACH)
 
+    def _datacard(spark, sf_dir):
+        # r12: the one-pass dataset-card report at its scale default
+        # (sketch quantiles) — scan -> map -> one grouped aggregate
+        from etl_pack_spark.operators.quality import corpus_datacard
+
+        return corpus_datacard(read_table(spark, sf_dir, "documents"))
+
+    def _eval_registry_report(spark, sf_dir):
+        # r12: registry decontamination report — two benchmark slices
+        # registered into a fresh store, whole corpus checked in one
+        # scan against both
+        import tempfile
+
+        from etl_pack_spark.operators.contamination import (
+            register_eval_set,
+            registry_contamination_report,
+        )
+
+        docs = read_table(spark, sf_dir, "documents")
+        store = tempfile.mkdtemp(prefix="bench_evalreg_") + "/reg"
+        register_eval_set(spark, docs.where("doc_id % 10 = 7"), store, "s7")
+        register_eval_set(spark, docs.where("doc_id % 10 = 3"), store, "s3")
+        return registry_contamination_report(spark, docs, store)
+
     return {
         "lib_semantic_dedup": _semdedup,
         "lib_repeated_ngram_spans": _spans,
@@ -454,6 +478,8 @@ def _lib_extra_queries():
         "lib_pretrain_e2e": _pretrain,
         "lib_url_dedup": _url_dedup,
         "lib_ivf_pq_topk": _ivf_pq,
+        "lib_corpus_datacard": _datacard,
+        "lib_eval_registry_report": _eval_registry_report,
     }
 
 
