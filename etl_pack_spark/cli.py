@@ -701,8 +701,52 @@ def main(argv: list[str] | None = None) -> int:
         # report-sized by construction: one row per (mode, metric)
         rows = [r.asDict() for r in trend.collect()]
         rows.sort(key=lambda r: (r["mode"], r["metric"]))
+        # funnel shift (r12): a funnel firing's stage counts ARE a
+        # categorical histogram, so PSI between the earliest and
+        # latest firing prices "did my drop mix shift" with the same
+        # statistic and thresholds the drift monitor uses — all over
+        # report-sized frames
+        from etl_pack_spark.operators.quality import psi_report
+
+        hist_src = spark.read.parquet(args.report_trend).where(
+            "mode = 'funnel'"
+        )
+        shifts = []
+        for b in hist_src.groupBy("subject").agg(
+            F.min("fired_at_ms").alias("first"),
+            F.max("fired_at_ms").alias("last"),
+        ).collect():
+            if b["first"] == b["last"]:
+                continue  # a single firing has nothing to compare
+
+            def stage_hist(ts):
+                h = hist_src.where(
+                    (F.col("subject") == b["subject"])
+                    & (F.col("fired_at_ms") == ts)
+                ).select(
+                    F.lit("stages").alias("signal"),
+                    F.col("metric").alias("bucket"),
+                    F.col("value").alias("n"),
+                )
+                tot = h.groupBy("signal").agg(F.sum("n").alias("__t"))
+                return h.join(tot, "signal").select(
+                    "signal", "bucket", "n",
+                    (F.col("n") / F.col("__t")).alias("p"),
+                )
+
+            res = psi_report(
+                stage_hist(b["first"]), stage_hist(b["last"])
+            ).collect()[0]
+            shifts.append({
+                "subject": b["subject"],
+                "first_fired_at_ms": b["first"],
+                "last_fired_at_ms": b["last"],
+                "psi": res["psi"], "verdict": res["verdict"],
+            })
+        shifts.sort(key=lambda s: s["subject"])
         print(json.dumps({"mode": "report_trend",
-                          "store": args.report_trend, "metrics": rows}))
+                          "store": args.report_trend, "metrics": rows,
+                          "funnel_shift": shifts}))
         return 0
 
     if args.store_stats:

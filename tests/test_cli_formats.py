@@ -620,3 +620,54 @@ def test_cli_register_eval(sf_dir, tmp_path):
         capture_output=True, text=True, cwd="/root/repo",
     )
     assert r3.returncode == 2 and "--eval-store" in r3.stderr
+
+
+def test_cli_report_trend_funnel_shift(spark, sf_dir, tmp_path):
+    """r12: --report-trend prices funnel-mix drift — PSI between the
+    earliest and latest funnel firing per subject, same statistic and
+    thresholds as the drift monitor. Two firings over corpora with
+    different gate mixes must show a shift; a single-firing subject is
+    skipped."""
+    store = str(tmp_path / "reports")
+    docs = f"{sf_dir}/documents.parquet"
+    # second firing over a corpus whose texts are truncated: the
+    # token_count gate fires for far more docs -> stage mix shifts
+    trunc = str(tmp_path / "trunc.parquet")
+    spark.read.parquet(docs).selectExpr(
+        "doc_id", "substr(text, 1, 30) AS text", "lang"
+    ).write.parquet(trunc)
+    # the subject must be the SAME path both firings (the cron shape:
+    # one path, evolving data), so stage the corpora through it
+    subject = str(tmp_path / "docs_live.parquet")
+    import shutil
+
+    shutil.copytree(trunc, subject, dirs_exist_ok=True)
+    # firing 1: truncated corpus
+    subprocess.run(
+        [sys.executable, "-m", "etl_pack_spark.cli",
+         "--funnel", subject, "--funnel-gates", "curate",
+         "--report-out", store],
+        capture_output=True, text=True, cwd="/root/repo", check=True,
+    )
+    # firing 2: the real corpus at the same path (the cron shape: one
+    # path, evolving data)
+    shutil.rmtree(subject)
+    spark.read.parquet(docs).select("doc_id", "text", "lang") \
+        .write.parquet(subject)
+    subprocess.run(
+        [sys.executable, "-m", "etl_pack_spark.cli",
+         "--funnel", subject, "--funnel-gates", "curate",
+         "--report-out", store],
+        capture_output=True, text=True, cwd="/root/repo", check=True,
+    )
+    res = subprocess.run(
+        [sys.executable, "-m", "etl_pack_spark.cli",
+         "--report-trend", store],
+        capture_output=True, text=True, cwd="/root/repo", check=True,
+    )
+    out = json.loads(res.stdout.strip().splitlines()[-1])
+    assert len(out["funnel_shift"]) == 1
+    shift = out["funnel_shift"][0]
+    assert shift["subject"] == subject
+    assert shift["psi"] > 0.25 and shift["verdict"] == "major"
+    assert shift["first_fired_at_ms"] < shift["last_fired_at_ms"]
