@@ -646,8 +646,8 @@ def corpus_datacard_sql(
                 AS INTEGER) AS is_total,
            count(*) AS n_docs,
            count(CASE WHEN n_chars IS NULL THEN 1 END) AS n_null_text,
-           sum(coalesce(n_tokens, 0)) AS n_tokens_total,
-           sum(coalesce(n_chars, 0)) AS n_chars_total,
+           CAST(sum(coalesce(n_tokens, 0)) AS BIGINT) AS n_tokens_total,
+           CAST(sum(coalesce(n_chars, 0)) AS BIGINT) AS n_chars_total,
            quantile_cont(n_tokens, 0.5) AS tokens_p50,
            quantile_cont(n_tokens, 0.9) AS tokens_p90,
            quantile_cont(n_tokens, 0.99) AS tokens_p99,

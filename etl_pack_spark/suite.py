@@ -46,6 +46,7 @@ from etl_pack_spark.operators.contamination import (
     eval_contamination_sql,
 )
 from etl_pack_spark.operators.quality import (
+    corpus_datacard_sql,
     mad_outliers_sql,
     pii_profile_sql,
     profile_sql,
@@ -870,14 +871,21 @@ def q_dq_profile_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     QUALITY-DRIFT summary (``quality.quality_drift``: PSI per text
     signal between the corpus and a deterministic short-docs slice,
     max PSI + count of major-shift signals), putting the whole PSI
-    arithmetic under the driver's value hash. All one-row profiles
-    broadcast onto the 5-row summary — no extra shuffle; the drift
-    side computes the signals ONCE (both histograms read one persisted
-    slim frame — baseline = the corpus, batch = its filtered slice).
-    The pre-drift framing is pinned as retired
-    ``dq_profile_orders_plain``."""
+    arithmetic under the driver's value hash, PLUS — round-12 merge —
+    the CORPUS DATACARD's grand-total row
+    (``quality.corpus_datacard``, exact-percentile variant: doc/token
+    volumes, token-length p50/p90/p99, stopword/repetition averages,
+    language-label agreement — ``card_*`` columns), putting the
+    datacard arithmetic under the driver's value hash too (the
+    grouped rows + GROUPING SETS shape are DuckDB-parity pytest-
+    pinned). All one-row profiles broadcast onto the 5-row summary —
+    no extra shuffle; the drift side computes the signals ONCE (both
+    histograms read one persisted slim frame — baseline = the corpus,
+    batch = its filtered slice). The pre-drift framing is pinned as
+    retired ``dq_profile_orders_plain``."""
     from etl_pack_spark.operators.cache import pooled_persist
     from etl_pack_spark.operators.quality import (
+        corpus_datacard,
         mad_outliers,
         pii_profile,
         profile,
@@ -913,11 +921,29 @@ def q_dq_profile_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("drift_n_major"),
     )
-    # bounded by construction: prof, pii, and drift are ONE-ROW profiles
+    # r12 merge rider: the datacard's grand-total row (exact
+    # percentiles for oracle parity; the operator itself — not a
+    # reimplementation — so the gate covers its arithmetic)
+    card = corpus_datacard(docs, accuracy=None).where(
+        F.col("is_total") == 1
+    ).select(
+        F.col("n_docs").alias("card_n_docs"),
+        F.col("n_null_text").alias("card_n_null_text"),
+        F.col("n_tokens_total").alias("card_n_tokens_total"),
+        F.col("n_chars_total").alias("card_n_chars_total"),
+        F.col("tokens_p50").alias("card_tokens_p50"),
+        F.col("tokens_p90").alias("card_tokens_p90"),
+        F.col("tokens_p99").alias("card_tokens_p99"),
+        F.col("avg_stopword_ratio").alias("card_stopword_ratio"),
+        F.col("avg_repetition").alias("card_repetition"),
+        F.col("lang_match_frac").alias("card_lang_match_frac"),
+    )
+    # bounded by construction: prof, pii, drift, card are ONE-ROW profiles
     return (
         summ.crossJoin(F.broadcast(prof))
         .crossJoin(F.broadcast(pii))
         .crossJoin(F.broadcast(drift))
+        .crossJoin(F.broadcast(card))
     )
 
 
@@ -2064,7 +2090,7 @@ ORACLES: dict[str, str] = {
     # only coincidentally equals length(text) on this fixture
     # (r11 VERDICT #4)
     "dq_profile_orders": f"""
-        SELECT s.*, p.*, pp.*, dd.* FROM (
+        SELECT s.*, p.*, pp.*, dd.*, card.* FROM (
             SELECT o_orderpriority, COUNT(*) AS n_vals,
                    CAST(SUM(CASE WHEN is_outlier THEN 1 ELSE 0 END) AS BIGINT)
                        AS n_outliers,
@@ -2091,6 +2117,20 @@ ORACLES: dict[str, str] = {
                     + ") WHERE n_chars < 500"),
             )})
         ) dd
+        CROSS JOIN (
+            SELECT n_docs AS card_n_docs,
+                   n_null_text AS card_n_null_text,
+                   n_tokens_total AS card_n_tokens_total,
+                   n_chars_total AS card_n_chars_total,
+                   tokens_p50 AS card_tokens_p50,
+                   tokens_p90 AS card_tokens_p90,
+                   tokens_p99 AS card_tokens_p99,
+                   avg_stopword_ratio AS card_stopword_ratio,
+                   avg_repetition AS card_repetition,
+                   lang_match_frac AS card_lang_match_frac
+            FROM ({corpus_datacard_sql("documents")})
+            WHERE is_total = 1
+        ) card
     """,
     # mm_features: the Arrow featurizer's fake path is a deterministic
     # function of the UTF-8 payload, so the DuckDB twin recomputes the
