@@ -119,6 +119,17 @@ def build_parser() -> argparse.ArgumentParser:
                         "remembers its config: firings against it reuse "
                         "the stored config automatically and reject a "
                         "contradictory --drift-config")
+    p.add_argument("--datacard", default=None, metavar="DOCS",
+                   help="dataset-card firing: one-pass per-group + "
+                        "grand-total corpus summary (doc/token volumes, "
+                        "token-length p50/p90/p99, stopword/repetition "
+                        "averages, language-label agreement) over the "
+                        "parquet docs at DOCS, as JSON, instead of a "
+                        "transfer; uses --id-col/--text-col and "
+                        "--datacard-groups")
+    p.add_argument("--datacard-groups", default=None, metavar="COLS",
+                   help="--datacard: comma-separated group columns "
+                        "(default: lang)")
     p.add_argument("--register-eval", default=None, metavar="DOCS",
                    help="eval-registry firing: fingerprint the parquet "
                         "eval docs at DOCS (distinct word n-gram hashes) "
@@ -290,12 +301,16 @@ def main(argv: list[str] | None = None) -> int:
                       args.compact_sigstore, args.compact_codes,
                       args.update_clusters, args.store_stats,
                       args.funnel, args.drift, args.report_trend,
-                      args.register_eval))) > 1:
+                      args.register_eval, args.datacard))) > 1:
         print("error: --compact, --compact-partitions, "
               "--compact-sigstore, --compact-codes, "
               "--update-clusters, --store-stats, --funnel, "
-              "--drift, --report-trend and --register-eval are "
-              "exclusive", file=sys.stderr)
+              "--drift, --report-trend, --register-eval and "
+              "--datacard are exclusive", file=sys.stderr)
+        return 2
+    if args.datacard_groups is not None and not args.datacard:
+        print("error: --datacard-groups only applies to --datacard",
+              file=sys.stderr)
         return 2
     if args.register_eval:
         if not args.eval_store or not args.eval_set:
@@ -500,7 +515,7 @@ def main(argv: list[str] | None = None) -> int:
         not args.compact_sigstore and not args.compact_codes
         and not args.update_clusters and not args.store_stats
         and not args.funnel and not args.drift and not args.report_trend
-        and not args.register_eval
+        and not args.register_eval and not args.datacard
         and (not args.source_dir or not args.table or not args.target)
     ):
         print("error: --source-dir, --table and --target are required "
@@ -654,6 +669,32 @@ def main(argv: list[str] | None = None) -> int:
         print(json.dumps({"mode": "drift", "baseline": args.drift,
                           "batch": args.drift_batch, "signals": report,
                           "max_psi": worst}))
+        return 0
+
+    if args.datacard:
+        from etl_pack_spark.operators.quality import corpus_datacard
+
+        docs = spark.read.parquet(args.datacard)
+        groups = tuple(
+            c for c in (args.datacard_groups or "lang").split(",") if c
+        )
+        missing = [c for c in groups if c not in docs.columns]
+        if missing:
+            print(f"error: --datacard group columns {missing} not in "
+                  f"{args.datacard}", file=sys.stderr)
+            return 2
+        card = corpus_datacard(
+            docs, args.id_col or "doc_id", args.text_col or "text",
+            group_cols=groups,
+            # label agreement only when the corpus carries a language
+            # label; its absence is normal, not an error
+            lang_col="lang" if "lang" in docs.columns else None,
+        )
+        rows = [r.asDict() for r in card.collect()]
+        rows.sort(key=lambda r: (r["is_total"],
+                                 [str(r[c]) for c in groups]))
+        print(json.dumps({"mode": "datacard", "docs": args.datacard,
+                          "groups": list(groups), "rows": rows}))
         return 0
 
     if args.register_eval:

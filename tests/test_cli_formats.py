@@ -671,3 +671,43 @@ def test_cli_report_trend_funnel_shift(spark, sf_dir, tmp_path):
     assert shift["subject"] == subject
     assert shift["psi"] > 0.25 and shift["verdict"] == "major"
     assert shift["first_fired_at_ms"] < shift["last_fired_at_ms"]
+
+
+def test_cli_datacard(sf_dir, tmp_path):
+    """r12: the dataset-card firing — per-group + total rows as JSON,
+    group validation fast, flags scoped."""
+    docs = f"{sf_dir}/documents.parquet"
+    res = subprocess.run(
+        [sys.executable, "-m", "etl_pack_spark.cli", "--datacard", docs],
+        capture_output=True, text=True, cwd="/root/repo", check=True,
+    )
+    out = json.loads(res.stdout.strip().splitlines()[-1])
+    assert out["mode"] == "datacard" and out["groups"] == ["lang"]
+    totals = [r for r in out["rows"] if r["is_total"] == 1]
+    assert len(totals) == 1 and totals[0]["n_docs"] > 0
+    assert sum(r["n_docs"] for r in out["rows"]
+               if r["is_total"] == 0) == totals[0]["n_docs"]
+    assert all("lang_match_frac" in r for r in out["rows"])
+    # custom groups
+    res2 = subprocess.run(
+        [sys.executable, "-m", "etl_pack_spark.cli", "--datacard", docs,
+         "--datacard-groups", "lang,source"],
+        capture_output=True, text=True, cwd="/root/repo", check=True,
+    )
+    out2 = json.loads(res2.stdout.strip().splitlines()[-1])
+    assert out2["groups"] == ["lang", "source"]
+    assert all(("lang" in r and "source" in r) for r in out2["rows"])
+    # missing group column is a loud config error
+    r3 = subprocess.run(
+        [sys.executable, "-m", "etl_pack_spark.cli", "--datacard", docs,
+         "--datacard-groups", "nope"],
+        capture_output=True, text=True, cwd="/root/repo",
+    )
+    assert r3.returncode == 2 and "nope" in r3.stderr
+    # scoped flag
+    r4 = subprocess.run(
+        [sys.executable, "-m", "etl_pack_spark.cli",
+         "--funnel", docs, "--datacard-groups", "lang"],
+        capture_output=True, text=True, cwd="/root/repo",
+    )
+    assert r4.returncode == 2 and "--datacard" in r4.stderr
