@@ -834,3 +834,42 @@ def test_c4_disposition_matches_python_model(spark, docs, min_words, min_lines):
     assert survivors == {
         i: tc for i, (stage, tc, _, _) in want.items() if stage is None
     }
+
+
+# r12: datacard conservation laws over arbitrary corpora — the card's
+# grand-total row must account for every document and every token the
+# group rows report, for any text (incl. NULLs) and any label mix.
+doc_text = st.one_of(st.none(), st.text(
+    alphabet=st.characters(min_codepoint=0x20, max_codepoint=0x24F),
+    min_size=0, max_size=40,
+))
+doc_lang = st.sampled_from(["en", "de", "es", "fr", None])
+doc_rows = st.lists(
+    st.tuples(doc_text, doc_lang), min_size=1, max_size=12,
+)
+
+
+@given(rows=doc_rows)
+@settings(max_examples=10, deadline=None,
+          suppress_health_check=[HealthCheck.too_slow,
+                                 HealthCheck.function_scoped_fixture])
+def test_datacard_conservation_laws(spark, rows):
+    from etl_pack_spark.operators.quality import corpus_datacard
+
+    docs = spark.createDataFrame(
+        [(i, t, g) for i, (t, g) in enumerate(rows)],
+        "doc_id long, text string, lang string",
+    )
+    card = corpus_datacard(docs, accuracy=None).collect()
+    totals = [r for r in card if r["is_total"] == 1]
+    groups = [r for r in card if r["is_total"] == 0]
+    assert len(totals) == 1
+    tot = totals[0]
+    assert tot["n_docs"] == len(rows)
+    assert sum(g["n_docs"] for g in groups) == tot["n_docs"]
+    assert sum(g["n_tokens_total"] for g in groups) == tot["n_tokens_total"]
+    assert sum(g["n_chars_total"] for g in groups) == tot["n_chars_total"]
+    assert sum(g["n_null_text"] for g in groups) == tot["n_null_text"]
+    assert tot["n_null_text"] == sum(1 for t, _ in rows if t is None)
+    # exactly one group row per distinct label (NULL label is a group)
+    assert len(groups) == len({g for _, g in rows})
