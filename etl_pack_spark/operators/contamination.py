@@ -357,15 +357,20 @@ def registry_contamination_report(
 
     Scale: ONE corpus shingle scan regardless of how many eval sets
     are registered (the per-call decontaminate would rescan per set);
-    the registry is broadcast (benchmark-sized by contract), and the
-    groupBy carries only matching (doc, set, gh) rows."""
+    the registry side rides the bounded-broadcast guard — benchmark-
+    sized by contract, so it broadcasts, but a registry grown past the
+    model bound (hundreds of accumulated benchmarks) falls back to
+    AQE's shuffled join instead of a forced-broadcast OOM; the groupBy
+    carries only matching (doc, set, gh) rows."""
+    from etl_pack_spark.operators.guards import maybe_broadcast
+
     n = _registry_n(spark, store_path, None)
     reg = spark.read.parquet(store_path).select("gh", "eval_set")
     train_grams = shingle_rows(train, id_col, text_col, n).select(
         id_col, F.xxhash64("s").alias("gh")
     )
     return (
-        train_grams.join(F.broadcast(reg), "gh")
+        train_grams.join(maybe_broadcast(reg), "gh")
         .groupBy(id_col, "eval_set")
         .agg(F.count_distinct("gh").alias("hits"))
     )

@@ -295,3 +295,36 @@ class TestEvalRegistry:
                 "documents", {"slice7": "s7", "slice3": "s3"}, n=8)
         ).fetchall()))
         assert got == want and len(got) > 0
+
+    def test_registry_join_broadcast_guarded(self, spark, tmp_path,
+                                             monkeypatch):
+        """The registry side of the one-scan report rides
+        guards.maybe_broadcast: hinted while benchmark-sized, unhinted
+        (AQE decides) past the model bound — identical hits either
+        way, so an over-accumulated registry degrades to a shuffled
+        join instead of a forced-broadcast OOM."""
+        from etl_pack_spark.operators import guards
+        from etl_pack_spark.operators.contamination import (
+            register_eval_set,
+            registry_contamination_report,
+        )
+
+        store = str(tmp_path / "reg")
+        register_eval_set(spark, _df(spark, [(1, LEAK)]), store, "b")
+        train = _df(spark, [(10, LEAK + " trailing words")])
+        old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        try:
+            def is_broadcast(df):
+                plan = df._jdf.queryExecution().executedPlan().toString()
+                return "BroadcastHashJoin" in plan
+
+            small = registry_contamination_report(spark, train, store)
+            assert is_broadcast(small)
+            monkeypatch.setattr(guards, "MAX_BROADCAST_MODEL_ROWS", 0)
+            big = registry_contamination_report(spark, train, store)
+            assert not is_broadcast(big)
+            assert sorted(map(tuple, small.collect())) == \
+                sorted(map(tuple, big.collect()))
+        finally:
+            spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
