@@ -702,7 +702,12 @@ def main(argv: list[str] | None = None) -> int:
             register_eval_set,
             registered_eval_sets,
         )
+        from etl_pack_spark.sinks.fsio import exists as fs_exists
 
+        if not fs_exists(spark, args.register_eval):
+            print(f"error: no eval docs at {args.register_eval}",
+                  file=sys.stderr)
+            return 2
         try:
             appended = register_eval_set(
                 spark, spark.read.parquet(args.register_eval),
@@ -726,6 +731,13 @@ def main(argv: list[str] | None = None) -> int:
     if args.report_trend:
         from pyspark.sql import functions as F
 
+        from etl_pack_spark.sinks.fsio import exists as fs_exists
+
+        if not fs_exists(spark, args.report_trend):
+            print(f"error: no report store at {args.report_trend} — "
+                  "point --report-trend at a store written by "
+                  "--report-out", file=sys.stderr)
+            return 2
         trend = (
             spark.read.parquet(args.report_trend)
             .groupBy("mode", "metric")

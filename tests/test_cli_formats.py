@@ -711,3 +711,21 @@ def test_cli_datacard(sf_dir, tmp_path):
         capture_output=True, text=True, cwd="/root/repo",
     )
     assert r4.returncode == 2 and "--datacard" in r4.stderr
+
+
+def test_cli_new_modes_missing_paths_fail_cleanly(tmp_path):
+    """r12 polish: a missing store/docs path is a config error (exit 2
+    with the path named), not a Spark traceback."""
+    r = subprocess.run(
+        [sys.executable, "-m", "etl_pack_spark.cli",
+         "--report-trend", str(tmp_path / "nope")],
+        capture_output=True, text=True, cwd="/root/repo",
+    )
+    assert r.returncode == 2 and "no report store" in r.stderr
+    r2 = subprocess.run(
+        [sys.executable, "-m", "etl_pack_spark.cli",
+         "--register-eval", str(tmp_path / "nope2"),
+         "--eval-store", str(tmp_path / "s"), "--eval-set", "b"],
+        capture_output=True, text=True, cwd="/root/repo",
+    )
+    assert r2.returncode == 2 and "no eval docs" in r2.stderr
