@@ -30,6 +30,14 @@ BENCH_QUERIES = [
     "x4_incremental_load",     # flagship: hash + anti-join incremental load
     "h1_row_hash",             # canonical-hash throughput
     "p2_window",               # pushed-down range scan
+    # r13 (round-12 VERDICT #1b): moved from LAST to the front third —
+    # it is the suite's most persist/scratch-dependent query, and two
+    # rounds running its record landed on the degraded tail of a
+    # mid-run disk collapse (r12: 9.26s on a 10 MB/s scratch vs the
+    # 2.3s clean band), making the number unfalsifiable from the
+    # artifact. Early placement puts it under the calibration_pre /
+    # third-1 marker band.
+    "neardup_components",      # simhash pairs -> transitive clusters (iterative)
     "agg_pricing_summary",     # TPC-H Q1-shaped aggregation
     "join_revenue_by_nation",  # star join + agg
     "window_topk_orders",      # window function
@@ -48,8 +56,30 @@ BENCH_QUERIES = [
     "bm25_search",             # hybrid retrieval: batch BM25 ⊕ cosine, RRF-fused (r9)
     "cdc_scd2",                # SCD-2 history build (window shuffle)
     "c4_clean",                # C4-recipe cleaning, map-only
-    "neardup_components",      # simhash pairs -> transitive clusters (iterative)
 ]
+
+# Pinned CLEAN-BOX calibration reference (round-12 VERDICT #1a): the
+# r11 driver run's marker band — matmul 0.077-0.093s, pyloop
+# 0.144-0.177s, disk write 190-452 MB/s (BENCH_r11.json, all seven
+# stamps). A marker past ~2x its reference (disk: under a quarter —
+# its clean band is wide, its degraded mode is 10-42 MB/s, r12) means
+# the box, not the code, is the story: the record carries
+# degraded:true and the headline suite re-runs once after a cooldown
+# so at least one leg lands on whatever clean window exists.
+CALIB_REF = {"matmul_sec": 0.08, "pyloop_sec": 0.16, "disk_write_mbps": 200.0}
+
+
+def degraded_markers(calib: dict) -> list[str]:
+    """The calibration markers outside the pinned clean band — empty
+    means this stamp is a clean-box stamp."""
+    bad = []
+    if calib["matmul_sec"] > 2 * CALIB_REF["matmul_sec"]:
+        bad.append("matmul_sec")
+    if calib["pyloop_sec"] > 2 * CALIB_REF["pyloop_sec"]:
+        bad.append("pyloop_sec")
+    if calib["disk_write_mbps"] < CALIB_REF["disk_write_mbps"] / 4:
+        bad.append("disk_write_mbps")
+    return bad
 
 
 def _scaled_docs(spark, sf_dir, factor):
@@ -498,17 +528,29 @@ def _calibrate() -> dict:
     WITH slower calibration is machine load, not code."""
     import numpy as np
 
-    a = np.random.default_rng(0).random((1024, 1024))
-    t0 = time.perf_counter()
-    for _ in range(8):
-        a = a @ a
-        a /= np.abs(a).max()
-    matmul = time.perf_counter() - t0
-    t0 = time.perf_counter()
-    s = 0
-    for i in range(4_000_000):
-        s += i & 7
-    pyloop = time.perf_counter() - t0
+    # untimed warmup (r13): the FIRST matmul of a process pays BLAS
+    # thread-pool spinup + page faults — r13's local runs showed a cold
+    # first stamp 3x the steady-state value, which would trip the
+    # degraded detector on a healthy box. Best-of-2 on the CPU markers
+    # for the same reason: the stamp measures box health, and a single
+    # scheduler hiccup is not box health.
+    w = np.random.default_rng(0).random((1024, 1024))
+    w = w @ w
+    matmul = float("inf")
+    for _ in range(2):
+        a = np.random.default_rng(0).random((1024, 1024))
+        t0 = time.perf_counter()
+        for _ in range(8):
+            a = a @ a
+            a /= np.abs(a).max()
+        matmul = min(matmul, time.perf_counter() - t0)
+    pyloop = float("inf")
+    for _ in range(2):
+        t0 = time.perf_counter()
+        s = 0
+        for i in range(4_000_000):
+            s += i & 7
+        pyloop = min(pyloop, time.perf_counter() - t0)
     # disk health: shuffle spills crawl when the scratch volume is
     # near-full or slow, and a CPU-only marker cannot see it (learned
     # the hard way: 74 GB of stale oracle spill files once took the
@@ -650,10 +692,45 @@ def main() -> None:
             "n": n,
         }
 
-    timings: dict[str, float] = {}
-    stats: dict[str, dict] = {}
-    for name in BENCH_QUERIES:
-        timings[name], stats[name] = time_query(run, name)
+    def run_headline() -> dict:
+        """One full headline pass with per-suite-third ambient markers
+        (round-12 VERDICT #1a): thirds[0] stamps the start, [1]/[2] the
+        interior boundaries, [3] the end — a query's band is the stamps
+        bracketing its third, so a mid-run collapse (r12: disk
+        291→10 MB/s) is attributable PER QUERY from the artifact."""
+        t_: dict[str, float] = {}
+        s_: dict[str, dict] = {}
+        thirds = [_calibrate()]
+        cut1, cut2 = len(BENCH_QUERIES) // 3, 2 * len(BENCH_QUERIES) // 3
+        for i, name in enumerate(BENCH_QUERIES):
+            if i in (cut1, cut2):
+                thirds.append(_calibrate())
+            t_[name], s_[name] = time_query(run, name)
+        thirds.append(_calibrate())
+        bad = sorted({m for c in thirds for m in degraded_markers(c)})
+        return {
+            "value": round(sum(t_.values()), 3),
+            "queries": t_, "queries_stats": s_,
+            "calibration_thirds": thirds,
+            "degraded": bool(bad), "degraded_markers": bad,
+        }
+
+    attempt = run_headline()
+    attempts = [attempt]
+    # degraded-box rerun (round-12 VERDICT #1c): when any suite-third
+    # marker trips, cool down and run the headline suite once more —
+    # the record then carries BOTH legs, and the headline is the leg
+    # with clean markers (or the faster one when neither/both are
+    # clean). Opt out with SPARK_GRAFT_BENCH_COOLDOWN_SEC=-1.
+    cooldown = float(os.environ.get("SPARK_GRAFT_BENCH_COOLDOWN_SEC", "60"))
+    if attempt["degraded"] and cooldown >= 0:
+        time.sleep(cooldown)
+        attempts.append(run_headline())
+        clean = [a for a in attempts if not a["degraded"]]
+        attempt = clean[0] if len(clean) == 1 else min(
+            attempts, key=lambda a: a["value"]
+        )
+
     # library operators outside the capped registry: timed and reported
     # separately so the headline total stays comparable across rounds
     lib_timings: dict[str, float] = {}
@@ -661,22 +738,36 @@ def main() -> None:
     for name in LIB_QUERIES:
         lib_timings[name], lib_stats[name] = time_query(run, name)
 
-    total = round(sum(timings.values()), 3)
     out = {
         "metric": "headline_suite_wall_sec",
-        "value": total,
+        "value": attempt["value"],
         "unit": "sec",
-        "queries": timings,
-        "queries_stats": stats,
+        "queries": attempt["queries"],
+        "queries_stats": attempt["queries_stats"],
         "queries_lib": lib_timings,
         "queries_lib_stats": lib_stats,
         "sf": sf,
         "calibration_pre": calib_pre,
+        "calibration_ref": CALIB_REF,
+        "calibration_thirds": attempt["calibration_thirds"],
+        "degraded": attempt["degraded"],
+        "degraded_markers": attempt["degraded_markers"],
         "scratch_sweep": sweep,
     }
+    if len(attempts) > 1:
+        out["headline_attempts"] = [
+            {"value": a["value"], "degraded": a["degraded"],
+             "degraded_markers": a["degraded_markers"],
+             "queries": a["queries"],
+             "calibration_thirds": a["calibration_thirds"]}
+            for a in attempts
+        ]
+        out["value_first_attempt"] = attempts[0]["value"]
     # mid-suite calibration (r8, round-7 VERDICT #7): the headline and
     # lib suites themselves degrade the scratch volume; the probe-stage
-    # numbers need their OWN ambient marker, not just the endpoints
+    # numbers need their OWN ambient marker, not just the endpoints.
+    # (Kept alongside calibration_thirds for cross-round comparability:
+    # r8-r12 artifacts carry this exact key.)
     out["calibration_mid"] = _calibrate()
 
     # scaling curve: the same suite at a second (smaller) scale factor,
@@ -852,13 +943,21 @@ _COMPACT_OPTIONAL_KEYS = (
     "scale_probe_events_rows", "maintenance_probe_pairs",
     "scale_probe2_factor", "scale_probe2_docs",
     "queries_scale_probe2",
+    # r13: the sick-box escape hatch — when markers tripped and the
+    # suite re-ran, the first leg's total rides along so BOTH numbers
+    # are readable from the tail line alone
+    "degraded_markers", "value_first_attempt",
 )
 
 
 def compact_record(out: dict, full_name: str) -> dict:
     """The LAST-stdout-line record: headline contract + one-number probe
-    summaries, sized under COMPACT_BUDGET with the contract keys last."""
-    head = {"unit": out["unit"], "sf": out["sf"], "full_record": full_name}
+    summaries, sized under COMPACT_BUDGET with the contract keys last.
+    ``degraded`` (r13) is mandatory: a headline number without its
+    box-health bit is exactly the unfalsifiable artifact round-12's
+    VERDICT #1 flagged."""
+    head = {"unit": out["unit"], "sf": out["sf"], "full_record": full_name,
+            "degraded": bool(out.get("degraded", False))}
     tail = {k: out[k] for k in _COMPACT_TAIL_KEYS}
     base_len = len(json.dumps({**head, **tail}))
     budget = COMPACT_BUDGET - base_len

@@ -45,8 +45,55 @@ def test_compact_record_headline_serializes_last():
     # json.dumps preserves dict insertion order: a tail cut eats the FRONT
     # of the line, so the contract keys must be the last three
     assert list(rec)[-3:] == ["metric", "value", "queries"]
-    for key in ("metric", "value", "unit", "sf", "queries"):
+    for key in ("metric", "value", "unit", "sf", "queries", "degraded"):
         assert key in rec
+
+
+def test_compact_record_carries_degraded_flag_and_rerun_value():
+    """r13 (round-12 VERDICT #1): a degraded-box headline must say so in
+    the tail line, and when the suite re-ran, the first leg's total must
+    survive the compact budget too."""
+    out = dict(_representative_out())
+    out["degraded"] = True
+    out["degraded_markers"] = ["disk_write_mbps"]
+    out["value_first_attempt"] = 32.506
+    rec = bench.compact_record(out, "BENCH_FULL.json")
+    assert rec["degraded"] is True
+    assert rec["value_first_attempt"] == 32.506
+    assert rec["degraded_markers"] == ["disk_write_mbps"]
+    assert len(json.dumps(rec)) < bench.COMPACT_BUDGET
+
+    out["degraded"] = False
+    rec2 = bench.compact_record(out, "BENCH_FULL.json")
+    assert rec2["degraded"] is False
+
+
+def test_degraded_marker_bands():
+    """The pinned clean band accepts r11's driver stamps and rejects
+    r12's degraded ones (the two rounds the detector exists to tell
+    apart)."""
+    r11_stamp = {"matmul_sec": 0.091, "pyloop_sec": 0.171,
+                 "disk_free_gb": 84.9, "disk_write_mbps": 452.0}
+    r11_slow_disk = {"matmul_sec": 0.077, "pyloop_sec": 0.149,
+                     "disk_free_gb": 78.7, "disk_write_mbps": 193.0}
+    r12_mid = {"matmul_sec": 0.119, "pyloop_sec": 0.162,
+               "disk_free_gb": 60.0, "disk_write_mbps": 10.0}
+    r12_post = {"matmul_sec": 0.084, "pyloop_sec": 0.158,
+                "disk_free_gb": 60.0, "disk_write_mbps": 42.0}
+    assert bench.degraded_markers(r11_stamp) == []
+    assert bench.degraded_markers(r11_slow_disk) == []
+    # the disk collapse is the flag; matmul at 0.119 (1.5x ref) stays
+    # inside the 2x band on purpose — CPU jitter alone must not force
+    # a spurious rerun when the disk marker is clean
+    assert "disk_write_mbps" in bench.degraded_markers(r12_mid)
+    assert bench.degraded_markers(r12_post) == ["disk_write_mbps"]
+
+
+def test_neardup_components_runs_in_front_third():
+    """round-12 VERDICT #1b: the suite's most scratch-dependent query
+    must run under the front-third marker band, not last."""
+    idx = bench.BENCH_QUERIES.index("neardup_components")
+    assert idx < len(bench.BENCH_QUERIES) // 3
 
 
 def test_compact_record_sheds_oversized_sections():
