@@ -219,26 +219,47 @@ def contamination_report_sql(
 # platform accumulates eval sets over time (new benchmarks, new held-out
 # splits) and every ingest/refresh must decontaminate against ALL of
 # them. The registry persists each eval set's distinct n-gram hashes
-# ONCE — (gh, eval_set, registered_at_ms) rows, benchmark-sized, so the
-# store stays broadcast-sized by contract — and later runs join against
-# the store without ever re-reading eval text. Same operational posture
-# as the other incremental stores: exclusive ingest lease around the
-# append, append-only parquet, a manifest (underscore name, invisible
-# to parquet readers) pinning the shingle width so every consumer
-# fingerprints identically.
+# ONCE — (gh, eval_set, n, registered_at_ms) rows, benchmark-sized, so
+# the store stays broadcast-sized by contract — and later runs join
+# against the store without ever re-reading eval text. Same operational
+# posture as the other incremental stores: exclusive ingest lease
+# around the append, append-only parquet, a manifest (underscore name,
+# invisible to parquet readers) recording the store's DEFAULT shingle
+# width. The width is PER EVAL SET since r13 (round-12 VERDICT #3: one
+# global width forced mixed code/prose benchmark suites into separate
+# stores — and separate corpus scans — defeating the one-scan design);
+# each set's width lives in its rows, the corpus pass groups by
+# distinct width (one scan per width, not per set), and an explicit
+# ``n`` contradicting a set's OWN registered width stays a loud error.
 
 _REGISTRY_META = "_eval_registry.json"
+
+# eval_set names are interpolated into oracle SQL string literals and
+# land in report rows — same plain-token posture as the drift signal
+# names (r13, ADVICE): a quote or whitespace would break the DuckDB
+# twin silently.
+_EVAL_SET_RE = r"[A-Za-z0-9_.\-]+"
+
+
+def _check_eval_set_name(eval_set: str) -> None:
+    import re
+
+    if not re.fullmatch(_EVAL_SET_RE, eval_set or ""):
+        raise ValueError(
+            f"eval_set must be a plain token ({_EVAL_SET_RE}), got "
+            f"{eval_set!r} — it is interpolated into report rows and "
+            "oracle SQL string literals"
+        )
 
 
 def _registry_meta_path(store_path: str) -> str:
     return store_path.rstrip("/") + "/" + _REGISTRY_META
 
 
-def _registry_n(spark, store_path: str, n: int | None) -> int:
-    """The registry's pinned shingle width. A mismatched ``n`` silently
-    produces zero matches (different fingerprint space), so consumers
-    must take the stored value — an explicit contradicting ``n`` is a
-    loud error, not a preference."""
+def _registry_default_n(spark, store_path: str) -> int:
+    """The registry's manifest default width (used when ``n`` is
+    omitted for a NEW set). A missing manifest means the path is not a
+    registry — loud, not a silent empty frame."""
     import json as _json
 
     from etl_pack_spark.sinks.fsio import read_text
@@ -250,14 +271,19 @@ def _registry_n(spark, store_path: str, n: int | None) -> int:
             f"({_REGISTRY_META}) — register an eval set first, or point "
             "at the right store"
         )
-    stored = int(_json.loads(raw)["n"])
-    if n is not None and n != stored:
-        raise ValueError(
-            f"registry {store_path!r} fingerprints {stored}-gram "
-            f"shingles; n={n} would silently match nothing — omit n or "
-            "re-register into a new store"
-        )
-    return stored
+    return int(_json.loads(raw)["n"])
+
+
+def _read_registry(spark, store_path: str) -> DataFrame:
+    """The registry as ``(gh, eval_set, n, registered_at_ms)``.
+    Legacy stores (r12: one global width, rows without an ``n``
+    column) read with every row at the manifest width, so a store
+    written before the per-set upgrade keeps matching identically."""
+    default_n = _registry_default_n(spark, store_path)
+    df = spark.read.parquet(store_path)
+    if "n" not in df.columns:
+        df = df.withColumn("n", F.lit(default_n))
+    return df.select("gh", "eval_set", "n", "registered_at_ms")
 
 
 def register_eval_set(
@@ -270,58 +296,77 @@ def register_eval_set(
 ) -> int:
     """Fingerprint one eval set into the registry at ``store_path``:
     distinct 64-bit word-``n``-gram hashes, appended as
-    ``(gh, eval_set, registered_at_ms)``. Returns the number of NEW
+    ``(gh, eval_set, n, registered_at_ms)``. Returns the number of NEW
     hashes appended — re-registering the same set (same name) is
     idempotent by anti-join, so a retried cron firing appends 0.
 
     The append runs under the store's exclusive ingest lease (one
     registration at a time per store, like every other incremental
-    store); the manifest pins ``n`` at first registration (default 8
-    when omitted) and later calls must omit it or agree. The store stays benchmark-sized: eval sets are
-    thousands of items by contract, so registration is a small job and
-    every consumer can broadcast the whole registry."""
+    store). Width rules: a NEW set registers at ``n`` (or the store's
+    manifest default, pinned at first registration — 8 when the first
+    call omits it); an EXISTING set always re-registers at its OWN
+    width, and an explicit ``n`` contradicting it is a loud error (a
+    mismatched width silently matches nothing — different fingerprint
+    space). Two sets at different widths in one store is the supported
+    mixed-suite case (code vs prose benchmarks). The store stays
+    benchmark-sized: eval sets are thousands of items by contract, so
+    registration is a small job and every consumer can broadcast the
+    whole registry.
+
+    The stamped gram frame is pooled-persisted before the count, so
+    the shingle + anti-join lineage executes ONCE per registration
+    (r13, round-12 VERDICT #2: count-then-write used to run it twice
+    while holding the lease) — the lease hold covers one job."""
     import json as _json
     import time as _time
 
+    from etl_pack_spark.operators.cache import pooled_persist
     from etl_pack_spark.sinks.fsio import exists, read_text, write_text
     from etl_pack_spark.streaming.incremental import _stamp_lease
 
-    if not eval_set or "/" in eval_set:
-        raise ValueError(
-            f"eval_set must be a non-empty name without '/' "
-            f"(got {eval_set!r})"
-        )
+    _check_eval_set_name(eval_set)
     with _stamp_lease(spark, store_path):
         meta_path = _registry_meta_path(store_path)
         raw = read_text(spark, meta_path)
-        if raw is None:
-            n_stored = 8 if n is None else int(n)
-        else:
-            n_stored = int(_json.loads(raw)["n"])
-            if n is not None and int(n) != n_stored:
-                raise ValueError(
-                    f"registry {store_path!r} fingerprints {n_stored}-"
-                    f"gram shingles; cannot register {eval_set!r} with "
-                    f"n={n}"
-                )
-        grams = eval_ngram_set(eval_df, text_col, n_stored)
-        if exists(spark, store_path):
+        default_n = (8 if n is None else int(n)) if raw is None \
+            else int(_json.loads(raw)["n"])
+        store_exists = exists(spark, store_path)
+        existing_n = None
+        if store_exists:
+            row = (
+                _read_registry(spark, store_path)
+                .where(F.col("eval_set") == eval_set)
+                .select("n").limit(1).collect()
+            )
+            existing_n = int(row[0]["n"]) if row else None
+        if existing_n is not None and n is not None and int(n) != existing_n:
+            raise ValueError(
+                f"eval set {eval_set!r} in registry {store_path!r} is "
+                f"fingerprinted with {existing_n}-gram shingles; "
+                f"re-registering with n={n} would silently match "
+                "nothing — omit n, or register under a new name"
+            )
+        n_set = existing_n if existing_n is not None \
+            else (int(n) if n is not None else default_n)
+        grams = eval_ngram_set(eval_df, text_col, n_set)
+        if store_exists:
             seen = (
                 spark.read.parquet(store_path)
                 .where(F.col("eval_set") == eval_set)
                 .select("gh")
             )
             grams = grams.join(seen, "gh", "left_anti")
-        stamped = grams.select(
+        stamped = pooled_persist(grams.select(
             "gh",
             F.lit(eval_set).alias("eval_set"),
+            F.lit(n_set).cast("int").alias("n"),
             F.lit(int(_time.time() * 1000)).alias("registered_at_ms"),
-        )
+        ))
         # manifest BEFORE data: a crash in between leaves an empty-but-
         # described store (harmless); data-without-manifest would make
         # every later consumer raise
         if raw is None:
-            write_text(spark, meta_path, _json.dumps({"n": n_stored}))
+            write_text(spark, meta_path, _json.dumps({"n": default_n}))
         appended = stamped.count()
         if appended:
             stamped.coalesce(1).write.mode("append").parquet(store_path)
@@ -329,13 +374,14 @@ def register_eval_set(
 
 
 def registered_eval_sets(spark, store_path: str) -> DataFrame:
-    """Registry inventory: ``(eval_set, n_grams, registered_at_ms)``
-    (first registration time per set) — the audit view."""
-    _registry_n(spark, store_path, None)
+    """Registry inventory: ``(eval_set, n, n_grams, registered_at_ms)``
+    (the set's shingle width and first registration time) — the audit
+    view."""
     return (
-        spark.read.parquet(store_path)
+        _read_registry(spark, store_path)
         .groupBy("eval_set")
         .agg(
+            F.min("n").alias("n"),
             F.count(F.lit(1)).alias("n_grams"),
             F.min("registered_at_ms").alias("registered_at_ms"),
         )
@@ -350,30 +396,51 @@ def registry_contamination_report(
     text_col: str = "text",
 ) -> DataFrame:
     """Per-train-doc, per-eval-set contamination against the WHOLE
-    registry in one pass: ``(id_col, eval_set, hits)`` with ``hits`` =
-    distinct shared n-grams, one row per (doc, set) with any overlap.
-    The shingle width comes from the registry manifest, so the train
+    registry: ``(id_col, eval_set, hits)`` with ``hits`` = distinct
+    shared n-grams, one row per (doc, set) with any overlap. Each
+    set's shingle width comes from its registry rows, so the train
     side fingerprints exactly like every registered set.
 
-    Scale: ONE corpus shingle scan regardless of how many eval sets
-    are registered (the per-call decontaminate would rescan per set);
-    the registry side rides the bounded-broadcast guard — benchmark-
-    sized by contract, so it broadcasts, but a registry grown past the
-    model bound (hundreds of accumulated benchmarks) falls back to
-    AQE's shuffled join instead of a forced-broadcast OOM; the groupBy
-    carries only matching (doc, set, gh) rows."""
+    Scale: ONE corpus shingle scan per DISTINCT registered width —
+    not per set (r13; a mixed suite of dozens of prose benchmarks at
+    n=8 and code benchmarks at n=10 costs two scans total). The
+    width list is registry metadata (a handful of values, collected
+    driver-side); per width, the registry slice rides the bounded-
+    broadcast guard — benchmark-sized by contract, so it broadcasts,
+    but a registry grown past the model bound (hundreds of
+    accumulated benchmarks) falls back to AQE's shuffled join instead
+    of a forced-broadcast OOM; the groupBy carries only matching
+    (doc, set, gh) rows."""
+    from functools import reduce
+
     from etl_pack_spark.operators.guards import maybe_broadcast
 
-    n = _registry_n(spark, store_path, None)
-    reg = spark.read.parquet(store_path).select("gh", "eval_set")
-    train_grams = shingle_rows(train, id_col, text_col, n).select(
-        id_col, F.xxhash64("s").alias("gh")
-    )
-    return (
-        train_grams.join(maybe_broadcast(reg), "gh")
-        .groupBy(id_col, "eval_set")
-        .agg(F.count_distinct("gh").alias("hits"))
-    )
+    reg = _read_registry(spark, store_path)
+    # registry metadata, not data: a few distinct widths by contract
+    widths = sorted(r["n"] for r in reg.select("n").distinct().collect())
+    parts = []
+    for w in widths:
+        reg_w = reg.where(F.col("n") == w).select("gh", "eval_set")
+        train_grams = shingle_rows(train, id_col, text_col, int(w)).select(
+            id_col, F.xxhash64("s").alias("gh")
+        )
+        parts.append(
+            train_grams.join(maybe_broadcast(reg_w), "gh")
+            .groupBy(id_col, "eval_set")
+            .agg(F.count_distinct("gh").alias("hits"))
+        )
+    if not parts:
+        # a registry with a manifest but zero rows (crash window between
+        # manifest and first data write): an empty report in the same
+        # schema, id typed like the train corpus
+        return train.select(id_col).limit(0).select(
+            id_col,
+            F.lit("").alias("eval_set"),
+            F.lit(0).cast("long").alias("hits"),
+        )
+    # a set has exactly one width, so the per-width reports partition
+    # the (doc, set) space — plain union, no re-aggregation
+    return reduce(DataFrame.unionByName, parts)
 
 
 def decontaminate_registered(
@@ -406,25 +473,43 @@ def registry_contamination_report_sql(
     eval_tables: dict[str, str],
     id_col: str = "doc_id",
     text_col: str = "text",
-    n: int = 8,
+    n: int | dict[str, int] = 8,
 ) -> str:
     """DuckDB oracle twin of :func:`registry_contamination_report`
     over named eval tables (string shingles — hashing is an engine-
     side join-width optimization that cannot change distinct-match
-    counts)."""
+    counts). ``n`` is one width for every set or a per-set dict
+    (r13: the per-eval-set width upgrade) — each set's train-side
+    shingling uses ITS width, exactly like the engine's per-width
+    corpus passes."""
+    if not eval_tables:
+        raise ValueError("eval_tables must name at least one eval set")
+    widths = (
+        {name: int(n) for name in eval_tables}
+        if isinstance(n, int)
+        else {name: int(n[name]) for name in eval_tables}
+    )
+    for name in eval_tables:
+        _check_eval_set_name(name)
     regs = "\nUNION ALL\n".join(
-        f"SELECT DISTINCT '{name}' AS eval_set, "
-        f"unnest({shingles_sql('toks', n)}) AS s "
+        f"SELECT DISTINCT '{name}' AS eval_set, {widths[name]} AS n, "
+        f"unnest({shingles_sql('toks', widths[name])}) AS s "
         f"FROM (SELECT {tokens_sql(text_col)} AS toks FROM {table})"
         for name, table in sorted(eval_tables.items())
+    )
+    train_grams = "\nUNION ALL\n".join(
+        f"SELECT {id_col}, {w} AS n, "
+        f"unnest({shingles_sql('toks', w)}) AS s "
+        f"FROM (SELECT {id_col}, {tokens_sql(text_col)} AS toks "
+        f"FROM {train_table})"
+        for w in sorted(set(widths.values()))
     )
     return f"""
     WITH __reg AS ({regs}),
     __train_grams AS (
-        SELECT {id_col}, unnest({shingles_sql('toks', n)}) AS s
-        FROM (SELECT {id_col}, {tokens_sql(text_col)} AS toks FROM {train_table})
+        {train_grams}
     )
     SELECT {id_col}, eval_set, count(DISTINCT s) AS hits
-    FROM __train_grams JOIN __reg USING (s)
+    FROM __train_grams JOIN __reg USING (n, s)
     GROUP BY {id_col}, eval_set
     """

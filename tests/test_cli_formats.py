@@ -601,9 +601,17 @@ def test_cli_register_eval(sf_dir, tmp_path):
         cmd, capture_output=True, text=True, cwd="/root/repo", check=True,
     ).stdout.strip().splitlines()[-1])
     assert out2["appended"] == 0
-    # contradicting shingle width: loud exit-2, store untouched
-    r = subprocess.run(
+    # a NEW set at another width in the same store: the supported
+    # mixed-suite case since the per-set width upgrade (r13)
+    out3 = json.loads(subprocess.run(
         [*cmd[:-1], "bench_b", "--eval-ngram", "5"],
+        capture_output=True, text=True, cwd="/root/repo", check=True,
+    ).stdout.strip().splitlines()[-1])
+    assert out3["appended"] > 0
+    assert set(out3["registered_sets"]) == {"bench_a", "bench_b"}
+    # contradicting an EXISTING set's width: loud exit-2, store untouched
+    r = subprocess.run(
+        [*cmd, "--eval-ngram", "5"],
         capture_output=True, text=True, cwd="/root/repo",
     )
     assert r.returncode == 2 and "8-gram" in r.stderr

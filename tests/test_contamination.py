@@ -219,29 +219,148 @@ class TestEvalRegistry:
             spark, train, store).collect()}
         assert kept == {10}
 
-    def test_manifest_pins_shingle_width(self, spark, tmp_path):
+    def test_per_set_shingle_widths(self, spark, tmp_path):
+        """r13 (round-12 VERDICT #3): the width is per EVAL SET — mixed
+        code/prose suites live in ONE store; the loud-mismatch posture
+        moved to contradicting a set's OWN registered width."""
         import pytest as _pytest
 
         from etl_pack_spark.operators.contamination import (
             register_eval_set,
+            registered_eval_sets,
             registry_contamination_report,
         )
 
         store = str(tmp_path / "evalreg5")
         bench = _df(spark, [(1, LEAK)])
         register_eval_set(spark, bench, store, "b", n=5)
-        # contradicting n is loud, not a silent zero-match space
+        # a DIFFERENT set at a different width in the same store is the
+        # supported mixed-suite case now
+        assert register_eval_set(spark, bench, store, "c", n=8) > 0
+        widths = {r["eval_set"]: r["n"]
+                  for r in registered_eval_sets(spark, store).collect()}
+        assert widths == {"b": 5, "c": 8}
+        # contradicting an EXISTING set's width is loud, not a silent
+        # zero-match space
         with _pytest.raises(ValueError, match="5-gram"):
-            register_eval_set(spark, bench, store, "c", n=8)
-        # omitted n takes the stored width
+            register_eval_set(spark, bench, store, "b", n=8)
+        # omitted n takes the set's own stored width
         assert register_eval_set(spark, bench, store, "b") == 0
+        assert register_eval_set(spark, bench, store, "c") == 0
         # a missing manifest (not a registry) is loud too
         with _pytest.raises(ValueError, match="manifest"):
             registry_contamination_report(
                 spark, _df(spark, [(1, LEAK)]), str(tmp_path / "nostore"))
-        # bad set names rejected before any work
-        with _pytest.raises(ValueError, match="eval_set"):
-            register_eval_set(spark, bench, store, "a/b")
+        # non-plain-token set names rejected before any work (r13,
+        # ADVICE: names land in oracle SQL string literals)
+        for bad in ("a/b", "a b", 'a"b', "a'b", ""):
+            with _pytest.raises(ValueError, match="eval_set"):
+                register_eval_set(spark, bench, store, bad)
+
+    def test_registration_executes_lineage_once(self, spark, tmp_path):
+        """r13 (round-12 VERDICT #2): the stamped gram frame is
+        persisted before the count, so the shingle + anti-join lineage
+        runs ONCE per registration — the lease hold covers one job.
+        Pinned by tagging the eval side with a mapInPandas stage that
+        appends a marker line per execution."""
+        import os
+
+        from etl_pack_spark.operators.contamination import register_eval_set
+
+        marker = str(tmp_path / "scans.log")
+
+        def tag(it):
+            with open(marker, "a") as fh:
+                fh.write("scan\n")
+                fh.flush()
+                os.fsync(fh.fileno())
+            yield from it
+
+        eval_df = _df(spark, [(1, LEAK + " question one"),
+                              (2, LEAK + " question two")])
+        tagged = eval_df.coalesce(1).mapInPandas(tag, eval_df.schema)
+        store = str(tmp_path / "reg_once")
+        assert register_eval_set(spark, tagged, store, "b") > 0
+        with open(marker) as fh:
+            n_scans = len(fh.readlines())
+        assert n_scans == 1, (
+            f"eval lineage executed {n_scans}x during one registration"
+        )
+
+    def test_mixed_width_store_oracle_parity(self, spark, sf_dir):
+        """round-12 VERDICT #3 done-condition: two sets at DIFFERENT
+        widths in one store, one report call, DuckDB hash-grain
+        parity (per-set train shingling at each set's own width)."""
+        import tempfile
+
+        import duckdb as _duckdb
+
+        from etl_pack_spark.operators.contamination import (
+            register_eval_set,
+            registry_contamination_report,
+            registry_contamination_report_sql,
+        )
+
+        docs = read_table(spark, sf_dir, "documents")
+        store = tempfile.mkdtemp(prefix="evalreg_mixed_") + "/reg"
+        register_eval_set(
+            spark, docs.where("doc_id % 10 = 7"), store, "prose8", n=8)
+        register_eval_set(
+            spark, docs.where("doc_id % 10 = 3"), store, "code5", n=5)
+        got = sorted(
+            (r["doc_id"], r["eval_set"], r["hits"])
+            for r in registry_contamination_report(spark, docs, store)
+            .collect()
+        )
+        con = _duckdb.connect()
+        con.execute(
+            f"CREATE VIEW documents AS SELECT * "
+            f"FROM read_parquet('{sf_dir}/documents.parquet')"
+        )
+        con.execute("CREATE VIEW s7 AS SELECT * FROM documents "
+                    "WHERE doc_id % 10 = 7")
+        con.execute("CREATE VIEW s3 AS SELECT * FROM documents "
+                    "WHERE doc_id % 10 = 3")
+        want = sorted(map(tuple, con.execute(
+            registry_contamination_report_sql(
+                "documents", {"prose8": "s7", "code5": "s3"},
+                n={"prose8": 8, "code5": 5})
+        ).fetchall()))
+        assert got == want and len(got) > 0
+        # both widths actually contribute rows
+        sets_hit = {s for _, s, _ in got}
+        assert sets_hit == {"prose8", "code5"}
+
+    def test_legacy_store_without_width_column(self, spark, tmp_path):
+        """A store written before the per-set upgrade (rows without an
+        ``n`` column) keeps matching at its manifest width."""
+        import json as _json
+
+        from etl_pack_spark.operators.contamination import (
+            eval_ngram_set,
+            registered_eval_sets,
+            registry_contamination_report,
+        )
+        from etl_pack_spark.sinks.fsio import write_text
+
+        store = str(tmp_path / "legacy_reg")
+        bench = _df(spark, [(1, LEAK)])
+        import time as _time
+        from pyspark.sql import functions as SF
+
+        eval_ngram_set(bench, "text", 8).select(
+            "gh", SF.lit("old_bench").alias("eval_set"),
+            SF.lit(int(_time.time() * 1000)).alias("registered_at_ms"),
+        ).coalesce(1).write.parquet(store)
+        write_text(spark, store + "/_eval_registry.json",
+                   _json.dumps({"n": 8}))
+        inv = {r["eval_set"]: r["n"]
+               for r in registered_eval_sets(spark, store).collect()}
+        assert inv == {"old_bench": 8}
+        rep = registry_contamination_report(
+            spark, _df(spark, [(10, LEAK + " trailing")]), store
+        ).collect()
+        assert len(rep) == 1 and rep[0]["eval_set"] == "old_bench"
 
     def test_registration_holds_the_ingest_lease(self, spark, tmp_path):
         import pytest as _pytest
