@@ -138,8 +138,17 @@ def build_parser() -> argparse.ArgumentParser:
                         "(a retried firing appends 0); later "
                         "decontamination runs check ALL registered sets "
                         "in one corpus scan")
+    p.add_argument("--decontaminate-check", default=None, metavar="DOCS",
+                   help="registry read firing (report-only, r13): check "
+                        "the parquet corpus at DOCS against EVERY eval "
+                        "set registered in --eval-store — per-set flagged "
+                        "doc counts and total shared n-grams as JSON, one "
+                        "corpus scan per registered shingle width, no "
+                        "writes; --report-out appends the per-set counts "
+                        "to the history store")
     p.add_argument("--eval-store", default=None, metavar="STORE",
-                   help="--register-eval: the registry parquet store")
+                   help="--register-eval / --decontaminate-check: the "
+                        "registry parquet store")
     p.add_argument("--eval-set", default=None, metavar="NAME",
                    help="--register-eval: the benchmark's name")
     p.add_argument("--eval-ngram", type=int, default=None, metavar="N",
@@ -301,12 +310,14 @@ def main(argv: list[str] | None = None) -> int:
                       args.compact_sigstore, args.compact_codes,
                       args.update_clusters, args.store_stats,
                       args.funnel, args.drift, args.report_trend,
-                      args.register_eval, args.datacard))) > 1:
+                      args.register_eval, args.datacard,
+                      args.decontaminate_check))) > 1:
         print("error: --compact, --compact-partitions, "
               "--compact-sigstore, --compact-codes, "
               "--update-clusters, --store-stats, --funnel, "
-              "--drift, --report-trend, --register-eval and "
-              "--datacard are exclusive", file=sys.stderr)
+              "--drift, --report-trend, --register-eval, "
+              "--datacard and --decontaminate-check are exclusive",
+              file=sys.stderr)
         return 2
     if args.datacard_groups is not None and not args.datacard:
         print("error: --datacard-groups only applies to --datacard",
@@ -317,9 +328,19 @@ def main(argv: list[str] | None = None) -> int:
             print("error: --register-eval requires --eval-store and "
                   "--eval-set", file=sys.stderr)
             return 2
+    elif args.decontaminate_check:
+        if not args.eval_store:
+            print("error: --decontaminate-check requires --eval-store",
+                  file=sys.stderr)
+            return 2
+        if args.eval_set or args.eval_ngram is not None:
+            print("error: --eval-set/--eval-ngram only apply to "
+                  "--register-eval (the check takes every registered "
+                  "set at its own stored width)", file=sys.stderr)
+            return 2
     elif args.eval_store or args.eval_set or args.eval_ngram is not None:
         print("error: --eval-store/--eval-set/--eval-ngram only apply "
-              "to --register-eval", file=sys.stderr)
+              "to --register-eval/--decontaminate-check", file=sys.stderr)
         return 2
     if args.drift:
         if bool(args.drift_batch) == bool(args.drift_save_baseline):
@@ -345,9 +366,11 @@ def main(argv: list[str] | None = None) -> int:
             print(f"error: --drift-config {args.drift_config}: {e}",
                   file=sys.stderr)
             return 2
-    if args.report_out and not (args.funnel or args.drift_batch):
-        print("error: --report-out only applies to --funnel/--drift "
-              "firings", file=sys.stderr)
+    if args.report_out and not (args.funnel or args.drift_batch
+                                or args.datacard
+                                or args.decontaminate_check):
+        print("error: --report-out only applies to --funnel/--drift/"
+              "--datacard/--decontaminate-check firings", file=sys.stderr)
         return 2
     if args.drift:
         # r11 self-review: --drift uses --id-col/--text-col but none of
@@ -516,6 +539,7 @@ def main(argv: list[str] | None = None) -> int:
         and not args.update_clusters and not args.store_stats
         and not args.funnel and not args.drift and not args.report_trend
         and not args.register_eval and not args.datacard
+        and not args.decontaminate_check
         and (not args.source_dir or not args.table or not args.target)
     ):
         print("error: --source-dir, --table and --target are required "
@@ -631,6 +655,20 @@ def main(argv: list[str] | None = None) -> int:
             stored = read_text(
                 spark, args.drift.rstrip("/") + "/_drift_config.json"
             )
+            if stored is None and not cfg_explicit:
+                # r13 (ADVICE): the save path ALWAYS writes the config
+                # sidecar, so a histogram without one is a tampered or
+                # partially-copied store — silently bucketing the batch
+                # with the built-in default would compute PSI between
+                # potentially differently-bucketed histograms, the
+                # exact meaningless case the explicit-config path
+                # rejects loudly
+                print(f"error: baseline histogram {args.drift} has no "
+                      "_drift_config.json — the store is tampered or "
+                      "partially copied; re-save the baseline with "
+                      "--drift-save-baseline, or pass the original "
+                      "--drift-config explicitly", file=sys.stderr)
+                return 2
             if stored is not None and not cfg_explicit:
                 # reuse the config the baseline was bucketed with
                 try:
@@ -678,23 +716,114 @@ def main(argv: list[str] | None = None) -> int:
         groups = tuple(
             c for c in (args.datacard_groups or "lang").split(",") if c
         )
+        if not groups:
+            # r13 (ADVICE): a separators-only value (e.g. ",") used to
+            # fall through as an empty tuple and build GROUPING SETS of
+            # two identical empty sets — duplicate total-ish rows and
+            # an oracle IndexError downstream
+            print("error: --datacard-groups parsed to no columns "
+                  f"(got {args.datacard_groups!r})", file=sys.stderr)
+            return 2
         missing = [c for c in groups if c not in docs.columns]
         if missing:
             print(f"error: --datacard group columns {missing} not in "
                   f"{args.datacard}", file=sys.stderr)
             return 2
-        card = corpus_datacard(
-            docs, args.id_col or "doc_id", args.text_col or "text",
-            group_cols=groups,
-            # label agreement only when the corpus carries a language
-            # label; its absence is normal, not an error
-            lang_col="lang" if "lang" in docs.columns else None,
-        )
+        try:
+            card = corpus_datacard(
+                docs, args.id_col or "doc_id", args.text_col or "text",
+                group_cols=groups,
+                # label agreement only when the corpus carries a language
+                # label; its absence is normal, not an error
+                lang_col="lang" if "lang" in docs.columns else None,
+            )
+        except ValueError as e:
+            # carry-column collisions (a group column named like a
+            # signal output) are config errors: exit-2, not a traceback
+            print(f"error: {e}", file=sys.stderr)
+            return 2
         rows = [r.asDict() for r in card.collect()]
         rows.sort(key=lambda r: (r["is_total"],
                                  [str(r[c]) for c in groups]))
+        if args.report_out:
+            # r13 (round-12 VERDICT #4): the datacard IS the corpus-
+            # composition report, so it must trend like funnel/drift.
+            # Two row families share the firing stamp: the grand-total
+            # row's numeric metrics (mode=datacard), and the per-group
+            # token-volume mix (mode=datacard_mix) — a categorical
+            # histogram --report-trend can PSI between firings exactly
+            # like funnel stage mixes.
+            total_row = next(r for r in rows if r["is_total"] == 1)
+            metric_keys = [
+                k for k in total_row
+                if k not in groups and k != "is_total"
+                and total_row[k] is not None
+            ]
+            _append_report(spark, args.report_out, [
+                {"metric": k, "value": float(total_row[k]),
+                 "verdict": None}
+                for k in sorted(metric_keys)
+            ], mode="datacard", subject=args.datacard, detail="total")
+            _append_report(spark, args.report_out, [
+                {"metric": "|".join(str(r[c]) for c in groups),
+                 "value": float(r["n_tokens_total"]), "verdict": None}
+                for r in rows if r["is_total"] == 0
+            ], mode="datacard_mix", subject=args.datacard,
+                detail=",".join(groups))
         print(json.dumps({"mode": "datacard", "docs": args.datacard,
                           "groups": list(groups), "rows": rows}))
+        return 0
+
+    if args.decontaminate_check:
+        from pyspark.sql import functions as F
+
+        from etl_pack_spark.operators.contamination import (
+            registered_eval_sets,
+            registry_contamination_report,
+        )
+        from etl_pack_spark.sinks.fsio import exists as fs_exists
+
+        if not fs_exists(spark, args.decontaminate_check):
+            print(f"error: no docs at {args.decontaminate_check}",
+                  file=sys.stderr)
+            return 2
+        docs = spark.read.parquet(args.decontaminate_check)
+        try:
+            rep = registry_contamination_report(
+                spark, docs, args.eval_store,
+                id_col=args.id_col or "doc_id",
+                text_col=args.text_col or "text",
+            )
+            # every registered set appears, clean ones at zero — a
+            # report that omits clean sets can't say "checked against N
+            # benchmarks" (the eval_contamination zero-row posture)
+            per_set = {
+                r["eval_set"]: {"docs_flagged": 0, "hits_total": 0}
+                for r in registered_eval_sets(spark, args.eval_store)
+                .collect()
+            }
+        except ValueError as e:
+            print(f"error: {e}", file=sys.stderr)
+            return 2
+        for r in rep.groupBy("eval_set").agg(
+            F.count_distinct(args.id_col or "doc_id")
+            .alias("docs_flagged"),
+            F.sum("hits").alias("hits_total"),
+        ).collect():
+            per_set[r["eval_set"]] = {"docs_flagged": r["docs_flagged"],
+                                      "hits_total": r["hits_total"]}
+        if args.report_out:
+            _append_report(spark, args.report_out, [
+                {"metric": s, "value": float(v["docs_flagged"]),
+                 "verdict": None}
+                for s, v in sorted(per_set.items())
+            ], mode="decontamination", subject=args.decontaminate_check,
+                detail=args.eval_store)
+        print(json.dumps({"mode": "decontaminate_check",
+                          "docs": args.decontaminate_check,
+                          "store": args.eval_store,
+                          "docs_total": docs.count(),
+                          "sets": per_set}))
         return 0
 
     if args.register_eval:
@@ -754,52 +883,57 @@ def main(argv: list[str] | None = None) -> int:
         # report-sized by construction: one row per (mode, metric)
         rows = [r.asDict() for r in trend.collect()]
         rows.sort(key=lambda r: (r["mode"], r["metric"]))
-        # funnel shift (r12): a funnel firing's stage counts ARE a
-        # categorical histogram, so PSI between the earliest and
-        # latest firing prices "did my drop mix shift" with the same
-        # statistic and thresholds the drift monitor uses — all over
-        # report-sized frames
+        # mix shift: a funnel firing's stage counts — and, since r13, a
+        # datacard firing's per-group token totals (mode=datacard_mix)
+        # — ARE categorical histograms, so PSI between the earliest and
+        # latest firing prices "did my drop mix / corpus composition
+        # shift" with the same statistic and thresholds the drift
+        # monitor uses — all over report-sized frames
         from etl_pack_spark.operators.quality import psi_report
 
-        hist_src = spark.read.parquet(args.report_trend).where(
-            "mode = 'funnel'"
-        )
-        shifts = []
-        for b in hist_src.groupBy("subject").agg(
-            F.min("fired_at_ms").alias("first"),
-            F.max("fired_at_ms").alias("last"),
-        ).collect():
-            if b["first"] == b["last"]:
-                continue  # a single firing has nothing to compare
+        def mix_shifts(mode: str) -> list[dict]:
+            hist_src = spark.read.parquet(args.report_trend).where(
+                F.col("mode") == mode
+            )
+            shifts = []
+            for b in hist_src.groupBy("subject").agg(
+                F.min("fired_at_ms").alias("first"),
+                F.max("fired_at_ms").alias("last"),
+            ).collect():
+                if b["first"] == b["last"]:
+                    continue  # a single firing has nothing to compare
 
-            def stage_hist(ts):
-                h = hist_src.where(
-                    (F.col("subject") == b["subject"])
-                    & (F.col("fired_at_ms") == ts)
-                ).select(
-                    F.lit("stages").alias("signal"),
-                    F.col("metric").alias("bucket"),
-                    F.col("value").alias("n"),
-                )
-                tot = h.groupBy("signal").agg(F.sum("n").alias("__t"))
-                return h.join(tot, "signal").select(
-                    "signal", "bucket", "n",
-                    (F.col("n") / F.col("__t")).alias("p"),
-                )
+                def mix_hist(ts):
+                    h = hist_src.where(
+                        (F.col("subject") == b["subject"])
+                        & (F.col("fired_at_ms") == ts)
+                    ).select(
+                        F.lit("mix").alias("signal"),
+                        F.col("metric").alias("bucket"),
+                        F.col("value").alias("n"),
+                    )
+                    tot = h.groupBy("signal").agg(F.sum("n").alias("__t"))
+                    return h.join(tot, "signal").select(
+                        "signal", "bucket", "n",
+                        (F.col("n") / F.col("__t")).alias("p"),
+                    )
 
-            res = psi_report(
-                stage_hist(b["first"]), stage_hist(b["last"])
-            ).collect()[0]
-            shifts.append({
-                "subject": b["subject"],
-                "first_fired_at_ms": b["first"],
-                "last_fired_at_ms": b["last"],
-                "psi": res["psi"], "verdict": res["verdict"],
-            })
-        shifts.sort(key=lambda s: s["subject"])
+                res = psi_report(
+                    mix_hist(b["first"]), mix_hist(b["last"])
+                ).collect()[0]
+                shifts.append({
+                    "subject": b["subject"],
+                    "first_fired_at_ms": b["first"],
+                    "last_fired_at_ms": b["last"],
+                    "psi": res["psi"], "verdict": res["verdict"],
+                })
+            shifts.sort(key=lambda s: s["subject"])
+            return shifts
+
         print(json.dumps({"mode": "report_trend",
                           "store": args.report_trend, "metrics": rows,
-                          "funnel_shift": shifts}))
+                          "funnel_shift": mix_shifts("funnel"),
+                          "datacard_shift": mix_shifts("datacard_mix")}))
         return 0
 
     if args.store_stats:

@@ -344,12 +344,24 @@ def text_signals(
         " h -> substring(h, 1, 1) = '0'))"
     )
     scores = {lang: _marker_count("__toks", lang) for lang in MARKERS}
-    reserved = {id_col, text_col, "__t", "__toks", "__sh"}
+    # reserved: the inputs, the internal staging columns, AND the
+    # projection's OUTPUT names (r13, ADVICE — carrying a column named
+    # like an output, e.g. grouping a datacard by "n_tokens", used to
+    # produce a duplicate/ambiguous column and a confusing
+    # AnalysisException instead of this loud error)
+    reserved = {
+        id_col, text_col, "__t", "__toks", "__sh",
+        *(f"score_{lang}" for lang in MARKERS),
+        "n_chars", "n_tokens", "n_punct", "n_stopwords",
+        "avg_token_len", "stopword_ratio", "n_grams", "n_distinct",
+        "repetition", "n_pieces", "n_fp_hashes", "fingerprint",
+        "lang_pred",
+    }
     clash = [c for c in carry_cols if c in reserved]
     if clash:
         raise ValueError(
             f"carry_cols {clash} collide with the signal projection's "
-            "own columns"
+            "input, staging, or output columns"
         )
     carried = [F.col(c) for c in carry_cols]
     wide = (

@@ -737,3 +737,134 @@ def test_cli_new_modes_missing_paths_fail_cleanly(tmp_path):
         capture_output=True, text=True, cwd="/root/repo",
     )
     assert r2.returncode == 2 and "no eval docs" in r2.stderr
+
+
+def test_cli_datacard_trend_roundtrip(spark, sf_dir, tmp_path):
+    """r13 (round-12 VERDICT #4): the datacard is the corpus-composition
+    report, so it trends — two firings with --report-out over
+    differently-mixed corpora, then --report-trend PSIs the per-group
+    token mix like it already does funnel stages, and the grand-total
+    metrics trend as ordinary (mode, metric) rows."""
+    store = str(tmp_path / "reports")
+    subject = str(tmp_path / "docs.parquet")
+    base = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    base.write.mode("overwrite").parquet(subject)
+    fire = [sys.executable, "-m", "etl_pack_spark.cli",
+            "--datacard", subject, "--report-out", store]
+    subprocess.run(fire, capture_output=True, text=True,
+                   cwd="/root/repo", check=True)
+    # second firing: one language slice dropped -> the token mix shifts
+    langs = [r["lang"] for r in base.groupBy("lang").count()
+             .orderBy("count", ascending=False).collect()]
+    base.where(f"lang <> '{langs[0]}'").write.mode("overwrite") \
+        .parquet(subject)
+    subprocess.run(fire, capture_output=True, text=True,
+                   cwd="/root/repo", check=True)
+    res = subprocess.run(
+        [sys.executable, "-m", "etl_pack_spark.cli",
+         "--report-trend", store],
+        capture_output=True, text=True, cwd="/root/repo", check=True,
+    )
+    out = json.loads(res.stdout.strip().splitlines()[-1])
+    metrics = {(m["mode"], m["metric"]): m for m in out["metrics"]}
+    assert metrics[("datacard", "n_docs")]["n_firings"] == 2
+    assert metrics[("datacard", "tokens_p50")]["last_value"] is not None
+    shifts = out["datacard_shift"]
+    assert len(shifts) == 1 and shifts[0]["subject"] == subject
+    assert shifts[0]["psi"] > 0
+
+
+def test_cli_datacard_group_edge_cases(sf_dir):
+    """r13 (ADVICE): separators-only --datacard-groups and group
+    columns named like a signal output are loud exit-2 config errors,
+    not duplicate-column surprises or tracebacks."""
+    docs = f"{sf_dir}/documents.parquet"
+    r = subprocess.run(
+        [sys.executable, "-m", "etl_pack_spark.cli", "--datacard", docs,
+         "--datacard-groups", ","],
+        capture_output=True, text=True, cwd="/root/repo",
+    )
+    assert r.returncode == 2 and "no columns" in r.stderr
+    # n_chars exists in the fixture AND is a text_signals output name
+    r2 = subprocess.run(
+        [sys.executable, "-m", "etl_pack_spark.cli", "--datacard", docs,
+         "--datacard-groups", "n_chars"],
+        capture_output=True, text=True, cwd="/root/repo",
+    )
+    assert r2.returncode == 2 and "carry_cols" in r2.stderr
+    assert "Traceback" not in r2.stderr
+
+
+def test_cli_decontaminate_check(spark, sf_dir, tmp_path):
+    """r13 (round-12 VERDICT #8): the registry read firing — a corpus
+    checked against every registered set from the CLI, clean sets
+    reported at zero, counts appended to the history store."""
+    docs = f"{sf_dir}/documents.parquet"
+    store = str(tmp_path / "reg")
+    reports = str(tmp_path / "reports")
+    clean = str(tmp_path / "clean.parquet")
+    spark.createDataFrame(
+        [(1, "zq wv xj qk vv bb nn mm pp rr totally disjoint "
+             "gibberish benchmark line")],
+        "doc_id long, text string",
+    ).write.parquet(clean)
+    for src, name in ((docs, "s7"), (clean, "never_hit")):
+        subprocess.run(
+            [sys.executable, "-m", "etl_pack_spark.cli",
+             "--register-eval", src, "--eval-store", store,
+             "--eval-set", name],
+            capture_output=True, text=True, cwd="/root/repo", check=True,
+        )
+    res = subprocess.run(
+        [sys.executable, "-m", "etl_pack_spark.cli",
+         "--decontaminate-check", docs, "--eval-store", store,
+         "--report-out", reports],
+        capture_output=True, text=True, cwd="/root/repo", check=True,
+    )
+    out = json.loads(res.stdout.strip().splitlines()[-1])
+    assert out["mode"] == "decontaminate_check"
+    assert out["docs_total"] > 0
+    # the corpus IS eval set s7's source, so every doc with >= 8 tokens
+    # is flagged; the disjoint set reports zero instead of vanishing
+    assert out["sets"]["s7"]["docs_flagged"] > 0
+    assert out["sets"]["never_hit"] == {"docs_flagged": 0,
+                                        "hits_total": 0}
+    appended = spark.read.parquet(reports)
+    assert appended.where("mode = 'decontamination'").count() == 2
+    # flag scoping: the check needs a store, rejects register-only flags
+    r2 = subprocess.run(
+        [sys.executable, "-m", "etl_pack_spark.cli",
+         "--decontaminate-check", docs],
+        capture_output=True, text=True, cwd="/root/repo",
+    )
+    assert r2.returncode == 2 and "--eval-store" in r2.stderr
+    r3 = subprocess.run(
+        [sys.executable, "-m", "etl_pack_spark.cli",
+         "--decontaminate-check", docs, "--eval-store", store,
+         "--eval-set", "x"],
+        capture_output=True, text=True, cwd="/root/repo",
+    )
+    assert r3.returncode == 2 and "--register-eval" in r3.stderr
+
+
+def test_cli_drift_histogram_missing_config_is_loud(sf_dir, tmp_path):
+    """r13 (ADVICE): a saved histogram whose _drift_config.json sidecar
+    vanished (tampered/partially-copied store) must NOT silently fall
+    back to the built-in buckets — PSI between differently-bucketed
+    histograms is meaningless."""
+    import os
+
+    docs = f"{sf_dir}/documents.parquet"
+    hist = str(tmp_path / "hist")
+    subprocess.run(
+        [sys.executable, "-m", "etl_pack_spark.cli", "--drift", docs,
+         "--drift-save-baseline", hist],
+        capture_output=True, text=True, cwd="/root/repo", check=True,
+    )
+    os.remove(os.path.join(hist, "_drift_config.json"))
+    r = subprocess.run(
+        [sys.executable, "-m", "etl_pack_spark.cli", "--drift", hist,
+         "--drift-batch", docs],
+        capture_output=True, text=True, cwd="/root/repo",
+    )
+    assert r.returncode == 2 and "_drift_config.json" in r.stderr

@@ -442,3 +442,12 @@ class TestCorpusDatacard:
             [(1, "a b c")], "doc_id long, text string")
         with _pytest.raises(ValueError, match="carry_cols"):
             text_signals(docs, "doc_id", "text", carry_cols=("text",))
+        # r13 (ADVICE): the projection's OUTPUT names are reserved too —
+        # carrying a source column named like a signal used to produce
+        # a duplicate/ambiguous column instead of this error
+        docs2 = spark.createDataFrame(
+            [(1, "a b c", 3, "en")],
+            "doc_id long, text string, n_tokens long, lang_pred string")
+        for bad in ("n_tokens", "lang_pred", "score_en", "fingerprint"):
+            with _pytest.raises(ValueError, match="carry_cols"):
+                text_signals(docs2, "doc_id", "text", carry_cols=(bad,))
