@@ -1002,6 +1002,7 @@ def main(argv: list[str] | None = None) -> int:
 
     if args.compact:
         from etl_pack_spark.sinks.atomic import (
+            carry_sidecars,
             clean_orphan_stages,
             publish_swap,
             recover_swap,
@@ -1030,6 +1031,11 @@ def main(argv: list[str] | None = None) -> int:
                 cluster_by=[c for c in args.cluster_by.split(",") if c] or None,
             )
         if args.in_place:
+            # underscore manifests describe the DATA, which the rewrite
+            # preserves — carry them into the staged dir so the swap
+            # cannot orphan a store from its own metadata (r13; the
+            # eval registry's width manifest was the motivating case)
+            carry_sidecars(args.compact, out_path)
             publish_swap(out_path, args.target)
         print(json.dumps({"mode": "compact", "in_files": st.in_files,
                           "out_files": st.out_files, "target": args.target}))

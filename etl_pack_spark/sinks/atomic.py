@@ -178,6 +178,35 @@ def clean_orphan_stages(target_path: str, prefix: str = "stage_") -> None:
             shutil.rmtree(p, ignore_errors=True)
 
 
+def carry_sidecars(src_dir: str, staged: str) -> list[str]:
+    """Copy underscore-named metadata sidecar files (``_eval_registry
+    .json``, ``_drift_config.json``, ``_ivf_pq_manifest.json``,
+    ``_compacted_through.json``, ...) from ``src_dir`` into a staged
+    rewrite of it, so an in-place compaction swap does not silently
+    drop the manifest that makes the store a store (r13, round-12
+    VERDICT #5: compacting an eval registry lost its width manifest,
+    turning every later consumer into a loud error). Spark's own
+    ``_SUCCESS`` marker is skipped (the staged write has its own);
+    files already present in the staged dir are never overwritten.
+    Returns the carried names (for logging/tests)."""
+    src_dir = posix_path(src_dir)
+    staged = posix_path(staged)
+    carried = []
+    if not os.path.isdir(src_dir):
+        return carried
+    for name in sorted(os.listdir(src_dir)):
+        p = os.path.join(src_dir, name)
+        if (not name.startswith("_") or name == "_SUCCESS"
+                or not os.path.isfile(p)):
+            continue
+        dst = os.path.join(staged, name)
+        if os.path.exists(dst):
+            continue
+        shutil.copy2(p, dst)
+        carried.append(name)
+    return carried
+
+
 def publish_swap(staged: str, target_path: str) -> None:
     """Swap a fully-written ``staged`` directory into ``target_path``.
     Call :func:`recover_swap` first at process start; between the two

@@ -72,20 +72,21 @@ def create_exclusive(spark: SparkSession, path: str, text: str) -> bool:
     guard, which is still strictly better than the implicit
     assumption it replaces (r10 ADVICE).
 
-    Upgrade path for s3a (r12 probe, SCALE.md round-12): S3 supports
+    S3-family upgrade (r13, wired; untested on real s3a): S3 supports
     ``If-None-Match: *`` on PUT, and Hadoop >= 3.4.1 (HADOOP-19256)
     exposes it via the ``createFile`` builder option
     ``fs.option.create.conditional.overwrite`` — atomic create-if-
-    absent checked server-side at close(). Not wired here because
-    PySpark's classpath carries no ``hadoop-aws`` (the option keys
-    exist in ``hadoop-client-api-3.4.2`` but there is no
-    ``S3AFileSystem`` to execute or test against); a deployment that
-    needs the guarantee should pass the option with ``.must`` so an
-    incapable store refuses loudly."""
+    absent checked SERVER-side at close(). The Hadoop route now probes
+    that builder first (``.must``, so an incapable store refuses at
+    build/close instead of silently downgrading) and falls back to the
+    plain ``create(path, overwrite=false)`` best-effort guard when the
+    filesystem rejects the mandatory option — a deployment with
+    ``hadoop-aws`` >= 3.4.1 on the classpath gets the real guarantee
+    with zero code edits, everything else keeps today's behavior. The
+    local-FS test pins the refuse-then-fallback path (RawLocalFileSystem
+    rejects unknown mandatory keys)."""
     import errno
     import os
-
-    from py4j.protocol import Py4JJavaError
 
     local = _local_path(path)
     if local is not None:
@@ -102,18 +103,89 @@ def create_exclusive(spark: SparkSession, path: str, text: str) -> bool:
         finally:
             os.close(fd)
         return True
-    fs, hpath = _fs_path(spark, path)
+    return _hadoop_create_exclusive(spark, path, text)
+
+
+# HADOOP-19256 (Hadoop >= 3.4.1): conditional-overwrite create option —
+# on S3A the builder translates to a PUT with If-None-Match: *, making
+# create-if-absent a SERVER-side atomic check instead of a probe+create
+# race window.
+_CONDITIONAL_CREATE_OPT = "fs.option.create.conditional.overwrite"
+
+
+def _java_exc_name(e: Exception) -> str | None:
+    """The underlying JVM exception class name of a py4j error, or the
+    Python-side type name when PySpark's gateway already converted it
+    (``pyspark.errors.exceptions.captured.IllegalArgumentException``
+    etc. — the gateway rewrites KNOWN JVM classes into these, so a
+    plain ``except Py4JJavaError`` misses them). ``None`` means the
+    exception is not a JVM-originated error at all — re-raise it."""
+    from py4j.protocol import Py4JJavaError
+
+    if isinstance(e, Py4JJavaError):
+        return e.java_exception.getClass().getName()
     try:
-        out = fs.create(hpath, False)
-    except Py4JJavaError as e:
-        name = e.java_exception.getClass().getName()
+        from pyspark.errors.exceptions.captured import CapturedException
+    except ImportError:  # pragma: no cover - very old pyspark
+        return None
+    if isinstance(e, CapturedException):
+        return type(e).__name__
+    return None
+
+
+def _hadoop_create_exclusive(spark: SparkSession, path: str, text: str) -> bool:
+    """The non-local arm of :func:`create_exclusive`: try the
+    conditional-create builder first (atomic where the store supports
+    it), fall back to plain ``create(path, overwrite=false)`` where the
+    mandatory option is refused. Split out so the probe+fallback is
+    directly testable against the local Hadoop filesystem (which
+    refuses the option)."""
+    fs, hpath = _fs_path(spark, path)
+
+    def _write_out(out) -> None:
+        try:
+            out.write(bytearray(text.encode("utf-8")))
+        finally:
+            out.close()
+
+    try:
+        builder = fs.createFile(hpath).overwrite(False)
+        out = builder.must(_CONDITIONAL_CREATE_OPT, True).build()
+    except Exception as e:  # noqa: BLE001 - classified by JVM class below
+        name = _java_exc_name(e)
+        if name is None:
+            raise
         if "ExistsException" in name or "AlreadyExists" in name:
+            return False  # capable store, lost the race at create
+        # IllegalArgumentException ("unknown mandatory key") /
+        # UnsupportedOperationException: the store cannot honor the
+        # option — fall back to the best-effort create-if-absent
+        if not ("IllegalArgument" in name or "UnsupportedOperation" in name):
+            raise
+        try:
+            out = fs.create(hpath, False)
+        except Exception as e2:  # noqa: BLE001
+            name2 = _java_exc_name(e2)
+            if name2 is not None and (
+                "ExistsException" in name2 or "AlreadyExists" in name2
+            ):
+                return False
+            raise
+        _write_out(out)
+        return True
+    # conditional path: on S3A the If-None-Match check fires at close()
+    # — a 412 surfaces as RemoteFileChangedException/PathIOException,
+    # which IS the lost-the-race answer
+    try:
+        _write_out(out)
+    except Exception as e:  # noqa: BLE001
+        name = _java_exc_name(e)
+        if name is not None and (
+            "RemoteFileChanged" in name or "PathIOException" in name
+            or "AlreadyExists" in name or "ExistsException" in name
+        ):
             return False
         raise
-    try:
-        out.write(bytearray(text.encode("utf-8")))
-    finally:
-        out.close()
     return True
 
 

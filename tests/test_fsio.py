@@ -329,3 +329,29 @@ def test_update_cluster_store_default_return_never_resolves_store(
         spark, clusters, matches, return_total=True
     ) == 4
     assert calls["n"] == 1  # the opt-in total is the only extra read
+
+
+def test_hadoop_create_exclusive_probe_and_fallback(spark, tmp_path):
+    """r13 (round-12 VERDICT #6): the non-local create-exclusive arm
+    probes the HADOOP-19256 conditional-create builder with .must —
+    the local Hadoop filesystem refuses the mandatory option, pinning
+    the refuse-then-fallback path: first call creates with the
+    payload, second call answers False, payload intact."""
+    from etl_pack_spark.sinks.fsio import _hadoop_create_exclusive, read_text
+
+    target = "file:" + str(tmp_path / "lease.json")
+    assert _hadoop_create_exclusive(spark, target, "holder-1") is True
+    assert read_text(spark, target) == "holder-1"
+    assert _hadoop_create_exclusive(spark, target, "holder-2") is False
+    assert read_text(spark, target) == "holder-1"  # loser never wrote
+
+
+def test_create_exclusive_local_path_still_posix_atomic(spark, tmp_path):
+    """The plain-path arm keeps the O_CREAT|O_EXCL route (POSIX-atomic;
+    the Hadoop local create is probe+open and racy)."""
+    from etl_pack_spark.sinks.fsio import create_exclusive, read_text
+
+    target = str(tmp_path / "lease.json")
+    assert create_exclusive(spark, target, "a") is True
+    assert create_exclusive(spark, target, "b") is False
+    assert read_text(spark, target) == "a"
