@@ -47,6 +47,48 @@ from etl_pack_spark.operators.tokenize import (
     tokens_sql,
 )
 
+# --------------------------------------------------------------------------
+# Cost/fidelity knob (r13, round-12 VERDICT #7): content-defined window
+# sampling. The windows here already slide at position stride 1 (every
+# token offset), so detection is EXACT for overlaps >= k at stride=1 —
+# the tunable honest gap vs Lee et al.'s suffix arrays is k itself.
+# What a 100 TB run may still want is a COST dial: process only a 1/s
+# sample of windows. Position-based striding (keep every s-th offset)
+# is wrong for that — two documents share a passage at DIFFERENT
+# offsets, so their sampled windows have different phases and never
+# align. Hash-mod sampling is alignment-invariant: a window is kept iff
+# a byte of its md5 (a content hash both engines already compute)
+# falls in the selected residue class, so every occurrence of the same
+# window text is kept or dropped TOGETHER. Cost scales ~1/s; a
+# duplicated passage of length L (>= k) contains L-k+1 distinct
+# windows and is detected unless every one of them is sampled out —
+# miss probability ~(1-1/s)^(L-k+1), i.e. long boilerplate is still
+# caught with near-certainty while short overlaps degrade gracefully.
+# stride=1 (default) keeps the exact behavior bit-for-bit.
+
+_HEX = "0123456789abcdef"
+
+
+def _check_stride(stride: int) -> None:
+    if not 1 <= stride <= 256:
+        raise ValueError(
+            f"stride must be in [1, 256] (one md5 byte drives the "
+            f"content-defined sample), got {stride}"
+        )
+
+
+def _sampled(h) -> "F.Column":
+    """The sampling value of a window hash: its first md5 byte, 0..255
+    (identical arithmetic in the SQL twin)."""
+    return F.conv(F.substring(h, 1, 2), 16, 10).cast("int")
+
+
+def _sampled_sql(h: str) -> str:
+    return (
+        f"((strpos('{_HEX}', substr({h}, 1, 1)) - 1) * 16"
+        f" + (strpos('{_HEX}', substr({h}, 2, 1)) - 1))"
+    )
+
 
 def overfull_hashes(
     df: DataFrame,
@@ -82,6 +124,7 @@ def repeated_ngram_spans(
     text_col: str = "text",
     k: int = 8,
     max_dup_fraction: float = 0.5,
+    stride: int = 1,
 ) -> DataFrame:
     """Per-document repeated-substring report over the whole corpus.
 
@@ -114,12 +157,22 @@ def repeated_ngram_spans(
     the branches defeats plan-level exchange reuse; the persist is the
     reliable sharing mechanism, disk-backed at scale and exactly the
     volume the old window form shuffled anyway).
+    ``stride`` (r13) is the content-defined sampling knob (module
+    note above): >1 processes only windows whose hash byte falls in
+    the residue class, cutting shuffle volume ~1/stride. The report's
+    counts then cover SAMPLED windows only — ``dup_fraction`` stays an
+    unbiased estimate of the true duplicated fraction (every
+    occurrence of a window is kept or dropped together), and overlaps
+    of length L are visible with miss probability
+    ~(1-1/stride)^(L-k+1). stride=1 is bit-exact with r12.
     """
-    wins = pooled_persist(
-        shingle_rows(df, id_col, text_col, k=k, distinct=True).select(
-            F.col(id_col), F.md5(F.col("s")).alias("h")
-        )
+    _check_stride(stride)
+    wins = shingle_rows(df, id_col, text_col, k=k, distinct=True).select(
+        F.col(id_col), F.md5(F.col("s")).alias("h")
     )
+    if stride > 1:
+        wins = wins.where(_sampled(F.col("h")) % stride == 0)
+    wins = pooled_persist(wins)
     # distinct (doc, window) rows → per-hash count == number of
     # distinct docs containing the window; min(id) names the sole doc
     # when that count is 1 (combinable: count + min)
@@ -159,16 +212,25 @@ def repeated_ngram_spans_sql(
     text_col: str = "text",
     k: int = 8,
     max_dup_fraction: float = 0.5,
+    stride: int = 1,
 ) -> str:
     """Oracle twin of :func:`repeated_ngram_spans` — same tokenization,
-    same distinct-window set, same ≥2-docs rule, same arithmetic."""
+    same distinct-window set, same ≥2-docs rule, same arithmetic, same
+    md5-byte content-defined sample at ``stride`` > 1."""
+    _check_stride(stride)
+    sample = (
+        f"WHERE {_sampled_sql('h')} % {stride} = 0" if stride > 1 else ""
+    )
     return f"""
     WITH toks AS (
         SELECT {id_col}, {tokens_sql(text_col)} AS t FROM {table}
     ),
     wins AS (
-        SELECT DISTINCT {id_col}, md5(s) AS h
-        FROM (SELECT {id_col}, unnest({shingles_sql('t', k)}) AS s FROM toks)
+        SELECT {id_col}, h FROM (
+            SELECT DISTINCT {id_col}, md5(s) AS h
+            FROM (SELECT {id_col}, unnest({shingles_sql('t', k)}) AS s
+                  FROM toks)
+        ) {sample}
     ),
     flagged AS (
         SELECT {id_col}, (COUNT(*) OVER (PARTITION BY h)) >= 2 AS is_dup
@@ -199,6 +261,7 @@ def remove_repeated_spans(
     id_col: str = "doc_id",
     text_col: str = "text",
     k: int = 8,
+    stride: int = 1,
 ) -> DataFrame:
     """ExactSubstr-style span EXCISION (Lee et al. 2022 §3 dedup by
     removing the duplicated substrings themselves, not whole
@@ -256,15 +319,23 @@ def remove_repeated_spans(
     """
     if k < 2:
         raise ValueError(f"k must be >= 2, got {k}")
+    _check_stride(stride)
     # pooled persist: the stats build and the join probe both consume
     # the occurrence stream; persisting it (disk-backed at scale — the
     # same volume the old window form shuffled) keeps the corpus scan
-    # + tokenize single-pass
-    occ = pooled_persist(
-        shingle_rows(
-            df, id_col, text_col, k=k, distinct=False, positions=True
-        ).select(F.col(id_col), F.col("pos"), F.md5(F.col("s")).alias("h"))
-    )
+    # + tokenize single-pass. stride > 1 (r13): the content-defined
+    # sample (module note) — only sampled windows can be DETECTED and
+    # therefore cut, so excision recall follows the same
+    # ~(1-1/stride)^(L-k+1) model per duplicated passage; a detected
+    # window is still excised from EVERY non-canonical occurrence
+    # (kept-or-dropped-together sampling), and stride=1 is bit-exact
+    # with r12.
+    occ = shingle_rows(
+        df, id_col, text_col, k=k, distinct=False, positions=True
+    ).select(F.col(id_col), F.col("pos"), F.md5(F.col("s")).alias("h"))
+    if stride > 1:
+        occ = occ.where(_sampled(F.col("h")) % stride == 0)
+    occ = pooled_persist(occ)
     dup_stats = (
         occ.groupBy("h")
         .agg(
@@ -337,10 +408,16 @@ def remove_repeated_spans_sql(
     id_col: str = "doc_id",
     text_col: str = "text",
     k: int = 8,
+    stride: int = 1,
 ) -> str:
     """Oracle twin of :func:`remove_repeated_spans` — same tokenization,
     same every-occurrence counting, same lowest-``(id, pos)`` canonical
-    survivor, same token-wise cut union."""
+    survivor, same token-wise cut union, same md5-byte content-defined
+    sample at ``stride`` > 1."""
+    _check_stride(stride)
+    sample = (
+        f"WHERE {_sampled_sql('h')} % {stride} = 0" if stride > 1 else ""
+    )
     return f"""
     WITH toks AS (
         SELECT {id_col}, {text_col} IS NULL AS isnull,
@@ -348,14 +425,16 @@ def remove_repeated_spans_sql(
         FROM {table}
     ),
     occ AS (
-        SELECT {id_col}, r['pos'] AS pos, r['h'] AS h FROM (
-            SELECT {id_col}, unnest(
-                CASE WHEN len(t) >= {k} THEN
-                  list_transform(generate_series(1, len(t) - {k} + 1),
-                    i -> {{'pos': i - 1,
-                           'h': md5(array_to_string(t[i:i+{k - 1}], ' '))}})
-                ELSE [] END) AS r
-            FROM toks)
+        SELECT {id_col}, pos, h FROM (
+            SELECT {id_col}, r['pos'] AS pos, r['h'] AS h FROM (
+                SELECT {id_col}, unnest(
+                    CASE WHEN len(t) >= {k} THEN
+                      list_transform(generate_series(1, len(t) - {k} + 1),
+                        i -> {{'pos': i - 1,
+                               'h': md5(array_to_string(t[i:i+{k - 1}], ' '))}})
+                    ELSE [] END) AS r
+                FROM toks)
+        ) {sample}
     ),
     ranked AS (
         SELECT {id_col}, pos,

@@ -305,3 +305,135 @@ class TestHotHashPosture:
         assert any("webmaster" in r["sample"] for r in hot)
         none = overfull_hashes(df, k=5, threshold=1000).collect()
         assert none == []
+
+
+class TestStrideSampling:
+    """r13 (round-12 VERDICT #7): the content-defined cost/fidelity
+    knob — hash-mod window sampling, alignment-invariant where
+    position striding is not, stride=1 bit-exact with the r12
+    behavior."""
+
+    PASSAGE = ("all rights reserved contact the webmaster for details "
+               "about licensing and redistribution of this material")
+
+    def _planted(self, spark):
+        rows = [
+            (i, f"unique filler number {i} alpha beta {self.PASSAGE} "
+                f"gamma delta epsilon tail {i}")
+            for i in range(1, 6)
+        ] + [
+            # per-doc-unique vocabulary: any template suffix shared
+            # between "clean" docs would itself be a real duplicate
+            (i, " ".join(f"word{i}x{j}" for j in range(14)))
+            for i in range(6, 10)
+        ]
+        return spark.createDataFrame(rows, "doc_id long, text string")
+
+    def test_stride_one_is_default_behavior(self, spark):
+        from etl_pack_spark.operators.substrings import repeated_ngram_spans
+
+        docs = self._planted(spark)
+        base = sorted(map(tuple, repeated_ngram_spans(docs).collect()))
+        s1 = sorted(map(tuple,
+                        repeated_ngram_spans(docs, stride=1).collect()))
+        assert s1 == base
+
+    def test_recall_matches_sampling_rule_and_long_passages_survive(
+            self, spark):
+        """Detection under sampling is exactly 'some shared window's
+        md5 byte lands in the residue class' — computed independently
+        with hashlib and asserted per stride, so the recall curve is
+        pinned, not eyeballed. The planted 16-token passage (9 shared
+        windows at k=8) must survive moderate strides; per-doc
+        n_windows shrinks ~1/stride."""
+        import hashlib
+        import re
+
+        from etl_pack_spark.operators.substrings import repeated_ngram_spans
+
+        docs = self._planted(spark)
+        toks = re.split(r"[^a-z0-9]+", self.PASSAGE.lower())
+        shared_bytes = [
+            int(hashlib.md5(
+                " ".join(toks[i:i + 8]).encode()).hexdigest()[:2], 16)
+            for i in range(len(toks) - 8 + 1)
+        ]
+        base = {r["doc_id"]: r for r in
+                repeated_ngram_spans(docs).collect()}
+        for stride in (2, 4, 16, 64):
+            rep = {r["doc_id"]: r for r in
+                   repeated_ngram_spans(docs, stride=stride).collect()}
+            # the interior shared windows (context-free: all 5 docs
+            # share them) predicted by the independent hash arithmetic
+            expect_detected = any(b % stride == 0 for b in shared_bytes)
+            planted_hit = all(rep[d]["n_dup_windows"] > 0
+                              for d in range(1, 6))
+            if expect_detected:
+                assert planted_hit, f"stride {stride} lost the passage"
+            # clean docs never gain dup windows under sampling
+            assert all(rep[d]["n_dup_windows"] == 0 for d in range(6, 10))
+            # cost shrinks like the sample: aggregate window count within
+            # a factor-2 band of n/stride (binomial spread on small docs)
+            tot = sum(r["n_windows"] for r in rep.values())
+            tot_base = sum(r["n_windows"] for r in base.values())
+            assert tot <= tot_base
+            if stride <= 4:
+                assert tot >= tot_base // (2 * stride)
+        # the shipped fixture's recall knob must really engage at SOME
+        # stride by construction of md5 uniformity: 9 windows, bytes
+        # pinned here so a tokenization change is caught loudly
+        assert any(b % 4 == 0 for b in shared_bytes)
+
+    def test_stride_oracle_parity_and_excision(self, spark, tmp_path):
+        import duckdb
+
+        from etl_pack_spark.operators.substrings import (
+            remove_repeated_spans,
+            remove_repeated_spans_sql,
+            repeated_ngram_spans,
+            repeated_ngram_spans_sql,
+        )
+
+        docs = self._planted(spark)
+        path = str(tmp_path / "planted.parquet")
+        docs.coalesce(1).write.parquet(path)
+        con = duckdb.connect()
+        con.execute(f"CREATE VIEW d AS SELECT * "
+                    f"FROM read_parquet('{path}/*.parquet')")
+        for stride in (1, 4):
+            got = sorted(map(tuple, repeated_ngram_spans(
+                docs, stride=stride).collect()))
+            want = sorted(map(tuple, con.execute(
+                repeated_ngram_spans_sql("d", stride=stride)).fetchall()))
+            assert got == want, f"detector stride={stride}"
+            got_x = sorted(map(tuple, remove_repeated_spans(
+                docs, stride=stride).collect()))
+            want_x = sorted(map(tuple, con.execute(
+                remove_repeated_spans_sql("d", stride=stride)).fetchall()))
+            assert got_x == want_x, f"excision stride={stride}"
+        # sampled excision removes no MORE than exact excision, and the
+        # canonical copy still survives exactly once per detected window
+        exact = {r["doc_id"]: r["n_removed_tokens"] for r in
+                 remove_repeated_spans(docs).collect()}
+        sampled = {r["doc_id"]: r["n_removed_tokens"] for r in
+                   remove_repeated_spans(docs, stride=4).collect()}
+        assert all(sampled[d] <= exact[d] for d in exact)
+        assert sum(sampled.values()) > 0  # the passage is still excised
+
+    def test_stride_validation(self, spark):
+        import pytest as _pytest
+
+        from etl_pack_spark.operators.substrings import (
+            remove_repeated_spans,
+            repeated_ngram_spans,
+            repeated_ngram_spans_sql,
+        )
+
+        docs = self._planted(spark)
+        for bad in (0, -1, 257):
+            with _pytest.raises(ValueError, match="stride"):
+                repeated_ngram_spans(docs, stride=bad)
+            with _pytest.raises(ValueError, match="stride"):
+                remove_repeated_spans(docs, stride=bad)
+            with _pytest.raises(ValueError, match="stride"):
+                repeated_ngram_spans_sql("d", stride=bad)
