@@ -128,6 +128,13 @@ def _scale_probe_queries():
         "remove_spans": lambda d: substrings.remove_repeated_spans(
             d, "doc_id", "text", k=8
         ),
+        # r13: the content-defined sampling knob at replication scale —
+        # stride=4 must show ~1/4 the exact variant's cost on the same
+        # scaled corpus (the knob's standing in-artifact evidence; its
+        # correctness contract is the hashlib-pinned recall test)
+        "remove_spans_s4": lambda d: substrings.remove_repeated_spans(
+            d, "doc_id", "text", k=8, stride=4
+        ),
         # planted-hot-k-gram variant (r7): ONE boilerplate sentence
         # prefixed onto every document, so a single hash's occurrence
         # count equals the corpus size — the license-header shape that
@@ -692,15 +699,18 @@ def main() -> None:
             "n": n,
         }
 
-    def run_headline() -> dict:
+    def run_headline(pre: dict | None = None) -> dict:
         """One full headline pass with per-suite-third ambient markers
-        (round-12 VERDICT #1a): thirds[0] stamps the start, [1]/[2] the
-        interior boundaries, [3] the end — a query's band is the stamps
-        bracketing its third, so a mid-run collapse (r12: disk
-        291→10 MB/s) is attributable PER QUERY from the artifact."""
+        (round-12 VERDICT #1a): thirds[0] stamps the start (reusing a
+        stamp taken seconds earlier when the caller has one — the
+        marker itself writes 64 MB to the scratch volume whose health
+        it measures), [1]/[2] the interior boundaries, [3] the end — a
+        query's band is the stamps bracketing its third, so a mid-run
+        collapse (r12: disk 291→10 MB/s) is attributable PER QUERY
+        from the artifact."""
         t_: dict[str, float] = {}
         s_: dict[str, dict] = {}
-        thirds = [_calibrate()]
+        thirds = [pre if pre is not None else _calibrate()]
         cut1, cut2 = len(BENCH_QUERIES) // 3, 2 * len(BENCH_QUERIES) // 3
         for i, name in enumerate(BENCH_QUERIES):
             if i in (cut1, cut2):
@@ -715,7 +725,7 @@ def main() -> None:
             "degraded": bool(bad), "degraded_markers": bad,
         }
 
-    attempt = run_headline()
+    attempt = run_headline(pre=calib_pre)
     attempts = [attempt]
     # degraded-box rerun (round-12 VERDICT #1c): when any suite-third
     # marker trips, cool down and run the headline suite once more —

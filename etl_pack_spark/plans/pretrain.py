@@ -87,6 +87,7 @@ def prepare_pretraining_corpus(
     max_dup_fraction: float | None = None,
     excise_spans: bool = False,
     excise_k: int = 8,
+    span_stride: int = 1,
     with_text: bool = False,
     embeddings: DataFrame | None = None,
     emb_id_col: str = "vec_id",
@@ -116,6 +117,12 @@ def prepare_pretraining_corpus(
     (must survive curation's projection — e.g. ``n_chars``) used to
     pick each near-dup cluster's survivor: highest score wins, min-id
     tie-break, instead of the default arbitrary min-id doc;
+    ``span_stride`` (r13, optional) is the substring family's
+    content-defined sampling knob, applied to BOTH the window gate and
+    the excision (one knob — the audit twin must recompute with the
+    pipeline's exact parameters): >1 trades recall on short duplicated
+    passages for ~1/stride substring-stage cost (see
+    :mod:`~etl_pack_spark.operators.substrings`);
     ``excise_spans`` (optional) then CUTS the remaining duplicated
     ``excise_k``-token passages from the survivors' text (keep-first
     canonical occurrence — the ExactSubstr remove variant), so
@@ -199,7 +206,8 @@ def prepare_pretraining_corpus(
         # gate's one hash-shuffle is cheaper than the pair graph it
         # shrinks
         spans = repeated_ngram_spans(
-            kept, "doc_id", "text", max_dup_fraction=max_dup_fraction
+            kept, "doc_id", "text", max_dup_fraction=max_dup_fraction,
+            stride=span_stride,
         )
         kept = kept.join(
             spans.where(F.col("keep")).select("doc_id"), "doc_id", "left_semi"
@@ -215,7 +223,9 @@ def prepare_pretraining_corpus(
         # glue distinct documents into one near-dup cluster.
         from etl_pack_spark.operators.substrings import remove_repeated_spans
 
-        cleaned = remove_repeated_spans(kept, "doc_id", "text", k=excise_k)
+        cleaned = remove_repeated_spans(
+            kept, "doc_id", "text", k=excise_k, stride=span_stride
+        )
         kept = kept.drop("text").join(
             cleaned.select("doc_id", F.col("clean_text").alias("text")),
             "doc_id",
@@ -336,6 +346,7 @@ def pretrain_disposition(
     max_dup_fraction: float | None = None,
     excise_spans: bool = False,
     excise_k: int = 8,
+    span_stride: int = 1,
     embeddings: DataFrame | None = None,
     emb_id_col: str = "vec_id",
     sem_nlist: int = 16,
@@ -475,7 +486,8 @@ def pretrain_disposition(
 
     if max_dup_fraction is not None:
         spans = repeated_ngram_spans(
-            kept, "doc_id", "text", max_dup_fraction=max_dup_fraction
+            kept, "doc_id", "text", max_dup_fraction=max_dup_fraction,
+            stride=span_stride,
         )
         # slim persist: the gate's keep set feeds the loser anti-join
         # AND the survivor semi-join — unpersisted, the one-hash-
@@ -491,7 +503,9 @@ def pretrain_disposition(
     if excise_spans:
         from etl_pack_spark.operators.substrings import remove_repeated_spans
 
-        cleaned = remove_repeated_spans(kept, "doc_id", "text", k=excise_k)
+        cleaned = remove_repeated_spans(
+            kept, "doc_id", "text", k=excise_k, stride=span_stride
+        )
         # persist at the stage boundary: the excision is the single
         # most expensive lineage in the plan, and below this point the
         # husk verdict, the husk filter, the pair build, the dedup,

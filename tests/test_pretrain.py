@@ -380,6 +380,55 @@ def test_pretrain_disposition_conservation_all_options(spark, sf_dir):
         dispo.unpersist()
 
 
+def test_pretrain_span_stride_conservation_and_agreement(spark, sf_dir):
+    """r13: the substring family's sampling knob rides the pipeline
+    (one `span_stride` applied to the window gate AND the excision) —
+    the audit twin recomputes with the same stride, so conservation
+    and packed-set agreement must hold, and the sampled run keeps at
+    least as many docs past the gate as the exact one."""
+    from etl_pack_spark.plans.pretrain import pretrain_disposition
+
+    docs = _docs(spark, sf_dir)
+    kwargs = dict(max_dup_fraction=0.5, excise_spans=True, span_stride=4)
+    dispo = pretrain_disposition(docs, **kwargs).cache()
+    try:
+        n = docs.count()
+        assert dispo.count() == n
+        assert dispo.select("doc_id").distinct().count() == n
+        packed_ids = {
+            r["doc_id"]
+            for r in dispo.where(F.col("stage") == "packed").collect()
+        }
+        out_ids = {
+            r["doc_id"]
+            for r in prepare_pretraining_corpus(
+                docs, checkpoint_stages=True, **kwargs
+            ).select("doc_id").distinct().collect()
+        }
+        assert packed_ids == out_ids and packed_ids
+        # the TRUE sampling invariant, at the detection grain: every
+        # sampled window is a real window with its exact duplication
+        # status, so docs with ANY sampled dup window are a subset of
+        # docs with any exact dup window. (The gate's RATIO verdict is
+        # not monotone in stride — a sampled dup_fraction can exceed
+        # the exact one — so drop counts are deliberately not compared.)
+        from etl_pack_spark.operators.substrings import repeated_ngram_spans
+
+        exact_flagged = {
+            r["doc_id"]
+            for r in repeated_ngram_spans(docs)
+            .where(F.col("n_dup_windows") > 0).collect()
+        }
+        sampled_flagged = {
+            r["doc_id"]
+            for r in repeated_ngram_spans(docs, stride=4)
+            .where(F.col("n_dup_windows") > 0).collect()
+        }
+        assert sampled_flagged <= exact_flagged
+    finally:
+        dispo.unpersist()
+
+
 def test_pretrain_checkpoint_stages_is_pure_acceleration(spark, sf_dir):
     """checkpoint_stages=True must be bit-identical to the lazy plan —
     it truncates Catalyst analysis, never semantics. Pinned on a
