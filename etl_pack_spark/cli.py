@@ -753,7 +753,12 @@ def main(argv: list[str] | None = None) -> int:
             # token-volume mix (mode=datacard_mix) — a categorical
             # histogram --report-trend can PSI between firings exactly
             # like funnel stage mixes.
-            total_row = next(r for r in rows if r["is_total"] == 1)
+            # a zero-row corpus yields zero GROUPING SETS rows — record
+            # the firing as n_docs=0 instead of crashing (an all-dropped
+            # curation output is exactly what a trend monitor must see)
+            total_row = next(
+                (r for r in rows if r["is_total"] == 1), {"n_docs": 0}
+            )
             metric_keys = [
                 k for k in total_row
                 if k not in groups and k != "is_total"

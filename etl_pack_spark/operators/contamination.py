@@ -274,16 +274,32 @@ def _registry_default_n(spark, store_path: str) -> int:
     return int(_json.loads(raw)["n"])
 
 
+_REGISTRY_SCHEMA = (
+    "gh long, eval_set string, n int, registered_at_ms long"
+)
+
+
 def _read_registry(spark, store_path: str) -> DataFrame:
     """The registry as ``(gh, eval_set, n, registered_at_ms)``.
     Legacy stores (r12: one global width, rows without an ``n``
     column) read with every row at the manifest width, so a store
-    written before the per-set upgrade keeps matching identically."""
+    written before the per-set upgrade keeps matching identically.
+    A manifest with ZERO data files (the documented crash window
+    between manifest write and first append — Spark cannot infer a
+    schema from an empty dir) reads as an empty registry, not an
+    AnalysisException."""
     default_n = _registry_default_n(spark, store_path)
-    df = spark.read.parquet(store_path)
+    try:
+        df = spark.read.parquet(store_path)
+    except Exception as e:  # noqa: BLE001 - empty-dir probe below
+        if "UNABLE_TO_INFER_SCHEMA" not in str(e) \
+                and "Unable to infer schema" not in str(e):
+            raise
+        return spark.createDataFrame([], _REGISTRY_SCHEMA)
     if "n" not in df.columns:
         df = df.withColumn("n", F.lit(default_n))
-    return df.select("gh", "eval_set", "n", "registered_at_ms")
+    return df.select("gh", "eval_set", F.col("n").cast("int").alias("n"),
+                     "registered_at_ms")
 
 
 def register_eval_set(
@@ -308,15 +324,21 @@ def register_eval_set(
     width, and an explicit ``n`` contradicting it is a loud error (a
     mismatched width silently matches nothing — different fingerprint
     space). Two sets at different widths in one store is the supported
-    mixed-suite case (code vs prose benchmarks). The store stays
-    benchmark-sized: eval sets are thousands of items by contract, so
-    registration is a small job and every consumer can broadcast the
-    whole registry.
+    mixed-suite case (code vs prose benchmarks) — EXCEPT into a legacy
+    (pre-r13, no width column) store, which stays single-width: mixing
+    row schemas inside one parquet directory would make the width of
+    every row depend on which file Spark's schema inference happens to
+    pick, so appends into a legacy store keep the legacy schema and a
+    non-manifest width there is a loud error pointing at a fresh
+    store. The store stays benchmark-sized: eval sets are thousands of
+    items by contract, so registration is a small job and every
+    consumer can broadcast the whole registry.
 
     The stamped gram frame is pooled-persisted before the count, so
     the shingle + anti-join lineage executes ONCE per registration
     (r13, round-12 VERDICT #2: count-then-write used to run it twice
-    while holding the lease) — the lease hold covers one job."""
+    while holding the lease) — the lease hold covers that one job plus
+    a single benchmark-sized existing-width probe."""
     import json as _json
     import time as _time
 
@@ -324,21 +346,42 @@ def register_eval_set(
     from etl_pack_spark.sinks.fsio import exists, read_text, write_text
     from etl_pack_spark.streaming.incremental import _stamp_lease
 
-    _check_eval_set_name(eval_set)
     with _stamp_lease(spark, store_path):
         meta_path = _registry_meta_path(store_path)
         raw = read_text(spark, meta_path)
-        default_n = (8 if n is None else int(n)) if raw is None \
-            else int(_json.loads(raw)["n"])
-        store_exists = exists(spark, store_path)
+        manifest_n = None if raw is None else int(_json.loads(raw)["n"])
+        default_n = manifest_n if manifest_n is not None \
+            else (8 if n is None else int(n))
+        # ONE store read reused for the width probe and the idempotence
+        # anti-join; a manifest-only dir (crash between manifest write
+        # and first append) reads as an empty store
+        reg = legacy = None
+        if exists(spark, store_path):
+            try:
+                reg = spark.read.parquet(store_path)
+            except Exception as e:  # noqa: BLE001 - empty-dir probe
+                if "UNABLE_TO_INFER_SCHEMA" not in str(e) \
+                        and "Unable to infer schema" not in str(e):
+                    raise
+            else:
+                legacy = "n" not in reg.columns
         existing_n = None
-        if store_exists:
-            row = (
-                _read_registry(spark, store_path)
-                .where(F.col("eval_set") == eval_set)
-                .select("n").limit(1).collect()
-            )
-            existing_n = int(row[0]["n"]) if row else None
+        if reg is not None:
+            mine = reg.where(F.col("eval_set") == eval_set)
+            if legacy:
+                if mine.limit(1).count():
+                    existing_n = default_n
+            else:
+                row = mine.select("n").limit(1).collect()
+                existing_n = int(row[0]["n"]) if row else None
+        if existing_n is None:
+            # plain-token rule applies to NEW names only: a set
+            # registered under the laxer pre-r13 rule (e.g. a name
+            # with a space) stays re-registerable — its reads and
+            # engine-side reports never interpolate the name; only
+            # the oracle SQL twin does, and that validates its own
+            # inputs
+            _check_eval_set_name(eval_set)
         if existing_n is not None and n is not None and int(n) != existing_n:
             raise ValueError(
                 f"eval set {eval_set!r} in registry {store_path!r} is "
@@ -348,20 +391,29 @@ def register_eval_set(
             )
         n_set = existing_n if existing_n is not None \
             else (int(n) if n is not None else default_n)
-        grams = eval_ngram_set(eval_df, text_col, n_set)
-        if store_exists:
-            seen = (
-                spark.read.parquet(store_path)
-                .where(F.col("eval_set") == eval_set)
-                .select("gh")
+        if legacy and n_set != default_n:
+            raise ValueError(
+                f"registry {store_path!r} predates per-set widths and "
+                f"is pinned to {default_n}-gram shingles; registering "
+                f"{eval_set!r} at n={n_set} would mix parquet schemas "
+                "— register mixed-width suites into a new store"
             )
-            grams = grams.join(seen, "gh", "left_anti")
-        stamped = pooled_persist(grams.select(
-            "gh",
-            F.lit(eval_set).alias("eval_set"),
-            F.lit(n_set).cast("int").alias("n"),
-            F.lit(int(_time.time() * 1000)).alias("registered_at_ms"),
-        ))
+        grams = eval_ngram_set(eval_df, text_col, n_set)
+        if reg is not None:
+            grams = grams.join(
+                reg.where(F.col("eval_set") == eval_set).select("gh"),
+                "gh", "left_anti",
+            )
+        stamp_ms = F.lit(int(_time.time() * 1000)).alias("registered_at_ms")
+        cols = (
+            # legacy store: keep its file schema uniform (no width
+            # column; the manifest IS the width)
+            [F.col("gh"), F.lit(eval_set).alias("eval_set"), stamp_ms]
+            if legacy else
+            [F.col("gh"), F.lit(eval_set).alias("eval_set"),
+             F.lit(n_set).cast("int").alias("n"), stamp_ms]
+        )
+        stamped = pooled_persist(grams.select(*cols))
         # manifest BEFORE data: a crash in between leaves an empty-but-
         # described store (harmless); data-without-manifest would make
         # every later consumer raise
@@ -484,11 +536,16 @@ def registry_contamination_report_sql(
     corpus passes."""
     if not eval_tables:
         raise ValueError("eval_tables must name at least one eval set")
-    widths = (
-        {name: int(n) for name in eval_tables}
-        if isinstance(n, int)
-        else {name: int(n[name]) for name in eval_tables}
-    )
+    if isinstance(n, int):
+        widths = {name: int(n) for name in eval_tables}
+    else:
+        missing = sorted(set(eval_tables) - set(n))
+        if missing:
+            raise ValueError(
+                f"per-set width dict is missing eval sets {missing} — "
+                "every named eval table needs a width"
+            )
+        widths = {name: int(n[name]) for name in eval_tables}
     for name in eval_tables:
         _check_eval_set_name(name)
     regs = "\nUNION ALL\n".join(

@@ -307,6 +307,20 @@ def fingerprint_sql(table: str, id_col: str, text_col: str, k: int = 3) -> str:
     """
 
 
+# Every output column text_signals produces besides the id and carried
+# columns — the single source of truth for the carry-clash guard (a
+# test pins this against the actual projection, so adding a signal
+# without extending it fails loudly instead of silently un-reserving
+# the new name).
+SIGNAL_OUTPUT_COLS: tuple[str, ...] = (
+    *(f"score_{lang}" for lang in sorted(MARKERS)),
+    "n_chars", "n_tokens", "n_punct", "n_stopwords",
+    "avg_token_len", "stopword_ratio", "n_grams", "n_distinct",
+    "repetition", "n_pieces", "n_fp_hashes", "fingerprint",
+    "lang_pred",
+)
+
+
 def text_signals(
     df: DataFrame,
     id_col: str,
@@ -349,14 +363,8 @@ def text_signals(
     # like an output, e.g. grouping a datacard by "n_tokens", used to
     # produce a duplicate/ambiguous column and a confusing
     # AnalysisException instead of this loud error)
-    reserved = {
-        id_col, text_col, "__t", "__toks", "__sh",
-        *(f"score_{lang}" for lang in MARKERS),
-        "n_chars", "n_tokens", "n_punct", "n_stopwords",
-        "avg_token_len", "stopword_ratio", "n_grams", "n_distinct",
-        "repetition", "n_pieces", "n_fp_hashes", "fingerprint",
-        "lang_pred",
-    }
+    reserved = {id_col, text_col, "__t", "__toks", "__sh",
+                *SIGNAL_OUTPUT_COLS}
     clash = [c for c in carry_cols if c in reserved]
     if clash:
         raise ValueError(

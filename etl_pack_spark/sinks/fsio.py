@@ -174,14 +174,19 @@ def _hadoop_create_exclusive(spark: SparkSession, path: str, text: str) -> bool:
         _write_out(out)
         return True
     # conditional path: on S3A the If-None-Match check fires at close()
-    # — a 412 surfaces as RemoteFileChangedException/PathIOException,
-    # which IS the lost-the-race answer
+    # — the 412 surfaces as RemoteFileChangedException (or the Exists
+    # family), which IS the lost-the-race answer. Deliberately NOT
+    # matched: bare PathIOException — it is s3a's generic I/O-failure
+    # base (throttling, network faults), and mapping it to False would
+    # silently convert a transient write failure into "another holder
+    # owns the lease" (a lost registration instead of a retryable
+    # error).
     try:
         _write_out(out)
     except Exception as e:  # noqa: BLE001
         name = _java_exc_name(e)
         if name is not None and (
-            "RemoteFileChanged" in name or "PathIOException" in name
+            "RemoteFileChanged" in name
             or "AlreadyExists" in name or "ExistsException" in name
         ):
             return False

@@ -362,6 +362,101 @@ class TestEvalRegistry:
         ).collect()
         assert len(rep) == 1 and rep[0]["eval_set"] == "old_bench"
 
+    def test_legacy_store_appends_stay_single_schema(self, spark, tmp_path):
+        """Appending into a legacy store keeps the legacy file schema
+        (mixed per-file schemas would make every row's width depend on
+        which footer Spark's inference picks); a non-manifest width
+        there is a loud error, and a legacy-named set (pre-r13 rule
+        allowed spaces) stays re-registerable."""
+        import json as _json
+        import time as _time
+
+        import pytest as _pytest
+        from pyspark.sql import functions as SF
+
+        from etl_pack_spark.operators.contamination import (
+            eval_ngram_set,
+            register_eval_set,
+            registered_eval_sets,
+            registry_contamination_report,
+        )
+        from etl_pack_spark.sinks.fsio import write_text
+
+        store = str(tmp_path / "legacy_reg2")
+        eval_ngram_set(_df(spark, [(1, LEAK)]), "text", 8).select(
+            "gh", SF.lit("bench v2").alias("eval_set"),
+            SF.lit(int(_time.time() * 1000)).alias("registered_at_ms"),
+        ).coalesce(1).write.parquet(store)
+        write_text(spark, store + "/_eval_registry.json",
+                   _json.dumps({"n": 8}))
+        # grandfathered name: idempotent top-up still works
+        assert register_eval_set(
+            spark, _df(spark, [(1, LEAK)]), store, "bench v2") == 0
+        # a NEW set at the manifest width appends in the legacy schema
+        other = _df(spark, [(2, "completely different held out "
+                                "benchmark text with eight plus words")])
+        assert register_eval_set(spark, other, store, "newset") > 0
+        assert "n" not in spark.read.parquet(store).columns
+        inv = {r["eval_set"]: r["n"]
+               for r in registered_eval_sets(spark, store).collect()}
+        assert inv == {"bench v2": 8, "newset": 8}
+        # both sets visible to the one-scan report
+        train = _df(spark, [
+            (10, LEAK + " trailing"),
+            (11, "completely different held out benchmark text with "
+                 "eight plus words padded"),
+        ])
+        sets_hit = {r["eval_set"] for r in registry_contamination_report(
+            spark, train, store).collect()}
+        assert sets_hit == {"bench v2", "newset"}
+        # mixing widths into a legacy store is refused loudly
+        with _pytest.raises(ValueError, match="new store"):
+            register_eval_set(spark, other, store, "wide", n=10)
+        # a NEW bad name is still rejected (the rule applies forward)
+        with _pytest.raises(ValueError, match="eval_set"):
+            register_eval_set(spark, other, store, "bad name")
+
+    def test_manifest_only_store_reads_empty(self, spark, tmp_path):
+        """The documented crash window — manifest written, process died
+        before the first data append — must read as an EMPTY registry
+        (empty report, registration proceeds), not an AnalysisException
+        about schema inference."""
+        import json as _json
+
+        from etl_pack_spark.operators.contamination import (
+            register_eval_set,
+            registry_contamination_report,
+        )
+        from etl_pack_spark.sinks.fsio import write_text
+
+        store = str(tmp_path / "crashed_reg")
+        import os
+
+        os.makedirs(store, exist_ok=True)
+        write_text(spark, store + "/_eval_registry.json",
+                   _json.dumps({"n": 8}))
+        train = _df(spark, [(10, LEAK + " trailing")])
+        assert registry_contamination_report(
+            spark, train, store).count() == 0
+        # the next registration firing recovers the store
+        assert register_eval_set(
+            spark, _df(spark, [(1, LEAK)]), store, "b") > 0
+        assert registry_contamination_report(
+            spark, train, store).count() == 1
+
+    def test_sql_twin_missing_width_is_loud(self):
+        import pytest as _pytest
+
+        from etl_pack_spark.operators.contamination import (
+            registry_contamination_report_sql,
+        )
+
+        with _pytest.raises(ValueError, match="missing eval sets"):
+            registry_contamination_report_sql(
+                "t", {"a": "ta", "b": "tb"}, n={"a": 8})
+        with _pytest.raises(ValueError, match="at least one"):
+            registry_contamination_report_sql("t", {})
+
     def test_registration_holds_the_ingest_lease(self, spark, tmp_path):
         import pytest as _pytest
 

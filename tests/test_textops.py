@@ -425,3 +425,23 @@ class TestNormalizeText:
         assert "BatchEvalPython" not in plan      # no per-row Python
         assert "ArrowEvalPython" in plan          # the NFC step, Arrow-batched
         assert "Exchange" not in plan             # map-only
+
+
+def test_signal_output_cols_constant_matches_projection(spark):
+    """r13: SIGNAL_OUTPUT_COLS is the carry-clash guard's source of
+    truth — it must equal the projection's ACTUAL output set, so a new
+    signal added without extending the constant fails here instead of
+    silently un-reserving its name."""
+    from etl_pack_spark.operators.textops import (
+        SIGNAL_OUTPUT_COLS,
+        text_signals,
+    )
+
+    docs = spark.createDataFrame([(1, "a b c")], "doc_id long, text string")
+    out_cols = set(text_signals(docs, "doc_id", "text").columns) - {"doc_id"}
+    assert out_cols == set(SIGNAL_OUTPUT_COLS)
+    carried = set(text_signals(
+        docs.withColumn("extra", docs.doc_id), "doc_id", "text",
+        carry_cols=("extra",),
+    ).columns) - {"doc_id"}
+    assert carried == set(SIGNAL_OUTPUT_COLS) | {"extra"}
