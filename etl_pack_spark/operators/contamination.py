@@ -453,35 +453,26 @@ def registry_contamination_report(
     set's shingle width comes from its registry rows, so the train
     side fingerprints exactly like every registered set.
 
-    Scale: ONE corpus shingle scan per DISTINCT registered width —
-    not per set (r13; a mixed suite of dozens of prose benchmarks at
-    n=8 and code benchmarks at n=10 costs two scans total). The
-    width list is registry metadata (a handful of values, collected
-    driver-side); per width, the registry slice rides the bounded-
-    broadcast guard — benchmark-sized by contract, so it broadcasts,
-    but a registry grown past the model bound (hundreds of
-    accumulated benchmarks) falls back to AQE's shuffled join instead
-    of a forced-broadcast OOM; the groupBy carries only matching
-    (doc, set, gh) rows."""
-    from functools import reduce
-
+    Scale: ONE corpus scan TOTAL, regardless of how many widths are
+    registered (r13; a mixed suite of prose benchmarks at n=8 and
+    code benchmarks at n=10 still costs one pass): the corpus is
+    tokenized once and every distinct width's shingle stream is built
+    off that one token array in a single projection, each gram tagged
+    with its width, so the join key is ``(n, gh)`` — a width can
+    never match another width's fingerprint space. The width list is
+    registry metadata (a handful of values, collected driver-side);
+    the registry side rides the bounded-broadcast guard —
+    benchmark-sized by contract, so it broadcasts, but a registry
+    grown past the model bound (hundreds of accumulated benchmarks)
+    falls back to AQE's shuffled join instead of a forced-broadcast
+    OOM; the groupBy carries only matching (doc, set, gh) rows."""
     from etl_pack_spark.operators.guards import maybe_broadcast
+    from etl_pack_spark.operators.tokenize import shingles_expr, tokens
 
     reg = _read_registry(spark, store_path)
     # registry metadata, not data: a few distinct widths by contract
     widths = sorted(r["n"] for r in reg.select("n").distinct().collect())
-    parts = []
-    for w in widths:
-        reg_w = reg.where(F.col("n") == w).select("gh", "eval_set")
-        train_grams = shingle_rows(train, id_col, text_col, int(w)).select(
-            id_col, F.xxhash64("s").alias("gh")
-        )
-        parts.append(
-            train_grams.join(maybe_broadcast(reg_w), "gh")
-            .groupBy(id_col, "eval_set")
-            .agg(F.count_distinct("gh").alias("hits"))
-        )
-    if not parts:
+    if not widths:
         # a registry with a manifest but zero rows (crash window between
         # manifest and first data write): an empty report in the same
         # schema, id typed like the train corpus
@@ -490,9 +481,36 @@ def registry_contamination_report(
             F.lit("").alias("eval_set"),
             F.lit(0).cast("long").alias("hits"),
         )
-    # a set has exactly one width, so the per-width reports partition
-    # the (doc, set) space — plain union, no re-aggregation
-    return reduce(DataFrame.unionByName, parts)
+    # one tokenization, all widths' grams in one exploded projection:
+    # per width w, transform its shingle array into (n, gh) structs,
+    # flatten across widths, explode — map-only, no second scan.
+    # (closure factory, not a default arg: pyspark feeds a two-arg
+    # transform lambda the element INDEX as its second argument)
+    def _gram_structs(w: int):
+        return F.transform(
+            shingles_expr("__toks", w),
+            lambda s: F.struct(
+                F.lit(w).cast("int").alias("n"),
+                F.xxhash64(s).alias("gh"),
+            ),
+        )
+
+    per_width = [_gram_structs(int(w)) for w in widths]
+    train_grams = (
+        train.select(F.col(id_col), tokens(text_col).alias("__toks"))
+        .select(
+            id_col,
+            F.explode(F.flatten(F.array(*per_width))).alias("__g"),
+        )
+        .select(id_col, F.col("__g.n").alias("n"), F.col("__g.gh").alias("gh"))
+    )
+    return (
+        train_grams.join(
+            maybe_broadcast(reg.select("gh", "eval_set", "n")), ["n", "gh"]
+        )
+        .groupBy(id_col, "eval_set")
+        .agg(F.count_distinct("gh").alias("hits"))
+    )
 
 
 def decontaminate_registered(

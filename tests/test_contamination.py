@@ -331,6 +331,27 @@ class TestEvalRegistry:
         sets_hit = {s for _, s, _ in got}
         assert sets_hit == {"prose8", "code5"}
 
+    def test_mixed_width_report_scans_corpus_once(self, spark, sf_dir):
+        """r13: every registered width's shingle stream is built off
+        ONE corpus tokenization — the executed plan reads the train
+        parquet exactly once even with two widths in the store."""
+        import tempfile
+
+        from etl_pack_spark.operators.contamination import (
+            register_eval_set,
+            registry_contamination_report,
+        )
+
+        docs = read_table(spark, sf_dir, "documents")
+        store = tempfile.mkdtemp(prefix="evalreg_scan_") + "/reg"
+        register_eval_set(
+            spark, docs.where("doc_id % 10 = 7"), store, "w8", n=8)
+        register_eval_set(
+            spark, docs.where("doc_id % 10 = 3"), store, "w5", n=5)
+        rep = registry_contamination_report(spark, docs, store)
+        plan = rep._jdf.queryExecution().executedPlan().toString()
+        assert plan.count("documents.parquet") == 1, plan
+
     def test_legacy_store_without_width_column(self, spark, tmp_path):
         """A store written before the per-set upgrade (rows without an
         ``n`` column) keeps matching at its manifest width."""
