@@ -935,10 +935,16 @@ def main(argv: list[str] | None = None) -> int:
             shifts.sort(key=lambda s: s["subject"])
             return shifts
 
-        print(json.dumps({"mode": "report_trend",
-                          "store": args.report_trend, "metrics": rows,
-                          "funnel_shift": mix_shifts("funnel"),
-                          "datacard_shift": mix_shifts("datacard_mix")}))
+        print(json.dumps({
+            "mode": "report_trend",
+            "store": args.report_trend, "metrics": rows,
+            "funnel_shift": mix_shifts("funnel"),
+            "datacard_shift": mix_shifts("datacard_mix"),
+            # r13: flagged-doc mix across --decontaminate-check firings
+            # — "did the contamination composition shift between
+            # ingests", same statistic and thresholds
+            "decontamination_shift": mix_shifts("decontamination"),
+        }))
         return 0
 
     if args.store_stats:

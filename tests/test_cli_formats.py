@@ -772,6 +772,8 @@ def test_cli_datacard_trend_roundtrip(spark, sf_dir, tmp_path):
     shifts = out["datacard_shift"]
     assert len(shifts) == 1 and shifts[0]["subject"] == subject
     assert shifts[0]["psi"] > 0
+    # no decontamination firings in this store: present and empty
+    assert out["decontamination_shift"] == []
 
 
 def test_cli_datacard_group_edge_cases(sf_dir):
