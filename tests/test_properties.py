@@ -873,3 +873,47 @@ def test_datacard_conservation_laws(spark, rows):
     assert tot["n_null_text"] == sum(1 for t, _ in rows if t is None)
     # exactly one group row per distinct label (NULL label is a group)
     assert len(groups) == len({g for _, g in rows})
+
+
+word = st.text(alphabet="abcdefgh", min_size=1, max_size=4)
+stride_docs = st.lists(
+    st.lists(word, min_size=0, max_size=24).map(lambda ws: " ".join(ws)),
+    min_size=1, max_size=6,
+)
+
+
+@given(docs=stride_docs, stride=st.sampled_from([2, 4, 16]))
+@settings(**SETTINGS)
+def test_stride_sampling_law_matches_hashlib_model(spark, docs, stride):
+    """r13 stride law, model-checked: the sampled window set of a doc
+    is EXACTLY its distinct k-gram windows whose md5 first byte falls
+    in the residue class — computed independently in pure Python —
+    and stride=1 reproduces the full set. Pins both the engine's
+    sampling arithmetic and its tokenization against an independent
+    model."""
+    import re as _re
+
+    from etl_pack_spark.operators.substrings import repeated_ngram_spans
+
+    k = 3
+    df = spark.createDataFrame(
+        list(enumerate(docs)), "doc_id long, text string")
+
+    def model_windows(text: str) -> set[str]:
+        toks = [t for t in _re.split(r"[^a-z0-9]+", text.lower()) if t]
+        return {" ".join(toks[i:i + k]) for i in range(len(toks) - k + 1)}
+
+    def sampled(wins: set[str], s: int) -> set[str]:
+        return {
+            w for w in wins
+            if int(hashlib.md5(w.encode()).hexdigest()[:2], 16) % s == 0
+        }
+
+    full = {r["doc_id"]: r["n_windows"] for r in
+            repeated_ngram_spans(df, k=k, stride=1).collect()}
+    samp = {r["doc_id"]: r["n_windows"] for r in
+            repeated_ngram_spans(df, k=k, stride=stride).collect()}
+    for i, text in enumerate(docs):
+        wins = model_windows(text)
+        assert full[i] == len(wins)
+        assert samp[i] == len(sampled(wins, stride))
