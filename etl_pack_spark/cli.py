@@ -103,6 +103,15 @@ def build_parser() -> argparse.ArgumentParser:
                         "--id-col/--text-col (defaults doc_id/text)")
     p.add_argument("--drift-batch", default=None, metavar="BATCH",
                    help="--drift: the ingest-batch parquet docs path")
+    p.add_argument("--drift-stream", default=None, metavar="SRC",
+                   help="--drift: resident variant (r13) — availableNow "
+                        "streaming over the docs files landing under SRC; "
+                        "each micro-batch is PSI-checked against the "
+                        "saved-histogram BASELINE and appended to "
+                        "--report-out (mode=drift_stream, detail=batch "
+                        "id); requires --checkpoint and --report-out, "
+                        "BASELINE must be a --drift-save-baseline "
+                        "histogram")
     p.add_argument("--drift-save-baseline", default=None, metavar="HIST",
                    help="--drift: instead of a firing, compute the "
                         "baseline signal histogram over the --drift docs "
@@ -212,91 +221,14 @@ def build_parser() -> argparse.ArgumentParser:
     return p
 
 
-def _drift_config_from_json(text: str) -> tuple[dict, dict]:
-    """Parse and validate a ``--drift-config`` payload into the
-    ``(edges, categories)`` pair :func:`~.quality.signal_histogram`
-    takes. The config REPLACES the built-in spec (an omitted section
-    means that signal family is disabled), so the result is exactly
-    what the user wrote — validated LOUDLY here (the drift-name
-    posture) because every name and value is interpolated into
-    generated expressions."""
-    from etl_pack_spark.operators.quality import (
-        _check_drift_categories,
-        _check_drift_signal_names,
-    )
+# drift-config parsing/canonicalization live with the drift operators
+# (operators/quality.py) since r13 — the streaming monitor needs them too
+from etl_pack_spark.operators.quality import (  # noqa: E402
+    append_report_rows as _append_report,
+    canonical_drift_config as _canonical_drift_config,
+    drift_config_from_json as _drift_config_from_json,
+)
 
-    cfg = json.loads(text)
-    if not isinstance(cfg, dict) or not cfg or not set(cfg) <= {
-        "edges", "categories"
-    }:
-        raise ValueError(
-            "drift config must be a JSON object with 'edges' and/or "
-            "'categories' keys"
-        )
-    edges: dict[str, tuple[float, ...]] = {}
-    for name, cuts in (cfg.get("edges") or {}).items():
-        if not isinstance(cuts, list) or not cuts:
-            raise ValueError(
-                f"drift config edges[{name!r}] must be a non-empty list"
-            )
-        vals = tuple(float(x) for x in cuts)
-        if any(b <= a for a, b in zip(vals, vals[1:])):
-            raise ValueError(
-                f"drift config edges[{name!r}] must be strictly "
-                f"increasing (got {list(vals)})"
-            )
-        edges[str(name)] = vals
-    categories: dict[str, tuple[str, ...]] = {}
-    for name, cats in (cfg.get("categories") or {}).items():
-        if not isinstance(cats, list) or not cats:
-            raise ValueError(
-                f"drift config categories[{name!r}] must be a non-empty "
-                "list"
-            )
-        categories[str(name)] = tuple(str(v) for v in cats)
-    if not edges and not categories:
-        raise ValueError("drift config declares no signals")
-    _check_drift_signal_names(edges, categories)
-    _check_drift_categories(categories)
-    return edges, categories
-
-
-def _canonical_drift_config(edges: dict, categories: dict) -> str:
-    """The stored/compared rendering of a drift bucket config: sorted
-    keys, lists — byte-identical iff the configs bucket identically."""
-    return json.dumps(
-        {
-            "edges": {k: [float(x) for x in v] for k, v in edges.items()},
-            "categories": {k: list(v) for k, v in categories.items()},
-        },
-        sort_keys=True,
-    )
-
-
-def _append_report(spark, path: str, rows: list[dict], mode: str,
-                   subject: str, detail: str | None) -> None:
-    """Append one firing's report rows to the history store at
-    ``path`` — the cron-trend surface ("is my drop rate creeping up",
-    "when did lang drift start"): one parquet append of report-sized
-    rows per firing, stamped with the firing's epoch millis. Shared
-    schema across report modes so one store can hold a pipeline's
-    whole audit trail: ``(fired_at_ms, mode, subject, detail, metric,
-    value, verdict)``. At-least-once (a retried firing appends its
-    rows again); trend readers group by fired_at_ms."""
-    import time as _time
-
-    fired = int(_time.time() * 1000)
-    df = spark.createDataFrame(
-        [
-            (fired, mode, subject, detail,
-             r["metric"], float(r["value"]),
-             r["verdict"])
-            for r in rows
-        ],
-        "fired_at_ms long, mode string, subject string, detail string, "
-        "metric string, value double, verdict string",
-    )
-    df.coalesce(1).write.mode("append").parquet(path)
 
 
 def main(argv: list[str] | None = None) -> int:
@@ -343,14 +275,30 @@ def main(argv: list[str] | None = None) -> int:
               "to --register-eval/--decontaminate-check", file=sys.stderr)
         return 2
     if args.drift:
-        if bool(args.drift_batch) == bool(args.drift_save_baseline):
+        n_modes = sum(map(bool, (args.drift_batch,
+                                 args.drift_save_baseline,
+                                 args.drift_stream)))
+        if n_modes != 1:
             print("error: --drift takes exactly one of --drift-batch "
-                  "(a PSI firing) or --drift-save-baseline (persist the "
-                  "baseline histogram)", file=sys.stderr)
+                  "(a PSI firing), --drift-save-baseline (persist the "
+                  "baseline histogram) or --drift-stream (resident "
+                  "monitor)", file=sys.stderr)
             return 2
-    elif args.drift_batch or args.drift_save_baseline or args.drift_config:
-        print("error: --drift-batch/--drift-save-baseline/--drift-config "
-              "only apply to --drift", file=sys.stderr)
+        if args.drift_stream:
+            if not args.checkpoint or not args.report_out:
+                print("error: --drift-stream requires --checkpoint and "
+                      "--report-out (the verdicts land in the history "
+                      "store)", file=sys.stderr)
+                return 2
+            if args.drift_config:
+                print("error: --drift-stream reads the bucket config "
+                      "stored with the saved baseline; --drift-config "
+                      "does not apply", file=sys.stderr)
+                return 2
+    elif (args.drift_batch or args.drift_save_baseline or args.drift_config
+          or args.drift_stream):
+        print("error: --drift-batch/--drift-save-baseline/--drift-config/"
+              "--drift-stream only apply to --drift", file=sys.stderr)
         return 2
     drift_edges = drift_categories = None
     if args.drift_config:
@@ -367,7 +315,7 @@ def main(argv: list[str] | None = None) -> int:
                   file=sys.stderr)
             return 2
     if args.report_out and not (args.funnel or args.drift_batch
-                                or args.datacard
+                                or args.drift_stream or args.datacard
                                 or args.decontaminate_check):
         print("error: --report-out only applies to --funnel/--drift/"
               "--datacard/--decontaminate-check firings", file=sys.stderr)
@@ -386,8 +334,9 @@ def main(argv: list[str] | None = None) -> int:
         ]
         if foreign:
             print(f"error: {', '.join(foreign)} do not apply to --drift "
-                  "(it takes only --drift-batch/--drift-save-baseline, "
-                  "--drift-config, --id-col, --text-col and --report-out)",
+                  "(it takes only --drift-batch/--drift-save-baseline/"
+                  "--drift-stream, --drift-config, --id-col, --text-col, "
+                  "--checkpoint and --report-out)",
                   file=sys.stderr)
             return 2
     if args.funnel_gates is not None and not args.funnel:
@@ -611,6 +560,27 @@ def main(argv: list[str] | None = None) -> int:
                 text_signals(spark.read.parquet(path), id_col, text_col),
                 cfg_edges, cfg_categories,
             )
+
+        if args.drift_stream:
+            from etl_pack_spark.streaming.incremental import (
+                stream_quality_drift,
+            )
+
+            try:
+                n = stream_quality_drift(
+                    spark, args.drift_stream, args.drift,
+                    args.checkpoint, args.report_out,
+                    id_col=id_col, text_col=text_col,
+                )
+            except ValueError as e:
+                print(f"error: {e}", file=sys.stderr)
+                return 2
+            print(json.dumps({"mode": "drift_stream",
+                              "baseline": args.drift,
+                              "source": args.drift_stream,
+                              "micro_batches": n,
+                              "report": args.report_out}))
+            return 0
 
         if args.drift_save_baseline:
             # persist the baseline histogram ONCE (r11 VERDICT #2): the

@@ -656,3 +656,89 @@ def corpus_datacard_sql(
     FROM s
     GROUP BY GROUPING SETS (({gl}), ())
     """
+
+
+def drift_config_from_json(text: str) -> tuple[dict, dict]:
+    """Parse and validate a drift bucket-config payload into the
+    ``(edges, categories)`` pair :func:`~.quality.signal_histogram`
+    takes. The config REPLACES the built-in spec (an omitted section
+    means that signal family is disabled), so the result is exactly
+    what the user wrote — validated LOUDLY here (the drift-name
+    posture) because every name and value is interpolated into
+    generated expressions."""
+    import json
+
+    cfg = json.loads(text)
+    if not isinstance(cfg, dict) or not cfg or not set(cfg) <= {
+        "edges", "categories"
+    }:
+        raise ValueError(
+            "drift config must be a JSON object with 'edges' and/or "
+            "'categories' keys"
+        )
+    edges: dict[str, tuple[float, ...]] = {}
+    for name, cuts in (cfg.get("edges") or {}).items():
+        if not isinstance(cuts, list) or not cuts:
+            raise ValueError(
+                f"drift config edges[{name!r}] must be a non-empty list"
+            )
+        vals = tuple(float(x) for x in cuts)
+        if any(b <= a for a, b in zip(vals, vals[1:])):
+            raise ValueError(
+                f"drift config edges[{name!r}] must be strictly "
+                f"increasing (got {list(vals)})"
+            )
+        edges[str(name)] = vals
+    categories: dict[str, tuple[str, ...]] = {}
+    for name, cats in (cfg.get("categories") or {}).items():
+        if not isinstance(cats, list) or not cats:
+            raise ValueError(
+                f"drift config categories[{name!r}] must be a non-empty "
+                "list"
+            )
+        categories[str(name)] = tuple(str(v) for v in cats)
+    if not edges and not categories:
+        raise ValueError("drift config declares no signals")
+    _check_drift_signal_names(edges, categories)
+    _check_drift_categories(categories)
+    return edges, categories
+
+
+def canonical_drift_config(edges: dict, categories: dict) -> str:
+    """The stored/compared rendering of a drift bucket config: sorted
+    keys, lists — byte-identical iff the configs bucket identically."""
+    import json
+
+    return json.dumps(
+        {
+            "edges": {k: [float(x) for x in v] for k, v in edges.items()},
+            "categories": {k: list(v) for k, v in categories.items()},
+        },
+        sort_keys=True,
+    )
+
+
+def append_report_rows(spark, path: str, rows: list[dict], mode: str,
+                   subject: str, detail: str | None) -> None:
+    """Append one firing's report rows to the history store at
+    ``path`` — the cron-trend surface ("is my drop rate creeping up",
+    "when did lang drift start"): one parquet append of report-sized
+    rows per firing, stamped with the firing's epoch millis. Shared
+    schema across report modes so one store can hold a pipeline's
+    whole audit trail: ``(fired_at_ms, mode, subject, detail, metric,
+    value, verdict)``. At-least-once (a retried firing appends its
+    rows again); trend readers group by fired_at_ms."""
+    import time as _time
+
+    fired = int(_time.time() * 1000)
+    df = spark.createDataFrame(
+        [
+            (fired, mode, subject, detail,
+             r["metric"], float(r["value"]),
+             r["verdict"])
+            for r in rows
+        ],
+        "fired_at_ms long, mode string, subject string, detail string, "
+        "metric string, value double, verdict string",
+    )
+    df.coalesce(1).write.mode("append").parquet(path)

@@ -240,6 +240,112 @@ def stream_cdc_apply(
     return n
 
 
+def stream_quality_drift(
+    spark: SparkSession,
+    source_path: str,
+    baseline_hist: str,
+    checkpoint: str,
+    report_out: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> int:
+    """Streaming quality-drift monitor (r13): every new docs file that
+    lands under ``source_path`` is PSI-checked against the SAVED
+    baseline histogram at ``baseline_hist`` in its micro-batch, and
+    the per-signal verdicts are appended to the ``report_out`` history
+    store (``mode="drift_stream"``, ``detail`` = the micro-batch id) —
+    the resident twin of the per-firing ``cli --drift`` check, run in
+    its ``availableNow`` cron-firing shape with checkpoint-tracked
+    file progress. "Today's crawl slice drifted" is caught PER
+    ARRIVING SLICE instead of per scheduled rescan of the whole batch
+    directory, and the history store trends it like every other report
+    mode.
+
+    The baseline must be a histogram SAVED by ``--drift-save-baseline``
+    (its in-dir ``_drift_config.json`` is required — the save path
+    always writes it, and bucketing the stream with any other config
+    would PSI differently-bucketed histograms; same loud posture as
+    the batch CLI). The baseline frame and config are read ONCE per
+    firing, not per batch.
+
+    Scale shape: each micro-batch does one ``text_signals`` projection
+    (map-only) + one bucket groupBy — state is the histogram, a few
+    dozen rows, regardless of slice size; the PSI join is report-sized;
+    the report append is one tiny parquet file per batch. At-least-once
+    (a replayed batch appends its rows again, stamped with a new
+    firing time); trend readers group by ``fired_at_ms``.
+
+    Returns the number of micro-batches processed.
+    """
+    from etl_pack_spark.operators.quality import (
+        append_report_rows,
+        drift_config_from_json,
+        psi_report,
+        signal_histogram,
+    )
+    from etl_pack_spark.operators.textops import text_signals
+    from etl_pack_spark.sinks.fsio import read_text
+
+    base_df = spark.read.parquet(baseline_hist)
+    if set(base_df.columns) != {"signal", "bucket", "n", "p"}:
+        raise ValueError(
+            f"{baseline_hist!r} is not a saved drift histogram "
+            "(expected columns signal/bucket/n/p — produce one with "
+            "cli --drift DOCS --drift-save-baseline HIST)"
+        )
+    stored = read_text(
+        spark, baseline_hist.rstrip("/") + "/_drift_config.json"
+    )
+    if stored is None:
+        raise ValueError(
+            f"baseline histogram {baseline_hist!r} has no "
+            "_drift_config.json — the store is tampered or partially "
+            "copied; re-save the baseline"
+        )
+    edges, categories = drift_config_from_json(stored)
+    # the baseline is a few dozen rows: collect once, rebuild per
+    # session inside foreachBatch (a captured DataFrame would be bound
+    # to the outer session)
+    base_rows = [(r["signal"], r["bucket"], r["n"], r["p"])
+                 for r in base_df.collect()]
+
+    schema = spark.read.parquet(source_path).schema
+
+    def check(batch_df: DataFrame, batch_id: int) -> None:
+        if not batch_df.take(1):
+            return  # an empty replay batch has no histogram to score
+        sess = batch_df.sparkSession
+        base = sess.createDataFrame(
+            base_rows, "signal string, bucket int, n long, p double"
+        )
+        rep = psi_report(
+            base,
+            signal_histogram(
+                text_signals(batch_df, id_col, text_col),
+                edges, categories,
+            ),
+        )
+        append_report_rows(
+            sess, report_out,
+            [{"metric": r["signal"], "value": r["psi"],
+              "verdict": r["verdict"]} for r in rep.collect()],
+            mode="drift_stream", subject=source_path,
+            detail=str(batch_id),
+        )
+
+    query = (
+        spark.readStream.schema(schema).parquet(source_path)
+        .writeStream.foreachBatch(check)
+        .trigger(availableNow=True)
+        .option("checkpointLocation", checkpoint)
+        .start()
+    )
+    query.awaitTermination()
+    n = len(query.recentProgress)
+    query.stop()
+    return n
+
+
 def dedup_stream(events: DataFrame, key_cols: list[str], watermark: str = "2 hours") -> DataFrame:
     """Streaming exact dedup — the streaming twin of the batch
     anti-join flagship (H3). ``dropDuplicatesWithinWatermark`` keeps

@@ -870,3 +870,45 @@ def test_cli_drift_histogram_missing_config_is_loud(sf_dir, tmp_path):
         capture_output=True, text=True, cwd="/root/repo",
     )
     assert r.returncode == 2 and "_drift_config.json" in r.stderr
+
+
+def test_cli_drift_stream(spark, sf_dir, tmp_path):
+    """r13: the resident drift monitor from the CLI — save a baseline,
+    stream two doc slices through --drift-stream, verdicts trend in the
+    report store; flag scoping is loud."""
+    docs = f"{sf_dir}/documents.parquet"
+    hist = str(tmp_path / "hist")
+    src = str(tmp_path / "src")
+    reports = str(tmp_path / "reports")
+    ckpt = str(tmp_path / "ckpt")
+    subprocess.run(
+        [sys.executable, "-m", "etl_pack_spark.cli", "--drift", docs,
+         "--drift-save-baseline", hist],
+        capture_output=True, text=True, cwd="/root/repo", check=True,
+    )
+    spark.read.parquet(docs).select("doc_id", "text") \
+        .coalesce(1).write.parquet(src)
+    res = subprocess.run(
+        [sys.executable, "-m", "etl_pack_spark.cli", "--drift", hist,
+         "--drift-stream", src, "--checkpoint", ckpt,
+         "--report-out", reports],
+        capture_output=True, text=True, cwd="/root/repo", check=True,
+    )
+    out = json.loads(res.stdout.strip().splitlines()[-1])
+    assert out["mode"] == "drift_stream" and out["micro_batches"] >= 1
+    rows = spark.read.parquet(reports).where("mode = 'drift_stream'")
+    assert rows.count() > 0
+    assert {r["verdict"] for r in rows.collect()} == {"stable"}
+    # scoping: the resident mode needs checkpoint + report-out
+    r2 = subprocess.run(
+        [sys.executable, "-m", "etl_pack_spark.cli", "--drift", hist,
+         "--drift-stream", src],
+        capture_output=True, text=True, cwd="/root/repo",
+    )
+    assert r2.returncode == 2 and "--checkpoint" in r2.stderr
+    r3 = subprocess.run(
+        [sys.executable, "-m", "etl_pack_spark.cli",
+         "--drift-stream", src],
+        capture_output=True, text=True, cwd="/root/repo",
+    )
+    assert r3.returncode == 2 and "--drift" in r3.stderr

@@ -1025,3 +1025,92 @@ class TestIngestLease:
         fsio.delete(spark, lease)
         _reclaim_stale(spark, store, lease, stale, mine, "slow")
         assert json.loads(fsio.read_text(spark, lease))["token"] == "slow"
+
+
+class TestStreamQualityDrift:
+    """r13: the resident drift monitor — per-micro-batch PSI against a
+    saved baseline histogram, verdicts appended to the report store."""
+
+    def _baseline(self, spark, docs, path):
+        import json as _json
+
+        from etl_pack_spark.operators.quality import (
+            DRIFT_CATEGORIES,
+            DRIFT_EDGES,
+            canonical_drift_config,
+            signal_histogram,
+        )
+        from etl_pack_spark.operators.textops import text_signals
+        from etl_pack_spark.sinks.fsio import write_text
+
+        signal_histogram(
+            text_signals(docs, "doc_id", "text")
+        ).coalesce(1).write.parquet(path)
+        write_text(
+            spark, path.rstrip("/") + "/_drift_config.json",
+            canonical_drift_config(dict(DRIFT_EDGES),
+                                   dict(DRIFT_CATEGORIES)),
+        )
+
+    def test_stable_then_shifted_slices(self, spark, sf_dir, tmp_path):
+        from pyspark.sql import functions as F
+
+        from etl_pack_spark.sources.reader import read_table
+        from etl_pack_spark.streaming.incremental import stream_quality_drift
+
+        docs = read_table(spark, sf_dir, "documents") \
+            .select("doc_id", "text")
+        hist = str(tmp_path / "hist")
+        self._baseline(spark, docs, hist)
+        src = str(tmp_path / "src")
+        reports = str(tmp_path / "reports")
+        ckpt = str(tmp_path / "ckpt")
+        # slice 1: the baseline corpus itself -> PSI 0, all stable
+        docs.coalesce(1).write.mode("append").parquet(src)
+        n = stream_quality_drift(spark, src, hist, ckpt, reports)
+        assert n >= 1
+        rep = spark.read.parquet(reports)
+        first = rep.where("mode = 'drift_stream'")
+        assert first.count() > 0
+        assert {r["verdict"] for r in first.collect()} == {"stable"}
+        # slice 2: truncated texts -> token-length mix shifts
+        docs.select(
+            "doc_id", F.substring("text", 1, 12).alias("text")
+        ).coalesce(1).write.mode("append").parquet(src)
+        stream_quality_drift(spark, src, hist, ckpt, reports)
+        rep2 = spark.read.parquet(reports).where("mode = 'drift_stream'")
+        firings = {r["detail"] for r in rep2.select("detail").collect()}
+        assert len(firings) >= 2  # the second slice scored separately
+        worst = rep2.groupBy("detail").agg(
+            F.max("value").alias("m")).collect()
+        assert max(r["m"] for r in worst) > 0.25  # major shift caught
+        # checkpoint: nothing new -> no new rows
+        before = rep2.count()
+        stream_quality_drift(spark, src, hist, ckpt, reports)
+        assert spark.read.parquet(reports) \
+            .where("mode = 'drift_stream'").count() == before
+
+    def test_bad_baseline_is_loud(self, spark, sf_dir, tmp_path):
+        import pytest as _pytest
+
+        from etl_pack_spark.sources.reader import read_table
+        from etl_pack_spark.sinks.fsio import delete
+        from etl_pack_spark.streaming.incremental import stream_quality_drift
+
+        docs = read_table(spark, sf_dir, "documents") \
+            .select("doc_id", "text")
+        src = str(tmp_path / "src")
+        docs.coalesce(1).write.parquet(src)
+        # not a histogram at all
+        with _pytest.raises(ValueError, match="saved drift histogram"):
+            stream_quality_drift(
+                spark, src, src, str(tmp_path / "c1"),
+                str(tmp_path / "r1"))
+        # histogram with its config sidecar gone
+        hist = str(tmp_path / "hist")
+        self._baseline(spark, docs, hist)
+        delete(spark, hist + "/_drift_config.json")
+        with _pytest.raises(ValueError, match="_drift_config.json"):
+            stream_quality_drift(
+                spark, src, hist, str(tmp_path / "c2"),
+                str(tmp_path / "r2"))
