@@ -739,8 +739,12 @@ def main(argv: list[str] | None = None) -> int:
                  "verdict": None}
                 for k in sorted(metric_keys)
             ], mode="datacard", subject=args.datacard, detail="total")
+            # JSON-encode the group tuple as the metric key: a raw
+            # "|".join aliases values containing "|" (or multi-column
+            # tuples that concatenate equally) into one PSI bucket,
+            # silently skewing datacard_shift (r14)
             _append_report(spark, args.report_out, [
-                {"metric": "|".join(str(r[c]) for c in groups),
+                {"metric": json.dumps([str(r[c]) for c in groups]),
                  "value": float(r["n_tokens_total"]), "verdict": None}
                 for r in rows if r["is_total"] == 0
             ], mode="datacard_mix", subject=args.datacard,

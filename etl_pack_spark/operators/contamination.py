@@ -486,9 +486,15 @@ def registry_contamination_report(
     # flatten across widths, explode — map-only, no second scan.
     # (closure factory, not a default arg: pyspark feeds a two-arg
     # transform lambda the element INDEX as its second argument)
+    # array_distinct BEFORE hashing: hits counts DISTINCT shared grams
+    # (count_distinct below), so per-doc repeats are semantic no-ops —
+    # but without the dedup every occurrence of a boilerplate-repeated
+    # gram enters the join and groupBy, the hot-key shuffle shape the
+    # r7 posture guards against (r14, restores the r12 single-width
+    # path's per-doc distinct)
     def _gram_structs(w: int):
         return F.transform(
-            shingles_expr("__toks", w),
+            F.array_distinct(shingles_expr("__toks", w)),
             lambda s: F.struct(
                 F.lit(w).cast("int").alias("n"),
                 F.xxhash64(s).alias("gh"),

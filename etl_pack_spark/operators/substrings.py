@@ -65,6 +65,16 @@ from etl_pack_spark.operators.tokenize import (
 # miss probability ~(1-1/s)^(L-k+1), i.e. long boilerplate is still
 # caught with near-certainty while short overlaps degrade gracefully.
 # stride=1 (default) keeps the exact behavior bit-for-bit.
+#
+# EXCISION coverage is a second, distinct effect (r14): only SAMPLED
+# windows can be cut, and consecutive sampled windows inside one
+# duplicated passage sit ~s positions apart while each cut covers k
+# tokens. For s <= k adjacent cuts overlap and tile the passage (a
+# detected passage is excised end-to-end, the same guarantee as
+# s=1); for s > k the cuts leave gaps — duplicated fragments of
+# expected length ~s-k survive INSIDE passages the detection model
+# counts as "excised". Use stride <= k when the goal is removal;
+# stride > k is a detection/report dial only.
 
 _HEX = "0123456789abcdef"
 
@@ -288,6 +298,13 @@ def remove_repeated_spans(
     cut spans are exactly the union of flagged windows. Documents
     shorter than ``k`` tokens pass through untouched (normalized).
 
+    ``stride`` caveat (r14): at ``stride > k`` the sampled cuts no
+    longer tile a detected passage — duplicated fragments of expected
+    length ~``stride - k`` survive between adjacent sampled windows
+    even inside passages the recall model counts as excised. Keep
+    ``stride <= k`` when the goal is removal; larger strides are a
+    detection-cost dial for the report op, not for excision.
+
     Complements :func:`repeated_ngram_spans` (the detect/gate report):
     the gate DROPS mostly-duplicated documents; this op KEEPS every
     document and removes the duplicated passages, the choice Lee et
@@ -329,7 +346,10 @@ def remove_repeated_spans(
     # ~(1-1/stride)^(L-k+1) model per duplicated passage; a detected
     # window is still excised from EVERY non-canonical occurrence
     # (kept-or-dropped-together sampling), and stride=1 is bit-exact
-    # with r12.
+    # with r12. Coverage caveat (r14, module note): sampled cuts tile
+    # a detected passage only when stride <= k — at stride > k,
+    # duplicated fragments of expected length ~stride-k survive
+    # between cuts, so keep stride <= k when the goal is removal.
     occ = shingle_rows(
         df, id_col, text_col, k=k, distinct=False, positions=True
     ).select(F.col(id_col), F.col("pos"), F.md5(F.col("s")).alias("h"))

@@ -240,6 +240,20 @@ def stream_cdc_apply(
     return n
 
 
+def _source_schema_or_none(spark: SparkSession, path: str):
+    """Schema of a parquet source dir, or ``None`` when the dir is
+    missing or holds no data files yet. A resident monitor is deployed
+    BEFORE the first crawl slice lands, so "nothing there yet" is a
+    normal state, not an error — the loud posture belongs to the
+    baseline store, whose absence really is deployment breakage."""
+    from pyspark.errors import AnalysisException
+
+    try:
+        return spark.read.parquet(path).schema
+    except AnalysisException:
+        return None
+
+
 def stream_quality_drift(
     spark: SparkSession,
     source_path: str,
@@ -248,6 +262,7 @@ def stream_quality_drift(
     report_out: str,
     id_col: str = "doc_id",
     text_col: str = "text",
+    schema=None,
 ) -> int:
     """Streaming quality-drift monitor (r13): every new docs file that
     lands under ``source_path`` is PSI-checked against the SAVED
@@ -260,6 +275,12 @@ def stream_quality_drift(
     ARRIVING SLICE instead of per scheduled rescan of the whole batch
     directory, and the history store trends it like every other report
     mode.
+
+    A missing or still-empty ``source_path`` is NOT an error: the
+    monitor is naturally deployed before the day's first crawl slice
+    lands, so that firing returns 0 batches and the next firing scores
+    whatever arrived (pass ``schema=`` to pin the expected slice schema
+    up front instead of inferring it from the first file).
 
     The baseline must be a histogram SAVED by ``--drift-save-baseline``
     (its in-dir ``_drift_config.json`` is required — the save path
@@ -309,9 +330,27 @@ def stream_quality_drift(
     base_rows = [(r["signal"], r["bucket"], r["n"], r["p"])
                  for r in base_df.collect()]
 
-    schema = spark.read.parquet(source_path).schema
+    from etl_pack_spark.sinks.fsio import exists as _fs_exists
+
+    if not _fs_exists(spark, source_path):
+        # deployed before the first slice landed: 0 batches, no
+        # checkpoint to advance — the next firing picks it up (the
+        # stream source itself raises PATH_NOT_FOUND on a missing dir
+        # even when the schema is pinned, so this gate is uncondit.)
+        return 0
+    if schema is None:
+        schema = _source_schema_or_none(spark, source_path)
+        if schema is None:
+            return 0  # dir exists but holds no data files yet
+
+    # count batches in the callback itself: query.recentProgress is
+    # capped at spark.sql.streaming.numRecentProgressUpdates (default
+    # 100), so a large backlog drained in one availableNow firing
+    # would under-report through it
+    seen_batches: list[int] = []
 
     def check(batch_df: DataFrame, batch_id: int) -> None:
+        seen_batches.append(batch_id)
         if not batch_df.take(1):
             return  # an empty replay batch has no histogram to score
         sess = batch_df.sparkSession
@@ -341,9 +380,8 @@ def stream_quality_drift(
         .start()
     )
     query.awaitTermination()
-    n = len(query.recentProgress)
     query.stop()
-    return n
+    return len(seen_batches)
 
 
 def dedup_stream(events: DataFrame, key_cols: list[str], watermark: str = "2 hours") -> DataFrame:

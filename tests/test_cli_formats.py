@@ -912,3 +912,25 @@ def test_cli_drift_stream(spark, sf_dir, tmp_path):
         capture_output=True, text=True, cwd="/root/repo",
     )
     assert r3.returncode == 2 and "--drift" in r3.stderr
+
+
+def test_cli_datacard_mix_keys_unambiguous(spark, tmp_path):
+    """r14 (ADVICE): datacard_mix bucket keys are JSON-encoded group
+    tuples — raw '|'.join aliased ('a|b','c') with ('a','b|c') into one
+    PSI bucket, silently skewing datacard_shift."""
+    subject = str(tmp_path / "docs.parquet")
+    spark.createDataFrame(
+        [(1, "alpha beta gamma", "a|b", "c"),
+         (2, "delta epsilon zeta", "a", "b|c")],
+        "doc_id long, text string, lang string, source string",
+    ).write.parquet(subject)
+    store = str(tmp_path / "reports")
+    subprocess.run(
+        [sys.executable, "-m", "etl_pack_spark.cli",
+         "--datacard", subject, "--datacard-groups", "lang,source",
+         "--report-out", store],
+        capture_output=True, text=True, cwd="/root/repo", check=True,
+    )
+    mix = spark.read.parquet(store).where("mode = 'datacard_mix'")
+    keys = {r["metric"] for r in mix.select("metric").collect()}
+    assert keys == {json.dumps(["a|b", "c"]), json.dumps(["a", "b|c"])}

@@ -1114,3 +1114,54 @@ class TestStreamQualityDrift:
             stream_quality_drift(
                 spark, src, hist, str(tmp_path / "c2"),
                 str(tmp_path / "r2"))
+
+    def test_deploy_before_first_slice(self, spark, sf_dir, tmp_path):
+        """r14: a resident monitor deployed before the day's crawl
+        arrives must not crash — empty/missing source = 0 batches;
+        the NEXT firing scores whatever landed in between."""
+        from etl_pack_spark.sources.reader import read_table
+        from etl_pack_spark.streaming.incremental import stream_quality_drift
+
+        docs = read_table(spark, sf_dir, "documents") \
+            .select("doc_id", "text")
+        hist = str(tmp_path / "hist")
+        self._baseline(spark, docs, hist)
+        src = str(tmp_path / "src")  # does not exist yet
+        reports = str(tmp_path / "reports")
+        ckpt = str(tmp_path / "ckpt")
+        assert stream_quality_drift(spark, src, hist, ckpt, reports) == 0
+        # empty dir (created, no files) is the same normal state
+        (tmp_path / "src").mkdir()
+        assert stream_quality_drift(spark, src, hist, ckpt, reports) == 0
+        import os
+        assert not os.path.exists(reports)  # nothing scored, no rows
+        # a slice lands -> the next firing scores it
+        docs.coalesce(1).write.mode("append").parquet(src)
+        assert stream_quality_drift(spark, src, hist, ckpt, reports) == 1
+        rep = spark.read.parquet(reports).where("mode = 'drift_stream'")
+        assert rep.count() > 0
+        assert {r["verdict"] for r in rep.collect()} == {"stable"}
+
+    def test_explicit_schema_and_batch_count(self, spark, sf_dir, tmp_path):
+        """r14: schema= pins the slice schema without inferring from the
+        first file, and the return counts batches from the callback
+        (recentProgress caps at numRecentProgressUpdates)."""
+        from etl_pack_spark.sources.reader import read_table
+        from etl_pack_spark.streaming.incremental import stream_quality_drift
+
+        docs = read_table(spark, sf_dir, "documents") \
+            .select("doc_id", "text")
+        hist = str(tmp_path / "hist")
+        self._baseline(spark, docs, hist)
+        src = str(tmp_path / "src")
+        reports = str(tmp_path / "reports")
+        ckpt = str(tmp_path / "ckpt")
+        # explicit schema works even against a not-yet-existing source
+        assert stream_quality_drift(
+            spark, src, hist, ckpt, reports, schema=docs.schema) == 0
+        # two files, maxFilesPerTrigger default -> availableNow drains
+        # them; count comes back from the callback counter
+        docs.limit(10).coalesce(1).write.mode("append").parquet(src)
+        n = stream_quality_drift(
+            spark, src, hist, ckpt, reports, schema=docs.schema)
+        assert n >= 1
