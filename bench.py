@@ -69,17 +69,60 @@ BENCH_QUERIES = [
 CALIB_REF = {"matmul_sec": 0.08, "pyloop_sec": 0.16, "disk_write_mbps": 200.0}
 
 
-def degraded_markers(calib: dict) -> list[str]:
+def degraded_markers(calib: dict, scratch_ram: bool = False) -> list[str]:
     """The calibration markers outside the pinned clean band — empty
-    means this stamp is a clean-box stamp."""
+    means this stamp is a clean-box stamp. ``scratch_ram=True`` (r14,
+    round-13 VERDICT #1): when the suite being judged runs its Spark
+    scratch on a RAM-backed dir, the DISK write marker is box context
+    (still recorded beside the number) but no longer a degradation of
+    that suite — only the CPU markers can degrade a RAM-scratch run."""
     bad = []
     if calib["matmul_sec"] > 2 * CALIB_REF["matmul_sec"]:
         bad.append("matmul_sec")
     if calib["pyloop_sec"] > 2 * CALIB_REF["pyloop_sec"]:
         bad.append("pyloop_sec")
-    if calib["disk_write_mbps"] < CALIB_REF["disk_write_mbps"] / 4:
+    if not scratch_ram and calib["disk_write_mbps"] < CALIB_REF["disk_write_mbps"] / 4:
         bad.append("disk_write_mbps")
     return bad
+
+
+def pick_attempt(attempts: list[dict]) -> dict:
+    """Degraded-rerun leg selection (r13 headline, r14 probe2): the leg
+    with clean markers wins; when neither or both legs are clean, the
+    faster total does. Both legs always ride in the artifact."""
+    clean = [a for a in attempts if not a["degraded"]]
+    return clean[0] if len(clean) == 1 else min(
+        attempts, key=lambda a: a["value"]
+    )
+
+
+def _ram_scratch_dir() -> str | None:
+    """RAM-backed Spark scratch root for the headline/lib/secondary
+    suites (r14, round-13 VERDICT #1): three consecutive rounds lost
+    the clean-box headline to a chronically degraded scratch VOLUME,
+    not code — and at sf0.1 on a 128 GiB box the suite's shuffle +
+    persist footprint fits in memory many times over, so the headline
+    number should not depend on the disk at all. Returns a writable
+    tmpfs dir with comfortable headroom (>= 24 GB free), else None
+    (fall back to the r13 disk-scratch behavior, disk marker armed).
+    The deliberately disk-bound probe stages keep real-disk scratch:
+    the bench restarts the Spark context on the default local dir
+    before them. Override the root with SPARK_GRAFT_BENCH_RAM_SCRATCH
+    (a path, or "0" to disable)."""
+    import shutil as _shutil
+
+    env = os.environ.get("SPARK_GRAFT_BENCH_RAM_SCRATCH", "")
+    if env == "0":
+        return None
+    root = env or "/dev/shm"
+    try:
+        if not os.path.isdir(root) or not os.access(root, os.W_OK):
+            return None
+        if _shutil.disk_usage(root).free < 24e9:
+            return None
+    except OSError:
+        return None
+    return root
 
 
 def _scaled_docs(spark, sf_dir, factor):
@@ -342,6 +385,66 @@ def _maintenance_probe(spark, sf_dir, factor, n_reps):
     t = {k: round(min(xs), 3) for k, xs in samples.items()}
     s = {k: {"min": round(min(xs), 3), "n": len(xs)} for k, xs in samples.items()}
     return n_pairs, t, s
+
+
+def _postings_store_probe(spark, sf_dir, n_reps):
+    """Query-time postings reuse (r14, round-13 VERDICT #5): three
+    standing rows — the one-time postings build+save, the store-backed
+    batch BM25 query, and the rebuild-path batch BM25 query over the
+    same corpus and queries. The store row beating the rebuild row is
+    the in-artifact evidence that a persisted postings store amortizes
+    the corpus tokenize+explode+groupBy across firings (at 100 TB the
+    rebuild is a full corpus scan per query batch)."""
+    import shutil
+    import tempfile
+
+    from etl_pack_spark.operators.cache import _POOL
+    from etl_pack_spark.operators.postings_store import (
+        bm25_topk_batch_store,
+        postings_save,
+    )
+    from etl_pack_spark.operators.retrieval import bm25_topk_batch
+    from etl_pack_spark.sources.reader import read_table
+
+    docs = read_table(spark, sf_dir, "documents").select("doc_id", "text")
+    queries = docs.limit(8).select(
+        docs.doc_id.alias("q_id"), "text"
+    )  # query-by-example: the hybrid arm's shape
+    samples: dict[str, list[float]] = {
+        "postings_build_save": [], "bm25_query_store": [],
+        "bm25_query_rebuild": [],
+    }
+
+    def _drop_pool():
+        for (_, d) in list(_POOL.items()):
+            d.unpersist(False)
+        _POOL.clear()
+
+    root = tempfile.mkdtemp(prefix="bench_postings_")
+    try:
+        store = os.path.join(root, "postings")
+        for _ in range(n_reps):
+            spark.catalog.clearCache()
+            shutil.rmtree(store, ignore_errors=True)
+            t0 = time.perf_counter()
+            postings_save(spark, docs, store)
+            samples["postings_build_save"].append(time.perf_counter() - t0)
+            _drop_pool()
+            t0 = time.perf_counter()
+            bm25_topk_batch_store(spark, store, queries, k=10) \
+                .write.format("noop").mode("overwrite").save()
+            samples["bm25_query_store"].append(time.perf_counter() - t0)
+            _drop_pool()
+            t0 = time.perf_counter()
+            bm25_topk_batch(docs, queries, "doc_id", "text", k=10) \
+                .write.format("noop").mode("overwrite").save()
+            samples["bm25_query_rebuild"].append(time.perf_counter() - t0)
+            _drop_pool()
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+    t = {k: round(min(xs), 3) for k, xs in samples.items()}
+    s = {k: {"min": round(min(xs), 3), "n": len(xs)} for k, xs in samples.items()}
+    return t, s
 
 
 # round-3 library operators — driver-gated registry entries since r4,
@@ -609,8 +712,12 @@ def _sweep_scratch() -> dict:
     root = tempfile.gettempdir()
     cutoff = time.time() - 3600
     freed, n = 0, 0
-    for pat in ("spark-*", "blockmgr-*"):
-        for p in glob.glob(os.path.join(root, pat)):
+    # r14: also reap crashed runs' RAM-scratch trees — tmpfs "leaks"
+    # are RAM until reboot, worse than disk ones
+    patterns = [os.path.join(root, p) for p in ("spark-*", "blockmgr-*")]
+    patterns.append("/dev/shm/bench_ram_scratch_*")
+    for pat in patterns:
+        for p in glob.glob(pat):
             if not os.path.isdir(p):
                 continue
             try:
@@ -646,7 +753,23 @@ def main() -> None:
     sweep = _sweep_scratch()
     calib_pre = _calibrate()
 
-    spark = get_spark("etl_pack_spark_bench")
+    # box-independent headline (r14, round-13 VERDICT #1): the headline
+    # / lib / secondary suites run with spark.local.dir on tmpfs when
+    # available, so a degraded scratch volume cannot eat the record; the
+    # disk stamp is still taken beside every third (it measures the real
+    # disk the probes will use) but no longer degrades THIS suite.
+    import shutil as _shutil
+    import tempfile as _tempfile
+
+    ram_root = _ram_scratch_dir()
+    ram_scratch = (
+        _tempfile.mkdtemp(prefix="bench_ram_scratch_", dir=ram_root)
+        if ram_root else None
+    )
+    spark = get_spark(
+        "etl_pack_spark_bench",
+        extra_conf={"spark.local.dir": ram_scratch} if ram_scratch else None,
+    )
 
     def run(name: str) -> float:
         # cold-cache per query: operators may persist() intermediates
@@ -717,7 +840,10 @@ def main() -> None:
                 thirds.append(_calibrate())
             t_[name], s_[name] = time_query(run, name)
         thirds.append(_calibrate())
-        bad = sorted({m for c in thirds for m in degraded_markers(c)})
+        bad = sorted({
+            m for c in thirds
+            for m in degraded_markers(c, scratch_ram=bool(ram_scratch))
+        })
         return {
             "value": round(sum(t_.values()), 3),
             "queries": t_, "queries_stats": s_,
@@ -736,10 +862,7 @@ def main() -> None:
     if attempt["degraded"] and cooldown >= 0:
         time.sleep(cooldown)
         attempts.append(run_headline())
-        clean = [a for a in attempts if not a["degraded"]]
-        attempt = clean[0] if len(clean) == 1 else min(
-            attempts, key=lambda a: a["value"]
-        )
+        attempt = pick_attempt(attempts)
 
     # library operators outside the capped registry: timed and reported
     # separately so the headline total stays comparable across rounds
@@ -763,6 +886,10 @@ def main() -> None:
         "degraded": attempt["degraded"],
         "degraded_markers": attempt["degraded_markers"],
         "scratch_sweep": sweep,
+        # r14: which scratch the headline/lib/secondary suites ran on —
+        # "ram" means the disk stamps beside the number are box context
+        # for the probe stages, not a lever on the headline
+        "headline_scratch": "ram" if ram_scratch else "disk",
     }
     if len(attempts) > 1:
         out["headline_attempts"] = [
@@ -801,6 +928,36 @@ def main() -> None:
         out["queries_secondary"] = t2
         out["queries_secondary_stats"] = s2
         out["value_secondary"] = round(sum(t2.values()), 3)
+
+    # probe stages run on REAL-DISK scratch (r14): the 10x/30x
+    # replication probes and the maintenance probe are deliberately
+    # shuffle/write-bound — moving them to tmpfs would un-measure the
+    # very path they exist to price. Restart the Spark context on the
+    # default local dir and release the tmpfs tree.
+    if ram_scratch:
+        from etl_pack_spark.operators.cache import _POOL
+
+        _POOL.clear()  # persisted handles die with the context
+        spark.stop()
+        # the restarted context INHERITS the stopped one's conf in this
+        # JVM, so spark.local.dir must be explicitly pointed back at
+        # real disk — without this the probes silently ran on tmpfs
+        # (caught in the r14 smoke: Spark recreated the ram dir after
+        # the restart). Verified empirically for THIS pyspark: the new
+        # context's BlockManager (shuffle/spill — what the probes
+        # price) honors the new conf, but the JVM-wide driver-files
+        # root (SparkFiles/addPyFile) stays under the FIRST local.dir
+        # for the life of the process — so the tmpfs tree must outlive
+        # the swap (rmtree here broke the probe session's package
+        # shipping with NoSuchFileException). Removal is deferred to
+        # process exit; crashed runs are reaped by _sweep_scratch.
+        import atexit
+
+        atexit.register(_shutil.rmtree, ram_scratch, ignore_errors=True)
+        spark = get_spark(
+            "etl_pack_spark_bench_probes",
+            extra_conf={"spark.local.dir": _tempfile.gettempdir()},
+        )
 
     # third scaling point for the text/near-dup family: the corpus
     # replicated 10x with unique ids (see _scaled_docs). Headline and
@@ -882,6 +1039,13 @@ def main() -> None:
         for (_, d) in list(_pool_items()):
             d.unpersist(False)
 
+        # postings-store lifecycle probe (r14, round-13 VERDICT #5):
+        # build+save vs store-query vs rebuild-query, unscaled corpus
+        out["calibration_probe_postings"] = _calibrate()
+        tp, sp = _postings_store_probe(spark, sf_dir, maint_reps)
+        t3.update(tp)
+        s3.update(sp)
+
         out["queries_scale_probe"] = t3
         out["queries_scale_probe_stats"] = s3
 
@@ -893,28 +1057,59 @@ def main() -> None:
     factor2 = int(os.environ.get("SPARK_GRAFT_BENCH_SCALE_FACTOR2", "30"))
     reps2 = int(os.environ.get("SPARK_GRAFT_BENCH_SCALE2_REPEATS", "2"))
     if factor > 1 and factor2 > factor:  # factor<=1 disables ALL probes
-        out["calibration_probe30x"] = _calibrate()
         # simhash joined the subset in r6: it held the one superlinear
         # point (hot-block fan-out), and the now-default heavy-hitter
         # cap engages exactly at this replication level — the probe is
         # the evidence the cap bounds it
-        n_docs2, t4, s4 = probe_at(
-            factor2, reps2,
-            only={
-                "dedup_minhash_lsh", "dedup_simhash_pairs", "text_signals",
-                # r8: the planted-hot-bucket variant joins the 30x
-                # subset — this is the replication level where the cap
-                # engages, so the engaged path gets a standing number
-                "dedup_simhash_hot",
-                # r9: the OTHER judged engaged-cap signal (SCALE.md
-                # probe policy) gets its 30x point too
-                "remove_spans_hot",
-            },
-        )
+        probe2_subset = {
+            "dedup_minhash_lsh", "dedup_simhash_pairs", "text_signals",
+            # r8: the planted-hot-bucket variant joins the 30x
+            # subset — this is the replication level where the cap
+            # engages, so the engaged path gets a standing number
+            "dedup_simhash_hot",
+            # r9: the OTHER judged engaged-cap signal (SCALE.md
+            # probe policy) gets its 30x point too
+            "remove_spans_hot",
+        }
+
+        # degraded-box legs for the 30x probes (r14, round-13 VERDICT
+        # #2): r13's dedup_minhash_lsh 130s / text_signals 94s rows ran
+        # on a 34 MB/s stamp with no retry — unfalsifiable from the
+        # artifact, exactly the headline's r12 disease. Same treatment:
+        # pre+post marker stamps per leg, one cooldown retry when a
+        # stamp is out of band, both legs recorded, clean-or-faster leg
+        # is the record (pick_attempt).
+        def probe2_leg() -> dict:
+            pre = _calibrate()
+            n_docs2, t4, s4 = probe_at(factor2, reps2, only=probe2_subset)
+            post = _calibrate()
+            bad = sorted({
+                m for c in (pre, post) for m in degraded_markers(c)
+            })
+            return {
+                "value": round(sum(t4.values()), 3),
+                "docs": n_docs2, "queries": t4, "stats": s4,
+                "calibration_pre": pre, "calibration_post": post,
+                "degraded": bool(bad), "degraded_markers": bad,
+            }
+
+        legs = [probe2_leg()]
+        if legs[0]["degraded"] and cooldown >= 0:
+            time.sleep(cooldown)
+            legs.append(probe2_leg())
+        leg = pick_attempt(legs)
+        # legacy key kept for cross-round artifact comparability
+        out["calibration_probe30x"] = leg["calibration_pre"]
+        out["calibration_probe30x_post"] = leg["calibration_post"]
         out["scale_probe2_factor"] = factor2
-        out["scale_probe2_docs"] = n_docs2
-        out["queries_scale_probe2"] = t4
-        out["queries_scale_probe2_stats"] = s4
+        out["scale_probe2_docs"] = leg["docs"]
+        out["queries_scale_probe2"] = leg["queries"]
+        out["queries_scale_probe2_stats"] = leg["stats"]
+        out["probe2_degraded"] = leg["degraded"]
+        out["probe2_degraded_markers"] = leg["degraded_markers"]
+        if len(legs) > 1:
+            out["probe2_attempts"] = legs
+            out["probe2_value_first_attempt"] = legs[0]["value"]
 
     # Artifact layout (r6 — the r5 artifact was truncated): the FULL
     # record (per-query {min,median,n} spreads, secondary suite,
@@ -957,6 +1152,8 @@ _COMPACT_OPTIONAL_KEYS = (
     # suite re-ran, the first leg's total rides along so BOTH numbers
     # are readable from the tail line alone
     "degraded_markers", "value_first_attempt",
+    # r14: the 30x probes' own box-health bit + retry escape hatch
+    "probe2_degraded", "probe2_value_first_attempt",
 )
 
 
@@ -967,7 +1164,10 @@ def compact_record(out: dict, full_name: str) -> dict:
     box-health bit is exactly the unfalsifiable artifact round-12's
     VERDICT #1 flagged."""
     head = {"unit": out["unit"], "sf": out["sf"], "full_record": full_name,
-            "degraded": bool(out.get("degraded", False))}
+            "degraded": bool(out.get("degraded", False)),
+            # r14: which scratch carried the headline — a RAM-scratch
+            # record is box-independent by construction
+            "scratch": out.get("headline_scratch", "disk")}
     tail = {k: out[k] for k in _COMPACT_TAIL_KEYS}
     base_len = len(json.dumps({**head, **tail}))
     budget = COMPACT_BUDGET - base_len

@@ -152,6 +152,23 @@ def bm25_topk(
     # under ANY finite damping denominator; 1.0 keeps the plan buildable
     if avgdl is None:
         avgdl = 1.0
+    return _bm25_score_single(postings, n_docs, avgdl, q_terms, k, k1, b)
+
+
+def _bm25_score_single(
+    postings: DataFrame,
+    n_docs: int,
+    avgdl: float,
+    q_terms: list[str],
+    k: int,
+    k1: float,
+    b: float,
+) -> DataFrame:
+    """Scoring core shared by :func:`bm25_topk` (postings rebuilt from
+    the corpus) and the persisted-store query path (r14 — postings read
+    back from a :mod:`postings_store`); one implementation guarantees
+    the two are bit-identical given the same (postings, n_docs, avgdl).
+    """
     # the term-filtered postings feed TWO consumers (the idf stats agg
     # and the contribution join); unpersisted, each re-executes the
     # full corpus-wide tokenize+explode+groupBy postings build — the
@@ -272,8 +289,6 @@ def bm25_topk_batch(
     ``size(tokens(text)) > 0`` on the queries frame. An EMPTY corpus
     returns an empty result (same as the single-query form).
     """
-    from etl_pack_spark.operators import guards
-
     q_terms = (
         queries.select(
             F.col(q_id_col).alias("q_id"),
@@ -292,6 +307,25 @@ def bm25_topk_batch(
     # the bare float(None) here raised an opaque TypeError)
     if avgdl is None:
         avgdl = 1.0
+    return _bm25_score_batch(
+        postings, n_docs, avgdl, q_terms, k, k1, b, exclude_self
+    )
+
+
+def _bm25_score_batch(
+    postings: DataFrame,
+    n_docs: int,
+    avgdl: float,
+    q_terms: DataFrame,
+    k: int,
+    k1: float,
+    b: float,
+    exclude_self: bool,
+) -> DataFrame:
+    """Batch scoring core shared by :func:`bm25_topk_batch` and the
+    persisted-store path (r14) — see :func:`_bm25_score_single`."""
+    from etl_pack_spark.operators import guards
+
     # persisted through the pool: the probe, the semi-join build side,
     # and the contribution join all read it
     from etl_pack_spark.operators.cache import pooled_persist

@@ -1301,3 +1301,137 @@ def test_gif_background_equals_transparent_flattens_white():
     px = np.frombuffer(dec[3], dtype=np.uint8).reshape(1, 2, 3)
     assert tuple(px[0, 0]) == (200, 100, 50)    # opaque pixel kept
     assert tuple(px[0, 1]) == (255, 255, 255)   # transparent -> white
+
+
+class TestPdfText:
+    """r14 (round-13 VERDICT #4): PDF text extraction — self-built
+    payloads (the house pattern: the test constructs the format from
+    the spec, no fixture binaries), quarantine on corrupt/encrypted,
+    loud gates on unsupported filters."""
+
+    @staticmethod
+    def _pdf(objects: dict[int, bytes], root: int, trailer_extra: bytes = b"") -> bytes:
+        """Assemble a minimal PDF from numbered object bodies."""
+        out = bytearray(b"%PDF-1.4\n")
+        for num in sorted(objects):
+            out += b"%d 0 obj\n" % num + objects[num] + b"\nendobj\n"
+        out += b"trailer\n<< /Size %d /Root %d 0 R %s>>\n%%%%EOF\n" % (
+            len(objects) + 1, root, trailer_extra)
+        return bytes(out)
+
+    @classmethod
+    def _two_page_pdf(cls) -> bytes:
+        import zlib
+
+        # page 1: plain Tj + TD line break + TJ with kerning numbers,
+        # octal escape and nested parens in a literal string
+        c1 = (b"BT /F1 12 Tf (Hello \\(PDF\\)) Tj 0 -14 TD "
+              b"[(wor) -20 (ld) 1 (!)] TJ ET")
+        # page 2: flate-compressed content, ' newline op, UTF-16BE hex
+        # string (BOM feff), octal \101 = 'A'
+        raw2 = (b"BT (line one \\101) Tj "
+                b"<FEFF00E9007400E9> ' ET")
+        c2 = zlib.compress(raw2)
+        return cls._pdf({
+            1: b"<< /Type /Catalog /Pages 2 0 R >>",
+            2: b"<< /Type /Pages /Kids [3 0 R 5 0 R] /Count 2 >>",
+            3: b"<< /Type /Page /Parent 2 0 R /Contents 4 0 R >>",
+            4: b"<< /Length %d >>\nstream\n%s\nendstream" % (len(c1), c1),
+            5: b"<< /Type /Page /Parent 2 0 R /Contents 6 0 R >>",
+            6: b"<< /Length %d /Filter /FlateDecode >>\nstream\n%s\nendstream"
+               % (len(c2), c2),
+        }, root=1)
+
+    def test_extractor_two_pages(self):
+        from etl_pack_spark.operators.multimodal import _pdf_text_extractor
+
+        extract = _pdf_text_extractor()
+        n, text, status = extract(self._two_page_pdf())
+        assert status == "ok" and n == 2
+        p1, p2 = text.split("\f")
+        assert p1 == "Hello (PDF)\nworld!"
+        # page 2: Tj then ' (newline), utf-16be decodes the accents
+        assert p2 == "line one A\nété"
+
+    def test_mapinpandas_and_quarantine(self, spark):
+        """The Spark surface: one mapInPandas pass, corrupt payloads
+        quarantine as rows, never kill the task."""
+        from etl_pack_spark.operators.multimodal import pdf_text
+
+        good = self._two_page_pdf()
+        media = spark.createDataFrame(
+            [(1, bytearray(good)),
+             (2, bytearray(b"%PDF-1.4 garbage with no objects")),
+             (3, bytearray(b"not a pdf at all")),
+             (4, None),
+             (5, bytearray(good[:80]))],  # truncated mid-object
+            "media_id long, content binary",
+        )
+        rows = {r["media_id"]: r for r in pdf_text(media).collect()}
+        assert rows[1]["status"] == "ok" and rows[1]["n_pages"] == 2
+        assert rows[2]["status"] == "malformed"
+        assert rows[3]["status"] == "malformed"
+        assert rows[4]["status"] == "null"
+        assert rows[5]["status"] == "malformed"
+        # map-only: no exchange in the plan (the module's scale posture)
+        plan = pdf_text(media)._jdf.queryExecution().executedPlan().toString()
+        assert "Exchange" not in plan
+
+    def test_encrypted_quarantines(self, spark):
+        from etl_pack_spark.operators.multimodal import _pdf_text_extractor
+
+        enc = self._pdf({
+            1: b"<< /Type /Catalog /Pages 2 0 R >>",
+            2: b"<< /Type /Pages /Kids [] /Count 0 >>",
+        }, root=1, trailer_extra=b"/Encrypt 9 0 R ")
+        assert _pdf_text_extractor()(enc) == (None, None, "encrypted")
+
+    def test_unsupported_filter_gates_loudly(self, spark):
+        import pytest as _pytest
+
+        from etl_pack_spark.operators.multimodal import (
+            _pdf_text_extractor,
+            pdf_text,
+        )
+
+        lzw = self._pdf({
+            1: b"<< /Type /Catalog /Pages 2 0 R >>",
+            2: b"<< /Type /Pages /Kids [3 0 R] /Count 1 >>",
+            3: b"<< /Type /Page /Parent 2 0 R /Contents 4 0 R >>",
+            4: b"<< /Length 4 /Filter /LZWDecode >>\nstream\n\x80\x0b\x60\x50\nendstream",
+        }, root=1)
+        n, text, status = _pdf_text_extractor()(lzw)
+        assert status == "unsupported_filter:LZWDecode" and text is None
+        media = spark.createDataFrame(
+            [(1, bytearray(lzw))], "media_id long, content binary")
+        assert pdf_text(media).collect()[0]["status"] == \
+            "unsupported_filter:LZWDecode"
+        with _pytest.raises(Exception, match="PDF filter gated"):
+            pdf_text(media, strict=True).collect()
+
+    def test_objstm_page_tree(self):
+        """Catalog/pages/page dicts delivered via a compressed object
+        stream (/ObjStm) — the modern-writer layout."""
+        import zlib
+
+        from etl_pack_spark.operators.multimodal import _pdf_text_extractor
+
+        inner = [
+            (1, b"<< /Type /Catalog /Pages 2 0 R >>"),
+            (2, b"<< /Type /Pages /Kids [3 0 R] /Count 1 >>"),
+            (3, b"<< /Type /Page /Parent 2 0 R /Contents 4 0 R >>"),
+        ]
+        offsets, body = [], b""
+        for num, obj in inner:
+            offsets.append((num, len(body)))
+            body += obj + b" "
+        hdr = b" ".join(b"%d %d" % (n, o) for n, o in offsets) + b" "
+        payload = zlib.compress(hdr + body)
+        content = b"BT (from objstm) Tj ET"
+        pdf = self._pdf({
+            4: b"<< /Length %d >>\nstream\n%s\nendstream" % (len(content), content),
+            5: b"<< /Type /ObjStm /N 3 /First %d /Length %d /Filter /FlateDecode >>"
+               b"\nstream\n%s\nendstream" % (len(hdr), len(payload), payload),
+        }, root=1)
+        n, text, status = _pdf_text_extractor()(pdf)
+        assert (n, text, status) == (1, "from objstm", "ok")

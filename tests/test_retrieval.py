@@ -393,3 +393,142 @@ def test_rrf_fuse_rejects_bad_arm_names(spark):
         rrf_fuse_sql({})
     # sane names still pass validation (plan builds lazily)
     rrf_fuse({"bm25": arm, "dense_v2": arm})
+
+
+# ---------------------------------------------------------------------------
+# Persisted postings store (r14, round-13 VERDICT #5)
+
+
+class TestPostingsStore:
+    def _corpus(self, spark, rows):
+        return spark.createDataFrame(rows, "doc_id long, text string")
+
+    def test_save_load_query_bit_identity(self, spark, tmp_path):
+        """build -> save -> load -> query answers BIT-IDENTICALLY to the
+        rebuild path, zero-token docs included (they shift avgdl)."""
+        from etl_pack_spark.operators.postings_store import (
+            bm25_topk_store,
+            postings_load,
+            postings_save,
+        )
+
+        docs = self._corpus(spark, _DOCS)  # includes the empty doc
+        store = str(tmp_path / "postings")
+        postings_save(spark, docs, store)
+        loaded, doclens = postings_load(spark, store)
+        rebuilt = build_postings(docs, "doc_id", "text")
+        assert sorted(map(tuple, loaded.collect())) == \
+            sorted(map(tuple, rebuilt.collect()))
+        # the empty doc keeps its doclens row (avgdl denominator)
+        assert sorted(map(tuple, doclens.collect())) == \
+            [(1, 6), (2, 3), (3, 3), (4, 0)]
+        got = bm25_topk_store(spark, store, "cat sat", k=10).collect()
+        want = bm25_topk(docs, "doc_id", "text", "cat sat", k=10).collect()
+        assert [(r["id"], r["score"]) for r in got] == \
+            [(r["id"], r["score"]) for r in want]  # exact, not approx
+
+    def test_append_equals_rebuild(self, spark, tmp_path):
+        """Disjoint-id appends resolve to exactly the rows a fresh build
+        over the union corpus would hold, and queries agree."""
+        from etl_pack_spark.operators.postings_store import (
+            bm25_topk_store,
+            corpus_stats_from_store,
+            postings_append,
+            postings_load,
+            postings_save,
+        )
+
+        first = self._corpus(spark, _DOCS)
+        extra_rows = [(5, "the quick dog ran"), (6, "mat on the mat"), (7, "")]
+        extra = self._corpus(spark, extra_rows)
+        store = str(tmp_path / "postings")
+        postings_save(spark, first, store)
+        assert postings_append(spark, extra, store) == 3
+        union = self._corpus(spark, _DOCS + extra_rows)
+        loaded, _ = postings_load(spark, store)
+        rebuilt = build_postings(union, "doc_id", "text")
+        assert sorted(map(tuple, loaded.collect())) == \
+            sorted(map(tuple, rebuilt.collect()))
+        n_docs, avgdl = corpus_stats_from_store(spark, store)
+        assert n_docs == 7
+        got = bm25_topk_store(spark, store, "dog mat", k=10).collect()
+        want = bm25_topk(union, "doc_id", "text", "dog mat", k=10).collect()
+        assert [(r["id"], r["score"]) for r in got] == \
+            [(r["id"], r["score"]) for r in want]
+
+    def test_reappended_doc_latest_wins(self, spark, tmp_path):
+        """A re-appended doc id supersedes ALL its old term rows — the
+        store then equals a rebuild over the updated corpus, including
+        an update TO empty text (old terms must vanish)."""
+        from etl_pack_spark.operators.postings_store import (
+            postings_append,
+            postings_load,
+            postings_save,
+        )
+
+        store = str(tmp_path / "postings")
+        postings_save(spark, self._corpus(spark, _DOCS), store)
+        postings_append(
+            spark, self._corpus(spark, [(3, "dog dog"), (2, "")]), store)
+        updated = [(1, "the cat sat on the mat"), (2, ""),
+                   (3, "dog dog"), (4, "")]
+        loaded, doclens = postings_load(spark, store)
+        rebuilt = build_postings(
+            self._corpus(spark, updated), "doc_id", "text")
+        assert sorted(map(tuple, loaded.collect())) == \
+            sorted(map(tuple, rebuilt.collect()))
+        assert dict((r["id"], r["dl"]) for r in doclens.collect()) == \
+            {1: 6, 2: 0, 3: 2, 4: 0}
+
+    def test_batch_store_matches_rebuild_batch(self, spark, tmp_path):
+        """The hybrid arm: store-backed batch BM25 == rebuild batch BM25
+        (same scoring core, same ranking)."""
+        from etl_pack_spark.operators.postings_store import (
+            bm25_topk_batch_store,
+            postings_save,
+        )
+        from etl_pack_spark.operators.retrieval import bm25_topk_batch
+
+        docs = self._corpus(spark, _DOCS)
+        queries = spark.createDataFrame(
+            [(100, "cat sat"), (200, "dog")], "q_id long, text string")
+        store = str(tmp_path / "postings")
+        postings_save(spark, docs, store)
+        got = bm25_topk_batch_store(spark, store, queries, k=5)
+        want = bm25_topk_batch(docs, queries, "doc_id", "text", k=5)
+        key = lambda r: (r["q_id"], r["rk"])
+        assert sorted([(r["q_id"], r["id"], r["score"], r["rk"])
+                       for r in got.collect()], key=lambda t: (t[0], t[3])) == \
+            sorted([(r["q_id"], r["id"], r["score"], r["rk"])
+                    for r in want.collect()], key=lambda t: (t[0], t[3]))
+
+    def test_manifest_is_loud_and_lease_enforced(self, spark, tmp_path):
+        """A non-store dir fails loudly; a held ingest lease makes a
+        concurrent append fail instead of interleaving batches."""
+        import json as _json
+
+        from etl_pack_spark.operators.postings_store import (
+            postings_append,
+            postings_load,
+            postings_save,
+        )
+        from etl_pack_spark.sinks.fsio import read_text, write_text
+
+        docs = self._corpus(spark, _DOCS)
+        not_store = str(tmp_path / "raw")
+        docs.write.parquet(not_store)
+        with pytest.raises(ValueError, match="_postings_manifest"):
+            postings_load(spark, not_store)
+        store = str(tmp_path / "postings")
+        postings_save(spark, docs, store)
+        # plant a fresh foreign lease -> append must refuse
+        import time as _time
+        lease = store.rstrip("/") + ".ingest_lease.json"
+        write_text(spark, lease, _json.dumps({
+            "token": "someone-else", "pid": 999999,
+            "acquired_at_ms": int(_time.time() * 1000)}))
+        with pytest.raises(RuntimeError):
+            postings_append(
+                spark, self._corpus(spark, [(9, "x y z")]), store)
+        # the foreign lease survives the refused attempt
+        assert _json.loads(read_text(spark, lease))["token"] == "someone-else"
