@@ -139,6 +139,12 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--datacard-groups", default=None, metavar="COLS",
                    help="--datacard: comma-separated group columns "
                         "(default: lang)")
+    p.add_argument("--langid-model", default=None, metavar="MODEL",
+                   help="--datacard: saved NB langid model store; when "
+                        "present, lang_match_frac (declared vs "
+                        "predicted) scores against the trained model "
+                        "instead of the marker heuristic; a missing "
+                        "store falls back to the heuristic")
     p.add_argument("--register-eval", default=None, metavar="DOCS",
                    help="eval-registry firing: fingerprint the parquet "
                         "eval docs at DOCS (distinct word n-gram hashes) "
@@ -249,6 +255,10 @@ def main(argv: list[str] | None = None) -> int:
               "--update-clusters, --store-stats, --funnel, "
               "--drift, --report-trend, --register-eval, "
               "--datacard and --decontaminate-check are exclusive",
+              file=sys.stderr)
+        return 2
+    if args.langid_model is not None and not args.datacard:
+        print("error: --langid-model only applies to --datacard",
               file=sys.stderr)
         return 2
     if args.datacard_groups is not None and not args.datacard:
@@ -706,6 +716,7 @@ def main(argv: list[str] | None = None) -> int:
                 # label agreement only when the corpus carries a language
                 # label; its absence is normal, not an error
                 lang_col="lang" if "lang" in docs.columns else None,
+                langid_model_path=args.langid_model,
             )
         except ValueError as e:
             # carry-column collisions (a group column named like a

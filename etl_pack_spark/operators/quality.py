@@ -535,6 +535,7 @@ def corpus_datacard(
     group_cols: tuple[str, ...] = ("lang",),
     lang_col: str | None = "lang",
     accuracy: int | None = 10_000,
+    langid_model_path: str | None = None,
 ) -> DataFrame:
     """The dataset-card table every training run publishes, in ONE
     corpus scan: per ``group_cols`` slice AND a grand-total row
@@ -570,6 +571,35 @@ def corpus_datacard(
         else ()
     )
     sig = text_signals(docs, id_col, text_col, carry_cols=carry)
+    # trained-model labeling QA (r14, round-13 VERDICT #7): when a
+    # saved NB langid model exists at langid_model_path, the
+    # declared-vs-predicted column scores against IT instead of the
+    # marker heuristic — trading the card's pure one-scan shape for
+    # one model-scoring pass + an id-keyed join (the model side is
+    # vocabulary-sized and broadcast-guarded). No model at the path →
+    # heuristic, unchanged (the fallback contract of
+    # classify.language_id_trained). NULL texts stay NULL predictions
+    # (excluded from the denominator) under both predictors — the
+    # model's priors-only score for an empty gram stream must not
+    # count a missing document as a labeling mismatch.
+    if lang_col is not None and langid_model_path is not None:
+        from etl_pack_spark.operators.classify import (
+            langid_model_load,
+            nb_langid_score,
+        )
+
+        model = langid_model_load(docs.sparkSession, langid_model_path)
+        if model is not None:
+            grams, meta, n = model
+            preds = nb_langid_score(
+                docs.where(F.col(text_col).isNotNull()),
+                id_col, text_col, grams, meta, n,
+            ).select(id_col, F.col("lang_pred").alias("__model_pred"))
+            sig = (
+                sig.drop("lang_pred")
+                .join(preds, id_col, "left")
+                .withColumnRenamed("__model_pred", "lang_pred")
+            )
     pct = (
         "percentile(n_tokens, {q})"
         if accuracy is None

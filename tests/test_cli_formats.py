@@ -934,3 +934,40 @@ def test_cli_datacard_mix_keys_unambiguous(spark, tmp_path):
     mix = spark.read.parquet(store).where("mode = 'datacard_mix'")
     keys = {r["metric"] for r in mix.select("metric").collect()}
     assert keys == {json.dumps(["a|b", "c"]), json.dumps(["a", "b|c"])}
+
+
+def test_cli_datacard_langid_model(spark, tmp_path):
+    """r14 (round-13 VERDICT #7): --langid-model routes the datacard's
+    declared-vs-predicted column through the trained NB model; the flag
+    without --datacard is an exit-2 config error."""
+    from etl_pack_spark.operators.classify import (
+        langid_model_save,
+        nb_langid_train,
+    )
+
+    train = spark.createDataFrame(
+        [("it", "la rapida volpe marrone salta sopra il cane pigro"),
+         ("it", "questa è una frase con molte parole comuni"),
+         ("en", "the quick brown fox jumps over the lazy dog"),
+         ("en", "this is a sentence with many common words")],
+        "lang string, text string")
+    grams, meta = nb_langid_train(train, "text", "lang")
+    model = str(tmp_path / "model")
+    langid_model_save(spark, grams, meta, model)
+    subject = str(tmp_path / "docs.parquet")
+    spark.createDataFrame(
+        [(1, "la volpe marrone salta sopra il cane", "it"),
+         (2, "the brown fox jumps over the dog", "en")],
+        "doc_id long, text string, lang string").write.parquet(subject)
+    r = subprocess.run(
+        [sys.executable, "-m", "etl_pack_spark.cli", "--datacard", subject,
+         "--langid-model", model],
+        capture_output=True, text=True, cwd="/root/repo", check=True)
+    out = json.loads(r.stdout.strip().splitlines()[-1])
+    total = next(row for row in out["rows"] if row["is_total"] == 1)
+    assert total["lang_match_frac"] == 1.0  # heuristic would miss 'it'
+    r2 = subprocess.run(
+        [sys.executable, "-m", "etl_pack_spark.cli", "--langid-model", model,
+         "--funnel", subject],
+        capture_output=True, text=True, cwd="/root/repo")
+    assert r2.returncode == 2 and "--langid-model" in r2.stderr
