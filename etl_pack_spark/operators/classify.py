@@ -297,13 +297,13 @@ def nb_langid_score(
     vocabulary-sized model → one combinable (id, lang) aggregate → the
     languages-wide per-doc argmax. The corpus never shuffles raw text;
     the per-doc language fan-out is |languages| (a handful)."""
-    from etl_pack_spark.operators.cache import pooled_persist
     from etl_pack_spark.operators.guards import maybe_broadcast
 
     docs = df.select(F.col(id_col).alias("__id"), F.col(text_col).alias("__t"))
-    gr = pooled_persist(
-        docs.select("__id", F.explode(char_ngrams("__t", n)).alias("g"))
-    )
+    # NOT persisted: the exploded gram stream is corpus-sized and has
+    # exactly ONE consumer (the model join) — n_g comes from its own
+    # map-only size() projection, so both passes stay scan -> map
+    gr = docs.select("__id", F.explode(char_ngrams("__t", n)).alias("g"))
     n_g = docs.select(
         "__id", F.size(char_ngrams("__t", n)).alias("n_g")
     )
