@@ -262,3 +262,57 @@ def bm25_topk_batch_store(
     return _bm25_score_batch(
         postings, n_docs, avgdl, q_terms, k, k1, b, exclude_self
     )
+
+
+def postings_compact(
+    spark: SparkSession,
+    path: str,
+    lease_ttl_ms: int | None = None,
+) -> int:
+    """Compact the store to one live generation per doc — the lifecycle
+    step every other store here has (signature/cluster stores share
+    ``compact_signature_store``; postings need their own because a doc
+    owns MANY term rows, not one): the latest-wins resolved view is
+    rewritten wholesale, superseded generations and torn-append orphans
+    drop out, and the winners join over the compacted store touches no
+    dead rows. All compacted rows carry ``__batch`` = the highest stamp
+    currently visible, and the stamp sidecar (a SIBLING, so the swap
+    cannot drop it) already floors future appends above it — an append
+    after compaction still wins. Runs under the store's exclusive
+    ingest lease (a compactor racing an appender would fold a torn
+    batch into the rewrite); publishes via the atomic staged swap.
+    Returns the number of live docs."""
+    from etl_pack_spark.sinks.atomic import (
+        clean_orphan_stages,
+        publish_swap,
+        recover_swap,
+        stage_dir,
+    )
+    from etl_pack_spark.sinks.fsio import write_text
+    from etl_pack_spark.streaming.incremental import (
+        DEFAULT_LEASE_TTL_MS,
+        _stamp_lease,
+    )
+
+    meta = postings_manifest(spark, path)
+    ttl = DEFAULT_LEASE_TTL_MS if lease_ttl_ms is None else lease_ttl_ms
+    with _stamp_lease(spark, path, ttl_ms=ttl):
+        recover_swap(path)
+        clean_orphan_stages(path, "postings_stage_")
+        p = path.rstrip("/")
+        top = spark.read.parquet(f"{p}/doclens") \
+            .agg(F.max("__batch")).first()[0] or 0
+        postings, doclens = postings_load(spark, path)
+        staged = stage_dir(path, prefix="postings_stage_")
+        # both writes MATERIALIZE from the live store before the swap
+        # touches it (the staged/backup/rename recipe)
+        postings.withColumn(
+            "__batch", F.lit(int(top)).cast("long")
+        ).write.mode("overwrite").parquet(f"{staged}/postings")
+        doclens.withColumn(
+            "__batch", F.lit(int(top)).cast("long")
+        ).write.mode("overwrite").parquet(f"{staged}/doclens")
+        write_text(spark, f"{staged}/{POSTINGS_MANIFEST}", json.dumps(meta))
+        n_docs = spark.read.parquet(f"{staged}/doclens").count()
+        publish_swap(staged, path)
+    return n_docs

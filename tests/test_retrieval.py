@@ -532,3 +532,38 @@ class TestPostingsStore:
                 spark, self._corpus(spark, [(9, "x y z")]), store)
         # the foreign lease survives the refused attempt
         assert _json.loads(read_text(spark, lease))["token"] == "someone-else"
+
+    def test_compact_preserves_resolution_and_append_still_wins(
+            self, spark, tmp_path):
+        """r14: compaction rewrites to one live generation per doc —
+        resolved view unchanged, superseded raw rows gone, and a
+        post-compaction append still supersedes (the stamp sidecar
+        floors new stamps above the compacted batch)."""
+        from etl_pack_spark.operators.postings_store import (
+            postings_append,
+            postings_compact,
+            postings_load,
+            postings_save,
+        )
+
+        store = str(tmp_path / "postings")
+        postings_save(spark, self._corpus(spark, _DOCS), store)
+        postings_append(
+            spark, self._corpus(spark, [(3, "dog dog"), (7, "new doc")]),
+            store)
+        before = sorted(map(tuple, postings_load(spark, store)[0].collect()))
+        assert postings_compact(spark, store) == 5  # 4 originals + doc 7
+        after_p, after_d = postings_load(spark, store)
+        assert sorted(map(tuple, after_p.collect())) == before
+        # raw store is one generation per doc: no superseded rows left
+        raw = spark.read.parquet(store + "/doclens")
+        assert raw.count() == 5
+        assert raw.select("__batch").distinct().count() == 1
+        # append after compact: latest still wins
+        postings_append(
+            spark, self._corpus(spark, [(7, "renamed doc")]), store)
+        _, doclens = postings_load(spark, store)
+        assert dict((r["id"], r["dl"]) for r in doclens.collect())[7] == 2
+        final = {r["term"] for r in postings_load(spark, store)[0]
+                 .where("id = 7").collect()}
+        assert final == {"renamed", "doc"}
