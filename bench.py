@@ -849,6 +849,17 @@ def main() -> None:
             "queries": t_, "queries_stats": s_,
             "calibration_thirds": thirds,
             "degraded": bool(bad), "degraded_markers": bad,
+            # r14: SUB-threshold sustained CPU contention annotation —
+            # the r14 local record lost 1.5x to a window where every
+            # mid-run matmul stamp sat at 1.3-1.8x ref (below the 2x
+            # degraded band, which must stay loose so CPU jitter alone
+            # cannot force spurious reruns). Two or more elevated
+            # interior stamps mean the whole suite ran under load;
+            # annotation only, not a degraded flag.
+            "cpu_contended": sum(
+                1 for c in thirds
+                if c["matmul_sec"] > 1.3 * CALIB_REF["matmul_sec"]
+            ) >= 2,
         }
 
     attempt = run_headline(pre=calib_pre)
@@ -885,6 +896,7 @@ def main() -> None:
         "calibration_thirds": attempt["calibration_thirds"],
         "degraded": attempt["degraded"],
         "degraded_markers": attempt["degraded_markers"],
+        "cpu_contended": attempt.get("cpu_contended", False),
         "scratch_sweep": sweep,
         # r14: which scratch the headline/lib/secondary suites ran on —
         # "ram" means the disk stamps beside the number are box context
@@ -1152,8 +1164,9 @@ _COMPACT_OPTIONAL_KEYS = (
     # suite re-ran, the first leg's total rides along so BOTH numbers
     # are readable from the tail line alone
     "degraded_markers", "value_first_attempt",
-    # r14: the 30x probes' own box-health bit + retry escape hatch
-    "probe2_degraded", "probe2_value_first_attempt",
+    # r14: the 30x probes' own box-health bit + retry escape hatch,
+    # and the sub-threshold CPU-contention annotation
+    "probe2_degraded", "probe2_value_first_attempt", "cpu_contended",
 )
 
 

@@ -65,6 +65,13 @@ from etl_pack_spark.operators.retrieval import (
 from etl_pack_spark.operators.tokenize import tokens
 
 POSTINGS_MANIFEST = "_postings_manifest.json"
+# present iff the store MAY hold more than one generation per doc:
+# postings_append creates it BEFORE writing any rows (so the fast path
+# can never read a torn append), postings_save/postings_compact publish
+# fresh single-generation trees without it — its absence lets
+# postings_load skip the latest-wins winners join entirely (r14: at
+# sf0.1 the join ate most of the store-vs-rebuild query saving)
+APPENDS_MARKER = "_postings_has_appends"
 
 
 def _manifest_path(path: str) -> str:
@@ -101,9 +108,17 @@ def postings_save(
     recover_swap(path)
     clean_orphan_stages(path, "postings_stage_")
     staged = stage_dir(path, prefix="postings_stage_")
+    # term-range layout (r14): one range shuffle at build time so every
+    # parquet row group covers a narrow term range — the query's pushed
+    # In(term) filter then PRUNES row groups instead of scanning the
+    # whole store, which is what makes this an inverted index on disk
+    # and not just a cached tokenization (the pay-once/query-many
+    # trade; appends stay unsorted and ride the filter until the next
+    # compaction re-sorts them)
     build_postings(df, id_col, text_col).withColumn(
         "__batch", F.lit(0).cast("long")
-    ).write.mode("overwrite").parquet(f"{staged}/postings")
+    ).repartitionByRange("term").sortWithinPartitions("term") \
+        .write.mode("overwrite").parquet(f"{staged}/postings")
     _doclens(df, id_col, text_col).withColumn(
         "__batch", F.lit(0).cast("long")
     ).write.mode("overwrite").parquet(f"{staged}/doclens")
@@ -161,6 +176,12 @@ def postings_append(
         n = new_docs.count()
         if n == 0:
             return 0
+        # marker BEFORE any data (module/APPENDS_MARKER note): once it
+        # exists, every read resolves latest-wins, so a torn append can
+        # never be consumed by the single-generation fast path
+        from etl_pack_spark.sinks.fsio import write_text
+
+        write_text(spark, f"{path.rstrip('/')}/{APPENDS_MARKER}", "1")
         # postings FIRST, doclens second (module note: a crash between
         # the two must leave the new batch invisible, never a doc
         # resolving to an empty posting list)
@@ -184,9 +205,23 @@ def postings_load(
     ``max_by``); postings join the winners on ``(id, __batch)``, so a
     superseded generation's term rows drop with its doclen and a
     crashed append's orphan postings (batch never reached doclens) are
-    invisible."""
+    invisible.
+
+    Single-generation fast path (r14): a store that has never been
+    appended to since its last save/compact (no ``APPENDS_MARKER``)
+    holds exactly one generation per doc by construction, so the
+    winners join is skipped and a query is scan + pushed term filter
+    only — the join was most of the store-vs-rebuild query cost."""
+    from etl_pack_spark.sinks.fsio import exists
+
     postings_manifest(spark, path)  # loud on a non-store dir
     p = path.rstrip("/")
+    if not exists(spark, f"{p}/{APPENDS_MARKER}"):
+        return (
+            spark.read.parquet(f"{p}/postings")
+            .select("term", "id", "tf", "dl"),
+            spark.read.parquet(f"{p}/doclens").select("id", "dl"),
+        )
     doclens = spark.read.parquet(f"{p}/doclens")
     winners = doclens.groupBy("id").agg(
         F.max(F.struct("__batch", "dl")).alias("__w")
@@ -305,10 +340,12 @@ def postings_compact(
         postings, doclens = postings_load(spark, path)
         staged = stage_dir(path, prefix="postings_stage_")
         # both writes MATERIALIZE from the live store before the swap
-        # touches it (the staged/backup/rename recipe)
+        # touches it (the staged/backup/rename recipe); compaction also
+        # restores the term-range layout appends disturbed (save note)
         postings.withColumn(
             "__batch", F.lit(int(top)).cast("long")
-        ).write.mode("overwrite").parquet(f"{staged}/postings")
+        ).repartitionByRange("term").sortWithinPartitions("term") \
+            .write.mode("overwrite").parquet(f"{staged}/postings")
         doclens.withColumn(
             "__batch", F.lit(int(top)).cast("long")
         ).write.mode("overwrite").parquet(f"{staged}/doclens")

@@ -220,3 +220,14 @@ def test_standing_abba_probe_set_covers_swing_rows():
     from etl_pack_spark import suite
     for q in abba.QUERIES:
         assert q in suite.QUERIES or q in suite.RETIRED_QUERIES
+
+
+def test_cpu_contended_annotation_survives_compact_budget():
+    """r14: sub-threshold sustained CPU contention must be readable
+    from the tail line (annotation, not a degraded flag — the 2x band
+    stays loose on purpose)."""
+    out = dict(_representative_out())
+    out["cpu_contended"] = True
+    rec = bench.compact_record(out, "BENCH_FULL.json")
+    assert rec["cpu_contended"] is True
+    assert len(json.dumps(rec)) < bench.COMPACT_BUDGET

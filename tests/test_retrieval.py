@@ -567,3 +567,40 @@ class TestPostingsStore:
         final = {r["term"] for r in postings_load(spark, store)[0]
                  .where("id = 7").collect()}
         assert final == {"renamed", "doc"}
+
+    def test_single_generation_fast_path(self, spark, tmp_path):
+        """r14: no appends since save/compact -> postings_load skips the
+        winners join (scan-only plan); the marker flips it on at append
+        and compact clears it — results identical on both paths."""
+        from etl_pack_spark.operators.postings_store import (
+            APPENDS_MARKER,
+            postings_append,
+            postings_compact,
+            postings_load,
+            postings_save,
+        )
+
+        store = str(tmp_path / "postings")
+        postings_save(spark, self._corpus(spark, _DOCS), store)
+        import os
+        assert not os.path.exists(f"{store}/{APPENDS_MARKER}")
+
+        def plan(df):
+            return df._jdf.queryExecution().executedPlan().toString()
+
+        fresh = plan(postings_load(spark, store)[0])
+        assert "Join" not in fresh  # fast path: scan + project only
+        baseline = sorted(map(tuple,
+                              postings_load(spark, store)[0].collect()))
+        postings_append(
+            spark, self._corpus(spark, [(8, "appended doc")]), store)
+        assert os.path.exists(f"{store}/{APPENDS_MARKER}")
+        appended = plan(postings_load(spark, store)[0])
+        assert "Join" in appended  # latest-wins resolution engaged
+        rows = sorted(map(tuple, postings_load(spark, store)[0].collect()))
+        assert len(rows) == len(baseline) + 2  # appended, dog
+        postings_compact(spark, store)
+        assert not os.path.exists(f"{store}/{APPENDS_MARKER}")
+        assert "Join" not in plan(postings_load(spark, store)[0])
+        assert sorted(map(tuple,
+                          postings_load(spark, store)[0].collect())) == rows
