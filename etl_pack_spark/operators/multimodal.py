@@ -1863,18 +1863,21 @@ def _pdf_text_extractor():
     cloudpickle ships it by value into executor tasks — the module
     convention shared by every decoder here).
 
-    Honest scope, mirroring the codec gates: FlateDecode streams via
-    ``zlib``; object scan + object-stream (/ObjStm) expansion; page-tree
-    walk (/Root → /Pages → /Kids, cycle-guarded); text-showing
-    operators Tj / ' / " / TJ with Td/TD/T* treated as line breaks;
-    literal (octal escapes, nested parens, line continuations) and hex
-    strings; UTF-16BE (BOM-tagged) and PDFDocEncoding≈Latin-1 string
-    decode. NOT covered, by design: encrypted documents (/Encrypt →
-    quarantined as ``encrypted``), LZW/JBIG2/CCITT/DCT/RunLength
-    filters and flate predictors (→ ``unsupported_filter:<name>``,
-    loud under ``strict=True``), and CID/Type0 font ToUnicode CMaps —
-    text shown through a CID font decodes as raw bytes, the classic
-    honest failure of CMap-less extractors.
+    Honest scope, mirroring the codec gates: FlateDecode (zlib),
+    LZWDecode (PDF variant, EarlyChange=1), RunLengthDecode,
+    ASCIIHexDecode and ASCII85Decode streams; object scan +
+    object-stream (/ObjStm) expansion; page-tree walk (/Root → /Pages
+    → /Kids, cycle-guarded); text-showing operators Tj / ' / " / TJ
+    with Td/TD/T* treated as line breaks; literal (octal escapes,
+    nested parens, line continuations) and hex strings; UTF-16BE
+    (BOM-tagged) and PDFDocEncoding≈Latin-1 string decode. NOT
+    covered, by design: encrypted documents (/Encrypt → quarantined as
+    ``encrypted``), image-codec filters DCT/JBIG2/CCITT/JPX plus Crypt,
+    flate/LZW predictors and LZW EarlyChange=0 (→
+    ``unsupported_filter:<name>``, loud under ``strict=True``), and
+    CID/Type0 font ToUnicode CMaps — text shown through a CID font
+    decodes as raw bytes, the classic honest failure of CMap-less
+    extractors.
 
     Returns ``extract(payload) -> (n_pages, text, status)`` with pages
     joined by form-feed; any other parse failure quarantines as
@@ -2048,21 +2051,98 @@ def _pdf_text_extractor():
             return v
         return resolve
 
+    def _lzw_decode(data):
+        # PDF-variant LZW (spec 7.4.4): 9-bit codes growing to 12,
+        # clear=256, EOD=257, EarlyChange=1 (width bumps one code
+        # before the table fills — the spec default; a DecodeParms
+        # EarlyChange=0 gates above before reaching here)
+        table = {i: bytes([i]) for i in range(256)}
+        next_code, width = 258, 9
+        out, prev = bytearray(), None
+        acc, nbits = 0, 0
+        for byte in data:
+            acc = (acc << 8) | byte
+            nbits += 8
+            while nbits >= width:
+                code = (acc >> (nbits - width)) & ((1 << width) - 1)
+                nbits -= width
+                if code == 256:  # clear table
+                    table = {i: bytes([i]) for i in range(256)}
+                    next_code, width, prev = 258, 9, None
+                    continue
+                if code == 257:  # EOD
+                    return bytes(out)
+                if prev is None:
+                    entry = table[code]
+                else:
+                    if code in table:
+                        entry = table[code]
+                    elif code == next_code:  # KwKwK case
+                        entry = prev + prev[:1]
+                    else:
+                        raise ValueError("corrupt LZW stream")
+                    table[next_code] = prev + entry[:1]
+                    next_code += 1
+                    # EarlyChange=1: bump width ONE code early
+                    if next_code + 1 >= (1 << width) and width < 12:
+                        width += 1
+                out += entry
+                prev = entry
+        # spec 7.4.4: EOD (257) is required — running off the end means
+        # a truncated/corrupt stream, which must quarantine upstream
+        raise ValueError("LZW stream missing EOD")
+
+    def _rle_decode(data):
+        # RunLengthDecode (spec 7.4.5): length byte L — 0..127 copy
+        # L+1 literals, 129..255 repeat next byte 257-L times, 128 EOD
+        out, i = bytearray(), 0
+        while i < len(data):
+            ln = data[i]
+            if ln == 128:
+                break
+            if ln < 128:
+                out += data[i + 1:i + 2 + ln]
+                i += 2 + ln
+            else:
+                out += data[i + 1:i + 2] * (257 - ln)
+                i += 2
+        return bytes(out)
+
     def decode_stream(d, raw, resolve):
+        import base64
+
         filt = resolve(d.get("/Filter"))
         filters = filt if isinstance(filt, list) else ([] if filt is None else [filt])
         parms = resolve(d.get("/DecodeParms"))
         parms_list = parms if isinstance(parms, list) else [parms]
         for p in parms_list:
             p = resolve(p)
-            if isinstance(p, dict) and (resolve(p.get("/Predictor")) or 1) > 1:
+            if not isinstance(p, dict):
+                continue
+            if (resolve(p.get("/Predictor")) or 1) > 1:
                 raise _Gated("FlatePredictor")
+            if resolve(p.get("/EarlyChange")) == 0:
+                raise _Gated("LZWEarlyChange0")
         out = raw
         for f in filters:
             f = resolve(f)
-            if f == "/FlateDecode":
+            if f == "/FlateDecode" or f == "/Fl":
                 out = zlib.decompress(out)
+            elif f == "/LZWDecode" or f == "/LZW":
+                out = _lzw_decode(out)
+            elif f == "/RunLengthDecode" or f == "/RL":
+                out = _rle_decode(out)
+            elif f == "/ASCIIHexDecode" or f == "/AHx":
+                hx = out.split(b">")[0]
+                hx = bytes(c for c in hx if c not in WS).decode("ascii")
+                out = bytes.fromhex(hx + "0" if len(hx) % 2 else hx)
+            elif f == "/ASCII85Decode" or f == "/A85":
+                body = out.split(b"~>")[0]
+                body = bytes(c for c in body if c not in WS)
+                out = base64.a85decode(body)
             else:
+                # still out of honest scope: DCT/JBIG2/CCITT/JPX (image
+                # codecs), Crypt — gated loudly like the media codecs
                 raise _Gated(str(f).lstrip("/"))
         return out
 
@@ -2275,8 +2355,8 @@ def pdf_text(media: DataFrame, strict: bool = False) -> DataFrame:
 
     ``status`` is the quarantine column: ``ok``, ``encrypted`` (the
     /Encrypt trailer — decryption is out of scope by design),
-    ``unsupported_filter:<name>`` (LZW/JBIG2/CCITT/DCT/RunLength and
-    flate predictors — gated loudly like the media codec gates; under
+    ``unsupported_filter:<name>`` (DCT/JBIG2/CCITT/JPX/Crypt and
+    predictors — gated loudly like the media codec gates; under
     ``strict=True`` these raise ``NotImplementedError`` instead),
     ``malformed`` (anything else — a corrupt payload must quarantine,
     never kill the task), ``null`` (missing payload). Extraction

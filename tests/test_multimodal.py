@@ -1394,20 +1394,113 @@ class TestPdfText:
             pdf_text,
         )
 
-        lzw = self._pdf({
+        dct = self._pdf({
             1: b"<< /Type /Catalog /Pages 2 0 R >>",
             2: b"<< /Type /Pages /Kids [3 0 R] /Count 1 >>",
             3: b"<< /Type /Page /Parent 2 0 R /Contents 4 0 R >>",
-            4: b"<< /Length 4 /Filter /LZWDecode >>\nstream\n\x80\x0b\x60\x50\nendstream",
+            4: b"<< /Length 4 /Filter /DCTDecode >>\nstream\n\xff\xd8\xff\xe0\nendstream",
         }, root=1)
-        n, text, status = _pdf_text_extractor()(lzw)
-        assert status == "unsupported_filter:LZWDecode" and text is None
+        n, text, status = _pdf_text_extractor()(dct)
+        assert status == "unsupported_filter:DCTDecode" and text is None
         media = spark.createDataFrame(
-            [(1, bytearray(lzw))], "media_id long, content binary")
+            [(1, bytearray(dct))], "media_id long, content binary")
         assert pdf_text(media).collect()[0]["status"] == \
-            "unsupported_filter:LZWDecode"
+            "unsupported_filter:DCTDecode"
         with _pytest.raises(Exception, match="PDF filter gated"):
             pdf_text(media, strict=True).collect()
+        # flate predictor: the other gated parameterization
+        import zlib as _zlib
+        pred = self._pdf({
+            1: b"<< /Type /Catalog /Pages 2 0 R >>",
+            2: b"<< /Type /Pages /Kids [3 0 R] /Count 1 >>",
+            3: b"<< /Type /Page /Parent 2 0 R /Contents 4 0 R >>",
+            4: b"<< /Length %d /Filter /FlateDecode /DecodeParms "
+               b"<< /Predictor 12 /Columns 4 >> >>\nstream\n%s\nendstream"
+               % (len(_zlib.compress(b"xx")), _zlib.compress(b"xx")),
+        }, root=1)
+        assert _pdf_text_extractor()(pred)[2] == \
+            "unsupported_filter:FlatePredictor"
+
+    @staticmethod
+    def _lzw_encode(data: bytes) -> bytes:
+        """Reference PDF LZW encoder (EarlyChange=1) for round-trip
+        tests — emits clear, codes, EOD with growing width."""
+        table = {bytes([i]): i for i in range(256)}
+        next_code, width = 258, 9
+        out_bits: list[tuple[int, int]] = [(256, 9)]
+        w = b""
+        for ch in bytes(data):
+            wc = w + bytes([ch])
+            if wc in table:
+                w = wc
+                continue
+            out_bits.append((table[w], width))
+            table[wc] = next_code
+            next_code += 1
+            # encoder bumps width under the same EarlyChange=1 rule the
+            # decoder uses: one code before the table fills
+            if next_code + 1 >= (1 << width) and width < 12:
+                width += 1
+            w = bytes([ch])
+        if w:
+            out_bits.append((table[w], width))
+        out_bits.append((257, width))
+        acc = nbits = 0
+        buf = bytearray()
+        for code, wd in out_bits:
+            acc = (acc << wd) | code
+            nbits += wd
+            while nbits >= 8:
+                buf.append((acc >> (nbits - 8)) & 0xFF)
+                nbits -= 8
+        if nbits:
+            buf.append((acc << (8 - nbits)) & 0xFF)
+        return bytes(buf)
+
+    def test_decode_filters_roundtrip(self):
+        """r14: LZW (PDF variant incl. the KwKwK case and a width bump),
+        RunLength, ASCIIHex and ASCII85 filters decode for real —
+        self-built encodings, the house pattern."""
+        import base64
+
+        from etl_pack_spark.operators.multimodal import _pdf_text_extractor
+
+        def one_page(filter_name, payload):
+            return self._pdf({
+                1: b"<< /Type /Catalog /Pages 2 0 R >>",
+                2: b"<< /Type /Pages /Kids [3 0 R] /Count 1 >>",
+                3: b"<< /Type /Page /Parent 2 0 R /Contents 4 0 R >>",
+                4: b"<< /Length %d /Filter %s >>\nstream\n%s\nendstream"
+                   % (len(payload), filter_name, payload),
+            }, root=1)
+
+        extract = _pdf_text_extractor()
+        # LZW: repetitive content exercises table growth + KwKwK
+        content = b"BT (lzw " + b"ababab " * 60 + b"end) Tj ET"
+        got = extract(one_page(b"/LZWDecode", self._lzw_encode(content)))
+        assert got == (1, "lzw " + "ababab " * 60 + "end", "ok")
+        # RunLength: literal "BT (r", repeat 'x'*40, literal ") Tj ET"
+        lit1, lit2 = b"BT (r", b") Tj ET"
+        rle = (bytes([len(lit1) - 1]) + lit1
+               + bytes([257 - 40]) + b"x"
+               + bytes([len(lit2) - 1]) + lit2 + bytes([128]))
+        got = extract(one_page(b"/RunLengthDecode", rle))
+        assert got == (1, "r" + "x" * 40, "ok")
+        # ASCIIHex with whitespace and EOD marker
+        hx_content = b"BT (hex ok) Tj ET"
+        hx = b" ".join(f"{b:02x}".encode() for b in hx_content) + b" >"
+        assert extract(one_page(b"/ASCIIHexDecode", hx)) == (1, "hex ok", "ok")
+        # ASCII85 with EOD marker
+        a85_content = b"BT (a85 ok) Tj ET"
+        a85 = base64.a85encode(a85_content) + b"~>"
+        assert extract(one_page(b"/ASCII85Decode", a85)) == (1, "a85 ok", "ok")
+        # filter chains compose in order: A85 then Flate
+        import zlib as _zlib
+        chained = base64.a85encode(_zlib.compress(b"BT (chain) Tj ET")) + b"~>"
+        got = extract(one_page(b"[/ASCII85Decode /FlateDecode]", chained))
+        assert got == (1, "chain", "ok")
+        # corrupt LZW quarantines as malformed, never kills
+        assert extract(one_page(b"/LZWDecode", b"\x00\x01\x02"))[2] == "malformed"
 
     def test_objstm_page_tree(self):
         """Catalog/pages/page dicts delivered via a compressed object
