@@ -2373,8 +2373,14 @@ def pdf_text(media: DataFrame, strict: bool = False) -> DataFrame:
         T.StructField("status", T.StringType(), True),
     )
 
+    # factory called HERE, not inside run: run must close over the
+    # returned extractor (pickled by value) — referencing the module-
+    # level factory from inside run pickles it BY REFERENCE and dies
+    # with ModuleNotFoundError on executors of any session that has not
+    # shipped the package (caught by the r14 plain-session drive)
+    extract = _pdf_text_extractor()
+
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        extract = _pdf_text_extractor()
         for pdf in batches:
             rows = []
             for mid, content in zip(pdf["media_id"], pdf["content"]):
