@@ -1870,14 +1870,16 @@ def _pdf_text_extractor():
     → /Kids, cycle-guarded); text-showing operators Tj / ' / " / TJ
     with Td/TD/T* treated as line breaks; literal (octal escapes,
     nested parens, line continuations) and hex strings; UTF-16BE
-    (BOM-tagged) and PDFDocEncoding≈Latin-1 string decode. NOT
-    covered, by design: encrypted documents (/Encrypt → quarantined as
-    ``encrypted``), image-codec filters DCT/JBIG2/CCITT/JPX plus Crypt,
-    flate/LZW predictors and LZW EarlyChange=0 (→
-    ``unsupported_filter:<name>``, loud under ``strict=True``), and
-    CID/Type0 font ToUnicode CMaps — text shown through a CID font
-    decodes as raw bytes, the classic honest failure of CMap-less
-    extractors.
+    (BOM-tagged) and PDFDocEncoding≈Latin-1 string decode; per-font
+    ToUnicode CMaps (codespace width + bfchar + both bfrange forms) —
+    the CID/Type0 modern-writer case decodes real text, with Tf
+    tracking which font's map is live. NOT covered, by design:
+    encrypted documents (/Encrypt → quarantined as ``encrypted``),
+    image-codec filters DCT/JBIG2/CCITT/JPX plus Crypt, flate/LZW
+    predictors and LZW EarlyChange=0 (→ ``unsupported_filter:<name>``,
+    loud under ``strict=True``), and CID fonts WITHOUT a ToUnicode map
+    (their codes decode to replacement chars — no glyph-name
+    heuristics).
 
     Returns ``extract(payload) -> (n_pages, text, status)`` with pages
     joined by form-feed; any other parse failure quarantines as
@@ -2219,15 +2221,95 @@ def _pdf_text_extractor():
             return b[2:].decode("utf-16-be", errors="replace")
         return b.decode("latin-1")
 
-    def page_text(content):
+    def parse_cmap(data):
+        """ToUnicode CMap → (code_len, {code_int: str}). Covers the
+        shapes real writers emit: begincodespacerange (fixes the code
+        byte width, Identity-H style 2-byte being the common case),
+        beginbfchar pairs, and beginbfrange in both the scalar form
+        (dst increments with the code) and the array form."""
+        import re as _re
+
+        text = data.decode("latin-1", errors="replace")
+        code_len = 1
+        for block in _re.findall(
+                r"begincodespacerange(.*?)endcodespacerange", text, _re.S):
+            for tok in _re.findall(r"<([0-9A-Fa-f]+)>", block):
+                code_len = max(code_len, len(tok) // 2)
+        mapping = {}
+
+        def dst_text(hx):
+            raw = bytes.fromhex(hx if len(hx) % 2 == 0 else hx + "0")
+            return raw.decode("utf-16-be", errors="replace")
+
+        for block in _re.findall(r"beginbfchar(.*?)endbfchar", text, _re.S):
+            for src, dst in _re.findall(
+                    r"<([0-9A-Fa-f]+)>\s*<([0-9A-Fa-f]+)>", block):
+                mapping[int(src, 16)] = dst_text(dst)
+        for block in _re.findall(r"beginbfrange(.*?)endbfrange", text, _re.S):
+            # array form: <lo> <hi> [<d0> <d1> ...]
+            for lo, hi, arr in _re.findall(
+                    r"<([0-9A-Fa-f]+)>\s*<([0-9A-Fa-f]+)>\s*\[(.*?)\]",
+                    block, _re.S):
+                dsts = _re.findall(r"<([0-9A-Fa-f]+)>", arr)
+                for i, d in enumerate(dsts):
+                    if int(lo, 16) + i <= int(hi, 16):
+                        mapping[int(lo, 16) + i] = dst_text(d)
+            # scalar form: <lo> <hi> <dst> — dst increments with code
+            for lo, hi, dst in _re.findall(
+                    r"<([0-9A-Fa-f]+)>\s*<([0-9A-Fa-f]+)>\s*<([0-9A-Fa-f]+)>",
+                    block):
+                width = len(dst)
+                for i in range(int(hi, 16) - int(lo, 16) + 1):
+                    mapping[int(lo, 16) + i] = dst_text(
+                        f"{int(dst, 16) + i:0{width}x}")
+        return code_len, mapping
+
+    def page_cmaps(page, objects, resolve):
+        """{font resource name: parsed ToUnicode CMap} for one page —
+        text shown via a font WITH a ToUnicode map decodes through it
+        (the CID/Type0 modern-writer case); fonts without one keep the
+        Latin-1/BOM fallback. A malformed CMap degrades that one font
+        to the fallback instead of failing the page."""
+        res = resolve(page.get("/Resources"))
+        fonts = resolve(res.get("/Font")) if isinstance(res, dict) else None
+        out = {}
+        for name, fref in (fonts or {}).items():
+            fd = resolve(fref)
+            if not (isinstance(fd, dict) and "/ToUnicode" in fd):
+                continue
+            tu = fd["/ToUnicode"]
+            if not (isinstance(tu, tuple) and tu[0] == "ref"):
+                continue
+            cval, craw = objects.get(tu[1], (None, None))
+            if craw is None:
+                continue
+            try:
+                out[name] = parse_cmap(decode_stream(cval, craw, resolve))
+            except _Gated:
+                raise
+            except Exception:
+                pass
+        return out
+
+    def page_text(content, cmaps=None):
         out, operands = [], []
         pending_nl = False
+        cur_cmap = None  # set by Tf when the selected font has one
+
+        def decode_mapped(sbytes):
+            code_len, mapping = cur_cmap
+            chars = []
+            for i in range(0, len(sbytes) - code_len + 1, code_len):
+                code = int.from_bytes(sbytes[i:i + code_len], "big")
+                chars.append(mapping.get(code, "�"))
+            return "".join(chars)
 
         def emit(sbytes, newline_first=False):
             nonlocal pending_nl
             if (pending_nl or newline_first) and out:
                 out.append("\n")
-            out.append(decode_pdf_string(sbytes))
+            out.append(decode_mapped(sbytes) if cur_cmap
+                       else decode_pdf_string(sbytes))
             pending_nl = False
 
         i = 0
@@ -2277,7 +2359,10 @@ def _pdf_text_extractor():
                 i = len(content) if e < 0 else e + 2
                 operands.clear()
                 continue
-            if op in (b"Td", b"TD", b"T*"):
+            if op == b"Tf" and len(operands) >= 2 \
+                    and isinstance(operands[-2], str):
+                cur_cmap = (cmaps or {}).get(operands[-2])
+            elif op in (b"Td", b"TD", b"T*"):
                 pending_nl = True
             elif op == b"Tj" and operands and isinstance(operands[-1], bytes):
                 emit(operands[-1])
@@ -2336,7 +2421,10 @@ def _pdf_text_extractor():
                     if craw is None:
                         continue
                     chunks.append(decode_stream(cval, craw, resolve))
-                texts.append(page_text(b"\n".join(chunks)))
+                texts.append(page_text(
+                    b"\n".join(chunks),
+                    cmaps=page_cmaps(page, objects, resolve),
+                ))
             return (len(pages), "\f".join(texts), "ok")
         except _Gated as g:
             return (None, None, f"unsupported_filter:{g}")

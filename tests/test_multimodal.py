@@ -1528,3 +1528,54 @@ class TestPdfText:
         }, root=1)
         n, text, status = _pdf_text_extractor()(pdf)
         assert (n, text, status) == (1, "from objstm", "ok")
+
+    def test_tounicode_cmap_type0_font(self):
+        """r14: CID/Type0 text with a ToUnicode CMap decodes to real
+        text — 2-byte codespace, bfchar, scalar bfrange (incrementing
+        dst) and array bfrange all exercised; a second font without a
+        map keeps the fallback, and Tf switches maps mid-page."""
+        from etl_pack_spark.operators.multimodal import _pdf_text_extractor
+
+        cmap = (b"/CIDInit /ProcSet findresource begin\n"
+                b"begincmap\n"
+                b"1 begincodespacerange\n<0000> <FFFF>\nendcodespacerange\n"
+                b"2 beginbfchar\n"
+                b"<0001> <0048>\n"          # 1 -> 'H'
+                b"<0002> <00E9>\n"          # 2 -> 'e' acute
+                b"endbfchar\n"
+                b"1 beginbfrange\n"
+                b"<0010> <0012> <006C>\n"   # 16,17,18 -> 'l','m','n'
+                b"endbfrange\n"
+                b"1 beginbfrange\n"
+                b"<0020> <0021> [<006F0021> <0041>]\n"  # 32 -> 'o!', 33 -> 'A'
+                b"endbfrange\n"
+                b"endcmap\nend\n")
+        # codes: 1 2 16 16 32 -> H é l l o!
+        content = (b"BT /F1 12 Tf <00010002001000100020> Tj "
+                   b"/F2 12 Tf (plain) ' "
+                   b"/F1 12 Tf <0021> ' ET")
+        pdf = self._pdf({
+            1: b"<< /Type /Catalog /Pages 2 0 R >>",
+            2: b"<< /Type /Pages /Kids [3 0 R] /Count 1 >>",
+            3: b"<< /Type /Page /Parent 2 0 R /Contents 4 0 R "
+               b"/Resources << /Font << /F1 5 0 R /F2 7 0 R >> >> >>",
+            4: b"<< /Length %d >>\nstream\n%s\nendstream" % (len(content), content),
+            5: b"<< /Type /Font /Subtype /Type0 /ToUnicode 6 0 R >>",
+            6: b"<< /Length %d >>\nstream\n%s\nendstream" % (len(cmap), cmap),
+            7: b"<< /Type /Font /Subtype /TrueType >>",  # no ToUnicode
+        }, root=1)
+        n, text, status = _pdf_text_extractor()(pdf)
+        assert status == "ok" and n == 1
+        assert text == "Héllo!\nplain\nA"
+        # unmapped code under a mapped font -> replacement, not garbage
+        content2 = b"BT /F1 12 Tf <0099> Tj ET"
+        pdf2 = self._pdf({
+            1: b"<< /Type /Catalog /Pages 2 0 R >>",
+            2: b"<< /Type /Pages /Kids [3 0 R] /Count 1 >>",
+            3: b"<< /Type /Page /Parent 2 0 R /Contents 4 0 R "
+               b"/Resources << /Font << /F1 5 0 R >> >> >>",
+            4: b"<< /Length %d >>\nstream\n%s\nendstream" % (len(content2), content2),
+            5: b"<< /Type /Font /Subtype /Type0 /ToUnicode 6 0 R >>",
+            6: b"<< /Length %d >>\nstream\n%s\nendstream" % (len(cmap), cmap),
+        }, root=1)
+        assert _pdf_text_extractor()(pdf2)[1] == "�"
