@@ -1875,9 +1875,10 @@ def _pdf_text_extractor():
     the CID/Type0 modern-writer case decodes real text, with Tf
     tracking which font's map is live. NOT covered, by design:
     encrypted documents (/Encrypt → quarantined as ``encrypted``),
-    image-codec filters DCT/JBIG2/CCITT/JPX plus Crypt, flate/LZW
-    predictors and LZW EarlyChange=0 (→ ``unsupported_filter:<name>``,
-    loud under ``strict=True``), and CID fonts WITHOUT a ToUnicode map
+    image-codec filters DCT/JBIG2/CCITT/JPX plus Crypt, non-8-bit
+    predictor components and LZW EarlyChange=0 (predictors 2 and 10-15
+    themselves DECODE; → ``unsupported_filter:<name>``, loud under
+    ``strict=True``), and CID fonts WITHOUT a ToUnicode map
     (their codes decode to replacement chars — no glyph-name
     heuristics).
 
@@ -2110,6 +2111,56 @@ def _pdf_text_extractor():
                 i += 2
         return bytes(out)
 
+    def _unpredict(data, p, resolve):
+        # spec 7.4.4.4: Predictor 2 = TIFF horizontal byte differencing,
+        # 10-15 = PNG row filters (each row: 1 tag byte + Columns*bpp
+        # bytes, tag decides None/Sub/Up/Average/Paeth — same algebra
+        # as _png_decoder). 8-bit components only; anything else gates.
+        pred = resolve(p.get("/Predictor")) or 1
+        if pred == 1:
+            return data
+        colors = resolve(p.get("/Colors")) or 1
+        bits = resolve(p.get("/BitsPerComponent")) or 8
+        columns = resolve(p.get("/Columns")) or 1
+        if bits != 8:
+            raise _Gated(f"Predictor{pred}Bits{bits}")
+        bpp = colors
+        rowlen = columns * bpp
+        if pred == 2:
+            out = bytearray(data)
+            for r in range(0, len(out) - rowlen + 1, rowlen):
+                for i in range(bpp, rowlen):
+                    out[r + i] = (out[r + i] + out[r + i - bpp]) & 0xFF
+            return bytes(out)
+        if 10 <= pred <= 15:
+            out = bytearray()
+            prev = bytearray(rowlen)
+            for r in range(0, len(data), rowlen + 1):
+                tag = data[r]
+                row = bytearray(data[r + 1:r + 1 + rowlen])
+                for i in range(len(row)):
+                    left = row[i - bpp] if i >= bpp else 0
+                    up = prev[i]
+                    ul = prev[i - bpp] if i >= bpp else 0
+                    if tag == 1:
+                        row[i] = (row[i] + left) & 0xFF
+                    elif tag == 2:
+                        row[i] = (row[i] + up) & 0xFF
+                    elif tag == 3:
+                        row[i] = (row[i] + (left + up) // 2) & 0xFF
+                    elif tag == 4:
+                        pa, pb, pc = (abs(up - ul), abs(left - ul),
+                                      abs(left + up - 2 * ul))
+                        pr = left if pa <= pb and pa <= pc else \
+                            (up if pb <= pc else ul)
+                        row[i] = (row[i] + pr) & 0xFF
+                    elif tag != 0:
+                        raise ValueError(f"bad PNG predictor tag {tag}")
+                out += row
+                prev = row
+            return bytes(out)
+        raise _Gated(f"Predictor{pred}")
+
     def decode_stream(d, raw, resolve):
         import base64
 
@@ -2117,21 +2168,20 @@ def _pdf_text_extractor():
         filters = filt if isinstance(filt, list) else ([] if filt is None else [filt])
         parms = resolve(d.get("/DecodeParms"))
         parms_list = parms if isinstance(parms, list) else [parms]
-        for p in parms_list:
-            p = resolve(p)
-            if not isinstance(p, dict):
-                continue
-            if (resolve(p.get("/Predictor")) or 1) > 1:
-                raise _Gated("FlatePredictor")
-            if resolve(p.get("/EarlyChange")) == 0:
-                raise _Gated("LZWEarlyChange0")
+        # pad: one parms entry per filter (spec: null where absent)
+        parms_list = parms_list + [None] * (len(filters) - len(parms_list))
         out = raw
-        for f in filters:
+        for f, p in zip(filters, parms_list):
             f = resolve(f)
+            p = resolve(p)
+            p = p if isinstance(p, dict) else {}
+            if f in ("/LZWDecode", "/LZW") \
+                    and resolve(p.get("/EarlyChange")) == 0:
+                raise _Gated("LZWEarlyChange0")
             if f == "/FlateDecode" or f == "/Fl":
-                out = zlib.decompress(out)
+                out = _unpredict(zlib.decompress(out), p, resolve)
             elif f == "/LZWDecode" or f == "/LZW":
-                out = _lzw_decode(out)
+                out = _unpredict(_lzw_decode(out), p, resolve)
             elif f == "/RunLengthDecode" or f == "/RL":
                 out = _rle_decode(out)
             elif f == "/ASCIIHexDecode" or f == "/AHx":

@@ -1408,18 +1408,19 @@ class TestPdfText:
             "unsupported_filter:DCTDecode"
         with _pytest.raises(Exception, match="PDF filter gated"):
             pdf_text(media, strict=True).collect()
-        # flate predictor: the other gated parameterization
+        # non-8-bit predictor components: the gated parameterization
         import zlib as _zlib
         pred = self._pdf({
             1: b"<< /Type /Catalog /Pages 2 0 R >>",
             2: b"<< /Type /Pages /Kids [3 0 R] /Count 1 >>",
             3: b"<< /Type /Page /Parent 2 0 R /Contents 4 0 R >>",
             4: b"<< /Length %d /Filter /FlateDecode /DecodeParms "
-               b"<< /Predictor 12 /Columns 4 >> >>\nstream\n%s\nendstream"
+               b"<< /Predictor 12 /Columns 4 /BitsPerComponent 16 >> >>"
+               b"\nstream\n%s\nendstream"
                % (len(_zlib.compress(b"xx")), _zlib.compress(b"xx")),
         }, root=1)
         assert _pdf_text_extractor()(pred)[2] == \
-            "unsupported_filter:FlatePredictor"
+            "unsupported_filter:Predictor12Bits16"
 
     @staticmethod
     def _lzw_encode(data: bytes) -> bytes:
@@ -1579,3 +1580,40 @@ class TestPdfText:
             6: b"<< /Length %d >>\nstream\n%s\nendstream" % (len(cmap), cmap),
         }, root=1)
         assert _pdf_text_extractor()(pdf2)[1] == "�"
+
+    def test_flate_png_predictor_decodes(self):
+        """r14: Predictor 10-15 (PNG row filters) and 2 (TIFF) on
+        Flate streams decode for real — self-encoded Up/Sub rows."""
+        import zlib
+
+        from etl_pack_spark.operators.multimodal import _pdf_text_extractor
+
+        content = b"BT (predicted text here!) Tj ET"  # make rows even
+        content += b" " * (-len(content) % 2)
+        n = len(content) // 2
+        r1, r2 = content[:n], content[n:]
+        png = (b"\x00" + r1
+               + b"\x02" + bytes((r2[i] - r1[i]) & 0xFF for i in range(n)))
+        enc = zlib.compress(png)
+        pdf = self._pdf({
+            1: b"<< /Type /Catalog /Pages 2 0 R >>",
+            2: b"<< /Type /Pages /Kids [3 0 R] /Count 1 >>",
+            3: b"<< /Type /Page /Parent 2 0 R /Contents 4 0 R >>",
+            4: b"<< /Length %d /Filter /FlateDecode /DecodeParms "
+               b"<< /Predictor 12 /Columns %d >> >>\nstream\n%s\nendstream"
+               % (len(enc), n, enc),
+        }, root=1)
+        assert _pdf_text_extractor()(pdf) == (1, "predicted text here!", "ok")
+        # TIFF predictor 2: horizontal byte differencing, one row
+        tif = bytes([content[0]]) + bytes(
+            (content[i] - content[i - 1]) & 0xFF for i in range(1, len(content)))
+        enc2 = zlib.compress(tif)
+        pdf2 = self._pdf({
+            1: b"<< /Type /Catalog /Pages 2 0 R >>",
+            2: b"<< /Type /Pages /Kids [3 0 R] /Count 1 >>",
+            3: b"<< /Type /Page /Parent 2 0 R /Contents 4 0 R >>",
+            4: b"<< /Length %d /Filter /FlateDecode /DecodeParms "
+               b"<< /Predictor 2 /Columns %d >> >>\nstream\n%s\nendstream"
+               % (len(enc2), len(content), enc2),
+        }, root=1)
+        assert _pdf_text_extractor()(pdf2) == (1, "predicted text here!", "ok")
