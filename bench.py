@@ -96,6 +96,72 @@ def pick_attempt(attempts: list[dict]) -> dict:
     )
 
 
+# ---- guaranteed-emission machinery (r15, round-14 VERDICT #1) ----
+# BENCH_r14.json was rc=124 / parsed:null: the script printed its compact
+# record only after EVERY stage (probes + retry legs + cooldowns)
+# finished, and the r14 retry ladder pushed the worst-case wall time past
+# the driver's budget. Three guarantees now hold by construction:
+#   (a) SIGTERM/SIGINT and interpreter exit emit the CURRENT compact
+#       record immediately — a record with stages_skipped beats none;
+#   (b) an internal deadline (SPARK_GRAFT_BENCH_DEADLINE_SEC, default
+#       900s; <=0 disables) is checked between stages, and remaining
+#       optional stages are skipped and named in stages_skipped;
+#   (c) past half-deadline the retry ladder collapses to at most ONE
+#       retry total across headline + probe families, and a retry is
+#       never started without wall-clock room for it (its own first
+#       leg's measured cost + cooldown + the finalize reserve).
+
+_LIVE: dict = {
+    "out": None,          # the record under construction (mutated in place)
+    "full_name": "BENCH_FULL.json",
+    "emitted": False,
+    "stage": "init",      # stage currently executing
+    "pending": [],        # stages declared but not yet started/skipped
+    "ram_scratch": None,  # tmpfs tree to reap on signal-exit
+}
+
+
+def _emit_compact(reason: str) -> None:
+    """Print the compact tail record from the current live state. Called
+    exactly once per process: by finalize on success, by the SIGTERM/
+    SIGINT handler on a driver kill, or by atexit on an unexpected exit
+    path — whichever happens first wins, later calls are no-ops."""
+    if _LIVE["emitted"] or _LIVE["out"] is None:
+        return
+    _LIVE["emitted"] = True
+    out = _LIVE["out"]
+    if reason != "complete":
+        skipped = list(out.get("stages_skipped", []))
+        skipped += [s for s in _LIVE["pending"] if s not in skipped]
+        cur = _LIVE["stage"]
+        if cur not in ("init", "finalize"):
+            skipped.append(f"interrupted:{cur}")
+        if skipped:
+            out["stages_skipped"] = skipped
+    try:
+        print(json.dumps(compact_record(out, _LIVE["full_name"])), flush=True)
+    except Exception:
+        pass  # a broken pipe at kill time must not mask the exit
+
+
+def _signal_emit(signum, frame):
+    """Driver-kill path: emit the record, reap the tmpfs scratch (atexit
+    does not run after os._exit), and die promptly. Exiting 124 keeps
+    the observable rc identical to a timeout(1) kill — the contract
+    delta is purely that stdout now ends with a parseable record."""
+    _emit_compact(f"signal:{signum}")
+    rs = _LIVE.get("ram_scratch")
+    if rs:
+        import shutil as _shutil
+
+        _shutil.rmtree(rs, ignore_errors=True)
+    try:
+        sys.stdout.flush()
+    except Exception:
+        pass
+    os._exit(124)
+
+
 def _ram_scratch_dir() -> str | None:
     """RAM-backed Spark scratch root for the headline/lib/secondary
     suites (r14, round-13 VERDICT #1): three consecutive rounds lost
@@ -750,7 +816,73 @@ def main() -> None:
     sf = float(m.group(1)) if m else -1.0
     warmup = os.environ.get("SPARK_GRAFT_BENCH_WARMUP", "1") == "1"
 
+    # deadline + live-record bootstrap (r15, round-14 VERDICT #1): the
+    # record skeleton exists BEFORE any Spark work so a kill at any
+    # point yields a parseable tail line. "partial" rides in the head
+    # until the first full headline leg lands.
+    import atexit
+    import signal
+
+    start_ts = time.monotonic()
+    deadline = float(os.environ.get("SPARK_GRAFT_BENCH_DEADLINE_SEC", "900"))
+    if deadline <= 0:
+        deadline = float("inf")
+    RESERVE = 45.0  # room to stamp calibration_post + write/print records
+
+    def time_left() -> float:
+        return deadline - (time.monotonic() - start_ts)
+
+    out: dict = {"metric": "headline_suite_wall_sec", "value": None,
+                 "unit": "sec", "queries": {}, "sf": sf, "partial": True}
+    _LIVE["out"] = out
+    _LIVE["emitted"] = False
+    _LIVE["stage"] = "init"
+    _LIVE["pending"] = [
+        "sweep", "calibrate", "warmup", "headline", "lib", "secondary",
+        "probe10x", "probe_events", "probe_maintenance", "probe_postings",
+        "probe30x", "finalize",
+    ]
+    signal.signal(signal.SIGTERM, _signal_emit)
+    signal.signal(signal.SIGINT, _signal_emit)
+    atexit.register(_emit_compact, "atexit")
+
+    def stage_begin(name: str) -> None:
+        _LIVE["stage"] = name
+        if name in _LIVE["pending"]:
+            _LIVE["pending"].remove(name)
+        print(f"# bench stage: {name} (t+{time.monotonic() - start_ts:.0f}s)",
+              file=sys.stderr, flush=True)
+
+    def stage_ok(name: str, need_sec: float) -> bool:
+        """Deadline gate for an optional stage: start it only with
+        ``need_sec`` (a conservative stage-cost floor) plus the finalize
+        reserve still on the clock; otherwise record the skip."""
+        if time_left() >= need_sec + RESERVE:
+            stage_begin(name)
+            return True
+        if name in _LIVE["pending"]:
+            _LIVE["pending"].remove(name)
+        out.setdefault("stages_skipped", []).append(name)
+        print(f"# bench stage SKIPPED (deadline): {name} "
+              f"(t+{time.monotonic() - start_ts:.0f}s)",
+              file=sys.stderr, flush=True)
+        return False
+
+    # (c) retry-ladder bound: every retry leg must fit the remaining
+    # clock, and past half-deadline at most one retry fires in total.
+    retry_state = {"used": 0}
+
+    def retry_ok(est_leg_sec: float, cooldown_sec: float) -> bool:
+        if time_left() < est_leg_sec + max(cooldown_sec, 0) + RESERVE:
+            return False
+        if (time.monotonic() - start_ts) > deadline / 2 \
+                and retry_state["used"] >= 1:
+            return False
+        return True
+
+    stage_begin("sweep")
     sweep = _sweep_scratch()
+    stage_begin("calibrate")
     calib_pre = _calibrate()
 
     # box-independent headline (r14, round-13 VERDICT #1): the headline
@@ -766,6 +898,7 @@ def main() -> None:
         _tempfile.mkdtemp(prefix="bench_ram_scratch_", dir=ram_root)
         if ram_root else None
     )
+    _LIVE["ram_scratch"] = ram_scratch
     spark = get_spark(
         "etl_pack_spark_bench",
         extra_conf={"spark.local.dir": ram_scratch} if ram_scratch else None,
@@ -795,8 +928,11 @@ def main() -> None:
     if warmup:
         # full warmup pass: timings then reflect steady-state execution
         # (codegen compiled, JVM warm) rather than first-run JIT costs
+        stage_begin("warmup")
         for name in BENCH_QUERIES:
             run(name)
+    elif "warmup" in _LIVE["pending"]:
+        _LIVE["pending"].remove("warmup")
 
     # best-of-N: ambient load on a shared host inflates single-shot
     # wall times by up to ~2x; the minimum over repeats is the standard
@@ -839,6 +975,12 @@ def main() -> None:
             if i in (cut1, cut2):
                 thirds.append(_calibrate())
             t_[name], s_[name] = time_query(run, name)
+            # live partial (r15): until the FIRST full leg lands, a kill
+            # mid-headline still reports every completed query's min and
+            # their running total (marked partial:true in the tail line)
+            if out.get("partial"):
+                out["queries"] = dict(t_)
+                out["value"] = round(sum(t_.values()), 3)
         thirds.append(_calibrate())
         bad = sorted({
             m for c in thirds
@@ -862,27 +1004,45 @@ def main() -> None:
             ) >= 2,
         }
 
+    stage_begin("headline")
+    t_leg0 = time.monotonic()
     attempt = run_headline(pre=calib_pre)
+    headline_leg_wall = time.monotonic() - t_leg0
+    # first full leg is in: the live record stops being partial and any
+    # later kill reports this complete leg, never a retry leg's fragment
+    out["queries"] = attempt["queries"]
+    out["value"] = attempt["value"]
+    out.pop("partial", None)
     attempts = [attempt]
     # degraded-box rerun (round-12 VERDICT #1c): when any suite-third
     # marker trips, cool down and run the headline suite once more —
     # the record then carries BOTH legs, and the headline is the leg
     # with clean markers (or the faster one when neither/both are
     # clean). Opt out with SPARK_GRAFT_BENCH_COOLDOWN_SEC=-1.
+    # r15: the retry must also FIT — measured first-leg wall + cooldown
+    # against the deadline, and the global one-retry-past-half bound.
     cooldown = float(os.environ.get("SPARK_GRAFT_BENCH_COOLDOWN_SEC", "60"))
-    if attempt["degraded"] and cooldown >= 0:
+    if attempt["degraded"] and cooldown >= 0 \
+            and retry_ok(headline_leg_wall, cooldown):
+        retry_state["used"] += 1
         time.sleep(cooldown)
         attempts.append(run_headline())
         attempt = pick_attempt(attempts)
+        out["queries"] = attempt["queries"]
+        out["value"] = attempt["value"]
 
     # library operators outside the capped registry: timed and reported
     # separately so the headline total stays comparable across rounds
     lib_timings: dict[str, float] = {}
     lib_stats: dict[str, dict] = {}
-    for name in LIB_QUERIES:
-        lib_timings[name], lib_stats[name] = time_query(run, name)
+    if stage_ok("lib", 60):
+        for name in LIB_QUERIES:
+            if time_left() < RESERVE:
+                out.setdefault("stages_skipped", []).append("lib:partial")
+                break
+            lib_timings[name], lib_stats[name] = time_query(run, name)
 
-    out = {
+    out.update({
         "metric": "headline_suite_wall_sec",
         "value": attempt["value"],
         "unit": "sec",
@@ -902,7 +1062,7 @@ def main() -> None:
         # "ram" means the disk stamps beside the number are box context
         # for the probe stages, not a lever on the headline
         "headline_scratch": "ram" if ram_scratch else "disk",
-    }
+    })
     if len(attempts) > 1:
         out["headline_attempts"] = [
             {"value": a["value"], "degraded": a["degraded"],
@@ -923,7 +1083,10 @@ def main() -> None:
     # so per-round records show how each query scales with data size
     # rather than a single point. Disable with SPARK_GRAFT_BENCH_SF2=.
     sf2_dir = os.environ.get("SPARK_GRAFT_BENCH_SF2", "/root/testdata/sf0.01")
-    if sf2_dir and Path(sf2_dir).is_dir() and sf2_dir != sf_dir:
+    sec_enabled = bool(sf2_dir) and Path(sf2_dir).is_dir() and sf2_dir != sf_dir
+    if not sec_enabled and "secondary" in _LIVE["pending"]:
+        _LIVE["pending"].remove("secondary")  # disabled, not skipped
+    if sec_enabled and stage_ok("secondary", 60):
         m2 = re.search(r"sf([0-9.]+)", sf2_dir)
         def run2(name: str) -> float:
             spark.catalog.clearCache()
@@ -935,6 +1098,10 @@ def main() -> None:
         t2: dict[str, float] = {}
         s2: dict[str, dict] = {}
         for name in BENCH_QUERIES:
+            if time_left() < RESERVE:
+                out.setdefault("stages_skipped", []).append(
+                    "secondary:partial")
+                break
             t2[name], s2[name] = time_query(run2, name)
         out["sf_secondary"] = float(m2.group(1)) if m2 else -1.0
         out["queries_secondary"] = t2
@@ -982,7 +1149,8 @@ def main() -> None:
         _POOL.clear()
         return items
 
-    def probe_at(factor: int, n_reps: int, only: set[str] | None = None):
+    def probe_at(factor: int, n_reps: int, only: set[str] | None = None,
+                 stage: str | None = None):
         scaled = _scaled_docs(spark, sf_dir, factor).persist()
         n_docs = scaled.count()  # materialize once; probe queries re-scan
 
@@ -1001,6 +1169,12 @@ def main() -> None:
         for name, fn in _scale_probe_queries().items():
             if only is not None and name not in only:
                 continue
+            # r15 deadline: a probe family already running stops cleanly
+            # at the clock instead of blowing through the reserve
+            if stage is not None and time_left() < RESERVE:
+                out.setdefault("stages_skipped", []).append(
+                    f"{stage}:partial")
+                break
             xs = [run3(fn) for _ in range(n_reps)]
             t3[name] = round(min(xs), 3)
             s3[name] = {"min": round(min(xs), 3), "n": n_reps}
@@ -1008,7 +1182,14 @@ def main() -> None:
         return n_docs, t3, s3
 
     factor = int(os.environ.get("SPARK_GRAFT_BENCH_SCALE_FACTOR", "10"))
-    if factor > 1:
+    if factor <= 1:
+        for nm in ("probe10x", "probe_events", "probe_maintenance",
+                   "probe_postings", "probe30x"):
+            if nm in _LIVE["pending"]:
+                _LIVE["pending"].remove(nm)  # disabled, not skipped
+    t3: dict[str, float] = {}
+    s3: dict[str, dict] = {}
+    if factor > 1 and stage_ok("probe10x", 120):
         # per-probe-family ambient markers (r9, round-8 VERDICT #4):
         # the probe stage runs late enough that the suite itself has
         # degraded the scratch volume; each family gets its own stamp
@@ -1018,10 +1199,13 @@ def main() -> None:
         # remove_spans_hot) against their own family marker — the
         # unplanted numbers swing with co-tenant load by design.
         out["calibration_probe_text"] = _calibrate()
-        n_docs, t3, s3 = probe_at(factor, repeats)
+        n_docs, tt, st = probe_at(factor, repeats, stage="probe10x")
+        t3.update(tt)
+        s3.update(st)
         out["scale_probe_factor"] = factor
         out["scale_probe_docs"] = n_docs
 
+    if factor > 1 and stage_ok("probe_events", 90):
         # window-function probes over hot-user scaled events (r9,
         # round-8 VERDICT #8): PARTITION BY user with one user owning
         # factor× everyone else's rows
@@ -1035,15 +1219,20 @@ def main() -> None:
             return time.perf_counter() - t0
 
         for name, fn in _events_probe_queries().items():
+            if time_left() < RESERVE:
+                out.setdefault("stages_skipped", []).append(
+                    "probe_events:partial")
+                break
             xs = [run_ev(fn) for _ in range(repeats)]
             t3[name] = round(min(xs), 3)
             s3[name] = {"min": round(min(xs), 3), "n": repeats}
         ev.unpersist()
 
+    maint_reps = int(os.environ.get("SPARK_GRAFT_BENCH_MAINT_REPEATS", "2"))
+    if factor > 1 and stage_ok("probe_maintenance", 120):
         # maintenance-cycle probe (r9, round-8 VERDICT #3): fold cost
         # across three firings over a growing store + compact cost
         out["calibration_probe_maintenance"] = _calibrate()
-        maint_reps = int(os.environ.get("SPARK_GRAFT_BENCH_MAINT_REPEATS", "2"))
         n_pairs, tm, sm = _maintenance_probe(spark, sf_dir, factor, maint_reps)
         out["maintenance_probe_pairs"] = n_pairs
         t3.update(tm)
@@ -1051,6 +1240,7 @@ def main() -> None:
         for (_, d) in list(_pool_items()):
             d.unpersist(False)
 
+    if factor > 1 and stage_ok("probe_postings", 90):
         # postings-store lifecycle probe (r14, round-13 VERDICT #5):
         # build+save vs store-query vs rebuild-query, unscaled corpus
         out["calibration_probe_postings"] = _calibrate()
@@ -1058,6 +1248,7 @@ def main() -> None:
         t3.update(tp)
         s3.update(sp)
 
+    if t3:
         out["queries_scale_probe"] = t3
         out["queries_scale_probe_stats"] = s3
 
@@ -1068,7 +1259,10 @@ def main() -> None:
     # round's main scale claim rests on a repeated measurement.
     factor2 = int(os.environ.get("SPARK_GRAFT_BENCH_SCALE_FACTOR2", "30"))
     reps2 = int(os.environ.get("SPARK_GRAFT_BENCH_SCALE2_REPEATS", "2"))
-    if factor > 1 and factor2 > factor:  # factor<=1 disables ALL probes
+    if not (factor > 1 and factor2 > factor) and "probe30x" in _LIVE["pending"]:
+        _LIVE["pending"].remove("probe30x")  # disabled, not skipped
+    # factor<=1 disables ALL probes; the 30x stage needs real clock room
+    if factor > 1 and factor2 > factor and stage_ok("probe30x", 240):
         # simhash joined the subset in r6: it held the one superlinear
         # point (hot-block fan-out), and the now-default heavy-hitter
         # cap engages exactly at this replication level — the probe is
@@ -1093,7 +1287,8 @@ def main() -> None:
         # is the record (pick_attempt).
         def probe2_leg() -> dict:
             pre = _calibrate()
-            n_docs2, t4, s4 = probe_at(factor2, reps2, only=probe2_subset)
+            n_docs2, t4, s4 = probe_at(factor2, reps2, only=probe2_subset,
+                                       stage="probe30x")
             post = _calibrate()
             bad = sorted({
                 m for c in (pre, post) for m in degraded_markers(c)
@@ -1105,8 +1300,15 @@ def main() -> None:
                 "degraded": bool(bad), "degraded_markers": bad,
             }
 
+        t_p2 = time.monotonic()
         legs = [probe2_leg()]
-        if legs[0]["degraded"] and cooldown >= 0:
+        probe2_leg_wall = time.monotonic() - t_p2
+        # r15: same retry bound as the headline — the r14 driver timeout
+        # was exactly this ladder (228s leg + 60s cooldown + 140s retry)
+        # running with no deadline awareness
+        if legs[0]["degraded"] and cooldown >= 0 \
+                and retry_ok(probe2_leg_wall, cooldown):
+            retry_state["used"] += 1
             time.sleep(cooldown)
             legs.append(probe2_leg())
         leg = pick_attempt(legs)
@@ -1129,14 +1331,22 @@ def main() -> None:
     # LAST stdout line is a compact JSON record capped at what a tail
     # capture always retains — metric/value/unit + the headline
     # per-query mins + one-number summaries of every other section.
+    stage_begin("finalize")
     out["calibration_post"] = _calibrate()
-    full_path = Path(__file__).resolve().parent / "BENCH_FULL.json"
+    # sidecar path override (r15): the emission-pin tests run bench.py as
+    # a subprocess and must not clobber the repo's shipped record
+    full_path = Path(
+        os.environ.get("SPARK_GRAFT_BENCH_FULL_PATH")
+        or Path(__file__).resolve().parent / "BENCH_FULL.json"
+    )
     try:
         full_path.write_text(json.dumps(out, indent=1) + "\n")
     except OSError:
         pass  # read-only checkout: the early stdout line still has it
     print(json.dumps(out))
-    print(json.dumps(compact_record(out, full_path.name)))
+    # the compact tail line goes through the same single-shot emitter the
+    # SIGTERM/atexit paths use — whoever fires first wins, others no-op
+    _emit_compact("complete")
 
 
 # The driver's artifact keeps only a bounded TAIL of bench stdout; r9-r11
@@ -1181,6 +1391,13 @@ def compact_record(out: dict, full_name: str) -> dict:
             # r14: which scratch carried the headline — a RAM-scratch
             # record is box-independent by construction
             "scratch": out.get("headline_scratch", "disk")}
+    # r15 (round-14 VERDICT #1): a deadline-truncated or signal-killed
+    # run must SAY so in the tail line — these keys are mandatory when
+    # present, capped at 8 entries so they can never blow the budget
+    if out.get("stages_skipped"):
+        head["stages_skipped"] = out["stages_skipped"][:8]
+    if out.get("partial"):
+        head["partial"] = True
     tail = {k: out[k] for k in _COMPACT_TAIL_KEYS}
     base_len = len(json.dumps({**head, **tail}))
     budget = COMPACT_BUDGET - base_len

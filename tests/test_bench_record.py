@@ -231,3 +231,151 @@ def test_cpu_contended_annotation_survives_compact_budget():
     rec = bench.compact_record(out, "BENCH_FULL.json")
     assert rec["cpu_contended"] is True
     assert len(json.dumps(rec)) < bench.COMPACT_BUDGET
+
+
+# ---- r15 (round-14 VERDICT #1): guaranteed emission under any wall clock ----
+
+
+def _fresh_live(out, stage, pending):
+    saved = dict(bench._LIVE)
+    bench._LIVE.update({"out": out, "emitted": False, "stage": stage,
+                        "pending": list(pending), "ram_scratch": None})
+    return saved
+
+
+def test_emit_compact_is_single_shot_and_names_skips(capsys):
+    """The emitter prints the compact line exactly once; an interrupt
+    reason folds the not-yet-run stages plus the interrupted stage into
+    stages_skipped on the record itself."""
+    out = {"metric": "headline_suite_wall_sec", "value": 3.2, "unit": "sec",
+           "sf": 0.001, "queries": {"a": 1.1, "b": 2.1}, "partial": True}
+    saved = _fresh_live(out, "probe10x", ["probe_events", "probe30x"])
+    try:
+        bench._emit_compact("signal:15")
+        bench._emit_compact("signal:15")  # second call must be a no-op
+        lines = [ln for ln in capsys.readouterr().out.splitlines() if ln]
+        assert len(lines) == 1
+        rec = json.loads(lines[0])
+        assert rec["stages_skipped"] == [
+            "probe_events", "probe30x", "interrupted:probe10x"]
+        assert rec["partial"] is True
+        assert rec["value"] == 3.2 and rec["queries"] == {"a": 1.1, "b": 2.1}
+        assert list(rec)[-3:] == ["metric", "value", "queries"]
+    finally:
+        bench._LIVE.update(saved)
+
+
+def test_emit_compact_complete_path_keeps_deadline_skips(capsys):
+    """On the normal finalize path, stages skipped BY THE DEADLINE (already
+    recorded in out) ride in the tail line; nothing is added."""
+    out = {"metric": "headline_suite_wall_sec", "value": 9.9, "unit": "sec",
+           "sf": 0.1, "queries": {"a": 9.9}, "stages_skipped": ["probe30x"]}
+    saved = _fresh_live(out, "finalize", [])
+    try:
+        bench._emit_compact("complete")
+        rec = json.loads(capsys.readouterr().out.strip())
+        assert rec["stages_skipped"] == ["probe30x"]
+        assert "partial" not in rec
+    finally:
+        bench._LIVE.update(saved)
+
+
+def test_compact_record_stages_skipped_capped_and_in_budget():
+    out = dict(_representative_out())
+    out["stages_skipped"] = [f"stage_{i}" for i in range(40)]
+    rec = bench.compact_record(out, "BENCH_FULL.json")
+    assert len(rec["stages_skipped"]) == 8  # capped, cannot blow the budget
+    assert len(json.dumps(rec)) < bench.COMPACT_BUDGET
+
+
+def _bench_env(tmp_path, **extra):
+    env = dict(__import__("os").environ)
+    env.update({
+        "SPARK_GRAFT_SF_DIR": "/root/testdata/sf0.001",
+        "SPARK_GRAFT_BENCH_WARMUP": "0",
+        "SPARK_GRAFT_BENCH_REPEATS": "1",
+        "SPARK_GRAFT_BENCH_SF2": "",          # secondary suite off
+        "SPARK_GRAFT_BENCH_RAM_SCRATCH": "0",  # no tmpfs juggling in tests
+        "SPARK_GRAFT_SWEEP_SCRATCH": "0",
+        "SPARK_GRAFT_CPUS": "4",
+        # keep the bench's store/scratch writes inside the test sandbox
+        "HOME": str(tmp_path),
+        "TMPDIR": str(tmp_path),
+        # and its sidecar OUT of the repo: the shipped BENCH_FULL.json is
+        # the round's record, not a test scratch file
+        "SPARK_GRAFT_BENCH_FULL_PATH": str(tmp_path / "BENCH_FULL.json"),
+    })
+    env.update(extra)
+    return env
+
+
+def test_bench_deadline_truncates_but_emits(tmp_path):
+    """An internal deadline far too small for anything beyond the headline
+    must still produce a parseable last-stdout-line record that NAMES the
+    stages it skipped (round-14 VERDICT #1b)."""
+    import subprocess
+    proc = subprocess.run(
+        [sys.executable, str(REPO / "bench.py")],
+        env=_bench_env(tmp_path, SPARK_GRAFT_BENCH_DEADLINE_SEC="1"),
+        capture_output=True, text=True, timeout=600, cwd=str(tmp_path),
+    )
+    lines = [ln for ln in proc.stdout.splitlines() if ln.strip()]
+    assert lines, f"no stdout; stderr tail: {proc.stderr[-2000:]}"
+    rec = json.loads(lines[-1])
+    assert rec["metric"] == "headline_suite_wall_sec"
+    assert isinstance(rec["value"], float) and rec["value"] > 0
+    assert set(rec["queries"]) == set(bench.BENCH_QUERIES)
+    # every optional stage was out of clock and must say so
+    assert "lib" in rec["stages_skipped"]
+    assert "probe10x" in rec["stages_skipped"]
+    assert "probe30x" in rec["stages_skipped"]
+    assert len(lines[-1]) < 2000  # the driver tail capture
+    assert proc.returncode == 0
+
+
+def test_bench_sigterm_mid_probe_emits_compact_line(tmp_path):
+    """The round-14 failure mode, pinned: a driver kill mid-probe must
+    leave the compact record as the last stdout line (round-14 VERDICT
+    #1a). Watches the stderr stage log and SIGTERMs at probe10x."""
+    import signal
+    import subprocess
+    import threading
+    import time as _time
+
+    proc = subprocess.Popen(
+        [sys.executable, str(REPO / "bench.py")],
+        env=_bench_env(tmp_path, SPARK_GRAFT_BENCH_DEADLINE_SEC="0"),
+        stdout=subprocess.PIPE, stderr=subprocess.PIPE, text=True,
+        cwd=str(tmp_path),
+    )
+    out_buf: list[str] = []
+    t = threading.Thread(
+        target=lambda: out_buf.append(proc.stdout.read()), daemon=True)
+    t.start()
+    saw_probe = False
+    t0 = _time.monotonic()
+    try:
+        for line in proc.stderr:
+            if "# bench stage: probe10x" in line:
+                saw_probe = True
+                _time.sleep(1.0)  # land INSIDE the stage, not at its door
+                proc.send_signal(signal.SIGTERM)
+                break
+            if _time.monotonic() - t0 > 540:
+                break
+        rc = proc.wait(timeout=60)
+    finally:
+        if proc.poll() is None:
+            proc.kill()
+            proc.wait(timeout=30)
+    t.join(timeout=30)
+    assert saw_probe, "bench never reached the probe10x stage in 540s"
+    assert rc == 124  # the handler preserves the timeout-kill rc
+    lines = [ln for ln in "".join(out_buf).splitlines() if ln.strip()]
+    assert lines, "SIGTERM produced no stdout record"
+    rec = json.loads(lines[-1])
+    assert rec["metric"] == "headline_suite_wall_sec"
+    assert isinstance(rec["value"], float) and rec["value"] > 0
+    assert any(s.startswith("interrupted:") for s in rec["stages_skipped"])
+    assert "probe30x" in rec["stages_skipped"]
+    assert len(lines[-1]) < 2000
