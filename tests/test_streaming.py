@@ -1165,3 +1165,42 @@ class TestStreamQualityDrift:
         n = stream_quality_drift(
             spark, src, hist, ckpt, reports, schema=docs.schema)
         assert n >= 1
+
+
+def test_batch_count_uncapped_past_recent_progress_limit(spark, tmp_path):
+    """round-14 VERDICT #2: a backlog larger than
+    spark.sql.streaming.numRecentProgressUpdates (default 100) drained in
+    ONE availableNow firing must report its exact micro-batch count —
+    len(query.recentProgress) would cap at 100. 105 single-row files at
+    maxFilesPerTrigger=1 = 105 micro-batches."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    src = tmp_path / "src"
+    src.mkdir()
+    n_files = 105
+    base_us = 1_704_067_200 * 1_000_000  # 2024-01-01 UTC
+    for i in range(n_files):
+        t = pa.table({
+            "ts": pa.array([base_us + i * 60_000_000], pa.timestamp("us")),
+            "event_type": pa.array(["click"]),
+            "value": pa.array([1.0], pa.float64()),
+        })
+        pq.write_table(t, src / f"f{i:04d}.parquet")
+
+    n = stream_transfer(
+        spark, str(src), str(tmp_path / "out"), str(tmp_path / "ckpt"),
+        window="1 hour", watermark="1 hour", max_files_per_trigger=1,
+    )
+    # 105 data batches + the one watermark-finalization batch availableNow
+    # runs to flush closed windows in append mode — all committed, all
+    # counted (recentProgress would report 100; the commits FILE count
+    # reports 101 after minBatchesToRetain purging)
+    assert n == n_files + 1
+
+    # second firing over the same files: checkpoint says nothing new
+    n2 = stream_transfer(
+        spark, str(src), str(tmp_path / "out"), str(tmp_path / "ckpt"),
+        window="1 hour", watermark="1 hour", max_files_per_trigger=1,
+    )
+    assert n2 <= 1  # at most the empty finalization batch
