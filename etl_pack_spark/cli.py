@@ -894,13 +894,34 @@ def main(argv: list[str] | None = None) -> int:
                     continue  # a single firing has nothing to compare
 
                 def mix_hist(ts):
+                    bucket = F.col("metric")
+                    if mode == "datacard_mix":
+                        # legacy-key normalization (r14 ADVICE): pre-r14
+                        # firings wrote '|'.join group keys, r14+ writes
+                        # json.dumps lists — comparing an old firing
+                        # against a new one bucket-by-bucket would find
+                        # two DISJOINT sets and report a spurious major
+                        # shift. Canonicalize BOTH formats through one
+                        # expression (JSON list when it parses, else the
+                        # '|' split) so buckets line up across the
+                        # format break; see MIGRATION.md for the
+                        # residual '|'-in-value aliasing caveat.
+                        bucket = F.to_json(F.coalesce(
+                            F.from_json(F.col("metric"), "array<string>"),
+                            F.split(F.col("metric"), r"\|"),
+                        ))
                     h = hist_src.where(
                         (F.col("subject") == b["subject"])
                         & (F.col("fired_at_ms") == ts)
                     ).select(
                         F.lit("mix").alias("signal"),
-                        F.col("metric").alias("bucket"),
+                        bucket.alias("bucket"),
                         F.col("value").alias("n"),
+                    ).groupBy("signal", "bucket").agg(
+                        # post-normalization duplicates (two legacy keys
+                        # aliasing to one canonical bucket) fold instead
+                        # of double-counting in the join below
+                        F.sum("n").alias("n")
                     )
                     tot = h.groupBy("signal").agg(F.sum("n").alias("__t"))
                     return h.join(tot, "signal").select(

@@ -2239,23 +2239,34 @@ def _pdf_text_extractor():
         return roots, encrypted
 
     def collect_pages(root, resolve):
-        pages, stack_guard = [], set()
+        # true recursion stack + visited set (r14 ADVICE): the old single
+        # global visited set raised 'page tree cycle' on a LEGAL DAG — a
+        # node reachable via two /Kids paths — quarantining the whole
+        # document; only a node revisited while still ON the stack is a
+        # genuine cycle, an off-stack revisit dedupes the shared subtree
+        pages, on_stack, visited = [], set(), set()
 
         def walk(node_ref, depth):
             if depth > 64:
                 raise ValueError("page tree too deep")
             key = node_ref[1] if isinstance(node_ref, tuple) else id(node_ref)
-            if key in stack_guard:
+            if key in on_stack:
                 raise ValueError("page tree cycle")
-            stack_guard.add(key)
-            node = resolve(node_ref)
-            if not isinstance(node, dict):
-                return
-            if node.get("/Type") == "/Page":
-                pages.append(node)
-            else:  # /Pages or typeless intermediate
-                for kid in resolve(node.get("/Kids")) or []:
-                    walk(kid, depth + 1)
+            if key in visited:
+                return  # shared subtree: count its pages once
+            on_stack.add(key)
+            visited.add(key)
+            try:
+                node = resolve(node_ref)
+                if not isinstance(node, dict):
+                    return
+                if node.get("/Type") == "/Page":
+                    pages.append(node)
+                else:  # /Pages or typeless intermediate
+                    for kid in resolve(node.get("/Kids")) or []:
+                        walk(kid, depth + 1)
+            finally:
+                on_stack.discard(key)
 
         rd = resolve(root)
         if not isinstance(rd, dict) or \
@@ -2295,23 +2306,35 @@ def _pdf_text_extractor():
             for src, dst in _re.findall(
                     r"<([0-9A-Fa-f]+)>\s*<([0-9A-Fa-f]+)>", block):
                 mapping[int(src, 16)] = dst_text(dst)
+        # bfrange entries parse SEQUENTIALLY with one alternation (r14
+        # ADVICE): two independent findall passes let the scalar regex
+        # match any three consecutive hex tokens INSIDE an array body
+        # ('<lo> <hi> [<a> <b> <c>]' yielded a phantom a→b..c scalar
+        # range that overwrote the legitimate array mappings) and, with
+        # brackets merely stripped, misalign across adjacent entries.
+        entry_re = _re.compile(
+            r"<([0-9A-Fa-f]+)>\s*<([0-9A-Fa-f]+)>\s*"
+            r"(?:\[(.*?)\]|<([0-9A-Fa-f]+)>)", _re.S)
         for block in _re.findall(r"beginbfrange(.*?)endbfrange", text, _re.S):
-            # array form: <lo> <hi> [<d0> <d1> ...]
-            for lo, hi, arr in _re.findall(
-                    r"<([0-9A-Fa-f]+)>\s*<([0-9A-Fa-f]+)>\s*\[(.*?)\]",
-                    block, _re.S):
-                dsts = _re.findall(r"<([0-9A-Fa-f]+)>", arr)
-                for i, d in enumerate(dsts):
-                    if int(lo, 16) + i <= int(hi, 16):
-                        mapping[int(lo, 16) + i] = dst_text(d)
-            # scalar form: <lo> <hi> <dst> — dst increments with code
-            for lo, hi, dst in _re.findall(
-                    r"<([0-9A-Fa-f]+)>\s*<([0-9A-Fa-f]+)>\s*<([0-9A-Fa-f]+)>",
-                    block):
-                width = len(dst)
-                for i in range(int(hi, 16) - int(lo, 16) + 1):
-                    mapping[int(lo, 16) + i] = dst_text(
-                        f"{int(dst, 16) + i:0{width}x}")
+            for mo in entry_re.finditer(block):
+                lo, hi = int(mo.group(1), 16), int(mo.group(2), 16)
+                # adversarial-range clamp: a <0000> <ffffffff> entry must
+                # not loop 4G times on an executor; no real writer emits
+                # a bfrange wider than a 2-byte code space
+                hi = min(hi, lo + 0xFFFF)
+                if mo.group(3) is not None:
+                    # array form: <lo> <hi> [<d0> <d1> ...]
+                    dsts = _re.findall(r"<([0-9A-Fa-f]+)>", mo.group(3))
+                    for i, d in enumerate(dsts):
+                        if lo + i <= hi:
+                            mapping[lo + i] = dst_text(d)
+                else:
+                    # scalar form: <lo> <hi> <dst> — dst increments
+                    dst = mo.group(4)
+                    width = len(dst)
+                    for i in range(hi - lo + 1):
+                        mapping[lo + i] = dst_text(
+                            f"{int(dst, 16) + i:0{width}x}")
         return code_len, mapping
 
     def page_cmaps(page, objects, resolve):
@@ -2319,8 +2342,18 @@ def _pdf_text_extractor():
         text shown via a font WITH a ToUnicode map decodes through it
         (the CID/Type0 modern-writer case); fonts without one keep the
         Latin-1/BOM fallback. A malformed CMap degrades that one font
-        to the fallback instead of failing the page."""
-        res = resolve(page.get("/Resources"))
+        to the fallback instead of failing the page. /Resources is
+        INHERITABLE from /Pages ancestors (PDF 32000-1 §7.7.3.4, r14
+        ADVICE) — walk the /Parent chain to the nearest one, bounded
+        against /Parent cycles."""
+        node, hops = page, 0
+        res = None
+        while isinstance(node, dict) and hops <= 64:
+            if "/Resources" in node:
+                res = resolve(node.get("/Resources"))
+                break
+            node = resolve(node.get("/Parent"))
+            hops += 1
         fonts = resolve(res.get("/Font")) if isinstance(res, dict) else None
         out = {}
         for name, fref in (fonts or {}).items():
@@ -2494,8 +2527,10 @@ def pdf_text(media: DataFrame, strict: bool = False) -> DataFrame:
     ``status`` is the quarantine column: ``ok``, ``encrypted`` (the
     /Encrypt trailer — decryption is out of scope by design),
     ``unsupported_filter:<name>`` (DCT/JBIG2/CCITT/JPX/Crypt and
-    predictors — gated loudly like the media codec gates; under
-    ``strict=True`` these raise ``NotImplementedError`` instead),
+    non-8-bit predictor components — PNG predictors 10-15 and TIFF
+    predictor 2 DECODE for the standard 8-bit case; gated loudly like
+    the media codec gates; under ``strict=True`` these raise
+    ``NotImplementedError`` instead),
     ``malformed`` (anything else — a corrupt payload must quarantine,
     never kill the task), ``null`` (missing payload). Extraction
     scope and honest limits: :func:`_pdf_text_extractor`.

@@ -971,3 +971,40 @@ def test_cli_datacard_langid_model(spark, tmp_path):
          "--funnel", subject],
         capture_output=True, text=True, cwd="/root/repo")
     assert r2.returncode == 2 and "--langid-model" in r2.stderr
+
+
+def test_cli_datacard_shift_bridges_legacy_mix_keys(spark, tmp_path):
+    """r15 (r14 ADVICE): a history store with a pre-r14 '|'.join-keyed
+    datacard_mix firing followed by an r14+ json.dumps-keyed one holds
+    the SAME mix — datacard_shift must canonicalize both formats to
+    common buckets and report no shift, not compare disjoint bucket
+    sets and cry major."""
+    import time
+
+    from etl_pack_spark.operators.quality import append_report_rows
+
+    store = str(tmp_path / "reports")
+    # firing 1, legacy keys; firing 2 (later stamp), JSON keys; same mix
+    append_report_rows(spark, store, [
+        {"metric": "web|en", "value": 600.0, "verdict": None},
+        {"metric": "web|de", "value": 400.0, "verdict": None},
+    ], mode="datacard_mix", subject="corpus", detail="source,lang")
+    time.sleep(0.01)  # distinct fired_at_ms
+    append_report_rows(spark, store, [
+        {"metric": json.dumps(["web", "en"]), "value": 600.0,
+         "verdict": None},
+        {"metric": json.dumps(["web", "de"]), "value": 400.0,
+         "verdict": None},
+    ], mode="datacard_mix", subject="corpus", detail="source,lang")
+
+    res = subprocess.run(
+        [sys.executable, "-m", "etl_pack_spark.cli",
+         "--report-trend", store],
+        capture_output=True, text=True, cwd="/root/repo", check=True,
+    )
+    out = json.loads(res.stdout.strip().splitlines()[-1])
+    shifts = out["datacard_shift"]
+    assert len(shifts) == 1
+    # identical mixes across the format break: PSI ~ 0, no shift called
+    assert shifts[0]["psi"] < 0.01
+    assert shifts[0]["verdict"] in ("stable", "minor")

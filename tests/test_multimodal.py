@@ -1617,3 +1617,119 @@ class TestPdfText:
                % (len(enc2), len(content), enc2),
         }, root=1)
         assert _pdf_text_extractor()(pdf2) == (1, "predicted text here!", "ok")
+
+
+class TestPdfTextR15:
+    """r15 ADVICE fixes: bfrange sequential parse, inherited /Resources,
+    page-tree DAG dedupe (with genuine cycles still quarantined)."""
+
+    _pdf = staticmethod(TestPdfText._pdf)
+
+    def test_bfrange_array_entries_no_phantom_scalar(self):
+        """ADVICE (medium): the scalar bfrange regex must not match hex
+        triples INSIDE an array body — '<0041> <0043> [<0061> <0062>
+        <0063>]' previously minted a phantom 0x61->0x63 scalar range
+        that overwrote legitimate mappings; and an array entry followed
+        by a scalar entry must not misalign across the boundary."""
+        from etl_pack_spark.operators.multimodal import _pdf_text_extractor
+
+        cmap = (b"begincmap\n"
+                b"1 begincodespacerange\n<0000> <FFFF>\nendcodespacerange\n"
+                b"2 beginbfrange\n"
+                b"<0041> <0043> [<0061> <0062> <0063>]\n"  # A,B,C -> a,b,c
+                b"<0050> <0051> <0058>\n"                  # P,Q -> X,Y
+                b"endbfrange\n"
+                b"endcmap\n")
+        # codes: 0041 0042 0043 0050 0051 -> 'abcXY'; 0061 is NOT a
+        # source code (the phantom mapping would have made it one)
+        content = (b"BT /F1 12 Tf <00410042004300500051> Tj "
+                   b"<0061> ' ET")
+        pdf = self._pdf({
+            1: b"<< /Type /Catalog /Pages 2 0 R >>",
+            2: b"<< /Type /Pages /Kids [3 0 R] /Count 1 >>",
+            3: b"<< /Type /Page /Parent 2 0 R /Contents 4 0 R "
+               b"/Resources << /Font << /F1 5 0 R >> >> >>",
+            4: b"<< /Length %d >>\nstream\n%s\nendstream"
+               % (len(content), content),
+            5: b"<< /Type /Font /Subtype /Type0 /ToUnicode 6 0 R >>",
+            6: b"<< /Length %d >>\nstream\n%s\nendstream"
+               % (len(cmap), cmap),
+        }, root=1)
+        n, text, status = _pdf_text_extractor()(pdf)
+        assert status == "ok" and n == 1
+        assert text == "abcXY\n�"
+
+    def test_resources_inherited_from_pages_ancestor(self):
+        """ADVICE: /Resources is inheritable from /Pages ancestors
+        (PDF 32000-1 7.7.3.4) — a page without its own dict must find
+        fonts (and their ToUnicode maps) at the page-tree level."""
+        from etl_pack_spark.operators.multimodal import _pdf_text_extractor
+
+        cmap = (b"begincmap\n"
+                b"1 begincodespacerange\n<0000> <FFFF>\nendcodespacerange\n"
+                b"1 beginbfchar\n<0001> <0048>\nendbfchar\n"  # 1 -> 'H'
+                b"endcmap\n")
+        content = b"BT /F1 12 Tf <0001> Tj ET"
+        pdf = self._pdf({
+            1: b"<< /Type /Catalog /Pages 2 0 R >>",
+            # resources live on the PAGES node, not the page
+            2: b"<< /Type /Pages /Kids [3 0 R] /Count 1 "
+               b"/Resources << /Font << /F1 5 0 R >> >> >>",
+            3: b"<< /Type /Page /Parent 2 0 R /Contents 4 0 R >>",
+            4: b"<< /Length %d >>\nstream\n%s\nendstream"
+               % (len(content), content),
+            5: b"<< /Type /Font /Subtype /Type0 /ToUnicode 6 0 R >>",
+            6: b"<< /Length %d >>\nstream\n%s\nendstream"
+               % (len(cmap), cmap),
+        }, root=1)
+        assert _pdf_text_extractor()(pdf) == (1, "H", "ok")
+
+    def test_page_tree_dag_dedupes_but_cycle_still_raises(self):
+        """ADVICE: a node reachable via two /Kids paths is a legal DAG —
+        dedupe the shared subtree instead of quarantining; a genuine
+        cycle (a node that is its own ancestor) still quarantines."""
+        from etl_pack_spark.operators.multimodal import _pdf_text_extractor
+
+        content = b"BT (once) Tj ET"
+        dag = self._pdf({
+            1: b"<< /Type /Catalog /Pages 2 0 R >>",
+            # the same page ref twice = shared subtree, counted once
+            2: b"<< /Type /Pages /Kids [3 0 R 3 0 R] /Count 2 >>",
+            3: b"<< /Type /Page /Parent 2 0 R /Contents 4 0 R >>",
+            4: b"<< /Length %d >>\nstream\n%s\nendstream"
+               % (len(content), content),
+        }, root=1)
+        assert _pdf_text_extractor()(dag) == (1, "once", "ok")
+
+        cyc = self._pdf({
+            1: b"<< /Type /Catalog /Pages 2 0 R >>",
+            2: b"<< /Type /Pages /Kids [5 0 R] /Count 1 >>",
+            # 5's kids point back at 2: on-stack revisit = true cycle
+            5: b"<< /Type /Pages /Kids [2 0 R] /Count 1 >>",
+        }, root=1)
+        assert _pdf_text_extractor()(cyc)[2] == "malformed"
+
+    def test_bfrange_adversarial_width_clamped(self):
+        """A <0000> <FFFFFFFF> bfrange must not loop 4G times on an
+        executor — clamped to a 2-byte code space width."""
+        from etl_pack_spark.operators.multimodal import _pdf_text_extractor
+
+        cmap = (b"begincmap\n"
+                b"1 begincodespacerange\n<0000> <FFFF>\nendcodespacerange\n"
+                b"1 beginbfrange\n<00000000> <FFFFFFFF> <0041>\nendbfrange\n"
+                b"endcmap\n")
+        content = b"BT /F1 12 Tf <0001> Tj ET"
+        pdf = self._pdf({
+            1: b"<< /Type /Catalog /Pages 2 0 R >>",
+            2: b"<< /Type /Pages /Kids [3 0 R] /Count 1 >>",
+            3: b"<< /Type /Page /Parent 2 0 R /Contents 4 0 R "
+               b"/Resources << /Font << /F1 5 0 R >> >> >>",
+            4: b"<< /Length %d >>\nstream\n%s\nendstream"
+               % (len(content), content),
+            5: b"<< /Type /Font /Subtype /Type0 /ToUnicode 6 0 R >>",
+            6: b"<< /Length %d >>\nstream\n%s\nendstream"
+               % (len(cmap), cmap),
+        }, root=1)
+        # code 1 maps to 'B' (0x41 + 1) under the clamped range; the
+        # call returning at all is the real assertion
+        assert _pdf_text_extractor()(pdf) == (1, "B", "ok")
