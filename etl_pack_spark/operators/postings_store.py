@@ -170,9 +170,15 @@ def postings_append(
     meta = postings_manifest(spark, path)
     id_col, text_col = meta["id_col"], meta["text_col"]
     ttl = DEFAULT_LEASE_TTL_MS if lease_ttl_ms is None else lease_ttl_ms
+    from etl_pack_spark.operators.cache import pooled_persist
+
     with _stamp_lease(spark, path, ttl_ms=ttl):
         stamps = _MonotoneStamps(spark, path)
         stamp = stamps.next()
+        # persist the delta (r15, round-14 VERDICT #4): its lineage is
+        # consumed three times below (count + postings build + doclens)
+        # — on an incremental source that tripled the delta scan
+        new_docs = pooled_persist(new_docs)
         n = new_docs.count()
         if n == 0:
             return 0
@@ -222,13 +228,21 @@ def postings_load(
             .select("term", "id", "tf", "dl"),
             spark.read.parquet(f"{p}/doclens").select("id", "dl"),
         )
+    from etl_pack_spark.operators.cache import pooled_persist
+
     doclens = spark.read.parquet(f"{p}/doclens")
-    winners = doclens.groupBy("id").agg(
-        F.max(F.struct("__batch", "dl")).alias("__w")
-    ).select(
-        "id",
-        F.col("__w.__batch").alias("__batch"),
-        F.col("__w.dl").alias("dl"),
+    # pooled persist (r15, round-14 VERDICT #4): winners is referenced
+    # by BOTH returned frames, and a store query additionally derives
+    # (n_docs, avgdl) from it — without the persist the corpus-sized
+    # max_by aggregate would execute once per downstream action
+    winners = pooled_persist(
+        doclens.groupBy("id").agg(
+            F.max(F.struct("__batch", "dl")).alias("__w")
+        ).select(
+            "id",
+            F.col("__w.__batch").alias("__batch"),
+            F.col("__w.dl").alias("dl"),
+        )
     )
     postings = (
         spark.read.parquet(f"{p}/postings")
@@ -238,6 +252,16 @@ def postings_load(
     return postings, winners.select("id", "dl")
 
 
+def _stats_from_doclens(doclens: DataFrame) -> tuple[int, float]:
+    """``(n_docs, avgdl)`` from an already-resolved doclens frame — the
+    query entry points derive stats from the SAME ``postings_load``
+    result they score with (r15, round-14 VERDICT #4: resolving the
+    store twice meant two manifest reads and, on an appended store, the
+    corpus-sized doclens winners aggregate executed twice)."""
+    n_docs, avgdl = doclens.agg(F.count("*"), F.avg("dl")).first()
+    return int(n_docs), (1.0 if avgdl is None else float(avgdl))
+
+
 def corpus_stats_from_store(
     spark: SparkSession, path: str
 ) -> tuple[int, float]:
@@ -245,8 +269,7 @@ def corpus_stats_from_store(
     scalars the rebuild path computes from the corpus, derived from the
     slim doclens table (one bounded aggregate, no text scan)."""
     _, doclens = postings_load(spark, path)
-    n_docs, avgdl = doclens.agg(F.count("*"), F.avg("dl")).first()
-    return int(n_docs), (1.0 if avgdl is None else float(avgdl))
+    return _stats_from_doclens(doclens)
 
 
 def bm25_topk_store(
@@ -265,8 +288,10 @@ def bm25_topk_store(
     q_terms = sorted({t for t in _tokenize_py(query) if t})
     if not q_terms:
         raise ValueError("query has no tokens")
-    postings, _ = postings_load(spark, path)
-    n_docs, avgdl = corpus_stats_from_store(spark, path)
+    # ONE store resolution per query (r15): stats come from the same
+    # loaded doclens frame the scoring postings share
+    postings, doclens = postings_load(spark, path)
+    n_docs, avgdl = _stats_from_doclens(doclens)
     return _bm25_score_single(postings, n_docs, avgdl, q_terms, k, k1, b)
 
 
@@ -292,8 +317,8 @@ def bm25_topk_batch_store(
         )
         .distinct()
     )
-    postings, _ = postings_load(spark, path)
-    n_docs, avgdl = corpus_stats_from_store(spark, path)
+    postings, doclens = postings_load(spark, path)
+    n_docs, avgdl = _stats_from_doclens(doclens)
     return _bm25_score_batch(
         postings, n_docs, avgdl, q_terms, k, k1, b, exclude_self
     )

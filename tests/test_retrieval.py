@@ -604,3 +604,42 @@ class TestPostingsStore:
         assert "Join" not in plan(postings_load(spark, store)[0])
         assert sorted(map(tuple,
                           postings_load(spark, store)[0].collect())) == rows
+
+
+class TestPostingsStoreR15:
+    """r15 (round-14 VERDICT #4): one store resolution per query call."""
+
+    def test_store_query_resolves_store_once(self, spark, tmp_path,
+                                             monkeypatch):
+        """bm25_topk_store / bm25_topk_batch_store must call
+        postings_load exactly once — stats derive from the same loaded
+        doclens frame (the old double-resolve meant two manifest reads
+        and, on an appended store, the doclens winners aggregate twice)."""
+        import etl_pack_spark.operators.postings_store as ps
+
+        docs = spark.createDataFrame(
+            _DOCS, "doc_id long, text string")
+        store = str(tmp_path / "postings")
+        ps.postings_save(spark, docs, store)
+        # append engages the latest-wins winners path — the expensive one
+        ps.postings_append(
+            spark, spark.createDataFrame(
+                [(9, "the cat on the mat again")],
+                "doc_id long, text string"),
+            store)
+
+        calls: list[int] = []
+        orig = ps.postings_load
+
+        def counting_load(*a, **k):
+            calls.append(1)
+            return orig(*a, **k)
+
+        monkeypatch.setattr(ps, "postings_load", counting_load)
+        got = ps.bm25_topk_store(spark, store, "cat mat", k=5).collect()
+        assert len(calls) == 1 and got
+        calls.clear()
+        qdf = spark.createDataFrame(
+            [(1, "cat mat"), (2, "quick dog")], "q_id long, text string")
+        got2 = ps.bm25_topk_batch_store(spark, store, qdf, k=5).collect()
+        assert len(calls) == 1 and got2
