@@ -59,6 +59,8 @@ from etl_pack_spark.operators.multimodal import (  # noqa: F401
     ppm_decode,
     mp4_meta,
     wav_decode,
+    pdf_images,
+    pdf_text,
     png_decode,
     resize_image,
     sample_frames,

@@ -1733,3 +1733,197 @@ class TestPdfTextR15:
         # code 1 maps to 'B' (0x41 + 1) under the clamped range; the
         # call returning at all is the real assertion
         assert _pdf_text_extractor()(pdf) == (1, "B", "ok")
+
+
+class TestPdfImages:
+    """r15 (round-14 VERDICT #3): embedded /XObject /Image streams route
+    into the multimodal dedup family — DCT payloads verbatim, raw
+    bitmaps as PGM/PPM; per-image quarantine; map-only plan."""
+
+    _pdf = staticmethod(TestPdfText._pdf)
+
+    @staticmethod
+    def _jpeg(spark, w=16, h=16):
+        """Real JPEG via the JVM's ImageIO (gradient: non-trivial dHash)."""
+        jvm = spark.sparkContext._jvm
+        BI = jvm.java.awt.image.BufferedImage
+        img = BI(w, h, BI.TYPE_INT_RGB)
+        for y in range(h):
+            for x in range(w):
+                img.setRGB(x, y, (x * 16 % 256 << 16) | (y * 16 % 256 << 8)
+                           | ((x + y) * 8 % 256))
+        baos = jvm.java.io.ByteArrayOutputStream()
+        assert jvm.javax.imageio.ImageIO.write(img, "jpg", baos)
+        return bytes(baos.toByteArray())
+
+    def _pdf_with_image(self, img_obj: bytes) -> bytes:
+        """One page whose /Resources carry a single image XObject."""
+        return self._pdf({
+            1: b"<< /Type /Catalog /Pages 2 0 R >>",
+            2: b"<< /Type /Pages /Kids [3 0 R] /Count 1 >>",
+            3: b"<< /Type /Page /Parent 2 0 R /Contents 4 0 R "
+               b"/Resources << /XObject << /Im0 5 0 R >> >> >>",
+            4: b"<< /Length 0 >>\nstream\n\nendstream",
+            5: img_obj,
+        }, root=1)
+
+    def test_embedded_jpeg_same_dhash_as_bare(self, spark):
+        """The VERDICT's headline case: a JPEG embedded as a DCTDecode
+        image stream must extract to the SAME dHash as the bare JPEG —
+        a scanned page dedups against the same scan shipped as a file."""
+        from etl_pack_spark.operators.multimodal import image_dhash, pdf_images
+
+        jpg = self._jpeg(spark)
+        payload = self._pdf_with_image(
+            b"<< /Subtype /Image /Width 16 /Height 16 /Length %d "
+            b"/Filter /DCTDecode /BitsPerComponent 8 "
+            b"/ColorSpace /DeviceRGB >>\nstream\n%s\nendstream"
+            % (len(jpg), jpg))
+        media = spark.createDataFrame(
+            [(1, bytearray(payload))], "media_id long, content binary")
+        rows = pdf_images(media).collect()
+        assert len(rows) == 1
+        r = rows[0]
+        assert (r["status"], r["page"], r["image_index"]) == ("ok", 1, 0)
+        assert bytes(r["content"]) == jpg  # VERBATIM payload hand-over
+        assert (r["width"], r["height"]) == (16, 16)
+
+        both = spark.createDataFrame(
+            [("bare", bytearray(jpg)), ("embedded", bytearray(r["content"]))],
+            "media_id string, content binary")
+        hashes = {x["media_id"]: x["dhash"]
+                  for x in image_dhash(both).collect()}
+        assert hashes["bare"] is not None
+        assert hashes["bare"] == hashes["embedded"]
+
+    def test_flate_raw_rgb_and_gray_to_ppm(self, spark):
+        """Flate (+PNG predictor) raw bitmaps render to binary PPM/PGM
+        that the repo's own pixel decoder consumes."""
+        import zlib
+
+        from etl_pack_spark.operators.multimodal import (
+            pdf_images,
+            pixel_decode,
+        )
+
+        rgb = bytes(range(4 * 2 * 3))  # 4x2 RGB
+        pdf_rgb = self._pdf_with_image(
+            b"<< /Subtype /Image /Width 4 /Height 2 /Length %d "
+            b"/Filter /FlateDecode /BitsPerComponent 8 "
+            b"/ColorSpace /DeviceRGB >>\nstream\n%s\nendstream"
+            % (len(zlib.compress(rgb)), zlib.compress(rgb)))
+        gray = bytes(range(6))  # 3x2 gray
+        pdf_gray = self._pdf_with_image(
+            b"<< /Subtype /Image /Width 3 /Height 2 /Length %d "
+            b"/Filter /FlateDecode /BitsPerComponent 8 "
+            b"/ColorSpace /DeviceGray >>\nstream\n%s\nendstream"
+            % (len(zlib.compress(gray)), zlib.compress(gray)))
+        media = spark.createDataFrame(
+            [(1, bytearray(pdf_rgb)), (2, bytearray(pdf_gray))],
+            "media_id long, content binary")
+        rows = {r["media_id"]: r for r in pdf_images(media).collect()}
+        assert rows[1]["status"] == "ok"
+        assert bytes(rows[1]["content"]) == b"P6\n4 2\n255\n" + rgb
+        assert pixel_decode(rows[1]["content"]) == (4, 2, 3, rgb)
+        assert rows[2]["status"] == "ok"
+        assert bytes(rows[2]["content"]) == b"P5\n3 2\n255\n" + gray
+        assert pixel_decode(rows[2]["content"]) == (3, 2, 1, gray)
+
+    def test_indexed_palette_resolves_to_rgb(self, spark):
+        import zlib
+
+        from etl_pack_spark.operators.multimodal import pdf_images
+
+        idx = bytes([0, 1, 1, 0])  # 2x2, two palette entries
+        pdf = self._pdf_with_image(
+            b"<< /Subtype /Image /Width 2 /Height 2 /Length %d "
+            b"/Filter /FlateDecode /BitsPerComponent 8 "
+            b"/ColorSpace [/Indexed /DeviceRGB 1 <FF000000FF00>] >>"
+            b"\nstream\n%s\nendstream"
+            % (len(zlib.compress(idx)), zlib.compress(idx)))
+        media = spark.createDataFrame(
+            [(1, bytearray(pdf))], "media_id long, content binary")
+        r = pdf_images(media).collect()[0]
+        assert r["status"] == "ok"
+        red, green = b"\xff\x00\x00", b"\x00\xff\x00"
+        assert bytes(r["content"]) == \
+            b"P6\n2 2\n255\n" + red + green + green + red
+
+    def test_quarantine_matrix(self, spark):
+        """Per-image quarantine: gated codecs, hostile dims, truncation,
+        corrupt streams — each a row, never a dead task; doc-level
+        failures one null-page row."""
+        import zlib
+
+        from etl_pack_spark.operators.multimodal import pdf_images
+
+        def img(body):
+            return self._pdf_with_image(body)
+
+        z = zlib.compress(b"xy")
+        cases = {
+            # JBIG2: honestly gated codec
+            1: img(b"<< /Subtype /Image /Width 4 /Height 4 /Length 2 "
+                   b"/Filter /JBIG2Decode >>\nstream\nxx\nendstream"),
+            # 1-bit samples
+            2: img(b"<< /Subtype /Image /Width 4 /Height 4 /Length %d "
+                   b"/Filter /FlateDecode /BitsPerComponent 1 "
+                   b"/ColorSpace /DeviceGray >>\nstream\n%s\nendstream"
+                   % (len(z), z)),
+            # hostile width x height
+            3: img(b"<< /Subtype /Image /Width 100000 /Height 100000 "
+                   b"/Length %d /Filter /FlateDecode /BitsPerComponent 8 "
+                   b"/ColorSpace /DeviceGray >>\nstream\n%s\nendstream"
+                   % (len(z), z)),
+            # truncated samples (gray 8x8 needs 64 bytes, has 2)
+            4: img(b"<< /Subtype /Image /Width 8 /Height 8 /Length %d "
+                   b"/Filter /FlateDecode /BitsPerComponent 8 "
+                   b"/ColorSpace /DeviceGray >>\nstream\n%s\nendstream"
+                   % (len(z), z)),
+            # corrupt flate body
+            5: img(b"<< /Subtype /Image /Width 4 /Height 4 /Length 9 "
+                   b"/Filter /FlateDecode /BitsPerComponent 8 "
+                   b"/ColorSpace /DeviceGray >>\nstream\nnot-flate\nendstream"),
+            # DCT chain whose payload is not a JPEG
+            6: img(b"<< /Subtype /Image /Width 4 /Height 4 /Length 4 "
+                   b"/Filter /DCTDecode >>\nstream\nABCD\nendstream"),
+            # encrypted document: ONE null-page row
+            7: self._pdf({
+                1: b"<< /Type /Catalog /Pages 2 0 R >>",
+                2: b"<< /Type /Pages /Kids [] /Count 0 >>",
+            }, root=1, trailer_extra=b"/Encrypt 9 0 R "),
+            8: b"not a pdf at all",
+        }
+        media = spark.createDataFrame(
+            [(k, bytearray(v)) for k, v in cases.items()] + [(9, None)],
+            "media_id long, content binary")
+        rows = {r["media_id"]: r for r in pdf_images(media).collect()}
+        assert rows[1]["status"] == "unsupported_image:JBIG2Decode"
+        assert rows[2]["status"] == "unsupported_image:bpc1"
+        assert rows[3]["status"] == "unsupported_image:too_large"
+        assert rows[4]["status"] == "unsupported_image:truncated"
+        assert rows[5]["status"] == "malformed_image"
+        assert rows[6]["status"] == "unsupported_image:not_jpeg"
+        for k in (1, 2, 3, 4, 5, 6):
+            assert rows[k]["page"] == 1 and rows[k]["content"] is None
+        assert rows[7]["status"] == "encrypted" and rows[7]["page"] is None
+        assert rows[8]["status"] == "malformed"
+        assert rows[9]["status"] == "null"
+        # strict mode raises on the gated codec
+        import pytest as _pytest
+        one = spark.createDataFrame(
+            [(1, bytearray(cases[1]))], "media_id long, content binary")
+        from etl_pack_spark.operators.multimodal import pdf_images as _pi
+        with _pytest.raises(Exception, match="image codec gated"):
+            _pi(one, strict=True).collect()
+
+    def test_map_only_plan_and_no_image_pages_emit_nothing(self, spark):
+        from etl_pack_spark.operators.multimodal import pdf_images
+
+        no_img = TestPdfText._two_page_pdf.__func__(TestPdfText)
+        media = spark.createDataFrame(
+            [(1, bytearray(no_img))], "media_id long, content binary")
+        assert pdf_images(media).collect() == []
+        plan = pdf_images(media)._jdf.queryExecution() \
+            .executedPlan().toString()
+        assert "Exchange" not in plan
