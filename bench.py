@@ -527,6 +527,41 @@ LIB_QUERIES = {
 }
 
 
+def _pdf_payload_maker():
+    """Factory (shipped by value into executor tasks) that renders a
+    document's text into a deterministic multi-page Flate-compressed
+    PDF — the lib_pdf_text bench row's corpus-scale payload synth
+    (r15, round-14 VERDICT #5: the r14 PDF extractor had no standing
+    bench number)."""
+    import zlib
+
+    def esc(t: bytes) -> bytes:
+        return t.replace(b"\\", b"\\\\") \
+                .replace(b"(", b"\\(").replace(b")", b"\\)")
+
+    def make(text, pages: int = 3) -> bytes:
+        txt = (text or "").encode("latin-1", "replace") or b"empty"
+        step = max(1, -(-len(txt) // pages))
+        chunks = [txt[i:i + step] for i in range(0, len(txt), step)]
+        chunks += [b"pad"] * (pages - len(chunks))
+        objs: dict[int, bytes] = {1: b"<< /Type /Catalog /Pages 2 0 R >>"}
+        kids = b" ".join(b"%d 0 R" % (3 + 2 * i) for i in range(pages))
+        objs[2] = b"<< /Type /Pages /Kids [%s] /Count %d >>" % (kids, pages)
+        for i, ch in enumerate(chunks):
+            pg, ct = 3 + 2 * i, 4 + 2 * i
+            objs[pg] = b"<< /Type /Page /Parent 2 0 R /Contents %d 0 R >>" % ct
+            body = zlib.compress(b"BT (%s) Tj ET" % esc(ch))
+            objs[ct] = (b"<< /Length %d /Filter /FlateDecode >>"
+                        b"\nstream\n%s\nendstream" % (len(body), body))
+        out = bytearray(b"%PDF-1.4\n")
+        for num in sorted(objs):
+            out += b"%d 0 obj\n" % num + objs[num] + b"\nendobj\n"
+        out += b"trailer\n<< /Size %d /Root 1 0 R >>\n%%%%EOF\n" % (len(objs) + 1)
+        return bytes(out)
+
+    return make
+
+
 def _lib_extra_queries():
     """Round-4 library operators at bench-scaled framings (the
     registry entries for these ops — driver-gated since r4 wave 2 —
@@ -671,9 +706,60 @@ def _lib_extra_queries():
         register_eval_set(spark, docs.where("doc_id % 10 = 3"), store, "s3")
         return registry_contamination_report(spark, docs, store)
 
+    def _pdf_text_corpus(spark, sf_dir):
+        # r15 (round-14 VERDICT #5): the r14 PDF extractor's standing
+        # row — every document rendered into a 3-page Flate PDF and
+        # extracted back, end-to-end through the mapInPandas posture;
+        # the synth and the extract ride in ONE map-only plan, so the
+        # row prices the extractor at corpus scale with zero exchanges
+        import pandas as _pd
+
+        from etl_pack_spark.operators.multimodal import pdf_text
+
+        make = _pdf_payload_maker()
+        docs = read_table(spark, sf_dir, "documents")
+
+        def synth(batches):
+            for pdf in batches:
+                yield _pd.DataFrame({
+                    "media_id": pdf["doc_id"],
+                    "content": [make(t) for t in pdf["text"]],
+                })
+
+        media = docs.select("doc_id", "text").mapInPandas(
+            synth, "media_id long, content binary")
+        return pdf_text(media)
+
+    _langid = {"path": None}
+
+    def _nb_langid_score(spark, sf_dir):
+        # r15 (round-14 VERDICT #5): score the corpus against a planted
+        # persisted NB langid model. The model is trained+saved on the
+        # FIRST invocation only (closure-cached path), so warmup plants
+        # it and the best-of-N row prices store-load + broadcast-join
+        # scoring alone — the per-firing cost a deployed classifier pays
+        import tempfile
+
+        from etl_pack_spark.operators.classify import (
+            langid_model_save,
+            language_id_trained,
+            nb_langid_train,
+        )
+
+        docs = read_table(spark, sf_dir, "documents")
+        if _langid["path"] is None:
+            path = tempfile.mkdtemp(prefix="bench_langid_") + "/model"
+            grams, meta = nb_langid_train(docs, "text", "lang")
+            langid_model_save(spark, grams, meta, path)
+            _langid["path"] = path
+        return language_id_trained(
+            docs, "doc_id", "text", _langid["path"])
+
     return {
         "lib_semantic_dedup": _semdedup,
         "lib_repeated_ngram_spans": _spans,
+        "lib_pdf_text": _pdf_text_corpus,
+        "lib_nb_langid_score": _nb_langid_score,
         "lib_bm25_sparse_only": _bm25_sparse_only,
         "lib_dense_only": _dense_only,
         "lib_remove_spans": _remove_spans,

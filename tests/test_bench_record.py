@@ -379,3 +379,24 @@ def test_bench_sigterm_mid_probe_emits_compact_line(tmp_path):
     assert any(s.startswith("interrupted:") for s in rec["stages_skipped"])
     assert "probe30x" in rec["stages_skipped"]
     assert len(lines[-1]) < 2000
+
+
+def test_r14_ops_have_standing_lib_bench_rows(spark):
+    """r15 (round-14 VERDICT #5): the r14 PDF extractor and trained
+    langid must trend round-over-round — both carry lib bench rows, and
+    both callables run clean at fixture scale."""
+    assert "lib_pdf_text" in bench.LIB_QUERIES
+    assert "lib_nb_langid_score" in bench.LIB_QUERIES
+    sf = "/root/testdata/sf0.001"
+
+    pdfed = bench.LIB_QUERIES["lib_pdf_text"](spark, sf)
+    from etl_pack_spark.sources.reader import read_table
+    n_docs = read_table(spark, sf, "documents").count()
+    ok = pdfed.where("status = 'ok' AND n_pages = 3").count()
+    assert ok == n_docs  # every synthesized payload extracts cleanly
+
+    lid = bench.LIB_QUERIES["lib_nb_langid_score"](spark, sf)
+    rows = lid.groupBy("lang_source").count().collect()
+    got = {r["lang_source"]: r["count"] for r in rows}
+    # the planted model answered (not the heuristic fallback)
+    assert got == {"model": n_docs}
