@@ -138,6 +138,15 @@ def _emit_compact(reason: str) -> None:
             skipped.append(f"interrupted:{cur}")
         if skipped:
             out["stages_skipped"] = skipped
+        # best-effort sidecar for post-mortem — ONLY when main() armed a
+        # path (unit tests drive the emitter in-process and must never
+        # overwrite the repo's shipped record)
+        full = _LIVE.get("full_path")
+        if full:
+            try:
+                Path(full).write_text(json.dumps(out, indent=1) + "\n")
+            except OSError:
+                pass
     try:
         print(json.dumps(compact_record(out, _LIVE["full_name"])), flush=True)
     except Exception:
@@ -868,6 +877,10 @@ def _sweep_scratch() -> dict:
     # are RAM until reboot, worse than disk ones
     patterns = [os.path.join(root, p) for p in ("spark-*", "blockmgr-*")]
     patterns.append("/dev/shm/bench_ram_scratch_*")
+    # r15: the bench's own temp stores (langid model, eval registry,
+    # postings) leak when a run is killed mid-stage — same-uid,
+    # >1h-idle trees are ours to reap
+    patterns.append(os.path.join(root, "bench_*"))
     for pat in patterns:
         for p in glob.glob(pat):
             if not os.path.isdir(p):
@@ -921,6 +934,9 @@ def main() -> None:
     out: dict = {"metric": "headline_suite_wall_sec", "value": None,
                  "unit": "sec", "queries": {}, "sf": sf, "partial": True}
     _LIVE["out"] = out
+    _LIVE["full_path"] = str(
+        os.environ.get("SPARK_GRAFT_BENCH_FULL_PATH")
+        or Path(__file__).resolve().parent / "BENCH_FULL.json")
     _LIVE["emitted"] = False
     _LIVE["stage"] = "init"
     _LIVE["pending"] = [
@@ -1419,12 +1435,9 @@ def main() -> None:
     # per-query mins + one-number summaries of every other section.
     stage_begin("finalize")
     out["calibration_post"] = _calibrate()
-    # sidecar path override (r15): the emission-pin tests run bench.py as
-    # a subprocess and must not clobber the repo's shipped record
-    full_path = Path(
-        os.environ.get("SPARK_GRAFT_BENCH_FULL_PATH")
-        or Path(__file__).resolve().parent / "BENCH_FULL.json"
-    )
+    # sidecar path resolved once at bootstrap (env-overridable so the
+    # emission-pin subprocess tests never clobber the shipped record)
+    full_path = Path(_LIVE["full_path"])
     try:
         full_path.write_text(json.dumps(out, indent=1) + "\n")
     except OSError:

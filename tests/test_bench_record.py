@@ -400,3 +400,32 @@ def test_r14_ops_have_standing_lib_bench_rows(spark):
     got = {r["lang_source"]: r["count"] for r in rows}
     # the planted model answered (not the heuristic fallback)
     assert got == {"model": n_docs}
+
+
+def test_emitter_never_writes_sidecar_without_armed_path(tmp_path, capsys):
+    """The interrupt emitter writes the full-record sidecar ONLY when
+    main() armed a path — in-process emitter tests must never overwrite
+    the repo's shipped BENCH_FULL.json."""
+    import os
+
+    full = REPO / "BENCH_FULL.json"
+    before = full.stat().st_mtime_ns if full.exists() else None
+    out = {"metric": "headline_suite_wall_sec", "value": 1.0,
+           "unit": "sec", "sf": 0.001, "queries": {"a": 1.0}}
+    saved = _fresh_live(out, "probe10x", [])
+    saved_path = bench._LIVE.get("full_path")
+    bench._LIVE["full_path"] = None
+    try:
+        bench._emit_compact("signal:15")
+        capsys.readouterr()
+        after = full.stat().st_mtime_ns if full.exists() else None
+        assert before == after
+        # an armed path DOES get the sidecar
+        bench._LIVE.update({"emitted": False,
+                            "full_path": str(tmp_path / "side.json")})
+        bench._emit_compact("signal:15")
+        capsys.readouterr()
+        assert (tmp_path / "side.json").exists()
+    finally:
+        bench._LIVE.update(saved)
+        bench._LIVE["full_path"] = saved_path
