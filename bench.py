@@ -937,6 +937,7 @@ def main() -> None:
     _LIVE["full_path"] = str(
         os.environ.get("SPARK_GRAFT_BENCH_FULL_PATH")
         or Path(__file__).resolve().parent / "BENCH_FULL.json")
+    _LIVE["full_name"] = Path(_LIVE["full_path"]).name
     _LIVE["emitted"] = False
     _LIVE["stage"] = "init"
     _LIVE["pending"] = [

@@ -6,6 +6,7 @@ from etl_pack_spark.operators.dedup import (  # noqa: F401
     snapshot_hashes,
 )
 from etl_pack_spark.operators.neardup import (  # noqa: F401
+    hamming_match_incremental,
     hamming_neardup_pairs,
     minhash_lsh_dedup_pairs,
     ngram_jaccard_pairs,

@@ -747,6 +747,81 @@ def hamming_neardup_pairs(
     )
 
 
+def hamming_match_incremental(
+    new_sig: DataFrame,
+    existing_sig: DataFrame,
+    id_col: str,
+    sig_col: str = "simhash",
+    max_hamming: int = 10,
+    chunks: int = 4,
+    max_block_freq: int | None = DEFAULT_MAX_BUCKET,
+) -> DataFrame:
+    """Incremental hamming near-dup (r15): match a NEW batch of 64-bit
+    signatures (simhash of text, dHash of images/audio) against a
+    persisted signature store — :func:`minhash_match_incremental`'s
+    posture for the hamming family. ``existing_sig`` holds prior
+    signatures (8 B/item of real state); old items are never
+    re-decoded or re-paired among themselves.
+
+    Returns ``(id_a, id_b, hamming)`` where ``id_a`` is always new and
+    ``id_b`` is existing OR new with ``id_a < id_b`` (new-new once,
+    old-old never). Same block-pigeonhole guarantee as
+    :func:`hamming_neardup_pairs`: any pair within ``chunks-1``
+    differing blocks shares an exact block; exact hamming verifies.
+
+    Shuffle shape: the new side's blocks equi-join the (old ∪ new)
+    blocks — only signatures shuffle, never payloads; the heavy-hitter
+    cap (measured on the union — total membership drives pair volume)
+    drops degenerate blocks a mass-duplicated signature floods, same
+    adaptive trade as every banded join here."""
+    new_sig = _pooled_persist(new_sig.select(id_col, sig_col))
+    allsig = (
+        existing_sig.select(id_col, sig_col)
+        .withColumn("__new", F.lit(False))
+        .unionByName(new_sig.withColumn("__new", F.lit(True)))
+    )
+    width = 16 // chunks
+
+    def _blocks(s, extra=()):
+        return s.select(
+            F.col(id_col),
+            *[F.col(c) for c in extra],
+            F.posexplode(
+                F.array(*[F.substring(sig_col, 1 + c * width, width)
+                          for c in range(chunks)])
+            ).alias("blk_idx", "blk"),
+        )
+
+    blocks_all = _blocks(allsig, ("__new",))
+    blocks_new = _blocks(new_sig)
+    if max_block_freq is not None:
+        blocks_all = _drop_hot_buckets(
+            blocks_all, ["blk_idx", "blk"], max_block_freq)
+    a, b = blocks_new.alias("a"), blocks_all.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.blk_idx") == F.col("b.blk_idx"))
+            & (F.col("a.blk") == F.col("b.blk"))
+            & (
+                (~F.col("b.__new"))  # new-vs-old: any order
+                | (F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))  # new-new once
+            ),
+        )
+        .select(F.col(f"a.{id_col}").alias("id_a"),
+                F.col(f"b.{id_col}").alias("id_b"))
+        .distinct()
+    )
+    sa = new_sig.select(F.col(id_col).alias("id_a"), F.col(sig_col).alias("ha"))
+    sb = allsig.select(F.col(id_col).alias("id_b"), F.col(sig_col).alias("hb"))
+    ham = F.expr(_hamming_exprs("ha", "hb", "spark"))
+    return (
+        cand.join(sa, "id_a").join(sb, "id_b")
+        .select("id_a", "id_b", ham.alias("hamming"))
+        .where(F.col("hamming") <= max_hamming)
+    )
+
+
 def simhash_neardup_pairs(
     df: DataFrame,
     id_col: str,

@@ -399,3 +399,67 @@ class TestIncrementalCap:
                 # capped: flood bucket dropped, genuine near-dup kept
                 assert all(a != 200 for a, _, _ in got)
                 assert any(a == 201 and b == 100 for a, b, _ in got)
+
+
+class TestHammingMatchIncremental:
+    """r15: the hamming family's incremental matcher — streamed new-vs-
+    store pairs must compose to exactly the full-batch block-match."""
+
+    def _sigs(self, spark, rows):
+        return spark.createDataFrame(rows, "id long, sig string")
+
+    def test_incremental_composes_to_batch(self, spark):
+        from etl_pack_spark.operators.neardup import (
+            hamming_match_incremental,
+            hamming_neardup_pairs,
+        )
+
+        # planted: 1~2 differ in 1 bit; 3 identical to 1; 4,5 far away;
+        # 6 (new) near 2 (old)
+        old = self._sigs(spark, [
+            (1, "0000000000000000"),
+            (2, "0000000000000001"),
+            (4, "ffffffffffffffff"),
+        ])
+        new = self._sigs(spark, [
+            (3, "0000000000000000"),
+            (5, "aaaaaaaaaaaaaaaa"),
+            (6, "0000000000000003"),
+        ])
+        inc = {(min(r["id_a"], r["id_b"]), max(r["id_a"], r["id_b"]),
+                r["hamming"])
+               for r in hamming_match_incremental(
+                   new, old, "id", "sig", max_hamming=2).collect()}
+        batch_all = {(min(r["id_a"], r["id_b"]), max(r["id_a"], r["id_b"]),
+                      r["hamming"])
+                     for r in hamming_neardup_pairs(
+                         old.unionByName(new), "id", "sig",
+                         max_hamming=2).collect()}
+        batch_old = {(min(r["id_a"], r["id_b"]), max(r["id_a"], r["id_b"]),
+                      r["hamming"])
+                     for r in hamming_neardup_pairs(
+                         old, "id", "sig", max_hamming=2).collect()}
+        # incremental = full-batch minus the old-old pairs
+        assert inc == batch_all - batch_old
+        assert (1, 3, 0) in inc and (2, 6, 1) in inc
+        # id_a is always a new doc (or new-new reported once, a < b)
+        for r in hamming_match_incremental(
+                new, old, "id", "sig", max_hamming=2).collect():
+            assert r["id_a"] in (3, 5, 6)
+
+    def test_hot_block_cap_engages_on_union(self, spark):
+        from etl_pack_spark.operators.neardup import hamming_match_incremental
+
+        # a store flooded with one signature: the cap drops its blocks,
+        # so a matching new item emits nothing instead of B pairs
+        old = self._sigs(spark, [(i, "1234567812345678") for i in range(50)])
+        new = self._sigs(spark, [(1000, "1234567812345678")])
+        got = hamming_match_incremental(
+            new, old, "id", "sig", max_hamming=0, max_block_freq=10
+        ).collect()
+        assert got == []
+        # cap off: the flood pairs all come out
+        got2 = hamming_match_incremental(
+            new, old, "id", "sig", max_hamming=0, max_block_freq=None
+        ).collect()
+        assert len(got2) == 50

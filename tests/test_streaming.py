@@ -1204,3 +1204,89 @@ def test_batch_count_uncapped_past_recent_progress_limit(spark, tmp_path):
         window="1 hour", watermark="1 hour", max_files_per_trigger=1,
     )
     assert n2 <= 1  # at most the empty finalization batch
+
+
+class TestMediaDedupIngest:
+    """r15: image near-dup-on-ingest — the multimodal member of the
+    resident-dedup family (dHash store + incremental hamming match)."""
+
+    def _media(self, spark, rows):
+        return spark.createDataFrame(
+            [(i, bytearray(b)) for i, b in rows],
+            "media_id long, content binary")
+
+    def test_two_firings_match_across_store(self, spark, tmp_path):
+        from etl_pack_spark.operators.multimodal import image_dhash
+        from etl_pack_spark.operators.neardup import hamming_neardup_pairs
+        from etl_pack_spark.streaming.incremental import (
+            stream_media_dedup_ingest,
+        )
+
+        # fake mode: dhash = md5(bytes)[:16] — exact payload dup = exact
+        # signature dup; groups (1,4) and (2,5) duplicate across firings
+        payloads = {1: b"img-A" * 10, 2: b"img-B" * 10, 3: b"img-C" * 10,
+                    4: b"img-A" * 10, 5: b"img-B" * 10, 6: b"img-D" * 10}
+        first = self._media(spark, [(i, payloads[i]) for i in (1, 2, 3)])
+        second = self._media(spark, [(i, payloads[i]) for i in (4, 5, 6)])
+        src1, src2 = str(tmp_path / "s1"), str(tmp_path / "s2")
+        first.write.parquet(src1)
+        second.write.parquet(src2)
+        store = str(tmp_path / "store")
+        matches = str(tmp_path / "matches")
+
+        n1 = stream_media_dedup_ingest(
+            spark, src1, store, matches, str(tmp_path / "c1"),
+            max_hamming=0, fake=True)
+        assert n1 == 1
+        n2 = stream_media_dedup_ingest(
+            spark, src2, store, matches, str(tmp_path / "c2"),
+            max_hamming=0, fake=True)
+        assert n2 == 1
+
+        got = {(min(r["id_a"], r["id_b"]), max(r["id_a"], r["id_b"]))
+               for r in spark.read.parquet(matches)
+               .select("id_a", "id_b").distinct().collect()}
+        # streamed pairs == full-batch pairs over the whole corpus
+        every = self._media(spark, list(payloads.items()))
+        want = {(min(r["id_a"], r["id_b"]), max(r["id_a"], r["id_b"]))
+                for r in hamming_neardup_pairs(
+                    image_dhash(every, fake=True), "media_id", "dhash",
+                    max_hamming=0).collect()}
+        assert got == want == {(1, 4), (2, 5)}
+        # store holds one signature per media item
+        assert spark.read.parquet(store) \
+            .select("media_id").distinct().count() == 6
+
+    def test_replay_absorbed_and_undecodable_skipped(self, spark, tmp_path):
+        from etl_pack_spark.streaming.incremental import (
+            stream_media_dedup_ingest,
+        )
+
+        media = self._media(spark, [(1, b"img-X" * 9), (2, b"img-Y" * 9)])
+        src = str(tmp_path / "src")
+        media.write.parquet(src)
+        store, matches = str(tmp_path / "store"), str(tmp_path / "m")
+        stream_media_dedup_ingest(
+            spark, src, store, matches, str(tmp_path / "c1"),
+            max_hamming=0, fake=True)
+        # fresh checkpoint = full redelivery: the replay absorber keeps
+        # the ids from self-matching their own stored signatures
+        stream_media_dedup_ingest(
+            spark, src, store, matches, str(tmp_path / "c2"),
+            max_hamming=0, fake=True)
+        import os
+        assert (not os.path.exists(matches)
+                or spark.read.parquet(matches).count() == 0)
+        assert spark.read.parquet(store) \
+            .select("media_id").distinct().count() == 2
+
+        # real mode: undecodable payloads contribute nothing, real PNGs
+        # still flow (plumbing identical)
+        bad = self._media(spark, [(7, b"not an image"), (8, b"junk" * 5)])
+        src2 = str(tmp_path / "src2")
+        bad.write.parquet(src2)
+        stream_media_dedup_ingest(
+            spark, src2, str(tmp_path / "store2"), str(tmp_path / "m2"),
+            str(tmp_path / "c3"), max_hamming=0, fake=False)
+        assert not os.path.exists(str(tmp_path / "store2")) or \
+            spark.read.parquet(str(tmp_path / "store2")).count() == 0
