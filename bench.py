@@ -1074,7 +1074,24 @@ def main() -> None:
         s_: dict[str, dict] = {}
         thirds = [pre if pre is not None else _calibrate()]
         cut1, cut2 = len(BENCH_QUERIES) // 3, 2 * len(BENCH_QUERIES) // 3
+        truncated = False
         for i, name in enumerate(BENCH_QUERIES):
+            # deadline truncation INSIDE the mandatory stage (r15: a
+            # budget smaller than one headline leg must still yield a
+            # measured partial record, not a 124 kill with no tail
+            # line). At least the first query always runs — a record
+            # with one real number beats an empty one — and the tail
+            # line carries partial:true + headline:partial so the
+            # driver can tell a truncated leg from a complete one.
+            if i > 0 and time_left() < RESERVE:
+                truncated = True
+                out.setdefault("stages_skipped", []).append(
+                    "headline:partial")
+                print(f"# bench headline TRUNCATED (deadline) after "
+                      f"{i}/{len(BENCH_QUERIES)} queries "
+                      f"(t+{time.monotonic() - start_ts:.0f}s)",
+                      file=sys.stderr, flush=True)
+                break
             if i in (cut1, cut2):
                 thirds.append(_calibrate())
             t_[name], s_[name] = time_query(run, name)
@@ -1091,6 +1108,7 @@ def main() -> None:
         })
         return {
             "value": round(sum(t_.values()), 3),
+            "truncated": truncated,
             "queries": t_, "queries_stats": s_,
             "calibration_thirds": thirds,
             "degraded": bool(bad), "degraded_markers": bad,
@@ -1115,7 +1133,8 @@ def main() -> None:
     # later kill reports this complete leg, never a retry leg's fragment
     out["queries"] = attempt["queries"]
     out["value"] = attempt["value"]
-    out.pop("partial", None)
+    if not attempt["truncated"]:
+        out.pop("partial", None)
     attempts = [attempt]
     # degraded-box rerun (round-12 VERDICT #1c): when any suite-third
     # marker trips, cool down and run the headline suite once more —
