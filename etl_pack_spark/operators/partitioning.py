@@ -26,12 +26,22 @@ from pyspark.sql import functions as F
 def spread_small_scan(df: DataFrame, key_col: str) -> DataFrame:
     """Repartition by ``key_col`` only when the scan underuses the
     cluster (planned partitions < defaultParallelism). Falls back to
-    repartitioning if the partition count cannot be planned."""
+    repartitioning if the partition count cannot be planned.
+
+    The spread pins an EXPLICIT partition count (r15): a keyed
+    ``repartition(col)`` without one is an AQE-coalescible exchange,
+    and the fixture frames are so small by bytes (a few MB) that AQE
+    collapsed them right back to 1-2 partitions — bytes-based
+    coalescing cannot see that the rows feed a CPU-bound stage (row
+    hashing, pair fan-out through a Python boundary) whose cost is not
+    proportional to input bytes. An explicit count is exempt from
+    coalescing, and this path only fires when the scan underuses the
+    cluster, so a production many-split scan is never touched."""
     try:
         n_parts = df.rdd.getNumPartitions()
         target = df.sparkSession.sparkContext.defaultParallelism
     except Exception:  # noqa: BLE001 — conservative: keep fixture behavior
         return df.repartition(F.col(key_col))
     if n_parts < target:
-        return df.repartition(F.col(key_col))
+        return df.repartition(target, F.col(key_col))
     return df

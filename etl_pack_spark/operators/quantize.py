@@ -334,8 +334,13 @@ def ivf_pq_index(
 
     spark = df.sparkSession
     bc = spark.sparkContext.broadcast((cids, C, codebooks))
-    encoded = df.select(
-        F.col(id_col).alias("id"), F.col(vec).alias("v")
+    # conditional spread (r15): a single-file fixture corpus scans as
+    # ONE task, serializing the encode kernel and every ADC scan that
+    # inherits its partitioning; production many-split scans untouched
+    from etl_pack_spark.operators.partitioning import spread_small_scan
+
+    encoded = spread_small_scan(
+        df.select(F.col(id_col).alias("id"), F.col(vec).alias("v")), "id"
     ).mapInPandas(
         _encode_kernel(bc), schema="id long, cid long, codes array<smallint>"
     )

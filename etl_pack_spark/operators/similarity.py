@@ -427,6 +427,84 @@ def _coarse_sql(id_col: str, nlist: int) -> str:
     return f"ORDER BY md5(CAST({id_col} AS VARCHAR)), {id_col} LIMIT {nlist}"
 
 
+def _collect_centroids(
+    df: DataFrame, nlist: int, id_col: str, vec: str
+) -> pd.DataFrame:
+    """The coarse-quantizer sample as a DRIVER-side pandas frame
+    ``(cid, cv, cn)`` sorted by cid ascending — nlist rows of
+    kilobytes (the bounded-collect posture of
+    ``quantize.ivf_pq_index``). Norm is computed on the nlist
+    survivors only, as the same ``sqrt(left-fold dot)`` the JVM
+    expression produced (np.cumsum's last column == the
+    left-associative chain; np.sqrt and SQRT are the identical
+    correctly-rounded IEEE754 op)."""
+    import numpy as np
+
+    pdf = (
+        _coarse_sample(df.select(id_col, vec), nlist, id_col)
+        .toPandas()
+        .rename(columns={id_col: "cid", vec: "cv"})
+        .sort_values("cid", ignore_index=True)
+    )
+    if len(pdf):
+        C = np.stack(pdf["cv"].to_numpy()).astype(np.float64)
+        pdf["cn"] = np.sqrt(np.cumsum(C * C, axis=1)[:, -1])
+    else:
+        pdf["cn"] = pd.Series([], dtype="float64")
+    return pdf
+
+
+def _assign_kernel(cent: pd.DataFrame, id_col: str, vec: str, out_cols):
+    """Map-only nearest-centroid assignment kernel shared by
+    :func:`ivf_topk` and :func:`assign_centroids` (r15): replaces the
+    corpus ×nlist ArrowEvalPython cross + struct-max SortAggregate +
+    exchange with ONE ``mapInPandas`` pass. Bit-exactness: c_sim per
+    (row, centroid) is the same left-fold dot over the same float64
+    products divided by the same norms, and ``np.argmax`` over
+    centroids sorted by cid ascending picks the FIRST maximum — the
+    exact (c_sim DESC, cid ASC) tie-break of the struct max (including
+    NaN handling: numpy's argmax is sticky on the first NaN, and
+    Spark's struct max orders NaN above every double, so both resolve
+    to the lowest-cid NaN entry). ``out_cols`` names the four output
+    columns ``(id, cid, vec, norm)``. Nested fn: cloudpickle ships it
+    by value."""
+    import numpy as np
+
+    cids = cent["cid"].to_numpy()
+    C = (
+        np.stack(cent["cv"].to_numpy()).astype(np.float64)
+        if len(cent) else np.empty((0, 0))
+    )
+    cn = cent["cn"].to_numpy().astype(np.float64)
+    c_id, c_cid, c_vec, c_nrm = out_cols
+
+    def assign(batches):
+        import numpy as np
+
+        for pdf in batches:
+            if len(pdf) == 0 or len(cids) == 0:
+                yield pd.DataFrame(
+                    {c_id: [], c_cid: [], c_vec: [], c_nrm: []}
+                )
+                continue
+            V = np.stack(pdf[vec].to_numpy()).astype(np.float64)
+            nrm = np.sqrt(np.cumsum(V * V, axis=1)[:, -1])
+            sims = np.empty((len(V), len(cids)))
+            for j in range(len(cids)):
+                sims[:, j] = (
+                    np.cumsum(V * C[j][None, :], axis=1)[:, -1] / (nrm * cn[j])
+                )
+            best = sims.argmax(axis=1)
+            yield pd.DataFrame({
+                c_id: pdf[id_col].to_numpy(),
+                c_cid: cids[best],
+                c_vec: pdf[vec],
+                c_nrm: nrm,
+            })
+
+    return assign
+
+
 def ivf_topk(
     df: DataFrame,
     k: int = 5,
@@ -455,26 +533,44 @@ def ivf_topk(
     per-query top-k windows over candidates. Probed fraction
     ≈ nprobe/nlist of the corpus per query vs 100% for brute force.
     """
+    # conditional spread (r15): a single-file fixture corpus scans as
+    # ONE task, serializing the assignment kernel and the ADC/scoring
+    # joins that inherit its partitioning; production many-split scans
+    # are untouched
+    from etl_pack_spark.operators.partitioning import spread_small_scan
+
+    df = spread_small_scan(df, id_col)
     base = with_norm(df, vec)
-    cent = _coarse_sample(base, nlist, id_col).select(
-        F.col(id_col).alias("cid"), F.col(vec).alias("cv"), F.col("norm").alias("cn")
+    # centroids collected driver-side (r15): nlist rows of kilobytes —
+    # the same bounded posture as quantize.ivf_pq_index. Collecting
+    # them once (a) computes the corpus-wide TakeOrdered sample ONCE
+    # instead of once per broadcast consumer, and (b) lets the
+    # assignment run as a map-only kernel below. Norm is computed
+    # AFTER the nlist-row limit (it used to be a full-corpus
+    # ArrowEvalPython pass per centroid consumer).
+    cent_pdf = _collect_centroids(df, nlist, id_col, vec)
+    cent = df.sparkSession.createDataFrame(
+        cent_pdf,
+        schema=f"cid {dict(df.dtypes)[id_col]}, cv {dict(df.dtypes)[vec]}, "
+               f"cn double",
     )
     c_sim = _dot_udf(F.col(vec), F.col("cv")) / (F.col("norm") * F.col("cn"))
     # bounded by construction: cent = nlist centroid rows
     crossed = base.crossJoin(F.broadcast(cent)).select(
         F.col(id_col), F.col(vec), F.col("norm"), F.col("cid"), c_sim.alias("c_sim")
     )
-    # argmax centroid per vector, tie → lowest cid: lexicographic struct
-    # max on (c_sim, -cid) is unique, so the payload fields never compare
-    best = F.max(
-        F.struct(
-            F.col("c_sim"), (-F.col("cid")).alias("ncid"),
-            F.col(vec).alias("v"), F.col("norm").alias("nrm"),
-        )
-    ).alias("m")
-    assigned = crossed.groupBy(id_col).agg(best).select(
-        F.col(id_col).alias("n_id"), (-F.col("m.ncid")).alias("cid"),
-        F.col("m.v").alias("nv"), F.col("m.nrm").alias("nn"),
+    # nearest-centroid assignment as ONE map-only kernel (r15): the
+    # previous plan crossed the corpus ×nlist through ArrowEvalPython,
+    # then reduced with a struct-max that plans as SortAggregate (a
+    # struct agg buffer is not hash-aggregable) — a per-partition sort
+    # of nlist× the corpus plus an exchange. The kernel computes the
+    # same left-fold c_sims and the same (c_sim DESC, cid ASC) argmax
+    # per row and emits one row per vector with NO shuffle at all.
+    assigned = df.select(F.col(id_col), F.col(vec)).mapInPandas(
+        _assign_kernel(cent_pdf, id_col, vec, ("n_id", "cid", "nv", "nn")),
+        schema=f"n_id {dict(df.dtypes)[id_col]}, "
+               f"cid {dict(df.dtypes)[id_col]}, "
+               f"nv {dict(df.dtypes)[vec]}, nn double",
     )
     # query rows: an explicit id frame (broadcast semi-join — queries
     # are corpus members) or the default ids-below-threshold framing
@@ -570,7 +666,9 @@ def ivf_topk_sql(
 def _hyperplane_expr(plane: int, dim: int) -> str:
     """Deterministic pseudo-random hyperplane coefficient in [-0.5, 0.5):
     first 4 hex chars of md5('plane:dim') scaled. Cheap, seedless,
-    identical on any engine with md5."""
+    identical on any engine with md5. This SQL form is what the DuckDB
+    oracle twins interpolate; the Spark side uses
+    :func:`_hyperplane_coeff`, the same value pre-computed driver-side."""
     return (
         f"(CAST(instr('{HEX}', substr(md5('{plane}:{dim}'), 1, 1)) - 1 AS DOUBLE) * 4096.0"
         f" + CAST(instr('{HEX}', substr(md5('{plane}:{dim}'), 2, 1)) - 1 AS DOUBLE) * 256.0"
@@ -580,17 +678,91 @@ def _hyperplane_expr(plane: int, dim: int) -> str:
     )
 
 
+def _hyperplane_coeff(plane: int, dim: int) -> float:
+    """Driver-side twin of :func:`_hyperplane_expr` — bit-identical by
+    construction: the first 4 md5 hex chars are an integer < 2^16
+    (exact in a double), /65536.0 is a power-of-two scale and -0.5 a
+    dyadic shift, so every step is exact IEEE754 in both engines."""
+    import hashlib
+
+    h = hashlib.md5(f"{plane}:{dim}".encode()).hexdigest()
+    return int(h[:4], 16) / 65536.0 - 0.5
+
+
 def lsh_bucket_key(vec: str, dims: int, planes: int = 8, plane_offset: int = 0) -> F.Column:
     """Sign pattern of ``planes`` hyperplane projections → bucket key
-    string like '10110010'."""
+    string like '10110010'.
+
+    The coefficients are LITERALS (r15): the md5-derived constants were
+    previously emitted as ~30-op SQL subtrees (4 md5 calls + instr/
+    substr chains each), so a planes=4 × dims=64 × tables=6 keying was
+    a ~46k-node expression tree — janino failed to compile the
+    generated code (64 KB method limit), whole-stage codegen fell back
+    to INTERPRETED projection, and task binaries hit 5 MiB: the
+    ann_lsh_neardup registry query measured 265 s at sf0.1. Folding
+    each coefficient to its (bit-identical) literal keeps the same
+    left-associative ``+`` chain — term order and association are
+    unchanged, so projections, signs, buckets and the oracle hash are
+    unchanged. (:func:`lsh_neardup_pairs` goes further and computes
+    every table's key in one vectorized kernel — see
+    :func:`_lsh_keys_udf`; this Column form remains for single-key
+    callers.)"""
     bits = []
     for p in range(plane_offset, plane_offset + planes):
-        terms = " + ".join(
-            f"(CAST(element_at({vec}, {d + 1}) AS DOUBLE) * ({_hyperplane_expr(p, d)}))"
-            for d in range(dims)
+        col = None
+        for d in range(dims):
+            term = F.element_at(F.expr(vec), d + 1).cast("double") * F.lit(
+                _hyperplane_coeff(p, d)
+            )
+            col = term if col is None else col + term
+        bits.append(F.when(col >= 0, F.lit("1")).otherwise(F.lit("0")))
+    return F.concat(*bits)
+
+
+def _lsh_keys_udf(dims: int, planes: int, tables: int):
+    """ALL ``tables`` bucket keys in one vectorized kernel (r15):
+    even with literal coefficients (see :func:`lsh_bucket_key`) the
+    24-plane × 64-dim keying is a ~1.5k-term expression tree whose
+    codegen still tripped janino on the banded self-join's duplicated
+    subtrees, and whose Catalyst analysis alone cost seconds per
+    action. One pandas UDF evaluates the whole (planes × tables) × dims
+    coefficient matrix per Arrow batch instead.
+
+    Bit-exactness: the JVM expression was the left-associative chain
+    ``t_0 + t_1 + ... + t_{dims-1}`` of ``double(v[d]) * coeff`` terms;
+    ``np.cumsum`` is sequential by definition, so its last column is
+    the same left-fold over the same float64 products — projections,
+    signs and bucket strings are bit-identical to both the old plan and
+    the DuckDB oracle's expanded ``+`` chains (the same argument as
+    ``dot_impl``). Nested function: cloudpickle ships it by value, no
+    executor-side package import needed."""
+    coeffs = [
+        [_hyperplane_coeff(p, d) for d in range(dims)]
+        for p in range(planes * tables)
+    ]
+
+    def keys_impl(vs: pd.Series) -> pd.Series:
+        import numpy as np
+
+        if len(vs) == 0:
+            return pd.Series([], dtype=object)
+        V = np.stack(vs.to_numpy()).astype(np.float64)       # (n, dims)
+        C = np.asarray(coeffs)                               # (P, dims)
+        n = len(V)
+        proj = np.empty((n, len(C)))
+        for p in range(len(C)):
+            # strict left-fold: cumsum's last column == t0+t1+...+tn-1
+            proj[:, p] = np.cumsum(V * C[p][None, :], axis=1)[:, -1]
+        bits = np.where(proj >= 0, "1", "0")
+        return pd.Series(
+            [
+                ["".join(row[t * planes:(t + 1) * planes])
+                 for t in range(tables)]
+                for row in bits
+            ]
         )
-        bits.append(f"CASE WHEN ({terms}) >= 0 THEN '1' ELSE '0' END")
-    return F.expr("concat(" + ", ".join(bits) + ")")
+
+    return F.pandas_udf(keys_impl, "array<string>")
 
 
 def lsh_neardup_pairs(
@@ -607,31 +779,79 @@ def lsh_neardup_pairs(
     exact cosine re-rank only within buckets. Recall < 1 by design
     (scale path); the brute-force query is the exactness baseline.
 
-    At scale: the per-table bucket join is an equi-join on the key, so
-    candidate generation is shuffle-bounded by bucket size, never
-    all-pairs."""
-    keys = [
-        lsh_bucket_key(vec, dims, planes, plane_offset=t * planes).alias(f"bk_{t}")
-        for t in range(tables)
-    ]
-    keyed = with_norm(df, vec).select("*", *keys)
+    At scale: candidate scoring is confined WITHIN buckets and each
+    bucket is scored by ONE task as a matrix kernel — the semantic_dedup
+    shape: every vector ships once per bucket membership, never once
+    per candidate pair.
+
+    r15 restructure (two steps, result-identical):
+
+    * All ``tables`` keys come from one vectorized kernel
+      (:func:`_lsh_keys_udf`) instead of ``tables × planes`` giant JVM
+      expression trees — the md5-derived-coefficient expressions made
+      the generated code exceed janino's method limit, so the whole
+      projection ran INTERPRETED (265 s at sf0.1 for this query).
+      ``posexplode`` over the key array keeps ``tbl`` numbering
+      identical to the old per-table columns.
+    * The within-bucket re-rank is a per-bucket ``applyInPandas``
+      kernel (strict left-fold dots via ``_make_tiled_dots`` +
+      ``np.sqrt`` norms — the same correctly-rounded IEEE754 ops the
+      JVM expressions computed, so cos values are bit-identical and
+      the oracle hash is unchanged). The previous bucket self-join
+      shipped ``(va, vb)`` per PAIR through the Arrow boundary —
+      ~2.4 GB for sf0.1's ~4.7M candidates (4.5-6 s no matter how the
+      probe side was partitioned); the kernel ships each bucket's
+      vectors once (~9 MB). A hot bucket concentrates in one task —
+      the same concentration the join fan-out had, minus the per-pair
+      payload duplication."""
+    import numpy as np
+
+    keyed = df.select(
+        F.col(id_col), F.col(vec),
+        _lsh_keys_udf(dims, planes, tables)(F.col(vec)).alias("__bks"),
+    )
     banded = keyed.select(
-        F.col(id_col), F.col(vec), F.col("norm"),
-        F.posexplode(F.array(*[F.col(f"bk_{t}") for t in range(tables)])).alias("tbl", "bucket"),
+        F.col(id_col), F.col(vec),
+        F.posexplode("__bks").alias("tbl", "bucket"),
     )
-    a = banded.select(
-        F.col(id_col).alias("id_a"), F.col(vec).alias("va"),
-        F.col("norm").alias("na"), "tbl", "bucket",
-    )
-    b = banded.select(
-        F.col(id_col).alias("id_b"), F.col(vec).alias("vb"),
-        F.col("norm").alias("nb"), "tbl", "bucket",
-    )
-    pairs = a.join(b, ["tbl", "bucket"]).where(F.col("id_a") < F.col("id_b"))
-    cos = _dot_udf(F.col("va"), F.col("vb")) / (F.col("na") * F.col("nb"))
+    id_type = dict(df.dtypes)[id_col]
+    tiled_dots = _make_tiled_dots()
+
+    def bucket_pairs(pdf: pd.DataFrame) -> pd.DataFrame:
+        if len(pdf) < 2:
+            return pd.DataFrame({"id_a": [], "id_b": [], "cos_sim": []})
+        pdf = pdf.sort_values(id_col).reset_index(drop=True)
+        M = np.stack(pdf[vec].to_numpy()).astype(np.float64)
+        nrm = np.sqrt(np.cumsum(M * M, axis=1)[:, -1])
+        ids = pdf[id_col].to_numpy()
+        n = len(pdf)
+        out_a, out_b, out_c = [], [], []
+        step = max(1, (32 << 20) // max(1, n * 8))
+        for s in range(0, n, step):
+            chunk = M[s : s + step]
+            cos = tiled_dots(chunk, M) / (nrm[s : s + step, None] * nrm[None, :])
+            # ascending-id order → id_a < id_b is the strict upper
+            # triangle of the score tile
+            upper = np.arange(n)[None, :] > (s + np.arange(chunk.shape[0]))[:, None]
+            # Spark orders NaN ABOVE every double, so the old JVM
+            # predicate `cos_sim >= threshold` kept 0/0-norm pairs;
+            # numpy's NaN >= t is False — add isnan to stay identical
+            ii, jj = np.nonzero(((cos >= threshold) | np.isnan(cos)) & upper)
+            out_a.append(ids[s + ii])
+            out_b.append(ids[jj])
+            out_c.append(cos[ii, jj])
+        return pd.DataFrame({
+            "id_a": np.concatenate(out_a),
+            "id_b": np.concatenate(out_b),
+            "cos_sim": np.concatenate(out_c),
+        })
+
     return (
-        pairs.select("id_a", "id_b", cos.alias("cos_sim"))
-        .where(F.col("cos_sim") >= threshold)
+        banded.groupBy("tbl", "bucket")
+        .applyInPandas(
+            bucket_pairs,
+            schema=f"id_a {id_type}, id_b {id_type}, cos_sim double",
+        )
         .distinct()
     )
 
@@ -652,29 +872,20 @@ def assign_centroids(
     (``cluster_embeddings``) trades oracle-exactness for trained
     centroids.
 
-    Scale shape: broadcast of ``nlist`` centroid rows against the
-    corpus; the argmax is a map-side-combinable struct max, so exactly
-    one row per vector leaves each task — no window over the
-    nlist-times-crossed rows. Returns ``(id, vec, norm, cid)``.
+    Scale shape (r15): the ``nlist`` centroids are a bounded
+    driver-side collect (kilobytes) and assignment is ONE map-only
+    ``mapInPandas`` kernel — no crossed rows, no aggregate, no
+    shuffle. The kernel's c_sims are the same left-fold dots and its
+    argmax the same (c_sim DESC, cid ASC) tie-break the previous
+    struct-max aggregation computed (see :func:`_assign_kernel`), so
+    assignments are bit-identical. Returns ``(id, cid, vec, norm)``.
     """
-    base = with_norm(df, vec)
-    cent = _coarse_sample(base, nlist, id_col).select(
-        F.col(id_col).alias("cid"), F.col(vec).alias("cv"), F.col("norm").alias("cn")
-    )
-    c_sim = _dot_udf(F.col(vec), F.col("cv")) / (F.col("norm") * F.col("cn"))
-    # bounded by construction: cent = nlist centroid rows
-    crossed = base.crossJoin(F.broadcast(cent)).select(
-        F.col(id_col), F.col(vec), F.col("norm"), F.col("cid"), c_sim.alias("c_sim")
-    )
-    best = F.max(
-        F.struct(
-            F.col("c_sim"), (-F.col("cid")).alias("ncid"),
-            F.col(vec).alias("v"), F.col("norm").alias("nrm"),
-        )
-    ).alias("m")
-    return crossed.groupBy(id_col).agg(best).select(
-        F.col(id_col), (-F.col("m.ncid")).alias("cid"),
-        F.col("m.v").alias(vec), F.col("m.nrm").alias("norm"),
+    cent_pdf = _collect_centroids(df, nlist, id_col, vec)
+    return df.select(F.col(id_col), F.col(vec)).mapInPandas(
+        _assign_kernel(cent_pdf, id_col, vec, (id_col, "cid", vec, "norm")),
+        schema=f"{id_col} {dict(df.dtypes)[id_col]}, "
+               f"cid {dict(df.dtypes)[id_col]}, "
+               f"{vec} {dict(df.dtypes)[vec]}, norm double",
     )
 
 
