@@ -57,8 +57,13 @@ from pyspark.sql import functions as F
 MAX_DRIVER_PAIRS = 2_000_000
 
 
-def _driver_union_find(edges: DataFrame, src: str, dst: str) -> DataFrame:
-    """Exact union-find over a bounded edge list (roots = min id)."""
+def _driver_union_find(
+    edges: DataFrame, src: str, dst: str, pdf=None
+) -> DataFrame:
+    """Exact union-find over a bounded edge list (roots = min id).
+    ``pdf``: the edges already collected (the auto path's bounded
+    probe-collect, r15) — the final labeling is min-id per component
+    regardless of edge processing order, so any row order works."""
     import pandas as pd
 
     parent: dict = {}
@@ -72,7 +77,8 @@ def _driver_union_find(edges: DataFrame, src: str, dst: str) -> DataFrame:
         return root
 
     # Arrow collect: two columnar arrays, not per-row Row objects
-    pdf = edges.select(src, dst).toPandas()
+    if pdf is None:
+        pdf = edges.select(src, dst).toPandas()
     src_arr, dst_arr = pdf[src].to_numpy(), pdf[dst].to_numpy()
     for a0, b0 in zip(src_arr, dst_arr):
         a, b = find(a0), find(b0)
@@ -118,7 +124,11 @@ def connected_components(
         # otherwise re-execute that pipeline once more for the labeling
         edges = edges.persist()
         released = False
-        # bounded size probe: limit(n+1) is one cheap job, no full count
+        # bounded size probe: limit(n+1) is one cheap job, no full
+        # count. (r15 note: a merged limit(n+1).toPandas() was tried
+        # and REVERTED — CollectLimit executes incrementally, 1 then
+        # 4× then 16× partitions, so the "one action" ran as up to 8
+        # jobs; the probe + full collect pair is 2.)
         probe = edges.select(src).limit(MAX_DRIVER_PAIRS + 1).count()
         if probe <= MAX_DRIVER_PAIRS:
             try:

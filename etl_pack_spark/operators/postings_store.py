@@ -292,7 +292,7 @@ def bm25_topk_store(
     # loaded doclens frame the scoring postings share
     postings, doclens = postings_load(spark, path)
     n_docs, avgdl = _stats_from_doclens(doclens)
-    return _bm25_score_single(postings, n_docs, avgdl, q_terms, k, k1, b)
+    return _bm25_score_single(postings, (n_docs, avgdl), q_terms, k, k1, b)
 
 
 def bm25_topk_batch_store(
@@ -320,7 +320,7 @@ def bm25_topk_batch_store(
     postings, doclens = postings_load(spark, path)
     n_docs, avgdl = _stats_from_doclens(doclens)
     return _bm25_score_batch(
-        postings, n_docs, avgdl, q_terms, k, k1, b, exclude_self
+        postings, (n_docs, avgdl), q_terms, k, k1, b, exclude_self
     )
 
 

@@ -51,13 +51,73 @@ def build_postings(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     dependent on ``id``), so the whole build is one explode + ONE
     map-side-combined hash aggregation — no join, no second shuffle.
     """
-    toks = df.select(F.col(id_col).alias("id"), tokens(text_col).alias("__toks"))
-    return (
-        toks.select("id", F.size("__toks").alias("dl"), F.explode("__toks").alias("term"))
+    postings, _ = _observed_postings(df, id_col, text_col, observe=False)
+    return postings
+
+
+def _observed_postings(
+    df: DataFrame, id_col: str, text_col: str, observe: bool = True
+):
+    """Postings build with the corpus stats riding the SAME scan (r15).
+
+    The BM25 entry points used to pay a second full corpus tokenize
+    for ``(n_docs, avgdl)`` (a separate ``agg(count, avg(dl)).first()``
+    pass — at 100 TB, a whole extra read+regex pass over every
+    document). An ``Observation`` on the pre-explode token frame now
+    collects ``count(*)``, ``count(dl)`` and ``sum(dl)`` as a
+    side-effect of the postings scan; the returned ``stats(hits)``
+    callable forces the (persisted) term-filtered postings once and
+    reads the metrics off that same pass. ``float(sum)/float(count)``
+    is exactly Spark's ``avg`` (both cast the exact integer sum and
+    count to double, then divide once), and the zero-token/NULL-text
+    accounting matches: count(*) spans all docs, sum/count skip NULL
+    dl — so n_docs, avgdl, and every downstream score are unchanged.
+
+    The observation name is per-call unique, which also makes each
+    call's plan semantically unique — the pooled persist can therefore
+    never hand this call a cached frame whose (already-completed)
+    metrics belong to an earlier observation.
+    """
+    toks = df.select(
+        F.col(id_col).alias("id"), tokens(text_col).alias("__toks")
+    ).select("id", F.size("__toks").alias("dl"), F.col("__toks"))
+    obs = None
+    if observe:
+        from pyspark.sql import Observation
+
+        obs = Observation()
+        toks = toks.observe(
+            obs,
+            F.count(F.lit(1)).alias("n_docs"),
+            F.count("dl").alias("n_dl"),
+            F.sum("dl").alias("sum_dl"),
+        )
+    postings = (
+        toks.select("id", "dl", F.explode("__toks").alias("term"))
         .groupBy("term", "id", "dl")
         .agg(F.count("*").cast("int").alias("tf"))
         .select("term", "id", "tf", "dl")
     )
+
+    def stats(hits: DataFrame):
+        # materialize the term-filtered postings (persisted by the
+        # scoring core) — this runs the observed scan exactly once and
+        # everything downstream reuses the cache
+        if hits.count() == 0:
+            # degenerate: no posting matches any query term (empty
+            # corpus included). The result is empty under ANY finite
+            # (n_docs, avgdl), so skip the metrics read — an
+            # empty-propagated plan (e.g. limit(0) input) may have
+            # optimized the CollectMetrics node away entirely, and
+            # zero hits is the one case where that can happen.
+            return 0, 1.0
+        m = obs.get
+        avgdl = (
+            float(m["sum_dl"]) / float(m["n_dl"]) if m["n_dl"] else 1.0
+        )
+        return int(m["n_docs"]), avgdl
+
+    return postings, stats
 
 
 def build_postings_sql(table: str, id_col: str, text_col: str) -> str:
@@ -138,27 +198,18 @@ def bm25_topk(
     q_terms = sorted({t for t in _tokenize_py(query) if t})
     if not q_terms:
         raise ValueError("query has no tokens")
-    postings = build_postings(df, id_col, text_col)
-    # One scalar action for both corpus stats. avgdl averages over ALL
-    # docs (zero-token docs included) to match the oracle exactly —
-    # postings alone would silently drop empty documents.
-    n_docs, avgdl = (
-        df.select(F.size(tokens(text_col)).alias("__dl"))
-        .agg(F.count("*"), F.avg("__dl"))
-        .first()
-    )
-    # empty corpus: avg() is NULL and float(None) would raise an
-    # obscure TypeError — postings are empty so the result is empty
-    # under ANY finite damping denominator; 1.0 keeps the plan buildable
-    if avgdl is None:
-        avgdl = 1.0
-    return _bm25_score_single(postings, n_docs, avgdl, q_terms, k, k1, b)
+    # ONE corpus pass (r15): n_docs/avgdl ride the postings scan as an
+    # Observation instead of a second full tokenize — avgdl still
+    # averages over ALL docs (zero-token docs included), exactly as
+    # the oracle does, and an empty corpus still resolves avgdl=1.0
+    # (result empty under any finite damping denominator).
+    postings, stats = _observed_postings(df, id_col, text_col)
+    return _bm25_score_single(postings, stats, q_terms, k, k1, b)
 
 
 def _bm25_score_single(
     postings: DataFrame,
-    n_docs: int,
-    avgdl: float,
+    stats,
     q_terms: list[str],
     k: int,
     k1: float,
@@ -168,6 +219,10 @@ def _bm25_score_single(
     the corpus) and the persisted-store query path (r14 — postings read
     back from a :mod:`postings_store`); one implementation guarantees
     the two are bit-identical given the same (postings, n_docs, avgdl).
+    ``stats``: either a ``(n_docs, avgdl)`` tuple (store path — the
+    store knows them without touching the corpus) or a callable taking
+    the persisted ``hits`` frame (rebuild path — resolves off the same
+    scan via the r15 Observation, see :func:`_observed_postings`).
     """
     # the term-filtered postings feed TWO consumers (the idf stats agg
     # and the contribution join); unpersisted, each re-executes the
@@ -178,11 +233,12 @@ def _bm25_score_single(
     from etl_pack_spark.operators.cache import pooled_persist
 
     hits = pooled_persist(postings.where(F.col("term").isin(q_terms)))
-    stats = term_stats(hits, n_docs)
+    n_docs, avgdl = stats(hits) if callable(stats) else stats
+    tstats = term_stats(hits, n_docs)
     contrib = (
         hits
-        # bounded by construction: stats has one row per QUERY term
-        .join(F.broadcast(stats), "term")
+        # bounded by construction: tstats has one row per QUERY term
+        .join(F.broadcast(tstats), "term")
         .select(
             "id",
             (
@@ -296,26 +352,19 @@ def bm25_topk_batch(
         )
         .distinct()
     )
-    postings = build_postings(df, id_col, text_col)
-    n_docs, avgdl = (
-        df.select(F.size(tokens(text_col)).alias("__dl"))
-        .agg(F.count("*"), F.avg("__dl"))
-        .first()
-    )
-    # empty corpus: avg() is NULL — stand in 1.0; postings are empty
-    # so the result is empty for any finite denominator (r9 ADVICE:
-    # the bare float(None) here raised an opaque TypeError)
-    if avgdl is None:
-        avgdl = 1.0
+    # ONE corpus pass (r15): n_docs/avgdl ride the postings scan as an
+    # Observation instead of a second full tokenize (empty corpus
+    # still resolves avgdl=1.0 — the r9 ADVICE float(None) guard lives
+    # in _observed_postings now)
+    postings, stats = _observed_postings(df, id_col, text_col)
     return _bm25_score_batch(
-        postings, n_docs, avgdl, q_terms, k, k1, b, exclude_self
+        postings, stats, q_terms, k, k1, b, exclude_self
     )
 
 
 def _bm25_score_batch(
     postings: DataFrame,
-    n_docs: int,
-    avgdl: float,
+    stats,
     q_terms: DataFrame,
     k: int,
     k1: float,
@@ -323,7 +372,8 @@ def _bm25_score_batch(
     exclude_self: bool,
 ) -> DataFrame:
     """Batch scoring core shared by :func:`bm25_topk_batch` and the
-    persisted-store path (r14) — see :func:`_bm25_score_single`."""
+    persisted-store path (r14) — see :func:`_bm25_score_single` for
+    the ``stats`` tuple-or-callable contract."""
     from etl_pack_spark.operators import guards
 
     # persisted through the pool: the probe, the semi-join build side,
@@ -345,10 +395,11 @@ def _bm25_score_batch(
     # full document scans and zero ReusedExchange). hits itself is
     # bounded by the query terms' postings, not corpus-sized.
     hits = pooled_persist(postings.join(hint(used), "term", "left_semi"))
-    stats = term_stats(hits, n_docs)
+    n_docs, avgdl = stats(hits) if callable(stats) else stats
+    tstats = term_stats(hits, n_docs)
     contrib = (
         hits.join(hint(q_terms), "term")
-        .join(hint(stats), "term")
+        .join(hint(tstats), "term")
         .select(
             "q_id",
             "id",
