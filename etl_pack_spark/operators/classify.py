@@ -298,8 +298,17 @@ def nb_langid_score(
     languages-wide per-doc argmax. The corpus never shuffles raw text;
     the per-doc language fan-out is |languages| (a handful)."""
     from etl_pack_spark.operators.guards import maybe_broadcast
+    from etl_pack_spark.operators.partitioning import spread_small_scan
 
-    docs = df.select(F.col(id_col).alias("__id"), F.col(text_col).alias("__t"))
+    # conditional spread (r15): the gram explode + model join + partial
+    # aggregate all run in the SCAN stage (the model join is broadcast),
+    # so a single-file fixture corpus executed the whole scoring pass in
+    # ONE task (the two 5-6 s single-task jobs in the r15 profile);
+    # production many-split scans are untouched
+    docs = spread_small_scan(
+        df.select(F.col(id_col).alias("__id"), F.col(text_col).alias("__t")),
+        "__id",
+    )
     # NOT persisted: the exploded gram stream is corpus-sized and has
     # exactly ONE consumer (the model join) — n_g comes from its own
     # map-only size() projection, so both passes stay scan -> map

@@ -177,6 +177,16 @@ def prepare_pretraining_corpus(
     # mode — and, for "reliable", the checkpoint dir — BEFORE any work
     cp = _stage_checkpointer(checkpoint_stages, docs.sparkSession)
 
+    # conditional spread (r15): every stage of this pipeline is
+    # partitioning-deterministic by design (md5 shards, sorted packing
+    # order, hash dedup), so spreading a single-file fixture scan is
+    # result-neutral — without it the curation/canonicalize/signature
+    # map stages each ran as ONE task at bench scale; production
+    # many-split scans skip the repartition entirely
+    from etl_pack_spark.operators.partitioning import spread_small_scan
+
+    docs = spread_small_scan(docs, "doc_id")
+
     if extract_html:
         from etl_pack_spark.operators.cleaning import html_clean_lines
 
