@@ -762,7 +762,14 @@ def _lsh_keys_udf(dims: int, planes: int, tables: int):
             ]
         )
 
-    return F.pandas_udf(keys_impl, "array<string>")
+    # asNondeterministic (guide §4.4): posexplode's implicit
+    # size>0/isnotnull filter was pushed below the key projection and
+    # DUPLICATED the kernel — the executed plan evaluated keys_impl
+    # twice per row (plans/r15/ann_lsh_neardup_after.txt pre-fix).
+    # The function is in fact deterministic; the marker only stops the
+    # optimizer cloning it. (The filter never drops rows anyway — the
+    # kernel always returns a tables-length array.)
+    return F.pandas_udf(keys_impl, "array<string>").asNondeterministic()
 
 
 def lsh_neardup_pairs(
@@ -806,11 +813,10 @@ def lsh_neardup_pairs(
       payload duplication."""
     import numpy as np
 
-    keyed = df.select(
+    banded = df.select(
         F.col(id_col), F.col(vec),
         _lsh_keys_udf(dims, planes, tables)(F.col(vec)).alias("__bks"),
-    )
-    banded = keyed.select(
+    ).select(
         F.col(id_col), F.col(vec),
         F.posexplode("__bks").alias("tbl", "bucket"),
     )

@@ -643,3 +643,31 @@ class TestPostingsStoreR15:
             [(1, "cat mat"), (2, "quick dog")], "q_id long, text string")
         got2 = ps.bm25_topk_batch_store(spark, store, qdf, k=5).collect()
         assert len(calls) == 1 and got2
+
+
+def test_observed_stats_match_separate_scan(spark, sf_dir):
+    """r15: the Observation-collected (n_docs, avgdl) must equal the old
+    separate agg(count, avg(dl)) scan exactly — including NULL-text and
+    zero-token accounting — since every downstream score literal
+    depends on them."""
+    from etl_pack_spark.operators.retrieval import _observed_postings
+    from etl_pack_spark.operators.tokenize import tokens as _tokens
+
+    docs = read_table(spark, sf_dir, "documents")
+    # plant a NULL-text and an empty-text row alongside the corpus
+    extra = spark.createDataFrame(
+        [(10_000_001, None), (10_000_002, "")],
+        "doc_id long, text string",
+    )
+    df = docs.select("doc_id", "text").unionByName(extra)
+    postings, stats = _observed_postings(df, "doc_id", "text")
+    hits = postings.where(F.col("term").isin(["the", "and"])).persist()
+    n_docs, avgdl = stats(hits)
+    hits.unpersist()
+    want_n, want_avg = (
+        df.select(F.size(_tokens("text")).alias("__dl"))
+        .agg(F.count("*"), F.avg("__dl"))
+        .first()
+    )
+    assert n_docs == want_n
+    assert avgdl == want_avg

@@ -346,3 +346,64 @@ def test_ann_recall_measures_ivf_against_brute(spark, sf_dir):
     assert len(rec) == 10
     mean = sum(r["recall"] for r in rec) / len(rec)
     assert 0.0 < mean <= 1.0
+
+
+def test_lsh_keys_evaluated_once_in_plan(spark, sf_dir):
+    """r15 optimization pins: the LSH keying kernel must appear exactly
+    ONCE in the executed plan (posexplode's implicit size filter used to
+    be pushed below the projection, duplicating the ArrowEvalPython —
+    guide §4.4), and the whole pipeline must stay off the row-at-a-time
+    Python path."""
+    emb = read_table(spark, sf_dir, "embeddings")
+    df = similarity.lsh_neardup_pairs(
+        emb, dims=64, planes=4, tables=6, threshold=0.4
+    )
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("keys_impl") == 1, plan
+    assert "BatchEvalPython" not in plan
+    assert plan.count("FlatMapGroupsInPandas") == 1
+
+
+def test_lsh_keys_udf_matches_expression_form(spark, sf_dir):
+    """r15: the vectorized key kernel must be bit-identical to the
+    per-plane expression form (lsh_bucket_key) — same left-fold
+    projections, same signs, same strings."""
+    emb = read_table(spark, sf_dir, "embeddings").limit(50)
+    keys_col = similarity._lsh_keys_udf(64, 4, 3)(F.col("embedding"))
+    got = {
+        r["vec_id"]: r["ks"]
+        for r in emb.select("vec_id", keys_col.alias("ks")).collect()
+    }
+    expr_cols = [
+        similarity.lsh_bucket_key("embedding", 64, 4, plane_offset=t * 4)
+        .alias(f"bk_{t}")
+        for t in range(3)
+    ]
+    want = {
+        r["vec_id"]: [r["bk_0"], r["bk_1"], r["bk_2"]]
+        for r in emb.select("vec_id", *expr_cols).collect()
+    }
+    assert got == want
+
+
+def test_assign_kernel_matches_independent_argmax(spark, sf_dir):
+    """r15: the map-only nearest-centroid kernel must reproduce the
+    (c_sim DESC, cid ASC) argmax the struct-max aggregation computed,
+    against an independent numpy reimplementation."""
+    emb = read_table(spark, sf_dir, "embeddings")
+    got = {
+        r["vec_id"]: r["cid"]
+        for r in similarity.assign_centroids(emb, nlist=16).collect()
+    }
+    cent = similarity._collect_centroids(emb, 16, "vec_id", "embedding")
+    C = np.stack(cent["cv"].to_numpy()).astype(np.float64)
+    cn = cent["cn"].to_numpy()
+    cids = cent["cid"].to_numpy()
+    pdf = emb.toPandas()
+    for vid, v in zip(pdf["vec_id"], pdf["embedding"]):
+        v = np.asarray(v, dtype=np.float64)
+        nrm = np.sqrt(np.cumsum(v * v)[-1])
+        sims = [
+            np.cumsum(v * C[j])[-1] / (nrm * cn[j]) for j in range(len(cids))
+        ]
+        assert got[vid] == cids[int(np.argmax(sims))], vid
