@@ -69,6 +69,36 @@ def test_simhash_similar_docs_close(spark):
     assert hamming(by_id[1], by_id[2]) < hamming(by_id[1], by_id[3])
 
 
+def test_ngram_jaccard_candidate_path_matches_brute_force(spark, sf_dir):
+    """r15 rewrite pin: the shared-shingle candidate path (threshold>0)
+    must emit EXACTLY the pairs the all-pairs BNLJ baseline emits —
+    same ids, bit-identical jaccard doubles. The brute-force plan is
+    reachable via threshold<=0, so both are compared post-filtered at
+    the same cut."""
+    docs = read_table(spark, sf_dir, "documents")
+    fast = {(r["id_a"], r["id_b"]): r["jaccard"]
+            for r in neardup.ngram_jaccard_pairs(
+                docs, "doc_id", "text", threshold=0.8).collect()}
+    brute = {(r["id_a"], r["id_b"]): r["jaccard"]
+             for r in neardup.ngram_jaccard_pairs(
+                 docs, "doc_id", "text", threshold=0.0).collect()
+             if r["jaccard"] >= 0.8}
+    assert fast == brute
+    assert len(fast) > 0  # fixture has planted dup pairs
+
+
+def test_ngram_jaccard_zero_threshold_keeps_disjoint_pairs(spark):
+    """threshold<=0 is the one case where a zero-intersection pair is
+    a legitimate result — the candidate equi-join must NOT be used
+    there (it can only see co-shingled pairs)."""
+    rows = [(1, "alpha beta gamma delta"), (2, "epsilon zeta eta theta")]
+    docs = spark.createDataFrame(rows, "doc_id int, text string")
+    got = {(r["id_a"], r["id_b"]): r["jaccard"]
+           for r in neardup.ngram_jaccard_pairs(
+               docs, "doc_id", "text", threshold=0.0).collect()}
+    assert got == {(1, 2): 0.0}
+
+
 def test_ngram_jaccard_guard_fires(spark):
     """The O(n²) baseline must refuse corpora above its cap and point
     at the LSH path."""
