@@ -66,6 +66,7 @@ from etl_pack_spark.operators.dedup import (
     snapshot_hashes,
 )
 from etl_pack_spark.operators.hashing import row_hash, row_hash_sql, with_row_hash
+from etl_pack_spark.operators.partitioning import spread_small_scan
 from etl_pack_spark.plans.curate import curate_corpus_sql, curate_disposition_sql
 from etl_pack_spark.sinks.writers import append_table
 from etl_pack_spark.sources.reader import ReadSpec, read_table, windowed_read
@@ -844,8 +845,10 @@ def q_text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_text_redact_pii(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """PII scrubbing pass over documents (emails/phones/card-like)."""
-    docs = read_table(spark, sf_dir, "documents")
+    """PII scrubbing pass over documents (emails/phones/card-like).
+    r15: scan spread at query entry (single-file input otherwise runs
+    the whole regex pass in one task; per-row op, result unchanged)."""
+    docs = spread_small_scan(read_table(spark, sf_dir, "documents"), "doc_id")
     return textops.redact_pii(docs, "doc_id", "text")
 
 
@@ -905,7 +908,15 @@ def q_dq_profile_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.col("is_outlier").cast("int")).cast("long").alias("n_outliers"),
         F.round(F.max("robust_z"), 6).alias("max_robust_z"),
     )
-    docs = read_table(spark, sf_dir, "documents")
+    # r15: spread the documents scan — it feeds THREE heavy one-row
+    # profile builds (pii regexes, the persisted signals frame, the
+    # datacard tokenize), each of which ran as a ~1.2s single task on
+    # the single-file fixture (4 near-identical broadcast-build jobs
+    # in the profile). Counts are exact ints; the two datacard
+    # averages are rounded to 9dp, which already absorbs cross-engine
+    # (DuckDB-vs-Spark) accumulation order — the same argument covers
+    # a partitioning change
+    docs = spread_small_scan(read_table(spark, sf_dir, "documents"), "doc_id")
     pii = pii_profile(docs, PII_PROFILE_COLS).withColumnRenamed(
         "n_rows", "pii_n_docs"
     )
@@ -1076,7 +1087,10 @@ def q_corpus_curate(spark: SparkSession, sf_dir: str) -> DataFrame:
     from etl_pack_spark.operators.urls import canonical_url_col
     from etl_pack_spark.plans.curate import curate_disposition
 
-    docs = read_table(spark, sf_dir, "documents")
+    # r15: spread the single-file scan at query entry — the URL
+    # canonicalizer regexes and the curate tokenize otherwise run
+    # single-task; every stage is hash-deterministic, result unchanged
+    docs = spread_small_scan(read_table(spark, sf_dir, "documents"), "doc_id")
     flagged = docs.withColumn(
         "canonical_url", canonical_url_col(_crawl_url_col())
     )
@@ -1136,8 +1150,11 @@ def q_corpus_curate_plain(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q_text_sentiment(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Lexicon sentiment per document (broadcast lexicon join +
-    map-side-combinable aggregate)."""
-    docs = read_table(spark, sf_dir, "documents")
+    map-side-combinable aggregate). r15: scan spread at query entry —
+    the tokenize+explode before the broadcast join ran single-task on
+    the single-file fixture; aggregates are exact int counts, so the
+    result is partitioning-independent."""
+    docs = spread_small_scan(read_table(spark, sf_dir, "documents"), "doc_id")
     return textops.lexicon_sentiment(docs, "doc_id", "text")
 
 
@@ -1145,8 +1162,14 @@ def q_text_signals(spark: SparkSession, sf_dir: str) -> DataFrame:
     """All per-doc text signals (language ID, quality, repetition,
     piece counts, fingerprint) in ONE scan / one projection — subsumes
     the former text_langid / text_quality / text_tokens /
-    text_fingerprint entries (merge map at the registry)."""
-    docs = read_table(spark, sf_dir, "documents")
+    text_fingerprint entries (merge map at the registry).
+
+    r15: the scan is spread when it underuses the cluster (guide §2.5
+    input-layout fix at the QUERY entry — a single-file corpus ran the
+    whole tokenize/regex projection as ONE task; the operator itself
+    stays pinned map-only by tests/test_textops.py). Signals are
+    per-row, so the result is partitioning-independent."""
+    docs = spread_small_scan(read_table(spark, sf_dir, "documents"), "doc_id")
     return textops.text_signals(docs, "doc_id", "text")
 
 
@@ -1298,7 +1321,10 @@ def q_c4_clean(spark: SparkSession, sf_dir: str) -> DataFrame:
         html_clean_lines,
     )
 
-    docs = read_table(spark, sf_dir, "documents")
+    # r15: spread at query entry (per-row disposition + map-only
+    # canonicalizers — single-file input otherwise runs one task; the
+    # operators stay pinned Exchange-free by tests/test_cleaning.py)
+    docs = spread_small_scan(read_table(spark, sf_dir, "documents"), "doc_id")
     dispo = c4_disposition(
         docs, "doc_id", "text",
         min_words=30, min_lines=1, badwords=["slow"], require_terminal=False,
@@ -1543,7 +1569,9 @@ def q_gopher_signals(spark: SparkSession, sf_dir: str) -> DataFrame:
     posture alongside the c4 disposition."""
     from etl_pack_spark.operators.cleaning import gopher_signals
 
-    docs = read_table(spark, sf_dir, "documents")
+    # r15: spread at query entry (per-row metrics; single-file input
+    # otherwise runs the whole projection in one task)
+    docs = spread_small_scan(read_table(spark, sf_dir, "documents"), "doc_id")
     out = gopher_signals(docs, "doc_id", "text")
     # size() is INT on Spark, len() BIGINT on DuckDB — align the schema
     return out.withColumn("n_words", F.col("n_words").cast("long")).withColumn(
@@ -1650,7 +1678,10 @@ def q_chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     from etl_pack_spark.operators.chunking import chunk_documents
     from etl_pack_spark.operators.packing import pack_sequences
 
-    docs = read_table(spark, sf_dir, "documents")
+    # r15: spread at query entry — chunking's tokenize+posexplode ran
+    # single-task on the single-file fixture; chunk rows and the md5
+    # packing shards are per-row/hash-deterministic, result unchanged
+    docs = spread_small_scan(read_table(spark, sf_dir, "documents"), "doc_id")
     chunks = chunk_documents(
         docs, "doc_id", "text", chunk_tokens=64, overlap=16
     ).select(
