@@ -287,6 +287,7 @@ def ivf_pq_index(
     vec: str = "embedding",
     sample_rows: int = 4096,
     iters: int = 5,
+    coarse_pdf=None,
 ):
     """Build the composed IVF-PQ index: coarse inverted lists (IVF,
     pruning WHICH vectors a query scores) over PQ codes of the
@@ -315,8 +316,23 @@ def ivf_pq_index(
     # DuckDB oracle. Sorted by cid afterwards so numpy's argmin
     # first-occurrence tie-break means lowest cid, like the SQL twin's
     # `ORDER BY dist, cid`.
+    # ``coarse_pdf`` (r15): a caller composing this with another
+    # IVF-family operator over the SAME corpus passes one shared
+    # ``similarity._collect_centroids`` result (columns cid, cv[, cn])
+    # so the corpus-wide TakeOrdered sample pass runs once per query
+    # instead of once per operator — the sample is a deterministic
+    # total order (md5, id), so sharing cannot change any value.
+    if coarse_pdf is not None and len(coarse_pdf) > nlist:
+        # a cid-sorted slice of a LARGER sample is not the md5-order
+        # sample at this nlist — refuse rather than silently mis-seed
+        raise ValueError(
+            f"coarse_pdf carries {len(coarse_pdf)} centroids, need <= {nlist} "
+            "(pass the _collect_centroids sample taken at THIS nlist)"
+        )
     cent_pdf = (
-        df.select(F.col(id_col).alias("cid"), F.col(vec).alias("cv"))
+        coarse_pdf
+        if coarse_pdf is not None
+        else df.select(F.col(id_col).alias("cid"), F.col(vec).alias("cv"))
         .orderBy(F.md5(F.col("cid").cast("string")), "cid")
         .limit(nlist)
         .toPandas()

@@ -514,6 +514,7 @@ def ivf_topk(
     id_col: str = "vec_id",
     vec: str = "embedding",
     queries: DataFrame | None = None,
+    coarse_pdf: pd.DataFrame | None = None,
 ) -> DataFrame:
     """IVF-flat approximate top-k: a coarse quantizer partitions the
     corpus into ``nlist`` inverted lists; each query exactly re-ranks
@@ -547,8 +548,17 @@ def ivf_topk(
     # instead of once per broadcast consumer, and (b) lets the
     # assignment run as a map-only kernel below. Norm is computed
     # AFTER the nlist-row limit (it used to be a full-corpus
-    # ArrowEvalPython pass per centroid consumer).
-    cent_pdf = _collect_centroids(df, nlist, id_col, vec)
+    # ArrowEvalPython pass per centroid consumer). ``coarse_pdf``
+    # (r15): a caller composing several IVF-family operators over the
+    # SAME corpus (e.g. the ann_ivf_topk suite slot pairing this with
+    # quantize.ivf_pq_index) passes one shared ``_collect_centroids``
+    # result so the corpus-wide TakeOrdered sample pass runs once per
+    # QUERY, not once per operator. The sample is a deterministic total
+    # order (md5, id), so sharing cannot change any value.
+    cent_pdf = (
+        coarse_pdf if coarse_pdf is not None
+        else _collect_centroids(df, nlist, id_col, vec)
+    )
     cent = df.sparkSession.createDataFrame(
         cent_pdf,
         schema=f"cid {dict(df.dtypes)[id_col]}, cv {dict(df.dtypes)[vec]}, "

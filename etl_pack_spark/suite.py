@@ -748,11 +748,19 @@ def q_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     from etl_pack_spark.operators import quantize
 
     emb = read_table(spark, sf_dir, "embeddings")
-    flat = similarity.ivf_topk(emb).select(
+    # r15: ONE coarse-sample pass for both tiers — the flat and PQ
+    # halves seed from the identical md5-ordered nlist=16 sample, so
+    # sharing the collected frame removes a duplicate corpus-wide
+    # TakeOrdered pass per query (deterministic total order: values
+    # cannot change)
+    coarse = similarity._collect_centroids(emb, 16, "vec_id", "embedding")
+    flat = similarity.ivf_topk(emb, coarse_pdf=coarse).select(
         "q_id", "n_id", F.round("cos_sim", 6).alias("score"), "rk",
         F.lit("ivf_flat").alias("method"),
     )
-    cids, C, books, enc = quantize.ivf_pq_index(emb, EMB_DIMS, nlist=16, m=8, k=16)
+    cids, C, books, enc = quantize.ivf_pq_index(
+        emb, EMB_DIMS, nlist=16, m=8, k=16, coarse_pdf=coarse
+    )
     pq = quantize.ivf_pq_topk(
         enc, emb.where("vec_id < 50"), cids, C, books, k=5, nprobe=4
     ).select(

@@ -407,3 +407,30 @@ def test_assign_kernel_matches_independent_argmax(spark, sf_dir):
             np.cumsum(v * C[j])[-1] / (nrm * cn[j]) for j in range(len(cids))
         ]
         assert got[vid] == cids[int(np.argmax(sims))], vid
+
+
+def test_shared_coarse_sample_is_value_neutral(spark, sf_dir):
+    """r15: passing one _collect_centroids result to both ivf_topk and
+    quantize.ivf_pq_index (the ann_ivf_topk composition) must change
+    no value vs each operator collecting its own sample — and the
+    mis-sized guard must refuse a slice of a larger sample."""
+    import pytest
+
+    from etl_pack_spark.operators import quantize
+
+    emb = read_table(spark, sf_dir, "embeddings")
+    coarse = similarity._collect_centroids(emb, 16, "vec_id", "embedding")
+    own = {tuple(r) for r in similarity.ivf_topk(emb).collect()}
+    shared = {
+        tuple(r) for r in similarity.ivf_topk(emb, coarse_pdf=coarse).collect()
+    }
+    assert own == shared
+    cids_a, C_a, books_a, _ = quantize.ivf_pq_index(emb, 64, nlist=16, m=8, k=16)
+    cids_b, C_b, books_b, _ = quantize.ivf_pq_index(
+        emb, 64, nlist=16, m=8, k=16, coarse_pdf=coarse
+    )
+    assert (cids_a == cids_b).all()
+    assert (C_a == C_b).all()
+    assert (books_a == books_b).all()
+    with pytest.raises(ValueError, match="coarse_pdf"):
+        quantize.ivf_pq_index(emb, 64, nlist=8, m=8, k=16, coarse_pdf=coarse)
