@@ -1192,11 +1192,13 @@ def test_batch_count_uncapped_past_recent_progress_limit(spark, tmp_path):
         spark, str(src), str(tmp_path / "out"), str(tmp_path / "ckpt"),
         window="1 hour", watermark="1 hour", max_files_per_trigger=1,
     )
-    # 105 data batches + the one watermark-finalization batch availableNow
-    # runs to flush closed windows in append mode — all committed, all
-    # counted (recentProgress would report 100; the commits FILE count
-    # reports 101 after minBatchesToRetain purging)
-    assert n == n_files + 1
+    # 105 data batches, plus the watermark-finalization no-data batch
+    # WHEN it wins the race with availableNow termination (it fires in
+    # isolation; under full-suite load it has been observed to be
+    # skipped — the same optionality the refire assertion below always
+    # acknowledged). The VERDICT-#2 property under test is that the
+    # count is UNCAPPED: recentProgress would report 100 here.
+    assert n in (n_files, n_files + 1)
 
     # second firing over the same files: checkpoint says nothing new
     n2 = stream_transfer(
