@@ -205,6 +205,8 @@ def cosine_neardup_pairs(
     spark = df.sparkSession
     nblocks = _block_count(df, id_col)
     if nblocks == 1:
+        from etl_pack_spark.operators.partitioning import spread_small_scan
+
         bc = spark.sparkContext.broadcast(_single_block(df, id_col, vec))
         tiled_dots = _make_tiled_dots()
 
@@ -233,7 +235,14 @@ def cosine_neardup_pairs(
                     out_c.extend(cos[ia, ib].tolist())
                 yield pd.DataFrame({"id_a": out_a, "id_b": out_b, "cos_sim": out_c})
 
-        return df.select(id_col, vec).mapInPandas(
+        # conditional spread (r15): the streamed side carries the whole
+        # (single-block) corpus through a CPU-quadratic kernel — a
+        # single-file scan would run all n²/2 pair scores in ONE task.
+        # Per-row output is partitioning-independent (each streamed row
+        # is scored against the static broadcast block, pairs emitted
+        # only where broadcast id > row id), so the spread cannot
+        # change the result set; many-split scans are untouched.
+        return spread_small_scan(df.select(id_col, vec), id_col).mapInPandas(
             block, schema="id_a long, id_b long, cos_sim double"
         )
 

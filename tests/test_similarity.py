@@ -434,3 +434,17 @@ def test_shared_coarse_sample_is_value_neutral(spark, sf_dir):
     assert (books_a == books_b).all()
     with pytest.raises(ValueError, match="coarse_pdf"):
         quantize.ivf_pq_index(emb, 64, nlist=8, m=8, k=16, coarse_pdf=coarse)
+
+
+def test_single_block_neardup_spreads_small_scan(spark, sf_dir):
+    """The single-block cosine_neardup_pairs fast path must not run its
+    CPU-quadratic kernel on a 1-task fixture-scan layout (r15): the
+    streamed corpus is conditionally spread before mapInPandas. Values
+    are partitioning-independent (each streamed row scores against the
+    static broadcast block), pinned by
+    test_block_matrix_path_matches_fast_path."""
+    emb = read_table(spark, sf_dir, "embeddings")
+    out = similarity.cosine_neardup_pairs(emb, threshold=0.4)
+    assert "RepartitionByExpression" in (
+        out._jdf.queryExecution().logical().toString()
+    )
