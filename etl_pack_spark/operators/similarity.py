@@ -549,8 +549,8 @@ def ivf_topk(
     # are untouched
     from etl_pack_spark.operators.partitioning import spread_small_scan
 
+    src = df
     df = spread_small_scan(df, id_col)
-    base = with_norm(df, vec)
     # centroids collected driver-side (r15): nlist rows of kilobytes —
     # the same bounded posture as quantize.ivf_pq_index. Collecting
     # them once (a) computes the corpus-wide TakeOrdered sample ONCE
@@ -574,10 +574,6 @@ def ivf_topk(
                f"cn double",
     )
     c_sim = _dot_udf(F.col(vec), F.col("cv")) / (F.col("norm") * F.col("cn"))
-    # bounded by construction: cent = nlist centroid rows
-    crossed = base.crossJoin(F.broadcast(cent)).select(
-        F.col(id_col), F.col(vec), F.col("norm"), F.col("cid"), c_sim.alias("c_sim")
-    )
     # nearest-centroid assignment as ONE map-only kernel (r15): the
     # previous plan crossed the corpus ×nlist through ArrowEvalPython,
     # then reduced with a struct-max that plans as SortAggregate (a
@@ -592,15 +588,28 @@ def ivf_topk(
                f"nv {dict(df.dtypes)[vec]}, nn double",
     )
     # query rows: an explicit id frame (broadcast semi-join — queries
-    # are corpus members) or the default ids-below-threshold framing
+    # are corpus members) or the default ids-below-threshold framing.
+    # The query restriction is applied to the UNSPREAD source frame
+    # BEFORE the norm/centroid-similarity projections (r15 session 4):
+    # the previous shape filtered/semi-joined a corpus-wide
+    # ``crossed`` frame (norm UDF + ×nlist broadcast cross) and relied
+    # on Catalyst pushing the restriction below both ArrowEvalPython
+    # nodes — guaranteed by construction now, for the semi-join path
+    # too, so the bounded query side can never drag a full-corpus
+    # Python pass or the fixture spread exchange. Values are identical:
+    # per-row projections commute with row selection on id_col.
     if queries is not None:
         # bounded by caller contract: a query BATCH id set (same
         # posture as quantize.MAX_QUERY_VECTORS on the PQ paths)
-        q_rows = crossed.join(
+        q_src = src.join(
             F.broadcast(queries.select(id_col)), id_col, "left_semi"
         )
     else:
-        q_rows = crossed.where(F.col(id_col) < query_max_id)
+        q_src = src.where(F.col(id_col) < query_max_id)
+    q_rows = with_norm(q_src, vec).crossJoin(F.broadcast(cent)).select(
+        F.col(id_col), F.col(vec), F.col("norm"), F.col("cid"),
+        c_sim.alias("c_sim"),
+    )
     w_probe = Window.partitionBy("q_id").orderBy(F.desc("c_sim"), F.asc("cid"))
     probes = (
         q_rows

@@ -448,3 +448,28 @@ def test_single_block_neardup_spreads_small_scan(spark, sf_dir):
     assert "RepartitionByExpression" in (
         out._jdf.queryExecution().logical().toString()
     )
+
+
+def test_ivf_topk_query_side_bounded_by_construction(spark, sf_dir):
+    """r15 session 4: ivf_topk's query side is restricted (filter or
+    broadcast semi-join) on the UNSPREAD source frame BEFORE the
+    norm/centroid-similarity projections, so the bounded query batch
+    can never drag a full-corpus Python pass or the fixture spread
+    exchange — previously the restriction was applied above a
+    corpus-wide ``crossed`` frame and relied on Catalyst pushdown.
+
+    Pins: (a) the two query framings (default id-threshold vs an
+    explicit query frame of the same ids) are row-identical — the
+    semi-join restructure changed no value; (b) the fixture plan
+    carries exactly ONE spread repartition (the assignment side) —
+    the old shape printed the shared spread subtree under the query
+    side too."""
+    emb = read_table(spark, sf_dir, "embeddings")
+    default_rows = {tuple(r) for r in similarity.ivf_topk(emb).collect()}
+    q_frame = emb.where(F.col("vec_id") < 50).select("vec_id")
+    semi_rows = {
+        tuple(r) for r in similarity.ivf_topk(emb, queries=q_frame).collect()
+    }
+    assert default_rows == semi_rows
+    plan = similarity.ivf_topk(emb)._jdf.queryExecution().logical().toString()
+    assert plan.count("RepartitionByExpression") == 1
