@@ -47,10 +47,11 @@ from etl_pack_spark import suite
 spark = get_spark("abba_leg")
 out = {}
 for name in json.loads(sys.argv[3]):
-    if name not in suite.QUERIES and name not in suite.RETIRED_QUERIES:
+    retired = getattr(suite, "RETIRED_QUERIES", {})
+    if name not in suite.QUERIES and name not in retired:
         out[name] = None
         continue
-    fn = suite.QUERIES.get(name) or suite.RETIRED_QUERIES[name]
+    fn = suite.QUERIES.get(name) or retired[name]
     spark.catalog.clearCache()
     t0 = time.perf_counter()
     fn(spark, sys.argv[2]).write.format("noop").mode("overwrite").save()
@@ -82,7 +83,9 @@ def main() -> None:
     out_name = sys.argv[4] if len(sys.argv) > 4 else "abba_r15_s4_clean.json"
     a_tree = str(Path(__file__).resolve().parent.parent)
     legs: list[dict] = []
-    order = ("A" + "BBAA" * n)[: 2 * n]
+    # counterbalanced at any n (r15 ADVICE: "A" + "BBAA"*n degenerated
+    # to plain "AB" at n=1)
+    order = ("ABBA" * ((n + 1) // 2))[: 2 * n]
     for i, arm in enumerate(order):
         tree = a_tree if arm == "A" else b_tree
         res = run_leg(tree, sf_dir, QUERIES)

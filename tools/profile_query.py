@@ -15,6 +15,7 @@ Usage:
 from __future__ import annotations
 
 import json
+import os
 import sys
 import time
 import urllib.request
@@ -52,7 +53,9 @@ def profile(spark, name: str, fn, sf_dir: str, repeats: int, plans_tag: str | No
             best = (wall, t_build)
             best_jobs = jobs
         if plans_tag and rep == 0:
-            out = Path(__file__).resolve().parent.parent / "plans" / "r15"
+            out = Path(__file__).resolve().parent.parent / "plans" / (
+                os.environ.get("SPARK_GRAFT_PLANS_ROUND", "r16")
+            )
             out.mkdir(parents=True, exist_ok=True)
             (out / f"{name}_{plans_tag}.txt").write_text(
                 df._sc._jvm.PythonSQLUtils.explainString(
