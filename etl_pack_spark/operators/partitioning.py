@@ -19,14 +19,62 @@ is the right trade at any scale.)
 
 from __future__ import annotations
 
+import math
+import os
+
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+
+# Bytes of (column-pruned, plan-estimated) input per spread partition
+# (r16, round-15 VERDICT #4): the r15 spread always widened to
+# defaultParallelism, which on a tiny frame makes every downstream
+# Python stage pay ~32 near-empty Arrow batches + worker round-trips —
+# measurably why the 8-core suite beat the 32-core one at sf0.1. Width
+# now scales with the data: ceil(est_bytes / floor), capped at
+# defaultParallelism, so a 50 KB frame spreads a few ways, the sf0.1
+# fixtures still reach full width, and the 10x/30x probes are
+# unchanged. The floor is a LOCAL default calibrated on the fixture
+# sweep recorded in OPTIMIZATION_r16.md; production tunes it via
+# spark.etl_pack.spread.floorBytes (conf) or
+# ETL_PACK_SPREAD_FLOOR_BYTES (env) — it is a bytes-per-task knob like
+# spark.sql.files.maxPartitionBytes, not a core-count constant.
+SPREAD_FLOOR_BYTES = 24 * 1024
+
+
+def _spread_floor_bytes(df: DataFrame) -> int:
+    conf = df.sparkSession.conf.get(
+        "spark.etl_pack.spread.floorBytes",
+        os.environ.get("ETL_PACK_SPREAD_FLOOR_BYTES", ""),
+    )
+    return int(conf) if conf else SPREAD_FLOOR_BYTES
+
+
+def _estimated_bytes(df: DataFrame) -> int:
+    """Catalyst's size estimate for the (column-pruned) input — free
+    driver-side plan stats, no job. Unknown/huge estimates (opaque
+    lineage) saturate the width at defaultParallelism, which is the
+    pre-r16 behavior."""
+    stats = df._jdf.queryExecution().optimizedPlan().stats()
+    return int(str(stats.sizeInBytes()))
+
+
+def spread_width(df: DataFrame) -> int:
+    """The data-proportionate spread width (r16):
+    ``min(defaultParallelism, ceil(est_bytes / floor))``, never below
+    1. Raises whatever the underlying plan-stats access raises —
+    callers fall back to their conservative behavior."""
+    target = df.sparkSession.sparkContext.defaultParallelism
+    return min(
+        target,
+        max(1, math.ceil(_estimated_bytes(df) / _spread_floor_bytes(df))),
+    )
 
 
 def spread_small_scan(df: DataFrame, key_col: str) -> DataFrame:
     """Repartition by ``key_col`` only when the scan underuses the
-    cluster (planned partitions < defaultParallelism). Falls back to
-    repartitioning if the partition count cannot be planned.
+    cluster (planned partitions < the data-proportionate width below).
+    Falls back to repartitioning if the partition count cannot be
+    planned.
 
     The spread pins an EXPLICIT partition count (r15): a keyed
     ``repartition(col)`` without one is an AQE-coalescible exchange,
@@ -36,12 +84,18 @@ def spread_small_scan(df: DataFrame, key_col: str) -> DataFrame:
     hashing, pair fan-out through a Python boundary) whose cost is not
     proportional to input bytes. An explicit count is exempt from
     coalescing, and this path only fires when the scan underuses the
-    cluster, so a production many-split scan is never touched."""
+    cluster, so a production many-split scan is never touched.
+
+    The count itself is data-proportionate (r16, round-15 VERDICT #4):
+    ``min(defaultParallelism, ceil(est_bytes / floor))`` — tiny frames
+    no longer fan out to one near-empty Arrow batch per core, while
+    anything bigger than ``floor × defaultParallelism`` still spreads
+    to full width."""
     try:
         n_parts = df.rdd.getNumPartitions()
-        target = df.sparkSession.sparkContext.defaultParallelism
+        width = spread_width(df)
     except Exception:  # noqa: BLE001 — conservative: keep fixture behavior
         return df.repartition(F.col(key_col))
-    if n_parts < target:
-        return df.repartition(target, F.col(key_col))
+    if n_parts < width:
+        return df.repartition(width, F.col(key_col))
     return df
