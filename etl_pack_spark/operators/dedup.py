@@ -89,6 +89,22 @@ def _membership_prefilter(keyed: DataFrame, snap: DataFrame):
         .drop(_BUCKET_COL).drop(HASH_COL)
 
 
+def _estimated_rows(df: DataFrame) -> int:
+    """Catalyst's size-only row estimate for ``df``: plan
+    ``sizeInBytes`` divided by the output schema's estimated row width
+    — the same defaultSize arithmetic the byte estimate itself was
+    propagated with, so the division recovers the row count the
+    optimizer carried. Free driver-side plan stats, no job. The
+    size-only visitor ignores filter selectivity and aggregate
+    reduction, so this OVERestimates the distinct snapshot — which
+    only ever engages the (result-identical) pre-filter a bit early or
+    falls back to the plain join a bit early, both safe."""
+    stats = df._jdf.queryExecution().optimizedPlan().stats()
+    size = int(str(stats.sizeInBytes()))
+    width = 8 + int(df._jdf.schema().defaultSize())
+    return size // width
+
+
 def incremental_filter(
     src: DataFrame,
     snapshot: DataFrame | None,
@@ -109,7 +125,19 @@ def incremental_filter(
     the snapshot is too big to broadcast but its occupied-bucket set is
     not (the window where the full-source shuffle hurts most);
     ``"on"``/``"off"`` force it. Results are identical in every mode —
-    the exact anti-join remains the arbiter."""
+    the exact anti-join remains the arbiter.
+
+    The auto-mode engagement decision costs NOTHING (r16, round-15
+    VERDICT #6): it reads Catalyst's plan-stats row estimate instead of
+    persisting the snapshot and running a sizing ``count()`` — the r15
+    probe added a measured +0.12 s/call (persist + count + cache
+    round-trip) even when the snapshot was far below the floor, where
+    the plain pipelined anti-join is the plan anyway. The decision is a
+    pure performance heuristic (every branch is result-identical), so
+    an estimate is exactly as sound as an exact count here, the same
+    way ``spread_small_scan`` sizes its spread; the engaged path still
+    sizes the bucket domain ``m`` from the EXACT snapshot count it
+    materializes anyway."""
     if snapshot is None:
         return src
     cols = cols or src.columns
@@ -118,13 +146,14 @@ def incremental_filter(
     if prefilter == "on":
         return _membership_prefilter(keyed, snap)
     if prefilter == "auto":
-        # the sizing count doubles as precomputation: the pooled persist
-        # it materializes is the same snapshot set the join consumes, so
-        # auto mode costs no extra snapshot scan in either branch
-        from etl_pack_spark.operators.cache import pooled_persist
+        try:
+            est = _estimated_rows(snap)
+        except Exception:  # noqa: BLE001 — stats unavailable: exact probe
+            from etl_pack_spark.operators.cache import pooled_persist
 
-        snap = pooled_persist(snap)
-        if PREFILTER_MIN_ROWS < snap.count() <= PREFILTER_MAX_ROWS:
+            snap = pooled_persist(snap)
+            est = snap.count()
+        if PREFILTER_MIN_ROWS < est <= PREFILTER_MAX_ROWS:
             return _membership_prefilter(keyed, snap)
     out = keyed.join(snap, on=HASH_COL, how="left_anti")
     return out.drop(HASH_COL)
