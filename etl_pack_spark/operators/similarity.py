@@ -524,6 +524,7 @@ def ivf_topk(
     vec: str = "embedding",
     queries: DataFrame | None = None,
     coarse_pdf: pd.DataFrame | None = None,
+    assigned: DataFrame | None = None,
 ) -> DataFrame:
     """IVF-flat approximate top-k: a coarse quantizer partitions the
     corpus into ``nlist`` inverted lists; each query exactly re-ranks
@@ -550,7 +551,28 @@ def ivf_topk(
     from etl_pack_spark.operators.partitioning import spread_small_scan
 
     src = df
-    df = spread_small_scan(df, id_col)
+    # ``assigned`` (r16, round-15 VERDICT #3): a caller composing the
+    # flat and PQ tiers over the SAME corpus passes ONE fused
+    # assign+encode pass (quantize.ivf_assign_encode) projected to
+    # ``(n_id, cid, nv, nn)`` — the fused kernel wraps _assign_kernel
+    # verbatim, so the assignment is bit-identical; only the corpus
+    # pass count changes. Requires ``coarse_pdf`` (the probes side
+    # must score against the SAME centroids the assignment used).
+    if assigned is not None:
+        if coarse_pdf is None:
+            raise ValueError(
+                "ivf_topk(assigned=...) needs the matching coarse_pdf — "
+                "probes must rank the same centroids the assignment used"
+            )
+        missing = {"n_id", "cid", "nv", "nn"} - set(assigned.columns)
+        if missing:
+            raise ValueError(
+                f"assigned frame is missing columns {sorted(missing)} "
+                "(expected the ivf_assign_encode projection n_id/cid/nv/nn)"
+            )
+        df = src  # no spread: the fused pass owns the corpus layout
+    else:
+        df = spread_small_scan(df, id_col)
     # centroids collected driver-side (r15): nlist rows of kilobytes —
     # the same bounded posture as quantize.ivf_pq_index. Collecting
     # them once (a) computes the corpus-wide TakeOrdered sample ONCE
@@ -581,12 +603,13 @@ def ivf_topk(
     # of nlist× the corpus plus an exchange. The kernel computes the
     # same left-fold c_sims and the same (c_sim DESC, cid ASC) argmax
     # per row and emits one row per vector with NO shuffle at all.
-    assigned = df.select(F.col(id_col), F.col(vec)).mapInPandas(
-        _assign_kernel(cent_pdf, id_col, vec, ("n_id", "cid", "nv", "nn")),
-        schema=f"n_id {dict(df.dtypes)[id_col]}, "
-               f"cid {dict(df.dtypes)[id_col]}, "
-               f"nv {dict(df.dtypes)[vec]}, nn double",
-    )
+    if assigned is None:
+        assigned = df.select(F.col(id_col), F.col(vec)).mapInPandas(
+            _assign_kernel(cent_pdf, id_col, vec, ("n_id", "cid", "nv", "nn")),
+            schema=f"n_id {dict(df.dtypes)[id_col]}, "
+                   f"cid {dict(df.dtypes)[id_col]}, "
+                   f"nv {dict(df.dtypes)[vec]}, nn double",
+        )
     # query rows: an explicit id frame (broadcast semi-join — queries
     # are corpus members) or the default ids-below-threshold framing.
     # The query restriction is applied to the UNSPREAD source frame
@@ -800,6 +823,19 @@ def _lsh_keys_udf(dims: int, planes: int, tables: int):
     return F.pandas_udf(keys_impl, "array<string>").asNondeterministic()
 
 
+# Rows per LSH re-rank tile (r16, round-15 VERDICT #3/#5): a bucket
+# larger than this is split into hash-chunks and its chunk-PAIR grid
+# fans out across tasks (the cosine_neardup_pairs block pattern) —
+# EXACT output, bounded per-task work (≤ TILE² scores ≈ a 4096² tile,
+# the same bound as BLOCK_ROWS). The minhash/simhash banded joins cap
+# hot buckets (a recall trade mirrored in their oracles); the LSH
+# registry slot pins UNCAPPED semantics, so the guard here must keep
+# every pair — tiling does, a cap would not. Matches DEFAULT_MAX_BUCKET
+# = BLOCK_ROWS so one number means "bucket too big for one task"
+# engine-wide.
+LSH_BUCKET_TILE_ROWS = 4096
+
+
 def lsh_neardup_pairs(
     df: DataFrame,
     dims: int,
@@ -836,10 +872,23 @@ def lsh_neardup_pairs(
       shipped ``(va, vb)`` per PAIR through the Arrow boundary —
       ~2.4 GB for sf0.1's ~4.7M candidates (4.5-6 s no matter how the
       probe side was partitioned); the kernel ships each bucket's
-      vectors once (~9 MB). A hot bucket concentrates in one task —
-      the same concentration the join fan-out had, minus the per-pair
-      payload duplication."""
+      vectors once (~9 MB).
+
+    Hot-bucket tiling (r16, round-15 VERDICT #5): a bucket of b members
+    is O(b²) score work in ONE task — at 100 TB a near-identical
+    content flood makes one task run for hours. The registry pins
+    UNCAPPED pair semantics, so the guard is TILING, not a cap: one
+    bounded metadata aggregate (keys only — no vectors shuffle for the
+    probe) finds buckets over ``LSH_BUCKET_TILE_ROWS``; when none exist
+    (every healthy corpus) the plan is EXACTLY the r15 single-kernel
+    shape; when they do, members hash into ceil(b/TILE) chunks and the
+    chunk-pair grid fans the bucket across tasks (the
+    cosine_neardup_pairs block pattern — each unordered pair lands in
+    exactly one chunk-pair group, per-pair arithmetic unchanged, so
+    the output is bit-identical)."""
     import numpy as np
+
+    from etl_pack_spark.operators.cache import pooled_persist
 
     banded = df.select(
         F.col(id_col), F.col(vec),
@@ -880,12 +929,96 @@ def lsh_neardup_pairs(
             "cos_sim": np.concatenate(out_c),
         })
 
-    return (
-        banded.groupBy("tbl", "bucket")
-        .applyInPandas(
-            bucket_pairs,
-            schema=f"id_a {id_type}, id_b {id_type}, cos_sim double",
+    schema = f"id_a {id_type}, id_b {id_type}, cos_sim double"
+    # adaptive hot-bucket probe (the _drop_hot_buckets posture): the
+    # aggregate shuffles (tbl, bucket, count) partials only — the probe
+    # never moves vectors — and the overfull frame is tiny by
+    # construction (heavy hitters are few). The extra keys pass is the
+    # bounded price of not stalling a task for hours on a flooded
+    # bucket; the kernel exchange below still ships each vector once
+    # per bucket membership either way.
+    over = pooled_persist(
+        banded.groupBy("tbl", "bucket").count()
+        .where(F.col("count") > LSH_BUCKET_TILE_ROWS)
+    )
+    if over.limit(1).count() == 0:
+        return (
+            banded.groupBy("tbl", "bucket")
+            .applyInPandas(bucket_pairs, schema=schema)
+            .distinct()
         )
+    # tiled path: ONLY overfull buckets fan out (cold buckets keep
+    # nchunks=1 → one group per bucket, the kernel's same-chunk branch
+    # IS the untiled kernel). A member of chunk ci is replicated to the
+    # nchunks groups (min(ci,x), max(ci,x)) — each unordered pair
+    # meets in exactly one group, so no pair is scored twice within a
+    # bucket and none is missed; replication factor is nchunks only
+    # where the bucket flooded.
+    hot = over.select(
+        "tbl", "bucket",
+        F.ceil(F.col("count") / F.lit(LSH_BUCKET_TILE_ROWS))
+        .cast("int").alias("__nc"),
+    )
+    marked = banded.join(F.broadcast(hot), ["tbl", "bucket"], "left") \
+        .withColumn("__nc", F.coalesce(F.col("__nc"), F.lit(1))) \
+        .withColumn(
+            "__ci",
+            F.pmod(F.xxhash64(F.col(id_col)), F.col("__nc")).cast("int"),
+        )
+    replicated = marked.select(
+        F.col(id_col), F.col(vec), F.col("tbl"), F.col("bucket"),
+        F.col("__ci"),
+        F.explode(
+            F.sequence(F.lit(0), F.col("__nc") - F.lit(1))
+        ).alias("__cx"),
+    ).select(
+        F.col(id_col), F.col(vec), F.col("tbl"), F.col("bucket"),
+        F.col("__ci"),
+        F.least(F.col("__ci"), F.col("__cx")).alias("__bi"),
+        F.greatest(F.col("__ci"), F.col("__cx")).alias("__bj"),
+    )
+
+    def bucket_pairs_tiled(pdf: pd.DataFrame) -> pd.DataFrame:
+        if len(pdf) < 2:
+            return pd.DataFrame({"id_a": [], "id_b": [], "cos_sim": []})
+        bi, bj = pdf["__bi"].iat[0], pdf["__bj"].iat[0]
+        if bi == bj:
+            # same-chunk group: the untiled kernel verbatim (it only
+            # reads id/vec, so the extra grid columns are inert)
+            return bucket_pairs(pdf)
+        A = pdf[pdf["__ci"] == bi]
+        B = pdf[pdf["__ci"] == bj]
+        if len(A) == 0 or len(B) == 0:
+            return pd.DataFrame({"id_a": [], "id_b": [], "cos_sim": []})
+        ida = A[id_col].to_numpy()
+        idb = B[id_col].to_numpy()
+        MA = np.stack(A[vec].to_numpy()).astype(np.float64)
+        MB = np.stack(B[vec].to_numpy()).astype(np.float64)
+        na = np.sqrt(np.cumsum(MA * MA, axis=1)[:, -1])
+        nb = np.sqrt(np.cumsum(MB * MB, axis=1)[:, -1])
+        out_a, out_b, out_c = [], [], []
+        step = max(1, (32 << 20) // max(1, len(idb) * 8))
+        for s in range(0, len(ida), step):
+            chunk = MA[s : s + step]
+            cos = tiled_dots(chunk, MB) / (na[s : s + step, None] * nb[None, :])
+            # cross-chunk: ids are disjoint (distinct rows of one
+            # bucket), every (a, b) pair is a candidate exactly once;
+            # products commute term-by-term, so cos is bit-identical
+            # no matter which side is the row side
+            ii, jj = np.nonzero((cos >= threshold) | np.isnan(cos))
+            xa, xb = ida[s + ii], idb[jj]
+            out_a.append(np.minimum(xa, xb))
+            out_b.append(np.maximum(xa, xb))
+            out_c.append(cos[ii, jj])
+        return pd.DataFrame({
+            "id_a": np.concatenate(out_a) if out_a else [],
+            "id_b": np.concatenate(out_b) if out_b else [],
+            "cos_sim": np.concatenate(out_c) if out_c else [],
+        })
+
+    return (
+        replicated.groupBy("tbl", "bucket", "__bi", "__bj")
+        .applyInPandas(bucket_pairs_tiled, schema=schema)
         .distinct()
     )
 

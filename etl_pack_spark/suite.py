@@ -754,15 +754,30 @@ def q_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     # TakeOrdered pass per query (deterministic total order: values
     # cannot change)
     coarse = similarity._collect_centroids(emb, 16, "vec_id", "embedding")
-    flat = similarity.ivf_topk(emb, coarse_pdf=coarse).select(
+    # r16 (round-15 VERDICT #3): ONE fused assign+encode corpus pass
+    # feeds both tiers — the flat tier's cosine-argmax assignment and
+    # the PQ tier's residual encode previously each ran their own
+    # kernel over the corpus. The fused kernel wraps the two existing
+    # per-batch kernels verbatim (values bit-identical; oracle hash
+    # unchanged), and its trailing exchange is reused by both tier
+    # subtrees so the pass executes once.
+    cids, C, books = quantize.ivf_pq_quantizers(
+        emb, EMB_DIMS, nlist=16, m=8, k=16, coarse_pdf=coarse
+    )
+    fused = quantize.ivf_assign_encode(emb, coarse, cids, C, books)
+    flat = similarity.ivf_topk(
+        emb, coarse_pdf=coarse,
+        assigned=fused.select(
+            F.col("id").alias("n_id"), F.col("f_cid").alias("cid"),
+            F.col("v").alias("nv"), F.col("norm").alias("nn"),
+        ),
+    ).select(
         "q_id", "n_id", F.round("cos_sim", 6).alias("score"), "rk",
         F.lit("ivf_flat").alias("method"),
     )
-    cids, C, books, enc = quantize.ivf_pq_index(
-        emb, EMB_DIMS, nlist=16, m=8, k=16, coarse_pdf=coarse
-    )
     pq = quantize.ivf_pq_topk(
-        enc, emb.where("vec_id < 50"), cids, C, books, k=5, nprobe=4
+        fused.select("id", "cid", "codes"),
+        emb.where("vec_id < 50"), cids, C, books, k=5, nprobe=4,
     ).select(
         "q_id", "n_id", F.round("adc_dist", 6).alias("score"), "rk",
         F.lit("ivf_pq").alias("method"),

@@ -471,5 +471,101 @@ def test_ivf_topk_query_side_bounded_by_construction(spark, sf_dir):
         tuple(r) for r in similarity.ivf_topk(emb, queries=q_frame).collect()
     }
     assert default_rows == semi_rows
+    # the spread is CONDITIONAL (it only fires when the fixture scan
+    # underuses the cluster), so the pin is "never more than one" — a
+    # duplicated spread subtree under the query side is the regression
+    # this guards against; on a 1-core box (or a many-split fixture)
+    # the count is legitimately 0 (r15 ADVICE)
     plan = similarity.ivf_topk(emb)._jdf.queryExecution().logical().toString()
-    assert plan.count("RepartitionByExpression") == 1
+    assert plan.count("RepartitionByExpression") <= 1
+    # same pin on the explicit-queries semi-join path (r15 ADVICE: a
+    # regression reattaching the spread/norm corpus subtree under the
+    # semi-join would previously only fail the value check)
+    plan_semi = (
+        similarity.ivf_topk(emb, queries=q_frame)
+        ._jdf.queryExecution().logical().toString()
+    )
+    assert plan_semi.count("RepartitionByExpression") <= 1
+
+
+def test_ivf_assign_encode_matches_separate_kernels(spark, sf_dir):
+    """r16 fuse (round-15 VERDICT #3): the ONE fused assign+encode
+    corpus pass must be bit-identical to the two separate kernels it
+    replaces — the PQ tier equals ivf_pq_index's own encode, and the
+    flat tier fed through ivf_topk(assigned=...) equals the plain
+    ivf_topk result."""
+    from etl_pack_spark.operators import quantize
+
+    emb = read_table(spark, sf_dir, "embeddings")
+    coarse = similarity._collect_centroids(emb, 16, "vec_id", "embedding")
+    cids, C, books = quantize.ivf_pq_quantizers(
+        emb, 64, nlist=16, m=8, k=16, coarse_pdf=coarse
+    )
+    fused = quantize.ivf_assign_encode(emb, coarse, cids, C, books)
+    # PQ tier: codes/cid identical to the standalone index build
+    _, _, _, enc = quantize.ivf_pq_index(
+        emb, 64, nlist=16, m=8, k=16, coarse_pdf=coarse
+    )
+    got = {(r["id"], r["cid"], tuple(r["codes"]))
+           for r in fused.select("id", "cid", "codes").collect()}
+    want = {(r["id"], r["cid"], tuple(r["codes"])) for r in enc.collect()}
+    assert got == want
+    # flat tier: the composed path is row-identical (exact doubles)
+    flat_fused = similarity.ivf_topk(
+        emb, coarse_pdf=coarse,
+        assigned=fused.select(
+            F.col("id").alias("n_id"), F.col("f_cid").alias("cid"),
+            F.col("v").alias("nv"), F.col("norm").alias("nn"),
+        ),
+    )
+    flat_plain = similarity.ivf_topk(emb, coarse_pdf=coarse)
+    assert {tuple(r) for r in flat_fused.collect()} == {
+        tuple(r) for r in flat_plain.collect()
+    }
+
+
+def test_ivf_topk_assigned_requires_matching_coarse(spark, sf_dir):
+    """ivf_topk(assigned=...) must refuse to run without the coarse
+    sample the assignment was computed against, and must refuse a
+    frame that is not the ivf_assign_encode projection."""
+    emb = read_table(spark, sf_dir, "embeddings")
+    coarse = similarity._collect_centroids(emb, 16, "vec_id", "embedding")
+    with pytest.raises(ValueError, match="coarse_pdf"):
+        similarity.ivf_topk(emb, assigned=emb.limit(1))
+    with pytest.raises(ValueError, match="missing columns"):
+        similarity.ivf_topk(emb, coarse_pdf=coarse, assigned=emb.limit(1))
+
+
+def test_lsh_hot_bucket_tiling_is_exact(spark, monkeypatch):
+    """r16 (round-15 VERDICT #5): a bucket larger than
+    LSH_BUCKET_TILE_ROWS is split into hash-chunks whose pair grid
+    fans out across groups — the pair set and every cos_sim double
+    must equal the untiled kernel's, and the engaged plan must carry
+    the chunk-grid grouping."""
+    rows = []
+    # 12 identical vectors flood every bucket of every table; a few
+    # distinct vectors keep the rest of the graph non-degenerate
+    hot = [0.5] * 8
+    for i in range(12):
+        rows.append((i, hot))
+    for i in range(12, 18):
+        rows.append((i, [0.1 * ((i + j) % 5) + 0.01 for j in range(8)]))
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+
+    untiled = {
+        (r["id_a"], r["id_b"], r["cos_sim"])
+        for r in similarity.lsh_neardup_pairs(
+            emb, dims=8, planes=2, tables=2, threshold=0.9
+        ).collect()
+    }
+    monkeypatch.setattr(similarity, "LSH_BUCKET_TILE_ROWS", 4)
+    tiled_df = similarity.lsh_neardup_pairs(
+        emb, dims=8, planes=2, tables=2, threshold=0.9
+    )
+    assert "__bi" in tiled_df._jdf.queryExecution().logical().toString()
+    tiled = {(r["id_a"], r["id_b"], r["cos_sim"]) for r in tiled_df.collect()}
+    assert tiled == untiled
+    # the flood itself must be fully present: all 66 identical-vector
+    # pairs at cos 1.0
+    flood = {(a, b) for a, b, _ in tiled if a < 12 and b < 12}
+    assert len(flood) == 66
