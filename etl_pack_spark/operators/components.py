@@ -222,6 +222,7 @@ def update_clusters(
     new_pairs: DataFrame,
     src: str = "id_a",
     dst: str = "id_b",
+    method: str = "auto",
 ) -> DataFrame:
     """INCREMENTAL component maintenance: fold a batch of NEW pairs
     into an existing ``(id, cluster_id)`` labeling without replaying
@@ -253,7 +254,13 @@ def update_clusters(
     merged = label_edges.unionByName(
         new_pairs.select(F.col(src), F.col(dst))
     )
-    return connected_components(merged, src, dst)
+    # ``method`` (r16): a caller that already bounded the TOTAL pair
+    # volume (one probe covering every batch) passes "driver" and both
+    # this fold and the initial labeling skip their per-call
+    # persist+probe pair — the merged edge list here is ≤ 2x the total
+    # pairs (label edges ≤ labeled nodes ≤ 2x batch-1 pairs), so the
+    # caller's bound transfers. Default "auto" probes as before.
+    return connected_components(merged, src, dst, method=method)
 
 
 def neardup_clusters(
@@ -308,7 +315,13 @@ def cluster_dedup(
         # the size probe below never re-runs the iterative stage
         clusters = neardup_clusters(pairs, id_col)
     bound = guards.MAX_BROADCAST_MODEL_ROWS
-    small = clusters.limit(bound + 1).count() <= bound
+    # zero-job fast path (r16): the union-find path returns a driver-
+    # local labeling whose exact rowCount is already in the plan stats
+    # — no probe job; the distributed-loop path still probes
+    n = guards.known_row_count(clusters)
+    if n is None:
+        n = clusters.limit(bound + 1).count()
+    small = n <= bound
 
     def hint(frame: DataFrame) -> DataFrame:
         return F.broadcast(frame) if small else frame
@@ -324,6 +337,17 @@ def cluster_dedup(
         members = df.join(hint(clusters), id_col).select(
             F.col(id_col), F.col("cluster_id"), score.alias("__score")
         )
+        if small:
+            # members feeds THREE consumers (best, winners, losers) —
+            # unpersisted, each broadcast build re-runs the docs⋈
+            # clusters join (3 extra scan stages measured at fixture
+            # scale, r16). The persist is gated on the SAME bounded
+            # probe verdict as the hints: proven-small clusters bound
+            # members' rows, so the cache is bounded; past the bound
+            # the frames stay lazy exactly as before (r8 posture).
+            from etl_pack_spark.operators.cache import pooled_persist
+
+            members = pooled_persist(members)
         best = members.groupBy("cluster_id").agg(
             F.max("__score").alias("__best")
         )

@@ -367,7 +367,15 @@ def grouped_split_assign(
     if clusters is None:
         if pairs is None:
             raise ValueError("grouped_split_assign needs pairs or clusters")
-        clusters = pooled_persist(neardup_clusters(pairs, id_col))
+        clusters = neardup_clusters(pairs, id_col)
+        # a driver-local labeling (the union-find path) needs no cache
+        # — and skipping the persist keeps its LocalRelation plan, so
+        # maybe_broadcast below reads the exact rowCount from plan
+        # stats instead of running a probe job (r16)
+        from etl_pack_spark.operators.guards import known_row_count
+
+        if known_row_count(clusters) is None:
+            clusters = pooled_persist(clusters)
     clusters = clusters.withColumnRenamed(id_col, "__gid")
     joined = df.join(
         maybe_broadcast(clusters), F.col(id_col) == F.col("__gid"), "left"

@@ -816,9 +816,17 @@ def q_split_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     an existing group. Round-4 upgrade of the plain per-doc split
     (which stays pinned: retired `split_documents_plain` + the split
     stage inside `corpus_curate`)."""
+    from etl_pack_spark.operators.cache import truncated_persist
+
     docs = read_table(spark, sf_dir, "documents")
-    pairs = neardup.simhash_neardup_pairs(docs, "doc_id", "text").select(
-        "id_a", "id_b"
+    # truncated (r16): connected_components' auto path probes and
+    # collects this frame (it persists it too — execution was already
+    # deduped); the checkpoint handle stops each of those actions from
+    # re-analyzing the whole simhash-pipeline tree
+    pairs = truncated_persist(
+        neardup.simhash_neardup_pairs(docs, "doc_id", "text").select(
+            "id_a", "id_b"
+        )
     )
     return sampling.grouped_split_assign(
         docs.select("doc_id", "lang"), pairs
@@ -1427,7 +1435,7 @@ def q_neardup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     tests/test_components.py). The one-shot labeling framing (r8's
     exact query) stays pinned as retired
     ``neardup_components_oneshot``."""
-    from etl_pack_spark.operators.cache import pooled_persist
+    from etl_pack_spark.operators.cache import truncated_persist
     from etl_pack_spark.operators.components import (
         cluster_dedup,
         connected_components,
@@ -1437,18 +1445,36 @@ def q_neardup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = read_table(spark, sf_dir, "documents")
     # persisted: the two batch filters below are differently-keyed
     # consumers of the whole simhash pipeline (the bench-discipline
-    # re-execution trap)
-    pairs = pooled_persist(
+    # re-execution trap). TRUNCATED (r16, round-15 VERDICT #2): the
+    # two components runs, their size probes, the driver collects and
+    # cluster_dedup's broadcast probe — ~6 eager actions — each
+    # re-analyzed the full simhash-pipeline tree through this frame;
+    # the checkpoint handle pays that analysis once.
+    pairs = truncated_persist(
         neardup.simhash_neardup_pairs(docs, "doc_id", "text").select(
             "id_a", "id_b"
         )
     )
     batch1 = pairs.where((F.col("id_a") + F.col("id_b")) % 2 == 0)
     batch2 = pairs.where((F.col("id_a") + F.col("id_b")) % 2 == 1)
+    # ONE bounded probe for BOTH components runs (r16, round-15
+    # VERDICT #2): each run's auto mode would persist + probe its own
+    # edge frame — two extra eager actions over the same checkpointed
+    # pairs. |batch1| and the fold's merged list (label edges + batch2
+    # ≤ 2x total pairs) are both bounded by the TOTAL pair count, so
+    # one limit probe at MAX/2 proves the driver path for both; larger
+    # graphs keep the per-run auto probes (method="auto" unchanged).
+    from etl_pack_spark.operators.components import MAX_DRIVER_PAIRS
+
+    bound = MAX_DRIVER_PAIRS // 2
+    small = pairs.limit(bound + 1).count() <= bound
+    method = "driver" if small else "auto"
     # the incremental posture: label batch 1, then FOLD batch 2 into
     # the existing labeling — exact (min-id labels are canonical), so
     # the result must hash-match components over ALL pairs
-    clusters = update_clusters(connected_components(batch1), batch2).select(
+    clusters = update_clusters(
+        connected_components(batch1, method=method), batch2, method=method
+    ).select(
         F.col("id").alias("doc_id"), "cluster_id"
     )
     # the operator input is restricted to CLUSTERED docs (broadcast
@@ -1742,14 +1768,22 @@ def q_minhash_match_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     rescanned (operators/neardup.py). The reference's incremental
     anti-join posture (etl.go:23-48) lifted from exact-hash to
     near-dup."""
+    from etl_pack_spark.operators.cache import pooled_persist
     from etl_pack_spark.operators.tokenize import shingle_rows
 
     docs = read_table(spark, sf_dir, "documents")
     old = docs.where(F.col("doc_id") % 5 != 0)
     new = docs.where(F.col("doc_id") % 5 == 0)
-    sig_old = neardup.minhash_signature(
+    # persisted (r16): the slot's declared posture is a PERSISTED
+    # signature store — but the fixture fabricates it from text, and
+    # unpersisted that minhash lineage executed three times (the
+    # hot-bucket probe, the union banding, the verify join — measured
+    # 3.3 s of the slot's 3.1-7.3 s build as ONE probe count): one
+    # store-materialization pass is exactly what "persisted store"
+    # means, and it is recomputed inside every timed invocation
+    sig_old = pooled_persist(neardup.minhash_signature(
         shingle_rows(old, "doc_id", "text", 3, distinct=False), "doc_id"
-    )
+    ))
     return neardup.minhash_match_incremental(new, sig_old, "doc_id", "text")
 
 

@@ -248,6 +248,13 @@ class TestSurvivorBy:
             assert "BroadcastHashJoin" in plan  # proven small -> hinted
 
             monkeypatch.setattr(guards, "MAX_BROADCAST_MODEL_ROWS", 0)
+            # r16: the proven-small path persists its members frame;
+            # without clearing, the unhinted variant's plan MATCHES
+            # that cache (hint-insensitive cache lookup) and the
+            # printed InMemoryRelation build plan still shows the
+            # hinted join — clear so the assertion sees the fresh
+            # unhinted planning, which is what this test pins
+            spark.catalog.clearCache()
             big = cluster_dedup(docs, pairs, survivor_by="q")
             plan2 = big._jdf.queryExecution().executedPlan().toString()
             assert "BroadcastHashJoin" not in plan2  # past bound -> unhinted
@@ -304,6 +311,27 @@ class TestUpdateClusters:
         assert d[20] == d[21] == d[10] == d[11] == 10  # merged -> min id
         assert d[1] == d[4] == 1
         assert d[30] == d[31] == 30
+
+    def test_method_passthrough_matches_auto(self, spark):
+        """r16: a caller that bounded the total pair volume passes
+        method="driver" straight through the fold — labels must be
+        identical to auto mode (the probe-merged path the
+        neardup_components slot takes)."""
+        from etl_pack_spark.operators.components import (
+            connected_components,
+            update_clusters,
+        )
+
+        hist = _edges(spark, [(1, 2), (2, 3), (10, 11), (20, 21)])
+        new = _edges(spark, [(3, 4), (11, 20), (30, 31)])
+        base = connected_components(hist, method="driver")
+        got = sorted(map(tuple, update_clusters(
+            base, new, method="driver"
+        ).collect()))
+        want = sorted(map(tuple, update_clusters(
+            connected_components(hist), new
+        ).collect()))
+        assert got == want
 
     def test_iterated_batches_equal_batch_labeling(self, spark, sf_dir):
         """Streaming posture over the real fixture: split the simhash

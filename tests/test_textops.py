@@ -260,6 +260,24 @@ def test_unigram_guard_fallback_matches_broadcast_path(spark):
     unhinted = maybe_broadcast(model, max_rows=5)
     assert "UnresolvedHint" in hinted._jdf.queryExecution().logical().toString()
     assert "UnresolvedHint" not in unhinted._jdf.queryExecution().logical().toString()
+    # r16 zero-job fast path: exact-leaf plans (driver-local relations,
+    # bare range) expose an EXACT rowCount in plan stats (no probe
+    # job); anything non-leaf (even a projection over range, without
+    # CBO) and every distributed plan must return None so the bounded
+    # probe still runs
+    from etl_pack_spark.operators.guards import known_row_count
+
+    assert known_row_count(spark.range(10)) == 10
+    assert known_row_count(model) is None  # Project over Range
+    # the Arrow/pandas createDataFrame path — what the components
+    # union-find emits — plans as a LocalRelation (a tuple-list
+    # createDataFrame goes through an RDD and correctly returns None)
+    import pandas as pd
+
+    local = spark.createDataFrame(pd.DataFrame({"id": [1, 2, 3]}))
+    assert known_row_count(local) == 3
+    assert known_row_count(local.where("id < 3")) == 2  # folded local
+    assert known_row_count(df.groupBy("doc_id").count()) is None
     # and the fallback join still computes the same answer
     import etl_pack_spark.operators.guards as guards
 
