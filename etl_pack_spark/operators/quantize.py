@@ -409,20 +409,21 @@ def ivf_assign_encode(
     row-aligned because both preserve batch row order), so every value
     is bit-identical to the separate passes.
 
-    The trailing keyed ``repartition`` is the SHARING mechanism, not a
-    layout choice: both tier subtrees reference this frame, and without
-    an exchange boundary Spark executes the duplicated kernel subtree
-    once per consumer — exchange reuse (AQE stage reuse) materializes
-    the shuffle once and both consumers read it. Scale trade, stated
-    honestly: one corpus-sized shuffle of ``(id, f_cid, v, norm, cid,
-    codes)`` replaces a second full corpus scan + assign/encode Python
-    pass — strictly fewer corpus passes, no caching, no persisted
-    corpus+payload frame. Two-tier compositions only; single-tier
-    callers keep their map-only kernels."""
-    from etl_pack_spark.operators.partitioning import (
-        spread_small_scan,
-        spread_width,
-    )
+    SHARING is the caller's job: both tier subtrees reference this
+    frame, and a plan tree duplicates the kernel subtree once per
+    consumer. An exchange boundary does NOT deduplicate it — column
+    pruning pushes each tier's projection BELOW the repartition, the
+    two exchange subtrees stop being identical, and exchange reuse
+    never fires (measured: the fused kernel ran twice, two ~29-task
+    stage pairs per run). The suite slot therefore ``pooled_persist``s
+    this frame: ONE kernel pass materialized, both tiers read the
+    cache. Scale trade, stated honestly: the persisted state is the
+    per-vector index payload (id, assignment, codes, norm, vector) — a
+    production index build materializes exactly this frame anyway (it
+    IS the index), and the alternative is a second full corpus scan +
+    assign/encode Python pass per consumer. Two-tier compositions
+    only; single-tier callers keep their map-only kernels."""
+    from etl_pack_spark.operators.partitioning import spread_small_scan
     from etl_pack_spark.operators.similarity import _assign_kernel
 
     src = df.select(F.col(id_col).alias("id"), F.col(vec).alias("v"))
@@ -441,15 +442,11 @@ def ivf_assign_encode(
 
     id_type = dict(df.dtypes)[id_col]
     vec_type = dict(df.dtypes)[vec]
-    try:
-        width = spread_width(src)
-    except Exception:  # noqa: BLE001
-        width = df.sparkSession.sparkContext.defaultParallelism
     return spread_small_scan(src, "id").mapInPandas(
         fused,
         schema=f"id {id_type}, f_cid {id_type}, v {vec_type}, "
                f"norm double, cid {id_type}, codes array<smallint>",
-    ).repartition(width, F.col("id"))
+    )
 
 
 def _encode_kernel(bc):

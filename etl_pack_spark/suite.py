@@ -759,12 +759,18 @@ def q_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     # the PQ tier's residual encode previously each ran their own
     # kernel over the corpus. The fused kernel wraps the two existing
     # per-batch kernels verbatim (values bit-identical; oracle hash
-    # unchanged), and its trailing exchange is reused by both tier
-    # subtrees so the pass executes once.
+    # unchanged). pooled_persist IS the sharing mechanism: a repartition
+    # boundary does not deduplicate the kernel subtree (column pruning
+    # makes the two consumers' exchanges non-identical, so exchange
+    # reuse never fires — measured as the kernel running twice); the
+    # persisted frame is the per-vector index payload a production
+    # index build materializes anyway.
+    from etl_pack_spark.operators.cache import pooled_persist
+
     cids, C, books = quantize.ivf_pq_quantizers(
         emb, EMB_DIMS, nlist=16, m=8, k=16, coarse_pdf=coarse
     )
-    fused = quantize.ivf_assign_encode(emb, coarse, cids, C, books)
+    fused = pooled_persist(quantize.ivf_assign_encode(emb, coarse, cids, C, books))
     flat = similarity.ivf_topk(
         emb, coarse_pdf=coarse,
         assigned=fused.select(
