@@ -588,9 +588,17 @@ def ngram_jaccard_pairs(
     # and the threshold<=0 BNLJ stream side inherit the scan's
     # partitioning — spread a single-file corpus so neither runs
     # single-task. Capped corpora only, by the guard above.
+    # FULL width on purpose (r16): this is the one spread site whose
+    # downstream work is O(n²) in rows (shared-shingle pair fan-out),
+    # so the bytes-per-task floor that sizes every other spread
+    # under-provisions it by construction — the r16 adaptive width
+    # narrowed it 32→25 at sf0.1 and the row slowed ~25%. The guard
+    # above caps n, so full fan-out is bounded.
     from etl_pack_spark.operators.partitioning import spread_small_scan
 
-    sh = shingled(spread_small_scan(df, id_col), id_col, text_col, k)
+    sh = shingled(
+        spread_small_scan(df, id_col, full_width=True), id_col, text_col, k
+    )
     inter = F.size(F.array_intersect("sh_a", "sh_b"))
     union = F.size("sh_a") + F.size("sh_b") - inter
     jac = F.when(union > 0, inter.cast("double") / union.cast("double"))

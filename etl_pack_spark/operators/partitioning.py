@@ -70,7 +70,9 @@ def spread_width(df: DataFrame) -> int:
     )
 
 
-def spread_small_scan(df: DataFrame, key_col: str) -> DataFrame:
+def spread_small_scan(
+    df: DataFrame, key_col: str, full_width: bool = False
+) -> DataFrame:
     """Repartition by ``key_col`` only when the scan underuses the
     cluster (planned partitions < the data-proportionate width below).
     Falls back to repartitioning if the partition count cannot be
@@ -90,10 +92,16 @@ def spread_small_scan(df: DataFrame, key_col: str) -> DataFrame:
     ``min(defaultParallelism, ceil(est_bytes / floor))`` — tiny frames
     no longer fan out to one near-empty Arrow batch per core, while
     anything bigger than ``floor × defaultParallelism`` still spreads
-    to full width."""
+    to full width. ``full_width=True`` opts a call site out of the
+    bytes floor (r16): a spread feeding work that is NOT proportional
+    to input bytes (the exact-Jaccard O(n²) pair fan-out) would be
+    under-provisioned by any bytes-per-task sizing."""
     try:
         n_parts = df.rdd.getNumPartitions()
-        width = spread_width(df)
+        if full_width:
+            width = df.sparkSession.sparkContext.defaultParallelism
+        else:
+            width = spread_width(df)
     except Exception:  # noqa: BLE001 — conservative: keep fixture behavior
         return df.repartition(F.col(key_col))
     if n_parts < width:
