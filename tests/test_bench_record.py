@@ -4,6 +4,15 @@ because the compact line silently regrew to 3.4 KB (round-11 VERDICT #1);
 these tests pin the fix so it cannot regress a third time.
 """
 
+import pytest
+
+# r16 two-tier suite (round-15 VERDICT #1): the subprocess pins here
+# boot a bench subprocess (own Spark JVM) per test. Deselected by the
+# default `-m "not slow"` profile (pytest.ini) so the driver's verify
+# completes in budget; the full gate (`pytest tests/ -m ""`) still
+# runs this module.
+pytestmark = pytest.mark.slow
+
 import json
 import sys
 from pathlib import Path

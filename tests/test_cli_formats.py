@@ -8,6 +8,12 @@ import sys
 
 import pytest
 
+# r16 two-tier suite (round-15 VERDICT #1): subprocess CLI pins: most tests boot a fresh Spark JVM per invocation.
+# Deselected by the default `-m "not slow"` profile (pytest.ini)
+# so the driver's verify completes in budget; the full gate
+# (`pytest tests/ -m ""`) still runs this module.
+pytestmark = pytest.mark.slow
+
 from etl_pack_spark.sources.formats import read_source
 
 

@@ -3,6 +3,12 @@
 from __future__ import annotations
 
 import pytest
+
+# r16 two-tier suite (round-15 VERDICT #1): PDF/media e2e matrices (decode-heavy, minutes of wall).
+# Deselected by the default `-m "not slow"` profile (pytest.ini)
+# so the driver's verify completes in budget; the full gate
+# (`pytest tests/ -m ""`) still runs this module.
+pytestmark = pytest.mark.slow
 from pyspark.sql import functions as F
 from pyspark.sql.utils import PythonException
 

@@ -4,6 +4,12 @@ streaming/batch transformation parity, foreachBatch incremental dedup."""
 from __future__ import annotations
 
 import pytest
+
+# r16 two-tier suite (round-15 VERDICT #1): multi-minute streaming drains (micro-batch waits dominate).
+# Deselected by the default `-m "not slow"` profile (pytest.ini)
+# so the driver's verify completes in budget; the full gate
+# (`pytest tests/ -m ""`) still runs this module.
+pytestmark = pytest.mark.slow
 from pyspark.sql import functions as F
 
 from etl_pack_spark.sources.reader import read_table
